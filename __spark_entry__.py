@@ -3,36 +3,44 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+All query definitions live in ``time_series_db_spark.catalog`` — one
+entry per operator from SURVEY.md §2 plus the large-scale pipeline ops.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: fetch → 3h moving average
+    → sum by (name, region) → top-5 series by average."""
+    from time_series_db_spark.catalog import _out
+    from time_series_db_spark.operators import grouping, ordering, windows
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, fetch_events
+
+    sf = fetch_events(spark, "/root/testdata/sf0.001")
+    sf = windows.moving(sf, 3 * DEFAULT_STEP_MS, "avg")
+    sf = grouping.sum_(sf, ["name", "region"])
+    sf = ordering.top_k(sf, 5, "avg", descending=True)
+    return _out(sf, ["name", "region"])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from time_series_db_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from time_series_db_spark.catalog import ORACLES
+
+    return dict(ORACLES)

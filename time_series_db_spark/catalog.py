@@ -1,0 +1,783 @@
+"""Query catalog: named (Spark query, DuckDB oracle) pairs per operator.
+
+This is the engine's differential-test surface (SURVEY.md §5 layer 4):
+every operator from the §2 inventory appears as a callable
+``(spark, sf_dir) -> DataFrame`` plus an ANSI-SQL oracle producing the
+identical result on the same parquet tables. ``__spark_entry__.py``
+re-exports it for the driver; ``tests/test_parity.py`` runs the same
+comparison locally at sf0.001.
+
+Determinism rules (shared by both sides):
+- output values quantized via :data:`QUANT` — floor(v·1e4 + 0.5)/1e4 in
+  pure IEEE double ops, bit-identical across engines, passing NaN/±Inf and
+  magnitudes ≥1e12 through untouched;
+- any top-k / rank selection breaks ties on the canonical series key;
+- "last write wins" is ordered by event_id (ingest order).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.operators import (
+    binary,
+    filters,
+    grouping,
+    labels as labels_ops,
+    mappers,
+    ordering,
+    windows,
+)
+from time_series_db_spark.sources import (
+    DEFAULT_STEP_MS,
+    EVENTS_MAX_TS,
+    EVENTS_MIN_TS,
+    fetch_events,
+    oracle_samples_cte,
+)
+
+LABEL_KEYS = ["name", "user", "region", "shard"]
+
+# ---------------------------------------------------------------------------
+# quantization — see module docstring
+# ---------------------------------------------------------------------------
+
+
+def quant(col: Column) -> Column:
+    return F.when(
+        F.isnan(col) | (F.abs(col) >= F.lit(1e12)), col
+    ).otherwise(F.floor(col * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000))
+
+
+def sql_quant(expr: str) -> str:
+    e = f"({expr})"
+    return (
+        f"CASE WHEN isnan({e}) OR abs({e}) >= 1e12 THEN {e} "
+        f"ELSE floor({e} * 10000.0 + 0.5) / 10000 END"
+    )
+
+
+#: canonical series key in SQL — keys sorted alphabetically, matching
+#: model.series_key_expr over the events label map
+SQL_SERIES_KEY = (
+    "'name:' || name || ',region:' || region || ',shard:' || shard "
+    "|| ',user:' || \"user\""
+)
+
+_GRID_MAX = EVENTS_MAX_TS - DEFAULT_STEP_MS
+
+PRELUDE = "WITH " + oracle_samples_cte()
+
+DENSE_CTES = f""",
+grid AS (
+  SELECT gs AS ts FROM generate_series({EVENTS_MIN_TS}, {_GRID_MAX}, {DEFAULT_STEP_MS}) t(gs)
+),
+sids AS (SELECT DISTINCT name, "user", region, shard FROM samples),
+dense AS (
+  SELECT s.name, s."user", s.region, s.shard, g.ts, v.value
+  FROM sids s
+  CROSS JOIN grid g
+  LEFT JOIN samples v
+    ON v.name = s.name AND v."user" = s."user" AND v.region = s.region
+   AND v.shard = s.shard AND v.ts = g.ts
+)"""
+
+SQL_LBLS = 'name, "user", region, shard'
+
+
+def _out(sf: SeriesFrame, keys: list[str] | None = None, extra: list[Column] = ()) -> DataFrame:
+    """Flatten a SeriesFrame for oracle comparison: label columns + ts +
+    quantized value (+ extras)."""
+    keys = LABEL_KEYS if keys is None else keys
+    cols = [F.col("labels")[k].alias(k) for k in keys]
+    cols += [F.col("ts"), quant(F.col("value")).alias("value")]
+    cols += list(extra)
+    return sf.df.select(*cols)
+
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _fetch(spark, sf_dir, **kw) -> SeriesFrame:
+    return fetch_events(spark, sf_dir, **kw)
+
+
+# ---------------------------------------------------------------------------
+# fetch / scan
+# ---------------------------------------------------------------------------
+
+@register(
+    "m3_fetch",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_fetch(spark, sf_dir):
+    """fetch — tag-filtered scan + grid alignment (SourceBuilderVisitor
+    .java:911-940; alignment TimeSeriesUnfoldAggregator.java:305-320)."""
+    return _out(_fetch(spark, sf_dir))
+
+
+@register(
+    "m3_fetch_filtered",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE name IN ('error', 'click') AND region <> 'r3'""",
+)
+def m3_fetch_filtered(spark, sf_dir):
+    """fetch with label predicates incl. negation (``!k3:x``) and brace
+    interpolation ``{a,b}`` → IN-list + inequality pushed to the scan."""
+    sf = _fetch(spark, sf_dir, where=(
+        F.col("name").isin("error", "click") & (F.col("region") != "r3")
+    ))
+    return _out(sf)
+
+
+# ---------------------------------------------------------------------------
+# mapper stages
+# ---------------------------------------------------------------------------
+
+def _mapper_oracle(expr: str) -> str:
+    return f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant(expr)} AS value FROM samples"
+
+
+@register("m3_abs", _mapper_oracle("abs(value - 100.0)"))
+def m3_abs(spark, sf_dir):
+    return _out(mappers.abs_(mappers.offset(_fetch(spark, sf_dir), -100.0)))
+
+
+@register(
+    "m3_logarithm",
+    _mapper_oracle(
+        "CASE WHEN value > 0 THEN log10(value) WHEN value = 0 THEN -1e308*10 "
+        "ELSE 'NaN'::DOUBLE END"
+    ),
+)
+def m3_logarithm(spark, sf_dir):
+    return _out(mappers.logarithm(_fetch(spark, sf_dir)))
+
+
+@register("m3_sqrt", _mapper_oracle("CASE WHEN value - 100.0 < 0 THEN 'NaN'::DOUBLE ELSE sqrt(value - 100.0) END"))
+def m3_sqrt(spark, sf_dir):
+    return _out(mappers.sqrt(mappers.offset(_fetch(spark, sf_dir), -100.0)))
+
+
+@register("m3_scale", _mapper_oracle("value * 2.5"))
+def m3_scale(spark, sf_dir):
+    return _out(mappers.scale(_fetch(spark, sf_dir), 2.5))
+
+
+@register("m3_divide_scalar", _mapper_oracle("value / 4.0"))
+def m3_divide_scalar(spark, sf_dir):
+    return _out(mappers.divide_scalar(_fetch(spark, sf_dir), 4.0))
+
+
+@register("m3_offset", _mapper_oracle("value + 100.0"))
+def m3_offset(spark, sf_dir):
+    return _out(mappers.offset(_fetch(spark, sf_dir), 100.0))
+
+
+@register("m3_round", _mapper_oracle("round(value, 3)"))
+def m3_round(spark, sf_dir):
+    """round to 3 decimals on 2-decimal data — exercises the stage plumbing
+    without landing on cross-engine half-tie boundaries."""
+    return _out(mappers.round_(_fetch(spark, sf_dir), 3))
+
+
+@register(
+    "m3_scale_to_seconds",
+    _mapper_oracle(f"value * (60.0 * 1000.0 / {DEFAULT_STEP_MS})"),
+)
+def m3_scale_to_seconds(spark, sf_dir):
+    return _out(mappers.scale_to_seconds(_fetch(spark, sf_dir), 60))
+
+
+@register(
+    "m3_timeshift",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts + 86400000 AS ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_timeshift(spark, sf_dir):
+    return _out(mappers.timeshift(_fetch(spark, sf_dir), 86_400_000))
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+@register(
+    "m3_value_filter_ge",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples WHERE value >= 100.0",
+)
+def m3_value_filter_ge(spark, sf_dir):
+    return _out(filters.value_filter(_fetch(spark, sf_dir), "ge", 100.0))
+
+
+@register(
+    "m3_value_filter_lt",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples WHERE value < 50.0",
+)
+def m3_value_filter_lt(spark, sf_dir):
+    return _out(filters.value_filter(_fetch(spark, sf_dir), "lt", 50.0))
+
+
+@register(
+    "m3_where",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples WHERE region = shard",
+)
+def m3_where(spark, sf_dir):
+    """where tagA eq tagB — WhereStage.java:35 (region==shard ⇔ user%4 ∈ {0,1})."""
+    return _out(filters.where(_fetch(spark, sf_dir), "region", "shard"))
+
+
+@register(
+    "m3_tag_compare",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples WHERE region > 'r1'",
+)
+def m3_tag_compare(spark, sf_dir):
+    return _out(filters.tag_compare(_fetch(spark, sf_dir), "region", "gt", "r1"))
+
+
+@register(
+    "m3_exclude_by_tag",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples "
+    "WHERE NOT regexp_matches(region, 'r[02]')",
+)
+def m3_exclude_by_tag(spark, sf_dir):
+    return _out(filters.exclude_by_tag(_fetch(spark, sf_dir), "region", ["r[02]"]))
+
+
+@register(
+    "m3_remove_empty",
+    f"""{PRELUDE},
+    mapped AS (
+      SELECT {SQL_LBLS}, ts,
+             CASE WHEN value - 550.0 < 0 THEN 'NaN'::DOUBLE ELSE sqrt(value - 550.0) END AS value
+      FROM samples
+    ),
+    keep AS (
+      SELECT {SQL_LBLS} FROM mapped GROUP BY 1,2,3,4
+      HAVING max(CASE WHEN NOT isnan(value) THEN 1 ELSE 0 END) = 1
+    )
+    SELECT m.name, m."user", m.region, m.shard, m.ts, {sql_quant('m.value')} AS value
+    FROM mapped m JOIN keep k
+      ON m.name=k.name AND m."user"=k."user" AND m.region=k.region AND m.shard=k.shard""",
+)
+def m3_remove_empty(spark, sf_dir):
+    """removeEmpty after a NaN-producing map: series whose samples are all
+    NaN vanish — RemoveEmptyStage.java:33."""
+    sf = mappers.sqrt(mappers.offset(_fetch(spark, sf_dir), -550.0))
+    return _out(filters.remove_empty(sf))
+
+
+# ---------------------------------------------------------------------------
+# grouping aggregations
+# ---------------------------------------------------------------------------
+
+def _group_oracle(agg: str, keys: list[str]) -> str:
+    sel = ", ".join(f'"{k}"' if k == "user" else k for k in keys)
+    byn = ", ".join(str(i + 1) for i in range(len(keys) + 1))
+    return (
+        f"{PRELUDE} SELECT {sel}{', ' if sel else ''}ts, {sql_quant(agg)} AS value "
+        f"FROM samples GROUP BY {byn}"
+    )
+
+
+@register("m3_sum_by", _group_oracle("CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)", ["name"]))
+def m3_sum_by(spark, sf_dir):
+    return _out(grouping.sum_(_fetch(spark, sf_dir), ["name"], exact=True), ["name"])
+
+
+@register("m3_sum_global", _group_oracle("CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)", []))
+def m3_sum_global(spark, sf_dir):
+    return _out(grouping.sum_(_fetch(spark, sf_dir), [], exact=True), [])
+
+
+@register("m3_avg_by", _group_oracle("(CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value))", ["region"]))
+def m3_avg_by(spark, sf_dir):
+    return _out(grouping.avg(_fetch(spark, sf_dir), ["region"], exact=True), ["region"])
+
+
+@register("m3_min_by", _group_oracle("min(value)", ["name"]))
+def m3_min_by(spark, sf_dir):
+    return _out(grouping.min_(_fetch(spark, sf_dir), ["name"]), ["name"])
+
+
+@register("m3_max_by", _group_oracle("max(value)", ["region"]))
+def m3_max_by(spark, sf_dir):
+    return _out(grouping.max_(_fetch(spark, sf_dir), ["region"]), ["region"])
+
+
+@register("m3_count_by", _group_oracle("CAST(count(value) AS DOUBLE)", ["name"]))
+def m3_count_by(spark, sf_dir):
+    return _out(grouping.count(_fetch(spark, sf_dir), ["name"]), ["name"])
+
+
+@register("m3_range_by", _group_oracle("max(value) - min(value)", ["name"]))
+def m3_range_by(spark, sf_dir):
+    return _out(grouping.range_(_fetch(spark, sf_dir), ["name"]), ["name"])
+
+
+@register(
+    "m3_multiply_by",
+    f"""{PRELUDE},
+    scaled AS (SELECT {SQL_LBLS}, ts, value * (1.0 / 600.0) + 0.5 AS value FROM samples)
+    SELECT region, ts,
+           {sql_quant("list_aggregate(list_sort(list(value)), 'product')")} AS value
+    FROM scaled GROUP BY 1, 2""",
+)
+def m3_multiply_by(spark, sf_dir):
+    sf = mappers.offset(mappers.scale(_fetch(spark, sf_dir), 1.0 / 600.0), 0.5)
+    return _out(grouping.multiply(sf, ["region"]), ["region"])
+
+
+@register(
+    "m3_percentile_of_series",
+    f"""{PRELUDE}
+    SELECT name, p AS _percentile, ts, {sql_quant('v')} AS value FROM (
+      SELECT name, ts,
+             quantile_cont(value, 0.5) AS "50.0",
+             quantile_cont(value, 0.95) AS "95.0"
+      FROM samples GROUP BY 1, 2
+    ) UNPIVOT (v FOR p IN ("50.0", "95.0"))""",
+)
+def m3_percentile_of_series(spark, sf_dir):
+    sf = grouping.percentile_of_series(_fetch(spark, sf_dir), [50.0, 95.0], ["name"])
+    return _out(sf, ["name", "_percentile"])
+
+
+# ---------------------------------------------------------------------------
+# window / sequential stages
+# ---------------------------------------------------------------------------
+
+_W = f'PARTITION BY {SQL_LBLS} ORDER BY ts'
+
+
+@register(
+    "m3_derivative",
+    f"""{PRELUDE},
+    lagged AS (
+      SELECT {SQL_LBLS}, ts, value,
+             lag(value) OVER ({_W}) AS pv, lag(ts) OVER ({_W}) AS pts
+      FROM samples)
+    SELECT {SQL_LBLS}, ts, {sql_quant('value - pv')} AS value
+    FROM lagged WHERE pts IS NOT NULL AND ts - pts = {DEFAULT_STEP_MS}""",
+)
+def m3_derivative(spark, sf_dir):
+    return _out(windows.derivative(_fetch(spark, sf_dir)))
+
+
+@register(
+    "m3_per_second",
+    f"""{PRELUDE},
+    lagged AS (
+      SELECT {SQL_LBLS}, ts, value,
+             lag(value) OVER ({_W}) AS pv, lag(ts) OVER ({_W}) AS pts
+      FROM samples)
+    SELECT {SQL_LBLS}, ts, {sql_quant('(value - pv) / ((ts - pts) / 1000.0)')} AS value
+    FROM lagged WHERE pts IS NOT NULL""",
+)
+def m3_per_second(spark, sf_dir):
+    return _out(windows.per_second(_fetch(spark, sf_dir)))
+
+
+@register(
+    "m3_integral",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant('sum(value) OVER (' + _W + ' ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS value
+    FROM samples""",
+)
+def m3_integral(spark, sf_dir):
+    return _out(windows.integral(_fetch(spark, sf_dir)))
+
+
+@register(
+    "m3_integral_reset",
+    f"""{PRELUDE},
+    gaps AS (
+      SELECT {SQL_LBLS}, ts, value,
+             CASE WHEN lag(ts) OVER ({_W}) IS NOT NULL
+                   AND ts - lag(ts) OVER ({_W}) > {DEFAULT_STEP_MS}
+                  THEN 1 ELSE 0 END AS gap
+      FROM samples),
+    segs AS (
+      SELECT *, sum(gap) OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM gaps)
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant('sum(value) OVER (PARTITION BY ' + SQL_LBLS + ', seg ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)')} AS value
+    FROM segs""",
+)
+def m3_integral_reset(spark, sf_dir):
+    return _out(windows.integral(_fetch(spark, sf_dir), reset_on_gap=True))
+
+
+@register(
+    "m3_changed",
+    f"""{PRELUDE},
+    prevs AS (
+      SELECT {SQL_LBLS}, ts, value,
+             last_value(CASE WHEN NOT isnan(value) THEN value END IGNORE NULLS)
+               OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
+      FROM samples)
+    SELECT {SQL_LBLS}, ts,
+           CASE WHEN prev IS NULL THEN 0.0 WHEN isnan(value) THEN 0.0
+                WHEN value <> prev THEN 1.0 ELSE 0.0 END AS value
+    FROM prevs""",
+)
+def m3_changed(spark, sf_dir):
+    return _out(windows.changed(_fetch(spark, sf_dir)))
+
+
+@register(
+    "m3_transform_null",
+    f"""{PRELUDE}{DENSE_CTES}
+    SELECT {SQL_LBLS}, ts, {sql_quant('COALESCE(value, 0.0)')} AS value FROM dense""",
+)
+def m3_transform_null(spark, sf_dir):
+    return _out(windows.transform_null(_fetch(spark, sf_dir), 0.0))
+
+
+@register(
+    "m3_is_non_null",
+    f"""{PRELUDE}{DENSE_CTES}
+    SELECT {SQL_LBLS}, ts, CASE WHEN value IS NULL THEN 0.0 ELSE 1.0 END AS value FROM dense""",
+)
+def m3_is_non_null(spark, sf_dir):
+    return _out(windows.is_non_null(_fetch(spark, sf_dir)))
+
+
+@register(
+    "m3_keep_last_value",
+    f"""{PRELUDE}{DENSE_CTES},
+    filled AS (
+      SELECT {SQL_LBLS}, ts, value,
+             last_value(value IGNORE NULLS)
+               OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill,
+             last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+               OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_ts
+      FROM dense)
+    SELECT {SQL_LBLS}, ts, {sql_quant('fill')} AS value
+    FROM filled WHERE fill IS NOT NULL AND ts - fill_ts <= 7200000""",
+)
+def m3_keep_last_value(spark, sf_dir):
+    return _out(windows.keep_last_value(_fetch(spark, sf_dir), lookback_ms=7_200_000))
+
+
+@register(
+    "m3_sustain",
+    f"""{PRELUDE}{DENSE_CTES},
+    runs AS (
+      SELECT {SQL_LBLS}, ts, value,
+             COALESCE(last_value(CASE WHEN value IS NULL THEN ts END IGNORE NULLS)
+               OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + {DEFAULT_STEP_MS},
+               {EVENTS_MIN_TS}) AS run_start
+      FROM dense)
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM runs WHERE value IS NOT NULL AND ts - run_start + {DEFAULT_STEP_MS} >= 10800000""",
+)
+def m3_sustain(spark, sf_dir):
+    return _out(windows.sustain(_fetch(spark, sf_dir), 10_800_000))
+
+
+_MOVING_FRAME = f"{_W} RANGE BETWEEN {3 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW"
+
+
+def _moving_oracle(agg: str) -> str:
+    return (
+        f"{PRELUDE} SELECT {SQL_LBLS}, ts, "
+        f"{sql_quant(f'{agg} OVER ({_MOVING_FRAME})')} AS value FROM samples"
+    )
+
+
+@register("m3_moving_sum", _moving_oracle("sum(value)"))
+def m3_moving_sum(spark, sf_dir):
+    return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "sum"))
+
+
+@register("m3_moving_avg", _moving_oracle("avg(value)"))
+def m3_moving_avg(spark, sf_dir):
+    return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "avg"))
+
+
+@register("m3_moving_max", _moving_oracle("max(value)"))
+def m3_moving_max(spark, sf_dir):
+    return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "max"))
+
+
+@register("m3_moving_median", _moving_oracle("quantile_cont(value, 0.5)"))
+def m3_moving_median(spark, sf_dir):
+    return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "median"))
+
+
+@register(
+    "m3_summarize",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts - (ts % 86400000) AS ts, {sql_quant('sum(value)')} AS value
+    FROM samples GROUP BY 1, 2, 3, 4, 5""",
+)
+def m3_summarize(spark, sf_dir):
+    return _out(windows.summarize(_fetch(spark, sf_dir), 86_400_000, "sum"))
+
+
+@register(
+    "m3_summarize_last",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts - (ts % 86400000) AS ts, {sql_quant('arg_max(value, ts)')} AS value
+    FROM samples GROUP BY 1, 2, 3, 4, 5""",
+)
+def m3_summarize_last(spark, sf_dir):
+    return _out(windows.summarize(_fetch(spark, sf_dir), 86_400_000, "last"))
+
+
+@register(
+    "m3_per_second_rate",
+    f"""{PRELUDE},
+    lagged AS (
+      SELECT {SQL_LBLS}, ts, value,
+             lag(value) OVER ({_W}) AS pv, lag(ts) OVER ({_W}) AS pts
+      FROM samples),
+    rates AS (
+      SELECT {SQL_LBLS}, ts,
+             (CASE WHEN value < pv THEN value ELSE value - pv END)
+               / ((ts - pts) / 1000.0) AS rate
+      FROM lagged WHERE pts IS NOT NULL)
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'avg(rate) OVER ({_W} RANGE BETWEEN {3 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW)')} AS value
+    FROM rates""",
+)
+def m3_per_second_rate(spark, sf_dir):
+    return _out(windows.per_second_rate(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS))
+
+
+# ---------------------------------------------------------------------------
+# ordering / top-k
+# ---------------------------------------------------------------------------
+
+_STATS_CTE = f""",
+stats AS (
+  SELECT {SQL_LBLS},
+         CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) AS stat,
+         {SQL_SERIES_KEY} AS skey
+  FROM samples GROUP BY 1, 2, 3, 4
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY stat DESC, skey) AS rnk FROM stats
+)"""
+
+
+@register(
+    "m3_sort",
+    f"""{PRELUDE}{_STATS_CTE}
+    SELECT s.name, s."user", s.region, s.shard, s.ts, {sql_quant('s.value')} AS value, r.rnk
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard""",
+)
+def m3_sort(spark, sf_dir):
+    sf = ordering.sort(_fetch(spark, sf_dir), "avg", descending=True)
+    return _out(sf, extra=[F.col("__order").alias("rnk")])
+
+
+@register(
+    "m3_topk",
+    f"""{PRELUDE}{_STATS_CTE}
+    SELECT s.name, s."user", s.region, s.shard, s.ts, {sql_quant('s.value')} AS value, r.rnk
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard
+    WHERE r.rnk <= 5""",
+)
+def m3_topk(spark, sf_dir):
+    sf = ordering.top_k(_fetch(spark, sf_dir), 5, "avg", descending=True)
+    return _out(sf, extra=[F.col("__order").alias("rnk")])
+
+
+@register(
+    "m3_head",
+    f"""{PRELUDE}{_STATS_CTE}
+    SELECT s.name, s."user", s.region, s.shard, s.ts, {sql_quant('s.value')} AS value
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard
+    WHERE r.rnk <= 3""",
+)
+def m3_head(spark, sf_dir):
+    sf = ordering.head(ordering.sort(_fetch(spark, sf_dir), "avg"), 3)
+    return _out(sf)
+
+
+@register(
+    "m3_tail",
+    f"""{PRELUDE}{_STATS_CTE}
+    SELECT s.name, s."user", s.region, s.shard, s.ts, {sql_quant('s.value')} AS value
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard
+    WHERE r.rnk > (SELECT max(rnk) FROM ranked) - 3""",
+)
+def m3_tail(spark, sf_dir):
+    sf = ordering.tail(ordering.sort(_fetch(spark, sf_dir), "avg"), 3)
+    return _out(sf)
+
+
+# ---------------------------------------------------------------------------
+# binary stages
+# ---------------------------------------------------------------------------
+
+@register(
+    "m3_divide",
+    f"""{PRELUDE},
+    totals AS (SELECT name, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS tv FROM samples GROUP BY 1, 2)
+    SELECT s.name, s."user", s.region, s.shard, s.ts,
+           {sql_quant("CASE WHEN t.tv = 0 THEN 'NaN'::DOUBLE ELSE s.value / t.tv END")} AS value
+    FROM samples s JOIN totals t ON s.name = t.name AND s.ts = t.ts""",
+)
+def m3_divide(spark, sf_dir):
+    """divide — each series over its name-group total (DivideStage.java:36;
+    right side is a small aggregate → Catalyst broadcasts it)."""
+    sf = _fetch(spark, sf_dir)
+    return _out(binary.divide(sf, grouping.sum_(sf, ["name"], exact=True), keys=["name"]))
+
+
+@register(
+    "m3_subtract",
+    f"""{PRELUDE},
+    avgs AS (SELECT region, ts, (CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value)) AS av FROM samples GROUP BY 1, 2)
+    SELECT s.name, s."user", s.region, s.shard, s.ts,
+           {sql_quant('s.value - t.av')} AS value
+    FROM samples s JOIN avgs t ON s.region = t.region AND s.ts = t.ts""",
+)
+def m3_subtract(spark, sf_dir):
+    sf = _fetch(spark, sf_dir)
+    return _out(binary.subtract(sf, grouping.avg(sf, ["region"], exact=True), keys=["region"]))
+
+
+@register(
+    "m3_as_percent",
+    f"""{PRELUDE},
+    totals AS (SELECT name, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS tv FROM samples GROUP BY 1, 2)
+    SELECT s.name, s."user", s.region, s.shard, 'ratios' AS type, s.ts,
+           {sql_quant("CASE WHEN t.tv = 0 THEN 'NaN'::DOUBLE ELSE 100.0 * s.value / t.tv END")} AS value
+    FROM samples s JOIN totals t ON s.name = t.name AND s.ts = t.ts""",
+)
+def m3_as_percent(spark, sf_dir):
+    sf = _fetch(spark, sf_dir)
+    out = binary.as_percent(sf, grouping.sum_(sf, ["name"], exact=True), keys=["name"])
+    return _out(out, LABEL_KEYS + ["type"])
+
+
+@register(
+    "m3_intersect",
+    f"""{PRELUDE}{_STATS_CTE}
+    SELECT s.name, s."user", s.region, s.shard, s.ts, {sql_quant('s.value')} AS value
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard
+    WHERE r.rnk <= 5""",
+)
+def m3_intersect(spark, sf_dir):
+    """intersect — left semi-join on series identity against the top-5
+    frame (IntersectStage.java:38)."""
+    sf = _fetch(spark, sf_dir)
+    top = ordering.top_k(sf, 5, "avg", descending=True)
+    return _out(binary.intersect(sf, top))
+
+
+@register(
+    "m3_union",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE name IN ('error', 'click')""",
+)
+def m3_union(spark, sf_dir):
+    a = _fetch(spark, sf_dir, where=F.col("name") == "error")
+    b = _fetch(spark, sf_dir, where=F.col("name") == "click")
+    return _out(binary.union([a, b]))
+
+
+@register(
+    "m3_fallback_series",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_fallback_series(spark, sf_dir):
+    """fallbackSeries — empty left (impossible filter) falls back to right."""
+    left = filters.value_filter(_fetch(spark, sf_dir), "gt", 1e15)
+    right = _fetch(spark, sf_dir)
+    return _out(binary.fallback_series(left, right))
+
+
+# ---------------------------------------------------------------------------
+# label / metadata stages
+# ---------------------------------------------------------------------------
+
+@register(
+    "m3_alias",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, name || '-' || region AS alias, ts,
+    {sql_quant('value')} AS value FROM samples""",
+)
+def m3_alias(spark, sf_dir):
+    sf = labels_ops.alias(_fetch(spark, sf_dir), "{{.name}}-{{.region}}")
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3_alias_by_tags",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, name || ' ' || "user" AS alias, ts,
+    {sql_quant('value')} AS value FROM samples""",
+)
+def m3_alias_by_tags(spark, sf_dir):
+    sf = labels_ops.alias_by_tags(_fetch(spark, sf_dir), ["name", "user"])
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3_show_tags",
+    f"""{PRELUDE} SELECT {SQL_LBLS},
+    'name:' || name || ' region:' || region || ' shard:' || shard || ' user:' || "user" AS alias,
+    ts, {sql_quant('value')} AS value FROM samples""",
+)
+def m3_show_tags(spark, sf_dir):
+    sf = labels_ops.show_tags(_fetch(spark, sf_dir))
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3_map_key",
+    f"""{PRELUDE} SELECT name, "user", region AS dc, shard, ts,
+    {sql_quant('value')} AS value FROM samples""",
+)
+def m3_map_key(spark, sf_dir):
+    sf = labels_ops.map_key(_fetch(spark, sf_dir), "region", "dc")
+    return _out(sf, ["name", "user", "dc", "shard"])
+
+
+@register(
+    "m3_tag_sub",
+    f"""{PRELUDE} SELECT name, "user", regexp_replace(region, 'r(\\d)', 'region-\\1') AS region,
+    shard, ts, {sql_quant('value')} AS value FROM samples""",
+)
+def m3_tag_sub(spark, sf_dir):
+    sf = labels_ops.tag_sub(_fetch(spark, sf_dir), "region", r"r(\d)", "region-$1")
+    return _out(sf)

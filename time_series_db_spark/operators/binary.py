@@ -1,0 +1,166 @@
+"""Binary stages — the engine's joins.
+
+Reference semantics (AbstractBinaryProjectionStage.java:60-100): left and
+right series are matched by full label equality, by an explicit label key
+list, or by auto-extracted common tag keys (:213-217, :323-345 +
+Labels.findCommonLabelNames core/model/Labels.java:128-154); samples pair
+up per aligned timestamp. That is exactly an equi-join on
+``(match_key, ts)`` — Catalyst picks broadcast vs shuffled hash join, and
+AQE re-plans at runtime; when the right side is a small aggregate (the
+common case: ``a | asPercent(a | sum)``) it broadcasts and no shuffle
+happens at all.
+
+Mixed-step inputs are normalized first (TimeSeriesNormalizer.java:66) —
+see :func:`normalize`.
+
+Output identity: the LEFT series' labels survive (the right side only
+contributes values), matching the reference's projection stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame, has_all_keys_expr
+
+NAN = float("nan")
+
+
+def _match_cols(df, keys: list[str] | None, side: str):
+    """Projection of the join key: full series_key or explicit label subset."""
+    if keys:
+        return [df["labels"][k].alias(f"__mk_{i}") for i, k in enumerate(keys)]
+    return [df["series_key"].alias("__mk_0")]
+
+
+def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
+    lf, rf = left.df, right.df
+    if keys:
+        lf = lf.filter(has_all_keys_expr(keys))
+        rf = rf.filter(has_all_keys_expr(keys))
+    lcols = lf.select(*SAMPLE_COLS, *_match_cols(lf, keys, "l"))
+    rcols = rf.select(
+        F.col("ts").alias("__rts"),
+        F.col("value").alias("__rvalue"),
+        *_match_cols(rf, keys, "r"),
+    )
+    on = [lcols[f"__mk_{i}"] == rcols[f"__mk_{i}"] for i in range(len(keys) if keys else 1)]
+    on.append(lcols["ts"] == rcols["__rts"])
+    joined = lcols.join(rcols, on=on, how="inner")
+    return joined
+
+
+def _projected(left: SeriesFrame, joined, value_expr) -> SeriesFrame:
+    df = joined.withColumn("value", value_expr.cast("double")).select(*SAMPLE_COLS)
+    return left.with_df(df)
+
+
+def divide(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
+    """L/R per aligned timestamp; NaN if the denominator is 0 or either side
+    NaN — DivideStage.java:36 (NaN rules javadoc :1-12)."""
+    joined = _binary_join(left, right, keys)
+    expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
+        F.col("value") / F.col("__rvalue")
+    )
+    return _projected(left, joined, expr)
+
+
+def subtract(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
+    """L−R — SubtractStage.java:30 (Java double semantics: NaN propagates)."""
+    joined = _binary_join(left, right, keys)
+    return _projected(left, joined, F.col("value") - F.col("__rvalue"))
+
+
+def as_percent(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
+    """100·L/R, output tagged ``type:ratios`` — AsPercentStage.java:28."""
+    joined = _binary_join(left, right, keys)
+    expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
+        F.lit(100.0) * F.col("value") / F.col("__rvalue")
+    )
+    out = _projected(left, joined, expr)
+    from time_series_db_spark.model import series_key_expr
+
+    df = (
+        out.df.withColumn(
+            "labels",
+            F.map_concat("labels", F.create_map(F.lit("type"), F.lit("ratios"))),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return out.with_df(df)
+
+
+def intersect(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
+    """Keep left series having ≥1 matching right *series* (label-level
+    semi-join; samples untouched) — IntersectStage.java:38."""
+    lf = left.df
+    if keys:
+        lf = lf.filter(has_all_keys_expr(keys))
+        rkeys = (
+            right.df.filter(has_all_keys_expr(keys))
+            .select(*[F.col("labels")[k].alias(f"__mk_{i}") for i, k in enumerate(keys)])
+            .distinct()
+        )
+        on = [lf["labels"][k] == rkeys[f"__mk_{i}"] for i, k in enumerate(keys)]
+        df = lf.join(rkeys, on=on, how="left_semi")
+    else:
+        rkeys = right.df.select("series_key").distinct()
+        df = lf.join(rkeys, on="series_key", how="left_semi")
+    return left.with_df(df.select(*SAMPLE_COLS))
+
+
+def union(frames: list[SeriesFrame]) -> SeriesFrame:
+    """Concatenate series lists, duplicates retained (bag semantics) —
+    UnionStage.java:32."""
+    df = frames[0].df
+    for f in frames[1:]:
+        df = df.unionByName(f.df)
+    return frames[0].with_df(df)
+
+
+def fallback_series(left: SeriesFrame, right: SeriesFrame) -> SeriesFrame:
+    """L if non-empty else R — FallbackSeriesBinaryStage.java:34.
+
+    The emptiness probe is a ``limit(1)`` count — O(first partition), a
+    metadata-scale driver check, not a data collect.
+    """
+    if left.df.limit(1).count() > 0:
+        return left
+    return right
+
+
+def fallback_constant(sf: SeriesFrame, constant: float) -> SeriesFrame:
+    """L if non-empty else a single constant dense series on the query grid
+    — FallbackSeriesUnaryStage.java:40 (coordinator-only in the reference;
+    here a one-row DataFrame exploded over the grid)."""
+    if sf.df.limit(1).count() > 0:
+        return sf
+    spark = sf.df.sparkSession
+    one = spark.range(1).select(
+        F.lit("").alias("series_key"),
+        F.create_map().cast("map<string,string>").alias("labels"),
+        F.lit(None).cast("string").alias("alias"),
+        F.explode(sf.grid_col()).alias("ts"),
+        F.lit(float(constant)).alias("value"),
+    )
+    return sf.with_df(one.select(*SAMPLE_COLS))
+
+
+def normalize(sf: SeriesFrame, target_step: int, consolidation: str = "avg") -> SeriesFrame:
+    """Re-grid a frame onto a coarser step before cross-series ops —
+    TimeSeriesNormalizer.java:66 (strategies :1-50: LCM or MAX step;
+    consolidation AVG/SUM/MAX/MIN/LAST; TYPE_AWARE gives counters SUM).
+
+    A groupBy on the coarser bucket — identical machinery to summarize.
+    """
+    from time_series_db_spark.operators.windows import summarize
+
+    if target_step == sf.step:
+        return sf
+    if target_step % sf.step != 0:
+        raise ValueError("target step must be a multiple of the current step")
+    fn = {"avg": "avg", "sum": "sum", "max": "max", "min": "min", "last": "last"}[
+        consolidation
+    ]
+    return summarize(sf, target_step, fn=fn)

@@ -1,0 +1,192 @@
+"""Cross-series aggregation stages (reference: AbstractGroupingStage family).
+
+Semantics (AbstractGroupingStage.java:17-27,46-100):
+- group key = the subset of labels named in the group-by list; only those
+  labels survive into the output series identity (:69-75);
+- series missing any group-by label are dropped (:94-99);
+- empty group list = one global group (output labels = {});
+- aggregation is per aligned timestamp within each group.
+
+Spark mapping: one ``groupBy(group_key_cols..., ts)`` — Catalyst plans it
+as partial HashAggregate (map-side combine) → shuffle on (group, ts) →
+final HashAggregate, which *is* the reference's shard/coordinator
+partial-aggregation design (SumCountSample/MinMaxSample/MultiValueSample
+carriers, SURVEY.md §4.1 row 5) with no custom code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import (
+    SAMPLE_COLS,
+    SeriesFrame,
+    has_all_keys_expr,
+    labels_subset_expr,
+    series_key_expr,
+)
+
+NAN = float("nan")
+
+
+def _grouped(
+    sf: SeriesFrame, keys: list[str], agg_expr: Column, value_type: str = "double"
+) -> SeriesFrame:
+    df = sf.df
+    if keys:
+        df = df.filter(has_all_keys_expr(keys))
+        df = df.withColumn("__glabels", labels_subset_expr(keys))
+    else:
+        df = df.withColumn(
+            "__glabels",
+            F.create_map().cast("map<string,string>"),
+        )
+    df = df.withColumn("__gkey", series_key_expr(F.col("__glabels")))
+    out = (
+        df.groupBy("__gkey", "ts")
+        .agg(F.first("__glabels").alias("labels"), agg_expr.alias("value"))
+        .select(
+            F.col("__gkey").alias("series_key"),
+            F.col("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("ts"),
+            F.col("value").cast(value_type).alias("value"),
+        )
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)
+
+
+#: decimal type for exact-mode sums: exact and associative, so results are
+#: bit-identical under any partitioning / shuffle order — the Spark analog
+#: of the reference's order-insensitive reduce contract
+#: (InternalTimeSeries.java:181-255). Requires finite inputs (NaN casts to
+#: NULL); the default double mode keeps full NaN semantics.
+_EXACT_DECIMAL = "decimal(27,6)"
+
+
+def sum_(sf: SeriesFrame, keys: list[str] = (), exact: bool = False) -> SeriesFrame:
+    """sum/sumSeries — SumStage.java:55. NaN propagates (Java +).
+
+    ``exact=True`` sums in fixed-point decimal: deterministic across
+    partitionings (and engines), at ~2× the aggregation cost.
+    """
+    if exact:
+        expr = F.sum(F.col("value").cast(_EXACT_DECIMAL)).cast("double")
+    else:
+        expr = F.sum("value")
+    return _grouped(sf, list(keys), expr)
+
+
+def avg(sf: SeriesFrame, keys: list[str] = (), exact: bool = False) -> SeriesFrame:
+    """avg/averageSeries — AvgStage.java:63; Catalyst keeps sum+count
+    exactly like SumCountSample.java:24. ``exact`` as in :func:`sum_`."""
+    if exact:
+        expr = F.sum(F.col("value").cast(_EXACT_DECIMAL)).cast("double") / F.count(
+            "value"
+        )
+    else:
+        expr = F.avg("value")
+    return _grouped(sf, list(keys), expr)
+
+
+def min_(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+    """min/minSeries — MinStage.java:54.
+
+    Spark's ``min`` treats NaN as largest (ignores it unless all-NaN),
+    Java's ``Math.min`` propagates NaN. Restored with an any-NaN flag.
+    """
+    expr = F.when(F.max(F.isnan("value").cast("int")) == 1, F.lit(NAN)).otherwise(
+        F.min("value")
+    )
+    return _grouped(sf, list(keys), expr)
+
+
+def max_(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+    """max/maxSeries — MaxStage.java:54 (NaN propagation as in min_)."""
+    expr = F.when(F.max(F.isnan("value").cast("int")) == 1, F.lit(NAN)).otherwise(
+        F.max("value")
+    )
+    return _grouped(sf, list(keys), expr)
+
+
+def count(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+    """count — CountStage.java:65: number of series with a sample present at
+    the timestamp (NaN is present)."""
+    return _grouped(sf, list(keys), F.count("value").cast("double"))
+
+
+def multiply(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+    """multiply/multiplySeries — MultiplyStage.java:55: product across
+    series per timestamp. No built-in product aggregate: folded via
+    ``aggregate(collect_list(...))`` — group fan-in is #series per group,
+    small by construction, so the collected list is bounded. The list is
+    sorted before folding so the fp product is order-deterministic across
+    partitionings (equal values commute, so value order suffices).
+    """
+    expr = F.expr(
+        "aggregate(array_sort(collect_list(value)), cast(1.0 as double), (a, x) -> a * x)"
+    )
+    return _grouped(sf, list(keys), expr)
+
+
+def range_(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+    """range/rangeOfSeries — RangeStage.java:63: max−min per timestamp
+    (MinMaxSample carrier ≙ Catalyst partial min+max)."""
+    expr = F.when(F.max(F.isnan("value").cast("int")) == 1, F.lit(NAN)).otherwise(
+        F.max("value") - F.min("value")
+    )
+    return _grouped(sf, list(keys), expr)
+
+
+def stddev(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+    """Population stddev across series per timestamp (summarize/sort share
+    the same summarizer family — stage/summarize/*.java)."""
+    return _grouped(sf, list(keys), F.stddev_pop("value"))
+
+
+def percentile_of_series(
+    sf: SeriesFrame, percentiles: list[float], keys: list[str] = ()
+) -> SeriesFrame:
+    """percentileOfSeries / median — PercentileOfSeriesStage.java:69.
+
+    Exact percentile with linear interpolation across the series values at
+    each timestamp (the reference collects values per ts — MultiValueSample,
+    sort-on-materialize — and interpolates). One output series per
+    requested percentile, tagged ``_percentile`` (reference adds the
+    percentile to the series identity).
+
+    Catalyst's ``percentile`` aggregate is the direct equivalent of the
+    MultiValueSample carrier: partial = value list, final = sort+interp.
+    """
+    ps = list(percentiles)
+    base = _grouped(
+        sf,
+        list(keys),
+        F.expr(
+            f"percentile(value, array({', '.join(str(float(p) / 100.0) for p in ps)}))"
+        ),
+        value_type="array<double>",
+    )
+    # explode one row per percentile, tagging the identity
+    pnames = F.array(*[F.lit(str(p)) for p in ps])
+    df = (
+        base.df.select(
+            "labels", "alias", "ts", F.posexplode("value").alias("pos", "v")
+        )
+        .select(
+            F.map_concat(
+                "labels",
+                F.create_map(
+                    F.lit("_percentile"), F.element_at(pnames, F.col("pos") + 1)
+                ),
+            ).alias("labels"),
+            "alias",
+            "ts",
+            F.col("v").cast("double").alias("value"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

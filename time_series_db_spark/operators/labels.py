@@ -1,0 +1,107 @@
+"""Label / metadata stages — string ops on series identity.
+
+All pure map/string expressions; stages that change label *keys or values*
+recompute series_key (the ByteLabels analog) so downstream grouping and
+joins stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame, series_key_expr
+
+_TEMPLATE_RE = re.compile(r"\{\{\s*\.(\w+)\s*\}\}")
+
+
+def alias(sf: SeriesFrame, template: str) -> SeriesFrame:
+    """Rename series; ``{{.tag}}`` interpolates label values —
+    AliasStage.java:32. The template is compiled driver-side into a
+    ``concat`` of literals and label lookups."""
+    parts: list[Column] = []
+    pos = 0
+    for m in _TEMPLATE_RE.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos : m.start()]))
+        parts.append(F.coalesce(F.col("labels")[m.group(1)], F.lit("")))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    expr = F.concat(*parts) if parts else F.lit(template)
+    return sf.with_df(sf.df.withColumn("alias", expr))
+
+
+def alias_by_tags(sf: SeriesFrame, tags: list[str]) -> SeriesFrame:
+    """Alias = space-joined tag values, missing tags skipped —
+    AliasByTagsStage.java:32 (``concat_ws`` skips NULLs natively)."""
+    expr = F.concat_ws(" ", *[F.col("labels")[t] for t in tags])
+    return sf.with_df(sf.df.withColumn("alias", expr))
+
+
+def show_tags(sf: SeriesFrame, tags: list[str] | None = None) -> SeriesFrame:
+    """Alias = ``k1:v1 k2:v2`` — all tags sorted by key, or the given tags
+    in argument order — ShowTagsStage.java:38 (format rules javadoc :1-10)."""
+    if tags:
+        expr = F.concat_ws(
+            " ",
+            *[
+                F.when(
+                    F.col("labels")[t].isNotNull(),
+                    F.concat(F.lit(t + ":"), F.col("labels")[t]),
+                )
+                for t in tags
+            ],
+        )
+    else:
+        expr = F.array_join(
+            F.transform(
+                F.array_sort(F.map_entries(F.col("labels"))),
+                lambda e: F.concat(e.getField("key"), F.lit(":"), e.getField("value")),
+            ),
+            " ",
+        )
+    return sf.with_df(sf.df.withColumn("alias", expr))
+
+
+def map_key(sf: SeriesFrame, old: str, new: str) -> SeriesFrame:
+    """Rename a tag key — MapKeyStage.java:36. Series without the key pass
+    through unchanged."""
+    entries = F.transform(
+        F.map_entries(F.col("labels")),
+        lambda e: F.struct(
+            F.when(e.getField("key") == old, F.lit(new))
+            .otherwise(e.getField("key"))
+            .alias("key"),
+            e.getField("value").alias("value"),
+        ),
+    )
+    df = (
+        sf.df.withColumn("labels", F.map_from_entries(entries))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def tag_sub(sf: SeriesFrame, tag: str, pattern: str, replacement: str) -> SeriesFrame:
+    """Regex substitution on a tag value (backrefs ``$1``…) —
+    TagSubStage.java:36. Series without the tag pass through."""
+    new_val = F.regexp_replace(F.col("labels")[tag], pattern, replacement)
+    entries = F.transform(
+        F.map_entries(F.col("labels")),
+        lambda e: F.struct(
+            e.getField("key").alias("key"),
+            F.when(e.getField("key") == tag, new_val)
+            .otherwise(e.getField("value"))
+            .alias("value"),
+        ),
+    )
+    df = (
+        sf.df.withColumn("labels", F.map_from_entries(entries))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

@@ -1,0 +1,90 @@
+"""Sort / limit / top-k stages — list-order semantics over a bag of rows.
+
+Reference: SortStage.java:48 orders the series *list* by a per-series
+statistic; TopKStage.java:57 keeps the first k (with shard-local
+sort+limit pushdown and coordinator re-merge — javadoc :1-22);
+SliceStage.java:48 takes head/tail of the current list order.
+
+Spark mapping: the per-series sort key is a tiny aggregate
+(#series rows), the ordering is materialized as an explicit ``__order``
+rank column (SeriesFrame.ordered_by), and topK = rank filter — Catalyst
+executes the sort-key aggregate as partial+final HashAggregate and the
+rank over the tiny series table, so the *data* never sorts or collects.
+Ties break on series_key for determinism (the reference relies on stable
+list order, which a distributed bag cannot reproduce otherwise).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame
+
+_SORT_FNS = {"avg", "sum", "min", "max", "current", "stddev", "name"}
+
+
+def _series_stat(sf: SeriesFrame, fn: str):
+    """One row per series with its sort statistic (SortComparatorUtil.java
+    comparator family: avg/current/max/min/sum/stddev/name)."""
+    if fn == "name":
+        return sf.distinct_series().select(
+            "series_key", F.col("series_key").cast("string").alias("__stat")
+        )
+    # avg/sum rank keys are computed in exact decimal: a last-ulp float
+    # difference from shuffle order must never flip a rank (the reference's
+    # list order is stable; ours must be partitioning-invariant too)
+    dec_sum = F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+    agg = {
+        "avg": dec_sum / F.count("value"),
+        "sum": dec_sum,
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "stddev": F.stddev_pop("value"),
+        "current": F.expr("max_by(value, ts)"),
+    }[fn]
+    return sf.df.groupBy("series_key").agg(agg.cast("double").alias("__stat"))
+
+
+def sort(sf: SeriesFrame, fn: str = "avg", descending: bool = True) -> SeriesFrame:
+    """Order series by a per-series statistic — SortStage.java:48 (default
+    descending). Materializes ``__order`` (1-based) on every row."""
+    if fn not in _SORT_FNS:
+        raise ValueError(f"unknown sort fn: {fn}")
+    stats = _series_stat(sf, fn)
+    key = F.col("__stat").desc() if descending else F.col("__stat").asc()
+    w = Window.orderBy(key, F.col("series_key").asc())
+    ranked = stats.withColumn("__order", F.row_number().over(w)).select(
+        "series_key", "__order"
+    )
+    df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
+    return replace(sf, df=df.select(*SAMPLE_COLS, "__order"), ordered_by=["__order"])
+
+
+def top_k(
+    sf: SeriesFrame, k: int, fn: str = "avg", descending: bool = True
+) -> SeriesFrame:
+    """First k series of the sorted order — TopKStage.java:57. The rank
+    filter is the Catalyst analog of shard-local sort+limit → re-topK."""
+    ordered = sort(sf, fn=fn, descending=descending)
+    df = ordered.df.filter(F.col("__order") <= F.lit(int(k)))
+    return ordered.with_df(df)
+
+
+def head(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
+    """First n series of the current list order — SliceStage.java:48.
+    Requires an upstream sort (ordered_by); unordered input falls back to
+    series_key order for determinism."""
+    ordered = sf if sf.ordered_by else sort(sf, fn="name", descending=False)
+    df = ordered.df.filter(F.col("__order") <= F.lit(int(n)))
+    return ordered.with_df(df)
+
+
+def tail(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
+    """Last n series of the current list order — SliceStage.java:48."""
+    ordered = sf if sf.ordered_by else sort(sf, fn="name", descending=False)
+    total = ordered.df.select(F.max("__order")).first()[0] or 0
+    df = ordered.df.filter(F.col("__order") > F.lit(int(total) - int(n)))
+    return ordered.with_df(df)

@@ -1,0 +1,325 @@
+"""Per-series sequential stages (windows, densify, rates).
+
+Reference: these stages need the full ordered series (MovingStage,
+DerivativeStage, IntegralStage, … — `supportConcurrentSegmentSearch=false`,
+PipelineStage.java:96). Spark mapping: ``Window.partitionBy(series_key)
+.orderBy(ts)`` — partitioning by series guarantees whole-series locality,
+so the reference's concurrent-segment-search correctness problem
+disappears (SURVEY.md §4.1 row 11). All of these share ONE shuffle on
+series_key; Catalyst reuses the exchange across consecutive window stages.
+
+Scale note: state per series is one partition's worth of rows; with
+billions of short series this is the ideal layout, and with few very long
+series the grid bounds (min_ts/max_ts/step) cap rows per series, so no
+window ever materializes unbounded state.
+
+Densifying stages (transform_null / is_non_null / keep_last_value) build
+the grid with ``sequence(min_ts, max_ts-step, step)`` per distinct series —
+absent-row discipline is preserved everywhere else (model.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame
+
+NAN = float("nan")
+
+
+def _series_window(ordered: bool = True):
+    w = Window.partitionBy("series_key")
+    return w.orderBy("ts") if ordered else w
+
+
+def _dense_grid(sf: SeriesFrame):
+    """(series_key, labels, alias, ts) row per grid point per series —
+    left side for densifying joins."""
+    return (
+        sf.distinct_series()
+        .withColumn("ts", F.explode(sf.grid_col()))
+    )
+
+
+def _densified(sf: SeriesFrame):
+    """Dense frame with NULL marking the gaps (internal only — callers must
+    either fill or re-drop the NULLs before returning)."""
+    grid = _dense_grid(sf)
+    return grid.join(
+        sf.df.select("series_key", "ts", "value"), on=["series_key", "ts"], how="left"
+    ).select(*SAMPLE_COLS)
+
+
+def transform_null(sf: SeriesFrame, constant: float = 0.0) -> SeriesFrame:
+    """Fill gaps with a constant over the query grid — TransformNullStage.java:35."""
+    df = _densified(sf).withColumn(
+        "value", F.coalesce(F.col("value"), F.lit(float(constant)))
+    )
+    return sf.with_df(df)
+
+
+def is_non_null(sf: SeriesFrame) -> SeriesFrame:
+    """Densify to 1.0 (sample present) / 0.0 (gap) — IsNonNullStage.java:68."""
+    df = _densified(sf).withColumn(
+        "value", F.when(F.col("value").isNull(), 0.0).otherwise(1.0)
+    )
+    return sf.with_df(df)
+
+
+def keep_last_value(sf: SeriesFrame, lookback_ms: int | None = None) -> SeriesFrame:
+    """Forward-fill gaps, optionally bounded by a lookback interval —
+    KeepLastValueStage.java:56 (behavior :30-48).
+
+    Unbounded: last non-null over an unbounded-preceding window on the
+    dense grid. Bounded: additionally require the filling sample to be at
+    most ``lookback_ms`` old.
+    """
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    dense = _densified(sf)
+    filled = dense.withColumn("__fill", F.last("value", ignorenulls=True).over(w))
+    filled = filled.withColumn(
+        "__fill_ts",
+        F.last(
+            F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True
+        ).over(w),
+    )
+    if lookback_ms is None:
+        keep = F.col("__fill").isNotNull()
+    else:
+        keep = F.col("__fill").isNotNull() & (
+            (F.col("ts") - F.col("__fill_ts")) <= F.lit(int(lookback_ms))
+        )
+    df = (
+        filled.filter(keep)
+        .withColumn("value", F.col("__fill"))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def truncate(sf: SeriesFrame, start_ts: int, end_ts: int) -> SeriesFrame:
+    """Trim to [start, end) after a buffered fetch — TruncateStage.java:33
+    (injected by the planner after window widening,
+    SourceBuilderVisitor.java:331-339)."""
+    from dataclasses import replace
+
+    df = sf.df.filter(
+        (F.col("ts") >= F.lit(int(start_ts))) & (F.col("ts") < F.lit(int(end_ts)))
+    )
+    return replace(sf, df=df, min_ts=int(start_ts), max_ts=int(end_ts))
+
+
+def derivative(sf: SeriesFrame) -> SeriesFrame:
+    """v[i]−v[i−1], emitted only when the two points are exactly one step
+    apart — DerivativeStage.java:38 (step-gap rule in its javadoc)."""
+    w = _series_window()
+    df = (
+        sf.df.withColumn("__pv", F.lag("value").over(w))
+        .withColumn("__pts", F.lag("ts").over(w))
+        .filter(F.col("__pts").isNotNull() & (F.col("ts") - F.col("__pts") == sf.step))
+        .withColumn("value", F.col("value") - F.col("__pv"))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def per_second(sf: SeriesFrame) -> SeriesFrame:
+    """(v[i]−v[i−1]) / Δt-seconds over consecutive present samples —
+    PerSecondStage.java:47 (divides by the actual gap, not the step)."""
+    w = _series_window()
+    df = (
+        sf.df.withColumn("__pv", F.lag("value").over(w))
+        .withColumn("__pts", F.lag("ts").over(w))
+        .filter(F.col("__pts").isNotNull())
+        .withColumn(
+            "value",
+            (F.col("value") - F.col("__pv"))
+            / ((F.col("ts") - F.col("__pts")) / F.lit(1000.0)),
+        )
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def integral(sf: SeriesFrame, reset_on_gap: bool = False) -> SeriesFrame:
+    """Cumulative sum per series; optionally resets at grid gaps —
+    IntegralStage.java:42 (resetOnNull).
+
+    Reset variant: a gap flag (previous sample more than one step back)
+    cumulative-summed yields a segment id; the running sum restarts per
+    segment. Two chained windows, same single shuffle.
+    """
+    w = _series_window()
+    df = sf.df
+    if reset_on_gap:
+        gap = (
+            F.lag("ts").over(w).isNotNull()
+            & (F.col("ts") - F.lag("ts").over(w) > sf.step)
+        ).cast("int")
+        df = df.withColumn("__seg", F.sum(gap).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        seg_w = Window.partitionBy("series_key", "__seg").orderBy("ts").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        df = df.withColumn("value", F.sum("value").over(seg_w))
+    else:
+        df = df.withColumn(
+            "value",
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def changed(sf: SeriesFrame) -> SeriesFrame:
+    """1 when the value differs from the previous non-NaN value, else 0 —
+    ChangedStage.java:41. The first sample of a series reports 0."""
+    w = _series_window()
+    prev_real = F.last(
+        F.when(~F.isnan("value"), F.col("value")), ignorenulls=True
+    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    df = sf.df.withColumn(
+        "value",
+        F.when(prev_real.isNull(), 0.0)
+        .when(F.isnan("value"), 0.0)
+        .when(F.col("value") != prev_real, 1.0)
+        .otherwise(0.0),
+    ).select(*SAMPLE_COLS)
+    return sf.with_df(df)
+
+
+_MOVING_FNS = {"sum", "avg", "min", "max", "median"}
+
+
+def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
+    """Sliding time-window aggregate ending at each sample — MovingStage.java:47
+    (windows stage/moving/{SumWindow,AvgWindow,MinMaxQueue,RunningMedianV2}).
+
+    The window covers (ts − window_ms, ts] — i.e. the current sample plus
+    everything within the trailing interval — expressed as a RANGE frame,
+    so sparse series aggregate only over *present* samples exactly like the
+    reference's buffer (missing points simply aren't in the frame).
+    The planner widens the fetch window by ``window_ms`` and truncates
+    after (SourceBuilderVisitor.java:522-555).
+    """
+    if fn not in _MOVING_FNS:
+        raise ValueError(f"unknown moving fn: {fn}")
+    w = _series_window().rangeBetween(-(int(window_ms) - sf.step), 0)
+    agg = {
+        "sum": F.sum("value"),
+        "avg": F.avg("value"),
+        "min": F.min("value"),
+        "max": F.max("value"),
+        "median": F.expr("percentile(value, 0.5)"),
+    }[fn]
+    df = sf.df.withColumn("value", agg.over(w)).select(*SAMPLE_COLS)
+    return sf.with_df(df)
+
+
+_SUMMARIZE_FNS = {"sum", "avg", "min", "max", "last", "stddev", "count"}
+
+
+def summarize(
+    sf: SeriesFrame,
+    interval_ms: int,
+    fn: str = "sum",
+    percentile: float | None = None,
+) -> SeriesFrame:
+    """Bucket samples into fixed intervals — SummarizeStage.java:65.
+
+    Buckets are aligned to the fixed epoch (the reference's Go-zero-time
+    alignment reduces to epoch-floor for epoch-aligned grids;
+    SourceBuilderVisitor.java:674-699). Output step = interval. fn also
+    admits p0–p100 via ``percentile=``.
+    """
+    from dataclasses import replace
+
+    interval = int(interval_ms)
+    bucket = F.col("ts") - (F.col("ts") % F.lit(interval))
+    if percentile is not None:
+        agg = F.expr(f"percentile(value, {float(percentile) / 100.0})")
+    else:
+        agg = {
+            "sum": F.sum("value"),
+            "avg": F.avg("value"),
+            "min": F.min("value"),
+            "max": F.max("value"),
+            "last": F.expr("max_by(value, ts)"),
+            "stddev": F.stddev_pop("value"),
+            "count": F.count("value").cast("double"),
+        }[fn]
+    df = (
+        sf.df.withColumn("__bucket", bucket)
+        .groupBy("series_key", "__bucket")
+        .agg(
+            F.first("labels").alias("labels"),
+            F.first("alias").alias("alias"),
+            agg.alias("value"),
+        )
+        .withColumnRenamed("__bucket", "ts")
+        .withColumn("value", F.col("value").cast("double"))
+        .select(*SAMPLE_COLS)
+    )
+    new_min = sf.min_ts - (sf.min_ts % interval)
+    new_max = sf.max_ts + (-sf.max_ts) % interval
+    return replace(sf, df=df, step=interval, min_ts=new_min, max_ts=new_max)
+
+
+def sustain(sf: SeriesFrame, duration_ms: int) -> SeriesFrame:
+    """Keep a sample only when the uninterrupted run of present samples
+    ending at it spans ≥ duration — SustainStage.java:50 (javadoc :1-22;
+    pairs with value filters for "above threshold for 5m").
+
+    Run length is computed on the dense grid: the last *absent* grid point
+    before each sample marks the run start.
+    """
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
+    dense = _densified(sf)
+    last_gap_ts = F.last(
+        F.when(F.col("value").isNull(), F.col("ts")), ignorenulls=True
+    ).over(w)
+    run_start = F.coalesce(last_gap_ts + sf.step, F.lit(sf.min_ts))
+    df = (
+        dense.withColumn("__run_start", run_start)
+        .filter(F.col("value").isNotNull())
+        .filter((F.col("ts") - F.col("__run_start") + sf.step) >= F.lit(int(duration_ms)))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def per_second_rate(sf: SeriesFrame, interval_ms: int, scale: float = 1.0) -> SeriesFrame:
+    """Prometheus-counter → rate — PerSecondRateStage.java:56 (javadoc :1-25).
+
+    Counter semantics: a decrease means the counter reset, so the delta is
+    the new raw value; deltas are divided by the actual elapsed seconds and
+    then smoothed with a trailing moving average over ``interval_ms``.
+    The first point of each series emits nothing (no delta). ``scale``
+    re-expresses the result (PromQL ``rate``→1000ms scale=1000·1/1000…;
+    ``increase`` uses scale=interval semantics — PromSourceBuilderVisitor
+    .java:155-173 maps both onto this stage).
+
+    Fully window-expressible — no Python in the hot path: lag for deltas,
+    RANGE frame for smoothing.
+    """
+    w = _series_window()
+    df = (
+        sf.df.withColumn("__pv", F.lag("value").over(w))
+        .withColumn("__pts", F.lag("ts").over(w))
+        .filter(F.col("__pts").isNotNull())
+        .withColumn(
+            "__delta",
+            F.when(F.col("value") < F.col("__pv"), F.col("value")).otherwise(
+                F.col("value") - F.col("__pv")
+            ),
+        )
+        .withColumn(
+            "__rate",
+            F.col("__delta") / ((F.col("ts") - F.col("__pts")) / F.lit(1000.0)),
+        )
+    )
+    smooth_w = _series_window().rangeBetween(-(int(interval_ms) - sf.step), 0)
+    df = (
+        df.withColumn("value", F.avg("__rate").over(smooth_w) * F.lit(float(scale)))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

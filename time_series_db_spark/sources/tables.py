@@ -1,0 +1,135 @@
+"""Sources: parquet table loaders + the events→metrics sample mapping.
+
+The reference's ``fetch`` stage is a tag-filtered scan over a time range
+(dsl/SourceBuilderVisitor.java:911-940 builds label term/wildcard queries +
+a timestamp_range filter). In Spark that is a parquet scan with label and
+time predicates — Catalyst pushes both into the scan (PushedFilters), which
+replaces the reference's Lucene inverted-index filtering and
+TimeRangePruningQuery segment pruning (SURVEY.md §4.1 rows 2-3).
+
+The driver's synthetic ``events`` table plays the role of the sample
+stream (FIXTURES.md §4): labels = {name: event_type, user: user_id,
+region: r<user_id % 4>}, timestamp = epoch millis of ts, value = value.
+``oracle_samples_cte`` is the *same* mapping in ANSI SQL so every operator
+can be differentially tested against DuckDB (the driver's correctness
+gate and SURVEY.md §5 layer-4 analog).
+
+Determinism note: within one grid bucket the "last write wins" sample is
+chosen by max ``event_id`` (ingest order; verified monotone with ts),
+mirroring decode-order LWW in TimeSeriesUnfoldAggregator.java:305-320.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame, series_key_expr
+
+#: 1h grid over the events table's 2024-01 span
+DEFAULT_STEP_MS = 3_600_000
+#: 2024-01-01T00:00:00Z
+EVENTS_MIN_TS = 1_704_067_200_000
+#: 2024-01-31T00:00:00Z (exclusive)
+EVENTS_MAX_TS = 1_706_659_200_000
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+#: timestamp columns per table — stored as parquet TIMESTAMP(NANOS), which
+#: Spark only reads via the nanosAsLong legacy flag; the loader converts the
+#: resulting BIGINT nanos back to TimestampType so downstream code sees the
+#: same logical schema DuckDB does.
+_TS_COLS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in _TS_COLS.get(name, []):
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+    return df
+
+
+def fetch_events(
+    spark: SparkSession,
+    sf_dir: str,
+    step: int = DEFAULT_STEP_MS,
+    min_ts: int = EVENTS_MIN_TS,
+    max_ts: int = EVENTS_MAX_TS,
+    where=None,
+) -> SeriesFrame:
+    """``fetch`` over the events-as-metrics mapping.
+
+    Scan → optional label predicate (pushed down) → grid alignment with
+    deterministic LWW (max event_id per bucket) → SeriesFrame.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    samples = ev.select(
+        F.col("event_type").alias("name"),
+        F.col("user_id").cast("string").alias("user"),
+        F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string")).alias("region"),
+        F.concat(F.lit("r"), (F.col("user_id") % 2).cast("string")).alias("shard"),
+        F.unix_millis("ts").alias("raw_ts"),
+        F.col("event_id"),
+        F.col("value"),
+    ).filter(
+        (F.col("raw_ts") >= F.lit(min_ts)) & (F.col("raw_ts") < F.lit(max_ts))
+    )
+    if where is not None:
+        samples = samples.filter(where)
+    grid_ts = (F.col("raw_ts") - (F.col("raw_ts") % F.lit(step))).alias("__grid")
+    aligned = (
+        samples.withColumn("__grid", grid_ts)
+        .groupBy("name", "user", "region", "shard", "__grid")
+        .agg(F.expr("max_by(value, event_id)").alias("value"))
+    )
+    out = aligned.select(
+        F.create_map(
+            F.lit("name"), F.col("name"),
+            F.lit("user"), F.col("user"),
+            F.lit("region"), F.col("region"),
+            F.lit("shard"), F.col("shard"),
+        ).alias("labels"),
+        F.lit(None).cast("string").alias("alias"),
+        F.col("__grid").alias("ts"),
+        F.col("value"),
+    ).withColumn("series_key", series_key_expr()).select(*SAMPLE_COLS)
+    return SeriesFrame(df=out, step=step, min_ts=min_ts, max_ts=max_ts)
+
+
+def oracle_samples_cte(
+    step: int = DEFAULT_STEP_MS,
+    min_ts: int = EVENTS_MIN_TS,
+    max_ts: int = EVENTS_MAX_TS,
+    extra_where: str = "",
+) -> str:
+    """DuckDB CTE producing the identical aligned sample stream.
+
+    Keep in lockstep with :func:`fetch_events` — this is the oracle side of
+    the differential gate.
+    """
+    where = f"WHERE epoch_ms(ts) >= {min_ts} AND epoch_ms(ts) < {max_ts}"
+    if extra_where:
+        where += f" AND ({extra_where})"
+    return f"""
+samples AS (
+  SELECT
+    event_type AS name,
+    CAST(user_id AS VARCHAR) AS "user",
+    'r' || CAST(user_id % 4 AS VARCHAR) AS region,
+    'r' || CAST(user_id % 2 AS VARCHAR) AS shard,
+    epoch_ms(ts) - (epoch_ms(ts) % {step}) AS ts,
+    arg_max(value, event_id) AS value
+  FROM events
+  {where}
+  GROUP BY 1, 2, 3, 4, 5
+)"""
