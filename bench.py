@@ -1,0 +1,78 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Protocol (BASELINE.md): one warm-up
+run discarded per query, median of N timed runs, noop sink (no collect —
+measures engine throughput, not driver materialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+#: one per operator category (SURVEY.md §6 protocol): scan+filter, grouped
+#: agg, window, densify, binary join, topK, percentile + pipeline ops
+BENCH_QUERIES = [
+    "m3_fetch_filtered",
+    "m3_sum_by",
+    "m3_moving_avg",
+    "m3_keep_last_value",
+    "m3_per_second_rate",
+    "m3_divide",
+    "m3_topk",
+    "m3_percentile_of_series",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_cosine_topk",
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+]
+
+
+def main() -> None:
+    from time_series_db_spark.catalog import QUERIES
+    from time_series_db_spark.session import get_spark
+
+    spark = get_spark("tsdb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name]
+
+        def run() -> float:
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        run()  # warm-up (JIT, parquet footer cache) — discarded
+        timings[name] = round(statistics.median(run() for _ in range(RUNS)), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -781,3 +781,12 @@ def m3_map_key(spark, sf_dir):
 def m3_tag_sub(spark, sf_dir):
     sf = labels_ops.tag_sub(_fetch(spark, sf_dir), "region", r"r(\d)", "region-$1")
     return _out(sf)
+
+
+# ---------------------------------------------------------------------------
+# extended catalogs (registered on import; placed last so `register`,
+# `quant`, `sql_quant` above are defined when they import back)
+# ---------------------------------------------------------------------------
+
+from time_series_db_spark import catalog_pipeline as _catalog_pipeline  # noqa: E402,F401
+from time_series_db_spark import catalog_tpch as _catalog_tpch  # noqa: E402,F401

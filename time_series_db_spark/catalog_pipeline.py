@@ -1,0 +1,402 @@
+"""Catalog entries for the training-data pipeline operators.
+
+Each entry pairs the Spark implementation (``pipeline/``) with a DuckDB
+oracle that re-derives the *same algorithm* in ANSI-ish SQL — portable
+md5-based hashing and sequential left-fold float reductions keep the two
+engines bit-identical, so the differential gate is exact, not
+tolerance-based.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from time_series_db_spark.catalog import quant, register, sql_quant
+from time_series_db_spark.pipeline import ann, dedup, multimodal, text, textprep
+from time_series_db_spark.pipeline.textprep import (
+    FP_BASE,
+    FP_MOD,
+    SQL_NORMALIZE,
+    SQL_TOKENS,
+    sql_hash64,
+    sql_word_shingles,
+)
+from time_series_db_spark.sources import load_table
+
+_NORM = SQL_NORMALIZE.format(c="text")
+_TOKS = SQL_TOKENS.format(c="text")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    f"""WITH n AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT min(doc_id) AS doc_id, count(*)::BIGINT AS dup_count
+    FROM n GROUP BY norm""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized text, min-id survivor."""
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _sql_minhash_sig_cte() -> str:
+    """CTEs: toks → sh (shingle sets) → sig (16 min-hashes) → bands."""
+    shingles = sql_word_shingles("t", 3)
+    sig_cols = ",\n    ".join(
+        f"list_min([{sql_hash64('s', p)} for s in shingles]) AS sig{p}"
+        for p in range(dedup.NUM_PERMS)
+    )
+    rows = dedup.NUM_PERMS // dedup.NUM_BANDS
+    band_rows = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band, md5({parts}) AS bucket FROM sig".format(
+            b=b,
+            parts=" || ',' || ".join(
+                f"sig{b * rows + r}::VARCHAR" for r in range(rows)
+            ),
+        )
+        for b in range(dedup.NUM_BANDS)
+    )
+    return f"""
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM toks),
+sig AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
+bands AS (
+{band_rows}
+)"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""WITH {_sql_minhash_sig_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+    )
+    SELECT id_a, id_b, {sql_quant('jaccard')} AS jaccard
+    FROM verified WHERE jaccard >= 0.8""",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(16) + LSH(4×4) banding, exact-Jaccard verified at ≥0.8."""
+    pairs = dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return pairs.select("id_a", "id_b", quant(F.col("jaccard")).alias("jaccard"))
+
+
+def _sql_simhash_cte() -> str:
+    bits = dedup.SIMHASH_BITS
+    votes = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2**j} ELSE 0 END)::BIGINT" for j in range(bits)
+    )
+    band_w = bits // 3
+    mask = (1 << band_w) - 1
+    band_rows = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, simhash, {i} AS band, (simhash >> {i * band_w}) & {mask} AS key FROM fp"
+        for i in range(3)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+hashed AS (SELECT doc_id, {sql_hash64('tok', 'sim')} AS h FROM toks),
+votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS simhash FROM votes),
+bands AS (
+{band_rows}
+)"""
+
+
+@register(
+    "dedup_simhash",
+    f"""WITH {_sql_simhash_cte()},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS fa, b.simhash AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3""",
+)
+def dedup_simhash(spark, sf_dir):
+    """48-bit SimHash, 16-bit band blocking, Hamming ≤ 3."""
+    return dedup.simhash_dedup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh AS (SELECT doc_id, {sql_word_shingles('t', 2)} AS shingles FROM toks),
+    sizes AS (SELECT doc_id, len(shingles) AS n FROM sh),
+    flat AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) * 1.0 AS c
+      FROM flat a JOIN flat b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, {sql_quant('c / (na.n + nb.n - c)')} AS jaccard
+    FROM common
+    JOIN sizes na ON na.doc_id = id_a
+    JOIN sizes nb ON nb.doc_id = id_b
+    WHERE c / (na.n + nb.n - c) >= 0.7""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-bigram Jaccard ≥ 0.7 via shingle equi-join."""
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+    return pairs.select("id_a", "id_b", quant(F.col("jaccard")).alias("jaccard"))
+
+
+#: sequential left-fold dot product — mirrors dedup._dot_fold exactly
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"[({a})[i] * ({b})[i] for i in generate_series(1, len({a}))]), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {sql_quant(_sql_cosine('a.v', 'b.v'))} AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE {_sql_cosine('a.v', 'b.v')} >= 0.45""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup: all pairs with cosine ≥ 0.45."""
+    pairs = dedup.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.45)
+    return pairs.select("id_a", "id_b", quant(F.col("cosine")).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_SQL_E = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for every 50th vector as query."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.cosine_topk(embs, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )
+
+
+def _sql_bucket(v: str) -> str:
+    """DuckDB rendering of ann.hyperplane_bucket (integer-exact)."""
+    qv = f"[floor(({v})[i] * 1000 + 0.5)::BIGINT for i in generate_series(1, len({v}))]"
+    terms = []
+    for p in range(ann.NUM_PLANES):
+        dot = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"[q[i] * ((({97 * p} + 13 * (i - 1)) % 19) - 9) "
+            f"for i in generate_series(1, len(q))]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)::BIGINT")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {qv} AS q))"
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH-bucketed cosine top-5 (the bounded-candidate path)."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.lsh_bucketed_topk(embs, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def _sql_lang_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    return f"len(list_filter(t, tok -> tok IN ({words})))"
+
+
+def _sql_langid() -> str:
+    langs = sorted(text.LANG_MARKERS)
+    hits = ",\n      ".join(f"{_sql_lang_hits(g)} AS h_{g}" for g in langs)
+    best_lang = f"'{langs[0]}'"
+    best_score = f"h_{langs[0]}"
+    for g in langs[1:]:
+        best_lang = f"CASE WHEN h_{g} > {best_score} THEN '{g}' ELSE {best_lang} END"
+        best_score = f"CASE WHEN h_{g} > {best_score} THEN h_{g} ELSE {best_score} END"
+    return f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    scored AS (SELECT doc_id, {hits} FROM toks)
+    SELECT doc_id, {best_lang} AS pred_lang, ({best_score})::BIGINT AS lang_hits
+    FROM scored"""
+
+
+@register("text_langid", _sql_langid())
+def text_langid(spark, sf_dir):
+    """Marker-word-count language ID (deterministic n-gram heuristic)."""
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+_SQL_EN_STOP = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+
+@register(
+    "text_quality",
+    f"""WITH feats AS (
+      SELECT doc_id,
+             length({_NORM})::DOUBLE AS n_chars,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE AS n_uniq,
+             len(list_filter({_TOKS}, tok -> tok IN ({_SQL_EN_STOP})))::DOUBLE AS stop,
+             length(regexp_replace({_NORM}, '[a-z0-9 ]', '', 'g'))::DOUBLE AS nonalnum
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           {sql_quant('(n_chars - n_tokens + 1) / n_tokens')} AS mean_word_len,
+           {sql_quant('n_uniq / n_tokens')} AS ttr,
+           {sql_quant('stop / n_tokens')} AS stopword_ratio,
+           {sql_quant('nonalnum / n_chars')} AS nonalnum_ratio,
+           {sql_quant(
+               'least(n_tokens / 100.0, 1.0) * 0.4 + (n_uniq / n_tokens) * 0.4 '
+               '+ least((stop / n_tokens) * 5.0, 1.0) * 0.2'
+           )} AS quality
+    FROM feats""",
+)
+def text_quality(spark, sf_dir):
+    """Gopher/C4-style quality features + composite score."""
+    out = text.quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        quant(F.col("mean_word_len")).alias("mean_word_len"),
+        quant(F.col("ttr")).alias("ttr"),
+        quant(F.col("stopword_ratio")).alias("stopword_ratio"),
+        quant(F.col("nonalnum_ratio")).alias("nonalnum_ratio"),
+        quant(F.col("quality")).alias("quality"),
+    )
+
+
+@register(
+    "text_token_stats",
+    f"""SELECT doc_id,
+           len(string_split({_NORM}, ' '))::BIGINT AS ws_tokens,
+           len(regexp_extract_all({_NORM}, '{text.BPE_REGEX}'))::BIGINT AS bpe_tokens
+    FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish-regex token counts."""
+    return text.token_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(0::BIGINT,
+               [{sql_hash64('tok', 'fp')} % 1000000 for tok in t]),
+             (acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD}
+           ) AS fingerprint
+    FROM toks""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-sensitive rolling-hash document fingerprint."""
+    return text.fingerprint(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (deterministic fake decode — see pipeline/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "mm_decode_image_meta",
+    """SELECT doc_id AS media_id,
+           (strlen(text) % 64 + 1)::BIGINT AS width,
+           (strlen(text) // 64 % 64 + 1)::BIGINT AS height,
+           3::BIGINT AS channels,
+           ((strlen(text) % 64 + 1) * (strlen(text) // 64 % 64 + 1) * 3)::BIGINT AS n_pixels
+    FROM documents""",
+)
+def mm_decode_image_meta(spark, sf_dir):
+    """Binary-column decode plumbing: mapInPandas over BINARY payloads
+    (deterministic stub codec; real decoder slots into decode_fn='pil')."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    return multimodal.decode_image_meta(media)
+
+
+@register(
+    "mm_sample_frames",
+    """SELECT doc_id AS media_id,
+           unnest(generate_series(0, least(greatest(strlen(text) // 64, 1), 8) - 1))::BIGINT AS frame_idx,
+           (CASE WHEN strlen(text) < 64 THEN strlen(text) ELSE 64 END)::BIGINT AS frame_bytes
+    FROM documents""",
+)
+def mm_sample_frames(spark, sf_dir):
+    """1→N frame-sampling plumbing via mapInPandas (stub keyframe logic)."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir), media_type="video")
+    return multimodal.sample_frames(media)

@@ -1,0 +1,213 @@
+"""Relational analytics catalog: TPC-H-style queries on the star schema.
+
+The reference's M3QL aggregations are one-table grouped aggs; these
+exercise the engine's *relational* side — multi-way joins, broadcast
+dimension handling, grouped/windowed aggregation, top-k — at the shapes
+a warehouse workload takes. Spark plans: dimension sides are explicitly
+``broadcast()`` (no shuffle on the fact table for dim joins); all money
+sums run in DECIMAL(27,6) so results are exact and order-insensitive —
+identical under any partitioning, and identical to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from time_series_db_spark.catalog import register, sql_quant
+from time_series_db_spark.sources import load_table
+
+_DEC = "decimal(27,6)"
+
+
+def _dsum(col):
+    """Exact money sum: double → fixed-point → sum → double."""
+    return F.sum(col.cast(_DEC)).cast("double")
+
+
+def _sql_dsum(expr: str) -> str:
+    return f"CAST(sum(CAST(({expr}) AS DECIMAL(27,6))) AS DOUBLE)"
+
+
+@register(
+    "tpch_q1_pricing",
+    f"""SELECT l_returnflag, l_linestatus,
+           {_sql_dsum('l_quantity')} AS sum_qty,
+           {_sql_dsum('l_extendedprice')} AS sum_base_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_quant(_sql_dsum('l_quantity') + ' / count(*)')} AS avg_qty,
+           {sql_quant(_sql_dsum('l_extendedprice') + ' / count(*)')} AS avg_price,
+           {sql_quant(_sql_dsum('l_discount') + ' / count(*)')} AS avg_disc,
+           count(*)::BIGINT AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1_pricing(spark, sf_dir):
+    """Q1 pricing summary: single-table grouped agg — partial aggregation
+    (map-side combine) means the shuffle carries 4 groups, not 600k rows."""
+    from time_series_db_spark.catalog import quant
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    ep, disc, tax, qty = (
+        F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"), F.col("l_quantity"),
+    )
+    cnt = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _dsum(qty).alias("sum_qty"),
+        _dsum(ep).alias("sum_base_price"),
+        _dsum(ep * (1 - disc)).alias("sum_disc_price"),
+        _dsum(ep * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        quant(_dsum(qty) / cnt).alias("avg_qty"),
+        quant(_dsum(ep) / cnt).alias("avg_price"),
+        quant(_dsum(disc) / cnt).alias("avg_disc"),
+        cnt.cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q3_shipping",
+    f"""WITH rev AS (
+      SELECT l.l_orderkey,
+             {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+             epoch_ms(o.o_orderdate) AS o_orderdate_ms, o.o_orderpriority
+      FROM customer c
+      JOIN orders o ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      GROUP BY 1, 3, 4
+    )
+    SELECT l_orderkey, revenue, o_orderdate_ms, o_orderpriority
+    FROM rev ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+)
+def tpch_q3_shipping(spark, sf_dir):
+    """Q3 shipping priority: broadcast the filtered customer dim, shuffle
+    only the order/lineitem join, TakeOrderedAndProject for the top-10."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    joined = li.join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    rev = joined.groupBy(
+        "l_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        "o_orderpriority",
+    ).agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10).select(
+        "l_orderkey", "revenue", "o_orderdate_ms", "o_orderpriority"
+    )
+
+
+@register(
+    "tpch_q5_local_volume",
+    f"""SELECT n.n_name,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name""",
+)
+def tpch_q5_local_volume(spark, sf_dir):
+    """Q5 local-supplier volume: five-way join; every dimension side is
+    broadcast so the only shuffle is lineitem↔orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+@register(
+    "tpch_q6_forecast",
+    f"""SELECT {_sql_dsum('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24""",
+)
+def tpch_q6_forecast(spark, sf_dir):
+    """Q6 revenue forecast: pure scan+filter+scalar agg — every predicate
+    pushes into the parquet scan (PushedFilters), zero shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS DECIMAL(27,6))) > 300
+    )
+    SELECT c.c_custkey, o.o_orderkey, epoch_ms(o.o_orderdate) AS o_orderdate_ms,
+           o.o_totalprice, {_sql_dsum('l.l_quantity')} AS total_qty
+    FROM orders o
+    JOIN big b ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2, 3, 4""",
+)
+def tpch_q18_large_orders(spark, sf_dir):
+    """Q18 large-volume orders: the HAVING-subquery shape — the aggregated
+    key set is broadcast back against orders (semi-join reduction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_DEC)).alias("__q"))
+        .filter(F.col("__q") > 300)
+        .select(F.col("l_orderkey").alias("__big_orderkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("__big_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    return joined.groupBy(
+        "c_custkey",
+        "o_orderkey",
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
+        "o_totalprice",
+    ).agg(_dsum(F.col("l_quantity")).alias("total_qty"))

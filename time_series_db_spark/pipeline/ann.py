@@ -1,0 +1,144 @@
+"""Approximate nearest-neighbor search over an embedding column.
+
+Two tiers (SURVEY-mandated pipeline ops):
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query
+  set against the corpus, rank per query. The corpus side never
+  shuffles; the only exchange is the per-query top-k (TakeOrdered-style
+  partial limits under AQE). This is the recall baseline.
+- :func:`lsh_bucketed_topk` — the scale path: a deterministic random-
+  hyperplane LSH bucketer assigns every vector an 8-bit bucket scan-side;
+  candidates are restricted to the query's bucket, so the join fans out
+  per bucket instead of per corpus. Recall < 1 by design; the bucket
+  count is the knob.
+
+Hyperplane determinism: embeddings are quantized to integers
+(floor(x·1000+0.5)) and the hyperplane weights are small integers derived
+from (plane, dim) — the sign computation is exact integer arithmetic, so
+Spark and the DuckDB oracle can never disagree on a bucket (no FP-sign
+edge cases).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_db_spark.pipeline.dedup import cosine_expr
+
+NUM_PLANES = 8
+
+
+def _plane_weight(plane: int, dim_col: Column) -> Column:
+    """Integer hyperplane weight w(plane, dim) = ((97·plane + 13·dim) % 19) − 9."""
+    return (F.lit(97 * plane) + F.lit(13) * dim_col) % 19 - 9
+
+
+def hyperplane_bucket(vec_col: Column, num_planes: int = NUM_PLANES) -> Column:
+    """8-bit LSH bucket id from integer-quantized hyperplane signs."""
+    q = F.transform(
+        vec_col, lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
+    )
+    def _weighted(plane: int):
+        # binary (element, index) transform lambda — plane captured by closure
+        return F.transform(q, lambda x, i: x * _plane_weight(plane, i))
+
+    bucket = F.lit(0).cast("long")
+    for p in range(num_planes):
+        dot = F.aggregate(
+            _weighted(p), F.lit(0).cast("long"), lambda acc, x: acc + x
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def _as_double(vec_col: Column) -> Column:
+    return F.transform(vec_col, lambda x: x.cast("double"))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector (self-matches excluded).
+
+    Output: (query_id, neighbor_id, rank, cosine); ties broken by
+    neighbor id for determinism. The query side is broadcast — the
+    corpus scan is embarrassingly parallel.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
+        )
+    )
+    scored = (
+        c.join(q, F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_planes: int = NUM_PLANES,
+) -> DataFrame:
+    """Top-k within the query's LSH bucket — the bounded-candidate path.
+
+    Same output shape as :func:`cosine_topk`; queries whose bucket holds
+    fewer than k other vectors return fewer rows (recall trade-off).
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        hyperplane_bucket(F.col(vec_col), num_planes).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("__qv"),
+            hyperplane_bucket(F.col(vec_col), num_planes).alias("__qbucket"),
+        )
+    )
+    scored = (
+        c.join(
+            q,
+            (F.col("__bucket") == F.col("__qbucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -1,0 +1,383 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding cosine.
+
+Scale design (the point of each algorithm):
+
+- **exact**: one hash-shuffle on the normalized-text key; map-side partial
+  aggregation makes this the cheapest possible full-corpus dedup.
+- **MinHash+LSH**: signatures are computed scan-side (no shuffle); the
+  only shuffle is the band-bucket self-join, whose fan-out is bounded by
+  bucket size — the classic way to avoid the O(n²) pair explosion at
+  100 TB. Candidates are then verified with exact Jaccard so the output
+  is threshold-exact, not probabilistic.
+- **SimHash**: one explode on tokens + one groupBy per doc (both
+  map-heavy, combiner-friendly); the pair join is on the 48-bit
+  fingerprint's band keys, again avoiding all-pairs.
+- **n-gram Jaccard**: the exact baseline — shingle-explode + equi-join on
+  the shingle. Quadratic in the worst case; kept as the verification
+  oracle and for small/medium corpora.
+- **embedding cosine**: exact all-pairs over a block-joined candidate set;
+  at scale the LSH bucketer from :mod:`ann` bounds candidates first.
+
+All expressions are Catalyst built-ins (md5/conv/array ops) — no Python
+in the hot path. Hash choice: md5-60bit (portable to the DuckDB oracle);
+swap ``textprep.hash64(fn="xxhash64")`` for production throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from time_series_db_spark.pipeline import textprep
+
+#: MinHash defaults: 16 permutations, 4 bands × 4 rows → catches
+#: J≥0.8 pairs with P ≈ 1-(1-0.8⁴)⁴ ≈ 0.93 per the standard S-curve.
+NUM_PERMS = 16
+NUM_BANDS = 4
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup on normalized text: keep the smallest id per group.
+
+    Returns (id_col, dup_count) — one row per surviving document.
+    """
+    return (
+        df.select(F.col(id_col), textprep.normalize(F.col(text_col)).alias("__norm"))
+        .groupBy("__norm")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, shingles ARRAY<STRING>, sig ARRAY<BIGINT>) per document.
+
+    One pass over the scan — num_perms min-hashes are independent
+    ``array_min(transform(...))`` expressions over the shingle array, all
+    inside one codegen stage.
+    """
+    sh = textprep.word_shingles(textprep.tokens(F.col(text_col)), shingle_k)
+    base = df.select(F.col(id_col), sh.alias("shingles"))
+
+    def _minhash(seed: int) -> Column:
+        # closure (not a default arg): pyspark infers lambda arity from the
+        # parameter count, so the transform lambda must stay unary
+        return F.array_min(
+            F.transform(F.col("shingles"), lambda s: textprep.hash64(s, seed, hash_fn))
+        )
+
+    sig = F.array(*[_minhash(p) for p in range(num_perms)])
+    return base.withColumn("sig", sig)
+
+
+def _band_buckets(num_perms: int, num_bands: int) -> list[Column]:
+    """One bucket hash per band: md5 over that band's signature slice."""
+    rows = num_perms // num_bands
+    out = []
+    for b in range(num_bands):
+        parts = [
+            F.element_at(F.col("sig"), b * rows + r + 1).cast("string")
+            for r in range(rows)
+        ]
+        out.append(F.md5(F.concat_ws(",", *parts)))
+    return out
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+    num_bands: int = NUM_BANDS,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    The self-join key is (band_idx, bucket_hash): only same-bucket rows
+    meet, so shuffle volume is O(n · bands), not O(n²).
+    """
+    buckets = (
+        sigs.select(
+            F.col(id_col),
+            F.posexplode(F.array(*_band_buckets(num_perms, num_bands))).alias(
+                "band", "bucket"
+            ),
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact shingle-set Jaccard for each candidate pair.
+
+    Shingle arrays are re-joined by id (broadcast-sized after LSH
+    pruning); ``array_intersect`` computes the exact overlap.
+    """
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    return (
+        pairs.join(
+            sh.select(
+                F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a")
+            ),
+            "id_a",
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b")
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "__common", F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+        )
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common")
+                / (F.size("__sh_a") + F.size("__sh_b") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+    num_bands: int = NUM_BANDS,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, jaccard) with J ≥ threshold,
+    found via LSH banding and verified exactly."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_k, hash_fn)
+    cands = lsh_candidate_pairs(sigs, id_col, num_perms, num_bands)
+    return jaccard_verify(cands, sigs, id_col).filter(
+        F.col("jaccard") >= F.lit(float(threshold))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 48
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, simhash BIGINT): per-bit majority vote over token hashes.
+
+    Tokens are exploded once; each bit's vote is a conditional sum in a
+    single groupBy (bits aggregations, all combiner-friendly partials).
+    """
+    toks = (
+        df.select(F.col(id_col), textprep.tokens(F.col(text_col)).alias("__t"))
+        .select(F.col(id_col), F.explode("__t").alias("__tok"))
+        .withColumn("__h", textprep.hash64(F.col("__tok"), "sim", hash_fn))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"__v{j}")
+        for j in range(bits)
+    ]
+    per_doc = toks.groupBy(id_col).agg(*votes)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"__v{j}") > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Pairs (id_a, id_b, hamming) with Hamming(simhash) ≤ max_hamming.
+
+    Candidate generation joins on 16-bit fingerprint bands (pigeonhole:
+    any pair within distance 2 shares an exact band; distance-3 pairs may
+    need the verify-all fallback — with 3 bands over 48 bits a ≤3-bit
+    difference still leaves ≥1 identical band whenever the flips don't
+    spread across all three, the standard SimHash blocking trade-off).
+    """
+    fps = simhash(df, id_col, text_col, bits, hash_fn)
+    band_w = bits // 3
+    mask = (1 << band_w) - 1
+    bands = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * band_w).bitwiseAND(F.lit(mask))
+                    for i in range(3)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__fa"),
+            F.col("b.simhash").alias("__fb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (the quadratic baseline)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 2,
+) -> DataFrame:
+    """Exact Jaccard over word k-gram sets via shingle equi-join.
+
+    The join key is the shingle itself; common shingles drive the
+    pair-count aggregation. Exact but O(pairs-sharing-a-shingle) — use
+    MinHash at scale; this is the correctness baseline.
+    """
+    sh = df.select(
+        F.col(id_col),
+        textprep.word_shingles(textprep.tokens(F.col(text_col)), shingle_k).alias(
+            "__sh"
+        ),
+    )
+    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
+    flat = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    a, b = flat.alias("a"), flat.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("__common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic FP order, so the
+    DuckDB oracle (same fold) matches bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ARRAY<DOUBLE> columns."""
+    return _dot_fold(a, b) / (
+        F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs (id_a, id_b, cosine) with cosine ≥ threshold.
+
+    Exact all-pairs block join; at corpus scale, pre-bucket with
+    :func:`time_series_db_spark.pipeline.ann.hyperplane_bucket` and join
+    on the bucket to bound candidates.
+    """
+    vecs = df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )

@@ -1,0 +1,136 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+All pure Catalyst expressions over the ``documents`` table — one scan,
+no shuffle, no UDFs: at 100 TB these run at parquet-scan speed with
+column pruning (only ``doc_id, text`` are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from time_series_db_spark.pipeline import textprep
+from time_series_db_spark.pipeline.textprep import FP_BASE, FP_MOD
+
+#: tiny per-language marker-word lists (n-gram-heuristic language ID —
+#: stand-in for a real fastText-style model, which would be a Pandas UDF)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "row", "table", "value"],
+    "fr": ["le", "la", "et", "de", "un", "est", "dans", "une", "les", "pour"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "nicht", "mit", "den", "von"],
+    "es": ["el", "la", "y", "de", "que", "en", "un", "es", "los", "una"],
+    "zh": ["de5", "shi4", "zai4", "he2", "you3", "wo3", "le5", "bu4", "ren2", "ta1"],
+}
+
+
+def _marker_hits(tok: Column, words: list[str]) -> Column:
+    return F.size(F.filter(tok, lambda t: t.isin(*words)))
+
+
+def lang_id(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, pred_lang, lang_hits): argmax of marker-word hit counts,
+    alphabetical tie-break — deterministic n-gram heuristic language ID."""
+    tok = textprep.tokens(F.col(text_col))
+    scored = df.select(
+        F.col(id_col),
+        *[
+            _marker_hits(tok, words).alias(f"__{lang}")
+            for lang, words in sorted(LANG_MARKERS.items())
+        ],
+    )
+    langs = sorted(LANG_MARKERS)
+    # argmax with alphabetical tie-break: fold over languages in order,
+    # replacing only on a strictly greater score
+    best_lang = F.lit(langs[0])
+    best_score = F.col(f"__{langs[0]}")
+    for lang in langs[1:]:
+        better = F.col(f"__{lang}") > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, F.col(f"__{lang}")).otherwise(best_score)
+    return scored.select(
+        F.col(id_col),
+        best_lang.alias("pred_lang"),
+        best_score.cast("long").alias("lang_hits"),
+    )
+
+
+def quality_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Heuristic quality features + composite score per document.
+
+    Features mirror the standard training-data filters (Gopher/C4-style):
+    length, mean word length, type-token ratio, stopword ratio,
+    non-alphanumeric ratio.
+    """
+    tok = textprep.tokens(F.col(text_col))
+    en_stop = LANG_MARKERS["en"]
+    feats = df.select(
+        F.col(id_col),
+        F.length(textprep.normalize(F.col(text_col))).cast("double").alias("n_chars"),
+        F.size(tok).cast("double").alias("n_tokens"),
+        F.size(F.array_distinct(tok)).cast("double").alias("n_uniq"),
+        _marker_hits(tok, en_stop).cast("double").alias("__stop"),
+        (
+            F.length(F.regexp_replace(textprep.normalize(F.col(text_col)), "[a-z0-9 ]", ""))
+        ).cast("double").alias("__nonalnum"),
+    )
+    return feats.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.col("n_tokens"),
+        ((F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens")).alias(
+            "mean_word_len"
+        ),
+        (F.col("n_uniq") / F.col("n_tokens")).alias("ttr"),
+        (F.col("__stop") / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("__nonalnum") / F.col("n_chars")).alias("nonalnum_ratio"),
+        (
+            F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+            + (F.col("n_uniq") / F.col("n_tokens")) * 0.4
+            + F.least(
+                (F.col("__stop") / F.col("n_tokens")) * 5.0, F.lit(1.0)
+            ) * 0.2
+        ).alias("quality"),
+    )
+
+
+#: BPE-ish pre-tokenizer: letter runs, single digits, or single symbols —
+#: the GPT-2-style pre-split shape, counted (not encoded)
+BPE_REGEX = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+def token_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, ws_tokens, bpe_tokens): whitespace count + BPE-ish regex count."""
+    norm = textprep.normalize(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(norm, " ")).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(BPE_REGEX), 0)).cast("long").alias(
+            "bpe_tokens"
+        ),
+    )
+
+
+def fingerprint(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, fingerprint): order-sensitive rolling hash over tokens.
+
+    acc ← (acc·131 + h(token) mod 10⁶) mod (10⁹+7), left-to-right — a
+    Rabin-Karp-style document fingerprint; stable under whitespace
+    normalization, sensitive to word order (unlike the shingle sets).
+    """
+    tok = textprep.tokens(F.col(text_col))
+    fp = F.aggregate(
+        F.transform(tok, lambda t: textprep.hash64(t, "fp") % 1_000_000),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))

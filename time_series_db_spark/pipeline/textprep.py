@@ -1,0 +1,80 @@
+"""Text-prep expression library shared by dedup / text-analysis operators.
+
+Everything here returns Catalyst Column expressions (no UDFs): the hot
+path stays inside whole-stage codegen and scales linearly with input
+splits. The portable 64-bit hash is md5-based so the DuckDB differential
+oracle computes bit-identical values; at production scale swap
+``hash_fn="xxhash64"`` (JVM-native, ~10× faster, no hex round-trip) —
+the LSH math is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: large prime for rolling fingerprints (fits products in int64:
+#: acc < 1e9+7, acc*131 + h < 2^63)
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def hash64(col: Column, seed: int | str = 0, fn: str = "md5") -> Column:
+    """Deterministic 60-bit hash of a string column.
+
+    ``md5`` variant: first 15 hex chars of md5("<seed>:<value>") as a
+    BIGINT — portable across engines (DuckDB: ``('0x' || substr(md5(..),
+    1, 15))::BIGINT``). ``xxhash64`` variant: Spark-native, for
+    production runs where the oracle is not in the loop.
+    """
+    if fn == "xxhash64":
+        return F.xxhash64(F.lit(str(seed)), col)
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def sql_hash64(expr: str, seed: int | str = 0) -> str:
+    """DuckDB rendering of :func:`hash64` (md5 variant)."""
+    return f"('0x' || substr(md5('{seed}:' || ({expr})), 1, 15))::BIGINT"
+
+
+def normalize(col: Column) -> Column:
+    """Canonical text form: lowercase, trimmed, whitespace collapsed."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+SQL_NORMALIZE = r"regexp_replace(lower(trim({c})), '\s+', ' ', 'g')"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(normalize(col), " ")
+
+
+SQL_TOKENS = "string_split(" + SQL_NORMALIZE + ", ' ')"
+
+
+def word_shingles(tok: Column, k: int = 3) -> Column:
+    """Distinct word *k*-grams — the MinHash/Jaccard item set.
+
+    ``sequence`` needs start <= stop, so short documents (< k tokens)
+    yield the whole document as a single shingle.
+    """
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - k),
+        lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
+    )
+    return F.array_distinct(
+        F.when(F.size(tok) >= k, ngrams).otherwise(F.array(F.array_join(tok, " ")))
+    )
+
+
+def sql_word_shingles(tok_expr: str, k: int = 3) -> str:
+    """DuckDB rendering of :func:`word_shingles` over a token-list expr."""
+    return (
+        f"list_distinct(CASE WHEN len({tok_expr}) >= {k} THEN "
+        f"[array_to_string(({tok_expr})[i:i+{k - 1}], ' ') "
+        f"for i in generate_series(1, len({tok_expr}) - {k - 1})] "
+        f"ELSE [array_to_string({tok_expr}, ' ')] END)"
+    )
