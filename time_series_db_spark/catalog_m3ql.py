@@ -1,0 +1,242 @@
+"""End-to-end M3QL language catalog: text query → parse → plan → Spark.
+
+Where catalog.py exercises operators through the Python API, these
+entries run complete M3QL *query strings* through the full front-end
+(parser → AST transforms → logical plan → DataFrame builder) against
+the events table, differentially tested like everything else. This is
+the layer that proves a reference user could paste their M3QL queries
+at our endpoint unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from time_series_db_spark.catalog import (
+    DENSE_CTES,
+    LABEL_KEYS,
+    PRELUDE,
+    SQL_LBLS,
+    SQL_SERIES_KEY,
+    quant,
+    register,
+    sql_quant,
+)
+from time_series_db_spark.lang.m3.builder import execute
+from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.sources import (
+    DEFAULT_STEP_MS,
+    EVENTS_MAX_TS,
+    EVENTS_MIN_TS,
+)
+from time_series_db_spark.sources.m3source import EventsSource
+
+
+def run_m3ql(spark, sf_dir: str, query: str) -> SeriesFrame:
+    return execute(
+        query,
+        EventsSource(spark, sf_dir),
+        EVENTS_MIN_TS,
+        EVENTS_MAX_TS,
+        DEFAULT_STEP_MS,
+    )
+
+
+def _flat(sf: SeriesFrame, keys: list[str]) -> DataFrame:
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in keys],
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_fetch_wildcard",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples
+    WHERE (regexp_full_match(name, 'err.*') OR name = 'click')
+      AND NOT regexp_full_match("user", '1.')""",
+)
+def m3ql_fetch_wildcard(spark, sf_dir):
+    """fetch with wildcard, brace alternation and negated tag filter —
+    the Lucene term/wildcard query path as parquet-pushed predicates."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:{err*,click} user:!1?")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_mapper_chain",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts,
+    {sql_quant('sqrt(abs(value - 100.0) * 2.0)')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def m3ql_mapper_chain(spark, sf_dir):
+    """Chained mapper stages through the language front-end."""
+    sf = run_m3ql(
+        spark, sf_dir, "fetch name:error | offset -100 | abs | scale 2 | sqrt"
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_union_sum",
+    f"""{PRELUDE} SELECT region, ts, {sql_quant('sum(value)')} AS value
+    FROM samples WHERE name IN ('error', 'click') GROUP BY 1, 2""",
+)
+def m3ql_union_sum(spark, sf_dir):
+    """Mid-pipeline fetch = union semantics (plan/7 golden), then sum."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:error | fetch name:click | sum region")
+    return _flat(sf, ["region"])
+
+
+@register(
+    "m3ql_filter_topk",
+    f"""{PRELUDE},
+    filtered AS (
+      SELECT {SQL_LBLS}, ts, value FROM samples WHERE value >= 100.0
+    ),
+    stats AS (
+      SELECT {SQL_LBLS},
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) AS stat,
+             {SQL_SERIES_KEY} AS skey
+      FROM filtered GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY stat DESC, skey) AS rnk FROM stats
+    )
+    SELECT f.name, f."user", f.region, f.shard, f.ts, {sql_quant('f.value')} AS value
+    FROM filtered f JOIN ranked r
+      ON f.name=r.name AND f."user"=r."user" AND f.region=r.region AND f.shard=r.shard
+    WHERE r.rnk <= 3""",
+)
+def m3ql_filter_topk(spark, sf_dir):
+    """Value filter (operator-name function ``>=``) then pushdown topK."""
+    sf = run_m3ql(spark, sf_dir, "fetch | >= 100 | topK 3 avg desc")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_divide_by_group_total",
+    f"""{PRELUDE},
+    totals AS (
+      SELECT region, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS tv
+      FROM samples WHERE name = 'error' GROUP BY 1, 2
+    )
+    SELECT s.name, s."user", s.region, s.shard, s.ts,
+           {sql_quant("CASE WHEN t.tv = 0 THEN 'NaN'::DOUBLE ELSE s.value / t.tv END")} AS value
+    FROM samples s JOIN totals t ON s.region = t.region AND s.ts = t.ts
+    WHERE s.name = 'error'""",
+)
+def m3ql_divide_by_group_total(spark, sf_dir):
+    """Binary divide with explicit match keys through the front-end —
+    the CSE cache reuses the shared fetch subtree (one scan)."""
+    sf = run_m3ql(
+        spark,
+        sf_dir,
+        "fetch name:error | divide(fetch name:error | sum region) region",
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_keep_last_summarize",
+    f"""{PRELUDE}{DENSE_CTES},
+    err AS (SELECT * FROM dense WHERE name = 'error'),
+    filled AS (
+      SELECT {SQL_LBLS}, ts,
+             last_value(value IGNORE NULLS) OVER (
+               PARTITION BY {SQL_LBLS} ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill,
+             last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY {SQL_LBLS} ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fill_ts
+      FROM err)
+    SELECT {SQL_LBLS}, ts - (ts % 86400000) AS ts, {sql_quant('max(fill)')} AS value
+    FROM filled WHERE fill IS NOT NULL AND ts - fill_ts <= 7200000
+    GROUP BY 1, 2, 3, 4, 5""",
+)
+def m3ql_keep_last_summarize(spark, sf_dir):
+    """Densify → bounded forward-fill → daily summarize, as one query."""
+    sf = run_m3ql(
+        spark, sf_dir, "fetch name:error | keepLastValue 2h | summarize 1d max"
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_histogram_percentile",
+    f"""{PRELUDE},
+    b AS (
+      SELECT name, region, shard, ts, CAST("user" AS DOUBLE) AS upper, value
+      FROM samples WHERE name = 'error'
+    ),
+    tot AS (
+      SELECT name, region, shard, ts, sum(value) AS total FROM b GROUP BY 1, 2, 3, 4
+    ),
+    cum AS (
+      SELECT b.*, sum(value) OVER (
+        PARTITION BY name, region, shard, ts ORDER BY upper) AS cumc, t.total
+      FROM b JOIN tot t USING (name, region, shard, ts)
+    )
+    SELECT name, region, shard, 'p95' AS "histogramPercentile", ts,
+           {sql_quant('min(upper)')} AS value
+    FROM cum WHERE total > 0 AND cumc >= 0.95 * total
+    GROUP BY 1, 2, 3, 4, 5""",
+)
+def m3ql_histogram_percentile(spark, sf_dir):
+    """histogramPercentile over bucketed series: the user id doubles as
+    the bucket upper bound via a tagSub-synthesized '<id>-+Inf' range
+    (infinity bucket ⇒ upper == lower) — HistogramPercentileStage
+    cumulative-count semantics, no intra-bucket interpolation."""
+    sf = run_m3ql(
+        spark,
+        sf_dir,
+        'fetch name:error | tagSub user "^(\\d+)$" "$1-+Inf" '
+        "| histogramPercentile user user 95",
+    )
+    return _flat(sf, ["name", "region", "shard", "histogramPercentile"])
+
+
+@register(
+    "m3ql_mock_fetch",
+    f"""SELECT * FROM (VALUES
+      ('a', {EVENTS_MIN_TS}, 20.0),
+      ('a', {EVENTS_MIN_TS + DEFAULT_STEP_MS}, 40.0),
+      ('a', {EVENTS_MIN_TS + 2 * DEFAULT_STEP_MS}, 'NaN'::DOUBLE)
+    ) AS t(name, ts, value)""",
+)
+def m3ql_mock_fetch(spark, sf_dir):
+    """mockFetch synthesis incl. nan passthrough (MockFetchStage)."""
+    sf = run_m3ql(spark, sf_dir, "mockFetch 10,20,nan name:a | scale 2")
+    return _flat(sf, ["name"])
+
+
+@register(
+    "m3ql_alias_sort_head",
+    f"""{PRELUDE},
+    stats AS (
+      SELECT {SQL_LBLS}, {SQL_SERIES_KEY} AS skey,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / count(value) AS stat
+      FROM samples WHERE name = 'error' GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (SELECT *, row_number() OVER (ORDER BY stat DESC, skey) AS rnk FROM stats)
+    SELECT s.name, s."user", s.region, s.shard,
+           s.name || '-' || s.region AS alias, s.ts, {sql_quant('s.value')} AS value
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard
+    WHERE s.name = 'error' AND r.rnk <= 2""",
+)
+def m3ql_alias_sort_head(spark, sf_dir):
+    """alias templating ({{.tag}} interpolation in LITERAL_MODE) + sorted
+    head slice (list-order semantics via the explicit rank column)."""
+    sf = run_m3ql(
+        spark,
+        sf_dir,
+        "fetch name:error | alias {{.name}}-{{.region}} | sort avg | head 2",
+    )
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )

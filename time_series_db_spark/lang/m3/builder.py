@@ -1,0 +1,266 @@
+"""M3QL plan → SeriesFrame builder — the Spark "physical planner".
+
+Where the reference's SourceBuilderVisitor emits OpenSearch DSL with an
+unfold/coordinator split (SURVEY.md §3.1), this builder emits DataFrame
+operator calls and lets Catalyst do the physical planning. The planner
+concerns that remain ours (SURVEY.md §4.1 rows 7-9):
+
+- **CSE**: identical fetches reuse the same SeriesFrame object (keyed by
+  the fetch's filter signature), so Catalyst sees one scan subtree and
+  can reuse the exchange.
+- **Window widening + truncate**: look-back stages (moving,
+  perSecondRate, summarize-with-alignment) extend each upstream fetch's
+  scan window; the final frame is truncated back to [start, end) —
+  TruncateStage semantics (SourceBuilderVisitor.java:331-339).
+- **Timeshift** additionally shifts the scan window of the fetches
+  below it (SourceBuilderVisitor.java:780-794).
+
+The tag-filter → column-predicate compilation lives in the source
+(sources/m3source.py) so label predicates reach the parquet scan as
+PushedFilters.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol
+
+from time_series_db_spark.lang.m3 import plan as P
+from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.operators import (
+    binary,
+    filters,
+    grouping,
+    labels as labels_ops,
+    mappers,
+    ordering,
+    windows,
+)
+
+
+class M3Source(Protocol):
+    """Data source contract for ``fetch`` — implemented by EventsSource
+    (driver testdata) and the metrics-table source."""
+
+    def fetch(
+        self,
+        match: dict[str, list[str]],
+        inverse: dict[str, list[str]],
+        min_ts: int,
+        max_ts: int,
+        step: int,
+    ) -> SeriesFrame: ...
+
+    def mock_fetch(
+        self, values: list[float], tags: dict[str, str],
+        min_ts: int, max_ts: int, step: int,
+    ) -> SeriesFrame: ...
+
+
+class BuildContext:
+    def __init__(self, source: M3Source, start: int, end: int, step: int):
+        self.source = source
+        self.start = start
+        self.end = end
+        self.step = step
+        self._fetch_cache: dict[str, SeriesFrame] = {}
+
+    def fetch(self, node: P.FetchNode, buffer_ms: int, shift_ms: int) -> SeriesFrame:
+        key = repr((sorted(node.match.items()), sorted(node.inverse.items()),
+                    buffer_ms, shift_ms))
+        if key not in self._fetch_cache:
+            self._fetch_cache[key] = self.source.fetch(
+                node.match,
+                node.inverse,
+                self.start - buffer_ms - shift_ms,
+                self.end - shift_ms,
+                self.step,
+            )
+        return self._fetch_cache[key]
+
+
+def _lookback_ms(node: P.PlanNode, step: int) -> int:
+    """Scan-window buffer this node needs from its inputs."""
+    if isinstance(node, P.MovingNode):
+        return _window_ms(node.window, step)
+    if isinstance(node, P.PerSecondRateNode):
+        return P.parse_duration_ms(node.interval) + step  # +1 step for the lag
+    if isinstance(node, (P.DerivativeNode, P.PerSecondNode)):
+        return step
+    if isinstance(node, P.SummarizeNode) and not node.align_to_from:
+        return P.parse_duration_ms(node.interval)
+    return 0
+
+
+def _window_ms(spec: str, step: int) -> int:
+    """Moving windows accept durations ("5m") or point counts ("10")."""
+    try:
+        return int(float(spec)) * step
+    except ValueError:
+        return P.parse_duration_ms(spec)
+
+
+def build_frame(
+    node: P.PlanNode, ctx: BuildContext, buffer_ms: int = 0, shift_ms: int = 0
+) -> SeriesFrame:
+    """Recursively build the SeriesFrame for a plan subtree.
+
+    ``buffer_ms`` accumulates look-back needs from enclosing window
+    stages; ``shift_ms`` accumulates timeshift displacement — both are
+    applied at the fetch leaves (scan-window adjustment), mirroring
+    getAdjustedFetchTimeRange (SourceBuilderVisitor.java:1026-1030).
+    """
+    child_buffer = buffer_ms + _lookback_ms(node, ctx.step)
+    child_shift = shift_ms
+    if isinstance(node, P.MapperNode) and node.kind == "timeshift":
+        child_shift += P.parse_duration_ms(node.param)
+
+    if isinstance(node, P.FetchNode):
+        return ctx.fetch(node, buffer_ms, shift_ms)
+    if isinstance(node, P.MockFetchNode):
+        return ctx.source.mock_fetch(
+            node.values, node.tags, ctx.start, ctx.end, ctx.step
+        )
+
+    inputs = [
+        build_frame(c, ctx, child_buffer, child_shift) for c in node.children
+    ]
+    return _apply(node, inputs, ctx)
+
+
+def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> SeriesFrame:
+    sf = inputs[0] if inputs else None
+
+    if isinstance(node, P.UnionNode):
+        return binary.union(inputs)
+
+    if isinstance(node, P.AggregationNode):
+        fn = {
+            "SUM": grouping.sum_, "AVG": grouping.avg, "MIN": grouping.min_,
+            "MAX": grouping.max_, "COUNT": grouping.count,
+            "MULTIPLY": grouping.multiply, "RANGE": grouping.range_,
+        }[node.agg_type]
+        return fn(sf, node.tags)
+
+    if isinstance(node, P.BinaryNode):
+        left, right = inputs
+        keys = node.tags or None  # [] → auto common-key matching
+        if node.kind == "asPercent":
+            return binary.as_percent(left, right, keys=keys)
+        if node.kind == "diff":
+            return binary.subtract(left, right, keys=keys)
+        if node.kind == "divide":
+            return binary.divide(left, right, keys=keys)
+        if node.kind == "intersect":
+            return binary.intersect(left, right, keys=keys)
+        if node.kind == "fallbackSeries":
+            return binary.fallback_series(left, right)
+
+    if isinstance(node, P.MapperNode):
+        k, p = node.kind, node.param
+        if k == "abs":
+            return mappers.abs_(sf)
+        if k == "logarithm":
+            return mappers.logarithm(sf)
+        if k == "sqrt":
+            return mappers.sqrt(sf)
+        if k == "scale":
+            return mappers.scale(sf, p)
+        if k == "divideScalar":
+            return mappers.divide_scalar(sf, p)
+        if k == "offset":
+            return mappers.offset(sf, p)
+        if k == "round":
+            return sf if p < 0 else mappers.round_(sf, int(p))
+        if k == "scaleToSeconds":
+            return mappers.scale_to_seconds(sf, int(p))
+        if k == "timeshift":
+            return mappers.timeshift(sf, P.parse_duration_ms(p))
+
+    if isinstance(node, P.ValueFilterNode):
+        return filters.value_filter(sf, node.op.lower(), node.value)
+    if isinstance(node, P.WhereNode):
+        negate = node.op in ("neq", "ne", "!=")
+        return filters.where(sf, node.left_tag, node.right_tag, negate=negate)
+    if isinstance(node, P.TagCompareNode):
+        return filters.tag_compare(sf, node.tag, node.op, node.value)
+    if isinstance(node, P.ExcludeByTagNode):
+        return filters.exclude_by_tag(sf, node.tag, node.patterns)
+    if isinstance(node, P.RemoveEmptyNode):
+        return filters.remove_empty(sf)
+    if isinstance(node, P.SustainNode):
+        return windows.sustain(sf, P.parse_duration_ms(node.duration))
+    if isinstance(node, P.IsNonNullNode):
+        return windows.is_non_null(sf)
+
+    if isinstance(node, P.MovingNode):
+        return windows.moving(sf, _window_ms(node.window, ctx.step), node.agg.lower())
+    if isinstance(node, P.SummarizeNode):
+        fn = node.fn.lower()
+        if fn.startswith("p") and fn[1:].replace(".", "", 1).isdigit():
+            return windows.summarize(
+                sf, P.parse_duration_ms(node.interval), "sum",
+                percentile=float(fn[1:]),
+            )
+        return windows.summarize(sf, P.parse_duration_ms(node.interval), fn)
+    if isinstance(node, P.DerivativeNode):
+        return windows.derivative(sf)
+    if isinstance(node, P.PerSecondNode):
+        return windows.per_second(sf)
+    if isinstance(node, P.PerSecondRateNode):
+        return windows.per_second_rate(sf, P.parse_duration_ms(node.interval))
+    if isinstance(node, P.IntegralNode):
+        return windows.integral(sf, reset_on_gap=node.reset_on_null)
+    if isinstance(node, P.ChangedNode):
+        return windows.changed(sf)
+    if isinstance(node, P.KeepLastValueNode):
+        lookback = P.parse_duration_ms(node.lookback) if node.lookback else None
+        return windows.keep_last_value(sf, lookback_ms=lookback)
+    if isinstance(node, P.TransformNullNode):
+        return windows.transform_null(sf, node.fill)
+
+    if isinstance(node, P.SortNode):
+        return ordering.sort(sf, node.sort_by, descending=node.order == "desc")
+    if isinstance(node, P.TopKNode):
+        return ordering.top_k(sf, node.k, node.sort_by, descending=node.order == "desc")
+    if isinstance(node, P.HeadNode):
+        return ordering.head(sf, node.limit)
+    if isinstance(node, P.TailNode):
+        return ordering.tail(sf, node.limit)
+
+    if isinstance(node, P.PercentileOfSeriesNode):
+        return grouping.percentile_of_series(
+            sf, node.percentiles, node.tags or []
+        )
+    if isinstance(node, P.HistogramPercentileNode):
+        return grouping.histogram_percentile(
+            sf, node.bucket_id, node.bucket_range, node.percentiles
+        )
+
+    if isinstance(node, P.AliasNode):
+        return labels_ops.alias(sf, node.alias)
+    if isinstance(node, P.AliasByTagsNode):
+        return labels_ops.alias_by_tags(sf, node.tags)
+    if isinstance(node, P.ShowTagsNode):
+        return labels_ops.show_tags(sf, node.tags or None)
+    if isinstance(node, P.MapKeyNode):
+        return labels_ops.map_key(sf, node.old, node.new)
+    if isinstance(node, P.TagSubNode):
+        return labels_ops.tag_sub(sf, node.tag, node.search, node.replace)
+
+    if isinstance(node, P.FallbackSeriesConstantNode):
+        return binary.fallback_constant(sf, node.constant)
+
+    raise P.M3PlanError(f"no builder for plan node {type(node).__name__}")
+
+
+def execute(
+    query: str, source: M3Source, start: int, end: int, step: int
+) -> SeriesFrame:
+    """Parse, plan, build and truncate — the full M3QL query lifecycle."""
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import build_plan
+
+    plan = build_plan(parse(query))
+    ctx = BuildContext(source, start, end, step)
+    sf = build_frame(plan, ctx)
+    return windows.truncate(sf, start, end)

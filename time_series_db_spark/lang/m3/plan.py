@@ -1,0 +1,922 @@
+"""M3QL logical plan: nodes, factory, AST→plan converter.
+
+Port of plan/M3ASTConverter.java + M3PlanNodeFactory.java + the
+plan/nodes/*.java explain formats. The converter walks a pipeline
+left-to-right maintaining (result_chain, dangling_chain) exactly like
+the reference: a mid-pipeline fetch/group UNIONs with the accumulated
+chain; binary functions take the accumulated chain as LHS and their
+pipeline argument as RHS; ``ChainBoundaryMarker`` tracks where a new
+chain began so stages stack onto the right branch.
+
+Explain dumps byte-match the golden corpus (lang/m3/data/plan/*.txt),
+including Java's HashMap iteration order for fetch filter maps
+(javafmt.java_hashmap_order).
+"""
+
+from __future__ import annotations
+
+from time_series_db_spark.lang.m3 import ast
+from time_series_db_spark.lang.m3.javafmt import (
+    java_double_str,
+    java_float_str,
+    java_map_str,
+)
+
+# ---------------------------------------------------------------------------
+# surface-name tables (common/Constants.java)
+# ---------------------------------------------------------------------------
+
+AGG_TYPES = {
+    "avg": "AVG", "average": "AVG", "averageSeries": "AVG",
+    "count": "COUNT",
+    "max": "MAX", "maximum": "MAX", "maxSeries": "MAX",
+    "min": "MIN", "minimum": "MIN", "minSeries": "MIN",
+    "multiply": "MULTIPLY", "multiplySeries": "MULTIPLY",
+    "sum": "SUM", "sumSeries": "SUM",
+    "range": "RANGE", "rangeOfSeries": "RANGE",
+}
+
+WINDOW_AGG_TYPES = {
+    "avg": "AVG", "average": "AVG",
+    "max": "MAX", "maximum": "MAX",
+    "median": "MEDIAN",
+    "min": "MIN", "minimum": "MIN",
+    "sum": "SUM",
+}
+
+#: summarize additionally admits last/stddev/count and pN percentiles
+SUMMARIZE_AGG_TYPES = dict(
+    WINDOW_AGG_TYPES, last="LAST", stddev="STDDEV", count="COUNT"
+)
+
+VALUE_FILTER_OPS = {
+    "eq": "EQ", "==": "EQ",
+    "ne": "NE", "!=": "NE",
+    "ge": "GE", ">=": "GE", "removeBelowValue": "GE",
+    "gt": "GT", ">": "GT",
+    "le": "LE", "<=": "LE", "removeAboveValue": "LE",
+    "lt": "LT", "<": "LT",
+}
+
+SORT_BY = {
+    "avg": "avg", "average": "avg",
+    "current": "current",
+    "max": "max", "maximum": "max",
+    "min": "min", "minimum": "min",
+    "stddev": "stddev",
+    "sum": "sum",
+    "name": "name",
+}
+
+SORT_ORDER = {"asc": "asc", "ascending": "asc", "desc": "desc", "descending": "desc"}
+
+MOVING_FN_AGG = {
+    "movingAverage": "AVG",
+    "movingMax": "MAX",
+    "movingMedian": "MEDIAN",
+    "movingMin": "MIN",
+    "movingSum": "SUM",
+}
+
+BINARY_FNS = {
+    "asPercent", "ratio", "diff", "subtract", "divide", "divideSeries", "intersect",
+}
+
+
+class M3PlanError(ValueError):
+    pass
+
+
+def parse_duration_ms(spec: str) -> int:
+    """M3 duration literal ("10s", "5m", "3h", "1d", "2w") → millis."""
+    units = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+             "d": 86_400_000, "w": 604_800_000}
+    for suffix in ("ms", "w", "d", "h", "m", "s"):
+        if spec.endswith(suffix):
+            return int(float(spec[: -len(suffix)]) * units[suffix])
+    raise M3PlanError(f"invalid duration: {spec!r}")
+
+
+# ---------------------------------------------------------------------------
+# plan nodes
+# ---------------------------------------------------------------------------
+
+
+class PlanNode:
+    def __init__(self) -> None:
+        self.children: list[PlanNode] = []
+
+    def add(self, child: "PlanNode") -> None:
+        self.children.append(child)
+
+    def explain(self) -> str:
+        raise NotImplementedError
+
+    def dump(self, depth: int = 0) -> str:
+        out = ["  " * depth + self.explain()]
+        for c in self.children:
+            out.append(c.dump(depth + 1))
+        return "\n".join(out)
+
+
+class _Simple(PlanNode):
+    NAME = ""
+
+    def explain(self) -> str:
+        return self.NAME
+
+
+class FetchNode(PlanNode):
+    def __init__(self, match: dict[str, list[str]], inverse: dict[str, list[str]]):
+        super().__init__()
+        self.match = match
+        self.inverse = inverse
+
+    def explain(self) -> str:
+        return f"FETCH({java_map_str(self.match)}, !{java_map_str(self.inverse)})"
+
+
+class MockFetchNode(PlanNode):
+    def __init__(self, values: list[float], tags: dict[str, str]):
+        super().__init__()
+        self.values = values
+        self.tags = tags
+
+    def explain(self) -> str:
+        vals = "[" + ", ".join(java_double_str(v) for v in self.values) + "]"
+        return f"MOCK_FETCH(values={vals}, tags={java_map_str(self.tags)})"
+
+
+class UnionNode(_Simple):
+    NAME = "UNION"
+
+
+class AggregationNode(PlanNode):
+    def __init__(self, agg_type: str, tags: list[str]):
+        super().__init__()
+        self.agg_type = agg_type
+        self.tags = tags
+
+    def explain(self) -> str:
+        return f"AGG({self.agg_type}, groupBy=[{', '.join(self.tags)}])"
+
+
+class BinaryNode(PlanNode):
+    """asPercent / diff / divide / intersect / fallbackSeries(pipeline)."""
+
+    def __init__(self, kind: str, tags: list[str], keep_nans: bool = False):
+        super().__init__()
+        self.kind = kind
+        self.tags = tags
+        self.keep_nans = keep_nans
+
+    def explain(self) -> str:
+        t = "[" + ", ".join(self.tags) + "]"
+        if self.kind == "asPercent":
+            return f"AS_PERCENT(groupBy={t})"
+        if self.kind == "diff":
+            return f"DIFF(keepNans={str(self.keep_nans).lower()},groupBy={t})"
+        if self.kind == "divide":
+            return f"DIVIDE_SERIES(groupBy={t})"
+        if self.kind == "intersect":
+            return f"INTERSECT(tags={t})"
+        if self.kind == "fallbackSeries":
+            return "FALLBACK_SERIES"
+        raise AssertionError(self.kind)  # pragma: no cover
+
+
+class MapperNode(PlanNode):
+    """abs / log / sqrt / scale / divideScalar / offset / round /
+    scaleToSeconds / timeshift — single-param per-sample stages."""
+
+    def __init__(self, kind: str, param: float | str | None = None):
+        super().__init__()
+        self.kind = kind
+        self.param = param
+
+    def explain(self) -> str:
+        k, p = self.kind, self.param
+        if k == "abs":
+            return "ABS"
+        if k == "logarithm":
+            return "LOGARITHM"
+        if k == "sqrt":
+            return "SQRT"
+        if k == "scale":
+            return f"SCALE({java_double_str(p)})"
+        if k == "divideScalar":
+            return f"DIVIDE_SCALAR({java_double_str(p)})"
+        if k == "offset":
+            return f"OFFSET({java_double_str(p)})"
+        if k == "round":
+            return f"ROUND({java_double_str(p)})"
+        if k == "scaleToSeconds":
+            return f"SCALE_TO_SECONDS({p:.6f})"
+        if k == "timeshift":
+            return f"TIMESHIFT({p})"
+        raise AssertionError(k)  # pragma: no cover
+
+
+class ValueFilterNode(PlanNode):
+    def __init__(self, op: str, value: float):
+        super().__init__()
+        self.op = op
+        self.value = value
+
+    def explain(self) -> str:
+        return f"VALUE_FILTER({self.op}, {java_double_str(self.value)})"
+
+
+class WhereNode(PlanNode):
+    def __init__(self, left_tag: str, op: str, right_tag: str):
+        super().__init__()
+        self.left_tag = left_tag
+        self.op = op
+        self.right_tag = right_tag
+
+    def explain(self) -> str:
+        return f"WHERE({self.left_tag} {self.op} {self.right_tag})"
+
+
+class TagCompareNode(PlanNode):
+    def __init__(self, op: str, tag: str, value: str):
+        super().__init__()
+        self.op = op
+        self.tag = tag
+        self.value = value
+
+    def explain(self) -> str:
+        return f"TAG_COMPARE(op={self.op},tag={self.tag},value={self.value})"
+
+
+class ExcludeByTagNode(PlanNode):
+    def __init__(self, tag: str, patterns: list[str]):
+        super().__init__()
+        self.tag = tag
+        self.patterns = patterns
+
+    def explain(self) -> str:
+        return f"EXCLUDE_BY_TAG(tag={self.tag},patterns={', '.join(self.patterns)})"
+
+
+class RemoveEmptyNode(_Simple):
+    NAME = "REMOVE_EMPTY"
+
+
+class SustainNode(PlanNode):
+    def __init__(self, duration: str):
+        super().__init__()
+        self.duration = duration
+
+    def explain(self) -> str:
+        return f"SUSTAIN({self.duration})"
+
+
+class IsNonNullNode(_Simple):
+    NAME = "IS_NON_NULL"
+
+
+class MovingNode(PlanNode):
+    def __init__(self, window: str, agg: str):
+        super().__init__()
+        self.window = window
+        self.agg = agg
+
+    def explain(self) -> str:
+        return f"MOVING({self.window}, {self.agg})"
+
+
+class SummarizeNode(PlanNode):
+    def __init__(self, interval: str, fn: str, align_to_from: bool):
+        super().__init__()
+        self.interval = interval
+        self.fn = fn
+        self.align_to_from = align_to_from
+
+    def explain(self) -> str:
+        return (
+            f"SUMMARIZE({self.interval}, {self.fn}, "
+            f"{str(self.align_to_from).lower()})"
+        )
+
+
+class DerivativeNode(_Simple):
+    NAME = "DERIVATIVE"
+
+
+class PerSecondNode(_Simple):
+    NAME = "PER_SECOND"
+
+
+class PerSecondRateNode(PlanNode):
+    def __init__(self, interval: str):
+        super().__init__()
+        self.interval = interval
+
+    def explain(self) -> str:
+        return f"PER_SECOND_RATE({self.interval})"
+
+
+class IntegralNode(PlanNode):
+    def __init__(self, reset_on_null: bool):
+        super().__init__()
+        self.reset_on_null = reset_on_null
+
+    def explain(self) -> str:
+        return f"INTEGRAL(resetOnNull={str(self.reset_on_null).lower()})"
+
+
+class ChangedNode(_Simple):
+    NAME = "CHANGED"
+
+
+class KeepLastValueNode(PlanNode):
+    def __init__(self, lookback: str):
+        super().__init__()
+        self.lookback = lookback  # "" = forever
+
+    def explain(self) -> str:
+        return f"KEEP_LAST_VALUE({self.lookback})"
+
+
+class TransformNullNode(PlanNode):
+    def __init__(self, fill: float):
+        super().__init__()
+        self.fill = fill
+
+    def explain(self) -> str:
+        return f"TRANSFORM_NULL({java_double_str(self.fill)})"
+
+
+class SortNode(PlanNode):
+    def __init__(self, sort_by: str, order: str):
+        super().__init__()
+        self.sort_by = sort_by
+        self.order = order
+
+    def explain(self) -> str:
+        return f"SORT({self.sort_by}, {self.order})"
+
+
+class TopKNode(PlanNode):
+    def __init__(self, k: int, sort_by: str, order: str):
+        super().__init__()
+        self.k = k
+        self.sort_by = sort_by
+        self.order = order
+
+    def explain(self) -> str:
+        return f"TOPK({self.k}, {self.sort_by}, {self.order})"
+
+
+class HeadNode(PlanNode):
+    def __init__(self, limit: int):
+        super().__init__()
+        self.limit = limit
+
+    def explain(self) -> str:
+        return f"HEAD({self.limit})"
+
+
+class TailNode(PlanNode):
+    def __init__(self, limit: int):
+        super().__init__()
+        self.limit = limit
+
+    def explain(self) -> str:
+        return f"TAIL({self.limit})"
+
+
+class PercentileOfSeriesNode(PlanNode):
+    def __init__(self, percentiles: list[float], interpolate: bool, tags: list[str] | None):
+        super().__init__()
+        self.percentiles = percentiles
+        self.interpolate = interpolate
+        self.tags = tags
+
+    def explain(self) -> str:
+        pcts = "[" + ", ".join(java_float_str(p) for p in self.percentiles) + "]"
+        tags = "[" + ", ".join(self.tags) + "]" if self.tags is not None else "null"
+        return (
+            f"PERCENTILE_OF_SERIES(percentiles={pcts}, "
+            f"interpolate={str(self.interpolate).lower()}, groupBy={tags})"
+        )
+
+
+class HistogramPercentileNode(PlanNode):
+    def __init__(self, bucket_id: str, bucket_range: str, percentiles: list[float]):
+        super().__init__()
+        self.bucket_id = bucket_id
+        self.bucket_range = bucket_range
+        self.percentiles = percentiles
+
+    def explain(self) -> str:
+        pcts = "[" + ", ".join(java_float_str(p) for p in self.percentiles) + "]"
+        return f"HISTOGRAM_PERCENTILE({self.bucket_id}, {self.bucket_range}, {pcts})"
+
+
+class AliasNode(PlanNode):
+    def __init__(self, alias: str):
+        super().__init__()
+        self.alias = alias
+
+    def explain(self) -> str:
+        return f"ALIAS({self.alias})"
+
+
+class AliasByTagsNode(PlanNode):
+    def __init__(self, tags: list[str]):
+        super().__init__()
+        self.tags = tags
+
+    def explain(self) -> str:
+        return f"ALIAS_BY_TAGS({', '.join(self.tags)})"
+
+
+class ShowTagsNode(PlanNode):
+    def __init__(self, show_keys: bool, tags: list[str]):
+        super().__init__()
+        self.show_keys = show_keys
+        self.tags = tags
+
+    def explain(self) -> str:
+        return (
+            f"SHOW_TAGS(showKeys={str(self.show_keys).lower()}, "
+            f"tags=[{', '.join(self.tags)}])"
+        )
+
+
+class MapKeyNode(PlanNode):
+    def __init__(self, old: str, new: str):
+        super().__init__()
+        self.old = old
+        self.new = new
+
+    def explain(self) -> str:
+        return f"MAP_KEY(old={self.old},new={self.new})"
+
+
+class TagSubNode(PlanNode):
+    def __init__(self, tag: str, search: str, replace: str):
+        super().__init__()
+        self.tag = tag
+        self.search = search
+        self.replace = replace
+
+    def explain(self) -> str:
+        return f"TAG_SUB(tag={self.tag},search={self.search},replace={self.replace})"
+
+
+class FallbackSeriesConstantNode(PlanNode):
+    def __init__(self, constant: float):
+        super().__init__()
+        self.constant = constant
+
+    def explain(self) -> str:
+        return f"FALLBACK_SERIES({java_double_str(self.constant)})"
+
+
+class _BoundaryMarker(PlanNode):
+    """Temporary marker for chain starts — removed by finalize."""
+
+    def explain(self) -> str:  # pragma: no cover
+        raise AssertionError("Boundary marker should not appear in explain plans")
+
+
+# ---------------------------------------------------------------------------
+# node factory (M3PlanNodeFactory.create)
+# ---------------------------------------------------------------------------
+
+
+def _values(fn: ast.FunctionNode) -> list[str]:
+    return [c.value for c in fn.children if isinstance(c, ast.ValueNode)]
+
+
+def _strip_quotes(s: str) -> str:
+    if len(s) >= 2 and s.startswith('"') and s.endswith('"'):
+        return s[1:-1]
+    return s
+
+
+def _parse_bool_strict(s: str, name: str) -> bool:
+    if s == "true":
+        return True
+    if s == "false":
+        return False
+    raise M3PlanError(f"function {name} expects a bool, received '{s}'")
+
+
+def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
+    name = fn.name
+    args = _values(fn)
+
+    if name in ("abs", "absolute"):
+        return MapperNode("abs")
+    if name in ("logarithm", "log"):
+        return MapperNode("logarithm")
+    if name in ("sqrt", "squareRoot"):
+        return MapperNode("sqrt")
+    if name == "scale":
+        return MapperNode("scale", float(args[0]))
+    if name == "divideScalar":
+        return MapperNode("divideScalar", float(args[0]))
+    if name == "offset":
+        return MapperNode("offset", float(args[0]))
+    if name == "round":
+        return MapperNode("round", float(args[0]) if args else -1.0)
+    if name == "scaleToSeconds":
+        return MapperNode("scaleToSeconds", float(args[0]))
+    if name == "timeshift":
+        return MapperNode("timeshift", args[0])
+
+    if name in VALUE_FILTER_OPS:
+        if len(args) != 1:
+            raise M3PlanError(f"{name} expects exactly one argument")
+        return ValueFilterNode(VALUE_FILTER_OPS[name], float(args[0]))
+    if name == "where":
+        if len(args) != 3:
+            raise M3PlanError("where expects: tagA op tagB")
+        return WhereNode(args[0], args[1], args[2])
+    if name == "tagCompare":
+        if len(args) != 3:
+            raise M3PlanError("tagCompare expects: tag op value")
+        return TagCompareNode(args[1], args[0], _strip_quotes(args[2]))
+    if name == "excludeByTag":
+        if len(args) < 2:
+            raise M3PlanError("excludeByTag expects: tag patterns...")
+        return ExcludeByTagNode(args[0], [_strip_quotes(a) for a in args[1:]])
+    if name == "removeEmpty":
+        return RemoveEmptyNode()
+    if name == "sustain":
+        return SustainNode(args[0])
+    if name == "isNonNull":
+        return IsNonNullNode()
+
+    if name == "moving":
+        if len(args) == 1:
+            raise M3PlanError("moving requires window and aggregation type")
+        agg = WINDOW_AGG_TYPES.get(args[1])
+        if agg is None:
+            raise M3PlanError(f"invalid moving aggregation: {args[1]}")
+        return MovingNode(args[0], agg)
+    if name in MOVING_FN_AGG:
+        return MovingNode(args[0], MOVING_FN_AGG[name])
+    if name == "summarize":
+        if not 1 <= len(args) <= 3:
+            raise M3PlanError("summarize expects 1-3 arguments")
+        fn_type = "SUM"
+        if len(args) >= 2:
+            a = args[1]
+            if a.startswith("p") and a[1:].replace(".", "", 1).isdigit():
+                fn_type = a.upper()
+            else:
+                fn_type = SUMMARIZE_AGG_TYPES.get(a) or _err_summarize(a)
+        align = _parse_bool_strict(args[2], "summarize") if len(args) == 3 else False
+        return SummarizeNode(args[0], fn_type, align)
+    if name == "derivative":
+        return DerivativeNode()
+    if name == "perSecond":
+        return PerSecondNode()
+    if name == "perSecondRate":
+        if len(args) != 1:
+            raise M3PlanError("perSecondRate expects exactly one argument")
+        return PerSecondRateNode(args[0])
+    if name == "integral":
+        reset = _parse_bool_strict(args[0], "integral") if args else False
+        return IntegralNode(reset)
+    if name == "changed":
+        return ChangedNode()
+    if name == "keepLastValue":
+        if len(args) > 1:
+            raise M3PlanError("keepLastValue accepts at most one argument")
+        return KeepLastValueNode(args[0] if args else "")
+    if name == "transformNull":
+        if len(args) > 1:
+            raise M3PlanError("transformNull accepts at most one argument")
+        return TransformNullNode(float(args[0]) if args else 0.0)
+
+    if name in ("sort", "sortSeries"):
+        sort_by = SORT_BY.get(args[0]) if args else "current"
+        if sort_by is None:
+            raise M3PlanError(f"invalid sort key: {args[0]}")
+        order = "desc"
+        if len(args) >= 2:
+            order = SORT_ORDER.get(args[1]) or _err_sort_order(args[1])
+        return SortNode(sort_by, order)
+    if name == "topK":
+        k = int(float(args[0])) if args else 10
+        sort_by = SORT_BY.get(args[1], "current") if len(args) >= 2 else "current"
+        order = SORT_ORDER.get(args[2], "desc") if len(args) >= 3 else "desc"
+        return TopKNode(k, sort_by, order)
+    if name == "head":
+        return HeadNode(int(float(args[0])) if args else 10)
+    if name == "tail":
+        return TailNode(int(float(args[0])) if args else 10)
+
+    if name in ("median", "medianOfSeries"):
+        tags = [_strip_quotes(a) for a in args] if args else None
+        return PercentileOfSeriesNode([50.0], False, tags)
+    if name == "percentileOfSeries":
+        if not args:
+            raise M3PlanError("percentileOfSeries requires percentiles")
+        percentiles: list[float] = []
+        i = 0
+        while i < len(args):
+            a = args[i]
+            if a in ("true", "false"):
+                break
+            try:
+                p = float(a)
+            except ValueError:
+                break
+            if not 0 <= p <= 100:
+                break
+            percentiles.append(p)
+            i += 1
+        if not percentiles:
+            raise M3PlanError("percentileOfSeries requires at least one percentile")
+        interpolate = False
+        if i < len(args) and args[i] in ("true", "false"):
+            interpolate = args[i] == "true"
+            i += 1
+        tags = [_strip_quotes(a) for a in args[i:]] if args[i:] else None
+        return PercentileOfSeriesNode(percentiles, interpolate, tags)
+    if name == "histogramPercentile":
+        if len(args) < 3:
+            raise M3PlanError(
+                "histogramPercentile expects: bucketId bucketRange percentiles..."
+            )
+        return HistogramPercentileNode(
+            args[0], args[1], [float(a) for a in args[2:]]
+        )
+
+    if name == "alias":
+        return AliasNode(args[0] if args else "")
+    if name == "aliasByTags":
+        return AliasByTagsNode([_strip_quotes(a) for a in args])
+    if name == "showTags":
+        show_keys = bool(args) and args[0] == "true"
+        tags = args[1:] if args and args[0] in ("true", "false") else args
+        return ShowTagsNode(show_keys, [_strip_quotes(a) for a in tags])
+    if name == "mapKey":
+        if len(args) != 2:
+            raise M3PlanError("mapKey expects: oldKey newKey")
+        return MapKeyNode(args[0], args[1])
+    if name == "tagSub":
+        if len(args) != 3:
+            raise M3PlanError("tagSub expects: tag search replace")
+        return TagSubNode(args[0], _strip_quotes(args[1]), _strip_quotes(args[2]))
+
+    if name == "fallbackSeries":
+        if len(args) != 1:
+            raise M3PlanError("fallbackSeries expects one argument")
+        return FallbackSeriesConstantNode(float(args[0]))
+
+    if name == "fetch":
+        return _fetch_node(fn)
+    if name == "mockFetch":
+        return _mock_fetch_node(fn)
+
+    agg = AGG_TYPES.get(name)
+    if agg is not None:
+        return AggregationNode(agg, [_strip_quotes(a) for a in args])
+    raise M3PlanError(f"Unknown function: {name}")
+
+
+def _err_summarize(a: str) -> str:
+    raise M3PlanError(f"invalid summarize function: {a}")
+
+
+def _err_sort_order(a: str) -> str:
+    raise M3PlanError(f"invalid sort order: {a}")
+
+
+def _fetch_node(fn: ast.FunctionNode) -> FetchNode:
+    match: dict[str, list[str]] = {}
+    inverse: dict[str, list[str]] = {}
+    for child in fn.children:
+        if not isinstance(child, ast.TagKeyNode):
+            continue
+        target = inverse if child.inverted else match
+        values = target.setdefault(child.key, [])
+        for vc in child.children:
+            if isinstance(vc, ast.TagValueNode):
+                values.append(vc.value)
+        if isinstance(child, ast.TagKeyNode):
+            pass
+    # TagArgsNode replaced TagValueNode children after interpolation
+    for child in fn.children:
+        if isinstance(child, ast.TagKeyNode):
+            for vc in child.children:
+                if isinstance(vc, ast.TagArgsNode):
+                    target = inverse if child.inverted else match
+                    target.setdefault(child.key, []).extend(vc.args)
+    return FetchNode(match, inverse)
+
+
+def _mock_fetch_node(fn: ast.FunctionNode) -> MockFetchNode:
+    values = [
+        float("nan") if v == "nan" else float(v) for v in _values(fn)
+    ]
+    tags: dict[str, str] = {}
+    for child in fn.children:
+        if isinstance(child, ast.TagKeyNode):
+            for vc in child.children:
+                if isinstance(vc, ast.TagValueNode):
+                    tags[child.key] = vc.value
+    return MockFetchNode(values, tags)
+
+
+# ---------------------------------------------------------------------------
+# AST → plan converter (M3ASTConverter)
+# ---------------------------------------------------------------------------
+
+_PIPELINE_ARG_FNS = {
+    "asPercent", "ratio", "diff", "subtract", "divide", "divideSeries", "intersect",
+}
+
+
+def _is_fetch_fn(node: ast.Node) -> bool:
+    return isinstance(node, ast.FunctionNode) and node.name in ("fetch", "mockFetch")
+
+
+def _is_pipeline_or_group(node: ast.Node) -> bool:
+    return isinstance(node, (ast.PipelineNode, ast.GroupNode))
+
+
+def _binary_kind(name: str) -> tuple[str, int]:
+    """(canonical kind, groupBy-tags start index) for a binary fn name."""
+    if name in ("asPercent", "ratio"):
+        return "asPercent", 1
+    if name in ("diff", "subtract"):
+        return "diff", 2
+    if name in ("divide", "divideSeries"):
+        return "divide", 1
+    if name == "intersect":
+        return "intersect", 1
+    raise M3PlanError(f"Binary function {name} is not supported.")
+
+
+def _extract_group_by_tags(fn: ast.FunctionNode, start: int) -> list[str]:
+    return [
+        _strip_quotes(c.value)
+        for c in fn.children[start:]
+        if isinstance(c, ast.ValueNode)
+    ]
+
+
+def _extract_keep_nans(fn: ast.FunctionNode) -> bool:
+    if len(fn.children) <= 1:
+        return False
+    second = fn.children[1]
+    if isinstance(second, ast.ValueNode):
+        if second.value in ("true", "false"):
+            return second.value == "true"
+        raise M3PlanError(
+            f"function {fn.name} expects argument 1 of type bool, "
+            f"received '{second.value}'"
+        )
+    return False
+
+
+def _convert(node: ast.Node) -> PlanNode:
+    """handlePipelineOrGroupNode — left-to-right chain accumulation."""
+    if not _is_pipeline_or_group(node):
+        raise M3PlanError("node must be a pipeline or group")
+    is_group = isinstance(node, ast.GroupNode)
+
+    result: PlanNode | None = None
+    dangling: PlanNode | None = None
+
+    def _finalized() -> PlanNode:
+        if dangling is not None:
+            return dangling
+        if result is None:
+            raise M3PlanError("Found null plan node during query planning.")
+        return result
+
+    for child in node.children:
+        if _is_fetch_fn(child):
+            new_chain = _BoundaryMarker()
+            new_chain.add(create_plan_node(child))
+            if result is None:
+                result = new_chain
+            else:
+                result = _finalized()
+                dangling = None
+                result = _merge_chains(result, new_chain)
+        elif isinstance(child, ast.PipelineNode):
+            new_chain = _convert(child)
+            result = new_chain if result is None else _merge_chains(result, new_chain)
+        elif _is_fallback_with_pipeline_arg(child):
+            result = _finalized()
+            dangling = None
+            rhs = _convert(child.children[0])
+            bin_node = BinaryNode("fallbackSeries", [])
+            bin_node.add(result)
+            bin_node.add(rhs)
+            result = bin_node
+        elif (
+            isinstance(child, ast.FunctionNode) and child.name in _PIPELINE_ARG_FNS
+        ):
+            result = _finalized()
+            dangling = None
+            arg = child.children[0] if child.children else None
+            if arg is None or not _is_pipeline_or_group(arg):
+                raise M3PlanError(
+                    f"{child.name} argument must be a pipeline or group"
+                )
+            rhs = _convert(arg)
+            kind, tag_start = _binary_kind(child.name)
+            keep_nans = _extract_keep_nans(child) if kind == "diff" else False
+            bin_node = BinaryNode(
+                kind, _extract_group_by_tags(child, tag_start), keep_nans
+            )
+            bin_node.add(result)
+            bin_node.add(rhs)
+            result = bin_node
+        elif isinstance(child, ast.GroupNode):
+            new_chain = _convert(child)
+            if result is None:
+                result = new_chain
+            else:
+                result = _finalized()
+                dangling = None
+                result = _merge_chains(result, new_chain)
+        else:
+            if not isinstance(child, ast.FunctionNode):
+                raise M3PlanError("Expecting regular function node")
+            plan_node = create_plan_node(child)
+            plan_node.add(dangling if dangling is not None else result)
+            dangling = plan_node
+
+    if is_group:
+        sub = _finalize(_finalized())
+        marker = _BoundaryMarker()
+        marker.add(sub)
+        return marker
+    return _finalized()
+
+
+def _is_fallback_with_pipeline_arg(node: ast.Node) -> bool:
+    return (
+        isinstance(node, ast.FunctionNode)
+        and node.name == "fallbackSeries"
+        and bool(node.children)
+        and _is_pipeline_or_group(node.children[0])
+    )
+
+
+def _merge_chains(result: PlanNode, new_chain: PlanNode) -> PlanNode:
+    """mergeChainsAtBoundaryMarker — union the existing chain with the
+    part of the new chain below its boundary marker; stages above the
+    marker stack on top of the union."""
+    above: PlanNode | None = None
+    below: PlanNode | None = None
+    if isinstance(new_chain, _BoundaryMarker):
+        below = new_chain.children[0]
+    else:
+        above = new_chain
+        walker = new_chain
+        while walker.children and not isinstance(walker.children[0], _BoundaryMarker):
+            walker = walker.children[0]
+        if walker.children:
+            below = walker.children[0].children[0]
+            walker.children.clear()
+    if below is None:
+        raise M3PlanError("chain must have boundary marker")
+
+    if isinstance(result, UnionNode):
+        result.add(below)
+        merged = result
+    else:
+        merged = UnionNode()
+        merged.add(result)
+        merged.add(below)
+
+    if above is not None:
+        walker = above
+        while walker.children:
+            walker = walker.children[0]
+        walker.add(merged)
+        return above
+    return merged
+
+
+def _finalize(plan: PlanNode) -> PlanNode:
+    plan.children = [_finalize(c) for c in plan.children]
+    if isinstance(plan, _BoundaryMarker):
+        if len(plan.children) != 1:
+            raise M3PlanError("ChainBoundaryMarker must have exactly one child")
+        return plan.children[0]
+    return plan
+
+
+def build_plan(root: ast.RootNode) -> PlanNode:
+    """M3ASTConverter.buildPlan — AST root → finalized logical plan."""
+    if len(root.children) != 1:
+        raise M3PlanError("AST root must have exactly one child")
+    pipeline = root.children[0]
+    if not isinstance(pipeline, ast.PipelineNode):
+        raise M3PlanError("AST root child must be a pipeline")
+    return _finalize(_convert(pipeline))

@@ -190,3 +190,152 @@ def percentile_of_series(
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def _parse_bucket_upper(bucket_range: str) -> float:
+    """Upper bound of a histogram bucket-range tag value — port of
+    HistogramPercentileStage.BucketInfo.parseBucket (duration ranges →
+    millis; ``+Inf`` upper collapses to the lower bound; the delimiter
+    dash skips a leading sign and exponent signs)."""
+    import re as _re
+
+    s = bucket_range
+    start = 1 if s.startswith("-") else 0
+    delim = -1
+    for i in range(start, len(s)):
+        if s[i] == "-" and not (i > 0 and s[i - 1] in "eE"):
+            delim = i
+            break
+    if delim < 0:
+        raise ValueError(f"Invalid bucket range format: {bucket_range}")
+    left, right = s[:delim], s[delim + 1 :]
+
+    dur = _re.compile(r"^(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)$")
+    to_ms = {"ns": 1e-6, "us": 1e-3, "µs": 1e-3, "ms": 1.0,
+             "s": 1e3, "m": 6e4, "h": 3.6e6, "d": 8.64e7}
+
+    def _duration_ms(text: str) -> float:
+        m = dur.match(text)
+        if not m:
+            raise ValueError(text)
+        return float(m.group(1)) * to_ms[m.group(2)]
+
+    def _parse(left_v: str, right_v: str, num) -> float:
+        low = float("-inf") if left_v in ("-Inf", "-infinity") else num(left_v)
+        if right_v in ("+Inf", "Inf", "infinity", "+infinity"):
+            return low  # infinity bucket: upper == lower
+        return num(right_v)
+
+    try:
+        return _parse(left, right, _duration_ms)
+    except ValueError:
+        return _parse(left, right, float)
+
+
+def _format_percentile(p: float) -> str:
+    """p99 label formatting — PercentileUtils.formatPercentile."""
+    if p == int(p):
+        return str(int(p))
+    return str(p).rstrip("0").rstrip(".")
+
+
+def histogram_percentile(
+    sf: SeriesFrame,
+    bucket_id: str,
+    bucket_range: str,
+    percentiles: list[float],
+) -> SeriesFrame:
+    """histogramPercentile — HistogramPercentileStage.java:52.
+
+    Series are one-per-bucket, identified by a bucket-id tag and a
+    bucket-range tag ("low-high"); at each (group, ts) the bucket counts
+    form a cumulative histogram and each percentile reports the first
+    bucket's upper bound where the cumulative count reaches
+    p% · total (no intra-bucket interpolation — matches the reference).
+
+    Spark shape: the distinct range strings (small by construction) are
+    parsed driver-side into a broadcast literal map; the per-(group, ts)
+    scan is one groupBy with a sorted-struct-array fold — partial
+    aggregation keeps the shuffle at group granularity.
+    """
+    lbl = F.col("labels")
+    df = sf.df.filter(
+        lbl[bucket_id].isNotNull() & lbl[bucket_range].isNotNull()
+    )
+    distinct = [
+        r[0] for r in df.select(lbl[bucket_range]).distinct().collect()
+    ]
+    mapping = {v: _parse_bucket_upper(v) for v in distinct}
+    upper_map = F.create_map(
+        *[x for v in sorted(mapping) for x in (F.lit(v), F.lit(mapping[v]))]
+    )
+    drop = [bucket_id, bucket_range]
+    glabels = F.map_filter(lbl, lambda k, _v: ~k.isin(*drop))
+    base = (
+        df.withColumn("__upper", F.element_at(upper_map, lbl[bucket_range]))
+        .withColumn("__glabels", glabels)
+        .withColumn("__gkey", series_key_expr(F.col("__glabels")))
+        .groupBy("__gkey", "ts")
+        .agg(
+            F.first("__glabels").alias("labels"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__upper").alias("upper"),
+                        F.col("value").alias("value"),
+                    )
+                )
+            ).alias("__pairs"),
+        )
+    )
+    total = F.aggregate(
+        F.col("__pairs"), F.lit(0.0), lambda acc, x: acc + x.getField("value")
+    )
+    base = base.withColumn("__total", total)
+
+    def _pct_value(p: float) -> Column:
+        target = F.col("__total") * F.lit(float(p) / 100.0)
+        acc0 = F.struct(
+            F.lit(0.0).alias("cum"), F.lit(None).cast("double").alias("res")
+        )
+        folded = F.aggregate(
+            F.col("__pairs"),
+            acc0,
+            lambda acc, x: F.struct(
+                (acc.getField("cum") + x.getField("value")).alias("cum"),
+                F.coalesce(
+                    acc.getField("res"),
+                    F.when(
+                        acc.getField("cum") + x.getField("value") >= target,
+                        x.getField("upper"),
+                    ),
+                ).alias("res"),
+            ),
+        )
+        return folded.getField("res")
+
+    results = F.array(*[_pct_value(p) for p in percentiles])
+    pnames = F.array(
+        *[F.lit("p" + _format_percentile(p)) for p in percentiles]
+    )
+    out = (
+        base.filter(F.col("__total") > 0)
+        .select(
+            "labels", "ts", F.posexplode(results).alias("pos", "value")
+        )
+        .select(
+            F.map_concat(
+                "labels",
+                F.create_map(
+                    F.lit("histogramPercentile"),
+                    F.element_at(pnames, F.col("pos") + 1),
+                ),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)

@@ -1,0 +1,151 @@
+"""M3QL fetch sources: tag-filter compilation + the events adapter.
+
+The reference compiles fetch tag filters into Lucene term/wildcard
+queries ordered after the time-range filter so segments prune first
+(SourceBuilderVisitor.java:911-987). The Spark analog: compile each tag
+filter into a Column predicate over the label columns *before* frame
+assembly, so Catalyst pushes equality/IN/prefix-LIKE predicates into the
+parquet scan (PushedFilters) and the time range prunes row groups via
+min/max stats.
+
+Wildcard semantics (Lucene): ``*`` = any sequence, ``?`` = one char;
+brace alternation was already expanded to a value list by the AST
+transform. Negated keys (``!k:v``) invert the whole key's predicate.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame, series_key_expr
+from time_series_db_spark.sources.tables import (
+    DEFAULT_STEP_MS,
+    EVENTS_MAX_TS,
+    EVENTS_MIN_TS,
+    fetch_events,
+)
+
+
+def _has_wildcard(value: str) -> bool:
+    return "*" in value or "?" in value
+
+
+def wildcard_predicate(col: Column, value: str) -> Column:
+    """One tag value → predicate. Equality when literal; LIKE when the
+    wildcard is prefix-shaped (pushes to parquet); RLIKE otherwise."""
+    if not _has_wildcard(value):
+        return col == F.lit(value)
+    like = value.replace("%", r"\%").replace("_", r"\_")
+    like = like.replace("*", "%").replace("?", "_")
+    return col.like(like)
+
+
+def tag_filter_predicate(
+    col: Column, values: list[str], inverted: bool = False
+) -> Column:
+    """OR across the value list (Lucene minimum_should_match=1); ``!``
+    negates the disjunction."""
+    literals = [v for v in values if not _has_wildcard(v)]
+    wild = [v for v in values if _has_wildcard(v)]
+    pred = None
+    if len(literals) > 1:
+        pred = col.isin(*literals)
+    elif literals:
+        pred = col == F.lit(literals[0])
+    for w in wild:
+        p = wildcard_predicate(col, w)
+        pred = p if pred is None else (pred | p)
+    if pred is None:
+        pred = F.lit(True)
+    return ~pred if inverted else pred
+
+
+class EventsSource:
+    """M3Source over the driver's ``events`` table (labels: name, user,
+    region, shard — see sources/tables.py mapping)."""
+
+    LABEL_COLS = ("name", "user", "region", "shard")
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+
+    def fetch(
+        self,
+        match: dict[str, list[str]],
+        inverse: dict[str, list[str]],
+        min_ts: int,
+        max_ts: int,
+        step: int,
+    ) -> SeriesFrame:
+        where = None
+        for key, values in match.items():
+            p = tag_filter_predicate(F.col(key), values)
+            where = p if where is None else (where & p)
+        for key, values in inverse.items():
+            p = tag_filter_predicate(F.col(key), values, inverted=True)
+            where = p if where is None else (where & p)
+        return fetch_events(
+            self.spark,
+            self.sf_dir,
+            step=step,
+            min_ts=max(min_ts, EVENTS_MIN_TS),
+            max_ts=min(max_ts, EVENTS_MAX_TS),
+            where=where,
+        )
+
+    def mock_fetch(
+        self,
+        values: list[float],
+        tags: dict[str, str],
+        min_ts: int,
+        max_ts: int,
+        step: int,
+    ) -> SeriesFrame:
+        """Synthesize one constant series: value[i] at grid point i —
+        MockFetchStage.java:40 (coordinator-side synthesis)."""
+        rows = [
+            (min_ts + i * step, float(v))
+            for i, v in enumerate(values)
+            if min_ts + i * step < max_ts
+        ]
+        df = self.spark.createDataFrame(rows, "ts: long, value: double")
+        keys = sorted(tags)
+        label_map = F.create_map(
+            *[x for k in keys for x in (F.lit(k), F.lit(tags[k]))]
+        )
+        out = (
+            df.withColumn("labels", label_map)
+            .withColumn("alias", F.lit(None).cast("string"))
+            .withColumn("series_key", series_key_expr())
+            .select(*SAMPLE_COLS)
+        )
+        return SeriesFrame(df=out, step=step, min_ts=min_ts, max_ts=max_ts)
+
+
+def oracle_tag_sql(
+    match: dict[str, list[str]], inverse: dict[str, list[str]]
+) -> str:
+    """DuckDB WHERE fragment mirroring the same tag filters (differential
+    oracle side; column names are the label columns)."""
+
+    def _col(k: str) -> str:
+        return f'"{k}"' if k == "user" else k
+
+    def _one(col: str, v: str) -> str:
+        if not _has_wildcard(v):
+            return f"{col} = '{v}'"
+        pat = re.escape(v).replace(r"\*", ".*").replace(r"\?", ".")
+        return f"regexp_full_match({col}, '{pat}')"
+
+    parts = []
+    for key, values in match.items():
+        ors = " OR ".join(_one(_col(key), v) for v in values)
+        parts.append(f"({ors})")
+    for key, values in inverse.items():
+        ors = " OR ".join(_one(_col(key), v) for v in values)
+        parts.append(f"NOT ({ors})")
+    return " AND ".join(parts) if parts else "TRUE"
