@@ -51,10 +51,16 @@ def dedup_exact(spark, sf_dir):
 
 
 def _sql_minhash_sig_cte() -> str:
-    """CTEs: toks → sh (shingle sets) → sig (16 min-hashes) → bands."""
+    """CTEs: toks → sh (shingle sets) → sig (16 min-hashes) → bands.
+
+    Mirrors dedup.minhash_signatures exactly: one md5 base hash per
+    shingle (mod 2^30), then affine permutations mod FP_MOD.
+    """
     shingles = sql_word_shingles("t", 3)
+    base = f"({sql_hash64('s', 'mh')} % {dedup.BASE_MOD})"
     sig_cols = ",\n    ".join(
-        f"list_min([{sql_hash64('s', p)} for s in shingles]) AS sig{p}"
+        f"list_min([({dedup.PERM_A[p]} * {base} + {dedup.PERM_B[p]}) % {FP_MOD} "
+        f"for s in shingles]) AS sig{p}"
         for p in range(dedup.NUM_PERMS)
     )
     rows = dedup.NUM_PERMS // dedup.NUM_BANDS

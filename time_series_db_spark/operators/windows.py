@@ -33,21 +33,35 @@ def _series_window(ordered: bool = True):
     return w.orderBy("ts") if ordered else w
 
 
-def _dense_grid(sf: SeriesFrame):
-    """(series_key, labels, alias, ts) row per grid point per series —
-    left side for densifying joins."""
-    return (
-        sf.distinct_series()
-        .withColumn("ts", F.explode(sf.grid_col()))
+def _packed(sf: SeriesFrame):
+    """One row per series with its samples packed into a ts→value map.
+
+    The single shuffle (groupBy series_key over the sparse samples) is the
+    whole cross-node cost of densification; grid expansion happens after
+    it, pipelined in codegen. (ts, value) is unique per series by the fetch
+    grid-alignment contract, so map_from_entries cannot collide.
+    """
+    return sf.df.groupBy("series_key").agg(
+        F.first("labels").alias("labels"),
+        F.first("alias").alias("alias"),
+        F.map_from_entries(F.collect_list(F.struct("ts", "value"))).alias("__m"),
     )
 
 
 def _densified(sf: SeriesFrame):
     """Dense frame with NULL marking the gaps (internal only — callers must
-    either fill or re-drop the NULLs before returning)."""
-    grid = _dense_grid(sf)
-    return grid.join(
-        sf.df.select("series_key", "ts", "value"), on=["series_key", "ts"], how="left"
+    either fill or re-drop the NULLs before returning).
+
+    Built join-free: pack each series' samples into a map (one small
+    shuffle), then inline the grid with per-point map lookups — the old
+    grid×samples left join shuffled the full dense frame twice more.
+    """
+    row = lambda g: F.struct(
+        g.alias("ts"), F.try_element_at(F.col("__m"), g).alias("value")
+    )
+    return _packed(sf).select(
+        "series_key", "labels", "alias",
+        F.inline(F.transform(sf.grid_col(), row)),
     ).select(*SAMPLE_COLS)
 
 
@@ -75,23 +89,43 @@ def keep_last_value(sf: SeriesFrame, lookback_ms: int | None = None) -> SeriesFr
     dense grid. Bounded: additionally require the filling sample to be at
     most ``lookback_ms`` old.
     """
-    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
-    dense = _densified(sf)
-    filled = dense.withColumn("__fill", F.last("value", ignorenulls=True).over(w))
-    filled = filled.withColumn(
-        "__fill_ts",
-        F.last(
-            F.when(F.col("value").isNotNull(), F.col("ts")), ignorenulls=True
-        ).over(w),
-    )
-    if lookback_ms is None:
-        keep = F.col("__fill").isNotNull()
-    else:
-        keep = F.col("__fill").isNotNull() & (
-            (F.col("ts") - F.col("__fill_ts")) <= F.lit(int(lookback_ms))
+    if lookback_ms is not None:
+        # Bounded fill as a *scatter*: each sample emits the grid points it
+        # can fill (its own ts plus lookback/step successors); the newest
+        # emitter wins per point via max_by. Work is O(samples · k), not
+        # O(series · grid) — the sparse frame never densifies, and the only
+        # shuffle is a combiner-friendly hash agg on the scattered rows.
+        k = int(lookback_ms) // sf.step
+        targets = F.sequence(
+            F.col("ts"),
+            F.least(
+                F.col("ts") + F.lit(k * sf.step), F.lit(sf.max_ts - sf.step)
+            ),
+            F.lit(sf.step),
         )
+        df = (
+            sf.df.select(
+                "series_key", "labels", "alias",
+                F.col("ts").alias("__fill_ts"), "value",
+                F.explode(targets).alias("ts"),
+            )
+            .groupBy("series_key", "ts")
+            .agg(
+                F.first("labels").alias("labels"),
+                F.first("alias").alias("alias"),
+                F.expr("max_by(value, __fill_ts)").alias("value"),
+            )
+            .select(*SAMPLE_COLS)
+        )
+        return sf.with_df(df)
+
+    # Unbounded fill: one ordered window over the dense grid (the output is
+    # inherently dense, so the O(n log n) sort is the floor).
+    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
     df = (
-        filled.filter(keep)
+        _densified(sf)
+        .withColumn("__fill", F.last("value", ignorenulls=True).over(w))
+        .filter(F.col("__fill").isNotNull())
         .withColumn("value", F.col("__fill"))
         .select(*SAMPLE_COLS)
     )

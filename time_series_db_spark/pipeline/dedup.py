@@ -36,6 +36,15 @@ from time_series_db_spark.pipeline import textprep
 NUM_PERMS = 16
 NUM_BANDS = 4
 
+#: Universal-hash permutation family: perm_p(h) = (A_p·h + B_p) mod FP_MOD
+#: over a single base hash per shingle reduced mod 2^30. One md5 per shingle
+#: instead of NUM_PERMS — the md5 (and its hex→int conv) dominates signature
+#: cost, so this is a ~NUM_PERMS× cut in scan-side work. Products stay
+#: < 2^61, exact in int64 on both engines (oracle-portable).
+BASE_MOD = 1 << 30
+PERM_A = [(2654435761 * (p + 1)) % textprep.FP_MOD for p in range(NUM_PERMS)]
+PERM_B = [(2246822519 * (p + 1)) % textprep.FP_MOD for p in range(NUM_PERMS)]
+
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup on normalized text: keep the smallest id per group.
@@ -63,22 +72,27 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, shingles ARRAY<STRING>, sig ARRAY<BIGINT>) per document.
 
-    One pass over the scan — num_perms min-hashes are independent
-    ``array_min(transform(...))`` expressions over the shingle array, all
-    inside one codegen stage.
+    One pass over the scan: each shingle is hashed **once** (md5) to a
+    base value, then the num_perms min-hashes are affine permutations
+    ``(A_p·base + B_p) mod FP_MOD`` folded with ``array_min`` — all inside
+    one codegen stage, no shuffle.
     """
     sh = textprep.word_shingles(textprep.tokens(F.col(text_col)), shingle_k)
-    base = df.select(F.col(id_col), sh.alias("shingles"))
+    bases = F.transform(
+        sh, lambda s: F.pmod(textprep.hash64(s, "mh", hash_fn), F.lit(BASE_MOD))
+    )
+    base = df.select(F.col(id_col), sh.alias("shingles"), bases.alias("__bases"))
 
-    def _minhash(seed: int) -> Column:
-        # closure (not a default arg): pyspark infers lambda arity from the
-        # parameter count, so the transform lambda must stay unary
+    def _minhash(p: int) -> Column:
+        a, b, m = PERM_A[p], PERM_B[p], textprep.FP_MOD
         return F.array_min(
-            F.transform(F.col("shingles"), lambda s: textprep.hash64(s, seed, hash_fn))
+            F.transform(
+                F.col("__bases"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(m)
+            )
         )
 
     sig = F.array(*[_minhash(p) for p in range(num_perms)])
-    return base.withColumn("sig", sig)
+    return base.withColumn("sig", sig).drop("__bases")
 
 
 def _band_buckets(num_perms: int, num_bands: int) -> list[Column]:
@@ -176,8 +190,17 @@ def minhash_dedup_pairs(
     hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a, id_b, jaccard) with J ≥ threshold,
-    found via LSH banding and verified exactly."""
+    found via LSH banding and verified exactly.
+
+    Signatures feed three consumers (band join left+right, verify joins);
+    persisting them computes the shingle+hash scan once — at cluster scale
+    this is the standard "materialize signatures, then self-join" shape
+    (a checkpoint/intermediate table on a real pipeline).
+    """
+    from pyspark import StorageLevel
+
     sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_k, hash_fn)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, num_bands)
     return jaccard_verify(cands, sigs, id_col).filter(
         F.col("jaccard") >= F.lit(float(threshold))
