@@ -1,0 +1,290 @@
+"""End-to-end PromQL language catalog: text query → parse → build → Spark.
+
+The PromQL analog of catalog_m3ql.py — complete PromQL query strings run
+through the front-end (lang/prom) against the events table and are
+differentially tested against DuckDB oracles. Covers the reference's
+implemented subset (selectors/matchers, rate, increase, aggregations
+by — PromSourceBuilderVisitor.java) AND the FunctionType entries the
+reference leaves unimplemented (irate, delta, deriv, changes, resets,
+*_over_time, math/clamp, `without`) per SURVEY.md §2.2's goal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from time_series_db_spark.catalog import (
+    PRELUDE,
+    SQL_LBLS,
+    _W,
+    quant,
+    register,
+    sql_quant,
+)
+from time_series_db_spark.lang.prom.builder import execute
+from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.sources import (
+    DEFAULT_STEP_MS,
+    EVENTS_MAX_TS,
+    EVENTS_MIN_TS,
+)
+from time_series_db_spark.sources.m3source import EventsSource
+
+LABEL_KEYS = ["name", "user", "region", "shard"]
+
+#: 3h range vector = 3 grid steps; trailing RANGE frame spans 2 steps back
+_RANGE_MS = 3 * DEFAULT_STEP_MS
+_FRAME = (
+    f"{_W} RANGE BETWEEN {_RANGE_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW"
+)
+
+def _lagged(metric: str) -> str:
+    """lag CTE over one metric's samples — rate-family oracles."""
+    return f""",
+src AS (SELECT * FROM samples WHERE name = '{metric}'),
+lagged AS (
+  SELECT {SQL_LBLS}, ts, value,
+         lag(value) OVER ({_W}) AS pv, lag(ts) OVER ({_W}) AS pts
+  FROM src)"""
+
+
+def run_promql(spark, sf_dir: str, query: str) -> SeriesFrame:
+    return execute(
+        query,
+        EventsSource(spark, sf_dir),
+        EVENTS_MIN_TS,
+        EVENTS_MAX_TS,
+        DEFAULT_STEP_MS,
+    )
+
+
+def _flat(sf: SeriesFrame, keys: list[str]) -> DataFrame:
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in keys],
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "promql_selector",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error' AND region = 'r1'""",
+)
+def promql_selector(spark, sf_dir):
+    """Instant vector selector with label matchers — golden query 2 shape
+    (PromSourceBuilderVisitor.java buildQueryForFetch)."""
+    sf = run_promql(spark, sf_dir, 'error{region="r1"}')
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_selector_regex",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples
+    WHERE regexp_full_match(name, '(?:err.*|click)')
+      AND NOT regexp_full_match("user", '(?:1.*)')""",
+)
+def promql_selector_regex(spark, sf_dir):
+    """=~ / !~ regex matchers, fully anchored (MatcherType.java)."""
+    sf = run_promql(spark, sf_dir, '{__name__=~"err.*|click", user!~"1.*"}')
+    return _flat(sf, LABEL_KEYS)
+
+
+_RATE_CORE = f""",
+rates AS (
+  SELECT {SQL_LBLS}, ts,
+         (CASE WHEN value < pv THEN value ELSE value - pv END)
+           / ((ts - pts) / 1000.0) AS rate
+  FROM lagged WHERE pts IS NOT NULL)"""
+
+
+@register(
+    "promql_rate",
+    f"""{PRELUDE}{_lagged("error")}{_RATE_CORE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'avg(rate) OVER ({_FRAME})')} AS value
+    FROM rates""",
+)
+def promql_rate(spark, sf_dir):
+    """rate(v[3h]) → PerSecondRateStage(range, 1000) —
+    PromSourceBuilderVisitor.java:155-164."""
+    sf = run_promql(spark, sf_dir, "rate(error[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_increase",
+    f"""{PRELUDE}{_lagged("error")}{_RATE_CORE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'avg(rate) OVER ({_FRAME}) * 0.001')} AS value
+    FROM rates""",
+)
+def promql_increase(spark, sf_dir):
+    """increase(v[3h]) → PerSecondRateStage(range, 1) —
+    PromSourceBuilderVisitor.java:165-173 (reference-faithful, incl. its
+    TODO that this is rate-shaped rather than extrapolated)."""
+    sf = run_promql(spark, sf_dir, "increase(error[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_irate",
+    f"""{PRELUDE}{_lagged("error")}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant('(CASE WHEN value < pv THEN value ELSE value - pv END) / ((ts - pts) / 1000.0)')} AS value
+    FROM lagged WHERE pts IS NOT NULL""",
+)
+def promql_irate(spark, sf_dir):
+    """irate(v[3h]): last-two-samples instant rate — FunctionType.IRATE."""
+    sf = run_promql(spark, sf_dir, "irate(error[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_delta",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'value - first_value(value) OVER ({_FRAME})')} AS value
+    FROM samples WHERE name = 'view'""",
+)
+def promql_delta(spark, sf_dir):
+    """delta(v[3h]): gauge difference over the window — FunctionType.DELTA."""
+    sf = run_promql(spark, sf_dir, "delta(view[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_avg_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'avg(value) OVER ({_FRAME})')} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_avg_over_time(spark, sf_dir):
+    """avg_over_time(v[3h]) — FunctionType.AVG_OVER_TIME."""
+    sf = run_promql(spark, sf_dir, "avg_over_time(view[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_quantile_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'quantile_cont(value, 0.9) OVER ({_FRAME})')} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_quantile_over_time(spark, sf_dir):
+    """quantile_over_time(0.9, v[3h]): exact interpolated quantile —
+    FunctionType.QUANTILE_OVER_TIME."""
+    sf = run_promql(spark, sf_dir, "quantile_over_time(0.9, view[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+_CHG_W = 6 * DEFAULT_STEP_MS
+_CHG_FRAME = (
+    f"{_W} RANGE BETWEEN {_CHG_W - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW"
+)
+
+
+@register(
+    "promql_changes",
+    f"""{PRELUDE}{_lagged("purchase")},
+    flagged AS (
+      SELECT {SQL_LBLS}, ts,
+             CASE WHEN pts IS NOT NULL AND ts - pts < {_CHG_W}
+                   AND ((value <> pv OR isnan(value) <> isnan(pv))
+                        AND NOT (isnan(value) AND isnan(pv)))
+                  THEN 1.0 ELSE 0.0 END AS chg
+      FROM lagged)
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'sum(chg) OVER ({_CHG_FRAME})')} AS value
+    FROM flagged""",
+)
+def promql_changes(spark, sf_dir):
+    """changes(v[6h]): value changes between consecutive in-window samples
+    — FunctionType.CHANGES."""
+    sf = run_promql(spark, sf_dir, "changes(purchase[6h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_resets",
+    f"""{PRELUDE}{_lagged("purchase")},
+    flagged AS (
+      SELECT {SQL_LBLS}, ts,
+             CASE WHEN pts IS NOT NULL AND ts - pts < {_CHG_W} AND value < pv
+                  THEN 1.0 ELSE 0.0 END AS rst
+      FROM lagged)
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'sum(rst) OVER ({_CHG_FRAME})')} AS value
+    FROM flagged""",
+)
+def promql_resets(spark, sf_dir):
+    """resets(v[6h]): counter decreases in the window — FunctionType.RESETS."""
+    sf = run_promql(spark, sf_dir, "resets(purchase[6h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_deriv",
+    f"""{PRELUDE},
+    moments AS (
+      SELECT {SQL_LBLS}, ts,
+             avg(ts / 1000.0) OVER ({_CHG_FRAME}) AS mt,
+             avg(value) OVER ({_CHG_FRAME}) AS mv,
+             avg((ts / 1000.0) * value) OVER ({_CHG_FRAME}) AS mtv,
+             avg((ts / 1000.0) * (ts / 1000.0)) OVER ({_CHG_FRAME}) AS mtt
+      FROM (SELECT * FROM samples WHERE name = 'click'))
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant("CASE WHEN mtt - mt * mt = 0 THEN 'NaN'::DOUBLE "
+                      "ELSE (mtv - mt * mv) / (mtt - mt * mt) END")} AS value
+    FROM moments""",
+)
+def promql_deriv(spark, sf_dir):
+    """deriv(v[6h]): least-squares per-second slope — FunctionType.DERIV."""
+    sf = run_promql(spark, sf_dir, "deriv(click[6h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_sum_by_rate",
+    f"""{PRELUDE}{_lagged("error")}{_RATE_CORE},
+    smoothed AS (
+      SELECT {SQL_LBLS}, ts, avg(rate) OVER ({_FRAME}) AS value
+      FROM rates)
+    SELECT region, ts, {sql_quant('sum(value)')} AS value
+    FROM smoothed GROUP BY region, ts""",
+)
+def promql_sum_by_rate(spark, sf_dir):
+    """sum by (region) (rate(v[3h])) — the reference's golden query 0
+    shape (data/queries/0.promql), full pipeline through both stages."""
+    sf = run_promql(spark, sf_dir, "sum by (region) (rate(error[3h]))")
+    return _flat(sf, ["region"])
+
+
+@register(
+    "promql_count_without",
+    f"""{PRELUDE}
+    SELECT name, region, ts, {sql_quant('count(value)::DOUBLE')} AS value
+    FROM samples WHERE name = 'view' GROUP BY name, region, ts""",
+)
+def promql_count_without(spark, sf_dir):
+    """count without (user, shard) (v) — the `without` modifier the
+    reference rejects (PromSourceBuilderVisitor.java:258-260)."""
+    sf = run_promql(spark, sf_dir, "count without (user, shard) (view)")
+    return _flat(sf, ["name", "region"])
+
+
+@register(
+    "promql_math_clamp",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant('least(ceiling(sqrt(value)), 11.0)')} AS value
+    FROM samples WHERE name = 'signup'""",
+)
+def promql_math_clamp(spark, sf_dir):
+    """clamp_max(ceil(sqrt(v)), 11): chained math mappers —
+    FunctionType.{SQRT,CEIL,CLAMP_MAX}."""
+    sf = run_promql(spark, sf_dir, "clamp_max(ceil(sqrt(signup)), 11)")
+    return _flat(sf, LABEL_KEYS)

@@ -1,0 +1,106 @@
+"""PromQL AST nodes — ports parser/nodes/*.java (9 classes).
+
+``dump()`` reproduces the reference's golden AST format (class name per
+line, two-space indent per depth — see
+src/test/resources/org/opensearch/tsdb/lang/prom/data/ast/*.txt), so the
+8 golden cases compare byte-for-byte in tests/test_promql_golden.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class PromParseError(ValueError):
+    pass
+
+
+@dataclass
+class PromNode:
+    children: list["PromNode"] = field(default_factory=list)
+
+    def dump(self, depth: int = 0) -> str:
+        lines = ["  " * depth + type(self).__name__]
+        for c in self.children:
+            lines.append(c.dump(depth + 1))
+        return "\n".join(lines)
+
+
+@dataclass
+class RootNode(PromNode):
+    pass
+
+
+#: matcher types — MatcherType.java
+EQUAL = "="
+NOT_EQUAL = "!="
+REGEX_MATCH = "=~"
+REGEX_NOT_MATCH = "!~"
+
+
+@dataclass
+class LabelMatcherNode(PromNode):
+    """k <op> "v" — LabelMatcherNode.java (not part of the dump tree)."""
+
+    name: str = ""
+    op: str = EQUAL
+    value: str = ""
+
+
+@dataclass
+class VectorSelectorNode(PromNode):
+    """Common selector base — VectorSelectorNode.java."""
+
+    metric: str | None = None
+    matchers: list[LabelMatcherNode] = field(default_factory=list)
+
+
+@dataclass
+class InstantVectorSelectorNode(VectorSelectorNode):
+    pass
+
+
+@dataclass
+class RangeVectorSelectorNode(VectorSelectorNode):
+    """selector[5m] — RangeVectorSelectorNode.java."""
+
+    range_ms: int = 0
+
+
+@dataclass
+class FunctionCallNode(PromNode):
+    """fn(expr) — FunctionCallNode.java; argument is children[0]."""
+
+    name: str = ""
+    #: scalar arguments (φ for quantile, bounds for clamp/round)
+    scalars: list[float] = field(default_factory=list)
+
+
+@dataclass
+class AggregationNode(PromNode):
+    """aggr [by|without (labels)] (expr) — AggregationNode.java."""
+
+    agg_type: str = ""
+    modifier: str | None = None  # "by" | "without" | None — GroupingModifier.java
+    labels: list[str] = field(default_factory=list)
+
+
+#: duration unit table — promql.jj parseDuration (ms s m h d w y)
+_UNITS_MS = {
+    "ms": 1,
+    "s": 1000,
+    "m": 60_000,
+    "h": 3_600_000,
+    "d": 86_400_000,
+    "w": 604_800_000,
+    "y": 31_536_000_000,
+}
+
+
+def parse_duration_ms(text: str) -> int:
+    import re
+
+    m = re.fullmatch(r"(\d+)([a-zA-Z]+)", text)
+    if not m or m.group(2) not in _UNITS_MS:
+        raise PromParseError(f"invalid duration: {text!r}")
+    return int(m.group(1)) * _UNITS_MS[m.group(2)]

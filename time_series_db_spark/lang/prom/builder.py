@@ -1,0 +1,201 @@
+"""PromQL AST → SeriesFrame builder.
+
+Mirrors PromSourceBuilderVisitor.java: selectors become tag-filtered
+fetches (matchers =, !=, =~, !~ — :273-299), rate/increase reuse the M3
+per_second_rate stage (:155-173), aggregations reuse the M3 grouping
+stages (:232-271). Where the reference throws "not yet implemented"
+(FunctionType → :174-177, `without` → :258-260), this builder maps the
+function onto the operator engine — SURVEY.md §2.2: "everything in
+FunctionType is straightforward once M3QL windows exist".
+
+Range-vector functions widen the fetch window backwards by the range
+(the reference adjusts the scan window the same way,
+PromSourceBuilderVisitor.java:69-77) and the result is truncated back to
+[start, end) at the top, like the M3 planner's TruncateStage.
+"""
+
+from __future__ import annotations
+
+from time_series_db_spark.lang.prom import ast as A
+from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.operators import grouping, mappers, ordering, windows
+
+
+class PromUnsupportedError(NotImplementedError):
+    pass
+
+
+#: metric-name pseudo label (reference maps __name__/metric to the name
+#: label — PromSourceBuilderVisitor.java buildQueryForFetch)
+NAME_LABEL = "name"
+
+_AGGS = {
+    "sum": grouping.sum_,
+    "avg": grouping.avg,
+    "min": grouping.min_,
+    "max": grouping.max_,
+    "count": grouping.count,
+}
+
+#: simple per-sample math functions → mapper stages
+_MATH = {
+    "abs": mappers.abs_,
+    "ceil": mappers.ceil,
+    "floor": mappers.floor,
+    "sqrt": mappers.sqrt,
+    "exp": mappers.exp,
+    "ln": mappers.ln,
+    "log2": mappers.log2,
+    "log10": mappers.logarithm,
+    "sgn": mappers.sgn,
+}
+
+_OVER_TIME = {
+    "avg_over_time": "avg",
+    "min_over_time": "min",
+    "max_over_time": "max",
+    "sum_over_time": "sum",
+    "count_over_time": "count",
+    "last_over_time": "last",
+    "stddev_over_time": "stddev",
+    "present_over_time": "present",
+}
+
+#: functions that consume a range vector (require selector[d] child)
+_RANGE_FNS = (
+    {"rate", "irate", "increase", "delta", "deriv", "changes", "resets",
+     "quantile_over_time"}
+    | set(_OVER_TIME)
+)
+
+
+class BuildContext:
+    def __init__(self, source, start: int, end: int, step: int):
+        self.source = source
+        self.start = start
+        self.end = end
+        self.step = step
+        self._fetch_cache: dict[str, SeriesFrame] = {}
+
+    def fetch(self, node: A.VectorSelectorNode, buffer_ms: int) -> SeriesFrame:
+        match: dict[str, list[str]] = {}
+        inverse: dict[str, list[str]] = {}
+        match_re: dict[str, list[str]] = {}
+        inverse_re: dict[str, list[str]] = {}
+        if node.metric:
+            match.setdefault(NAME_LABEL, []).append(node.metric)
+        for m in node.matchers:
+            key = NAME_LABEL if m.name == "__name__" else m.name
+            target = {
+                A.EQUAL: match,
+                A.NOT_EQUAL: inverse,
+                A.REGEX_MATCH: match_re,
+                A.REGEX_NOT_MATCH: inverse_re,
+            }[m.op]
+            target.setdefault(key, []).append(m.value)
+        key = repr((sorted(match.items()), sorted(inverse.items()),
+                    sorted(match_re.items()), sorted(inverse_re.items()),
+                    buffer_ms))
+        if key not in self._fetch_cache:
+            self._fetch_cache[key] = self.source.fetch(
+                match, inverse,
+                self.start - buffer_ms, self.end, self.step,
+                match_re=match_re, inverse_re=inverse_re,
+            )
+        return self._fetch_cache[key]
+
+
+def _range_child(node: A.FunctionCallNode) -> A.RangeVectorSelectorNode:
+    """requireRangeVector — PromSourceBuilderVisitor.java:183-207."""
+    if not node.children or not isinstance(
+        node.children[0], A.RangeVectorSelectorNode
+    ):
+        raise A.PromParseError(
+            f"{node.name}() requires a range vector with [duration]"
+        )
+    return node.children[0]
+
+
+def build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
+    if isinstance(node, A.RootNode):
+        return build_frame(node.children[0], ctx)
+
+    if isinstance(node, A.RangeVectorSelectorNode):
+        # bare range selector (query 7): raw samples over the range window
+        return ctx.fetch(node, 0)
+    if isinstance(node, A.InstantVectorSelectorNode):
+        return ctx.fetch(node, 0)
+
+    if isinstance(node, A.AggregationNode):
+        sf = build_frame(node.children[0], ctx)
+        fn = _AGGS[node.agg_type]
+        return fn(sf, node.labels, without=node.modifier == "without")
+
+    if isinstance(node, A.FunctionCallNode):
+        return _apply_function(node, ctx)
+
+    raise PromUnsupportedError(f"cannot build {type(node).__name__}")
+
+
+def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
+    name = node.name
+
+    if name in _RANGE_FNS:
+        sel = _range_child(node)
+        sf = ctx.fetch(sel, sel.range_ms + ctx.step)
+        r = sel.range_ms
+        if name == "rate":
+            # PerSecondRateStage(interval, 1000) — :155-164
+            return windows.per_second_rate(sf, r, scale=1.0)
+        if name == "increase":
+            # PerSecondRateStage(interval, 1) — :165-173 (reference TODO
+            # notes this is rate-shaped, not exact extrapolation)
+            return windows.per_second_rate(sf, r, scale=0.001)
+        if name == "irate":
+            return windows.irate(sf)
+        if name == "delta":
+            return windows.delta_over_time(sf, r)
+        if name == "deriv":
+            return windows.deriv_over_time(sf, r)
+        if name == "changes":
+            return windows.changes_over_time(sf, r)
+        if name == "resets":
+            return windows.resets_over_time(sf, r)
+        if name == "quantile_over_time":
+            if not node.scalars:
+                raise A.PromParseError("quantile_over_time needs φ scalar")
+            return windows.quantile_over_time(sf, node.scalars[0], r)
+        return windows.over_time(sf, r, _OVER_TIME[name])
+
+    if not node.children:
+        raise PromUnsupportedError(f"{name}() is not supported")
+    sf = build_frame(node.children[0], ctx)
+
+    if name in _MATH:
+        return _MATH[name](sf)
+    if name == "round":
+        return mappers.round_nearest(sf, node.scalars[0] if node.scalars else 1.0)
+    if name == "clamp":
+        if len(node.scalars) != 2:
+            raise A.PromParseError("clamp(v, min, max) needs two scalars")
+        return mappers.clamp(sf, node.scalars[0], node.scalars[1])
+    if name == "clamp_min":
+        return mappers.clamp_min(sf, node.scalars[0])
+    if name == "clamp_max":
+        return mappers.clamp_max(sf, node.scalars[0])
+    if name == "sort":
+        return ordering.sort(sf, "current", descending=False)
+    if name == "sort_desc":
+        return ordering.sort(sf, "current", descending=True)
+
+    raise PromUnsupportedError(f"function {name}() is not yet implemented")
+
+
+def execute(query: str, source, start: int, end: int, step: int) -> SeriesFrame:
+    """Parse → build → truncate: the PromQL query_range lifecycle
+    (RestPromQLAction → PromOSTranslator → execution)."""
+    from time_series_db_spark.lang.prom.parser import parse
+
+    ctx = BuildContext(source, start, end, step)
+    sf = build_frame(parse(query), ctx)
+    return windows.truncate(sf, start, end)

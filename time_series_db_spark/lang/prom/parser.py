@@ -1,0 +1,197 @@
+"""PromQL recursive-descent parser — ports promql.jj (340 lines).
+
+Token set and productions follow the grammar exactly (tokens :90-125,
+productions :126-340): DURATION before NUMBER (most-specific first),
+keywords ``by``/``without`` before IDENTIFIER, the aggregation lookahead
+on {sum,avg,min,max,count}, and both aggregation formats
+(``sum by (l) (e)`` and ``sum(e) by (l)``). One deliberate extension:
+function calls accept scalar NUMBER arguments (``clamp(v, 0, 1)``,
+``quantile_over_time(0.9, v[5m])``) — the reference grammar reserves a
+NUMBER token but never uses it, and its FunctionType declares scalar
+argument counts (FunctionType.java getScalarArgumentCount) that the
+grammar cannot yet feed.
+"""
+
+from __future__ import annotations
+
+import re
+
+from time_series_db_spark.lang.prom.ast import (
+    AggregationNode,
+    FunctionCallNode,
+    InstantVectorSelectorNode,
+    LabelMatcherNode,
+    PromNode,
+    PromParseError,
+    RangeVectorSelectorNode,
+    RootNode,
+    parse_duration_ms,
+)
+
+_AGGREGATIONS = {"sum", "avg", "min", "max", "count"}
+
+#: token spec, most-specific first (promql.jj TOKEN block ordering)
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<WS>\s+|\#[^\n\r]*)
+  | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)\b)
+  | (?P<NUMBER>\d+(?:\.\d+)?)
+  | (?P<OP>=~|!~|!=|=)
+  | (?P<DELIM>[(){}\[\],])
+  | (?P<IDENTIFIER>[a-zA-Z_]+[a-zA-Z0-9_:]*)
+  | (?P<STRING>"(?:[^"\\]|\\.)*")
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(text):
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise PromParseError(f"unexpected character {text[pos]!r} at {pos}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "WS":
+            continue
+        out.append((kind, m.group()))
+    out.append(("EOF", ""))
+    return out
+
+
+class _Parser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self, ahead: int = 0) -> tuple[str, str]:
+        return self.toks[min(self.i + ahead, len(self.toks) - 1)]
+
+    def next(self) -> tuple[str, str]:
+        tok = self.toks[self.i]
+        self.i += 1
+        return tok
+
+    def expect(self, kind: str, value: str | None = None) -> str:
+        k, v = self.next()
+        if k != kind or (value is not None and v != value):
+            raise PromParseError(f"expected {value or kind}, got {v!r}")
+        return v
+
+    # Root() — promql.jj:126
+    def root(self) -> RootNode:
+        expr = self.expression()
+        self.expect("EOF")
+        return RootNode(children=[expr])
+
+    # Expression() — promql.jj:140 (aggregation lookahead, then fn-call,
+    # then selector)
+    def expression(self) -> PromNode:
+        k, v = self.peek()
+        if k == "IDENTIFIER" and v.lower() in _AGGREGATIONS:
+            return self.aggregation()
+        if k == "IDENTIFIER" and self.peek(1) == ("DELIM", "("):
+            return self.function_call()
+        return self.selector()
+
+    # Aggregation() — promql.jj:166 (both formats)
+    def aggregation(self) -> AggregationNode:
+        agg = self.expect("IDENTIFIER")
+        modifier, labels = None, []
+        if self.peek()[1] in ("by", "without") and self.peek()[0] == "IDENTIFIER":
+            # Format 1: aggr by (labels) (expr)
+            modifier = self.next()[1]
+            self.expect("DELIM", "(")
+            labels = self.label_list()
+            self.expect("DELIM", ")")
+            self.expect("DELIM", "(")
+            expr = self.expression()
+            self.expect("DELIM", ")")
+        else:
+            # Format 2: aggr(expr) [by|without (labels)]
+            self.expect("DELIM", "(")
+            expr = self.expression()
+            self.expect("DELIM", ")")
+            if (
+                self.peek()[0] == "IDENTIFIER"
+                and self.peek()[1] in ("by", "without")
+            ):
+                modifier = self.next()[1]
+                self.expect("DELIM", "(")
+                labels = self.label_list()
+                self.expect("DELIM", ")")
+        return AggregationNode(
+            children=[expr], agg_type=agg.lower(), modifier=modifier, labels=labels
+        )
+
+    def label_list(self) -> list[str]:
+        labels = [self.expect("IDENTIFIER")]
+        while self.peek() == ("DELIM", ","):
+            self.next()
+            labels.append(self.expect("IDENTIFIER"))
+        return labels
+
+    # FunctionCall() — promql.jj:225, extended with scalar args
+    def function_call(self) -> FunctionCallNode:
+        name = self.expect("IDENTIFIER")
+        self.expect("DELIM", "(")
+        node = FunctionCallNode(name=name.lower())
+        while self.peek() != ("DELIM", ")"):
+            k, v = self.peek()
+            if k == "NUMBER":
+                node.scalars.append(float(self.next()[1]))
+            else:
+                node.children.append(self.expression())
+            if self.peek() == ("DELIM", ","):
+                self.next()
+        self.expect("DELIM", ")")
+        return node
+
+    # VectorOrMatrixSelector() — promql.jj:247
+    def selector(self) -> PromNode:
+        metric = None
+        matchers: list[LabelMatcherNode] = []
+        k, v = self.peek()
+        if k == "IDENTIFIER":
+            metric = self.next()[1]
+            if self.peek() == ("DELIM", "{"):
+                self.next()
+                matchers = self.label_matchers()
+                self.expect("DELIM", "}")
+        elif (k, v) == ("DELIM", "{"):
+            self.next()
+            matchers = self.label_matchers()
+            self.expect("DELIM", "}")
+        else:
+            raise PromParseError(f"expected selector, got {v!r}")
+
+        if self.peek() == ("DELIM", "["):
+            self.next()
+            dur = self.expect("DURATION")
+            self.expect("DELIM", "]")
+            return RangeVectorSelectorNode(
+                metric=metric, matchers=matchers,
+                range_ms=parse_duration_ms(dur),
+            )
+        return InstantVectorSelectorNode(metric=metric, matchers=matchers)
+
+    # LabelMatchers()/LabelMatcher() — promql.jj:300-340
+    def label_matchers(self) -> list[LabelMatcherNode]:
+        matchers = [self.label_matcher()]
+        while self.peek() == ("DELIM", ","):
+            self.next()
+            matchers.append(self.label_matcher())
+        return matchers
+
+    def label_matcher(self) -> LabelMatcherNode:
+        name = self.expect("IDENTIFIER")
+        op = self.expect("OP")
+        raw = self.expect("STRING")
+        value = re.sub(r"\\(.)", r"\1", raw[1:-1])
+        return LabelMatcherNode(name=name, op=op, value=value)
+
+
+def parse(query: str) -> RootNode:
+    """Parse a PromQL expression to its AST — PromQLParser.parse()."""
+    return _Parser(_tokenize(query)).root()

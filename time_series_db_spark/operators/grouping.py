@@ -31,10 +31,21 @@ NAN = float("nan")
 
 
 def _grouped(
-    sf: SeriesFrame, keys: list[str], agg_expr: Column, value_type: str = "double"
+    sf: SeriesFrame, keys: list[str], agg_expr: Column, value_type: str = "double",
+    without: bool = False,
 ) -> SeriesFrame:
+    """``without=True`` inverts the key list (PromQL ``without`` modifier):
+    the group identity keeps every label *except* ``keys``. The reference
+    throws UnsupportedOperationException here (PromSourceBuilderVisitor
+    .java:258-260); the inversion is one map_filter for us."""
     df = sf.df
-    if keys:
+    if without:
+        karr = F.array(*[F.lit(k) for k in keys])
+        df = df.withColumn(
+            "__glabels",
+            F.map_filter(F.col("labels"), lambda k, _v: ~F.array_contains(karr, k)),
+        )
+    elif keys:
         df = df.filter(has_all_keys_expr(keys))
         df = df.withColumn("__glabels", labels_subset_expr(keys))
     else:
@@ -66,7 +77,7 @@ def _grouped(
 _EXACT_DECIMAL = "decimal(27,6)"
 
 
-def sum_(sf: SeriesFrame, keys: list[str] = (), exact: bool = False) -> SeriesFrame:
+def sum_(sf: SeriesFrame, keys: list[str] = (), exact: bool = False, without: bool = False) -> SeriesFrame:
     """sum/sumSeries — SumStage.java:55. NaN propagates (Java +).
 
     ``exact=True`` sums in fixed-point decimal: deterministic across
@@ -76,10 +87,10 @@ def sum_(sf: SeriesFrame, keys: list[str] = (), exact: bool = False) -> SeriesFr
         expr = F.sum(F.col("value").cast(_EXACT_DECIMAL)).cast("double")
     else:
         expr = F.sum("value")
-    return _grouped(sf, list(keys), expr)
+    return _grouped(sf, list(keys), expr, without=without)
 
 
-def avg(sf: SeriesFrame, keys: list[str] = (), exact: bool = False) -> SeriesFrame:
+def avg(sf: SeriesFrame, keys: list[str] = (), exact: bool = False, without: bool = False) -> SeriesFrame:
     """avg/averageSeries — AvgStage.java:63; Catalyst keeps sum+count
     exactly like SumCountSample.java:24. ``exact`` as in :func:`sum_`."""
     if exact:
@@ -88,10 +99,10 @@ def avg(sf: SeriesFrame, keys: list[str] = (), exact: bool = False) -> SeriesFra
         )
     else:
         expr = F.avg("value")
-    return _grouped(sf, list(keys), expr)
+    return _grouped(sf, list(keys), expr, without=without)
 
 
-def min_(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+def min_(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
     """min/minSeries — MinStage.java:54.
 
     Spark's ``min`` treats NaN as largest (ignores it unless all-NaN),
@@ -100,21 +111,21 @@ def min_(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
     expr = F.when(F.max(F.isnan("value").cast("int")) == 1, F.lit(NAN)).otherwise(
         F.min("value")
     )
-    return _grouped(sf, list(keys), expr)
+    return _grouped(sf, list(keys), expr, without=without)
 
 
-def max_(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+def max_(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
     """max/maxSeries — MaxStage.java:54 (NaN propagation as in min_)."""
     expr = F.when(F.max(F.isnan("value").cast("int")) == 1, F.lit(NAN)).otherwise(
         F.max("value")
     )
-    return _grouped(sf, list(keys), expr)
+    return _grouped(sf, list(keys), expr, without=without)
 
 
-def count(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
+def count(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
     """count — CountStage.java:65: number of series with a sample present at
     the timestamp (NaN is present)."""
-    return _grouped(sf, list(keys), F.count("value").cast("double"))
+    return _grouped(sf, list(keys), F.count("value").cast("double"), without=without)
 
 
 def multiply(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:

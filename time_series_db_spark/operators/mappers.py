@@ -102,3 +102,94 @@ def timeshift(sf: SeriesFrame, shift_ms: int) -> SeriesFrame:
     from dataclasses import replace
 
     return replace(out, min_ts=sf.min_ts + shift, max_ts=sf.max_ts + shift)
+
+
+# ---------------------------------------------------------------------------
+# PromQL math functions (FunctionType.java lists them; the reference's
+# visitor throws "not yet implemented" — PromSourceBuilderVisitor.java:174.
+# Each is the official Prometheus per-sample function, Java double
+# semantics, pure column exprs.)
+# ---------------------------------------------------------------------------
+
+
+def _nan_guard(expr: Column) -> Column:
+    """NaN passes through (Java double fns); Spark's floor/least/greatest
+    would otherwise coerce NaN to 0 / a bound."""
+    return F.when(F.isnan(F.col("value")), F.lit(NAN)).otherwise(expr)
+
+
+def ceil(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL ceil() — FunctionType.CEIL."""
+    return _map_value(sf, _nan_guard(F.expr("ceiling(value)"))) 
+
+
+def floor(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL floor() — FunctionType.FLOOR."""
+    return _map_value(sf, _nan_guard(F.floor(F.col("value"))))
+
+
+def exp(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL exp() — FunctionType.EXP."""
+    return _map_value(sf, F.exp(F.col("value")))
+
+
+def _log_base(log_expr: Column) -> Column:
+    """Shared non-positive handling: 0 → −Inf, negative → NaN (Java
+    Math.log semantics; Spark logs return NULL instead)."""
+    v = F.col("value")
+    return (
+        F.when(v > 0, log_expr).when(v == 0, F.lit(-INF)).otherwise(F.lit(NAN))
+    )
+
+
+def ln(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL ln() — FunctionType.LN."""
+    return _map_value(sf, _log_base(F.log(F.col("value"))))
+
+
+def log2(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL log2() — FunctionType.LOG2."""
+    return _map_value(sf, _log_base(F.log2(F.col("value"))))
+
+
+def sgn(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL sgn(): -1/0/1, NaN passes through — FunctionType.SGN."""
+    v = F.col("value")
+    expr = (
+        F.when(F.isnan(v), F.lit(NAN))
+        .when(v > 0, F.lit(1.0))
+        .when(v < 0, F.lit(-1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return _map_value(sf, expr)
+
+
+def clamp(sf: SeriesFrame, lo: float, hi: float) -> SeriesFrame:
+    """PromQL clamp(v, min, max); min > max drops samples per the spec —
+    FunctionType.CLAMP."""
+    if lo > hi:
+        return sf.with_df(sf.df.filter(F.lit(False)))
+    return _map_value(
+        sf,
+        _nan_guard(
+            F.least(F.greatest(F.col("value"), F.lit(float(lo))), F.lit(float(hi)))
+        ),
+    )
+
+
+def clamp_min(sf: SeriesFrame, lo: float) -> SeriesFrame:
+    """PromQL clamp_min() — FunctionType.CLAMP_MIN."""
+    return _map_value(sf, _nan_guard(F.greatest(F.col("value"), F.lit(float(lo)))))
+
+
+def clamp_max(sf: SeriesFrame, hi: float) -> SeriesFrame:
+    """PromQL clamp_max() — FunctionType.CLAMP_MAX."""
+    return _map_value(sf, _nan_guard(F.least(F.col("value"), F.lit(float(hi)))))
+
+
+def round_nearest(sf: SeriesFrame, to_nearest: float = 1.0) -> SeriesFrame:
+    """PromQL round(v, to_nearest): nearest multiple, ties round up —
+    FunctionType.ROUND (distinct from M3 round_, which is decimal places).
+    """
+    n = F.lit(float(to_nearest))
+    return _map_value(sf, _nan_guard(F.floor(F.col("value") / n + F.lit(0.5)) * n))

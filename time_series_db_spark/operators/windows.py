@@ -357,3 +357,146 @@ def per_second_rate(sf: SeriesFrame, interval_ms: int, scale: float = 1.0) -> Se
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+# ---------------------------------------------------------------------------
+# PromQL range-vector functions (FunctionType.java enumerates them; the
+# reference's visitor implements only rate/increase and throws for the
+# rest — PromSourceBuilderVisitor.java:155-177). All are per-series
+# trailing-window ops over the grid, Window.partitionBy(series_key) like
+# the M3 family above; the planner widens the fetch by the range and
+# truncates after, exactly as for `moving`.
+# ---------------------------------------------------------------------------
+
+
+def irate(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL irate(): instant rate from the last two samples, counter
+    resets treated as a restart (delta = new value) — FunctionType.IRATE.
+    Like per_second_rate without interpolation or smoothing."""
+    w = _series_window()
+    df = (
+        sf.df.withColumn("__pv", F.lag("value").over(w))
+        .withColumn("__pts", F.lag("ts").over(w))
+        .filter(F.col("__pts").isNotNull())
+        .withColumn(
+            "__delta",
+            F.when(F.col("value") < F.col("__pv"), F.col("value")).otherwise(
+                F.col("value") - F.col("__pv")
+            ),
+        )
+        .withColumn(
+            "value",
+            F.col("__delta") / ((F.col("ts") - F.col("__pts")) / F.lit(1000.0)),
+        )
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def _range_frame(sf: SeriesFrame, window_ms: int):
+    """Trailing (ts − window, ts] RANGE frame — same shape as `moving`."""
+    return _series_window().rangeBetween(-(int(window_ms) - sf.step), 0)
+
+
+def over_time(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
+    """PromQL *_over_time family — FunctionType.{AVG,MIN,MAX,SUM,COUNT,
+    LAST,STDDEV,PRESENT}_OVER_TIME: aggregate the raw samples in each
+    trailing range window. Absent samples are simply not in the frame
+    (sparse discipline), matching Prometheus's raw-sample windows."""
+    w = _range_frame(sf, window_ms)
+    v = F.col("value")
+    aggs = {
+        "avg": F.avg(v),
+        "min": F.min(v),
+        "max": F.max(v),
+        "sum": F.sum(v),
+        "count": F.count(v).cast("double"),
+        "last": F.last(v),
+        # population stddev, the Prometheus definition
+        "stddev": F.sqrt(F.avg(v * v) - F.avg(v) * F.avg(v)),
+        "present": F.lit(1.0),
+    }
+    if fn not in aggs:
+        raise ValueError(f"unknown over_time fn: {fn}")
+    df = sf.df.withColumn("value", aggs[fn].over(w) if fn != "present" else F.lit(1.0))
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def quantile_over_time(sf: SeriesFrame, q: float, window_ms: int) -> SeriesFrame:
+    """PromQL quantile_over_time(φ, v[w]) — exact φ-quantile with linear
+    interpolation over the trailing window (FunctionType.QUANTILE_OVER_TIME)."""
+    w = _range_frame(sf, window_ms)
+    df = sf.df.withColumn(
+        "value", F.expr(f"percentile(value, {float(q)})").over(w)
+    )
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def delta_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL delta(v[w]): last − first raw sample in the trailing window
+    (gauge difference) — FunctionType.DELTA."""
+    w = _range_frame(sf, window_ms)
+    df = sf.df.withColumn("value", F.col("value") - F.first("value").over(w))
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def deriv_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL deriv(v[w]): least-squares slope (per second) of the samples
+    in the trailing window — FunctionType.DERIV. cov(t,v)/var(t) from
+    window-aggregated moments (all Catalyst partials, no UDF)."""
+    w = _range_frame(sf, window_ms)
+    t = F.col("ts") / F.lit(1000.0)
+    v = F.col("value")
+    cov = F.avg(t * v).over(w) - F.avg(t).over(w) * F.avg(v).over(w)
+    var = F.avg(t * t).over(w) - F.avg(t).over(w) * F.avg(t).over(w)
+    df = sf.df.withColumn(
+        "value", F.when(var == 0, F.lit(float("nan"))).otherwise(cov / var)
+    )
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def changes_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL changes(v[w]): number of value changes between consecutive
+    samples inside the window — FunctionType.CHANGES. Per-sample change
+    flags (vs the previous sample) summed over the trailing frame; a pair
+    whose first element precedes the window is excluded via the gap bound."""
+    w = _series_window()
+    frame = _range_frame(sf, window_ms)
+    flag = (
+        F.col("__pv").isNotNull()
+        & (F.col("ts") - F.col("__pts") < F.lit(int(window_ms)))
+        & (
+            (F.col("value") != F.col("__pv"))
+            # NaN → non-NaN and vice versa counts as a change
+            | (F.isnan("value") != F.isnan("__pv"))
+        )
+        & ~(F.isnan("value") & F.isnan("__pv"))
+    )
+    df = (
+        sf.df.withColumn("__pv", F.lag("value").over(w))
+        .withColumn("__pts", F.lag("ts").over(w))
+        .withColumn("__chg", flag.cast("double"))
+        .withColumn("value", F.sum("__chg").over(frame))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def resets_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL resets(v[w]): number of counter resets (decreases) between
+    consecutive samples inside the window — FunctionType.RESETS."""
+    w = _series_window()
+    frame = _range_frame(sf, window_ms)
+    flag = (
+        F.col("__pv").isNotNull()
+        & (F.col("ts") - F.col("__pts") < F.lit(int(window_ms)))
+        & (F.col("value") < F.col("__pv"))
+    )
+    df = (
+        sf.df.withColumn("__pv", F.lag("value").over(w))
+        .withColumn("__pts", F.lag("ts").over(w))
+        .withColumn("__rst", flag.cast("double"))
+        .withColumn("value", F.sum("__rst").over(frame))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

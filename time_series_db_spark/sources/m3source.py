@@ -63,6 +63,20 @@ def tag_filter_predicate(
     return ~pred if inverted else pred
 
 
+def regex_filter_predicate(
+    col: Column, patterns: list[str], inverted: bool = False
+) -> Column:
+    """PromQL regex matcher: fully anchored (``=~"a|b"`` matches the whole
+    value), OR across the pattern list."""
+    pred = None
+    for pat in patterns:
+        p = col.rlike(f"^(?:{pat})$")
+        pred = p if pred is None else (pred | p)
+    if pred is None:
+        pred = F.lit(True)
+    return ~pred if inverted else pred
+
+
 class EventsSource:
     """M3Source over the driver's ``events`` table (labels: name, user,
     region, shard — see sources/tables.py mapping)."""
@@ -80,13 +94,25 @@ class EventsSource:
         min_ts: int,
         max_ts: int,
         step: int,
+        match_re: dict[str, list[str]] | None = None,
+        inverse_re: dict[str, list[str]] | None = None,
     ) -> SeriesFrame:
+        """``match_re``/``inverse_re`` carry PromQL ``=~``/``!~`` matchers
+        — fully-anchored RE2-style regexes (the reference converts them to
+        Lucene wildcards, PromSourceBuilderVisitor.java:273-299; we keep
+        real regex via rlike, anchored)."""
         where = None
         for key, values in match.items():
             p = tag_filter_predicate(F.col(key), values)
             where = p if where is None else (where & p)
         for key, values in inverse.items():
             p = tag_filter_predicate(F.col(key), values, inverted=True)
+            where = p if where is None else (where & p)
+        for key, values in (match_re or {}).items():
+            p = regex_filter_predicate(F.col(key), values)
+            where = p if where is None else (where & p)
+        for key, values in (inverse_re or {}).items():
+            p = regex_filter_predicate(F.col(key), values, inverted=True)
             where = p if where is None else (where & p)
         return fetch_events(
             self.spark,
