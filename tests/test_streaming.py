@@ -1,0 +1,229 @@
+"""Ingest / maintenance / output tests (SURVEY.md §3.4 write path).
+
+Mirrors the reference's engine tests: ingest parsing + rejection
+(TSDBDocumentTests), ooo/dedup behavior (TSDBEngine ooo cutoff +
+SampleMerger), retention (TimeBasedRetentionTests), compaction
+(SizeTieredCompactionTests), and the matrix response shape
+(PromMatrixResponseListener javadoc format).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame, series_key_expr
+from time_series_db_spark.operators import stats
+from time_series_db_spark.output import to_matrix
+from time_series_db_spark.sources import fetch_events
+from time_series_db_spark.streaming import (
+    DEFAULT_BLOCK_MS,
+    INGEST_SCHEMA,
+    apply_retention,
+    compact_blocks,
+    ingest_batch,
+    list_blocks,
+    parse_ingest,
+    read_metrics,
+    start_ingest,
+)
+
+H = 3_600_000
+T0 = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def _doc(labels: str, ts: int, value: float) -> str:
+    return json.dumps({"labels": labels, "timestamp": ts, "value": value})
+
+
+def test_parse_ingest_rejects_malformed(spark):
+    docs = spark.createDataFrame(
+        [
+            ("name cpu host a", T0, 1.0),  # good
+            ("", T0, 2.0),  # empty labels → TSDBEmptyLabelException analog
+            (None, T0, 3.0),  # null labels
+            ("name cpu host", T0, 4.0),  # odd token count
+            ("name cpu", None, 5.0),  # null timestamp
+        ],
+        INGEST_SCHEMA,
+    )
+    rows = parse_ingest(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert dict(r["labels"]) == {"name": "cpu", "host": "a"}
+    assert r["series_key"] == "host:a,name:cpu"
+    assert r["block"] == T0 - T0 % DEFAULT_BLOCK_MS
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "metrics")
+    # batch 1: two series, one duplicate (series, ts) → dedup keeps one
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                _doc("name cpu host a", T0, 1.0),
+                _doc("name cpu host a", T0, 99.0),  # dup (ANY_WINS)
+                _doc("name cpu host b", T0 + H, 2.0),
+                _doc("name mem host a", T0 + 3 * H, 3.0),
+            ]
+        )
+    )
+    q = start_ingest(spark, str(src), table, available_now=True)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(table)
+    assert got.count() == 3  # duplicate dropped in-stream
+    # block partitioning on disk (2h closed-index ranges)
+    assert list_blocks(table) == [T0, T0 + 2 * H]
+
+    # second micro-batch run picks up only new files (checkpoint)
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                _doc("name cpu host a", T0, 50.0),  # cross-batch dup
+                _doc("name cpu host a", T0 + 5 * H, 4.0),
+            ]
+        )
+    )
+    q = start_ingest(spark, str(src), table, available_now=True)
+    q.awaitTermination(120)
+
+    # read-side ANY_WINS dedup collapses the cross-batch duplicate
+    out = read_metrics(spark, table)
+    assert out.count() == 4
+    cpu_a = {
+        r["ts"]: r["value"]
+        for r in out.filter(F.col("series_key") == "host:a,name:cpu").collect()
+    }
+    assert set(cpu_a) == {T0, T0 + 5 * H}
+    assert cpu_a[T0] in (1.0, 99.0, 50.0)  # ANY_WINS — some ingested value
+
+    # time-pruned read: block + ts predicates
+    pruned = read_metrics(spark, table, min_ts=T0 + 2 * H, max_ts=T0 + 4 * H)
+    assert [r["ts"] for r in pruned.collect()] == [T0 + 3 * H]
+
+
+def test_ingest_batch_and_retention(spark, tmp_path):
+    table = str(tmp_path / "metrics")
+    docs = spark.createDataFrame(
+        [("name cpu", T0 + i * 2 * H, float(i)) for i in range(6)],
+        INGEST_SCHEMA,
+    )
+    ingest_batch(spark, docs, table)
+    assert len(list_blocks(table)) == 6
+
+    # retention horizon now-4h: blocks fully older than horizon drop
+    now = T0 + 12 * H
+    dropped = apply_retention(table, 4 * H, now, DEFAULT_BLOCK_MS)
+    # horizon = now-4h = T0+8h; blocks whose [block, block+2h) ends ≤ horizon
+    assert dropped == [T0, T0 + 2 * H, T0 + 4 * H, T0 + 6 * H]
+    kept = spark.read.parquet(table)
+    assert kept.count() == 2
+    assert kept.agg(F.min("ts")).first()[0] == T0 + 8 * H
+
+
+def test_compaction_preserves_rows(spark, tmp_path):
+    table = str(tmp_path / "metrics")
+    # 5 separate appends → ≥5 files in the single block
+    for i in range(5):
+        docs = spark.createDataFrame(
+            [(f"name cpu host h{i}", T0 + j * 60_000, float(i * 10 + j)) for j in range(4)],
+            INGEST_SCHEMA,
+        )
+        ingest_batch(spark, docs, table)
+    bdir = os.path.join(table, f"block={T0}")
+    before_files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    assert len(before_files) >= 5
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(table).select("series_key", "ts", "value").collect()
+    )
+
+    done = compact_blocks(spark, table)
+    assert done == [T0]
+    after_files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+    assert len(after_files) < len(before_files)
+    after = sorted(
+        tuple(r) for r in spark.read.parquet(table).select("series_key", "ts", "value").collect()
+    )
+    assert after == before
+
+
+def test_stats_sections(spark, sf_dir, duck):
+    sf = fetch_events(spark, sf_dir)
+
+    head = stats.head_stats(sf).first()
+    o = duck.execute(
+        """WITH s AS (
+             SELECT event_type, user_id,
+                    epoch_ms(ts) - epoch_ms(ts) % 3600000 AS g
+             FROM events)
+           SELECT (SELECT COUNT(*) FROM (SELECT DISTINCT event_type, user_id FROM s)),
+                  (SELECT COUNT(*) FROM (SELECT DISTINCT event_type, user_id, g FROM s)),
+                  MIN(g), MAX(g) FROM s"""
+    ).fetchone()
+    assert head["num_series"] == o[0]
+    assert head["num_samples"] == o[1]
+    assert head["min_timestamp"] == o[2]
+    assert head["max_timestamp"] == o[3]
+
+    labels = {r["label"]: r["cardinality"] for r in stats.label_stats(sf).collect()}
+    n_users = duck.execute("SELECT COUNT(DISTINCT user_id) FROM events").fetchone()[0]
+    assert labels["user"] == n_users
+    assert labels["region"] == 4
+    assert labels["shard"] == 2
+
+    # approx path returns the same keys with near-exact counts (HLL++ at
+    # default 5% rsd; tiny cardinalities are exact)
+    approx = {r["label"]: r["cardinality"] for r in stats.label_stats(sf, approx=True).collect()}
+    assert set(approx) == set(labels)
+    assert approx["region"] == 4 and approx["shard"] == 2
+
+    vals = stats.value_stats(sf).first()
+    assert vals["num_values"] > 0
+    assert vals["num_nan"] == 0
+    assert vals["min_value"] <= vals["avg_value"] <= vals["max_value"]
+
+
+def test_matrix_output_shape(spark):
+    rows = [
+        ({"name": "cpu", "host": "a"}, T0, 1.5),
+        ({"name": "cpu", "host": "a"}, T0 + H, float("nan")),
+        ({"name": "cpu", "host": "b"}, T0, float("inf")),
+    ]
+    df = (
+        spark.createDataFrame(rows, "labels map<string,string>, ts long, value double")
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    sf = SeriesFrame(df=df, step=H, min_ts=T0, max_ts=T0 + 2 * H)
+    m = to_matrix(sf)
+    assert m["status"] == "success"
+    assert m["data"]["resultType"] == "matrix"
+    res = m["data"]["result"]
+    assert len(res) == 2
+    a, b = res  # series_key order: host:a before host:b
+    assert a["metric"] == {"name": "cpu", "host": "a"}
+    assert a["values"] == [[T0, "1.5"], [T0 + H, "NaN"]]
+    assert a["step"] == H and a["start"] == T0 and a["end"] == T0 + 2 * H
+    assert b["values"] == [[T0, "+Inf"]]
+    assert json.dumps(m)  # wire-serializable
+
+
+def test_matrix_respects_topk_order(spark, sf_dir):
+    from time_series_db_spark.operators import grouping, ordering
+
+    sf = fetch_events(spark, sf_dir)
+    sf = grouping.sum_(sf, ["name"])
+    sf = ordering.top_k(sf, 3, "sum", descending=True)
+    m = to_matrix(sf)
+    res = m["data"]["result"]
+    assert len(res) == 3
+    sums = [sum(float(v) for _, v in r["values"] if v != "NaN") for r in res]
+    assert sums == sorted(sums, reverse=True)

@@ -793,3 +793,4 @@ from time_series_db_spark import catalog_tpch as _catalog_tpch  # noqa: E402,F40
 
 from time_series_db_spark import catalog_m3ql as _catalog_m3ql  # noqa: E402,F401
 from time_series_db_spark import catalog_promql as _catalog_promql  # noqa: E402,F401
+from time_series_db_spark import catalog_stats as _catalog_stats  # noqa: E402,F401

@@ -1,0 +1,64 @@
+"""TSDB stats: the ``/_tsdb/stats`` surface as DataFrame aggregates.
+
+The reference exposes ``GET /_tsdb/stats`` (query/rest/
+RestTSDBStatsAction.java:1-60) with ``include=headStats,labelStats,
+valueStats``: series count, sample/chunk counts, per-label-key value
+cardinality, and min/max timestamps, shaped by ``InternalTSDBStats``
+(query/aggregator/InternalTSDBStats.java). Against a SeriesFrame these
+are plain aggregates Catalyst executes with partial aggregation — one
+shuffle each, count-distinct via hash partial on (key, value).
+
+At 100 TB, exact per-label cardinality over all history is a full-scan
+aggregate; ``label_stats(approx=True)`` switches to
+``approx_count_distinct`` (HyperLogLog++, fixed-size sketch, mergeable
+map-side) which is the right call at scale — the reference's own label
+stats walk Lucene term dictionaries, an approximation-free luxury of
+having an inverted index we deliberately do not rebuild.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from time_series_db_spark.model import SeriesFrame
+
+
+def head_stats(sf: SeriesFrame) -> DataFrame:
+    """series/sample counts + time bounds — the headStats section."""
+    return sf.df.select(
+        F.countDistinct("series_key").cast("long").alias("num_series"),
+        F.count("value").cast("long").alias("num_samples"),
+        F.min("ts").alias("min_timestamp"),
+        F.max("ts").alias("max_timestamp"),
+    )
+
+
+def label_stats(sf: SeriesFrame, approx: bool = False) -> DataFrame:
+    """Per-label-key value cardinality — the labelStats section.
+
+    One row per label key: ``(label, cardinality)``. Series identities are
+    deduplicated first (stats are over series, not samples), then the label
+    maps explode into (key, value) pairs — both steps shuffle once on keys
+    that are near-uniform (label keys), so no skew handling is needed.
+    """
+    series = sf.distinct_series()
+    exploded = series.select(F.explode("labels").alias("label", "val"))
+    card = (
+        F.approx_count_distinct("val") if approx else F.countDistinct("val")
+    ).cast("long")
+    return exploded.groupBy("label").agg(card.alias("cardinality"))
+
+
+def value_stats(sf: SeriesFrame) -> DataFrame:
+    """Value distribution summary — the valueStats section (min/max/avg +
+    NaN count; the reference reports per-field value statistics)."""
+    v = F.col("value")
+    finite = F.when(~F.isnan(v), v)
+    return sf.df.select(
+        F.count(v).cast("long").alias("num_values"),
+        F.sum(F.isnan(v).cast("long")).alias("num_nan"),
+        F.min(finite).alias("min_value"),
+        F.max(finite).alias("max_value"),
+        F.avg(finite).alias("avg_value"),
+    )

@@ -1,0 +1,18 @@
+"""Structured Streaming ingest + metrics-table maintenance (SURVEY.md §3.4,
+§7.1 step 7): the reference's TSDBEngine write path and retention/compaction
+background jobs, rebuilt on Spark micro-batches and partitioned parquet."""
+
+from time_series_db_spark.streaming.ingest import (  # noqa: F401
+    DEFAULT_BLOCK_MS,
+    DEFAULT_OOO_CUTOFF,
+    INGEST_SCHEMA,
+    ingest_batch,
+    parse_ingest,
+    read_metrics,
+    start_ingest,
+)
+from time_series_db_spark.streaming.maintenance import (  # noqa: F401
+    apply_retention,
+    compact_blocks,
+    list_blocks,
+)

@@ -1,0 +1,200 @@
+"""Structured Streaming ingest: the reference's write path, Spark-first.
+
+Reference ingest lifecycle (SURVEY.md §3.4): bulk/doc JSON →
+``TSDBEngine.index`` (index/engine/TSDBEngine.java:341) → parse labels/
+timestamp/value (``TSDBDocument.fromParsedDocument``, :399-408) → in-memory
+``Head`` append (core/head/Head.java:52) → chunk close on size/time →
+``ClosedChunkIndexManager`` flush into time-blocked closed indices.
+Errors: ``TSDBOutOfOrderException`` (sample older than the ooo cutoff,
+setting ``index.tsdb_engine.ooo.cutoff`` — TSDBPlugin.java:293) and
+``TSDBEmptyLabelException`` (no labels).
+
+Spark mapping (SURVEY.md §2 streaming notes + §7.1 step 7):
+
+============================  =============================================
+reference concept             Structured Streaming equivalent
+============================  =============================================
+bulk JSON ingest doc          ``readStream.schema(INGEST_SCHEMA).json(dir)``
+ooo cutoff                    ``withWatermark("event_time", cutoff)``
+same-(series,ts) dedup        ``dropDuplicatesWithinWatermark`` —
+(SampleMerger ANY_WINS,       first-write-wins inside the watermark window
+query/utils/SampleMerger:20)
+Head → chunk close → flush    micro-batch commit of parquet files into the
+                              time-block partition (``block=`` dirs ≈
+                              2h closed-index ranges)
+"visible after refresh"       micro-batch commit latency
+empty-label rejection         filter; rejected rows counted via accumulator
+============================  =============================================
+
+The ingest document format matches the reference README ("Index some
+metrics", ~line 96): ``{"labels": "name v name2 v2 …"`` (space-separated
+key value pairs), ``"timestamp"``: epoch millis, ``"value"``: double}``.
+
+Scale design: the table is partitioned by ``block`` (2h of epoch time, the
+reference's closed-index granularity) so queries prune partitions by time
+exactly like ``TimeRangePruningQuery`` prunes segments, and retention drops
+whole directories. Within a block, files carry parquet min/max stats on
+``series_key`` and ``ts`` for row-group pruning. No per-series state is
+kept on any single executor — dedup state is hash-partitioned by
+(series_key, ts), so 1000 executors share it evenly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+from time_series_db_spark.model import series_key_expr
+
+#: 2h time blocks — the reference's first compaction tier / closed-index
+#: range (core/compaction/SizeTieredCompaction.java:1-20 javadoc).
+DEFAULT_BLOCK_MS = 2 * 3_600_000
+
+#: reference default ooo cutoff is engine-configured; we default to 1h
+#: (index.tsdb_engine.ooo.cutoff — TSDBPlugin.java:293).
+DEFAULT_OOO_CUTOFF = "1 hour"
+
+INGEST_SCHEMA = T.StructType(
+    [
+        T.StructField("labels", T.StringType()),
+        T.StructField("timestamp", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+#: physical schema of the metrics table (block is the partition column)
+METRICS_COLS = ["series_key", "labels", "ts", "value", "block"]
+
+
+def parse_ingest(raw: DataFrame, block_ms: int = DEFAULT_BLOCK_MS) -> DataFrame:
+    """Ingest documents → canonical sample rows.
+
+    Mirrors ``TSDBDocument.fromParsedDocument`` (TSDBEngine.java:399-408):
+    the space-separated ``"k v k2 v2"`` label string becomes a sorted label
+    map; documents with no labels are dropped (TSDBEmptyLabelException) as
+    are null timestamps/values (parse failure).
+    """
+    pairs = F.split(F.trim(F.col("labels")), r"\s+")
+    n = F.size(pairs)
+    label_map = F.map_from_arrays(
+        F.filter(pairs, lambda _, i: i % 2 == 0),
+        F.filter(pairs, lambda _, i: i % 2 == 1),
+    )
+    return (
+        raw.filter(
+            F.col("labels").isNotNull()
+            & (F.trim(F.col("labels")) != "")
+            & F.col("timestamp").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .filter((n % 2 == 0) & (n > 0))
+        .select(
+            label_map.alias("labels"),
+            F.col("timestamp").alias("ts"),
+            F.col("value"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .withColumn("block", F.col("ts") - F.col("ts") % F.lit(block_ms))
+        .select(*METRICS_COLS)
+    )
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    table_path: str,
+    *,
+    ooo_cutoff: str = DEFAULT_OOO_CUTOFF,
+    block_ms: int = DEFAULT_BLOCK_MS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Start the ingest stream: JSON docs in ``source_dir`` → partitioned
+    parquet metrics table at ``table_path``.
+
+    ``ooo_cutoff`` is the Structured Streaming watermark — samples arriving
+    more than the cutoff behind the max observed event time are dropped,
+    the reference's ``TSDBOutOfOrderException`` behavior as a data-flow
+    rule instead of a per-doc error. Duplicate (series, ts) samples inside
+    the watermark window are deduplicated first-write-wins, the reference's
+    ``SampleMerger`` ANY_WINS policy.
+
+    ``available_now=True`` drains the current file set and stops — used by
+    tests and batch backfills; the default is a continuous micro-batch
+    stream ("new series visible after refresh" ≈ commit latency).
+    """
+    reader = spark.readStream.schema(INGEST_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.json(source_dir)
+
+    samples = (
+        parse_ingest(raw, block_ms)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", ooo_cutoff)
+        .dropDuplicatesWithinWatermark(["series_key", "ts"])
+        .drop("event_time")
+    )
+
+    writer = (
+        samples.writeStream.format("parquet")
+        .partitionBy("block")
+        .option("path", table_path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(table_path, "_checkpoint"),
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def ingest_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    table_path: str,
+    block_ms: int = DEFAULT_BLOCK_MS,
+) -> None:
+    """Batch ingest (the bulk-API analog without a stream): parse + dedup
+    (first wins per (series, ts), matching SampleMerger) + append."""
+    samples = parse_ingest(docs, block_ms).dropDuplicates(["series_key", "ts"])
+    samples.write.mode("append").partitionBy("block").parquet(table_path)
+
+
+def read_metrics(
+    spark: SparkSession,
+    table_path: str,
+    min_ts: int | None = None,
+    max_ts: int | None = None,
+    block_ms: int = DEFAULT_BLOCK_MS,
+) -> DataFrame:
+    """Scan the ingested metrics table with time-block partition pruning.
+
+    The ``block`` predicate prunes whole partition directories (the
+    reference's ``TimeRangePruningQuery`` segment skip, SURVEY.md §4.1
+    row 3); the ``ts`` predicate then prunes row groups via parquet
+    min/max stats. Duplicate (series, ts) rows across separate ingest
+    batches are resolved by taking one arbitrary sample at read — the
+    reference's SampleMerger ANY_WINS policy (query/utils/SampleMerger.java,
+    applied via DedupIterator at TimeSeriesUnfoldAggregator.java:270-277).
+    """
+    df = spark.read.parquet(table_path)
+    if min_ts is not None:
+        df = df.filter(
+            (F.col("block") >= F.lit(min_ts - min_ts % block_ms))
+            & (F.col("ts") >= F.lit(min_ts))
+        )
+    if max_ts is not None:
+        df = df.filter((F.col("block") < F.lit(max_ts)) & (F.col("ts") < F.lit(max_ts)))
+    return (
+        df.groupBy("series_key", "ts")
+        .agg(F.first("labels").alias("labels"), F.first("value").alias("value"))
+        .select("series_key", "labels", "ts", "value")
+    )
