@@ -231,10 +231,10 @@ def promql_resets(spark, sf_dir):
     f"""{PRELUDE},
     moments AS (
       SELECT {SQL_LBLS}, ts,
-             avg(ts / 1000.0) OVER ({_CHG_FRAME}) AS mt,
+             avg((ts - 1704067200000) / 1000.0) OVER ({_CHG_FRAME}) AS mt,
              avg(value) OVER ({_CHG_FRAME}) AS mv,
-             avg((ts / 1000.0) * value) OVER ({_CHG_FRAME}) AS mtv,
-             avg((ts / 1000.0) * (ts / 1000.0)) OVER ({_CHG_FRAME}) AS mtt
+             avg(((ts - 1704067200000) / 1000.0) * value) OVER ({_CHG_FRAME}) AS mtv,
+             avg(((ts - 1704067200000) / 1000.0) * ((ts - 1704067200000) / 1000.0)) OVER ({_CHG_FRAME}) AS mtt
       FROM (SELECT * FROM samples WHERE name = 'click'))
     SELECT {SQL_LBLS}, ts,
            {sql_quant("CASE WHEN mtt - mt * mt = 0 THEN 'NaN'::DOUBLE "
@@ -288,3 +288,208 @@ def promql_math_clamp(spark, sf_dir):
     FunctionType.{SQRT,CEIL,CLAMP_MAX}."""
     sf = run_promql(spark, sf_dir, "clamp_max(ceil(sqrt(signup)), 11)")
     return _flat(sf, LABEL_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# Extended aggregation operators (beyond AggregationType.java's five) and
+# the remaining FunctionType entries — full enum coverage.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promql_topk_agg",
+    f"""{PRELUDE},
+    summed AS (
+      SELECT name, ts, sum(value) AS value FROM samples GROUP BY name, ts),
+    ranked AS (
+      SELECT name, ts, value,
+             row_number() OVER (
+               PARTITION BY ts ORDER BY value DESC, 'name:' || name) AS rnk
+      FROM summed)
+    SELECT name, ts, {sql_quant('value')} AS value
+    FROM ranked WHERE rnk <= 3""",
+)
+def promql_topk_agg(spark, sf_dir):
+    """topk(3, sum by (name)(v)): per-timestamp top-k selection — a PromQL
+    aggregation the reference's AggregationType lacks; ranks per evaluation
+    step (unlike M3 topK's whole-series ranking, TopKStage.java:57)."""
+    sf = run_promql(spark, sf_dir, "topk(3, sum by (name) ({__name__=~\".+\"}))")
+    return _flat(sf, ["name"])
+
+
+@register(
+    "promql_quantile_agg",
+    f"""{PRELUDE}
+    SELECT name, ts, {sql_quant('quantile_cont(value, 0.9)')} AS value
+    FROM samples GROUP BY name, ts""",
+)
+def promql_quantile_agg(spark, sf_dir):
+    """quantile by (name) (0.9, v): exact interpolated φ-quantile across
+    series per timestamp."""
+    sf = run_promql(spark, sf_dir, 'quantile by (name) (0.9, {__name__=~".+"})')
+    return _flat(sf, ["name"])
+
+
+@register(
+    "promql_stddev_agg",
+    f"""{PRELUDE}
+    SELECT name, ts,
+           {sql_quant('coalesce(stddev_pop(value), 0.0)')} AS value
+    FROM samples GROUP BY name, ts""",
+)
+def promql_stddev_agg(spark, sf_dir):
+    """stddev by (name) (v): population stddev across series per ts."""
+    sf = run_promql(spark, sf_dir, 'stddev by (name) ({__name__=~".+"})')
+    return _flat(sf, ["name"])
+
+
+@register(
+    "promql_trig_chain",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant('degrees(atan(sin(value)))')} AS value
+    FROM samples WHERE name = 'click'""",
+)
+def promql_trig_chain(spark, sf_dir):
+    """deg(atan(sin(v))): trig mappers — FunctionType.{SIN,ATAN,DEG}."""
+    sf = run_promql(spark, sf_dir, "deg(atan(sin(click)))")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_time_fields",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           CAST(dayofweek(to_timestamp(ts / 1000)) AS DOUBLE) AS value
+    FROM samples WHERE name = 'signup'""",
+)
+def promql_time_fields(spark, sf_dir):
+    """day_of_week(timestamp(v)): time functions over value-as-epoch-
+    seconds — FunctionType.{TIMESTAMP,DAY_OF_WEEK} (0=Sunday, UTC)."""
+    sf = run_promql(spark, sf_dir, "day_of_week(timestamp(signup))")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_predict_linear",
+    f"""{PRELUDE},
+    moments AS (
+      SELECT {SQL_LBLS}, ts,
+             avg((ts - 1704067200000) / 1000.0) OVER ({_CHG_FRAME}) AS mt,
+             avg(value) OVER ({_CHG_FRAME}) AS mv,
+             avg(((ts - 1704067200000) / 1000.0) * value) OVER ({_CHG_FRAME}) AS mtv,
+             avg(((ts - 1704067200000) / 1000.0) * ((ts - 1704067200000) / 1000.0)) OVER ({_CHG_FRAME}) AS mtt
+      FROM (SELECT * FROM samples WHERE name = 'click'))
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant("CASE WHEN mtt - mt * mt = 0 THEN 'NaN'::DOUBLE "
+                      "ELSE mv + ((mtv - mt * mv) / (mtt - mt * mt))"
+                      "     * (((ts - 1704067200000) / 1000.0 + 3600.0) - mt) END")} AS value
+    FROM moments""",
+)
+def promql_predict_linear(spark, sf_dir):
+    """predict_linear(v[6h], 3600): least-squares extrapolation 1h ahead —
+    FunctionType.PREDICT_LINEAR (same moment algebra as deriv)."""
+    sf = run_promql(spark, sf_dir, "predict_linear(click[6h], 3600)")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register("promql_holt_winters")  # fold recurrence: rows-only driver check
+def promql_holt_winters(spark, sf_dir):
+    """holt_winters(v[12h], 0.3, 0.1): double exponential smoothing —
+    FunctionType.HOLT_WINTERS. The level/trend fold has no clean ANSI-SQL
+    form (sequential recurrence), so this entry takes the driver's
+    rows-only check; value correctness is pinned by the golden test
+    (tests/test_promql_golden.py) against a Python-computed reference."""
+    sf = run_promql(spark, sf_dir, "holt_winters(purchase[12h], 0.3, 0.1)")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_absent",
+    f"""SELECT 'nosuch' AS name, 'r9' AS region, gs AS ts, 1.0 AS value
+    FROM generate_series({EVENTS_MIN_TS}, {EVENTS_MAX_TS - DEFAULT_STEP_MS},
+                         {DEFAULT_STEP_MS}) t(gs)""",
+)
+def promql_absent(spark, sf_dir):
+    """absent(v): dense 1-series labeled from the selector's equality
+    matchers when the vector is empty — FunctionType.ABSENT."""
+    sf = run_promql(spark, sf_dir, 'absent(nosuch{region="r9"})')
+    return _flat(sf, ["name", "region"])
+
+
+@register(
+    "promql_scalar_time",
+    f"""SELECT gs AS ts, {sql_quant('sin(gs / 1000.0)')} AS value
+    FROM generate_series({EVENTS_MIN_TS}, {EVENTS_MAX_TS - DEFAULT_STEP_MS},
+                         {DEFAULT_STEP_MS}) t(gs)""",
+)
+def promql_scalar_time(spark, sf_dir):
+    """sin(time()): scalar-producing time() flowing through a mapper —
+    FunctionType.{TIME,SIN} (scalars are label-free dense series here)."""
+    sf = run_promql(spark, sf_dir, "sin(time())")
+    return sf.df.select("ts", quant(F.col("value")).alias("value"))
+
+
+_HQ_BOUNDS = [5.0, 20.0, 50.0]  # finite bucket uppers; +Inf appended
+
+
+@register(
+    "promql_histogram_quantile",
+    f"""{PRELUDE},
+    counts AS (
+      SELECT region, ts,
+             count(CASE WHEN value <= 5.0  THEN 1 END) AS c1,
+             count(CASE WHEN value <= 20.0 THEN 1 END) AS c2,
+             count(CASE WHEN value <= 50.0 THEN 1 END) AS c3,
+             count(*) AS c4
+      FROM samples WHERE name = 'view' GROUP BY region, ts)
+    SELECT 'view_hist' AS name, region, ts,
+           {sql_quant('''CASE
+             WHEN c4 <= 0 THEN 'NaN'::DOUBLE
+             WHEN c1 >= 0.5 * c4 THEN 0.0  + (5.0  - 0.0)  * ((0.5 * c4 - 0)  / c1)
+             WHEN c2 >= 0.5 * c4 THEN 5.0  + (20.0 - 5.0)  * ((0.5 * c4 - c1) / (c2 - c1))
+             WHEN c3 >= 0.5 * c4 THEN 20.0 + (50.0 - 20.0) * ((0.5 * c4 - c2) / (c3 - c2))
+             ELSE 50.0 END''')} AS value
+    FROM counts""",
+)
+def promql_histogram_quantile(spark, sf_dir):
+    """histogram_quantile(0.5, v): Prometheus bucketQuantile with linear
+    intra-bucket interpolation — FunctionType.HISTOGRAM_QUANTILE.
+
+    Buckets are fabricated from the view metric (cumulative counts at
+    le ∈ {5, 20, 50, +Inf} per (region, ts) — one series per le), then the
+    operator groups on labels−{le} and interpolates. Spark shape: the
+    bucketization is one explode(4)+groupBy; the quantile walk is a pure
+    SQL fold (grouping.histogram_quantile), no UDF anywhere.
+    """
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+    from time_series_db_spark.operators import grouping
+    from time_series_db_spark.sources import fetch_events
+
+    base = fetch_events(spark, sf_dir)
+    df = base.df.filter(F.col("labels")["name"] == "view")
+    bounds = F.array(*[F.lit(b) for b in _HQ_BOUNDS], F.lit(float("inf")))
+    exploded = df.select(
+        F.col("labels")["region"].alias("region"),
+        "ts", "value", F.explode(bounds).alias("le"),
+    )
+    buckets = (
+        exploded.groupBy("region", "ts", "le")
+        .agg(F.count(F.when(F.col("value") <= F.col("le"), 1)).cast("double").alias("value"))
+        .select(
+            F.create_map(
+                F.lit("name"), F.lit("view_hist"),
+                F.lit("region"), F.col("region"),
+                F.lit("le"),
+                F.when(F.col("le") == float("inf"), F.lit("+Inf"))
+                 .otherwise(F.col("le").cast("string")),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            "ts", "value",
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    sf = base.with_df(buckets)
+    out = grouping.histogram_quantile(sf, 0.5)
+    return _flat(out, ["name", "region"])

@@ -83,6 +83,8 @@ class AggregationNode(PromNode):
     agg_type: str = ""
     modifier: str | None = None  # "by" | "without" | None — GroupingModifier.java
     labels: list[str] = field(default_factory=list)
+    #: leading scalar parameter — k for topk/bottomk, φ for quantile
+    param: float | None = None
 
 
 #: duration unit table — promql.jj parseDuration (ms s m h d w y)

@@ -35,6 +35,9 @@ _AGGS = {
     "min": grouping.min_,
     "max": grouping.max_,
     "count": grouping.count,
+    "stddev": grouping.stddev,
+    "stdvar": grouping.stdvar,
+    "group": grouping.group_,
 }
 
 #: simple per-sample math functions → mapper stages
@@ -48,6 +51,15 @@ _MATH = {
     "log2": mappers.log2,
     "log10": mappers.logarithm,
     "sgn": mappers.sgn,
+}
+
+#: trig/angle functions — FunctionType.{ACOS..TANH,DEG,RAD}
+_TRIG = set(mappers._TRIG)
+
+#: calendar/time-field functions over value-as-epoch-seconds
+_TIME_FIELDS = {
+    "day_of_month", "day_of_week", "day_of_year", "days_in_month",
+    "hour", "minute", "month", "year",
 }
 
 _OVER_TIME = {
@@ -64,7 +76,8 @@ _OVER_TIME = {
 #: functions that consume a range vector (require selector[d] child)
 _RANGE_FNS = (
     {"rate", "irate", "increase", "delta", "deriv", "changes", "resets",
-     "quantile_over_time"}
+     "quantile_over_time", "stdvar_over_time", "predict_linear",
+     "holt_winters", "absent_over_time"}
     | set(_OVER_TIME)
 )
 
@@ -128,8 +141,16 @@ def build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
 
     if isinstance(node, A.AggregationNode):
         sf = build_frame(node.children[0], ctx)
+        without = node.modifier == "without"
+        if node.agg_type in ("topk", "bottomk"):
+            return grouping.topk_bottomk(
+                sf, int(node.param), node.labels, without=without,
+                bottom=node.agg_type == "bottomk",
+            )
+        if node.agg_type == "quantile":
+            return grouping.quantile(sf, node.param, node.labels, without=without)
         fn = _AGGS[node.agg_type]
-        return fn(sf, node.labels, without=node.modifier == "without")
+        return fn(sf, node.labels, without=without)
 
     if isinstance(node, A.FunctionCallNode):
         return _apply_function(node, ctx)
@@ -165,7 +186,23 @@ def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
             if not node.scalars:
                 raise A.PromParseError("quantile_over_time needs φ scalar")
             return windows.quantile_over_time(sf, node.scalars[0], r)
+        if name == "stdvar_over_time":
+            return windows.stdvar_over_time(sf, r)
+        if name == "predict_linear":
+            if not node.scalars:
+                raise A.PromParseError("predict_linear(v[d], t) needs t scalar")
+            return windows.predict_linear(sf, r, node.scalars[0])
+        if name == "holt_winters":
+            if len(node.scalars) != 2:
+                raise A.PromParseError("holt_winters(v[d], sf, tf) needs two scalars")
+            return windows.holt_winters(sf, r, node.scalars[0], node.scalars[1])
+        if name == "absent_over_time":
+            return windows.absent_over_time(windows.truncate(sf, ctx.start, ctx.end), r)
         return windows.over_time(sf, r, _OVER_TIME[name])
+
+    # zero-vector-argument functions
+    if name in ("time", "pi", "vector"):
+        return _dense_constant(node, ctx)
 
     if not node.children:
         raise PromUnsupportedError(f"{name}() is not supported")
@@ -173,6 +210,20 @@ def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
 
     if name in _MATH:
         return _MATH[name](sf)
+    if name in _TRIG:
+        return mappers.trig(sf, name)
+    if name in _TIME_FIELDS:
+        return mappers.time_field(sf, name)
+    if name == "timestamp":
+        return mappers.timestamp_(sf)
+    if name == "histogram_quantile":
+        if not node.scalars:
+            raise A.PromParseError("histogram_quantile(φ, v) needs φ scalar")
+        return grouping.histogram_quantile(sf, node.scalars[0])
+    if name == "absent":
+        return _absent(sf, node, ctx)
+    if name == "scalar":
+        return _scalar(sf, ctx)
     if name == "round":
         return mappers.round_nearest(sf, node.scalars[0] if node.scalars else 1.0)
     if name == "clamp":
@@ -189,6 +240,91 @@ def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
         return ordering.sort(sf, "current", descending=True)
 
     raise PromUnsupportedError(f"function {name}() is not yet implemented")
+
+
+def _dense_frame(ctx: BuildContext, value_expr, labels: dict[str, str]):
+    """Dense label-free grid series — backing for time()/pi()/vector(c)
+    and the absent() result shape."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+
+    spark = ctx.source.spark
+    df = spark.range(ctx.start, ctx.end, ctx.step).select(
+        F.col("id").alias("ts")
+    )
+    lmap = (
+        F.create_map(*[x for k in sorted(labels) for x in (F.lit(k), F.lit(labels[k]))])
+        if labels
+        else F.create_map().cast("map<string,string>")
+    )
+    df = (
+        df.withColumn("labels", lmap)
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("value", value_expr.cast("double"))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return SeriesFrame(df=df, step=ctx.step, min_ts=ctx.start, max_ts=ctx.end)
+
+
+def _dense_constant(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
+    """time() / pi() / vector(c) — scalar-producing functions; our scalars
+    are label-free dense series (the engine is matrix-shaped throughout,
+    like the reference's coordinator pipeline)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    if node.name == "time":
+        return _dense_frame(ctx, F.col("ts") / F.lit(1000.0), {})
+    if node.name == "pi":
+        return _dense_frame(ctx, F.lit(math.pi), {})
+    # vector(c)
+    if not node.scalars:
+        raise A.PromParseError("vector(c) needs a scalar")
+    return _dense_frame(ctx, F.lit(float(node.scalars[0])), {})
+
+
+def _absent(sf: SeriesFrame, node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
+    """PromQL absent(v): empty when v has any series; else a single dense
+    1-series labeled from the child selector's equality matchers —
+    FunctionType.ABSENT. The emptiness probe is one count job over an
+    already-pruned scan (the reference's fallbackSeries does the same
+    list-size check at the coordinator, FallbackSeriesBinaryStage.java:34)."""
+    from pyspark.sql import functions as F
+
+    child = node.children[0]
+    sel = child if isinstance(child, A.VectorSelectorNode) else None
+    if sf.df.limit(1).count() > 0:
+        return sf.with_df(sf.df.filter(F.lit(False)))
+    labels: dict[str, str] = {}
+    if sel is not None:
+        if sel.metric:
+            labels[NAME_LABEL] = sel.metric
+        for m in sel.matchers:
+            if m.op == A.EQUAL:
+                labels[NAME_LABEL if m.name == "__name__" else m.name] = m.value
+    return _dense_frame(ctx, F.lit(1.0), labels)
+
+
+def _scalar(sf: SeriesFrame, ctx: BuildContext) -> SeriesFrame:
+    """PromQL scalar(v): if v has exactly one series, its values as a
+    label-free scalar series; else NaN — FunctionType.SCALAR."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+
+    n = sf.df.select("series_key").distinct().limit(2).count()
+    if n != 1:
+        return _dense_frame(ctx, F.lit(float("nan")), {})
+    df = (
+        sf.df.withColumn("labels", F.create_map().cast("map<string,string>"))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
 
 
 def execute(query: str, source, start: int, end: int, step: int) -> SeriesFrame:

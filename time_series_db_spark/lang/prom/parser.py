@@ -28,7 +28,13 @@ from time_series_db_spark.lang.prom.ast import (
     parse_duration_ms,
 )
 
-_AGGREGATIONS = {"sum", "avg", "min", "max", "count"}
+_AGGREGATIONS = {
+    "sum", "avg", "min", "max", "count",
+    # PromQL aggregations beyond the reference's AggregationType five
+    "stddev", "stdvar", "group", "quantile", "topk", "bottomk",
+}
+#: aggregations taking a leading scalar parameter: aggr(param, expr)
+_PARAM_AGGS = {"quantile", "topk", "bottomk"}
 
 #: token spec, most-specific first (promql.jj TOKEN block ordering)
 _TOKEN_RE = re.compile(
@@ -106,11 +112,13 @@ class _Parser:
             labels = self.label_list()
             self.expect("DELIM", ")")
             self.expect("DELIM", "(")
+            param = self.agg_param(agg)
             expr = self.expression()
             self.expect("DELIM", ")")
         else:
             # Format 2: aggr(expr) [by|without (labels)]
             self.expect("DELIM", "(")
+            param = self.agg_param(agg)
             expr = self.expression()
             self.expect("DELIM", ")")
             if (
@@ -122,8 +130,18 @@ class _Parser:
                 labels = self.label_list()
                 self.expect("DELIM", ")")
         return AggregationNode(
-            children=[expr], agg_type=agg.lower(), modifier=modifier, labels=labels
+            children=[expr], agg_type=agg.lower(), modifier=modifier,
+            labels=labels, param=param,
         )
+
+    def agg_param(self, agg: str) -> float | None:
+        """Leading scalar parameter for topk/bottomk/quantile:
+        aggr(param, expr)."""
+        if agg.lower() not in _PARAM_AGGS:
+            return None
+        param = float(self.expect("NUMBER"))
+        self.expect("DELIM", ",")
+        return param
 
     def label_list(self) -> list[str]:
         labels = [self.expect("IDENTIFIER")]

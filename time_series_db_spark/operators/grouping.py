@@ -350,3 +350,160 @@ def histogram_percentile(
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(out)
+
+
+# ---------------------------------------------------------------------------
+# PromQL aggregation operators beyond the reference's implemented five
+# (AggregationType.java has sum/avg/min/max/count; the rest of the PromQL
+# aggregation surface — stddev, stdvar, group, quantile, topk, bottomk —
+# composes from the same _grouped machinery).
+# ---------------------------------------------------------------------------
+
+
+def stddev(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
+    """PromQL stddev: population standard deviation across series per ts."""
+    v = F.col("value")
+    expr = F.sqrt(F.avg(v * v) - F.avg(v) * F.avg(v))
+    return _grouped(sf, list(keys), expr, without=without)
+
+
+def stdvar(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
+    """PromQL stdvar: population variance across series per ts."""
+    v = F.col("value")
+    expr = F.avg(v * v) - F.avg(v) * F.avg(v)
+    return _grouped(sf, list(keys), expr, without=without)
+
+
+def group_(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
+    """PromQL group: 1 for every group with any member present per ts."""
+    return _grouped(sf, list(keys), F.lit(1.0), without=without)
+
+
+def quantile(
+    sf: SeriesFrame, q: float, keys: list[str] = (), without: bool = False
+) -> SeriesFrame:
+    """PromQL quantile(φ, v): exact φ-quantile (linear interpolation)
+    across the series values at each ts."""
+    return _grouped(
+        sf, list(keys), F.expr(f"percentile(value, {float(q)})"), without=without
+    )
+
+
+def topk_bottomk(
+    sf: SeriesFrame,
+    k: int,
+    keys: list[str] = (),
+    without: bool = False,
+    bottom: bool = False,
+) -> SeriesFrame:
+    """PromQL topk/bottomk(k, v): at each evaluation timestamp keep the k
+    series with the largest (smallest) values; series labels survive
+    unchanged (unlike the grouped aggs). Ties break on series_key for
+    determinism.
+
+    Spark shape: rank per ts via row_number over a (group, ts) window —
+    one shuffle on the window key; with thousands of series per ts this is
+    a short sort per partition, and nothing materializes beyond rank ≤ k.
+    (Distinct from M3 topK, which ranks whole series by a summary stat —
+    TopKStage.java:57; PromQL ranks per timestamp.)
+    """
+    from pyspark.sql import Window
+
+    if without:
+        karr = F.array(*[F.lit(k_) for k_ in keys])
+        gkey = series_key_expr(
+            F.map_filter(F.col("labels"), lambda kk, _v: ~F.array_contains(karr, kk))
+        )
+    elif keys:
+        gkey = series_key_expr(labels_subset_expr(list(keys)))
+    else:
+        gkey = F.lit("")
+    order = [
+        F.col("value").asc() if bottom else F.col("value").desc(),
+        F.col("series_key").asc(),
+    ]
+    w = Window.partitionBy(gkey, F.col("ts")).orderBy(*order)
+    df = (
+        sf.df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.lit(int(k)))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
+    """PromQL histogram_quantile(φ, v) — FunctionType.HISTOGRAM_QUANTILE.
+
+    Input series are cumulative buckets identified by an ``le`` label
+    (upper bound, "+Inf" last). Groups = all labels except ``le``; at each
+    (group, ts) the φ-rank lands in the first bucket whose cumulative
+    count reaches φ·total, with linear interpolation inside the bucket —
+    the official Prometheus bucketQuantile algorithm. (Distinct from M3
+    histogram_percentile, whose buckets are non-cumulative with explicit
+    range tags — HistogramPercentileStage.java:44-50.)
+
+    Spark shape: one groupBy (group, ts) collecting the tiny (le, count)
+    bucket array, then a pure-SQL fold — no UDF, partial aggregation keeps
+    the shuffle at group granularity.
+    """
+    q = float(q)
+    lbl = F.col("labels")
+    df = sf.df.filter(lbl["le"].isNotNull())
+    glabels = F.map_filter(lbl, lambda k, _v: k != F.lit("le"))
+    le = F.when(lbl["le"] == "+Inf", F.lit(float("inf"))).otherwise(
+        lbl["le"].cast("double")
+    )
+    base = (
+        df.withColumn("__le", le)
+        .withColumn("__glabels", glabels)
+        .withColumn("__gkey", series_key_expr(F.col("__glabels")))
+        .groupBy("__gkey", "ts")
+        .agg(
+            F.first("__glabels").alias("labels"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__le").alias("le"),
+                                        F.col("value").alias("cnt")))
+            ).alias("__bk"),
+        )
+    )
+    # Prometheus bucketQuantile: rank = φ·total; walk cumulative buckets.
+    value = F.expr(
+        f"""
+        CASE
+          WHEN size(__bk) < 2 OR __bk[size(__bk)-1].le != double('Infinity')
+               OR __bk[size(__bk)-1].cnt <= 0
+          THEN CAST('NaN' AS DOUBLE)
+          ELSE aggregate(
+            __bk,
+            named_struct('res', CAST(NULL AS DOUBLE), 'prev_le', 0.0D,
+                         'prev_cnt', 0.0D,
+                         'rank', {q}D * __bk[size(__bk)-1].cnt),
+            (acc, b) -> CASE WHEN acc.res IS NOT NULL THEN acc ELSE
+              CASE WHEN b.cnt >= acc.rank THEN
+                named_struct(
+                  'res',
+                  CASE
+                    WHEN b.le = double('Infinity') THEN acc.prev_le
+                    WHEN b.cnt = acc.prev_cnt THEN b.le
+                    ELSE acc.prev_le + (b.le - acc.prev_le) *
+                         ((acc.rank - acc.prev_cnt) / (b.cnt - acc.prev_cnt))
+                  END,
+                  'prev_le', b.le, 'prev_cnt', CAST(b.cnt AS DOUBLE),
+                  'rank', acc.rank)
+              ELSE named_struct('res', acc.res, 'prev_le', b.le,
+                                'prev_cnt', CAST(b.cnt AS DOUBLE),
+                                'rank', acc.rank)
+              END END,
+            acc -> coalesce(acc.res, acc.prev_le)
+          )
+        END
+        """
+    )
+    out = base.select(
+        F.col("__gkey").alias("series_key"),
+        F.col("labels"),
+        F.lit(None).cast("string").alias("alias"),
+        F.col("ts"),
+        value.cast("double").alias("value"),
+    ).select(*SAMPLE_COLS)
+    return sf.with_df(out)

@@ -193,3 +193,73 @@ def round_nearest(sf: SeriesFrame, to_nearest: float = 1.0) -> SeriesFrame:
     """
     n = F.lit(float(to_nearest))
     return _map_value(sf, _nan_guard(F.floor(F.col("value") / n + F.lit(0.5)) * n))
+
+
+# ---------------------------------------------------------------------------
+# PromQL trigonometric functions — FunctionType.{ACOS..TANH,DEG,RAD,PI}.
+# Spark's trig builtins follow java.lang.Math (out-of-domain → NaN), which
+# is exactly the Prometheus/Java contract, so these are direct mappings.
+# ---------------------------------------------------------------------------
+
+_TRIG = {
+    "acos": F.acos, "acosh": F.acosh, "asin": F.asin, "asinh": F.asinh,
+    "atan": F.atan, "atanh": F.atanh, "cos": F.cos, "cosh": F.cosh,
+    "sin": F.sin, "sinh": F.sinh, "tan": F.tan, "tanh": F.tanh,
+    "deg": F.degrees, "rad": F.radians,
+}
+
+
+def trig(sf: SeriesFrame, fn: str) -> SeriesFrame:
+    """One of the 14 PromQL trig/angle functions applied per sample."""
+    return _map_value(sf, _TRIG[fn](F.col("value")))
+
+
+def pi(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL pi(): every sample's value becomes π — FunctionType.PI."""
+    import math
+
+    return _map_value(sf, F.lit(math.pi))
+
+
+# ---------------------------------------------------------------------------
+# PromQL time functions — FunctionType.{TIME..YEAR}. Prometheus interprets
+# the sample *value* as seconds since epoch, UTC. Calendar fields go
+# through date_from_unix_date (a timezone-free DATE from days-since-epoch)
+# so results do not depend on spark.sql.session.timeZone; hour/minute are
+# pure modular arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _epoch_days() -> Column:
+    return F.floor(F.col("value") / F.lit(86400.0)).cast("int")
+
+
+def _time_field(field: str) -> Column:
+    d = F.date_from_unix_date(_epoch_days())
+    v = F.col("value")
+    exprs = {
+        "day_of_month": F.dayofmonth(d),
+        # Spark: 1=Sunday..7 → Prometheus: 0=Sunday..6
+        "day_of_week": F.dayofweek(d) - F.lit(1),
+        "day_of_year": F.dayofyear(d),
+        "days_in_month": F.dayofmonth(F.last_day(d)),
+        "month": F.month(d),
+        "year": F.year(d),
+        "hour": F.floor((v - _epoch_days() * F.lit(86400.0)) / F.lit(3600.0)),
+        "minute": F.floor(
+            (v - F.floor(v / F.lit(3600.0)) * F.lit(3600.0)) / F.lit(60.0)
+        ),
+    }
+    return exprs[field]
+
+
+def time_field(sf: SeriesFrame, field: str) -> SeriesFrame:
+    """day_of_month / day_of_week / day_of_year / days_in_month / hour /
+    minute / month / year over value-as-epoch-seconds."""
+    return _map_value(sf, _nan_guard(_time_field(field)))
+
+
+def timestamp_(sf: SeriesFrame) -> SeriesFrame:
+    """PromQL timestamp(): each sample's value becomes its own timestamp
+    in seconds — FunctionType.TIMESTAMP."""
+    return _map_value(sf, F.col("ts") / F.lit(1000.0))

@@ -443,9 +443,11 @@ def delta_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
 def deriv_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
     """PromQL deriv(v[w]): least-squares slope (per second) of the samples
     in the trailing window — FunctionType.DERIV. cov(t,v)/var(t) from
-    window-aggregated moments (all Catalyst partials, no UDF)."""
+    window-aggregated moments (all Catalyst partials, no UDF). Timestamps
+    are centered on min_ts first: avg(t²)−avg(t)² over raw epoch seconds
+    (~1.7e9) cancels catastrophically; centering is slope-invariant."""
     w = _range_frame(sf, window_ms)
-    t = F.col("ts") / F.lit(1000.0)
+    t = (F.col("ts") - F.lit(sf.min_ts)) / F.lit(1000.0)
     v = F.col("value")
     cov = F.avg(t * v).over(w) - F.avg(t).over(w) * F.avg(v).over(w)
     var = F.avg(t * t).over(w) - F.avg(t).over(w) * F.avg(t).over(w)
@@ -500,3 +502,111 @@ def resets_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def stdvar_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL stdvar_over_time(v[w]): population variance over the
+    trailing window — FunctionType.STDVAR_OVER_TIME."""
+    w = _range_frame(sf, window_ms)
+    v = F.col("value")
+    df = sf.df.withColumn("value", F.avg(v * v).over(w) - F.avg(v).over(w) ** 2)
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def predict_linear(sf: SeriesFrame, window_ms: int, ahead_s: float) -> SeriesFrame:
+    """PromQL predict_linear(v[w], t): least-squares extrapolation of each
+    trailing window to ``t`` seconds past the evaluation timestamp —
+    FunctionType.PREDICT_LINEAR. Same window-moment algebra as deriv():
+    slope = cov(t,v)/var(t), value = mean(v) + slope·(t_pred − mean(t)) —
+    four windowed averages, all Catalyst partial aggregation, no UDF.
+    Timestamps centered on min_ts (see deriv_over_time)."""
+    w = _range_frame(sf, window_ms)
+    t = (F.col("ts") - F.lit(sf.min_ts)) / F.lit(1000.0)
+    v = F.col("value")
+    mt, mv = F.avg(t).over(w), F.avg(v).over(w)
+    cov = F.avg(t * v).over(w) - mt * mv
+    var = F.avg(t * t).over(w) - mt * mt
+    slope = F.when(var == 0, F.lit(float("nan"))).otherwise(cov / var)
+    t_pred = t + F.lit(float(ahead_s))
+    df = sf.df.withColumn("value", mv + slope * (t_pred - mt))
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def holt_winters(
+    sf: SeriesFrame, window_ms: int, sf_factor: float, tf_factor: float
+) -> SeriesFrame:
+    """PromQL holt_winters(v[w], sf, tf): double exponential smoothing of
+    the trailing window, reporting the final smoothed level —
+    FunctionType.HOLT_WINTERS.
+
+    The recurrence (level/trend fold over the window's samples) is
+    inherently sequential, but the window is small and bounded, so it runs
+    as a Catalyst ``aggregate`` (fold) over the collected window array —
+    still JVM-side codegen, no Python UDF, and the shuffle profile is
+    identical to any other window function (one sort per series
+    partition)."""
+    w = _range_frame(sf, window_ms)
+    df = sf.df.withColumn(
+        "__win", F.collect_list(F.struct(F.col("ts"), F.col("value"))).over(w)
+    )
+    # fold state: (level, trend, idx); seed from the first two samples as
+    # in Prometheus's implementation (s0=x0, b0=x1-x0)
+    s, t = float(sf_factor), float(tf_factor)
+    fold = F.expr(
+        f"""
+        CASE WHEN size(__win) < 2 THEN CAST('NaN' AS DOUBLE) ELSE
+        aggregate(
+          slice(array_sort(__win), 2, size(__win)),
+          named_struct(
+            'level', CAST(array_sort(__win)[0].value AS DOUBLE),
+            'trend', CAST(array_sort(__win)[1].value - array_sort(__win)[0].value AS DOUBLE)
+          ),
+          (acc, x) -> named_struct(
+            'level', {s}D * x.value + (1.0D - {s}D) * (acc.level + acc.trend),
+            'trend', {t}D * (({s}D * x.value + (1.0D - {s}D) * (acc.level + acc.trend)) - acc.level)
+                     + (1.0D - {t}D) * acc.trend
+          ),
+          acc -> acc.level
+        ) END
+        """
+    )
+    out = df.withColumn("value", fold).select(*SAMPLE_COLS)
+    return sf.with_df(out)
+
+
+def absent_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL absent_over_time(v[w]): 1 at each grid step whose trailing
+    window contains no sample from ANY series; empty elsewhere —
+    FunctionType.ABSENT_OVER_TIME.
+
+    Distributed shape: each distinct sample timestamp covers the grid
+    points in [ts, ts+w) — explode that coverage (bounded fan-out of
+    w/step per sample), distinct, and anti-join the dense grid. All
+    row counts here are tiny (grid-sized), so every stage is cheap at
+    any data scale."""
+    window_ms = int(window_ms)
+    spark = sf.df.sparkSession
+    grid = spark.range(sf.min_ts, sf.max_ts, sf.step).withColumnRenamed("id", "ts")
+    covered = (
+        sf.df.select("ts")
+        .distinct()
+        .select(
+            F.explode(
+                F.sequence(
+                    F.col("ts"),
+                    F.col("ts") + F.lit(window_ms - sf.step),
+                    F.lit(sf.step),
+                )
+            ).alias("ts")
+        )
+        .distinct()
+    )
+    absent = grid.join(covered, "ts", "left_anti")
+    out = absent.select(
+        F.lit("").alias("series_key"),
+        F.create_map().cast("map<string,string>").alias("labels"),
+        F.lit(None).cast("string").alias("alias"),
+        F.col("ts").cast("long").alias("ts"),
+        F.lit(1.0).alias("value"),
+    ).select(*SAMPLE_COLS)
+    return sf.with_df(out)
