@@ -65,6 +65,21 @@ def series_key_expr(labels_col: Column = None) -> Column:
     )
 
 
+def labels_from_key_expr(key_col: Column) -> Column:
+    """Inverse of :func:`series_key_expr`: rebuild the label map from the
+    canonical ``k:v,k2:v2`` key. Lossless while keys contain neither ``:``
+    nor ``,`` (``str_to_map`` splits each pair at the FIRST colon, so
+    *values* may contain colons) — the same identity contract the
+    reference's packed ``ByteLabels`` carries (core/model/ByteLabels
+    .java:49). Lets aggregations group on the string key with primitive
+    buffers (HashAggregate) and recover labels afterwards, instead of
+    dragging a map-typed ``first(labels)`` buffer through SortAggregate.
+    """
+    return F.when(
+        key_col == "", F.create_map().cast("map<string,string>")
+    ).otherwise(F.str_to_map(key_col, F.lit(_PAIR_SEP), F.lit(_KV_SEP)))
+
+
 def labels_subset_expr(keys: list[str], labels_col: Column = None) -> Column:
     """Map containing only ``keys`` — used by grouping stages where only the
     group-by labels survive into output labels (AbstractGroupingStage.java:69-75)."""
@@ -118,8 +133,10 @@ class SeriesFrame:
     def distinct_series(self) -> DataFrame:
         """One row per series identity (series_key, labels, alias)."""
         return (
-            self.df.groupBy("series_key")
-            .agg(F.first("labels").alias("labels"), F.first("alias").alias("alias"))
+            self.df.select("series_key", "alias")
+            .distinct()
+            .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+            .select("series_key", "labels", "alias")
         )
 
     def rekey(self) -> "SeriesFrame":
@@ -138,13 +155,10 @@ def align_to_grid(df: DataFrame, step: int, ts_col: str = "ts",
     """
     keyed = df.withColumn("__grid_ts", F.col(ts_col) - (F.col(ts_col) % F.lit(step)))
     out = (
-        keyed.groupBy("series_key", "__grid_ts")
-        .agg(
-            F.first("labels").alias("labels"),
-            F.first("alias").alias("alias"),
-            F.expr(f"max_by(value, {order_col or ts_col})").alias("value"),
-        )
+        keyed.groupBy("series_key", "alias", "__grid_ts")
+        .agg(F.expr(f"max_by(value, {order_col or ts_col})").alias("value"))
         .withColumnRenamed("__grid_ts", "ts")
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
         .select(*SAMPLE_COLS)
     )
     return out

@@ -34,6 +34,12 @@ def _match_cols(df, keys: list[str] | None, side: str):
 
 
 def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
+    from time_series_db_spark.operators.normalize import aligned, normalize_frames
+
+    if not aligned(left, right):
+        # mixed-step sides → common grid first (TimeSeriesNormalizer.java:66;
+        # MAX step + TYPE_AWARE, the coordinator's defaults)
+        left, right = normalize_frames([left, right])
     lf, rf = left.df, right.df
     if keys:
         lf = lf.filter(has_all_keys_expr(keys))
@@ -47,7 +53,7 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
     on = [lcols[f"__mk_{i}"] == rcols[f"__mk_{i}"] for i in range(len(keys) if keys else 1)]
     on.append(lcols["ts"] == rcols["__rts"])
     joined = lcols.join(rcols, on=on, how="inner")
-    return joined
+    return joined, left
 
 
 def _projected(left: SeriesFrame, joined, value_expr) -> SeriesFrame:
@@ -58,7 +64,7 @@ def _projected(left: SeriesFrame, joined, value_expr) -> SeriesFrame:
 def divide(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
     """L/R per aligned timestamp; NaN if the denominator is 0 or either side
     NaN — DivideStage.java:36 (NaN rules javadoc :1-12)."""
-    joined = _binary_join(left, right, keys)
+    joined, left = _binary_join(left, right, keys)
     expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
         F.col("value") / F.col("__rvalue")
     )
@@ -67,13 +73,13 @@ def divide(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None)
 
 def subtract(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
     """L−R — SubtractStage.java:30 (Java double semantics: NaN propagates)."""
-    joined = _binary_join(left, right, keys)
+    joined, left = _binary_join(left, right, keys)
     return _projected(left, joined, F.col("value") - F.col("__rvalue"))
 
 
 def as_percent(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
     """100·L/R, output tagged ``type:ratios`` — AsPercentStage.java:28."""
-    joined = _binary_join(left, right, keys)
+    joined, left = _binary_join(left, right, keys)
     expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
         F.lit(100.0) * F.col("value") / F.col("__rvalue")
     )

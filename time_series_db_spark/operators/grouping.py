@@ -23,6 +23,7 @@ from time_series_db_spark.model import (
     SAMPLE_COLS,
     SeriesFrame,
     has_all_keys_expr,
+    labels_from_key_expr,
     labels_subset_expr,
     series_key_expr,
 )
@@ -54,12 +55,17 @@ def _grouped(
             F.create_map().cast("map<string,string>"),
         )
     df = df.withColumn("__gkey", series_key_expr(F.col("__glabels")))
+    # No map column rides through the aggregation: a map-typed buffer
+    # (first(labels)) forces SortAggregate; keeping the buffer primitive
+    # keeps Catalyst on HashAggregate with map-side partial aggregation.
+    # Labels are rebuilt from the canonical key (lossless: the key IS the
+    # packed identity, exactly the reference's ByteLabels contract).
     out = (
         df.groupBy("__gkey", "ts")
-        .agg(F.first("__glabels").alias("labels"), agg_expr.alias("value"))
+        .agg(agg_expr.alias("value"))
         .select(
             F.col("__gkey").alias("series_key"),
-            F.col("labels"),
+            labels_from_key_expr(F.col("__gkey")).alias("labels"),
             F.lit(None).cast("string").alias("alias"),
             F.col("ts"),
             F.col("value").cast(value_type).alias("value"),
@@ -288,7 +294,6 @@ def histogram_percentile(
         .withColumn("__gkey", series_key_expr(F.col("__glabels")))
         .groupBy("__gkey", "ts")
         .agg(
-            F.first("__glabels").alias("labels"),
             F.array_sort(
                 F.collect_list(
                     F.struct(
@@ -298,6 +303,7 @@ def histogram_percentile(
                 )
             ).alias("__pairs"),
         )
+        .withColumn("labels", labels_from_key_expr(F.col("__gkey")))
     )
     total = F.aggregate(
         F.col("__pairs"), F.lit(0.0), lambda acc, x: acc + x.getField("value")
@@ -459,12 +465,12 @@ def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
         .withColumn("__gkey", series_key_expr(F.col("__glabels")))
         .groupBy("__gkey", "ts")
         .agg(
-            F.first("__glabels").alias("labels"),
             F.array_sort(
                 F.collect_list(F.struct(F.col("__le").alias("le"),
                                         F.col("value").alias("cnt")))
             ).alias("__bk"),
         )
+        .withColumn("labels", labels_from_key_expr(F.col("__gkey")))
     )
     # Prometheus bucketQuantile: rank = φ·total; walk cumulative buckets.
     value = F.expr(

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame
+from time_series_db_spark.model import (
+    SAMPLE_COLS,
+    SeriesFrame,
+    labels_from_key_expr,
+)
 
 NAN = float("nan")
 
@@ -41,10 +45,16 @@ def _packed(sf: SeriesFrame):
     it, pipelined in codegen. (ts, value) is unique per series by the fetch
     grid-alignment contract, so map_from_entries cannot collide.
     """
-    return sf.df.groupBy("series_key").agg(
-        F.first("labels").alias("labels"),
-        F.first("alias").alias("alias"),
-        F.map_from_entries(F.collect_list(F.struct("ts", "value"))).alias("__m"),
+    # alias rides in the group key (constant per series) and labels are
+    # rebuilt from the canonical key — no map/string aggregation buffer, so
+    # Catalyst keeps Object/HashAggregate instead of SortAggregate, and the
+    # shuffle no longer carries the label map at all.
+    return (
+        sf.df.groupBy("series_key", "alias")
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("ts", "value"))).alias("__m")
+        )
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
     )
 
 
@@ -105,16 +115,13 @@ def keep_last_value(sf: SeriesFrame, lookback_ms: int | None = None) -> SeriesFr
         )
         df = (
             sf.df.select(
-                "series_key", "labels", "alias",
+                "series_key", "alias",
                 F.col("ts").alias("__fill_ts"), "value",
                 F.explode(targets).alias("ts"),
             )
-            .groupBy("series_key", "ts")
-            .agg(
-                F.first("labels").alias("labels"),
-                F.first("alias").alias("alias"),
-                F.expr("max_by(value, __fill_ts)").alias("value"),
-            )
+            .groupBy("series_key", "alias", "ts")
+            .agg(F.expr("max_by(value, __fill_ts)").alias("value"))
+            .withColumn("labels", labels_from_key_expr(F.col("series_key")))
             .select(*SAMPLE_COLS)
         )
         return sf.with_df(df)
@@ -283,13 +290,10 @@ def summarize(
         }[fn]
     df = (
         sf.df.withColumn("__bucket", bucket)
-        .groupBy("series_key", "__bucket")
-        .agg(
-            F.first("labels").alias("labels"),
-            F.first("alias").alias("alias"),
-            agg.alias("value"),
-        )
+        .groupBy("series_key", "alias", "__bucket")
+        .agg(agg.alias("value"))
         .withColumnRenamed("__bucket", "ts")
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
         .withColumn("value", F.col("value").cast("double"))
         .select(*SAMPLE_COLS)
     )

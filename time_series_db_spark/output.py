@@ -45,16 +45,20 @@ def _fmt(v: float) -> str:
 
 def matrix_frame(sf: SeriesFrame) -> DataFrame:
     """One row per series: labels, alias, sorted (ts, value) sample array."""
+    from time_series_db_spark.model import labels_from_key_expr
+
     aggs = [
-        F.first("labels").alias("labels"),
-        F.first("alias").alias("alias"),
         F.sort_array(
             F.collect_list(F.struct(F.col("ts"), F.col("value")))
         ).alias("samples"),
     ]
     if sf.ordered_by:
         aggs += [F.first(c).alias(c) for c in sf.ordered_by]
-    return sf.df.groupBy("series_key").agg(*aggs)
+    return (
+        sf.df.groupBy("series_key", "alias")
+        .agg(*aggs)
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+    )
 
 
 def to_matrix(sf: SeriesFrame) -> dict[str, Any]:

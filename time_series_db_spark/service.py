@@ -1,0 +1,123 @@
+"""Query service facade — the REST entry points as Python API.
+
+Mirrors the reference's three query surfaces (SURVEY.md §2.3):
+
+- ``m3ql_query_range``  ≈ ``GET/POST /_m3ql`` (query/rest/RestM3QLAction
+  .java:116,132-145): params ``query``, ``start`` (default now−5m),
+  ``end`` (default now), ``step`` (default 10000 ms, the reference's
+  ``index.tsdb_engine.lang.m3.default_step_size`` default), ``explain``.
+- ``promql_query_range`` ≈ ``GET/POST /_promql/query_range``
+  (RestPromQLAction.java:104).
+- ``tsdb_stats``        ≈ ``GET/POST /_tsdb/stats`` (RestTSDBStatsAction
+  .java) with ``include`` sections headStats / labelStats / valueStats.
+
+Both query surfaces return the Prometheus matrix response dict
+(PromMatrixResponseListener format — output.py). ``explain=True``
+returns Spark's formatted physical plan instead of results — the
+analog of the reference's ``explain`` translate-only parameter, except
+ours shows the *optimized* physical plan Catalyst will run.
+
+The ``pushdown`` toggle has no equivalent knob: stage pushdown is
+Catalyst's partial aggregation / predicate pushdown, which is not
+user-disableable (and never changes results; the reference exposes the
+flag only for its own differential testing, SURVEY.md §5 layer 4 — our
+differential gate is the DuckDB oracle instead).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from time_series_db_spark.output import to_matrix
+
+DEFAULT_STEP_MS = 10_000  # RestM3QLAction default step (params javadoc :1-70)
+DEFAULT_LOOKBACK_MS = 5 * 60_000  # start default: now-5m
+
+
+def _resolve_times(
+    start: int | None, end: int | None, now_ms: int | None
+) -> tuple[int, int]:
+    now = now_ms if now_ms is not None else int(time.time() * 1000)
+    e = end if end is not None else now
+    s = start if start is not None else e - DEFAULT_LOOKBACK_MS
+    if s >= e:
+        raise ValueError(f"start ({s}) must precede end ({e})")
+    return s, e
+
+
+def m3ql_query_range(
+    source,
+    query: str,
+    start: int | None = None,
+    end: int | None = None,
+    step: int = DEFAULT_STEP_MS,
+    *,
+    explain: bool = False,
+    now_ms: int | None = None,
+) -> dict[str, Any] | str:
+    """Execute an M3QL pipeline query over ``source`` and return the
+    matrix response (or the physical plan when ``explain``)."""
+    from time_series_db_spark.lang.m3.builder import execute
+
+    s, e = _resolve_times(start, end, now_ms)
+    sf = execute(query, source, s, e, step)
+    if explain:
+        return sf.df._sc._jvm.PythonSQLUtils.explainString(
+            sf.df._jdf.queryExecution(), "formatted"
+        )
+    return to_matrix(sf)
+
+
+def promql_query_range(
+    source,
+    query: str,
+    start: int | None = None,
+    end: int | None = None,
+    step: int = DEFAULT_STEP_MS,
+    *,
+    explain: bool = False,
+    now_ms: int | None = None,
+) -> dict[str, Any] | str:
+    """Execute a PromQL query_range over ``source`` → matrix response."""
+    from time_series_db_spark.lang.prom.builder import execute
+
+    s, e = _resolve_times(start, end, now_ms)
+    sf = execute(query, source, s, e, step)
+    if explain:
+        return sf.df._sc._jvm.PythonSQLUtils.explainString(
+            sf.df._jdf.queryExecution(), "formatted"
+        )
+    return to_matrix(sf)
+
+
+def tsdb_stats(
+    sf, include: tuple[str, ...] = ("headStats", "labelStats", "valueStats")
+) -> dict[str, Any]:
+    """Stats over a SeriesFrame, shaped like the reference's grouped
+    format (InternalTSDBStats sections)."""
+    from time_series_db_spark.operators import stats as S
+
+    out: dict[str, Any] = {}
+    if "headStats" in include:
+        r = S.head_stats(sf).first()
+        out["headStats"] = {
+            "numSeries": r["num_series"],
+            "numSamples": r["num_samples"],
+            "minTimestamp": r["min_timestamp"],
+            "maxTimestamp": r["max_timestamp"],
+        }
+    if "labelStats" in include:
+        out["labelStats"] = {
+            r["label"]: r["cardinality"] for r in S.label_stats(sf).collect()
+        }
+    if "valueStats" in include:
+        r = S.value_stats(sf).first()
+        out["valueStats"] = {
+            "numValues": r["num_values"],
+            "numNaN": r["num_nan"],
+            "min": r["min_value"],
+            "max": r["max_value"],
+            "avg": r["avg_value"],
+        }
+    return out

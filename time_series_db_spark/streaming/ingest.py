@@ -193,8 +193,11 @@ def read_metrics(
         )
     if max_ts is not None:
         df = df.filter((F.col("block") < F.lit(max_ts)) & (F.col("ts") < F.lit(max_ts)))
+    from time_series_db_spark.model import labels_from_key_expr
+
     return (
         df.groupBy("series_key", "ts")
-        .agg(F.first("labels").alias("labels"), F.first("value").alias("value"))
+        .agg(F.first("value").alias("value"))
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
         .select("series_key", "labels", "ts", "value")
     )
