@@ -406,3 +406,43 @@ def mm_sample_frames(spark, sf_dir):
     """1→N frame-sampling plumbing via mapInPandas (stub keyframe logic)."""
     media = multimodal.documents_as_media(_docs(spark, sf_dir), media_type="video")
     return multimodal.sample_frames(media)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH e AS ({_SQL_E}),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.v', 'c.cv')} DESC, c.cid
+             ) AS pr
+      FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE pr = 1),
+    qcells AS (
+      SELECT vec_id, v, cid AS cell FROM assign
+      WHERE pr <= 2 AND vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM qcells q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM cand)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (nlist=16, nprobe=2): coarse-quantized candidate cells
+    + exact in-cell re-rank — the third similarity-search tier next to the
+    brute-force baseline and the LSH-bucketed path."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.ivf_topk(embs, queries, k=5, nlist=16, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )
