@@ -218,6 +218,27 @@ def m3_timeshift(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @register(
+    "m3_value_filter_eq",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE abs(value - 4.29) < 1e-9""",
+)
+def m3_value_filter_eq(spark, sf_dir):
+    """eq with FP tolerance — ValueFilterStage.java:59 (javadoc :1-18:
+    equality uses a relative-epsilon compare, not bitwise ==)."""
+    return _out(filters.value_filter(_fetch(spark, sf_dir), "eq", 4.29))
+
+
+@register(
+    "m3_value_filter_ne",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE NOT (abs(value - 4.29) < 1e-9)""",
+)
+def m3_value_filter_ne(spark, sf_dir):
+    """ne — the negated tolerant equality (surface names Constants.java:337-402)."""
+    return _out(filters.value_filter(_fetch(spark, sf_dir), "ne", 4.29))
+
+
+@register(
     "m3_value_filter_ge",
     f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples WHERE value >= 100.0",
 )
@@ -512,6 +533,11 @@ def m3_moving_avg(spark, sf_dir):
     return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "avg"))
 
 
+@register("m3_moving_min", _moving_oracle("min(value)"))
+def m3_moving_min(spark, sf_dir):
+    return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "min"))
+
+
 @register("m3_moving_max", _moving_oracle("max(value)"))
 def m3_moving_max(spark, sf_dir):
     return _out(windows.moving(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, "max"))
@@ -711,6 +737,20 @@ def m3_fallback_series(spark, sf_dir):
     left = filters.value_filter(_fetch(spark, sf_dir), "gt", 1e15)
     right = _fetch(spark, sf_dir)
     return _out(binary.fallback_series(left, right))
+
+
+@register(
+    "m3_fallback_constant",
+    f"""SELECT 42.0::DOUBLE AS value, gs AS ts
+    FROM generate_series({EVENTS_MIN_TS}, {EVENTS_MAX_TS - DEFAULT_STEP_MS},
+                         {DEFAULT_STEP_MS}) t(gs)""",
+)
+def m3_fallback_constant(spark, sf_dir):
+    """fallbackSeries 42 (unary) — empty input falls back to one constant
+    dense series on the query grid — FallbackSeriesUnaryStage.java:40."""
+    empty = filters.value_filter(_fetch(spark, sf_dir), "gt", 1e15)
+    sf = binary.fallback_constant(empty, 42.0)
+    return sf.df.select(F.col("value"), F.col("ts"))
 
 
 # ---------------------------------------------------------------------------
