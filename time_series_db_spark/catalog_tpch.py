@@ -48,9 +48,10 @@ def tpch_q1_pricing(spark, sf_dir):
     (map-side combine) means the shuffle carries 4 groups, not 600k rows."""
     from time_series_db_spark.catalog import quant
 
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
-    )
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": (None, "1998-09-03")},  # pushdown hint
+    ).filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
     ep, disc, tax, qty = (
         F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax"), F.col("l_quantity"),
     )
@@ -90,12 +91,12 @@ def tpch_q3_shipping(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
     )
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
-    )
-    li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
-    )
+    orders = load_table(
+        spark, sf_dir, "orders", ts_range={"o_orderdate": (None, "1998-03-15")}
+    ).filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = load_table(
+        spark, sf_dir, "lineitem", ts_range={"l_shipdate": ("1998-03-15", None)}
+    ).filter(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
     joined = li.join(
         orders, F.col("l_orderkey") == F.col("o_orderkey")
     ).join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -128,7 +129,10 @@ def tpch_q5_local_volume(spark, sf_dir):
     """Q5 local-supplier volume: five-way join; every dimension side is
     broadcast so the only shuffle is lineitem↔orders."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").filter(
+    o = load_table(
+        spark, sf_dir, "orders",
+        ts_range={"o_orderdate": ("1996-01-01", "1998-01-01")},
+    ).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
     )
@@ -164,7 +168,10 @@ def tpch_q5_local_volume(spark, sf_dir):
 def tpch_q6_forecast(spark, sf_dir):
     """Q6 revenue forecast: pure scan+filter+scalar agg — every predicate
     pushes into the parquet scan (PushedFilters), zero shuffle."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": ("1996-01-01", "1997-01-01")},
+    )
     return li.filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))

@@ -50,12 +50,43 @@ _TS_COLS = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _date_ns(date: str) -> int:
+    """'YYYY-MM-DD' → epoch nanos (UTC midnight)."""
+    import datetime
+
+    d = datetime.datetime.strptime(date, "%Y-%m-%d").replace(
+        tzinfo=datetime.timezone.utc
+    )
+    return int(d.timestamp()) * 1_000_000_000
+
+
+def load_table(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    ts_range: dict[str, tuple[str | None, str | None]] | None = None,
+) -> DataFrame:
+    """Load one table; timestamp columns come back as TimestampType.
+
+    ``ts_range={'col': (lo_date, hi_date)}`` applies ``lo <= col < hi``
+    (either bound optional) against the RAW int64 nanos column *before*
+    the timestamp conversion — the predicate then reaches the parquet scan
+    (PushedFilters) and prunes row groups by min/max stats. Filtering the
+    converted column instead wraps it in timestamp_micros(...) and pushes
+    nothing (SURVEY.md §4.1 rows 2-3).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c, (lo, hi) in (ts_range or {}).items():
+        if dtypes.get(c) == "bigint":
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(_date_ns(lo)))
+            if hi is not None:
+                df = df.filter(F.col(c) < F.lit(_date_ns(hi)))
     for c in _TS_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros((F.col(c) / 1000).cast("long")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
 
 
@@ -72,17 +103,31 @@ def fetch_events(
     Scan → optional label predicate (pushed down) → grid alignment with
     deterministic LWW (max event_id per bucket) → SeriesFrame.
     """
-    ev = load_table(spark, sf_dir, "events")
-    samples = ev.select(
-        F.col("event_type").alias("name"),
-        F.col("user_id").cast("string").alias("user"),
-        F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string")).alias("region"),
-        F.concat(F.lit("r"), (F.col("user_id") % 2).cast("string")).alias("shard"),
-        F.unix_millis("ts").alias("raw_ts"),
-        F.col("event_id"),
-        F.col("value"),
-    ).filter(
-        (F.col("raw_ts") >= F.lit(min_ts)) & (F.col("raw_ts") < F.lit(max_ts))
+    # Read the raw TIMESTAMP(NANOS)-as-BIGINT column and filter on it
+    # BEFORE any conversion: a range predicate on the bare int64 column is
+    # pushed into the parquet scan (PushedFilters: GreaterThanOrEqual/
+    # LessThan on ts) and prunes row groups via min/max stats — the
+    # reference's TimeRangePruningQuery segment skip (SURVEY.md §4.1 row 3).
+    # Wrapping the column in unix_millis(timestamp_micros(...)) first would
+    # reduce the pushdown to IsNotNull and scan every row group.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    samples = (
+        ev.filter(
+            (F.col("ts") >= F.lit(min_ts * 1_000_000))
+            & (F.col("ts") < F.lit(max_ts * 1_000_000))
+        )
+        .select(
+            F.col("event_type").alias("name"),
+            F.col("user_id").cast("string").alias("user"),
+            F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string")).alias("region"),
+            F.concat(F.lit("r"), (F.col("user_id") % 2).cast("string")).alias("shard"),
+            # integer division: exact (long/long division via `div`), no
+            # double round-trip on 1e18-scale nanos
+            F.expr("ts div 1000000").alias("raw_ts"),
+            F.col("event_id"),
+            F.col("value"),
+        )
     )
     if where is not None:
         samples = samples.filter(where)
