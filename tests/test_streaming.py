@@ -227,3 +227,98 @@ def test_matrix_respects_topk_order(spark, sf_dir):
     assert len(res) == 3
     sums = [sum(float(v) for _, v in r["values"] if v != "NaN") for r in res]
     assert sums == sorted(sums, reverse=True)
+
+
+def test_ooo_cutoff_drops_late_data(spark, tmp_path):
+    """The watermark enforces the ooo cutoff across restarts: a sample
+    arriving more than the cutoff behind the observed max event time is
+    dropped (TSDBOutOfOrderException analog, TSDBPlugin.java:293).
+
+    dropDuplicatesWithinWatermark evicts state older than the watermark;
+    late rows beyond it are filtered by the dedup operator's pre-filter.
+    The watermark persists in the checkpoint, so the second availableNow
+    run starts with watermark = maxEventTime(batch1) - cutoff.
+    """
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "metrics")
+    # batch 1 advances event time to T0+10h; watermark becomes T0+9h
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                _doc("name cpu", T0, 1.0),
+                _doc("name cpu", T0 + 10 * H, 2.0),
+            ]
+        )
+    )
+    q = start_ingest(spark, str(src), table, ooo_cutoff="1 hour", available_now=True)
+    q.awaitTermination(120)
+
+    # batch 2: one fresh sample, one 10h-late sample (before the watermark)
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                _doc("name cpu", T0 + 11 * H, 3.0),
+                _doc("name cpu", T0 + 1 * H, 99.0),  # late beyond cutoff
+            ]
+        )
+    )
+    q = start_ingest(spark, str(src), table, ooo_cutoff="1 hour", available_now=True)
+    q.awaitTermination(120)
+
+    got = {r["ts"]: r["value"] for r in spark.read.parquet(table).collect()}
+    assert got[T0 + 11 * H] == 3.0
+    assert T0 + 1 * H not in got  # late sample dropped by the cutoff
+    # batch-1 rows intact
+    assert got[T0] == 1.0 and got[T0 + 10 * H] == 2.0
+
+
+def test_service_facade(spark, sf_dir):
+    """m3ql/promql query_range + stats — the REST surface as Python API."""
+    import json as _json
+
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, sf_dir)
+    end = EVENTS_MIN_TS + 24 * DEFAULT_STEP_MS
+
+    m = service.m3ql_query_range(
+        src, "fetch name:error | sum region",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+    )
+    assert m["status"] == "success"
+    assert m["data"]["resultType"] == "matrix"
+    assert all(set(r["metric"]) == {"region"} for r in m["data"]["result"])
+    assert _json.dumps(m)
+
+    p = service.promql_query_range(
+        src, 'sum by (region) (error)',
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+    )
+    # same query, two languages → same series set and values
+    assert {tuple(sorted(r["metric"].items())) for r in p["data"]["result"]} == {
+        tuple(sorted(r["metric"].items())) for r in m["data"]["result"]
+    }
+    mv = {r["metric"]["region"]: r["values"] for r in m["data"]["result"]}
+    pv = {r["metric"]["region"]: r["values"] for r in p["data"]["result"]}
+    assert mv == pv
+
+    plan = service.m3ql_query_range(
+        src, "fetch name:error | sum region",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS, explain=True,
+    )
+    assert "Physical Plan" in plan
+
+    st = service.tsdb_stats(fetch_events(spark, sf_dir))
+    assert st["headStats"]["numSeries"] > 0
+    assert set(st["labelStats"]) == {"name", "user", "region", "shard"}
+    assert st["valueStats"]["numValues"] == st["headStats"]["numSamples"]
+
+    # default time window (now-5m) resolves and validates
+    try:
+        service.m3ql_query_range(src, "fetch name:error", start=5, end=3)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
