@@ -1,0 +1,84 @@
+"""Distribution-invariance: results must not depend on partitioning.
+
+SURVEY.md §5 layer 5: the reference's multi-shard/multi-node cluster tests
+reduce, on Spark, to "identical results under any
+``spark.sql.shuffle.partitions`` and any input split" — the Spark analogs
+of shard count and doc routing. One parameterized sweep over a
+representative operator per family.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from time_series_db_spark.operators import binary, grouping, ordering, windows
+from time_series_db_spark.sources import DEFAULT_STEP_MS, fetch_events
+
+
+def _op_sum(sf):
+    return grouping.sum_(sf, ["name", "region"], exact=True)
+
+
+def _op_percentile(sf):
+    return grouping.percentile_of_series(sf, [50.0], ["name"])
+
+
+def _op_moving(sf):
+    return windows.moving(sf, 3 * DEFAULT_STEP_MS, "avg")
+
+
+def _op_keep_last(sf):
+    return windows.keep_last_value(sf)
+
+
+def _op_divide(sf):
+    return binary.divide(sf, grouping.sum_(sf, ["name"], exact=True), keys=["name"])
+
+
+def _op_topk(sf):
+    return ordering.top_k(sf, 5, "avg", descending=True)
+
+
+OPS = {
+    "grouped_sum": _op_sum,
+    "percentile": _op_percentile,
+    "moving_avg": _op_moving,
+    "keep_last_value": _op_keep_last,
+    "binary_divide": _op_divide,
+    "topk": _op_topk,
+}
+
+
+def _rows(sf):
+    out = []
+    for r in sf.df.collect():
+        v = r["value"]
+        if isinstance(v, float) and not math.isnan(v):
+            v = round(v, 9)
+        out.append((r["series_key"], r["ts"], repr(v)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("op_name", sorted(OPS))
+def test_partitioning_invariance(spark, sf_dir, op_name):
+    op = OPS[op_name]
+    base = fetch_events(spark, sf_dir)
+
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        reference = _rows(op(base))
+
+        # shard-count analog: different shuffle parallelism
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert _rows(op(base)) == reference
+
+        # doc-routing analog: arbitrary input splits
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        scrambled = base.with_df(base.df.repartition(17, F.col("ts")))
+        assert _rows(op(scrambled)) == reference
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)

@@ -446,3 +446,23 @@ def ann_ivf_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
     )
+
+
+@register(
+    "mm_audio_features",
+    """SELECT doc_id AS media_id,
+           16000::BIGINT AS sample_rate,
+           strlen(text)::BIGINT AS n_samples,
+           (strlen(text) * 1000 // 16000)::BIGINT AS duration_ms,
+           (list_reduce(list_prepend(0::BIGINT,
+              [(ascii(c) * ascii(c))::BIGINT for c in split(text, '')]),
+              (a, x) -> a + x) // strlen(text))::BIGINT AS rms_q
+    FROM documents WHERE strlen(text) > 0""",
+)
+def mm_audio_features(spark, sf_dir):
+    """Audio feature extraction over opaque binary payloads (deterministic
+    fake PCM decode — the codec slot is a documented stub, the
+    mapInPandas schema/batch plumbing is real). Completes the
+    image/video/audio modality trio."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir), media_type="audio")
+    return multimodal.extract_audio_features(media)

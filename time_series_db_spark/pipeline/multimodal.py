@@ -147,3 +147,52 @@ def sample_frames(
             )
 
     return media.select("media_id", "content").mapInPandas(_sample, FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_q", LongType()),
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
+    """Audio feature extraction (sample rate / duration / quantized RMS)
+    via Arrow-batched ``mapInPandas`` — the audio analog of
+    :func:`decode_image_meta`.
+
+    ``decode_fn="fake"`` treats the payload as 16 kHz 8-bit PCM and
+    computes an integer RMS proxy (sum of squared bytes div n, integer
+    math so the DuckDB oracle can mirror it exactly); ``decode_fn=
+    "librosa"`` raises at the codec slot-in point.
+    """
+    if decode_fn == "librosa":
+        raise NotImplementedError(
+            "real audio decoding requires librosa/ffmpeg, not present in "
+            "this container — slot the codec in here"
+        )
+    if decode_fn != "fake":
+        raise ValueError(f"unknown decode_fn: {decode_fn}")
+
+    RATE = 16_000
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                n = len(payload)
+                sq = sum(b * b for b in payload)
+                rows.append(
+                    (mid, RATE, n, n * 1000 // RATE, sq // n if n else 0)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_samples",
+                         "duration_ms", "rms_q"],
+            ).astype("int64")
+
+    return media.select("media_id", "content").mapInPandas(_extract, AUDIO_SCHEMA)
