@@ -30,10 +30,15 @@ BENCH_QUERIES = [
     "m3_divide",
     "m3_topk",
     "m3_percentile_of_series",
+    "m3ql_macros_binary",      # full language path: parse → plan → build
+    "promql_sum_by_rate",      # PromQL language path
+    "stats_labels",            # stats API (count-distinct)
     "dedup_exact",
     "dedup_minhash_lsh",
     "text_quality",
     "ann_cosine_topk",
+    "ann_ivf_topk",            # cell-pruned ANN
+    "mm_audio_features",       # mapInPandas (Arrow) path
     "tpch_q1_pricing",
     "tpch_q3_shipping",
 ]

@@ -240,3 +240,31 @@ def m3ql_alias_sort_head(spark, sf_dir):
         F.col("ts"),
         quant(F.col("value")).alias("value"),
     )
+
+
+@register(
+    "m3ql_macros_binary",
+    f"""{PRELUDE},
+    e AS (SELECT region, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+          FROM samples WHERE name = 'error' GROUP BY 1, 2),
+    c AS (SELECT region, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+          FROM samples WHERE name = 'click' GROUP BY 1, 2)
+    SELECT e.region, e.ts,
+           {sql_quant("CASE WHEN c.v = 0 THEN 'NaN'::DOUBLE ELSE 100.0 * e.v / c.v END")} AS value
+    FROM e JOIN c ON e.region = c.region AND e.ts = c.ts""",
+)
+def m3ql_macros_binary(spark, sf_dir):
+    """Macro definitions (named sub-pipelines, ``name = pipeline;``) feeding
+    a binary stage — the reference's coordinator macro evaluation
+    (TimeSeriesCoordinatorAggregator.java:55 javadoc; parser golden 20
+    shape). Each macro body is built once and reused by reference — the
+    Python-object CSE that replaces cacheableUnfoldReferences + CopyStage
+    (SourceBuilderVisitor.java:372-395).
+    """
+    sf = run_m3ql(
+        spark, sf_dir,
+        "e = fetch name:error | sumSeries region;"
+        "c = fetch name:click | sumSeries region;"
+        "e | asPercent(c) region",
+    )
+    return _flat(sf, ["region"])
