@@ -268,3 +268,97 @@ def m3ql_macros_binary(spark, sf_dir):
         "e | asPercent(c) region",
     )
     return _flat(sf, ["region"])
+
+
+# ---------------------------------------------------------------------------
+# Beyond the reference: functions in its known-but-unimplemented list
+# (common/Constants.java:39-76 — the parser accepts them, the planner
+# throws). This engine implements the tractable ones with their Graphite
+# semantics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m3ql_stdev_by",
+    f"""{PRELUDE}
+    SELECT region, ts,
+           {sql_quant('coalesce(stddev_pop(value), 0.0)')} AS value
+    FROM samples WHERE name = 'view' GROUP BY region, ts""",
+)
+def m3ql_stdev_by(spark, sf_dir):
+    """stdev (grouping population stddev) — Constants.java:69."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | stdev region")
+    return _flat(sf, ["region"])
+
+
+@register(
+    "m3ql_set_diff",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples
+    WHERE region = 'r1'
+      AND name NOT IN (SELECT DISTINCT name FROM samples WHERE name = 'error')""",
+)
+def m3ql_set_diff(spark, sf_dir):
+    """setDiff (label anti-join, the complement of intersect) —
+    Constants.java:67."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch region:r1 | setDiff(fetch name:error) name",
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_non_negative_derivative",
+    f"""{PRELUDE},
+    lagged AS (
+      SELECT {SQL_LBLS}, ts, value,
+             lag(value) OVER (PARTITION BY {SQL_LBLS} ORDER BY ts) AS pv,
+             lag(ts) OVER (PARTITION BY {SQL_LBLS} ORDER BY ts) AS pts
+      FROM samples WHERE name = 'view')
+    SELECT {SQL_LBLS}, ts, {sql_quant('value - pv')} AS value
+    FROM lagged
+    WHERE pts IS NOT NULL AND ts - pts = {DEFAULT_STEP_MS}
+      AND value - pv >= 0""",
+)
+def m3ql_non_negative_derivative(spark, sf_dir):
+    """nonNegativeDerivative (derivative, counter wraps dropped) —
+    Constants.java:62."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | nonNegativeDerivative")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_remove_above_percentile",
+    f"""{PRELUDE},
+    thr AS (
+      SELECT {SQL_LBLS}, quantile_cont(value, 0.9) AS t
+      FROM samples WHERE name = 'view' GROUP BY 1, 2, 3, 4)
+    SELECT s.name, s."user", s.region, s.shard, s.ts, {sql_quant('s.value')} AS value
+    FROM samples s
+    JOIN thr USING (name, "user", region, shard)
+    WHERE s.name = 'view' AND s.value <= thr.t""",
+)
+def m3ql_remove_above_percentile(spark, sf_dir):
+    """removeAbovePercentile 90 (per-series threshold) —
+    Constants.java:65."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | removeAbovePercentile 90")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_alias_sub",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, regexp_replace(name, '^err(.*)$', 'E\\1') AS alias,
+           ts, {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def m3ql_alias_sub(spark, sf_dir):
+    """aliasSub (regex + backrefs on the display alias) —
+    Constants.java:45."""
+    sf = run_m3ql(spark, sf_dir, 'fetch name:error | aliasSub "^err(.*)$" "E$1"')
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("alias"), F.col("ts"), quant(F.col("value")).alias("value"),
+    )

@@ -138,6 +138,7 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
             "SUM": grouping.sum_, "AVG": grouping.avg, "MIN": grouping.min_,
             "MAX": grouping.max_, "COUNT": grouping.count,
             "MULTIPLY": grouping.multiply, "RANGE": grouping.range_,
+            "STDDEV": grouping.stddev,
         }[node.agg_type]
         return fn(sf, node.tags)
 
@@ -154,6 +155,8 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
             return binary.intersect(left, right, keys=keys)
         if node.kind == "fallbackSeries":
             return binary.fallback_series(left, right)
+        if node.kind == "setDiff":
+            return binary.set_diff(left, right, keys=keys)
 
     if isinstance(node, P.MapperNode):
         k, p = node.kind, node.param
@@ -212,6 +215,12 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return windows.integral(sf, reset_on_gap=node.reset_on_null)
     if isinstance(node, P.ChangedNode):
         return windows.changed(sf)
+    if isinstance(node, P.NonNegativeDerivativeNode):
+        return windows.non_negative_derivative(sf)
+    if isinstance(node, P.RemovePercentileNode):
+        return filters.remove_percentile(sf, node.n, above=node.above)
+    if isinstance(node, P.AliasSubNode):
+        return labels_ops.alias_sub(sf, node.search, node.replace)
     if isinstance(node, P.KeepLastValueNode):
         lookback = P.parse_duration_ms(node.lookback) if node.lookback else None
         return windows.keep_last_value(sf, lookback_ms=lookback)

@@ -34,6 +34,9 @@ AGG_TYPES = {
     "multiply": "MULTIPLY", "multiplySeries": "MULTIPLY",
     "sum": "SUM", "sumSeries": "SUM",
     "range": "RANGE", "rangeOfSeries": "RANGE",
+    # beyond the reference: in its known-but-unimplemented list
+    # (common/Constants.java:69 — parser accepts, planner rejects)
+    "stdev": "STDDEV",
 }
 
 WINDOW_AGG_TYPES = {
@@ -182,6 +185,8 @@ class BinaryNode(PlanNode):
             return f"INTERSECT(tags={t})"
         if self.kind == "fallbackSeries":
             return "FALLBACK_SERIES"
+        if self.kind == "setDiff":
+            return f"SET_DIFF(tags={t})"
         raise AssertionError(self.kind)  # pragma: no cover
 
 
@@ -328,6 +333,40 @@ class IntegralNode(PlanNode):
 
 class ChangedNode(_Simple):
     NAME = "CHANGED"
+
+
+class NonNegativeDerivativeNode(_Simple):
+    """Beyond the reference (Constants.java:62): derivative with negative
+    deltas (counter wraps) removed — Graphite nonNegativeDerivative."""
+
+    NAME = "NON_NEGATIVE_DERIVATIVE"
+
+
+class RemovePercentileNode(PlanNode):
+    """Beyond the reference (Constants.java:65-66): drop samples above /
+    below each series' own Nth percentile."""
+
+    def __init__(self, n: float, above: bool):
+        super().__init__()
+        self.n = n
+        self.above = above
+
+    def explain(self) -> str:
+        side = "ABOVE" if self.above else "BELOW"
+        return f"REMOVE_{side}_PERCENTILE(n={self.n})"
+
+
+class AliasSubNode(PlanNode):
+    """Beyond the reference (Constants.java:45): regex substitution on the
+    display alias."""
+
+    def __init__(self, search: str, replace: str):
+        super().__init__()
+        self.search = search
+        self.replace = replace
+
+    def explain(self) -> str:
+        return f"ALIAS_SUB(search={self.search},replace={self.replace})"
 
 
 class KeepLastValueNode(PlanNode):
@@ -672,6 +711,17 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
             raise M3PlanError("fallbackSeries expects one argument")
         return FallbackSeriesConstantNode(float(args[0]))
 
+    if name == "nonNegativeDerivative":
+        return NonNegativeDerivativeNode()
+    if name in ("removeAbovePercentile", "removeBelowPercentile"):
+        if len(args) != 1:
+            raise M3PlanError(f"{name} expects exactly one argument")
+        return RemovePercentileNode(float(args[0]), name == "removeAbovePercentile")
+    if name == "aliasSub":
+        if len(args) != 2:
+            raise M3PlanError("aliasSub expects: search replace")
+        return AliasSubNode(_strip_quotes(args[0]), _strip_quotes(args[1]))
+
     if name == "fetch":
         return _fetch_node(fn)
     if name == "mockFetch":
@@ -733,6 +783,7 @@ def _mock_fetch_node(fn: ast.FunctionNode) -> MockFetchNode:
 
 _PIPELINE_ARG_FNS = {
     "asPercent", "ratio", "diff", "subtract", "divide", "divideSeries", "intersect",
+    "setDiff",  # beyond the reference (Constants.java:67)
 }
 
 
@@ -754,6 +805,8 @@ def _binary_kind(name: str) -> tuple[str, int]:
         return "divide", 1
     if name == "intersect":
         return "intersect", 1
+    if name == "setDiff":
+        return "setDiff", 1
     raise M3PlanError(f"Binary function {name} is not supported.")
 
 

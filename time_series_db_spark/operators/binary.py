@@ -170,3 +170,24 @@ def normalize(sf: SeriesFrame, target_step: int, consolidation: str = "avg") -> 
         consolidation
     ]
     return summarize(sf, target_step, fn=fn)
+
+
+def set_diff(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
+    """setDiff — reference known-but-unimplemented (Constants.java:67);
+    the natural complement of :func:`intersect`: keep left series having
+    NO matching right series (label anti-join, full identity or key
+    subset). Catalyst broadcasts the distinct right-key set."""
+    lf = left.df
+    if keys:
+        lf = lf.filter(has_all_keys_expr(keys))
+        rkeys = (
+            right.df.filter(has_all_keys_expr(keys))
+            .select(*[F.col("labels")[k].alias(f"__mk_{i}") for i, k in enumerate(keys)])
+            .distinct()
+        )
+        on = [lf["labels"][k] == rkeys[f"__mk_{i}"] for i, k in enumerate(keys)]
+        df = lf.join(rkeys, on=on, how="left_anti")
+    else:
+        rkeys = right.df.select("series_key").distinct()
+        df = lf.join(rkeys, on="series_key", how="left_anti")
+    return left.with_df(df.select(*SAMPLE_COLS))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
-from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame
 
 #: FP tolerance for `eq`/`ne` comparisons (ValueFilterStage.java:59 applies
 #: an epsilon to equality on doubles; exact value is semantic, not copied).
@@ -104,4 +104,29 @@ def remove_empty(sf: SeriesFrame) -> SeriesFrame:
     w = Window.partitionBy("series_key")
     flag = F.max((~F.isnan("value")).cast("int")).over(w)
     df = sf.df.withColumn("__has_real", flag).filter(F.col("__has_real") == 1).drop("__has_real")
+    return sf.with_df(df)
+
+
+def remove_percentile(sf: SeriesFrame, n: float, above: bool = True) -> SeriesFrame:
+    """removeAbovePercentile / removeBelowPercentile — reference
+    known-but-unimplemented (Constants.java:65-66); Graphite semantics:
+    drop each series' samples above (below) that series' own Nth
+    percentile (exact, linear interpolation).
+
+    One whole-series window aggregate per series (partitionBy series_key,
+    unbounded frame) — no shuffle beyond the window exchange, threshold
+    computed once per series and broadcast down its rows by the window.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    thr = F.expr(f"percentile(value, {float(n) / 100.0})").over(w)
+    v = F.col("value")
+    df = (
+        sf.df.withColumn("__thr", thr)
+        .filter((v <= F.col("__thr")) if above else (v >= F.col("__thr")))
+        .select(*SAMPLE_COLS)
+    )
     return sf.with_df(df)

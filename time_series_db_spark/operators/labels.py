@@ -105,3 +105,15 @@ def tag_sub(sf: SeriesFrame, tag: str, pattern: str, replacement: str) -> Series
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def alias_sub(sf: SeriesFrame, pattern: str, replacement: str) -> SeriesFrame:
+    """aliasSub — reference known-but-unimplemented (Constants.java:45);
+    Graphite semantics: regex substitution (backrefs ``$1``…) on the
+    series' display name. Base = the current alias when set, else the
+    ``name`` label (the display fallback)."""
+    base = F.coalesce(F.col("alias"), F.col("labels")["name"])
+    df = sf.df.withColumn(
+        "alias", F.regexp_replace(base, pattern, replacement)
+    ).select(*SAMPLE_COLS)
+    return sf.with_df(df)

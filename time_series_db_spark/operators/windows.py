@@ -614,3 +614,14 @@ def absent_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
         F.lit(1.0).alias("value"),
     ).select(*SAMPLE_COLS)
     return sf.with_df(out)
+
+
+def non_negative_derivative(sf: SeriesFrame) -> SeriesFrame:
+    """nonNegativeDerivative — in the reference's known-but-unimplemented
+    list (lang/m3/common/Constants.java:62: parser accepts, planner
+    rejects); we implement the Graphite semantics the name references:
+    :func:`derivative`, but negative deltas (counter wraps) are dropped
+    from the output instead of emitted."""
+    out = derivative(sf)
+    v = F.col("value")
+    return out.with_df(out.df.filter((v >= 0) | F.isnan(v)))
