@@ -362,3 +362,36 @@ def m3ql_alias_sub(spark, sf_dir):
         *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
         F.col("alias"), F.col("ts"), quant(F.col("value")).alias("value"),
     )
+
+
+@register(
+    "m3ql_sustained_above",
+    f"""{PRELUDE},
+    grid AS (
+      SELECT gs AS ts FROM generate_series({EVENTS_MIN_TS},
+        {EVENTS_MAX_TS - DEFAULT_STEP_MS}, {DEFAULT_STEP_MS}) t(gs)),
+    sids AS (SELECT DISTINCT {SQL_LBLS} FROM samples),
+    dense AS (
+      SELECT s.name, s."user", s.region, s.shard, g.ts,
+             CASE WHEN v.value > 5.0 THEN v.value END AS value
+      FROM sids s CROSS JOIN grid g
+      LEFT JOIN samples v
+        ON v.name = s.name AND v."user" = s."user" AND v.region = s.region
+       AND v.shard = s.shard AND v.ts = g.ts),
+    runs AS (
+      SELECT {SQL_LBLS}, ts, value,
+             COALESCE(last_value(CASE WHEN value IS NULL THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY {SQL_LBLS} ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + {DEFAULT_STEP_MS},
+               {EVENTS_MIN_TS}) AS run_start
+      FROM dense)
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM runs WHERE value IS NOT NULL
+      AND ts - run_start + {DEFAULT_STEP_MS} >= 10800000""",
+)
+def m3ql_sustained_above(spark, sf_dir):
+    """sustainedAbove 5 3h — value "above threshold continuously for the
+    duration" (Constants.java:70; composition of value_filter + sustain,
+    the pairing SustainStage's own javadoc prescribes)."""
+    sf = run_m3ql(spark, sf_dir, "fetch | sustainedAbove 5 3h")
+    return _flat(sf, LABEL_KEYS)

@@ -221,6 +221,11 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return filters.remove_percentile(sf, node.n, above=node.above)
     if isinstance(node, P.AliasSubNode):
         return labels_ops.alias_sub(sf, node.search, node.replace)
+    if isinstance(node, P.SustainedFilterNode):
+        filtered = filters.value_filter(
+            sf, "gt" if node.above else "lt", node.threshold
+        )
+        return windows.sustain(filtered, P.parse_duration_ms(node.duration))
     if isinstance(node, P.KeepLastValueNode):
         lookback = P.parse_duration_ms(node.lookback) if node.lookback else None
         return windows.keep_last_value(sf, lookback_ms=lookback)

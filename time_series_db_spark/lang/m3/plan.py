@@ -356,6 +356,22 @@ class RemovePercentileNode(PlanNode):
         return f"REMOVE_{side}_PERCENTILE(n={self.n})"
 
 
+class SustainedFilterNode(PlanNode):
+    """Beyond the reference (Constants.java:70-71 sustainedAbove/Below):
+    value filter + sustain composition — "above threshold continuously
+    for ≥ duration", the exact pairing SustainStage's javadoc describes."""
+
+    def __init__(self, threshold: float, duration: str, above: bool):
+        super().__init__()
+        self.threshold = threshold
+        self.duration = duration
+        self.above = above
+
+    def explain(self) -> str:
+        side = "ABOVE" if self.above else "BELOW"
+        return f"SUSTAINED_{side}(threshold={self.threshold},duration={self.duration})"
+
+
 class AliasSubNode(PlanNode):
     """Beyond the reference (Constants.java:45): regex substitution on the
     display alias."""
@@ -721,6 +737,12 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         if len(args) != 2:
             raise M3PlanError("aliasSub expects: search replace")
         return AliasSubNode(_strip_quotes(args[0]), _strip_quotes(args[1]))
+    if name in ("sustainedAbove", "sustainedBelow"):
+        if len(args) != 2:
+            raise M3PlanError(f"{name} expects: threshold duration")
+        return SustainedFilterNode(
+            float(args[0]), args[1], name == "sustainedAbove"
+        )
 
     if name == "fetch":
         return _fetch_node(fn)
