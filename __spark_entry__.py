@@ -34,13 +34,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return _out(sf, ["name", "region"])
 
 
+# Names that already have a driver-green CORRECTNESS row (round 1 checked
+# the first 50 catalog entries in dict order).  The driver's per-round run
+# covers a prefix of the dict, so order the not-yet-verified entries first;
+# previously-green entries go last and get re-checked as budget allows.
+_DRIVER_VERIFIED_R1 = frozenset({
+    "m3_fetch", "m3_fetch_filtered", "m3_abs", "m3_logarithm", "m3_sqrt",
+    "m3_scale", "m3_divide_scalar", "m3_offset", "m3_round",
+    "m3_scale_to_seconds", "m3_timeshift", "m3_value_filter_eq",
+    "m3_value_filter_ne", "m3_value_filter_ge", "m3_value_filter_lt",
+    "m3_where", "m3_tag_compare", "m3_exclude_by_tag", "m3_remove_empty",
+    "m3_sum_by", "m3_sum_global", "m3_avg_by", "m3_min_by", "m3_max_by",
+    "m3_count_by", "m3_range_by", "m3_multiply_by",
+    "m3_percentile_of_series", "m3_derivative", "m3_per_second",
+    "m3_integral", "m3_integral_reset", "m3_changed", "m3_transform_null",
+    "m3_is_non_null", "m3_keep_last_value", "m3_sustain", "m3_moving_sum",
+    "m3_moving_avg", "m3_moving_min", "m3_moving_max", "m3_moving_median",
+    "m3_summarize", "m3_summarize_last", "m3_per_second_rate", "m3_sort",
+    "m3_topk", "m3_head", "m3_tail", "m3_divide",
+})
+
+
+def _ordered(mapping: dict) -> dict:
+    from time_series_db_spark.catalog import QUERIES
+
+    names = [n for n in QUERIES if n not in _DRIVER_VERIFIED_R1]
+    names += [n for n in QUERIES if n in _DRIVER_VERIFIED_R1]
+    return {n: mapping[n] for n in names if n in mapping}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from time_series_db_spark.catalog import QUERIES
 
-    return dict(QUERIES)
+    return _ordered(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
     from time_series_db_spark.catalog import ORACLES
 
-    return dict(ORACLES)
+    return _ordered(ORACLES)
