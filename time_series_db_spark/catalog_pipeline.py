@@ -186,16 +186,47 @@ def _sql_cosine(a: str, b: str) -> str:
     return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
 
 
+def _sql_bucket(v: str, num_planes: int = ann.NUM_PLANES, start_plane: int = 0) -> str:
+    """DuckDB rendering of ann.hyperplane_bucket (integer-exact)."""
+    qv = f"[floor(({v})[i] * 1000 + 0.5)::BIGINT for i in generate_series(1, len({v}))]"
+    terms = []
+    for p in range(num_planes):
+        plane = start_plane + p
+        dot = (
+            f"list_reduce(list_prepend(0::BIGINT, "
+            f"[q[i] * ((({97 * plane} + 13 * (i - 1)) % 19) - 9) "
+            f"for i in generate_series(1, len(q))]), (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)::BIGINT")
+    return f"(SELECT {' + '.join(terms)} FROM (SELECT {qv} AS q))"
+
+
+#: per-band signature CTE mirroring dedup.embedding_neardup_pairs banding
+_EMB_SIG = " UNION ALL ".join(
+    f"SELECT vec_id, {b} AS band, "
+    + _sql_bucket("embedding::DOUBLE[]", dedup.EMB_PLANES_PER_BAND,
+                  b * dedup.EMB_PLANES_PER_BAND)
+    + " AS bucket FROM embeddings"
+    for b in range(dedup.EMB_BANDS)
+)
+
+
 @register(
     "dedup_embedding_cosine",
-    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {sql_quant(_sql_cosine('a.v', 'b.v'))} AS cosine
-    FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE {_sql_cosine('a.v', 'b.v')} >= 0.45""",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS ({_EMB_SIG}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT id_a, id_b, {sql_quant(_sql_cosine('ea.v', 'eb.v'))} AS cosine
+    FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+    WHERE {_sql_cosine('ea.v', 'eb.v')} >= 0.45""",
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup: all pairs with cosine ≥ 0.45."""
+    """Embedding near-dup via banded hyperplane LSH (the scale path):
+    candidates restricted to pairs colliding in ≥1 of 6 four-plane bands,
+    exact cosine ≥ 0.45 on the candidate set."""
     pairs = dedup.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.45)
     return pairs.select("id_a", "id_b", quant(F.col("cosine")).alias("cosine"))
 
@@ -233,20 +264,6 @@ def ann_cosine_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
     )
-
-
-def _sql_bucket(v: str) -> str:
-    """DuckDB rendering of ann.hyperplane_bucket (integer-exact)."""
-    qv = f"[floor(({v})[i] * 1000 + 0.5)::BIGINT for i in generate_series(1, len({v}))]"
-    terms = []
-    for p in range(ann.NUM_PLANES):
-        dot = (
-            f"list_reduce(list_prepend(0::BIGINT, "
-            f"[q[i] * ((({97 * p} + 13 * (i - 1)) % 19) - 9) "
-            f"for i in generate_series(1, len(q))]), (acc, x) -> acc + x)"
-        )
-        terms.append(f"(CASE WHEN {dot} > 0 THEN {2**p} ELSE 0 END)::BIGINT")
-    return f"(SELECT {' + '.join(terms)} FROM (SELECT {qv} AS q))"
 
 
 @register(

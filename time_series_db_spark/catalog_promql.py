@@ -393,13 +393,45 @@ def promql_predict_linear(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
-@register("promql_holt_winters")  # fold recurrence: rows-only driver check
+_HW_W = 12 * 3600 * 1000
+_HW_FRAME = (
+    f"{_W} RANGE BETWEEN {_HW_W - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW"
+)
+#: the level/trend recurrence as a DuckDB list_reduce fold: seed
+#: (level=x0, trend=x1−x0) rides as the first element of a uniform
+#: {lv,tr,v} struct list (2-arg list_reduce requires acc type = element
+#: type), then each remaining sample applies the smoothing update —
+#: mirrors the Spark-side Catalyst `aggregate` in windows.holt_winters.
+_HW_FOLD = """
+CASE WHEN len(l) < 2 THEN 'NaN'::DOUBLE ELSE
+struct_extract(list_reduce(
+  list_prepend(
+    {'lv': l[1]::DOUBLE, 'tr': (l[2]-l[1])::DOUBLE, 'v': 0.0::DOUBLE},
+    list_transform(l[2:], u -> {'lv': 0.0::DOUBLE, 'tr': 0.0::DOUBLE, 'v': u::DOUBLE})
+  ),
+  (acc, x) -> {
+    'lv': 0.3*x.v + 0.7*(acc.lv + acc.tr),
+    'tr': 0.1*((0.3*x.v + 0.7*(acc.lv + acc.tr)) - acc.lv) + 0.9*acc.tr,
+    'v': 0.0::DOUBLE
+  }
+), 'lv') END"""
+
+
+@register(
+    "promql_holt_winters",
+    f"""{PRELUDE},
+    wins AS (
+      SELECT {SQL_LBLS}, ts, list(value) OVER ({_HW_FRAME}) AS l
+      FROM (SELECT * FROM samples WHERE name = 'purchase'))
+    SELECT {SQL_LBLS}, ts, {sql_quant(_HW_FOLD)} AS value FROM wins""",
+)
 def promql_holt_winters(spark, sf_dir):
     """holt_winters(v[12h], 0.3, 0.1): double exponential smoothing —
-    FunctionType.HOLT_WINTERS. The level/trend fold has no clean ANSI-SQL
-    form (sequential recurrence), so this entry takes the driver's
-    rows-only check; value correctness is pinned by the golden test
-    (tests/test_promql_golden.py) against a Python-computed reference."""
+    FunctionType.HOLT_WINTERS. Oracle expresses the sequential level/trend
+    recurrence as a DuckDB ``list_reduce`` fold over the trailing-window
+    sample list; value correctness is additionally pinned by the golden
+    test (tests/test_promql_golden.py) against a Python-computed
+    reference."""
     sf = run_promql(spark, sf_dir, "holt_winters(purchase[12h], 0.3, 0.1)")
     return _flat(sf, LABEL_KEYS)
 

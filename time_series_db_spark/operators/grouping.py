@@ -249,6 +249,44 @@ def _parse_bucket_upper(bucket_range: str) -> float:
         return _parse(left, right, float)
 
 
+#: first '-' that is neither the leading sign nor an exponent marker
+#: splits "low-high" — same rule as _parse_bucket_upper's scan loop
+_SPLIT_RE = r"^(-?.*?)(?<![eE])-(.+)$"
+_DUR_RE = r"^(-?\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h|d)$"
+
+
+def _bucket_upper_expr(range_col: Column) -> Column:
+    """In-plan rendering of :func:`_parse_bucket_upper`: bucket upper
+    bound from the "low-high" range tag, durations normalized to ms,
+    +Inf upper falling back to the lower bound. Pure Catalyst
+    (regexp_extract / try_cast), so bucket parsing never leaves the
+    executors."""
+    left = F.regexp_extract(range_col, _SPLIT_RE, 1)
+    right = F.regexp_extract(range_col, _SPLIT_RE, 2)
+
+    def _side(c: Column) -> Column:
+        num = F.regexp_extract(c, _DUR_RE, 1)
+        unit = F.regexp_extract(c, _DUR_RE, 2)
+        unit_ms = (
+            F.when(unit == "ns", 1e-6)
+            .when(unit.isin("us", "µs"), 1e-3)
+            .when(unit == "ms", 1.0)
+            .when(unit == "s", 1e3)
+            .when(unit == "m", 6e4)
+            .when(unit == "h", 3.6e6)
+            .when(unit == "d", 8.64e7)
+        )
+        return (
+            F.when(c.isin("-Inf", "-infinity"), F.lit(float("-inf")))
+            .when(unit != "", num.try_cast("double") * unit_ms)
+            .otherwise(c.try_cast("double"))
+        )
+
+    return F.when(
+        right.isin("+Inf", "Inf", "infinity", "+infinity"), _side(left)
+    ).otherwise(_side(right))
+
+
 def _format_percentile(p: float) -> str:
     """p99 label formatting — PercentileUtils.formatPercentile."""
     if p == int(p):
@@ -270,26 +308,24 @@ def histogram_percentile(
     bucket's upper bound where the cumulative count reaches
     p% · total (no intra-bucket interpolation — matches the reference).
 
-    Spark shape: the distinct range strings (small by construction) are
-    parsed driver-side into a broadcast literal map; the per-(group, ts)
+    Spark shape: the bucket-range string is parsed into its upper bound
+    entirely in-plan (regexp_extract + try_cast — no driver round-trip,
+    no blocking action before the output boundary); the per-(group, ts)
     scan is one groupBy with a sorted-struct-array fold — partial
-    aggregation keeps the shuffle at group granularity.
+    aggregation keeps the shuffle at group granularity. Malformed range
+    strings yield a null upper bound and are dropped (the driver-side
+    parser used to raise; in-plan we prefer skipping bad buckets over
+    failing the whole query at scale).
     """
     lbl = F.col("labels")
     df = sf.df.filter(
         lbl[bucket_id].isNotNull() & lbl[bucket_range].isNotNull()
     )
-    distinct = [
-        r[0] for r in df.select(lbl[bucket_range]).distinct().collect()
-    ]
-    mapping = {v: _parse_bucket_upper(v) for v in distinct}
-    upper_map = F.create_map(
-        *[x for v in sorted(mapping) for x in (F.lit(v), F.lit(mapping[v]))]
-    )
     drop = [bucket_id, bucket_range]
     glabels = F.map_filter(lbl, lambda k, _v: ~k.isin(*drop))
     base = (
-        df.withColumn("__upper", F.element_at(upper_map, lbl[bucket_range]))
+        df.withColumn("__upper", _bucket_upper_expr(lbl[bucket_range]))
+        .filter(F.col("__upper").isNotNull())
         .withColumn("__glabels", glabels)
         .withColumn("__gkey", series_key_expr(F.col("__glabels")))
         .groupBy("__gkey", "ts")

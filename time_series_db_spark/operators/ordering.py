@@ -66,11 +66,26 @@ def sort(sf: SeriesFrame, fn: str = "avg", descending: bool = True) -> SeriesFra
 def top_k(
     sf: SeriesFrame, k: int, fn: str = "avg", descending: bool = True
 ) -> SeriesFrame:
-    """First k series of the sorted order — TopKStage.java:57. The rank
-    filter is the Catalyst analog of shard-local sort+limit → re-topK."""
-    ordered = sort(sf, fn=fn, descending=descending)
-    df = ordered.df.filter(F.col("__order") <= F.lit(int(k)))
-    return ordered.with_df(df)
+    """First k series of the sorted order — TopKStage.java:57.
+
+    Unlike :func:`sort`, this never ranks the full series set: the sort
+    key aggregate feeds ``orderBy().limit(k)``, which Catalyst executes
+    as TakeOrderedAndProject (per-partition partial top-k, then a k-row
+    merge on one reducer) — the exact analog of the reference's
+    shard-local sort+limit → coordinator re-topK pushdown
+    (TopKStage.java:1-22). Ranks are then assigned on the k-row result
+    and broadcast back onto the samples."""
+    if fn not in _SORT_FNS:
+        raise ValueError(f"unknown sort fn: {fn}")
+    stats = _series_stat(sf, fn)
+    key = F.col("__stat").desc() if descending else F.col("__stat").asc()
+    topk = stats.orderBy(key, F.col("series_key").asc()).limit(int(k))
+    w = Window.orderBy(key, F.col("series_key").asc())
+    ranked = topk.withColumn("__order", F.row_number().over(w)).select(
+        "series_key", "__order"
+    )
+    df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
+    return replace(sf, df=df.select(*SAMPLE_COLS, "__order"), ordered_by=["__order"])
 
 
 def head(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
@@ -83,8 +98,16 @@ def head(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
 
 
 def tail(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
-    """Last n series of the current list order — SliceStage.java:48."""
+    """Last n series of the current list order — SliceStage.java:48.
+
+    The series count rides along as a lazily-computed 1-row broadcast
+    (partial max over ``__order``) instead of an eager driver action, so
+    tail composes into a single job like every other stage."""
     ordered = sf if sf.ordered_by else sort(sf, fn="name", descending=False)
-    total = ordered.df.select(F.max("__order")).first()[0] or 0
-    df = ordered.df.filter(F.col("__order") > F.lit(int(total) - int(n)))
+    total = ordered.df.select(F.max("__order").alias("__total"))
+    df = (
+        ordered.df.crossJoin(F.broadcast(total))
+        .filter(F.col("__order") > F.col("__total") - F.lit(int(n)))
+        .drop("__total")
+    )
     return ordered.with_df(df)

@@ -34,8 +34,13 @@ def _plane_weight(plane: int, dim_col: Column) -> Column:
     return (F.lit(97 * plane) + F.lit(13) * dim_col) % 19 - 9
 
 
-def hyperplane_bucket(vec_col: Column, num_planes: int = NUM_PLANES) -> Column:
-    """8-bit LSH bucket id from integer-quantized hyperplane signs."""
+def hyperplane_bucket(
+    vec_col: Column, num_planes: int = NUM_PLANES, start_plane: int = 0
+) -> Column:
+    """LSH bucket id from integer-quantized hyperplane signs.
+
+    ``start_plane`` offsets into the deterministic plane family so banded
+    schemes (B bands × r planes) can draw disjoint plane sets."""
     q = F.transform(
         vec_col, lambda x: F.floor(x.cast("double") * 1000 + F.lit(0.5)).cast("long")
     )
@@ -46,7 +51,7 @@ def hyperplane_bucket(vec_col: Column, num_planes: int = NUM_PLANES) -> Column:
     bucket = F.lit(0).cast("long")
     for p in range(num_planes):
         dot = F.aggregate(
-            _weighted(p), F.lit(0).cast("long"), lambda acc, x: acc + x
+            _weighted(start_plane + p), F.lit(0).cast("long"), lambda acc, x: acc + x
         )
         bucket = bucket + F.when(dot > 0, F.lit(2**p).cast("long")).otherwise(
             F.lit(0).cast("long")

@@ -378,29 +378,95 @@ def cosine_expr(a: Column, b: Column) -> Column:
     )
 
 
+#: banded hyperplane LSH defaults: candidate iff ALL ``EMB_PLANES_PER_BAND``
+#: plane signs agree in AT LEAST ONE of ``EMB_BANDS`` bands (AND-OR
+#: amplification, same construction as MinHash banding).
+EMB_PLANES_PER_BAND = 4
+EMB_BANDS = 6
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucketed: bool = True,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    bands: int = EMB_BANDS,
 ) -> DataFrame:
-    """All pairs (id_a, id_b, cosine) with cosine ≥ threshold.
+    """Pairs (id_a, id_b, cosine) with cosine ≥ threshold.
 
-    Exact all-pairs block join; at corpus scale, pre-bucket with
-    :func:`time_series_db_spark.pipeline.ann.hyperplane_bucket` and join
-    on the bucket to bound candidates.
+    ``bucketed=True`` (the scale path, and the registered catalog form):
+    banded random-hyperplane LSH — each vector gets ``bands`` bucket ids
+    (band b hashes planes [b·r, b·r+r)) scan-side via
+    :func:`time_series_db_spark.pipeline.ann.hyperplane_bucket`; a pair
+    is a candidate iff it collides in at least one band. The self-join
+    carries ``(band, bucket)`` equality, so the shuffle co-partitions on
+    the band key and each task compares only within-bucket candidates —
+    O(B · Σ bucket²) instead of O(n²). Cosine is then computed exactly on
+    the deduplicated candidate set. Recall < 1 by design; ``bands`` is
+    the recall knob, ``planes_per_band`` the selectivity knob.
+
+    ``bucketed=False`` is the exact all-pairs block join — the recall
+    oracle for tests, quadratic by design.
     """
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    if not bucketed:
+        a, b = vecs.alias("a"), vecs.alias("b")
+        return (
+            a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= F.lit(float(threshold)))
+        )
+
+    from time_series_db_spark.pipeline.ann import hyperplane_bucket
+
+    sig = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    hyperplane_bucket(
+                        F.col(vec_col),
+                        num_planes=planes_per_band,
+                        start_plane=b * planes_per_band,
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.band").alias("band"), F.col("__s.bucket").alias("bucket"))
+
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_expr(F.col("__va"), F.col("__vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
