@@ -341,8 +341,22 @@ def m3_max_by(spark, sf_dir):
     return _out(grouping.max_(_fetch(spark, sf_dir), ["region"]), ["region"])
 
 
-@register("m3_count_by", _group_oracle("CAST(count(value) AS DOUBLE)", ["name"]))
+@register(
+    "m3_count_by",
+    f"""{PRELUDE},
+    gc AS (
+      SELECT name,
+             CAST(count(DISTINCT "user" || '|' || region || '|' || shard) AS DOUBLE) AS value
+      FROM samples GROUP BY name),
+    grid AS (
+      SELECT gs AS ts
+      FROM generate_series({EVENTS_MIN_TS}, {_GRID_MAX}, {DEFAULT_STEP_MS}) t(gs))
+    SELECT gc.name, g.ts, gc.value FROM gc CROSS JOIN grid g""",
+)
 def m3_count_by(spark, sf_dir):
+    """M3 count: number of SERIES per group, dense over the grid
+    (CountStage.processGroup buildDenseSamples) — NOT a per-timestamp
+    presence count (that is PromQL count → grouping.count_at_ts)."""
     return _out(grouping.count(_fetch(spark, sf_dir), ["name"]), ["name"])
 
 
@@ -366,17 +380,19 @@ def m3_multiply_by(spark, sf_dir):
 
 @register(
     "m3_percentile_of_series",
-    f"""{PRELUDE}
-    SELECT name, p AS _percentile, ts, {sql_quant('v')} AS value FROM (
-      SELECT name, ts,
-             quantile_cont(value, 0.5) AS "50.0",
-             quantile_cont(value, 0.95) AS "95.0"
-      FROM samples GROUP BY 1, 2
-    ) UNPIVOT (v FOR p IN ("50.0", "95.0"))""",
+    f"""{PRELUDE},
+    lsts AS (SELECT name, ts, list(value ORDER BY value) AS l
+             FROM samples GROUP BY 1, 2)
+    SELECT name, p AS __percentile, ts,
+           {sql_quant('l[greatest(1, CAST(ceil(pct * len(l)) AS INT))]')} AS value
+    FROM lsts CROSS JOIN (VALUES ('50', 0.50), ('95', 0.95)) pcts(p, pct)""",
 )
 def m3_percentile_of_series(spark, sf_dir):
+    """M3 nearest-rank percentile (PercentileUtils.calculatePercentile,
+    no interpolation): sorted[max(1, ceil(p/100·n))], output tagged
+    ``__percentile`` with whole-number formatting."""
     sf = grouping.percentile_of_series(_fetch(spark, sf_dir), [50.0, 95.0], ["name"])
-    return _out(sf, ["name", "_percentile"])
+    return _out(sf, ["name", "__percentile"])
 
 
 # ---------------------------------------------------------------------------
@@ -408,9 +424,11 @@ def m3_derivative(spark, sf_dir):
              lag(value) OVER ({_W}) AS pv, lag(ts) OVER ({_W}) AS pts
       FROM samples)
     SELECT {SQL_LBLS}, ts, {sql_quant('(value - pv) / ((ts - pts) / 1000.0)')} AS value
-    FROM lagged WHERE pts IS NOT NULL""",
+    FROM lagged WHERE pts IS NOT NULL AND NOT (value - pv < 0)""",
 )
 def m3_per_second(spark, sf_dir):
+    """Negative diffs are counter resets → no sample
+    (PerSecondStage.java:80-83)."""
     return _out(windows.per_second(_fetch(spark, sf_dir)))
 
 
@@ -447,18 +465,23 @@ def m3_integral_reset(spark, sf_dir):
 
 @register(
     "m3_changed",
-    f"""{PRELUDE},
+    f"""{PRELUDE}{DENSE_CTES},
     prevs AS (
       SELECT {SQL_LBLS}, ts, value,
-             last_value(CASE WHEN NOT isnan(value) THEN value END IGNORE NULLS)
+             last_value(CASE WHEN value IS NOT NULL AND NOT isnan(value)
+                             THEN value END IGNORE NULLS)
                OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-      FROM samples)
+      FROM dense)
     SELECT {SQL_LBLS}, ts,
-           CASE WHEN prev IS NULL THEN 0.0 WHEN isnan(value) THEN 0.0
-                WHEN value <> prev THEN 1.0 ELSE 0.0 END AS value
+           CASE WHEN value IS NULL OR isnan(value) THEN 0.0::DOUBLE
+                WHEN prev IS NULL THEN 0.0::DOUBLE
+                WHEN value <> prev THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS value
     FROM prevs""",
 )
 def m3_changed(spark, sf_dir):
+    """Dense 0/1: missing/NaN grid points emit 0; present points compare
+    against the last non-null value at ANY earlier grid point
+    (ChangedStage.java:71-110)."""
     return _out(windows.changed(_fetch(spark, sf_dir)))
 
 
@@ -513,14 +536,20 @@ def m3_sustain(spark, sf_dir):
     return _out(windows.sustain(_fetch(spark, sf_dir), 10_800_000))
 
 
-_MOVING_FRAME = f"{_W} RANGE BETWEEN {3 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW"
+#: the 3-step window covers the 3 dense grid slots strictly before the
+#: current point — MovingStage's evaluate-then-update loop ([t−w, t),
+#: current excluded), emitted wherever the window holds ≥1 sample
+_MOVING_FRAME = f"{_W} ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING"
 
 
 def _moving_oracle(agg: str) -> str:
-    return (
-        f"{PRELUDE} SELECT {SQL_LBLS}, ts, "
-        f"{sql_quant(f'{agg} OVER ({_MOVING_FRAME})')} AS value FROM samples"
-    )
+    return f"""{PRELUDE}{DENSE_CTES},
+    win AS (
+      SELECT {SQL_LBLS}, ts,
+             {sql_quant(f'{agg} OVER ({_MOVING_FRAME})')} AS mv,
+             count(value) OVER ({_MOVING_FRAME}) AS c
+      FROM dense)
+    SELECT {SQL_LBLS}, ts, mv AS value FROM win WHERE c > 0"""
 
 
 @register("m3_moving_sum", _moving_oracle("sum(value)"))

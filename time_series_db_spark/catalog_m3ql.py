@@ -200,13 +200,14 @@ def m3ql_histogram_percentile(spark, sf_dir):
 @register(
     "m3ql_mock_fetch",
     f"""SELECT * FROM (VALUES
-      ('a', {EVENTS_MIN_TS}, 20.0),
-      ('a', {EVENTS_MIN_TS + DEFAULT_STEP_MS}, 40.0),
-      ('a', {EVENTS_MIN_TS + 2 * DEFAULT_STEP_MS}, 'NaN'::DOUBLE)
+      ('a', {EVENTS_MIN_TS}, 20.0::DOUBLE),
+      ('a', {EVENTS_MIN_TS + DEFAULT_STEP_MS}, 40.0::DOUBLE)
     ) AS t(name, ts, value)""",
 )
 def m3ql_mock_fetch(spark, sf_dir):
-    """mockFetch synthesis incl. nan passthrough (MockFetchStage)."""
+    """mockFetch synthesis; NaN values are skipped at synthesis
+    (MockFetchStage.java:94 — NaN means missing at the storage
+    boundary), so the nan slot yields no row."""
     sf = run_m3ql(spark, sf_dir, "mockFetch 10,20,nan name:a | scale 2")
     return _flat(sf, ["name"])
 

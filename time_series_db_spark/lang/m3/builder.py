@@ -112,7 +112,10 @@ def build_frame(
     child_buffer = buffer_ms + _lookback_ms(node, ctx.step)
     child_shift = shift_ms
     if isinstance(node, P.MapperNode) and node.kind == "timeshift":
-        child_shift += P.parse_duration_ms(node.param)
+        # always-forward: the reference takes the absolute shift value
+        # (TimeshiftStage.java:83 Math.absExact), so "timeshift -1m" and
+        # "timeshift 1m" both display data from 1m in the past
+        child_shift += abs(P.parse_duration_ms(node.param))
 
     if isinstance(node, P.FetchNode):
         return ctx.fetch(node, buffer_ms, shift_ms)
@@ -177,7 +180,7 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         if k == "scaleToSeconds":
             return mappers.scale_to_seconds(sf, int(p))
         if k == "timeshift":
-            return mappers.timeshift(sf, P.parse_duration_ms(p))
+            return mappers.timeshift(sf, abs(P.parse_duration_ms(p)))
 
     if isinstance(node, P.ValueFilterNode):
         return filters.value_filter(sf, node.op.lower(), node.value)
@@ -185,7 +188,16 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         negate = node.op in ("neq", "ne", "!=")
         return filters.where(sf, node.left_tag, node.right_tag, negate=negate)
     if isinstance(node, P.TagCompareNode):
-        return filters.tag_compare(sf, node.tag, node.op, node.value)
+        # symbol operators from the language ("<=") normalize to the
+        # operator words; semver mode auto-detects from the literal
+        # (TagCompareStage.java:121-128)
+        op = {
+            "<": "lt", "<=": "le", ">": "gt", ">=": "ge",
+            "==": "eq", "!=": "ne",
+        }.get(node.op, node.op)
+        return filters.tag_compare(
+            sf, node.tag, op, node.value, semver=filters.is_semver(node.value)
+        )
     if isinstance(node, P.ExcludeByTagNode):
         return filters.exclude_by_tag(sf, node.tag, node.patterns)
     if isinstance(node, P.RemoveEmptyNode):
@@ -202,9 +214,12 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         if fn.startswith("p") and fn[1:].replace(".", "", 1).isdigit():
             return windows.summarize(
                 sf, P.parse_duration_ms(node.interval), "sum",
-                percentile=float(fn[1:]),
+                percentile=float(fn[1:]), align_to_from=node.align_to_from,
             )
-        return windows.summarize(sf, P.parse_duration_ms(node.interval), fn)
+        return windows.summarize(
+            sf, P.parse_duration_ms(node.interval), fn,
+            align_to_from=node.align_to_from,
+        )
     if isinstance(node, P.DerivativeNode):
         return windows.derivative(sf)
     if isinstance(node, P.PerSecondNode):
@@ -267,14 +282,45 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
     raise P.M3PlanError(f"no builder for plan node {type(node).__name__}")
 
 
+def _walk(node: P.PlanNode):
+    yield node
+    for c in node.children:
+        yield from _walk(c)
+
+
 def execute(
     query: str, source: M3Source, start: int, end: int, step: int
 ) -> SeriesFrame:
-    """Parse, plan, build and truncate — the full M3QL query lifecycle."""
+    """Parse, plan, build and (conditionally) truncate — the full M3QL
+    query lifecycle.
+
+    Truncation mirrors the reference exactly: a TruncateStage is added
+    ONLY when the pipeline contains a scan-widening window stage
+    (moving / perSecondRate — SourceBuilderVisitor.java:528,596 set
+    needsTruncation), and summarize with alignToFrom=false lowers the
+    truncate start to its Go-zero bucket boundary so the partial first
+    bucket survives (SourceBuilderVisitor.java:682-694). Pipelines
+    without those stages return the untruncated frame — e.g. mockFetch
+    values extending past the query end stay in the result
+    (MockFetchStage emits all values unclipped).
+    """
     from time_series_db_spark.lang.m3.parser import parse
     from time_series_db_spark.lang.m3.plan import build_plan
 
     plan = build_plan(parse(query))
     ctx = BuildContext(source, start, end, step)
     sf = build_frame(plan, ctx)
-    return windows.truncate(sf, start, end)
+    nodes = list(_walk(plan))
+    needs_truncation = any(
+        isinstance(n, (P.MovingNode, P.PerSecondRateNode)) for n in nodes
+    )
+    if not needs_truncation:
+        return sf
+    truncate_start = start
+    for n in nodes:
+        if isinstance(n, P.SummarizeNode) and not n.align_to_from:
+            interval = P.parse_duration_ms(n.interval)
+            ref = windows.GO_ZERO_TIME_MS
+            bucket_start = ref + ((start - ref) // interval) * interval
+            truncate_start = min(truncate_start, bucket_start)
+    return windows.truncate(sf, truncate_start, end)

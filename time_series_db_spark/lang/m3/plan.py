@@ -582,6 +582,8 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
     if name == "scaleToSeconds":
         return MapperNode("scaleToSeconds", float(args[0]))
     if name == "timeshift":
+        if len(args) != 1:
+            raise M3PlanError("Timeshift function expects exactly one argument")
         return MapperNode("timeshift", args[0])
 
     if name in VALUE_FILTER_OPS:
@@ -589,13 +591,28 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
             raise M3PlanError(f"{name} expects exactly one argument")
         return ValueFilterNode(VALUE_FILTER_OPS[name], float(args[0]))
     if name == "where":
+        # prefix operator syntax: where <op> <tag1> <tag2>
+        # (WherePlanNode.of — operator is the FIRST argument)
         if len(args) != 3:
-            raise M3PlanError("where expects: tagA op tagB")
-        return WhereNode(args[0], args[1], args[2])
+            raise M3PlanError(
+                "Where function requires exactly 3 arguments: operator, tag1, and tag2"
+            )
+        return WhereNode(
+            _strip_quotes(args[1]), _strip_quotes(args[0]), _strip_quotes(args[2])
+        )
     if name == "tagCompare":
-        if len(args) != 3:
-            raise M3PlanError("tagCompare expects: tag op value")
-        return TagCompareNode(args[1], args[0], _strip_quotes(args[2]))
+        # tagCompare <op> "tag:value" — TagComparePlanNode.of splits the
+        # second argument at the first colon
+        if len(args) != 2:
+            raise M3PlanError(
+                "TagCompare function requires exactly 2 arguments: "
+                "operator and 'tag:value'"
+            )
+        tag_value = _strip_quotes(args[1])
+        tag, sep, value = tag_value.partition(":")
+        if not sep or not tag.strip():
+            raise M3PlanError(f"Invalid tag:value format: {tag_value!r}")
+        return TagCompareNode(_strip_quotes(args[0]), tag.strip(), value)
     if name == "excludeByTag":
         if len(args) < 2:
             raise M3PlanError("excludeByTag expects: tag patterns...")

@@ -34,7 +34,7 @@ _AGGS = {
     "avg": grouping.avg,
     "min": grouping.min_,
     "max": grouping.max_,
-    "count": grouping.count,
+    "count": grouping.count_at_ts,
     "stddev": grouping.stddev,
     "stdvar": grouping.stdvar,
     "group": grouping.group_,

@@ -33,7 +33,52 @@ def _match_cols(df, keys: list[str] | None, side: str):
     return [df["series_key"].alias("__mk_0")]
 
 
+def _common_label_names(lf, rf) -> list[str]:
+    """Label names present in EVERY series on both sides —
+    Labels.findCommonLabelNames (core/model/Labels.java:128-154), the
+    auto-match key set for divide/subtract/asPercent when no explicit
+    keys are given. A series-level metadata probe (distinct keys +
+    per-name counts), mirroring the reference's coordinator-side scan of
+    its in-memory series list."""
+    from time_series_db_spark.model import labels_from_key_expr
+
+    union = (
+        lf.select("series_key").distinct()
+        .unionAll(rf.select("series_key").distinct())
+    )
+    per = (
+        union.select(
+            F.explode(
+                F.map_keys(labels_from_key_expr(F.col("series_key")))
+            ).alias("__k")
+        )
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    total = union.count()
+    return sorted(r["__k"] for r in per.collect() if r["__n"] == total)
+
+
 def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
+    """The reference's binary matching chain
+    (AbstractBinaryProjectionStage.process, :244-346):
+
+    1. right side has a single series → every left series projects onto
+       it, no label matching;
+    2. otherwise the match keys are the explicit list, else the
+       auto-extracted common label names (else full label identity);
+    3. right series grouped by the match keys — a single group behaves
+       like case 1 (broadcast), multiple groups equi-join on
+       ``(match_key, ts)``. Multiple right series falling into one group
+       merge last-write-wins per timestamp (SubtractStage
+       .mergeMatchingSeries; divide/asPercent reject this shape in the
+       reference — we take the deterministic merge instead of failing).
+
+    The group-count probes are series-level metadata actions (limit-2
+    counts), the Spark analog of the reference's coordinator-side
+    branching on its materialized series list; the per-sample join stays
+    fully lazy and Catalyst broadcasts the merged right side.
+    """
     from time_series_db_spark.operators.normalize import aligned, normalize_frames
 
     if not aligned(left, right):
@@ -41,16 +86,42 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
         # MAX step + TYPE_AWARE, the coordinator's defaults)
         left, right = normalize_frames([left, right])
     lf, rf = left.df, right.df
+
+    n_right = rf.select("series_key").distinct().limit(2).count()
+    if n_right > 1 and not keys:
+        keys = _common_label_names(lf, rf) or None
+    if n_right > 1 and keys:
+        rmk = rf.select(*_match_cols(rf, keys, "r")).distinct()
+        n_groups = rmk.limit(2).count()
+    else:
+        n_groups = n_right
+
+    if n_groups <= 1:
+        # broadcast projection: all left series against the one (merged)
+        # right series — join on timestamp only, left labels survive
+        rvals = rf.groupBy("ts").agg(
+            F.expr("max_by(value, series_key)").alias("__rvalue")
+        )
+        joined = lf.join(F.broadcast(rvals), on="ts", how="inner")
+        return joined, left
+
     if keys:
         lf = lf.filter(has_all_keys_expr(keys))
         rf = rf.filter(has_all_keys_expr(keys))
     lcols = lf.select(*SAMPLE_COLS, *_match_cols(lf, keys, "l"))
-    rcols = rf.select(
-        F.col("ts").alias("__rts"),
-        F.col("value").alias("__rvalue"),
-        *_match_cols(rf, keys, "r"),
+    n_mk = len(keys) if keys else 1
+    rcols = (
+        rf.select(
+            F.col("ts").alias("__rts"),
+            F.col("value").alias("__rvalue"),
+            F.col("series_key").alias("__rsk"),
+            *_match_cols(rf, keys, "r"),
+        )
+        # merge right series sharing a match key: last write wins per ts
+        .groupBy("__rts", *[f"__mk_{i}" for i in range(n_mk)])
+        .agg(F.expr("max_by(__rvalue, __rsk)").alias("__rvalue"))
     )
-    on = [lcols[f"__mk_{i}"] == rcols[f"__mk_{i}"] for i in range(len(keys) if keys else 1)]
+    on = [lcols[f"__mk_{i}"] == rcols[f"__mk_{i}"] for i in range(n_mk)]
     on.append(lcols["ts"] == rcols["__rts"])
     joined = lcols.join(rcols, on=on, how="inner")
     return joined, left
@@ -61,14 +132,31 @@ def _projected(left: SeriesFrame, joined, value_expr) -> SeriesFrame:
     return left.with_df(df)
 
 
+def _tag_ratios(out: SeriesFrame) -> SeriesFrame:
+    """Add the ``type:ratios`` output label (DivideStage.java:107-111 /
+    AsPercentStage.java:110-114 transformLabels)."""
+    from time_series_db_spark.model import series_key_expr
+
+    df = (
+        out.df.withColumn(
+            "labels",
+            F.map_concat("labels", F.create_map(F.lit("type"), F.lit("ratios"))),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return out.with_df(df)
+
+
 def divide(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
     """L/R per aligned timestamp; NaN if the denominator is 0 or either side
-    NaN — DivideStage.java:36 (NaN rules javadoc :1-12)."""
+    NaN — DivideStage.java:36 (NaN rules javadoc :1-12). Output tagged
+    ``type:ratios`` like every divide-family stage."""
     joined, left = _binary_join(left, right, keys)
     expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
         F.col("value") / F.col("__rvalue")
     )
-    return _projected(left, joined, expr)
+    return _tag_ratios(_projected(left, joined, expr))
 
 
 def subtract(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:
@@ -83,18 +171,7 @@ def as_percent(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = N
     expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
         F.lit(100.0) * F.col("value") / F.col("__rvalue")
     )
-    out = _projected(left, joined, expr)
-    from time_series_db_spark.model import series_key_expr
-
-    df = (
-        out.df.withColumn(
-            "labels",
-            F.map_concat("labels", F.create_map(F.lit("type"), F.lit("ratios"))),
-        )
-        .withColumn("series_key", series_key_expr())
-        .select(*SAMPLE_COLS)
-    )
-    return out.with_df(df)
+    return _tag_ratios(_projected(left, joined, expr))
 
 
 def intersect(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None) -> SeriesFrame:

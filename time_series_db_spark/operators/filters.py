@@ -62,14 +62,30 @@ def semver_sortable(col: Column) -> Column:
     )
 
 
+#: flexible semver shape accepted by SemanticVersionComparator
+#: .normalizeVersion ("1", "2.0", "v1.2.3", "1.10.0-alpha")
+_SEMVER_RE = __import__("re").compile(r"^v?\d+(\.\d+){0,2}(-.+)?$")
+
+
+def is_semver(value: str) -> bool:
+    """Python-side mirror of SemanticVersionComparator.isSemanticVersion
+    for literals known at plan time."""
+    return bool(_SEMVER_RE.match(value.strip())) if value else False
+
+
 def tag_compare(
     sf: SeriesFrame, tag: str, op: str, literal: str, semver: bool = False
 ) -> SeriesFrame:
     """Filter series by lexicographic or semantic-version comparison of a
-    tag value against a literal — TagCompareStage.java:35."""
+    tag value against a literal — TagCompareStage.java:35. In semver mode
+    (auto-enabled when the literal is a version — TagCompareStage
+    .java:121-128) series whose value is not itself a version are
+    dropped."""
     val = F.col("labels")[tag]
     lit = F.lit(literal)
+    extra = F.lit(True)
     if semver:
+        extra = F.col("labels")[tag].rlike(r"^v?\d+(\.\d+){0,2}(-.+)?$")
         val, lit = semver_sortable(val), semver_sortable(lit)
     cond = {
         "eq": val == lit,
@@ -79,7 +95,9 @@ def tag_compare(
         "lt": val < lit,
         "le": val <= lit,
     }[op]
-    return sf.with_df(sf.df.filter(F.col("labels")[tag].isNotNull() & cond))
+    return sf.with_df(
+        sf.df.filter(F.col("labels")[tag].isNotNull() & extra & cond)
+    )
 
 
 def exclude_by_tag(sf: SeriesFrame, tag: str, patterns: list[str]) -> SeriesFrame:

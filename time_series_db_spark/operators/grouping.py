@@ -31,15 +31,9 @@ from time_series_db_spark.model import (
 NAN = float("nan")
 
 
-def _grouped(
-    sf: SeriesFrame, keys: list[str], agg_expr: Column, value_type: str = "double",
-    without: bool = False,
-) -> SeriesFrame:
-    """``without=True`` inverts the key list (PromQL ``without`` modifier):
-    the group identity keeps every label *except* ``keys``. The reference
-    throws UnsupportedOperationException here (PromSourceBuilderVisitor
-    .java:258-260); the inversion is one map_filter for us."""
-    df = sf.df
+def _with_group_key(df, keys: list[str], without: bool = False):
+    """Attach ``__gkey`` (canonical group identity) per the key mode:
+    explicit subset, ``without`` inversion, or global (empty labels)."""
     if without:
         karr = F.array(*[F.lit(k) for k in keys])
         df = df.withColumn(
@@ -54,7 +48,18 @@ def _grouped(
             "__glabels",
             F.create_map().cast("map<string,string>"),
         )
-    df = df.withColumn("__gkey", series_key_expr(F.col("__glabels")))
+    return df.withColumn("__gkey", series_key_expr(F.col("__glabels")))
+
+
+def _grouped(
+    sf: SeriesFrame, keys: list[str], agg_expr: Column, value_type: str = "double",
+    without: bool = False,
+) -> SeriesFrame:
+    """``without=True`` inverts the key list (PromQL ``without`` modifier):
+    the group identity keeps every label *except* ``keys``. The reference
+    throws UnsupportedOperationException here (PromSourceBuilderVisitor
+    .java:258-260); the inversion is one map_filter for us."""
+    df = _with_group_key(sf.df, keys, without)
     # No map column rides through the aggregation: a map-typed buffer
     # (first(labels)) forces SortAggregate; keeping the buffer primitive
     # keeps Catalyst on HashAggregate with map-side partial aggregation.
@@ -128,10 +133,37 @@ def max_(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> Series
     return _grouped(sf, list(keys), expr, without=without)
 
 
-def count(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
-    """count — CountStage.java:65: number of series with a sample present at
-    the timestamp (NaN is present)."""
+def count_at_ts(
+    sf: SeriesFrame, keys: list[str] = (), without: bool = False
+) -> SeriesFrame:
+    """Per-timestamp presence count — the PromQL ``count`` aggregation
+    (number of series with a sample at each instant; NaN is present).
+    Distinct from M3's :func:`count`, which is a dense series count."""
     return _grouped(sf, list(keys), F.count("value").cast("double"), without=without)
+
+
+def count(sf: SeriesFrame, keys: list[str] = (), without: bool = False) -> SeriesFrame:
+    """count — CountStage.java:processGroup: the value is the number of
+    SERIES in the group, emitted DENSE over the whole grid
+    (buildDenseSamples) — per-timestamp sample presence is irrelevant.
+
+    Spark shape: distinct series per group (tiny, series-level) → count
+    → explode the grid. Two small aggregates, no per-sample shuffle."""
+    counts = (
+        _with_group_key(sf.df, list(keys), without)
+        .select("__gkey", "series_key")
+        .distinct()
+        .groupBy("__gkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    out = counts.select(
+        F.col("__gkey").alias("series_key"),
+        labels_from_key_expr(F.col("__gkey")).alias("labels"),
+        F.lit(None).cast("string").alias("alias"),
+        F.explode(sf.grid_col()).alias("ts"),
+        F.col("value"),
+    ).select(*SAMPLE_COLS)
+    return sf.with_df(out)
 
 
 def multiply(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
@@ -168,35 +200,43 @@ def percentile_of_series(
 ) -> SeriesFrame:
     """percentileOfSeries / median — PercentileOfSeriesStage.java:69.
 
-    Exact percentile with linear interpolation across the series values at
-    each timestamp (the reference collects values per ts — MultiValueSample,
-    sort-on-materialize — and interpolates). One output series per
-    requested percentile, tagged ``_percentile`` (reference adds the
-    percentile to the series identity).
+    M3 nearest-rank percentile (PercentileUtils.calculatePercentile,
+    interpolate=false): over the sorted cross-series values at each
+    timestamp, rank = max(1, ceil(p/100 · n)), value = sorted[rank]. One
+    output series per requested percentile, tagged ``__percentile`` with
+    formatPercentile formatting ("50", "99.5").
 
-    Catalyst's ``percentile`` aggregate is the direct equivalent of the
-    MultiValueSample carrier: partial = value list, final = sort+interp.
+    Catalyst shape: one sorted collect_list per (group, ts) — the direct
+    analog of the MultiValueSample carrier (partial = value list, final =
+    sort) — then a per-percentile rank lookup in the projection.
     """
     ps = list(percentiles)
     base = _grouped(
         sf,
         list(keys),
-        F.expr(
-            f"percentile(value, array({', '.join(str(float(p) / 100.0) for p in ps)}))"
-        ),
+        F.expr("array_sort(collect_list(value))"),
         value_type="array<double>",
     )
-    # explode one row per percentile, tagging the identity
-    pnames = F.array(*[F.lit(str(p)) for p in ps])
+
+    def _rank_value(p: float) -> Column:
+        rank = F.greatest(
+            F.lit(1),
+            F.ceil(F.lit(float(p) / 100.0) * F.size("value")).cast("int"),
+        )
+        return F.element_at("value", rank)
+
+    results = F.array(*[_rank_value(p) for p in ps])
+    pnames = F.array(*[F.lit(_format_percentile(float(p))) for p in ps])
     df = (
-        base.df.select(
-            "labels", "alias", "ts", F.posexplode("value").alias("pos", "v")
+        base.df.withColumn("__res", results)
+        .select(
+            "labels", "alias", "ts", F.posexplode("__res").alias("pos", "v")
         )
         .select(
             F.map_concat(
                 "labels",
                 F.create_map(
-                    F.lit("_percentile"), F.element_at(pnames, F.col("pos") + 1)
+                    F.lit("__percentile"), F.element_at(pnames, F.col("pos") + 1)
                 ),
             ).alias("labels"),
             "alias",

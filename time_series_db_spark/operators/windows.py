@@ -167,12 +167,15 @@ def derivative(sf: SeriesFrame) -> SeriesFrame:
 
 def per_second(sf: SeriesFrame) -> SeriesFrame:
     """(v[i]−v[i−1]) / Δt-seconds over consecutive present samples —
-    PerSecondStage.java:47 (divides by the actual gap, not the step)."""
+    PerSecondStage.java:47 (divides by the actual gap, not the step).
+    Negative differences are counter resets and emit no sample at all
+    (PerSecondStage.java:80-83); NaN differences flow through."""
     w = _series_window()
     df = (
         sf.df.withColumn("__pv", F.lag("value").over(w))
         .withColumn("__pts", F.lag("ts").over(w))
         .filter(F.col("__pts").isNotNull())
+        .filter(~((F.col("value") - F.col("__pv")) < 0))
         .withColumn(
             "value",
             (F.col("value") - F.col("__pv"))
@@ -212,16 +215,19 @@ def integral(sf: SeriesFrame, reset_on_gap: bool = False) -> SeriesFrame:
 
 
 def changed(sf: SeriesFrame) -> SeriesFrame:
-    """1 when the value differs from the previous non-NaN value, else 0 —
-    ChangedStage.java:41. The first sample of a series reports 0."""
+    """DENSE 0/1 over the grid — ChangedStage.java:71-110: every grid
+    point emits; missing/NaN points emit 0; a present point emits 1 iff
+    it differs from the last non-null, non-NaN value seen at ANY earlier
+    grid point (not just the immediately preceding sample)."""
     w = _series_window()
-    prev_real = F.last(
-        F.when(~F.isnan("value"), F.col("value")), ignorenulls=True
-    ).over(w.rowsBetween(Window.unboundedPreceding, -1))
-    df = sf.df.withColumn(
+    valid = F.when(~F.isnan("value") & F.col("value").isNotNull(), F.col("value"))
+    prev_real = F.last(valid, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = _densified(sf).withColumn(
         "value",
-        F.when(prev_real.isNull(), 0.0)
-        .when(F.isnan("value"), 0.0)
+        F.when(F.col("value").isNull() | F.isnan("value"), 0.0)
+        .when(prev_real.isNull(), 0.0)
         .when(F.col("value") != prev_real, 1.0)
         .otherwise(0.0),
     ).select(*SAMPLE_COLS)
@@ -232,19 +238,23 @@ _MOVING_FNS = {"sum", "avg", "min", "max", "median"}
 
 
 def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
-    """Sliding time-window aggregate ending at each sample — MovingStage.java:47
-    (windows stage/moving/{SumWindow,AvgWindow,MinMaxQueue,RunningMedianV2}).
+    """Sliding time-window aggregate — MovingStage.java:88-145 (windows
+    stage/moving/{SumWindow,AvgWindow,MinMaxQueue,RunningMedianV2}).
 
-    The window covers (ts − window_ms, ts] — i.e. the current sample plus
-    everything within the trailing interval — expressed as a RANGE frame,
-    so sparse series aggregate only over *present* samples exactly like the
-    reference's buffer (missing points simply aren't in the frame).
-    The planner widens the fetch window by ``window_ms`` and truncates
-    after (SourceBuilderVisitor.java:522-555).
+    Reference semantics ("evaluate first, then update the window"): the
+    value at grid point t aggregates the ``window_ms/step`` grid slots
+    strictly BEFORE t — [t−w, t), the current point excluded — and a
+    point is emitted wherever the window holds ≥1 present sample, even
+    when the point itself has no sample. That requires evaluating on the
+    dense grid: densify per series (pack-map + inline — one shuffle, the
+    same shape keep_last_value uses), aggregate over a trailing RANGE
+    frame ending one step back, and keep window-nonempty points. The
+    planner widens the fetch window by ``window_ms`` and truncates after
+    (SourceBuilderVisitor.java:522-555).
     """
     if fn not in _MOVING_FNS:
         raise ValueError(f"unknown moving fn: {fn}")
-    w = _series_window().rangeBetween(-(int(window_ms) - sf.step), 0)
+    w = _series_window().rangeBetween(-int(window_ms), -sf.step)
     agg = {
         "sum": F.sum("value"),
         "avg": F.avg("value"),
@@ -252,11 +262,23 @@ def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
         "max": F.max("value"),
         "median": F.expr("percentile(value, 0.5)"),
     }[fn]
-    df = sf.df.withColumn("value", agg.over(w)).select(*SAMPLE_COLS)
+    df = (
+        _densified(sf)
+        .withColumn("__mv", agg.over(w))
+        .withColumn("__mc", F.count("value").over(w))
+        .filter(F.col("__mc") > 0)
+        .withColumn("value", F.col("__mv"))
+        .select(*SAMPLE_COLS)
+    )
     return sf.with_df(df)
 
 
 _SUMMARIZE_FNS = {"sum", "avg", "min", "max", "last", "stddev", "count"}
+
+
+#: SummarizePlanNode.GO_ZERO_TIME_MILLIS — Go's time zero (year 1 AD),
+#: the reference time for fixed (alignToFrom=false) summarize buckets.
+GO_ZERO_TIME_MS = -62_135_596_800_000
 
 
 def summarize(
@@ -264,18 +286,28 @@ def summarize(
     interval_ms: int,
     fn: str = "sum",
     percentile: float | None = None,
+    align_to_from: bool = False,
 ) -> SeriesFrame:
     """Bucket samples into fixed intervals — SummarizeStage.java:65.
 
-    Buckets are aligned to the fixed epoch (the reference's Go-zero-time
-    alignment reduces to epoch-floor for epoch-aligned grids;
-    SourceBuilderVisitor.java:674-699). Output step = interval. fn also
-    admits p0–p100 via ``percentile=``.
+    ``align_to_from=False`` aligns buckets to Go-zero-time intervals
+    (BucketMapper.calculateBucketStart with GO_ZERO_TIME_MILLIS —
+    SourceBuilderVisitor.java:682-694); ``align_to_from=True`` anchors
+    buckets at the series start, which for our frames is the scan-window
+    start (SummarizeStage.java:162-168 computeReferenceTime). Output
+    step = interval. fn also admits p0–p100 via ``percentile=``.
     """
     from dataclasses import replace
 
     interval = int(interval_ms)
-    bucket = F.col("ts") - (F.col("ts") % F.lit(interval))
+    ref = sf.min_ts if align_to_from else GO_ZERO_TIME_MS
+    # ts >= ref always (ref is either the scan start or year 1 AD), so
+    # integer-division floor == Java's truncating division here
+    bucket = (
+        F.lit(ref)
+        + ((F.col("ts") - F.lit(ref)) / F.lit(interval)).cast("long")
+        * F.lit(interval)
+    )
     if percentile is not None:
         agg = F.expr(f"percentile(value, {float(percentile) / 100.0})")
     else:
@@ -297,8 +329,8 @@ def summarize(
         .withColumn("value", F.col("value").cast("double"))
         .select(*SAMPLE_COLS)
     )
-    new_min = sf.min_ts - (sf.min_ts % interval)
-    new_max = sf.max_ts + (-sf.max_ts) % interval
+    new_min = ref + ((sf.min_ts - ref) // interval) * interval
+    new_max = ref + ((sf.max_ts - 1 - ref) // interval + 1) * interval
     return replace(sf, df=df, step=interval, min_ts=new_min, max_ts=new_max)
 
 

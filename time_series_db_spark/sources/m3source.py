@@ -131,25 +131,50 @@ class EventsSource:
         max_ts: int,
         step: int,
     ) -> SeriesFrame:
-        """Synthesize one constant series: value[i] at grid point i —
-        MockFetchStage.java:40 (coordinator-side synthesis)."""
-        rows = [
-            (min_ts + i * step, float(v))
-            for i, v in enumerate(values)
-            if min_ts + i * step < max_ts
-        ]
-        df = self.spark.createDataFrame(rows, "ts: long, value: double")
-        keys = sorted(tags)
-        label_map = F.create_map(
-            *[x for k in keys for x in (F.lit(k), F.lit(tags[k]))]
-        )
-        out = (
-            df.withColumn("labels", label_map)
-            .withColumn("alias", F.lit(None).cast("string"))
-            .withColumn("series_key", series_key_expr())
-            .select(*SAMPLE_COLS)
-        )
-        return SeriesFrame(df=out, step=step, min_ts=min_ts, max_ts=max_ts)
+        return synth_mock_series(self.spark, values, tags, min_ts, max_ts, step)
+
+
+def synth_mock_series(
+    spark: SparkSession,
+    values: list[float],
+    tags: dict[str, str],
+    min_ts: int,
+    max_ts: int,
+    step: int,
+) -> SeriesFrame:
+    """Synthesize one constant series: value[i] at grid point i —
+    MockFetchStage.java:40 (coordinator-side synthesis). NaN values are
+    skipped at synthesis (MockFetchStage.java:94): NaN means "missing"
+    at the storage boundary, so the grid point stays a gap that e.g.
+    transformNull can later fill. All values are emitted, even past the
+    query end (the stage never clips; MockFetchStage.process), and an
+    empty tag set defaults to ``name:mockFetch``
+    (MockFetchStage.java:65-67)."""
+    import math
+
+    if not tags:
+        tags = {"name": "mockFetch"}
+    rows = [
+        (min_ts + i * step, float(v))
+        for i, v in enumerate(values)
+        if not math.isnan(float(v))
+    ]
+    # the synthesized series spans all its values (series end =
+    # start + (n-1)*step inclusive ⇒ exclusive frame bound one step past),
+    # so densifying stages (transformNull) fill the full value range
+    max_ts = max(max_ts, min_ts + len(values) * step)
+    df = spark.createDataFrame(rows, "ts: long, value: double")
+    keys = sorted(tags)
+    label_map = F.create_map(
+        *[x for k in keys for x in (F.lit(k), F.lit(tags[k]))]
+    )
+    out = (
+        df.withColumn("labels", label_map)
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return SeriesFrame(df=out, step=step, min_ts=min_ts, max_ts=max_ts)
 
 
 def oracle_tag_sql(
