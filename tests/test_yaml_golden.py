@@ -25,6 +25,7 @@ SUITES = [
     "multi_index_pushdown_comparison_rest_it.yaml",
     "multi_index_data_migration_rest_it.yaml",
     "m3ql_step_size_from_index_settings_rest_it.yaml",
+    "m3ql_resolved_partitions_index_parsing_rest_it.yaml",
 ]
 
 _suites: dict[str, dict] = {}

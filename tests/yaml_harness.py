@@ -199,7 +199,10 @@ def _partition_windows(qcfg: dict) -> dict[str, tuple[int, int]]:
     out = {}
     for rp in qcfg.get("resolved_partitions", []) or []:
         for w in rp.get("windows", []):
-            out[w["partition"]] = (iso_ms(w["start"]), iso_ms(w["end"]))
+            # partition ids come as "cluster:index" or bare "index"
+            # (ResolvedPartitions index-name parsing) — read the index part
+            name = w["partition"].rsplit(":", 1)[-1]
+            out[name] = (iso_ms(w["start"]), iso_ms(w["end"]))
     return out
 
 
@@ -209,14 +212,18 @@ def run_query(
     qcfg: dict,
     index_steps: dict[str, int] | None = None,
 ) -> SeriesFrame:
-    indices = [s.strip() for s in qcfg.get("indices", "").split(",") if s.strip()]
-    if not indices:
-        indices = list(tables)  # no indices key → query every suite index
     windows = _partition_windows(qcfg)
+    if windows:
+        # resolved_partitions override the URL indices param entirely
+        indices = list(windows)
+    else:
+        indices = [s.strip() for s in qcfg.get("indices", "").split(",") if s.strip()]
+        if not indices:
+            indices = list(tables)  # no indices key → query every suite index
     dfs = []
     for i in indices:
         if i not in tables:
-            continue
+            raise LookupError(f"index_not_found_exception: no such index [{i}]")
         df = tables[i]
         if i in windows:
             lo, hi = windows[i]

@@ -146,6 +146,83 @@ def m3_fetch_filtered(spark, sf_dir):
     return _out(sf)
 
 
+#: federation window boundaries (step-aligned): partition A reads the
+#: first 20 days, partition B the last 20 — the middle 10 days overlap
+_FED_T1 = EVENTS_MIN_TS + 10 * 86_400_000
+_FED_T2 = EVENTS_MIN_TS + 20 * 86_400_000
+
+
+@register(
+    "m3_federated_fetch",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_federated_fetch(spark, sf_dir):
+    """Resolved-partitions fetch with OVERLAPPING windows
+    (query/rest/ResolvedPartitions.java; overlap rule SourceBuilderVisitor
+    .java:1049-1051): two partitions over the same table, windows
+    [min, t2) and [t1, max) overlapping for 10 days — the per-(series,
+    grid point) dedup must reproduce exactly the single-table scan,
+    which is the oracle (mirrors multi_index_overlapping_windows_rest_it
+    .yaml)."""
+    from time_series_db_spark.sources.federation import Partition, federated_fetch
+
+    sf = federated_fetch(spark, [
+        Partition(sf_dir, EVENTS_MIN_TS, _FED_T2, "old:events"),
+        Partition(sf_dir, _FED_T1, EVENTS_MAX_TS, "new:events"),
+    ])
+    return _out(sf)
+
+
+@register(
+    "m3_federated_windows",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE ts < {_FED_T1} OR ts >= {_FED_T2}""",
+)
+def m3_federated_windows(spark, sf_dir):
+    """Resolved-partitions fetch with DISJOINT windows leaving a gap:
+    partition windows [min, t1) and [t2, max) — only samples inside a
+    resolved window are read (per-partition scan pruning), so the
+    middle 10 days are absent from the result."""
+    from time_series_db_spark.sources.federation import Partition, federated_fetch
+
+    sf = federated_fetch(spark, [
+        Partition(sf_dir, EVENTS_MIN_TS, _FED_T1, ":events"),
+        Partition(sf_dir, _FED_T2, EVENTS_MAX_TS, "events"),
+    ])
+    return _out(sf)
+
+
+@register(
+    "m3ql_federated_sum",
+    f"""{PRELUDE}
+    SELECT region, ts, {sql_quant('sum(value)')} AS value
+    FROM samples WHERE name = 'error' GROUP BY region, ts""",
+)
+def m3ql_federated_sum(spark, sf_dir):
+    """Full M3QL text query over a FederatedEventsSource (overlapping
+    partitions): the language front-end is source-agnostic, so
+    federation composes with every stage."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.sources.federation import (
+        FederatedEventsSource,
+        Partition,
+    )
+
+    source = FederatedEventsSource(spark, [
+        Partition(sf_dir, EVENTS_MIN_TS, _FED_T2, "old:events"),
+        Partition(sf_dir, _FED_T1, EVENTS_MAX_TS, "new:events"),
+    ])
+    sf = execute(
+        "fetch name:error | sum region",
+        source, EVENTS_MIN_TS, EVENTS_MAX_TS, DEFAULT_STEP_MS,
+    )
+    return sf.df.select(
+        F.col("labels")["region"].alias("region"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # mapper stages
 # ---------------------------------------------------------------------------
