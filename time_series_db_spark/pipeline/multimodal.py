@@ -21,6 +21,7 @@ parallelism == input splits.
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Iterator, Iterable
 
 import pandas as pd
@@ -33,6 +34,23 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def _register_self_by_value() -> None:
+    """Serialize this module's functions BY VALUE into mapInPandas
+    closures. The default by-reference pickling requires executors to
+    ``import time_series_db_spark`` — true under pytest (cwd = repo)
+    but not when a driver harness runs from elsewhere; by-value makes
+    the Arrow UDFs self-contained regardless of worker sys.path."""
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass  # older pickler without the registry — import path must work
+
+
+_register_self_by_value()
+
 
 MEDIA_SCHEMA = StructType(
     [
@@ -88,28 +106,98 @@ def _fake_image_meta(payload: bytes) -> tuple[int, int, int]:
     return width, height, 3
 
 
+#: PNG color type → sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def parse_image_header(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) from PNG / JPEG / GIF / BMP header
+    bytes — pure byte arithmetic against the public format specs, no
+    codec library. Returns None for unrecognized/truncated payloads.
+    """
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" and len(payload) >= 26:
+        # IHDR is always first: width/height big-endian at 16/20,
+        # color type at 25
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        return w, h, _PNG_CHANNELS.get(payload[25], 3)
+    if payload[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn frame header
+        # (height/width big-endian at +5/+7, component count at +9)
+        i = 2
+        n = len(payload)
+        while i + 9 < n:
+            if payload[i] != 0xFF:
+                return None
+            marker = payload[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0x01,) or 0xD0 <= marker <= 0xD9:  # standalone
+                i += 2
+                continue
+            seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+            if (
+                0xC0 <= marker <= 0xCF
+                and marker not in (0xC4, 0xC8, 0xCC)  # not Huffman/JPG/DAC
+            ):
+                h = int.from_bytes(payload[i + 5 : i + 7], "big")
+                w = int.from_bytes(payload[i + 7 : i + 9], "big")
+                return w, h, payload[i + 9]
+            i += 2 + seg_len
+        return None
+    if payload[:6] in (b"GIF87a", b"GIF89a") and len(payload) >= 10:
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        return w, h, 3
+    if payload[:2] == b"BM" and len(payload) >= 26:
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        return abs(w), abs(h), 3
+    return None
+
+
 def decode_image_meta(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
     """Extract (width, height, channels, n_pixels) per image payload via
-    Arrow-batched ``mapInPandas``."""
+    Arrow-batched ``mapInPandas``.
+
+    ``decode_fn="real"`` parses PNG/JPEG/GIF/BMP headers byte-wise
+    (:func:`parse_image_header`); unrecognized payloads yield null
+    metadata. ``decode_fn="fake"`` derives deterministic pseudo-dims
+    from payload size (the oracle-mirrorable test path). ``"pil"``
+    marks where a full pixel-decoding codec would slot in.
+    """
     if decode_fn == "pil":
         raise NotImplementedError(
-            "real image decoding requires PIL/libvips, not present in this "
-            "container — slot the codec in here"
+            "full pixel decoding requires PIL/libvips, not present in this "
+            "container — header metadata is available via decode_fn='real'"
         )
-    if decode_fn != "fake":
+    if decode_fn not in ("fake", "real"):
         raise ValueError(f"unknown decode_fn: {decode_fn}")
+    parse = (
+        parse_image_header
+        if decode_fn == "real"
+        else lambda p: _fake_image_meta(p)
+    )
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
         for pdf in batches:
-            dims = [_fake_image_meta(p) for p in pdf["content"]]
+            dims = [parse(p) for p in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].astype("int64"),
-                    "width": pd.Series([d[0] for d in dims], dtype="int64"),
-                    "height": pd.Series([d[1] for d in dims], dtype="int64"),
-                    "channels": pd.Series([d[2] for d in dims], dtype="int64"),
+                    "width": pd.Series(
+                        [d[0] if d else None for d in dims], dtype="Int64"
+                    ),
+                    "height": pd.Series(
+                        [d[1] if d else None for d in dims], dtype="Int64"
+                    ),
+                    "channels": pd.Series(
+                        [d[2] if d else None for d in dims], dtype="Int64"
+                    ),
                     "n_pixels": pd.Series(
-                        [d[0] * d[1] * d[2] for d in dims], dtype="int64"
+                        [d[0] * d[1] * d[2] if d else None for d in dims],
+                        dtype="Int64",
                     ),
                 }
             )
@@ -160,39 +248,85 @@ AUDIO_SCHEMA = StructType(
 )
 
 
+def parse_wav(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_samples, channels, data_offset) from a RIFF/WAVE
+    header — chunk walk per the public WAV spec, no codec library.
+    Returns None for non-WAV/truncated payloads."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(payload)
+    channels = rate = bits = None
+    data_size = data_off = None
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= n:
+            channels = int.from_bytes(payload[i + 10 : i + 12], "little")
+            rate = int.from_bytes(payload[i + 12 : i + 16], "little")
+            bits = int.from_bytes(payload[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_off = i + 8
+            data_size = min(size, n - data_off)
+        i += 8 + size + (size % 2)  # chunks are word-aligned
+    if not (channels and rate and bits and data_off is not None):
+        return None
+    frame_bytes = max(1, channels * bits // 8)
+    return rate, data_size // frame_bytes, channels, data_off
+
+
 def extract_audio_features(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
     """Audio feature extraction (sample rate / duration / quantized RMS)
     via Arrow-batched ``mapInPandas`` — the audio analog of
     :func:`decode_image_meta`.
 
-    ``decode_fn="fake"`` treats the payload as 16 kHz 8-bit PCM and
-    computes an integer RMS proxy (sum of squared bytes div n, integer
-    math so the DuckDB oracle can mirror it exactly); ``decode_fn=
-    "librosa"`` raises at the codec slot-in point.
+    ``decode_fn="real"`` walks the RIFF/WAVE header (:func:`parse_wav`)
+    and computes integer mean-square energy over the 16-bit PCM data
+    chunk; non-WAV payloads yield null metadata. ``decode_fn="fake"``
+    treats the payload as 16 kHz 8-bit PCM with an integer RMS proxy
+    (oracle-mirrorable); ``"librosa"`` marks where a full resample/
+    spectrogram codec would slot in.
     """
     if decode_fn == "librosa":
         raise NotImplementedError(
-            "real audio decoding requires librosa/ffmpeg, not present in "
-            "this container — slot the codec in here"
+            "full audio decoding requires librosa/ffmpeg, not present in "
+            "this container — WAV header metadata via decode_fn='real'"
         )
-    if decode_fn != "fake":
+    if decode_fn not in ("fake", "real"):
         raise ValueError(f"unknown decode_fn: {decode_fn}")
 
     RATE = 16_000
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["content"]):
-                n = len(payload)
-                sq = sum(b * b for b in payload)
-                rows.append(
-                    (mid, RATE, n, n * 1000 // RATE, sq // n if n else 0)
-                )
+                if decode_fn == "real":
+                    meta = parse_wav(payload)
+                    if meta is None:
+                        rows.append((mid, None, None, None, None))
+                        continue
+                    rate, n_samples, channels, off = meta
+                    pcm = np.frombuffer(
+                        payload, dtype="<i2", count=(len(payload) - off) // 2,
+                        offset=off,
+                    ).astype(np.int64)
+                    rms_q = int((pcm * pcm).sum() // len(pcm)) if len(pcm) else 0
+                    rows.append(
+                        (mid, rate, n_samples,
+                         n_samples * 1000 // rate if rate else 0, rms_q)
+                    )
+                else:
+                    n = len(payload)
+                    sq = sum(b * b for b in payload)
+                    rows.append(
+                        (mid, RATE, n, n * 1000 // RATE, sq // n if n else 0)
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "sample_rate", "n_samples",
                          "duration_ms", "rms_q"],
-            ).astype("int64")
+            ).astype("Int64")
 
     return media.select("media_id", "content").mapInPandas(_extract, AUDIO_SCHEMA)
