@@ -30,8 +30,13 @@ BENCH_QUERIES = [
     "m3_divide",
     "m3_topk",
     "m3_percentile_of_series",
+    "m3_summarize",            # interval re-bucketing (grouped window)
+    "m3_sort",                 # per-series stat rank + broadcast-back
+    "m3_tag_sub",              # label-op family (regex label rewrite)
+    "m3_federated_fetch",      # resolved-partitions union + overlap dedup
     "m3ql_macros_binary",      # full language path: parse → plan → build
     "promql_sum_by_rate",      # PromQL language path
+    "promql_histogram_quantile",  # bucket-fold aggregation path
     "stats_labels",            # stats API (count-distinct)
     "dedup_exact",
     "dedup_minhash_lsh",

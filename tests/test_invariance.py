@@ -62,6 +62,60 @@ def _rows(sf):
     return sorted(out)
 
 
+#: headline catalog queries (the bench set + federation), swept under
+#: the shard-count and doc-routing analogs — the Spark port of
+#: multi_index_pushdown_comparison_rest_it.yaml's "pushdown on/off and
+#: shard layout never change results" contract
+HEADLINE_QUERIES = [
+    "m3_fetch_filtered",
+    "m3_sum_by",
+    "m3_moving_avg",
+    "m3_keep_last_value",
+    "m3_per_second_rate",
+    "m3_divide",
+    "m3_topk",
+    "m3_percentile_of_series",
+    "m3_federated_fetch",
+    "m3ql_macros_binary",
+    "promql_sum_by_rate",
+    "stats_labels",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "ann_lsh_topk",
+    "tpch_q1_pricing",
+]
+
+
+@pytest.mark.parametrize("qname", HEADLINE_QUERIES)
+def test_headline_query_invariance(spark, sf_dir, qname):
+    """Catalog queries end-to-end: identical rows under different
+    shuffle parallelism AND different input file splits (tiny
+    maxPartitionBytes → many splits — the doc-routing analog for
+    parquet-scanning queries)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    fn = QUERIES[qname]
+
+    def rows():
+        return sorted(repr(tuple(r)) for r in fn(spark, sf_dir).collect())
+
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        reference = rows()
+
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert rows() == reference, "changed by shuffle parallelism"
+
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        assert rows() == reference, "changed by input split size"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", orig_mpb)
+
+
 @pytest.mark.parametrize("op_name", sorted(OPS))
 def test_partitioning_invariance(spark, sf_dir, op_name):
     op = OPS[op_name]

@@ -87,37 +87,55 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
         left, right = normalize_frames([left, right])
     lf, rf = left.df, right.df
 
-    n_right = rf.select("series_key").distinct().limit(2).count()
-    if n_right > 1 and not keys:
-        keys = _common_label_names(lf, rf) or None
-    if n_right > 1 and keys:
-        rmk = rf.select(*_match_cols(rf, keys, "r")).distinct()
-        n_groups = rmk.limit(2).count()
-    else:
-        n_groups = n_right
+    if keys is None:
+        # auto-matching needs the key LIST to shape the plan → a small
+        # series-level probe (the coordinator-side branching the
+        # reference does on its in-memory series list)
+        n_right = rf.select("series_key").distinct().limit(2).count()
+        if n_right <= 1:
+            rvals = rf.groupBy("ts").agg(
+                F.expr("max_by(value, series_key)").alias("__rvalue")
+            )
+            return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
+        keys = _common_label_names(lf, rf) or None  # [] → full identity
+
+    # One probe decides the branch (AbstractBinaryProjectionStage: a
+    # single right GROUP → project every left series onto the merged
+    # group ignoring keys; multiple groups → equi-join on the keys).
+    # The probe is a limit-2 distinct count over the right key
+    # projection — one pass over the (typically aggregated) right side;
+    # the resulting plan is a plain hash join that AQE broadcasts when
+    # the right side is small, with no conditional-key machinery.
+    n_mk = len(keys) if keys else 1
+    rk = rf
+    if keys:
+        rk = rf.filter(has_all_keys_expr(keys))
+    n_groups = (
+        rk.select(*_match_cols(rk, keys, "r")).distinct().limit(2).count()
+    )
 
     if n_groups <= 1:
-        # broadcast projection: all left series against the one (merged)
-        # right series — join on timestamp only, left labels survive
-        rvals = rf.groupBy("ts").agg(
+        # all left series project onto the one merged group — join on
+        # timestamp only, left labels survive, no key filter on left
+        # (processWithoutLabelMatching pairs key-less series too)
+        rvals = rk.groupBy("ts").agg(
             F.expr("max_by(value, series_key)").alias("__rvalue")
         )
-        joined = lf.join(F.broadcast(rvals), on="ts", how="inner")
-        return joined, left
+        return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
 
     if keys:
         lf = lf.filter(has_all_keys_expr(keys))
-        rf = rf.filter(has_all_keys_expr(keys))
     lcols = lf.select(*SAMPLE_COLS, *_match_cols(lf, keys, "l"))
-    n_mk = len(keys) if keys else 1
     rcols = (
-        rf.select(
+        rk.select(
             F.col("ts").alias("__rts"),
             F.col("value").alias("__rvalue"),
             F.col("series_key").alias("__rsk"),
-            *_match_cols(rf, keys, "r"),
+            *_match_cols(rk, keys, "r"),
         )
         # merge right series sharing a match key: last write wins per ts
+        # (SubtractStage.mergeMatchingSeries; divide/asPercent reject
+        # this shape in the reference — deterministic merge instead)
         .groupBy("__rts", *[f"__mk_{i}" for i in range(n_mk)])
         .agg(F.expr("max_by(__rvalue, __rsk)").alias("__rvalue"))
     )

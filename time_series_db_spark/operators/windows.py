@@ -254,7 +254,33 @@ def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
     """
     if fn not in _MOVING_FNS:
         raise ValueError(f"unknown moving fn: {fn}")
-    w = _series_window().rangeBetween(-int(window_ms), -sf.step)
+    k = int(window_ms) // sf.step
+    if k == 0:
+        raise ValueError("windowSize should not be smaller than stepSize")
+
+    # Scatter formulation: a sample at ts sits in the trailing window of
+    # exactly the k grid points (ts+step .. ts+k·step), so explode each
+    # sample to its target points (bounded ×k fan-out — the same shape
+    # as bounded keep_last_value, windows.py scatter) and hash-aggregate
+    # per (series, target). Map-side partial aggregation absorbs the
+    # fan-out before the single shuffle; no densify, no sort, no
+    # WindowExec. Emission rule falls out for free: a group exists iff
+    # the window holds ≥1 sample (MovingStage's evaluate-then-update
+    # loop). For very large k (wide window on a fine step) the fan-out
+    # dominates and a sorted RANGE-window over the dense grid wins —
+    # switch there if k ≫ 100 becomes a real workload.
+    step = sf.step
+    targets = F.explode(
+        F.sequence(
+            F.col("ts") + F.lit(step),
+            F.col("ts") + F.lit(k * step),
+            F.lit(step),
+        )
+    ).alias("__t")
+    contrib = (
+        sf.df.select("series_key", "alias", "value", targets)
+        .filter(F.col("__t") < F.lit(sf.max_ts))
+    )
     agg = {
         "sum": F.sum("value"),
         "avg": F.avg("value"),
@@ -263,11 +289,15 @@ def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
         "median": F.expr("percentile(value, 0.5)"),
     }[fn]
     df = (
-        _densified(sf)
-        .withColumn("__mv", agg.over(w))
-        .withColumn("__mc", F.count("value").over(w))
-        .filter(F.col("__mc") > 0)
-        .withColumn("value", F.col("__mv"))
+        contrib.groupBy("series_key", "alias", "__t")
+        .agg(agg.alias("value"))
+        .select(
+            F.col("series_key"),
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.col("alias"),
+            F.col("__t").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
