@@ -8,10 +8,13 @@ Gorilla-chunk store), re-expressed Spark-first:
   ``value``) — reference ``TimeSeries`` (query/aggregator/TimeSeries.java:68)
 - operators: DataFrame/SQL transforms (reference: pipeline stages under
   lang/m3/stage/) — see :mod:`time_series_db_spark.operators`
-- query language: M3QL parser + planner in :mod:`time_series_db_spark.plans`
+- query languages: M3QL + PromQL parsers/planners in
+  :mod:`time_series_db_spark.lang`
+- sources: table scans + federated (resolved-partitions) fetch in
+  :mod:`time_series_db_spark.sources`
 - ingest: Structured Streaming in :mod:`time_series_db_spark.streaming`
 - large-scale pipeline ops (dedup / similarity / text / multimodal) in
-  :mod:`time_series_db_spark.functions`
+  :mod:`time_series_db_spark.pipeline`
 
 The reference's shard/coordinator split, partial-aggregation carriers,
 pushdown and circuit breakers all dissolve into Catalyst equivalents

@@ -396,3 +396,35 @@ def m3ql_sustained_above(spark, sf_dir):
     the pairing SustainStage's own javadoc prescribes)."""
     sf = run_m3ql(spark, sf_dir, "fetch | sustainedAbove 5 3h")
     return _flat(sf, LABEL_KEYS)
+
+
+_POS_INTERP = """
+CASE WHEN r <= 1 THEN l[1]
+     ELSE l[greatest(1, r - 1)]
+          + (fr - (ceil(fr) - 1)) * (l[r] - l[greatest(1, r - 1)])
+END"""
+
+
+@register(
+    "m3ql_percentile_interpolate",
+    f"""{PRELUDE},
+    lsts AS (SELECT name, ts, list(value ORDER BY value) AS l
+             FROM samples WHERE name = 'view' GROUP BY 1, 2),
+    c AS (SELECT name, ts, l, 0.8 * len(l) AS fr,
+                 greatest(1, CAST(ceil(0.8 * len(l)) AS INT)) AS r
+          FROM lsts)
+    SELECT name, '80' AS __percentile, ts,
+           {sql_quant(_POS_INTERP)} AS value
+    FROM c""",
+)
+def m3ql_percentile_interpolate(spark, sf_dir):
+    """percentileOfSeries 80 true — the interpolating variant
+    (PercentileUtils.calculatePercentile interpolate=true: linear blend
+    between the two ranks by the fractional rank part)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | percentileOfSeries 80 true name")
+    return sf.df.select(
+        F.col("labels")["name"].alias("name"),
+        F.col("labels")["__percentile"].alias("__percentile"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )

@@ -84,3 +84,27 @@ def stats_values(spark, sf_dir):
         quant(F.col("max_value")).alias("max_value"),
         quant(F.col("avg_value")).alias("avg_value"),
     )
+
+
+@register(
+    "stats_fetch_labels",
+    PRELUDE
+    + """,
+sids AS (SELECT DISTINCT name, "user" AS usr, region, shard FROM samples
+         WHERE name IN ('error', 'click'))
+SELECT 'name:' || name || ',region:' || region || ',shard:' || shard
+       || ',user:' || usr AS series_key, t.label, t.value
+FROM sids CROSS JOIN LATERAL (VALUES
+  ('name', name), ('region', region), ('shard', shard), ('user', usr)
+) t(label, value)""",
+)
+def stats_fetch_labels(spark, sf_dir):
+    """labels-fetch ``_search`` ext: full label maps for every series
+    matching a tag filter (LabelsFetchSubPhase.java — the dedicated
+    per-hit label surface, distinct from labelStats cardinalities)."""
+    from pyspark.sql import functions as F
+
+    sf = fetch_events(
+        spark, sf_dir, where=F.col("name").isin("error", "click")
+    )
+    return stats.fetch_labels(sf)

@@ -258,7 +258,8 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
 
     if isinstance(node, P.PercentileOfSeriesNode):
         return grouping.percentile_of_series(
-            sf, node.percentiles, node.tags or []
+            sf, node.percentiles, node.tags or [],
+            interpolate=node.interpolate,
         )
     if isinstance(node, P.HistogramPercentileNode):
         return grouping.histogram_percentile(

@@ -196,7 +196,10 @@ def stddev(sf: SeriesFrame, keys: list[str] = ()) -> SeriesFrame:
 
 
 def percentile_of_series(
-    sf: SeriesFrame, percentiles: list[float], keys: list[str] = ()
+    sf: SeriesFrame,
+    percentiles: list[float],
+    keys: list[str] = (),
+    interpolate: bool = False,
 ) -> SeriesFrame:
     """percentileOfSeries / median — PercentileOfSeriesStage.java:69.
 
@@ -219,11 +222,18 @@ def percentile_of_series(
     )
 
     def _rank_value(p: float) -> Column:
-        rank = F.greatest(
-            F.lit(1),
-            F.ceil(F.lit(float(p) / 100.0) * F.size("value")).cast("int"),
+        frac = F.lit(float(p) / 100.0) * F.size("value")
+        rank = F.greatest(F.lit(1), F.ceil(frac).cast("int"))
+        base = F.element_at("value", rank)
+        if not interpolate:
+            return base
+        # PercentileUtils.calculatePercentile interpolate=true: linear
+        # between sorted[rank−1] and sorted[rank] by the fractional part
+        prev = F.element_at("value", F.greatest(F.lit(1), rank - 1))
+        fraction = frac - (F.ceil(frac) - 1)
+        return F.when(rank <= 1, base).otherwise(
+            prev + fraction * (base - prev)
         )
-        return F.element_at("value", rank)
 
     results = F.array(*[_rank_value(p) for p in ps])
     pnames = F.array(*[F.lit(_format_percentile(float(p))) for p in ps])

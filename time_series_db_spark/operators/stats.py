@@ -50,6 +50,18 @@ def label_stats(sf: SeriesFrame, approx: bool = False) -> DataFrame:
     return exploded.groupBy("label").agg(card.alias("cardinality"))
 
 
+def fetch_labels(sf: SeriesFrame) -> DataFrame:
+    """Per-hit label retrieval — the ``_search`` ext ``tsdb_labels``
+    fetch sub-phase (query/fetch/LabelsFetchSubPhase.java): every series
+    matching the query carries its full label map in the response. The
+    DocValues walk becomes a distinct over series identities (the labels
+    ARE the identity here) exploded to (series_key, label, value) rows.
+    """
+    return sf.distinct_series().select(
+        "series_key", F.explode("labels").alias("label", "value")
+    )
+
+
 def value_stats(sf: SeriesFrame) -> DataFrame:
     """Value distribution summary — the valueStats section (min/max/avg +
     NaN count; the reference reports per-field value statistics)."""
