@@ -40,3 +40,22 @@ def test_bucketed_neardup_plan_joins_on_bucket(spark, sf_dir):
         _embs(spark, sf_dir), bucketed=True
     )._jdf.queryExecution().executedPlan().toString()
     assert "band" in plan and "bucket" in plan, "band/bucket keys missing from plan"
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: diameter > 1 forces
+    # multiple propagation rounds
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.comp for r in dedup.connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_survivors_keeps_min_and_unpaired(spark):
+    docs = spark.createDataFrame([(i,) for i in range(1, 7)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 5)], ["id_a", "id_b"])
+    kept = sorted(
+        r.doc_id for r in dedup.dedup_survivors(docs, pairs).collect()
+    )
+    assert kept == [1, 3, 4, 6]

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from time_series_db_spark.catalog import quant, register, sql_quant
+from time_series_db_spark.catalog import ORACLES, quant, register, sql_quant
 from time_series_db_spark.pipeline import ann, dedup, multimodal, text, textprep
 from time_series_db_spark.pipeline.textprep import (
     FP_BASE,
@@ -483,3 +483,36 @@ def mm_audio_features(spark, sf_dir):
     image/video/audio modality trio."""
     media = multimodal.documents_as_media(_docs(spark, sf_dir), media_type="audio")
     return multimodal.extract_audio_features(media)
+
+
+#: the registered minhash-pair query text doubles as the edge source for
+#: the cluster-resolution oracle (nested WITH in a FROM subquery)
+_PAIRS_SQL = ORACLES["dedup_minhash_lsh"]
+
+
+@register(
+    "dedup_cluster_survivors",
+    f"""WITH RECURSIVE pairs AS (SELECT * FROM ({_PAIRS_SQL})),
+    nodes AS (SELECT DISTINCT id FROM
+      (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+    losers AS (SELECT id FROM comp WHERE comp <> id)
+    SELECT d.doc_id FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.id WHERE l.id IS NULL""",
+)
+def dedup_cluster_survivors(spark, sf_dir):
+    """Near-dup cluster resolution: MinHash pairs → connected components
+    (min-label propagation) → one canonical doc per component + all
+    unpaired docs. The oracle resolves components with a recursive CTE
+    (min reachable id); the Spark side iterates bounded label-propagation
+    rounds — the deduplicated-corpus step a training pipeline ships."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.dedup_survivors(docs, pairs).select("doc_id")

@@ -470,3 +470,89 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster resolution: pairs → components → survivors
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, component) for every node in the pair graph — component id is
+    the minimum node id reachable from it.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min of its own label and its neighbors' labels. A
+    round is one shuffle (join + groupBy on node id); convergence needs
+    O(component diameter) rounds, and near-dup clusters are dense
+    (diameter 2-4), so this terminates in a handful of rounds at any
+    corpus size. Each round is localCheckpoint'ed to truncate lineage —
+    iterative joins otherwise compound the plan exponentially. (The
+    production-hardened alternative for adversarial graph shapes is
+    large-star/small-star; the plumbing here is the same joins.)
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    )
+    labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        nb_min = (
+            adj.join(
+                labels.select(F.col("id").alias("b"), F.col("comp").alias("nc")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nc").alias("nmin"))
+        )
+        new = (
+            labels.join(nb_min, labels["id"] == nb_min["a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["comp"], F.coalesce(F.col("nmin"), labels["comp"])
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup pairs into kept documents: group pairs into
+    connected components and keep one canonical document per component
+    (the minimum id — deterministic), plus every document in no pair.
+
+    This is the step a training-data pipeline actually ships: pair
+    generation (MinHash/SimHash/embedding) feeds it, and its output is
+    the deduplicated corpus. One anti-join against the loser set.
+    """
+    cc = connected_components(pairs, max_iters=20)
+    losers = cc.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
