@@ -322,3 +322,55 @@ def test_service_facade(spark, sf_dir):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_streaming_per_second_rate_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-series (last_ts, last_value) state
+    survives micro-batch boundaries, so batch 2's first sample rates
+    against batch 1's last sample; counter resets emit nothing."""
+    from time_series_db_spark.streaming import streaming_per_second_rate
+
+    src = tmp_path / "rate_in"
+    src.mkdir()
+    out_dir = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "series_key string, ts long, value double"
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(dict(zip(("series_key", "ts", "value"), r)))
+                      for r in rows)
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            streaming_per_second_rate(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch("b1.json", [
+        ("cpu|a", T0, 100.0),
+        ("cpu|a", T0 + H, 160.0),     # rate 60/3600s
+        ("cpu|b", T0, 10.0),
+    ])
+    run_batch("b2.json", [
+        ("cpu|a", T0 + 2 * H, 163.6), # rates against batch-1 state
+        ("cpu|a", T0 + 3 * H, 100.0), # counter reset → no emission
+        ("cpu|a", T0 + 4 * H, 136.0), # rates against post-reset value
+        ("cpu|b", T0 + H, 13.6),      # first batch-2 sample of series b
+    ])
+
+    got = {
+        (r.series_key, r.ts): r.rate
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        ("cpu|a", T0 + H): pytest.approx(60 / 3600),
+        ("cpu|a", T0 + 2 * H): pytest.approx(3.6 / 3600),
+        ("cpu|a", T0 + 4 * H): pytest.approx(36.0 / 3600),
+        ("cpu|b", T0 + H): pytest.approx(3.6 / 3600),
+    }

@@ -16,3 +16,7 @@ from time_series_db_spark.streaming.maintenance import (  # noqa: F401
     compact_blocks,
     list_blocks,
 )
+from time_series_db_spark.streaming.stateful import (  # noqa: F401
+    RATE_OUTPUT_SCHEMA,
+    streaming_per_second_rate,
+)
