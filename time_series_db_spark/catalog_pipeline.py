@@ -516,3 +516,78 @@ def dedup_cluster_survivors(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
     return dedup.dedup_survivors(docs, pairs).select("doc_id")
+
+
+def _sql_kmeans_cents(nlist: int, iters: int, dims: int = 64) -> tuple[str, str]:
+    """CTE chain unrolling Lloyd rounds — mirrors ann.kmeans_centroids
+    (exact-decimal dim sums, one double divide, empty cells keep the old
+    centroid). Returns (cte_sql, final_cte_name)."""
+    sql = (
+        f"c0 AS (SELECT vec_id::BIGINT AS cid, v AS centroid "
+        f"FROM e WHERE vec_id < {nlist})"
+    )
+    for t in range(iters):
+        sql += f""",
+    a{t} AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.v', 'c.centroid')} DESC, c.cid
+             ) AS rn
+      FROM e CROSS JOIN c{t} c),
+    b{t} AS (SELECT vec_id, v, cid FROM a{t} WHERE rn = 1),
+    d{t} AS (
+      SELECT cid, i,
+             CAST(sum(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS m
+      FROM b{t}, generate_series(1, {dims}) t(i)
+      GROUP BY cid, i),
+    n{t} AS (SELECT cid, list(m ORDER BY i) AS centroid FROM d{t} GROUP BY cid),
+    c{t + 1} AS (
+      SELECT c.cid, COALESCE(n.centroid, c.centroid) AS centroid
+      FROM c{t} c LEFT JOIN n{t} n USING (cid))"""
+    return sql, f"c{iters}"
+
+
+_KM_CTES, _KM_FINAL = _sql_kmeans_cents(nlist=16, iters=2)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    f"""WITH e AS ({_SQL_E}),
+    {_KM_CTES},
+    assign AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.v', 'c.centroid')} DESC, c.cid
+             ) AS pr
+      FROM e CROSS JOIN {_KM_FINAL} c),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE pr = 1),
+    qcells AS (
+      SELECT vec_id, v, cid AS cell FROM assign
+      WHERE pr <= 2 AND vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM qcells q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM cand)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_ivf_kmeans_topk(spark, sf_dir):
+    """IVF-Flat with a TRAINED coarse quantizer: two deterministic Lloyd
+    rounds (broadcast assign + exact-decimal mean update) before the
+    cell-pruned candidate search — the production IVF shape; the oracle
+    unrolls the identical rounds as SQL CTEs."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.ivf_kmeans_topk(embs, queries, k=5, nlist=16, nprobe=2,
+                              train_iters=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )

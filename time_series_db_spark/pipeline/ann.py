@@ -236,3 +236,101 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over (id, __v) vectors: deterministic init (the
+    nlist lowest ids), then ``iters`` assign/update rounds.
+
+    Distributed shape per round: assignment is a broadcast cross join +
+    per-vector rank (corpus never shuffles); the update is a posexplode
+    to (cell, dim, value) + hash aggregation — fully combiner-friendly.
+    Means are computed with exact-decimal sums then one double divide,
+    so centroids are bit-identical under any partitioning AND across
+    engines (the differential oracle unrolls the same rounds in SQL).
+    Empty cells keep their previous centroid.
+    """
+    cents = vectors.filter(F.col(id_col) < nlist).select(
+        F.col(id_col).cast("long").alias("__cid"),
+        F.col("__v").alias("__centroid"),
+    )
+    for _ in range(int(iters)):
+        assigned = ivf_assign(vectors, cents, nprobe=1, id_col=id_col)
+        dim_means = (
+            assigned.select("__cell", F.posexplode("__v").alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__val").cast("decimal(27,9)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__m")
+            )
+        )
+        new_cents = (
+            dim_means.groupBy("__cell")
+            .agg(F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias("__pm"))
+            .select(
+                F.col("__cell").alias("__cid"),
+                F.transform("__pm", lambda s: s.getField("__m")).alias("__new"),
+            )
+        )
+        cents = (
+            cents.join(new_cents, "__cid", "left")
+            .select(
+                "__cid",
+                F.coalesce(F.col("__new"), F.col("__centroid")).alias("__centroid"),
+            )
+        )
+    return cents
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat with TRAINED coarse quantizer: k-means centroids
+    (deterministic Lloyd rounds) instead of the id-subset seed — the
+    production IVF shape, balancing cell sizes so the per-cell candidate
+    fan-in stays uniform. Query path identical to :func:`ivf_topk`."""
+    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    cents = F.broadcast(kmeans_centroids(vecs, nlist=nlist, iters=train_iters,
+                                         id_col=id_col))
+    cells = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cv"), "__cell"
+    )
+    qvecs = queries.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    qcells = ivf_assign(qvecs, cents, nprobe=nprobe, id_col=id_col).select(
+        F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "__cell"
+    )
+    scored = (
+        cells.join(
+            qcells,
+            (cells["__cell"] == qcells["__cell"])
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
