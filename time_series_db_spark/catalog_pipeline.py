@@ -591,3 +591,27 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
     )
+
+
+@register(
+    "text_repetition",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (SELECT doc_id, unnest({sql_word_shingles('t', 2)}) AS g FROM toks),
+    per_gram AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g)
+    SELECT doc_id,
+           sum(c)::BIGINT AS n_bigrams,
+           {sql_quant('1.0 - count(*) / sum(c)')} AS dup_bigram_frac,
+           {sql_quant('max(c) / sum(c)')} AS top_bigram_frac
+    FROM per_gram GROUP BY doc_id""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-bigram fraction and
+    most-frequent-bigram share per document."""
+    out = text.repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        quant(F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
+        quant(F.col("top_bigram_frac")).alias("top_bigram_frac"),
+    )

@@ -134,3 +134,41 @@ def fingerprint(
         lambda acc, h: (acc * FP_BASE + h) % FP_MOD,
     )
     return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition filters: per document, the fraction of
+    word bigrams that are duplicates (1 − distinct/total) and the
+    fraction taken by the single most frequent bigram. High values mark
+    boilerplate/spam for training-data filtering.
+
+    Scale shape: one shingle explode + two hash aggregations keyed on
+    (doc, gram) then (doc) — combiner-friendly, no per-doc quadratic
+    array work. Documents with <2 tokens have no bigrams and are
+    omitted (nothing to measure).
+    """
+    grams = textprep.word_shingles(
+        textprep.tokens(F.col(text_col)), 2
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    )
+    per_gram = exploded.groupBy(id_col, "__g").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    return (
+        per_gram.groupBy(id_col)
+        .agg(
+            F.sum("__c").cast("long").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("__uniq"),
+            F.max("__c").alias("__top"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            (1.0 - F.col("__uniq") / F.col("n_bigrams")).alias("dup_bigram_frac"),
+            (F.col("__top") / F.col("n_bigrams")).alias("top_bigram_frac"),
+        )
+    )
