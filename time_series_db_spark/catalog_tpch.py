@@ -218,3 +218,79 @@ def tpch_q18_large_orders(spark, sf_dir):
         F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("o_orderdate_ms"),
         "o_totalprice",
     ).agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+
+
+@register(
+    "tpch_q10_returns",
+    f"""SELECT c.c_custkey, n.n_name,
+           {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c.c_custkey, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20""",
+)
+def tpch_q10_returns(spark, sf_dir):
+    """Q10 returned-item revenue: fact→orders join (both big sides,
+    shuffled hash) then broadcast customer/nation dims; exact-decimal
+    revenue; TakeOrderedAndProject for the top-20."""
+    from time_series_db_spark.catalog import quant  # noqa: F401
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(
+        spark, sf_dir, "orders",
+        ts_range={"o_orderdate": ("1996-01-01", "1996-04-01")},
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "n_name")
+        .agg(_dsum(rev).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14_promo",
+    f"""SELECT {sql_quant(
+        "100.0 * "
+        + _sql_dsum("CASE WHEN p_type = 'PROMO' "
+                    "THEN l_extendedprice * (1 - l_discount) ELSE 0 END")
+        + " / " + _sql_dsum("l_extendedprice * (1 - l_discount)")
+    )} AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""",
+)
+def tpch_q14_promo(spark, sf_dir):
+    """Q14 promotion effect: time-pruned fact scan + broadcast part dim;
+    the conditional revenue share is two exact-decimal sums."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": ("1996-01-01", "1996-02-01")},
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (F.lit(100.0) * _dsum(promo) / _dsum(rev)).alias("__raw")
+        )
+        .select(
+            F.floor(F.col("__raw") * 1e4 + F.lit(0.5)) / 1e4
+        )
+        .toDF("promo_revenue")
+    )

@@ -80,10 +80,19 @@ def load_table(
     dtypes = dict(df.dtypes)
     for c, (lo, hi) in (ts_range or {}).items():
         if dtypes.get(c) == "bigint":
+            # TIMESTAMP(NANOS) read as raw int64 — filter before any
+            # conversion so the predicate reaches PushedFilters
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(_date_ns(lo)))
             if hi is not None:
                 df = df.filter(F.col(c) < F.lit(_date_ns(hi)))
+        elif (dtypes.get(c) or "").startswith("timestamp"):
+            # ms/us-precision columns arrive as native timestamps;
+            # timestamp predicates push down to parquet directly
+            if lo is not None:
+                df = df.filter(F.col(c) >= F.lit(lo).cast("timestamp"))
+            if hi is not None:
+                df = df.filter(F.col(c) < F.lit(hi).cast("timestamp"))
     for c in _TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
