@@ -136,3 +136,15 @@ def test_partitioning_invariance(spark, sf_dir, op_name):
         assert _rows(op(scrambled)) == reference
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", orig)
+
+
+@pytest.mark.parametrize("fn", ["sum", "avg", "min", "max", "median"])
+def test_moving_formulations_agree(spark, sf_dir, fn):
+    """The scatter (small-k) and dense-window (large-k) moving
+    formulations must produce identical rows — the k-threshold switch
+    is a physical choice, not a semantic one."""
+    sf = fetch_events(spark, sf_dir)
+    w = 3 * DEFAULT_STEP_MS
+    scatter = windows._moving_scatter(sf, 3, fn)
+    dense = windows._moving_dense(sf, w, fn)
+    assert _rows(scatter) == _rows(dense)

@@ -237,6 +237,19 @@ def changed(sf: SeriesFrame) -> SeriesFrame:
 _MOVING_FNS = {"sum", "avg", "min", "max", "median"}
 
 
+#: above this window/step ratio the ×k scatter fan-out costs more than
+#: one sorted pass over the dense grid — switch formulations
+MOVING_SCATTER_MAX_K = 64
+
+_MOVING_AGGS = {
+    "sum": lambda: F.sum("value"),
+    "avg": lambda: F.avg("value"),
+    "min": lambda: F.min("value"),
+    "max": lambda: F.max("value"),
+    "median": lambda: F.expr("percentile(value, 0.5)"),
+}
+
+
 def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
     """Sliding time-window aggregate — MovingStage.java:88-145 (windows
     stage/moving/{SumWindow,AvgWindow,MinMaxQueue,RunningMedianV2}).
@@ -245,30 +258,46 @@ def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
     value at grid point t aggregates the ``window_ms/step`` grid slots
     strictly BEFORE t — [t−w, t), the current point excluded — and a
     point is emitted wherever the window holds ≥1 present sample, even
-    when the point itself has no sample. That requires evaluating on the
-    dense grid: densify per series (pack-map + inline — one shuffle, the
-    same shape keep_last_value uses), aggregate over a trailing RANGE
-    frame ending one step back, and keep window-nonempty points. The
-    planner widens the fetch window by ``window_ms`` and truncates after
-    (SourceBuilderVisitor.java:522-555).
+    when the point itself has no sample.
+
+    Two physical formulations with identical results:
+
+    - **scatter** (k ≤ MOVING_SCATTER_MAX_K): explode each sample to the
+      k grid points whose window contains it, hash-aggregate per
+      (series, target). Map-side partial aggregation absorbs the ×k
+      fan-out; no densify, no sort, no WindowExec.
+    - **dense window** (large k): densify per series and aggregate over
+      a trailing RANGE frame — one sort per series partition, but the
+      work is O(dense rows), independent of k; the right shape for wide
+      windows on fine steps (e.g. 1d over 1m = k 1440).
+
+    The planner widens the fetch window by ``window_ms`` and truncates
+    after (SourceBuilderVisitor.java:522-555).
     """
     if fn not in _MOVING_FNS:
         raise ValueError(f"unknown moving fn: {fn}")
     k = int(window_ms) // sf.step
     if k == 0:
         raise ValueError("windowSize should not be smaller than stepSize")
+    if k > MOVING_SCATTER_MAX_K:
+        return _moving_dense(sf, int(window_ms), fn)
+    return _moving_scatter(sf, k, fn)
 
-    # Scatter formulation: a sample at ts sits in the trailing window of
-    # exactly the k grid points (ts+step .. ts+k·step), so explode each
-    # sample to its target points (bounded ×k fan-out — the same shape
-    # as bounded keep_last_value, windows.py scatter) and hash-aggregate
-    # per (series, target). Map-side partial aggregation absorbs the
-    # fan-out before the single shuffle; no densify, no sort, no
-    # WindowExec. Emission rule falls out for free: a group exists iff
-    # the window holds ≥1 sample (MovingStage's evaluate-then-update
-    # loop). For very large k (wide window on a fine step) the fan-out
-    # dominates and a sorted RANGE-window over the dense grid wins —
-    # switch there if k ≫ 100 becomes a real workload.
+
+def _moving_dense(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
+    w = _series_window().rangeBetween(-window_ms, -sf.step)
+    df = (
+        _densified(sf)
+        .withColumn("__mv", _MOVING_AGGS[fn]().over(w))
+        .withColumn("__mc", F.count("value").over(w))
+        .filter(F.col("__mc") > 0)
+        .withColumn("value", F.col("__mv"))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def _moving_scatter(sf: SeriesFrame, k: int, fn: str) -> SeriesFrame:
     step = sf.step
     targets = F.explode(
         F.sequence(
@@ -281,16 +310,9 @@ def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
         sf.df.select("series_key", "alias", "value", targets)
         .filter(F.col("__t") < F.lit(sf.max_ts))
     )
-    agg = {
-        "sum": F.sum("value"),
-        "avg": F.avg("value"),
-        "min": F.min("value"),
-        "max": F.max("value"),
-        "median": F.expr("percentile(value, 0.5)"),
-    }[fn]
     df = (
         contrib.groupBy("series_key", "alias", "__t")
-        .agg(agg.alias("value"))
+        .agg(_MOVING_AGGS[fn]().alias("value"))
         .select(
             F.col("series_key"),
             labels_from_key_expr(F.col("series_key")).alias("labels"),
