@@ -374,3 +374,33 @@ def test_streaming_per_second_rate_state_across_batches(spark, tmp_path):
         ("cpu|a", T0 + 4 * H): pytest.approx(36.0 / 3600),
         ("cpu|b", T0 + H): pytest.approx(3.6 / 3600),
     }
+
+
+def test_service_resolved_partitions(spark, sf_dir):
+    """/_m3ql resolved_partitions body param: windows route the fetch
+    through the federated source, overriding the default source."""
+    from time_series_db_spark.service import m3ql_query_range
+    from time_series_db_spark.sources import EVENTS_MIN_TS, EVENTS_MAX_TS
+
+    windows = [
+        {"partition": f"old:{sf_dir}", "start": EVENTS_MIN_TS,
+         "end": EVENTS_MIN_TS + 20 * 86_400_000},
+        {"partition": f"{sf_dir}", "start": EVENTS_MIN_TS + 10 * 86_400_000,
+         "end": EVENTS_MAX_TS},
+    ]
+    out = m3ql_query_range(
+        None, "fetch name:error | sum region",
+        start=EVENTS_MIN_TS, end=EVENTS_MAX_TS, step=3_600_000,
+        resolved_partitions=windows, spark=spark,
+    )
+    # overlap dedup: identical to the single-source result
+    base = m3ql_query_range(
+        None, "fetch name:error | sum region",
+        start=EVENTS_MIN_TS, end=EVENTS_MAX_TS, step=3_600_000,
+        resolved_partitions=[{"partition": sf_dir, "start": EVENTS_MIN_TS,
+                              "end": EVENTS_MAX_TS}], spark=spark,
+    )
+    key = lambda s: sorted(s["metric"].items())
+    assert sorted(out["data"]["result"], key=key) == sorted(
+        base["data"]["result"], key=key
+    )

@@ -55,11 +55,40 @@ def m3ql_query_range(
     *,
     explain: bool = False,
     now_ms: int | None = None,
+    resolved_partitions: list[dict] | None = None,
+    spark=None,
 ) -> dict[str, Any] | str:
     """Execute an M3QL pipeline query over ``source`` and return the
-    matrix response (or the physical plan when ``explain``)."""
+    matrix response (or the physical plan when ``explain``).
+
+    ``resolved_partitions`` mirrors the REST body param
+    (RestM3QLAction + ResolvedPartitions): a list of window dicts
+    ``{"partition": "cluster:path-or-name", "start": ms, "end": ms}``.
+    When given (``spark`` required), the query runs over a
+    :class:`~time_series_db_spark.sources.federation
+    .FederatedEventsSource` built from those windows, overriding
+    ``source`` — the same precedence the REST API applies to its
+    ``partitions`` URL param.
+    """
     from time_series_db_spark.lang.m3.builder import execute
 
+    if resolved_partitions:
+        from time_series_db_spark.sources.federation import (
+            FederatedEventsSource,
+            Partition,
+        )
+
+        if spark is None:
+            raise ValueError("resolved_partitions requires spark=")
+        source = FederatedEventsSource(spark, [
+            Partition(
+                path=w["partition"].rsplit(":", 1)[-1],
+                start_ms=int(w["start"]),
+                end_ms=int(w["end"]),
+                name=w["partition"],
+            )
+            for w in resolved_partitions
+        ])
     s, e = _resolve_times(start, end, now_ms)
     sf = execute(query, source, s, e, step)
     if explain:
