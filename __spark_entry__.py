@@ -34,24 +34,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return _out(sf, ["name", "region"])
 
 
-# Names that already have a driver-green CORRECTNESS row (round 1 checked
-# the first 50 catalog entries in dict order).  The driver's per-round run
+# Names that already have a driver-green CORRECTNESS row (union of the
+# r1 + r2 runs: 100 green rows, zero red).  The driver's per-round run
 # covers a prefix of the dict, so order the not-yet-verified entries first;
 # previously-green entries go last and get re-checked as budget allows.
-_DRIVER_VERIFIED_R1 = frozenset({
-    "m3_fetch", "m3_fetch_filtered", "m3_abs", "m3_logarithm", "m3_sqrt",
-    "m3_scale", "m3_divide_scalar", "m3_offset", "m3_round",
-    "m3_scale_to_seconds", "m3_timeshift", "m3_value_filter_eq",
-    "m3_value_filter_ne", "m3_value_filter_ge", "m3_value_filter_lt",
-    "m3_where", "m3_tag_compare", "m3_exclude_by_tag", "m3_remove_empty",
-    "m3_sum_by", "m3_sum_global", "m3_avg_by", "m3_min_by", "m3_max_by",
-    "m3_count_by", "m3_range_by", "m3_multiply_by",
-    "m3_percentile_of_series", "m3_derivative", "m3_per_second",
-    "m3_integral", "m3_integral_reset", "m3_changed", "m3_transform_null",
-    "m3_is_non_null", "m3_keep_last_value", "m3_sustain", "m3_moving_sum",
-    "m3_moving_avg", "m3_moving_min", "m3_moving_max", "m3_moving_median",
-    "m3_summarize", "m3_summarize_last", "m3_per_second_rate", "m3_sort",
-    "m3_topk", "m3_head", "m3_tail", "m3_divide",
+_DRIVER_VERIFIED = frozenset({
+    'ann_cosine_topk', 'ann_ivf_kmeans_topk', 'ann_ivf_topk',
+    'ann_lsh_topk', 'dedup_cluster_survivors', 'dedup_embedding_cosine',
+    'dedup_exact', 'dedup_minhash_lsh', 'dedup_ngram_jaccard',
+    'dedup_simhash', 'm3_abs', 'm3_as_percent', 'm3_avg_by', 'm3_changed',
+    'm3_count_by', 'm3_derivative', 'm3_divide', 'm3_divide_scalar',
+    'm3_exclude_by_tag', 'm3_fallback_series', 'm3_federated_fetch',
+    'm3_federated_windows', 'm3_fetch', 'm3_fetch_filtered', 'm3_head',
+    'm3_integral', 'm3_integral_reset', 'm3_intersect', 'm3_is_non_null',
+    'm3_keep_last_value', 'm3_logarithm', 'm3_max_by', 'm3_min_by',
+    'm3_moving_avg', 'm3_moving_max', 'm3_moving_median', 'm3_moving_min',
+    'm3_moving_sum', 'm3_multiply_by', 'm3_offset', 'm3_per_second',
+    'm3_per_second_rate', 'm3_percentile_of_series', 'm3_range_by',
+    'm3_remove_empty', 'm3_round', 'm3_scale', 'm3_scale_to_seconds',
+    'm3_sort', 'm3_sqrt', 'm3_subtract', 'm3_sum_by', 'm3_sum_global',
+    'm3_summarize', 'm3_summarize_last', 'm3_sustain', 'm3_tag_compare',
+    'm3_tail', 'm3_timeshift', 'm3_topk', 'm3_transform_null', 'm3_union',
+    'm3_value_filter_eq', 'm3_value_filter_ge', 'm3_value_filter_lt',
+    'm3_value_filter_ne', 'm3_where', 'm3ql_divide_by_group_total',
+    'm3ql_federated_sum', 'm3ql_fetch_wildcard', 'm3ql_filter_topk',
+    'm3ql_keep_last_summarize', 'm3ql_mapper_chain', 'm3ql_union_sum',
+    'mm_audio_features', 'mm_decode_image_meta', 'mm_sample_frames',
+    'promql_avg_over_time', 'promql_delta', 'promql_increase',
+    'promql_irate', 'promql_rate', 'promql_selector',
+    'promql_selector_regex', 'stats_fetch_labels', 'stats_head',
+    'stats_labels', 'stats_values', 'text_fingerprint', 'text_langid',
+    'text_quality', 'text_repetition', 'text_token_stats',
+    'tpch_q10_returns', 'tpch_q14_promo', 'tpch_q18_large_orders',
+    'tpch_q1_pricing', 'tpch_q3_shipping', 'tpch_q5_local_volume',
+    'tpch_q6_forecast',
 })
 
 
@@ -66,7 +82,7 @@ def _ordered(mapping: dict) -> dict:
     previously-green entries follow in registration order."""
     from time_series_db_spark.catalog import QUERIES
 
-    unverified = [n for n in QUERIES if n not in _DRIVER_VERIFIED_R1]
+    unverified = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
     buckets: dict[str, list] = {}
     for n in unverified:
         buckets.setdefault(_family(n), []).append(n)
@@ -75,7 +91,7 @@ def _ordered(mapping: dict) -> dict:
         for fam in list(buckets):
             if buckets[fam]:
                 interleaved.append(buckets[fam].pop(0))
-    names = interleaved + [n for n in QUERIES if n in _DRIVER_VERIFIED_R1]
+    names = interleaved + [n for n in QUERIES if n in _DRIVER_VERIFIED]
     return {n: mapping[n] for n in names if n in mapping}
 
 
