@@ -311,15 +311,18 @@ def _absent(sf: SeriesFrame, node: A.FunctionCallNode, ctx: BuildContext) -> Ser
 def _scalar(sf: SeriesFrame, ctx: BuildContext) -> SeriesFrame:
     """PromQL scalar(v): if v has exactly one series, its values as a
     label-free scalar series; else NaN — FunctionType.SCALAR."""
+    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
     from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
 
-    n = sf.df.select("series_key").distinct().limit(2).count()
+    cached = sf.df.persist(StorageLevel.MEMORY_AND_DISK)
+    n = cached.select("series_key").distinct().limit(2).count()
     if n != 1:
+        cached.unpersist()
         return _dense_frame(ctx, F.lit(float("nan")), {})
     df = (
-        sf.df.withColumn("labels", F.create_map().cast("map<string,string>"))
+        cached.withColumn("labels", F.create_map().cast("map<string,string>"))
         .withColumn("alias", F.lit(None).cast("string"))
         .withColumn("series_key", series_key_expr())
         .select(*SAMPLE_COLS)

@@ -21,7 +21,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame, has_all_keys_expr
+from time_series_db_spark.model import (
+    SAMPLE_COLS,
+    SeriesFrame,
+    has_all_keys_expr,
+    labels_from_key_expr,
+)
 
 NAN = float("nan")
 
@@ -33,29 +38,38 @@ def _match_cols(df, keys: list[str] | None, side: str):
     return [df["series_key"].alias("__mk_0")]
 
 
-def _common_label_names(lf, rf) -> list[str]:
+def _series_meta(df):
+    """Distinct per-series metadata (series_key + labels rebuilt from the
+    canonical key), persisted MEMORY_AND_DISK.  One materialization of the
+    source pipeline answers every coordinator-side probe (series count,
+    common label names, match-group count) from cache — the Spark analog
+    of the reference coordinator branching on its in-memory series list
+    (AbstractBinaryProjectionStage.java:244-346) without re-executing the
+    upstream plan per probe.  Metadata-sized: one short row per series."""
+    from pyspark import StorageLevel
+
+    return (
+        df.select("series_key")
+        .distinct()
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+
+def _common_label_names(l_meta, r_meta, total: int) -> list[str]:
     """Label names present in EVERY series on both sides —
     Labels.findCommonLabelNames (core/model/Labels.java:128-154), the
     auto-match key set for divide/subtract/asPercent when no explicit
-    keys are given. A series-level metadata probe (distinct keys +
-    per-name counts), mirroring the reference's coordinator-side scan of
-    its in-memory series list."""
-    from time_series_db_spark.model import labels_from_key_expr
-
-    union = (
-        lf.select("series_key").distinct()
-        .unionAll(rf.select("series_key").distinct())
-    )
+    keys are given.  Computed from the persisted per-side metadata frames
+    (``total`` = n_left + n_right, already known), so the only action here
+    scans cached series keys, not the source pipelines."""
     per = (
-        union.select(
-            F.explode(
-                F.map_keys(labels_from_key_expr(F.col("series_key")))
-            ).alias("__k")
-        )
+        l_meta.select("labels")
+        .unionAll(r_meta.select("labels"))
+        .select(F.explode(F.map_keys("labels")).alias("__k"))
         .groupBy("__k")
         .agg(F.count(F.lit(1)).alias("__n"))
     )
-    total = union.count()
     return sorted(r["__k"] for r in per.collect() if r["__n"] == total)
 
 
@@ -74,11 +88,18 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
        .mergeMatchingSeries; divide/asPercent reject this shape in the
        reference — we take the deterministic merge instead of failing).
 
-    The group-count probes are series-level metadata actions (limit-2
-    counts), the Spark analog of the reference's coordinator-side
-    branching on its materialized series list; the per-sample join stays
-    fully lazy and Catalyst broadcasts the merged right side.
+    The reference coordinator materializes the full right-hand series
+    list in memory before branching (AbstractBinaryProjectionStage
+    .process); the Spark analog is persisting the right frame ONCE
+    (MEMORY_AND_DISK) so the branch probes (series count, common label
+    names, match-group count) and the join itself all read one cached
+    execution of the right pipeline — in r2 these were separate actions
+    that re-executed an unpersisted right side up to 3×.  The left side
+    is scanned at most twice (label-name probe + join) and only its
+    ``series_key`` column leaves the scan for the probe.
     """
+    from pyspark import StorageLevel
+
     from time_series_db_spark.operators.normalize import aligned, normalize_frames
 
     if not aligned(left, right):
@@ -87,25 +108,43 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
         left, right = normalize_frames([left, right])
     lf, rf = left.df, right.df
 
+    # One materialization of the right pipeline feeds every probe AND the
+    # join (the reference holds this same list in coordinator memory —
+    # right sides are typically aggregates, bounded by series × grid).
+    rf = rf.persist(StorageLevel.MEMORY_AND_DISK)
+
     if keys is None:
-        # auto-matching needs the key LIST to shape the plan → a small
-        # series-level probe (the coordinator-side branching the
-        # reference does on its in-memory series list)
-        n_right = rf.select("series_key").distinct().limit(2).count()
-        if n_right <= 1:
-            rvals = rf.groupBy("ts").agg(
-                F.expr("max_by(value, series_key)").alias("__rvalue")
-            )
-            return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
-        keys = _common_label_names(lf, rf) or None  # [] → full identity
+        # auto-matching needs the key LIST to shape the plan → a
+        # series-level probe.  Exact counts per side (Labels
+        # .findCommonLabelNames needs the true total to threshold on);
+        # both metadata frames are one short row per series, read from
+        # the cached right side / a single left key-projection pass.
+        r_meta = _series_meta(rf)
+        try:
+            n_right = r_meta.count()
+            if n_right <= 1:
+                rvals = rf.groupBy("ts").agg(
+                    F.expr("max_by(value, series_key)").alias("__rvalue")
+                )
+                return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
+            l_meta = _series_meta(lf)
+            try:
+                n_left = l_meta.count()
+                keys = (
+                    _common_label_names(l_meta, r_meta, n_left + n_right)
+                    or None  # [] → full identity
+                )
+            finally:
+                l_meta.unpersist()
+        finally:
+            r_meta.unpersist()
 
     # One probe decides the branch (AbstractBinaryProjectionStage: a
     # single right GROUP → project every left series onto the merged
     # group ignoring keys; multiple groups → equi-join on the keys).
-    # The probe is a limit-2 distinct count over the right key
-    # projection — one pass over the (typically aggregated) right side;
-    # the resulting plan is a plain hash join that AQE broadcasts when
-    # the right side is small, with no conditional-key machinery.
+    # It reads the cached right side, as does the join below — the
+    # resulting plan is a plain hash join that AQE broadcasts when the
+    # right side is small, with no conditional-key machinery.
     n_mk = len(keys) if keys else 1
     rk = rf
     if keys:
@@ -224,10 +263,16 @@ def fallback_series(left: SeriesFrame, right: SeriesFrame) -> SeriesFrame:
     """L if non-empty else R — FallbackSeriesBinaryStage.java:34.
 
     The emptiness probe is a ``limit(1)`` count — O(first partition), a
-    metadata-scale driver check, not a data collect.
+    metadata-scale driver check, not a data collect.  The left side is
+    persisted first so whatever the probe computes is reused (not
+    recomputed) when the surviving frame is consumed downstream.
     """
-    if left.df.limit(1).count() > 0:
-        return left
+    from pyspark import StorageLevel
+
+    cached = left.df.persist(StorageLevel.MEMORY_AND_DISK)
+    if cached.limit(1).count() > 0:
+        return left.with_df(cached)
+    cached.unpersist()
     return right
 
 
@@ -235,8 +280,12 @@ def fallback_constant(sf: SeriesFrame, constant: float) -> SeriesFrame:
     """L if non-empty else a single constant dense series on the query grid
     — FallbackSeriesUnaryStage.java:40 (coordinator-only in the reference;
     here a one-row DataFrame exploded over the grid)."""
-    if sf.df.limit(1).count() > 0:
-        return sf
+    from pyspark import StorageLevel
+
+    cached = sf.df.persist(StorageLevel.MEMORY_AND_DISK)
+    if cached.limit(1).count() > 0:
+        return sf.with_df(cached)
+    cached.unpersist()
     spark = sf.df.sparkSession
     one = spark.range(1).select(
         F.lit("").alias("series_key"),
