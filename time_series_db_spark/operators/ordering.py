@@ -48,19 +48,80 @@ def _series_stat(sf: SeriesFrame, fn: str):
     return sf.df.groupBy("series_key").agg(agg.cast("double").alias("__stat"))
 
 
+def _ranked_stats(stats, key):
+    """Distributed total-order rank of the per-series stat table: range
+    partition on the sort key, rank locally within each range, then add the
+    cumulative count of the preceding ranges (a windowed sum over the tiny
+    per-partition count table).  No Exchange in the plan ever collapses the
+    stat table to one partition, so the rank scales to any series
+    cardinality (SortStage.java:48 orders an in-memory list; this is its
+    shard-parallel equivalent).  The rank is a total order (tie-break on
+    series_key), so the sampled range boundaries cannot change the result
+    — and the ranged table is persisted so both the local-rank branch and
+    the count branch read one consistent partitioning (spark_partition_id
+    must not be recomputed under different boundaries).
+
+    Returns ``(series_key, __order, __rorder)`` — forward and reverse
+    1-based ranks; the reverse rank gives ``tail`` a count-free slice.
+    """
+    from pyspark import StorageLevel
+
+    spark = stats.sparkSession
+    try:
+        nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    except (TypeError, ValueError):  # "auto" under some AQE configs
+        nparts = 32
+    order = [*key, F.col("series_key").asc()]
+    ranged = stats.repartitionByRange(nparts, *order).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pid = ranged.withColumn("__pid", F.spark_partition_id())
+    local = pid.withColumn(
+        "__lrank",
+        F.row_number().over(Window.partitionBy("__pid").orderBy(*order)),
+    )
+    # per-range counts: one short row per partition — the windowed
+    # cumsum/total below run on ≤ nparts rows, never on the stat table
+    wcum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        pid.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__n").over(wcum), F.lit(0)).alias("__off"),
+            F.sum("__n").over(
+                Window.orderBy(F.lit(1)).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("__total"),
+        )
+    )
+    return (
+        local.join(F.broadcast(offsets), on="__pid", how="inner")
+        .select(
+            "series_key",
+            (F.col("__lrank") + F.col("__off")).cast("int").alias("__order"),
+            (F.col("__total") - F.col("__lrank") - F.col("__off") + 1)
+            .cast("int")
+            .alias("__rorder"),
+        )
+    )
+
+
 def sort(sf: SeriesFrame, fn: str = "avg", descending: bool = True) -> SeriesFrame:
     """Order series by a per-series statistic — SortStage.java:48 (default
     descending). Materializes ``__order`` (1-based) on every row."""
     if fn not in _SORT_FNS:
         raise ValueError(f"unknown sort fn: {fn}")
     stats = _series_stat(sf, fn)
-    key = F.col("__stat").desc() if descending else F.col("__stat").asc()
-    w = Window.orderBy(key, F.col("series_key").asc())
-    ranked = stats.withColumn("__order", F.row_number().over(w)).select(
-        "series_key", "__order"
-    )
+    key = [F.col("__stat").desc()] if descending else [F.col("__stat").asc()]
+    ranked = _ranked_stats(stats, key)
     df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
-    return replace(sf, df=df.select(*SAMPLE_COLS, "__order"), ordered_by=["__order"])
+    return replace(
+        sf,
+        df=df.select(*SAMPLE_COLS, "__order", "__rorder"),
+        ordered_by=["__order"],
+    )
 
 
 def top_k(
@@ -81,11 +142,22 @@ def top_k(
     key = F.col("__stat").desc() if descending else F.col("__stat").asc()
     topk = stats.orderBy(key, F.col("series_key").asc()).limit(int(k))
     w = Window.orderBy(key, F.col("series_key").asc())
-    ranked = topk.withColumn("__order", F.row_number().over(w)).select(
-        "series_key", "__order"
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        topk.withColumn("__order", F.row_number().over(w))
+        .withColumn(
+            "__rorder", (F.count(F.lit(1)).over(wall) - F.col("__order") + 1)
+        )
+        .select("series_key", "__order", "__rorder")
     )
     df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
-    return replace(sf, df=df.select(*SAMPLE_COLS, "__order"), ordered_by=["__order"])
+    return replace(
+        sf,
+        df=df.select(*SAMPLE_COLS, "__order", "__rorder"),
+        ordered_by=["__order"],
+    )
 
 
 def head(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
@@ -100,14 +172,19 @@ def head(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
 def tail(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
     """Last n series of the current list order — SliceStage.java:48.
 
-    The series count rides along as a lazily-computed 1-row broadcast
-    (partial max over ``__order``) instead of an eager driver action, so
-    tail composes into a single job like every other stage."""
+    Symmetric to :func:`head` on the reverse rank that sort/topK
+    materialize alongside ``__order`` — a plain filter, no count of the
+    input (the r2 formulation broadcast a 1-row max back onto the frame,
+    which re-executed the upstream plan: in-plan scalar subqueries get no
+    exchange reuse)."""
     ordered = sf if sf.ordered_by else sort(sf, fn="name", descending=False)
-    total = ordered.df.select(F.max("__order").alias("__total"))
-    df = (
-        ordered.df.crossJoin(F.broadcast(total))
-        .filter(F.col("__order") > F.col("__total") - F.lit(int(n)))
-        .drop("__total")
-    )
+    if "__rorder" in ordered.df.columns:
+        df = ordered.df.filter(F.col("__rorder") <= F.lit(int(n)))
+    else:  # ordered upstream that predates the reverse rank: 1-row max
+        total = ordered.df.select(F.max("__order").alias("__total"))
+        df = (
+            ordered.df.crossJoin(F.broadcast(total))
+            .filter(F.col("__order") > F.col("__total") - F.lit(int(n)))
+            .drop("__total")
+        )
     return ordered.with_df(df)
