@@ -694,6 +694,69 @@ def m3_per_second_rate(spark, sf_dir):
     return _out(windows.per_second_rate(_fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS))
 
 
+_TRUNC_LO = EVENTS_MIN_TS + 5 * DEFAULT_STEP_MS
+_TRUNC_HI = EVENTS_MAX_TS - 5 * DEFAULT_STEP_MS
+
+
+@register(
+    "m3_truncate",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE ts >= {_TRUNC_LO} AND ts < {_TRUNC_HI}""",
+)
+def m3_truncate(spark, sf_dir):
+    """truncate — buffered-fetch trim to [start, end) after window
+    widening (TruncateStage.java:33, injection at
+    SourceBuilderVisitor.java:331-339). Exercised here directly: full-range
+    fetch, then trim 5 steps off each edge — the same plan shape the m3ql
+    planner injects after a moving/perSecondRate widened scan."""
+    return _out(windows.truncate(_fetch(spark, sf_dir), _TRUNC_LO, _TRUNC_HI))
+
+
+_NORM_STEP = 4 * DEFAULT_STEP_MS
+
+
+def _with_type_tag(sf: SeriesFrame) -> SeriesFrame:
+    """Inject a ``type`` label (counter for r0/r1, gauge otherwise) and
+    recompute series_key, so TYPE_AWARE consolidation exercises both the
+    counter-sum and the gauge-avg branch."""
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+
+    typ = F.when(
+        F.col("labels")["region"].isin("r0", "r1"), F.lit("counter")
+    ).otherwise(F.lit("gauge"))
+    df = (
+        sf.df.withColumn(
+            "labels",
+            F.map_concat(F.col("labels"), F.create_map(F.lit("type"), typ)),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+@register(
+    "m3_normalize_mixed_step",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS},
+           {EVENTS_MIN_TS} + ((ts - {EVENTS_MIN_TS}) // {_NORM_STEP}) * {_NORM_STEP} AS ts,
+           {sql_quant("CASE WHEN region IN ('r0','r1') THEN sum(value) ELSE avg(value) END")} AS value
+    FROM samples GROUP BY 1, 2, 3, 4, 5""",
+)
+def m3_normalize_mixed_step(spark, sf_dir):
+    """Mixed-step normalization — TimeSeriesNormalizer.java:66 (MAX step
+    strategy) + :141-168 (TYPE_AWARE consolidation: counter series sum,
+    others average). A 1h-step frame and a 4h-step frame normalize onto the
+    4h MAX grid; the coarse frame takes the aligned fast path (no shuffle),
+    the fine frame re-buckets per its ``type`` tag."""
+    from time_series_db_spark.operators import normalize
+
+    a = _with_type_tag(_fetch(spark, sf_dir))
+    b = normalize.resample(a, EVENTS_MIN_TS, EVENTS_MAX_TS, _NORM_STEP, "sum")
+    na, _nb = normalize.normalize_frames([a, b], "max", "type_aware")
+    return _out(na)
+
+
 # ---------------------------------------------------------------------------
 # ordering / top-k
 # ---------------------------------------------------------------------------
