@@ -324,6 +324,52 @@ def test_service_facade(spark, sf_dir):
         pass
 
 
+def test_service_profile_and_metadata(spark, sf_dir):
+    """profile:true returns per-stage wall time + sample counts
+    (StageProfiler.java:30 / ProfileInfoMapper stages block);
+    include_metadata=False strips the per-series step/start/end fields
+    (RestM3QLAction.java:206-207 param defaults)."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, sf_dir)
+    end = EVENTS_MIN_TS + 24 * DEFAULT_STEP_MS
+
+    m = service.m3ql_query_range(
+        src, "fetch name:error | moving 3h avg | sum region",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS, profile=True,
+    )
+    stages = m["profile"]["stages"]
+    # fetch → moving → sum, plus the injected truncate (moving widens scan)
+    assert [s["stage"] for s in stages] == ["fetch", "moving", "sum", "truncate"]
+    for s in stages:
+        assert s["output_samples"] > 0
+        assert s["time_in_millis"] >= 0
+    # profiled and unprofiled runs return identical matrices
+    base = service.m3ql_query_range(
+        src, "fetch name:error | moving 3h avg | sum region",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+    )
+    assert m["data"] == base["data"]
+    assert "profile" not in base
+
+    bare = service.m3ql_query_range(
+        src, "fetch name:error | sum region",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+        include_metadata=False,
+    )
+    for r in bare["data"]["result"]:
+        assert "step" not in r and "start" not in r and "end" not in r
+    p = service.promql_query_range(
+        src, "sum by (region) (error)",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+        include_metadata=False,
+    )
+    for r in p["data"]["result"]:
+        assert "step" not in r and "alias" not in r
+
+
 def test_streaming_per_second_rate_state_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-series (last_ts, last_value) state
     survives micro-batch boundaries, so batch 2's first sample rates

@@ -82,3 +82,27 @@ def test_yaml_case(spark, tables_for, suite_name, qidx):
     H.check_query(
         spark, tables_for(suite_name), qcfg, index_steps=H.step_settings(suite)
     )
+
+
+def test_yaml_matrix_metadata_block(spark, tables_for):
+    """include_metadata: the per-series step/start/end block on a golden
+    e2e case matches its time_config, and disappears when the flag is off
+    (PromMatrixResponseListenerTests.java:337-340 contract)."""
+    from time_series_db_spark.output import to_matrix
+
+    suite_name = "golden_dataset_rest_it.yaml"
+    suite = _suite(suite_name)
+    qcfg = suite["test_case"]["queries"][0]
+    sf = H.run_query(
+        spark, tables_for(suite_name), qcfg, index_steps=H.step_settings(suite)
+    )
+    tc = qcfg["time_config"]
+    with_meta = to_matrix(sf, include_metadata=True)["data"]["result"]
+    assert with_meta, "golden case returned no series"
+    for r in with_meta:
+        assert r["step"] == H.parse_duration_ms(tc["step"])
+        assert r["start"] == H.iso_ms(tc["min_timestamp"])
+        assert r["end"] == H.iso_ms(tc["max_timestamp"])
+    without = to_matrix(sf, include_metadata=False)["data"]["result"]
+    for r in without:
+        assert "step" not in r and "start" not in r and "end" not in r

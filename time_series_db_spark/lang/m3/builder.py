@@ -56,25 +56,87 @@ class M3Source(Protocol):
     ) -> SeriesFrame: ...
 
 
+class StageProfiler:
+    """``profile:true`` surface — the StageProfiler.java:30 analog
+    (``record(stageName, latency, sampleCount, …)``; surfaced through
+    ProfileInfoMapper's ``stages`` debug block; the flag is threaded at
+    M3OSTranslator.java:62 / RestM3QLAction.java:206).
+
+    Spark builds lazily, so per-stage timing requires materializing each
+    stage once: the stage's frame is persisted, its ``count()`` is timed —
+    the incremental wall cost of that stage given already-persisted inputs
+    — and downstream stages build on the pinned frame (no upstream
+    recompute, so stage times don't telescope). ``release()`` drops the
+    pinned frames once the response has been shaped. Profiling therefore
+    changes the physical plan (persist barriers between stages); it is a
+    debug surface, off by default, exactly like the reference's.
+    """
+
+    def __init__(self):
+        self.stages: list[dict] = []
+        self._pinned: list = []
+
+    def record(self, name: str, sf: SeriesFrame) -> SeriesFrame:
+        import time
+
+        from pyspark import StorageLevel
+
+        df = sf.df.persist(StorageLevel.MEMORY_AND_DISK)
+        t0 = time.perf_counter()
+        rows = df.count()
+        self.stages.append({
+            "stage": name,
+            "output_samples": rows,
+            "time_in_millis": round((time.perf_counter() - t0) * 1000.0, 3),
+        })
+        self._pinned.append(df)
+        return sf.with_df(df)
+
+    def release(self) -> None:
+        for df in self._pinned:
+            df.unpersist()
+        self._pinned.clear()
+
+
+def _stage_name(node: P.PlanNode) -> str:
+    if isinstance(node, (P.MapperNode, P.BinaryNode)):
+        return node.kind
+    if isinstance(node, P.AggregationNode):
+        return node.agg_type.lower()
+    n = type(node).__name__
+    return n[: -len("Node")].lower() if n.endswith("Node") else n.lower()
+
+
 class BuildContext:
-    def __init__(self, source: M3Source, start: int, end: int, step: int):
+    def __init__(
+        self,
+        source: M3Source,
+        start: int,
+        end: int,
+        step: int,
+        profiler: StageProfiler | None = None,
+    ):
         self.source = source
         self.start = start
         self.end = end
         self.step = step
+        self.profiler = profiler
         self._fetch_cache: dict[str, SeriesFrame] = {}
 
     def fetch(self, node: P.FetchNode, buffer_ms: int, shift_ms: int) -> SeriesFrame:
         key = repr((sorted(node.match.items()), sorted(node.inverse.items()),
                     buffer_ms, shift_ms))
         if key not in self._fetch_cache:
-            self._fetch_cache[key] = self.source.fetch(
+            sf = self.source.fetch(
                 node.match,
                 node.inverse,
                 self.start - buffer_ms - shift_ms,
                 self.end - shift_ms,
                 self.step,
             )
+            if self.profiler is not None:
+                sf = self.profiler.record("fetch", sf)
+            self._fetch_cache[key] = sf
         return self._fetch_cache[key]
 
 
@@ -120,14 +182,20 @@ def build_frame(
     if isinstance(node, P.FetchNode):
         return ctx.fetch(node, buffer_ms, shift_ms)
     if isinstance(node, P.MockFetchNode):
-        return ctx.source.mock_fetch(
+        sf = ctx.source.mock_fetch(
             node.values, node.tags, ctx.start, ctx.end, ctx.step
         )
+        if ctx.profiler is not None:
+            sf = ctx.profiler.record("mockFetch", sf)
+        return sf
 
     inputs = [
         build_frame(c, ctx, child_buffer, child_shift) for c in node.children
     ]
-    return _apply(node, inputs, ctx)
+    out = _apply(node, inputs, ctx)
+    if ctx.profiler is not None:
+        out = ctx.profiler.record(_stage_name(node), out)
+    return out
 
 
 def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> SeriesFrame:
@@ -290,7 +358,12 @@ def _walk(node: P.PlanNode):
 
 
 def execute(
-    query: str, source: M3Source, start: int, end: int, step: int
+    query: str,
+    source: M3Source,
+    start: int,
+    end: int,
+    step: int,
+    profiler: StageProfiler | None = None,
 ) -> SeriesFrame:
     """Parse, plan, build and (conditionally) truncate — the full M3QL
     query lifecycle.
@@ -309,7 +382,7 @@ def execute(
     from time_series_db_spark.lang.m3.plan import build_plan
 
     plan = build_plan(parse(query))
-    ctx = BuildContext(source, start, end, step)
+    ctx = BuildContext(source, start, end, step, profiler=profiler)
     sf = build_frame(plan, ctx)
     nodes = list(_walk(plan))
     needs_truncation = any(
@@ -324,4 +397,7 @@ def execute(
             ref = windows.GO_ZERO_TIME_MS
             bucket_start = ref + ((start - ref) // interval) * interval
             truncate_start = min(truncate_start, bucket_start)
-    return windows.truncate(sf, truncate_start, end)
+    out = windows.truncate(sf, truncate_start, end)
+    if profiler is not None:
+        out = profiler.record("truncate", out)
+    return out

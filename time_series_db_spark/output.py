@@ -61,23 +61,40 @@ def matrix_frame(sf: SeriesFrame) -> DataFrame:
     )
 
 
-def to_matrix(sf: SeriesFrame) -> dict[str, Any]:
+def to_matrix(
+    sf: SeriesFrame,
+    include_metadata: bool = True,
+    include_alias: bool = True,
+) -> dict[str, Any]:
     """SeriesFrame → matrix response dict (ordering: sort/topK list order
     when the frame carries one — SliceStage/SortStage list semantics —
-    else canonical series_key order)."""
+    else canonical series_key order).
+
+    ``include_metadata`` gates the per-series step/start/end block
+    (PromMatrixResponseListener.java:142, REST default false);
+    ``include_alias`` gates the alias field (the m3ql surface passes true,
+    the promql surface false — RestM3QLAction.java:266 /
+    RestPromQLAction.java:234)."""
     rows = matrix_frame(sf).collect()
     if sf.ordered_by:
         rows.sort(key=lambda r: tuple(r[c] for c in sf.ordered_by))
     else:
         rows.sort(key=lambda r: r["series_key"])
+    meta = (
+        {"step": sf.step, "start": sf.min_ts, "end": sf.max_ts}
+        if include_metadata
+        else {}
+    )
     result = [
         {
             "metric": dict(r["labels"]),
-            **({"alias": r["alias"]} if r["alias"] is not None else {}),
+            **(
+                {"alias": r["alias"]}
+                if include_alias and r["alias"] is not None
+                else {}
+            ),
             "values": [[int(s["ts"]), _fmt(s["value"])] for s in r["samples"]],
-            "step": sf.step,
-            "start": sf.min_ts,
-            "end": sf.max_ts,
+            **meta,
         }
         for r in rows
     ]

@@ -54,12 +54,22 @@ def m3ql_query_range(
     step: int = DEFAULT_STEP_MS,
     *,
     explain: bool = False,
+    profile: bool = False,
+    include_metadata: bool = True,
     now_ms: int | None = None,
     resolved_partitions: list[dict] | None = None,
     spark=None,
 ) -> dict[str, Any] | str:
     """Execute an M3QL pipeline query over ``source`` and return the
     matrix response (or the physical plan when ``explain``).
+
+    ``profile=True`` appends a ``profile`` block with per-stage wall time
+    and output sample counts — the reference's ``profile`` REST param
+    (RestM3QLAction.java:206, StageProfiler.java:30, surfaced via
+    ProfileInfoMapper's ``stages``). ``include_metadata`` gates the
+    per-series step/start/end fields (RestM3QLAction.java:207; REST
+    default false — ours defaults true for API compatibility with the
+    matrix helpers, pass False for wire parity).
 
     ``resolved_partitions`` mirrors the REST body param
     (RestM3QLAction + ResolvedPartitions): a list of window dicts
@@ -90,12 +100,21 @@ def m3ql_query_range(
             for w in resolved_partitions
         ])
     s, e = _resolve_times(start, end, now_ms)
-    sf = execute(query, source, s, e, step)
+    profiler = None
+    if profile and not explain:
+        from time_series_db_spark.lang.m3.builder import StageProfiler
+
+        profiler = StageProfiler()
+    sf = execute(query, source, s, e, step, profiler=profiler)
     if explain:
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
             sf.df._jdf.queryExecution(), "formatted"
         )
-    return to_matrix(sf)
+    resp = to_matrix(sf, include_metadata=include_metadata, include_alias=True)
+    if profiler is not None:
+        resp["profile"] = {"stages": profiler.stages}
+        profiler.release()
+    return resp
 
 
 def promql_query_range(
@@ -106,9 +125,14 @@ def promql_query_range(
     step: int = DEFAULT_STEP_MS,
     *,
     explain: bool = False,
+    include_metadata: bool = True,
     now_ms: int | None = None,
 ) -> dict[str, Any] | str:
-    """Execute a PromQL query_range over ``source`` → matrix response."""
+    """Execute a PromQL query_range over ``source`` → matrix response.
+
+    The promql surface never emits the alias field
+    (RestPromQLAction.java:234 passes includeAlias=false);
+    ``include_metadata`` as in :func:`m3ql_query_range`."""
     from time_series_db_spark.lang.prom.builder import execute
 
     s, e = _resolve_times(start, end, now_ms)
@@ -117,7 +141,7 @@ def promql_query_range(
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
             sf.df._jdf.queryExecution(), "formatted"
         )
-    return to_matrix(sf)
+    return to_matrix(sf, include_metadata=include_metadata, include_alias=False)
 
 
 def tsdb_stats(
