@@ -94,3 +94,121 @@ def test_extract_audio_features_real_on_spark(spark):
     assert out[1].duration_ms == len(samples) * 1000 // 4000
     assert out[1].rms_q == 100 * 100
     assert out[2].sample_rate is None
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype + data
+        + struct.pack(">I", zlib.crc32(ctype + data))
+    )
+
+
+def full_png_bytes(px, filters=None, palette=None) -> bytes:
+    """Encode an (h, w, ch) uint8 array as a complete PNG, applying the
+    given per-row filter types (forward direction of PNG spec §9) — the
+    round-trip fixture for the stdlib decoder."""
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.int32)
+    h, w, ch = px.shape
+    ct = {1: 0, 2: 4, 3: 2, 4: 6}[ch] if palette is None else 3
+    filters = filters or [0] * h
+    flat = px.reshape(h, w * ch)
+    stride = w * ch
+    raw = bytearray()
+    for y, f in enumerate(filters):
+        rec = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            filt = rec.copy()
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            filt = (rec - left) & 0xFF
+        elif f == 2:
+            filt = (rec - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, np.int32), rec[:-ch]])
+            filt = (rec - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            filt = rec.copy()
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                filt[x] = (rec[x] - pr) & 0xFF
+        raw.append(f)
+        raw += bytes(int(v) for v in filt)
+    ihdr = struct.pack(">II5B", w, h, 8, ct, 0, 0, 0)
+    out = b"\x89PNG\r\n\x1a\n" + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", bytes(v for rgb in palette for v in rgb))
+    out += _chunk(b"IDAT", zlib.compress(bytes(raw)))
+    return out + _chunk(b"IEND", b"")
+
+
+def test_decode_png_pixels_all_filters():
+    """Round-trip through every scanline filter type (None/Sub/Up/
+    Average/Paeth) — decoded pixels must equal the encoder input."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, size=(5, 4, 3)).astype(np.uint8)
+    got = mm.decode_png_pixels(full_png_bytes(px, filters=[0, 1, 2, 3, 4]))
+    assert got is not None and got.shape == (5, 4, 3)
+    assert (got == px).all()
+    # grayscale + RGBA shapes
+    g = rng.randint(0, 256, size=(3, 6, 1)).astype(np.uint8)
+    assert (mm.decode_png_pixels(full_png_bytes(g, filters=[4, 3, 1])) == g).all()
+    rgba = rng.randint(0, 256, size=(2, 2, 4)).astype(np.uint8)
+    assert (mm.decode_png_pixels(full_png_bytes(rgba)) == rgba).all()
+    # palette-indexed → PLTE lookup to RGB
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    idx = np.array([[[0], [1]], [[2], [0]]], dtype=np.uint8)
+    got = mm.decode_png_pixels(full_png_bytes(idx, palette=pal))
+    assert got.tolist() == [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]]
+    # non-PNG and truncated payloads refuse cleanly
+    assert mm.decode_png_pixels(b"nope") is None
+    assert mm.decode_png_pixels(full_png_bytes(px)[:40]) is None
+
+
+def test_decode_image_pixels_on_spark(spark):
+    """End-to-end full pixel decode: known image → exact integer pixel
+    stats; undecodable payloads yield null stats."""
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)  # 0..17
+    rows = [
+        (1, "image", bytearray(full_png_bytes(px, filters=[1, 4])), "s", 0),
+        (2, "image", bytearray(b"garbage"), "s", 0),
+        (3, "image", bytearray(jpeg_bytes(8, 8)), "s", 0),  # header-only JPEG
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_image_pixels(media, "real").collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (3, 2, 3)
+    assert (out[1].px_min, out[1].px_max) == (0, 17)
+    assert out[1].px_mean_q == sum(range(18)) * 10_000 // 18
+    assert out[2].width is None and out[3].width is None
+
+
+def test_decode_image_pixels_pil_guard(spark):
+    """decode_fn='pil' either uses Pillow (when installed) or raises the
+    documented NotImplementedError at the codec slot."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            mm.decode_image_pixels(
+                spark.createDataFrame([], mm.MEDIA_SCHEMA), "pil"
+            )
+    else:
+        px_rows = [(1, "image", bytearray(full_png_bytes(
+            [[[9, 9, 9]]], filters=[0])), "s", 0)]
+        media = spark.createDataFrame(px_rows, mm.MEDIA_SCHEMA)
+        out = mm.decode_image_pixels(media, "pil").collect()
+        assert out[0].px_mean_q == 9 * 10_000

@@ -7,10 +7,14 @@ feature-extract / resize / frame-sample run as Arrow-batched
 shape, partitioning) is real and tested; the codec itself is a STUB
 because no image/audio library ships in this container.
 
-Stub policy: ``decode_fn="fake"`` (default) derives deterministic
+Decode tiers: ``decode_fn="fake"`` (default) derives deterministic
 pseudo-metadata from the payload bytes so pipelines are end-to-end
-testable against a SQL oracle; ``decode_fn="pil"`` raises
-``NotImplementedError`` at the exact point a real decoder would slot in.
+testable against a SQL oracle; ``decode_fn="real"`` parses true format
+headers (PNG/JPEG/GIF/BMP/WAV) byte-wise, and for PNG payloads
+:func:`decode_image_pixels` performs a FULL stdlib pixel decode (zlib +
+filter inversion) — no codec library required. ``decode_fn="pil"`` is
+the import-guarded slot for a general codec (Pillow), raising
+``NotImplementedError`` when the library is absent.
 
 Scale notes: mapInPandas streams Arrow batches — constant memory per
 task regardless of corpus size; payload columns are only deserialized in
@@ -203,6 +207,169 @@ def decode_image_meta(media: DataFrame, decode_fn: str = "fake") -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(_decode, DECODE_SCHEMA)
+
+
+def decode_png_pixels(payload: bytes):
+    """Full PNG pixel decode — stdlib only (zlib inflate + scanline
+    filter inversion per the public PNG spec §9: None/Sub/Up/Average/
+    Paeth). Supports 8-bit-depth non-interlaced images of every color
+    type (palette via PLTE lookup). Returns an ``(h, w, channels)``
+    uint8 ndarray, or None for non-PNG / unsupported payloads.
+
+    This is the real-decoder slot the round-2 survey marked as a stub:
+    PNG needs no codec library, so the container limitation (no Pillow)
+    only gates the *other* formats — see :func:`decode_image_pixels`.
+    """
+    import zlib
+
+    import numpy as np
+
+    if bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        return None
+    i, n = 8, len(payload)
+    w = h = depth = ct = interlace = None
+    idat = bytearray()
+    plte = None
+    while i + 8 <= n:
+        length = int.from_bytes(payload[i : i + 4], "big")
+        ctype = bytes(payload[i + 4 : i + 8])
+        data = bytes(payload[i + 8 : i + 8 + length])
+        if ctype == b"IHDR" and length >= 13:
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, ct, interlace = data[8], data[9], data[12]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        i += 12 + length  # len + type + data + CRC
+    if (
+        not idat or not w or not h or depth != 8 or interlace != 0
+        or ct not in _PNG_CHANNELS
+    ):
+        return None
+    ch = _PNG_CHANNELS[ct]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        rec = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += 1 + stride
+        prev = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub: left-neighbor prefix chain
+            for x in range(ch, stride):
+                rec[x] = (rec[x] + rec[x - ch]) & 0xFF
+        elif f == 2:  # Up — fully vectorized
+            rec = (rec + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth predictor
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+        else:
+            return None
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, ch)
+    if ct == 3:  # palette-indexed → RGB
+        if plte is None:
+            return None
+        px = plte[px[:, :, 0]]
+    return px
+
+
+PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("px_min", LongType()),
+        StructField("px_max", LongType()),
+        StructField("px_mean_q", LongType()),
+    ]
+)
+
+
+def decode_image_pixels(media: DataFrame, decode_fn: str = "real") -> DataFrame:
+    """Full pixel decode → per-image pixel statistics (min / max /
+    mean×1e4, all integer-exact) via Arrow-batched ``mapInPandas``.
+
+    ``decode_fn="real"``: PNG payloads through the stdlib decoder
+    (:func:`decode_png_pixels`); other formats fall back to Pillow when
+    importable, else null stats. ``decode_fn="pil"``: require Pillow for
+    every payload (raises NotImplementedError when the library is
+    absent — the import-guarded codec slot)."""
+    if decode_fn not in ("real", "pil"):
+        raise ValueError(f"unknown decode_fn: {decode_fn}")
+    if decode_fn == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decode_fn='pil' requires Pillow, which this container "
+                "does not ship — PNG payloads decode fully via "
+                "decode_fn='real'"
+            ) from e
+
+    def _pil_pixels(payload: bytes):
+        try:
+            import io
+
+            import numpy as np
+            from PIL import Image
+
+            return np.asarray(Image.open(io.BytesIO(bytes(payload))))
+        except Exception:
+            return None
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                px = None
+                if decode_fn == "real":
+                    px = decode_png_pixels(payload)
+                if px is None:
+                    px = _pil_pixels(payload)
+                if px is None:
+                    rows.append((mid, None, None, None, None, None, None))
+                    continue
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, ch = px.shape
+                total = int(px.sum(dtype="int64"))
+                rows.append(
+                    (mid, w, h, ch, int(px.min()), int(px.max()),
+                     total * 10_000 // px.size)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "px_min", "px_max", "px_mean_q"],
+            ).astype("Int64")
+
+    return media.select("media_id", "content").mapInPandas(_decode, PIXEL_SCHEMA)
 
 
 def sample_frames(
