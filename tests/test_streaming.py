@@ -109,6 +109,40 @@ def test_ingest_stream_end_to_end(spark, tmp_path):
     assert [r["ts"] for r in pruned.collect()] == [T0 + 3 * H]
 
 
+def test_ingestion_lag_gauge(spark, tmp_path):
+    """The tsdb_ingestion observed metric surfaces append/refresh lag per
+    micro-batch (TSDBIngestionLagIndexingListener.java:152,254 analog):
+    lag = wall time − sample event time, so samples stamped in the past
+    show a gauge at least that far behind."""
+    import time as _time
+
+    from time_series_db_spark.streaming import ingestion_lag
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "metrics")
+    now_ms = int(_time.time() * 1000)
+    behind_ms = 60_000
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                _doc("name cpu host a", now_ms - behind_ms, 1.0),
+                _doc("name cpu host b", now_ms, 2.0),
+            ]
+        )
+    )
+    q = start_ingest(spark, str(src), table, available_now=True)
+    q.awaitTermination(120)
+
+    lag = ingestion_lag(q)
+    assert lag is not None
+    assert lag["n_samples"] == 2
+    # oldest sample was ≥60s behind wall time when appended / committed
+    assert lag["append_lag_max_ms"] >= behind_ms
+    assert lag["refresh_lag_ms"] >= behind_ms
+    assert lag["refresh_lag_ms"] < behind_ms + 600_000  # sane upper bound
+
+
 def test_ingest_batch_and_retention(spark, tmp_path):
     table = str(tmp_path / "metrics")
     docs = spark.createDataFrame(

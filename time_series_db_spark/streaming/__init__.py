@@ -7,6 +7,7 @@ from time_series_db_spark.streaming.ingest import (  # noqa: F401
     DEFAULT_OOO_CUTOFF,
     INGEST_SCHEMA,
     ingest_batch,
+    ingestion_lag,
     parse_ingest,
     read_metrics,
     start_ingest,

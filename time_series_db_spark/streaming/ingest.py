@@ -139,6 +139,18 @@ def start_ingest(
         .withWatermark("event_time", ooo_cutoff)
         .dropDuplicatesWithinWatermark(["series_key", "ts"])
         .drop("event_time")
+        # ingestion-lag gauge (TSDBIngestionLagIndexingListener.java:152
+        # append lag = now − min sample ts at append time): observed
+        # per micro-batch, surfaced in query progress under
+        # observedMetrics.tsdb_ingestion — read via ingestion_lag()
+        .observe(
+            "tsdb_ingestion",
+            (
+                F.max(F.unix_millis(F.current_timestamp()) - F.col("ts"))
+            ).alias("append_lag_max_ms"),
+            F.min("ts").alias("min_sample_ts"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
     )
 
     writer = (
@@ -166,6 +178,55 @@ def ingest_batch(
     (first wins per (series, ts), matching SampleMerger) + append."""
     samples = parse_ingest(docs, block_ms).dropDuplicates(["series_key", "ts"])
     samples.write.mode("append").partitionBy("block").parquet(table_path)
+
+
+def ingestion_lag(query: StreamingQuery) -> dict | None:
+    """Latest ingestion-lag gauge for an ingest stream — the analog of
+    the reference's ``tsdb.ingestion.append.lag`` /
+    ``tsdb.ingestion.refresh.lag`` histograms
+    (TSDBIngestionLagIndexingListener.java:152,254).
+
+    Reads the ``tsdb_ingestion`` observed metric from the most recent
+    micro-batch that processed data:
+
+    - ``append_lag_max_ms`` — max(processing wall time − sample event
+      time) during the batch (append lag, recorded executor-side while
+      rows flow);
+    - ``refresh_lag_ms``    — batch progress timestamp − min sample
+      event time (the "visible after refresh" lag: data is queryable
+      only once the micro-batch commits, exactly the reference's
+      refresh-completion gate);
+    - ``n_samples``         — rows appended in the batch.
+
+    Returns None when no batch with data has completed yet.
+    """
+    import json
+    from datetime import datetime, timezone
+
+    for progress in reversed(query.recentProgress):
+        # StreamingQueryProgress subclasses dict but holds Row values;
+        # its .json form is plain data
+        raw = getattr(progress, "json", None)
+        if raw is not None:
+            progress = json.loads(raw)
+        om = (progress.get("observedMetrics") or {}).get("tsdb_ingestion")
+        if not om or not om.get("n_samples"):
+            continue
+        commit_ms = int(
+            datetime.fromisoformat(
+                progress["timestamp"].replace("Z", "+00:00")
+            )
+            .replace(tzinfo=timezone.utc)
+            .timestamp()
+            * 1000
+        )
+        return {
+            "append_lag_max_ms": om["append_lag_max_ms"],
+            "refresh_lag_ms": commit_ms - om["min_sample_ts"],
+            "n_samples": om["n_samples"],
+            "batch_id": progress["batchId"],
+        }
+    return None
 
 
 def read_metrics(
