@@ -398,10 +398,14 @@ def test_service_profile_and_metadata(spark, sf_dir):
     p = service.promql_query_range(
         src, "sum by (region) (error)",
         start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
-        include_metadata=False,
+        include_metadata=False, profile=True,
     )
     for r in p["data"]["result"]:
         assert "step" not in r and "alias" not in r
+    # promql threads the same profile param (RestPromQLAction.java:232)
+    assert [s["stage"] for s in p["profile"]["stages"]] == [
+        "fetch", "sum", "truncate",
+    ]
 
 
 def test_streaming_per_second_rate_state_across_batches(spark, tmp_path):

@@ -428,3 +428,149 @@ def m3ql_percentile_interpolate(spark, sf_dir):
         F.col("ts"),
         quant(F.col("value")).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Constants.java KNOWN_UNIMPLEMENTED functions the reference never built —
+# implemented here with documented semantics (all beyond-reference)
+# ---------------------------------------------------------------------------
+
+_W_SERIES = f"PARTITION BY {SQL_LBLS} ORDER BY ts"
+
+
+@register(
+    "m3ql_n_percentile",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'quantile_cont(value, 0.9) OVER (PARTITION BY {SQL_LBLS})')} AS value
+    FROM samples WHERE name = 'view'""",
+)
+def m3ql_n_percentile(spark, sf_dir):
+    """nPercentile 90 — flat line per series at its own 90th percentile
+    (Constants.java:63; Graphite semantics, exact interpolation)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | nPercentile 90")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_constant_line",
+    f"""SELECT 'constantLine' AS name, gs AS ts, 42.5::DOUBLE AS value
+    FROM generate_series({EVENTS_MIN_TS}, {EVENTS_MAX_TS - DEFAULT_STEP_MS},
+                         {DEFAULT_STEP_MS}) t(gs)""",
+)
+def m3ql_constant_line(spark, sf_dir):
+    """constantLine 42.5 — synthetic constant series over the query grid
+    (Constants.java:55; generator leaf, mockFetch machinery)."""
+    sf = run_m3ql(spark, sf_dir, "constantLine 42.5")
+    return _flat(sf, ["name"])
+
+
+@register(
+    "m3ql_top_k_per_timestamp",
+    f"""{PRELUDE},
+    ranked AS (
+      SELECT {SQL_LBLS}, ts, value,
+             row_number() OVER (
+               PARTITION BY ts ORDER BY value DESC, {SQL_SERIES_KEY}
+             ) AS r
+      FROM samples WHERE name = 'error')
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM ranked WHERE r <= 3""",
+)
+def m3ql_top_k_per_timestamp(spark, sf_dir):
+    """_topKPerTimestamp 3 — k largest values at each timestamp across
+    series (Constants.java:44)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:error | _topKPerTimestamp 3")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_tag_add",
+    f"""{PRELUDE}
+    SELECT 'prod' AS env, ts,
+           {sql_quant('CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)')} AS value
+    FROM samples WHERE name = 'error' GROUP BY 2""",
+)
+def m3ql_tag_add(spark, sf_dir):
+    """_tagAdd env prod | sum env — tag injection recomputes series
+    identity, so the downstream aggregation groups on the new tag
+    (Constants.java:42)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:error | _tagAdd env prod | sum env")
+    return _flat(sf, ["env"])
+
+
+@register(
+    "m3ql_to_histogram",
+    f"""{PRELUDE},
+    b AS (
+      SELECT least(7, greatest(0, CAST(floor(value / 50) AS INT))) AS idx, ts
+      FROM samples WHERE name = 'view' AND NOT isnan(value))
+    SELECT lpad(CAST(idx AS VARCHAR), 3, '0') AS bucketid,
+           CAST(idx * 50 AS BIGINT)::VARCHAR || '-' ||
+           CAST((idx + 1) * 50 AS BIGINT)::VARCHAR AS bucket,
+           'histogram' AS name, ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM b GROUP BY 1, 2, 3, 4""",
+)
+def m3ql_to_histogram(spark, sf_dir):
+    """toHistogramLinearBuckets 0 50 8 — per-timestamp linear bucket
+    counts in the histogramPercentile bucket-series format
+    (Constants.java:76)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | toHistogramLinearBuckets 0 50 8")
+    return _flat(sf, ["bucketid", "bucket", "name"])
+
+
+@register(
+    "m3ql_to_histogram_percentile",
+    f"""{PRELUDE},
+    b AS (
+      SELECT least(7, greatest(0, CAST(floor(value / 50) AS INT))) AS idx, ts
+      FROM samples WHERE name = 'view' AND NOT isnan(value)),
+    counts AS (
+      SELECT idx, ts, CAST(count(*) AS DOUBLE) AS cnt,
+             CAST((idx + 1) * 50 AS DOUBLE) AS upper
+      FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT ts, upper, cnt,
+             sum(cnt) OVER (PARTITION BY ts ORDER BY upper) AS c,
+             sum(cnt) OVER (PARTITION BY ts) AS total
+      FROM counts)
+    SELECT 'histogram' AS name, 'p50' AS pct, ts,
+           {sql_quant('min(CASE WHEN c >= 0.5 * total THEN upper END)')} AS value
+    FROM cum GROUP BY 1, 2, 3""",
+)
+def m3ql_to_histogram_percentile(spark, sf_dir):
+    """toHistogramLinearBuckets … | histogramPercentile bucketid bucket
+    50 — the two bucket stages compose: the generated bucket tags are
+    exactly the format HistogramPercentileStage.java:52 consumes."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:view | toHistogramLinearBuckets 0 50 8"
+        " | histogramPercentile bucketid bucket 50",
+    )
+    return sf.df.select(
+        F.col("labels")["name"].alias("name"),
+        F.col("labels")["histogramPercentile"].alias("pct"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_anomalies",
+    f"""{PRELUDE},
+    stats AS (
+      SELECT {SQL_LBLS}, ts, value,
+             avg(value) OVER (PARTITION BY {SQL_LBLS}) AS mu,
+             stddev_pop(value) OVER (PARTITION BY {SQL_LBLS}) AS sd
+      FROM samples WHERE name = 'view')
+    SELECT {SQL_LBLS}, ts,
+           CASE WHEN sd > 0 AND abs(value - mu) > 2 * sd
+                THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS value
+    FROM stats""",
+)
+def m3ql_anomalies(spark, sf_dir):
+    """anomalies 2 — z-score outlier flag vs the series' own window
+    distribution (Constants.java:48; documented chosen semantics)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | anomalies 2")
+    return _flat(sf, LABEL_KEYS)

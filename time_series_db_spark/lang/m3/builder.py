@@ -181,6 +181,17 @@ def build_frame(
 
     if isinstance(node, P.FetchNode):
         return ctx.fetch(node, buffer_ms, shift_ms)
+    if isinstance(node, P.ConstantLineNode):
+        # generator leaf: the constant over every grid step (mockFetch
+        # machinery reused; it emits one value per step from start)
+        n_steps = max(1, (ctx.end - ctx.start) // ctx.step)
+        sf = ctx.source.mock_fetch(
+            [node.value] * n_steps, {"name": "constantLine"},
+            ctx.start, ctx.end, ctx.step,
+        )
+        if ctx.profiler is not None:
+            sf = ctx.profiler.record("constantLine", sf)
+        return sf
     if isinstance(node, P.MockFetchNode):
         sf = ctx.source.mock_fetch(
             node.values, node.tags, ctx.start, ctx.end, ctx.step
@@ -347,6 +358,19 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
 
     if isinstance(node, P.FallbackSeriesConstantNode):
         return binary.fallback_constant(sf, node.constant)
+
+    if isinstance(node, P.NPercentileNode):
+        return filters.n_percentile(sf, node.n)
+    if isinstance(node, P.TopKPerTimestampNode):
+        return ordering.top_k_per_timestamp(sf, node.k)
+    if isinstance(node, P.TagAddNode):
+        return labels_ops.tag_add(sf, node.key, node.value)
+    if isinstance(node, P.ToHistogramLinearBucketsNode):
+        return grouping.to_histogram_linear_buckets(
+            sf, node.start, node.width, node.count
+        )
+    if isinstance(node, P.AnomaliesNode):
+        return windows.anomalies(sf, node.threshold)
 
     raise P.M3PlanError(f"no builder for plan node {type(node).__name__}")
 

@@ -372,6 +372,85 @@ class SustainedFilterNode(PlanNode):
         return f"SUSTAINED_{side}(threshold={self.threshold},duration={self.duration})"
 
 
+class NPercentileNode(PlanNode):
+    """Beyond the reference (Constants.java:63): flat line per series at
+    its own Nth percentile (Graphite nPercentile)."""
+
+    def __init__(self, n: float):
+        super().__init__()
+        self.n = n
+
+    def explain(self) -> str:
+        return f"N_PERCENTILE(n={self.n})"
+
+
+class ConstantLineNode(PlanNode):
+    """Beyond the reference (Constants.java:55): a synthetic constant
+    series over the query grid (Graphite constantLine) — a generator
+    leaf, like mockFetch."""
+
+    def __init__(self, value: float):
+        super().__init__()
+        self.value = value
+
+    def explain(self) -> str:
+        return f"CONSTANT_LINE(value={java_double_str(self.value)})"
+
+
+class TopKPerTimestampNode(PlanNode):
+    """Beyond the reference (Constants.java:44 _topKPerTimestamp): keep
+    the k largest values at each timestamp across series."""
+
+    def __init__(self, k: int):
+        super().__init__()
+        self.k = k
+
+    def explain(self) -> str:
+        return f"TOP_K_PER_TIMESTAMP(k={self.k})"
+
+
+class TagAddNode(PlanNode):
+    """Beyond the reference (Constants.java:42 _tagAdd): set a tag on
+    every series, recomputing series identity."""
+
+    def __init__(self, key: str, value: str):
+        super().__init__()
+        self.key = key
+        self.value = value
+
+    def explain(self) -> str:
+        return f"TAG_ADD({self.key}={self.value})"
+
+
+class ToHistogramLinearBucketsNode(PlanNode):
+    """Beyond the reference (Constants.java:76): per-timestamp linear
+    bucket counts in the histogramPercentile bucket-series format."""
+
+    def __init__(self, start: float, width: float, count: int):
+        super().__init__()
+        self.start = start
+        self.width = width
+        self.count = count
+
+    def explain(self) -> str:
+        return (
+            f"TO_HISTOGRAM_LINEAR_BUCKETS(start={self.start},"
+            f"width={self.width},count={self.count})"
+        )
+
+
+class AnomaliesNode(PlanNode):
+    """Beyond the reference (Constants.java:48): z-score outlier flag per
+    sample against the series' own window distribution."""
+
+    def __init__(self, threshold: float = 3.0):
+        super().__init__()
+        self.threshold = threshold
+
+    def explain(self) -> str:
+        return f"ANOMALIES(threshold={self.threshold})"
+
+
 class AliasSubNode(PlanNode):
     """Beyond the reference (Constants.java:45): regex substitution on the
     display alias."""
@@ -760,6 +839,34 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         return SustainedFilterNode(
             float(args[0]), args[1], name == "sustainedAbove"
         )
+    if name == "nPercentile":
+        if len(args) != 1:
+            raise M3PlanError("nPercentile expects exactly one argument")
+        return NPercentileNode(float(args[0]))
+    if name == "constantLine":
+        if len(args) != 1:
+            raise M3PlanError("constantLine expects exactly one argument")
+        return ConstantLineNode(float(args[0]))
+    if name == "_topKPerTimestamp":
+        if len(args) != 1:
+            raise M3PlanError("_topKPerTimestamp expects: k")
+        return TopKPerTimestampNode(int(args[0]))
+    if name == "_tagAdd":
+        if len(args) != 2:
+            raise M3PlanError("_tagAdd expects: key value")
+        return TagAddNode(args[0], _strip_quotes(args[1]))
+    if name == "toHistogramLinearBuckets":
+        if len(args) != 3:
+            raise M3PlanError(
+                "toHistogramLinearBuckets expects: start width count"
+            )
+        return ToHistogramLinearBucketsNode(
+            float(args[0]), float(args[1]), int(args[2])
+        )
+    if name == "anomalies":
+        if len(args) > 1:
+            raise M3PlanError("anomalies expects at most one threshold")
+        return AnomaliesNode(float(args[0]) if args else 3.0)
 
     if name == "fetch":
         return _fetch_node(fn)
@@ -827,7 +934,10 @@ _PIPELINE_ARG_FNS = {
 
 
 def _is_fetch_fn(node: ast.Node) -> bool:
-    return isinstance(node, ast.FunctionNode) and node.name in ("fetch", "mockFetch")
+    # constantLine is a generator leaf like mockFetch (Constants.java:55)
+    return isinstance(node, ast.FunctionNode) and node.name in (
+        "fetch", "mockFetch", "constantLine",
+    )
 
 
 def _is_pipeline_or_group(node: ast.Node) -> bool:

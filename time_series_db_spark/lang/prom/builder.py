@@ -83,11 +83,15 @@ _RANGE_FNS = (
 
 
 class BuildContext:
-    def __init__(self, source, start: int, end: int, step: int):
+    def __init__(self, source, start: int, end: int, step: int, profiler=None):
         self.source = source
         self.start = start
         self.end = end
         self.step = step
+        #: lang.m3.builder.StageProfiler — the profile:true surface is
+        #: shared by both REST actions (RestPromQLAction.java:232 threads
+        #: params.profile exactly like RestM3QLAction)
+        self.profiler = profiler
         self._fetch_cache: dict[str, SeriesFrame] = {}
 
     def fetch(self, node: A.VectorSelectorNode, buffer_ms: int) -> SeriesFrame:
@@ -110,11 +114,14 @@ class BuildContext:
                     sorted(match_re.items()), sorted(inverse_re.items()),
                     buffer_ms))
         if key not in self._fetch_cache:
-            self._fetch_cache[key] = self.source.fetch(
+            sf = self.source.fetch(
                 match, inverse,
                 self.start - buffer_ms, self.end, self.step,
                 match_re=match_re, inverse_re=inverse_re,
             )
+            if self.profiler is not None:
+                sf = self.profiler.record("fetch", sf)
+            self._fetch_cache[key] = sf
         return self._fetch_cache[key]
 
 
@@ -130,6 +137,25 @@ def _range_child(node: A.FunctionCallNode) -> A.RangeVectorSelectorNode:
 
 
 def build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
+    out = _build_frame(node, ctx)
+    if (
+        ctx.profiler is not None
+        and not isinstance(node, (A.RootNode, A.VectorSelectorNode))
+    ):  # selectors are recorded (CSE-deduped) inside ctx.fetch
+        out = ctx.profiler.record(_prom_stage_name(node), out)
+    return out
+
+
+def _prom_stage_name(node: A.PromNode) -> str:
+    if isinstance(node, A.FunctionCallNode):
+        return node.name
+    if isinstance(node, A.AggregationNode):
+        return node.agg_type
+    n = type(node).__name__
+    return n[: -len("Node")].lower() if n.endswith("Node") else n.lower()
+
+
+def _build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
     if isinstance(node, A.RootNode):
         return build_frame(node.children[0], ctx)
 
@@ -330,11 +356,16 @@ def _scalar(sf: SeriesFrame, ctx: BuildContext) -> SeriesFrame:
     return sf.with_df(df)
 
 
-def execute(query: str, source, start: int, end: int, step: int) -> SeriesFrame:
+def execute(
+    query: str, source, start: int, end: int, step: int, profiler=None
+) -> SeriesFrame:
     """Parse → build → truncate: the PromQL query_range lifecycle
     (RestPromQLAction → PromOSTranslator → execution)."""
     from time_series_db_spark.lang.prom.parser import parse
 
-    ctx = BuildContext(source, start, end, step)
+    ctx = BuildContext(source, start, end, step, profiler=profiler)
     sf = build_frame(parse(query), ctx)
-    return windows.truncate(sf, start, end)
+    out = windows.truncate(sf, start, end)
+    if profiler is not None:
+        out = profiler.record("truncate", out)
+    return out

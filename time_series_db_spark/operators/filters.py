@@ -148,3 +148,23 @@ def remove_percentile(sf: SeriesFrame, n: float, above: bool = True) -> SeriesFr
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def n_percentile(sf: SeriesFrame, n: float) -> SeriesFrame:
+    """nPercentile — reference known-but-unimplemented (Constants.java:63);
+    Graphite semantics: replace each series' values with that series' own
+    Nth percentile (exact, linear interpolation) — a flat line on the
+    series' own sample timestamps.
+
+    Same shape as :func:`remove_percentile`: one unbounded window
+    aggregate per series, threshold broadcast down the series' rows by
+    the window — no extra shuffle beyond the window exchange.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("series_key").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    pct = F.expr(f"percentile(value, {float(n) / 100.0})").over(w)
+    df = sf.df.withColumn("value", pct.cast("double")).select(*SAMPLE_COLS)
+    return sf.with_df(df)

@@ -599,3 +599,59 @@ def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
         value.cast("double").alias("value"),
     ).select(*SAMPLE_COLS)
     return sf.with_df(out)
+
+
+def to_histogram_linear_buckets(
+    sf: SeriesFrame,
+    start: float,
+    width: float,
+    count: int,
+    bucket_id: str = "bucketid",
+    bucket_range: str = "bucket",
+) -> SeriesFrame:
+    """toHistogramLinearBuckets — reference known-but-unimplemented
+    (Constants.java:76). Chosen, documented semantics: bucket the value
+    distribution at each timestamp into ``count`` linear buckets of
+    ``width`` starting at ``start`` — one output series per bucket whose
+    value is the number of input samples landing in it. Out-of-range
+    values clamp into the edge buckets; NaN samples are dropped.
+
+    Output series carry the same ``bucketid`` / ``"low-high"`` range tags
+    :func:`histogram_percentile` consumes, so
+    ``toHistogramLinearBuckets … | histogramPercentile …`` composes —
+    the bucket-series format of HistogramPercentileStage.java:52.
+
+    Spark shape: one hash aggregation on (bucket, ts) — bucket count is a
+    constant, timestamps are the query grid, so group cardinality is
+    bounded and uniform; partial aggregation makes the shuffle carry at
+    most ``count`` rows per (ts, map partition).
+    """
+    from time_series_db_spark.model import series_key_expr
+
+    v = F.col("value")
+    idx = F.least(
+        F.lit(int(count) - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.lit(float(start))) / F.lit(float(width))).cast("int"),
+        ),
+    )
+    lo = (F.lit(float(start)) + idx * F.lit(float(width))).cast("bigint")
+    hi = (F.lit(float(start)) + (idx + 1) * F.lit(float(width))).cast("bigint")
+    labels = F.create_map(
+        F.lit(bucket_id), F.lpad(idx.cast("string"), 3, "0"),
+        F.lit(bucket_range),
+        F.concat(lo.cast("string"), F.lit("-"), hi.cast("string")),
+        F.lit("name"), F.lit("histogram"),
+    )
+    df = (
+        sf.df.filter(~F.isnan(v))
+        .withColumn("labels", labels)
+        .withColumn("series_key", series_key_expr())
+        .groupBy("series_key", "ts")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

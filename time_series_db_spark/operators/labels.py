@@ -117,3 +117,21 @@ def alias_sub(sf: SeriesFrame, pattern: str, replacement: str) -> SeriesFrame:
         "alias", F.regexp_replace(base, pattern, replacement)
     ).select(*SAMPLE_COLS)
     return sf.with_df(df)
+
+
+def tag_add(sf: SeriesFrame, key: str, value: str) -> SeriesFrame:
+    """_tagAdd — reference known-but-unimplemented (Constants.java:42):
+    set ``key=value`` on every series (overwriting an existing value) and
+    recompute the series identity. Pure map expression, no shuffle."""
+    df = (
+        sf.df.withColumn(
+            "labels",
+            F.map_concat(
+                F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(key)),
+                F.create_map(F.lit(key), F.lit(value)),
+            ),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

@@ -188,3 +188,24 @@ def tail(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
             .drop("__total")
         )
     return ordered.with_df(df)
+
+
+def top_k_per_timestamp(
+    sf: SeriesFrame, k: int, descending: bool = True
+) -> SeriesFrame:
+    """_topKPerTimestamp — reference known-but-unimplemented
+    (Constants.java:44): at each timestamp keep the k largest (smallest)
+    values across series, ties broken on the canonical series key.
+
+    One rank window partitioned by ``ts`` — timestamps are the query
+    grid, so the partition count is bounded and uniform (no skew), and
+    each partition holds ≤ one row per series; scales by adding
+    partitions, never through a global sort."""
+    key = F.col("value").desc() if descending else F.col("value").asc()
+    w = Window.partitionBy("ts").orderBy(key, F.col("series_key").asc())
+    df = (
+        sf.df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= F.lit(int(k)))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)

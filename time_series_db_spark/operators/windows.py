@@ -709,3 +709,31 @@ def non_negative_derivative(sf: SeriesFrame) -> SeriesFrame:
     out = derivative(sf)
     v = F.col("value")
     return out.with_df(out.df.filter((v >= 0) | F.isnan(v)))
+
+
+def anomalies(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
+    """anomalies — reference known-but-unimplemented (Constants.java:48).
+    Chosen, documented semantics: per-sample z-score outlier flag against
+    the series' own query-window distribution — 1.0 where
+    ``|v − mean| > threshold · stddev_pop`` (NaN samples and zero-variance
+    series flag 0.0), else 0.0.
+
+    One unbounded window aggregate per series (mean + stddev share the
+    window exchange); the flag is a pure row expression after that.
+    """
+    w = _series_window(ordered=False).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = F.col("value")
+    finite = F.when(~F.isnan(v), v)
+    mu = F.avg(finite).over(w)
+    sd = F.expr("stddev_pop(CASE WHEN NOT isnan(value) THEN value END)").over(w)
+    flag = (
+        F.when(
+            ~F.isnan(v) & (sd > 0) & (F.abs(v - mu) > F.lit(threshold) * sd),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    df = sf.df.withColumn("value", flag).select(*SAMPLE_COLS)
+    return sf.with_df(df)

@@ -125,6 +125,7 @@ def promql_query_range(
     step: int = DEFAULT_STEP_MS,
     *,
     explain: bool = False,
+    profile: bool = False,
     include_metadata: bool = True,
     now_ms: int | None = None,
 ) -> dict[str, Any] | str:
@@ -132,16 +133,26 @@ def promql_query_range(
 
     The promql surface never emits the alias field
     (RestPromQLAction.java:234 passes includeAlias=false);
-    ``include_metadata`` as in :func:`m3ql_query_range`."""
+    ``profile`` / ``include_metadata`` as in :func:`m3ql_query_range`
+    (RestPromQLAction.java:232-233 threads the same params)."""
     from time_series_db_spark.lang.prom.builder import execute
 
     s, e = _resolve_times(start, end, now_ms)
-    sf = execute(query, source, s, e, step)
+    profiler = None
+    if profile and not explain:
+        from time_series_db_spark.lang.m3.builder import StageProfiler
+
+        profiler = StageProfiler()
+    sf = execute(query, source, s, e, step, profiler=profiler)
     if explain:
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
             sf.df._jdf.queryExecution(), "formatted"
         )
-    return to_matrix(sf, include_metadata=include_metadata, include_alias=False)
+    resp = to_matrix(sf, include_metadata=include_metadata, include_alias=False)
+    if profiler is not None:
+        resp["profile"] = {"stages": profiler.stages}
+        profiler.release()
+    return resp
 
 
 def tsdb_stats(
