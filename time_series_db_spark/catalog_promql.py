@@ -525,3 +525,187 @@ def promql_histogram_quantile(spark, sf_dir):
     sf = base.with_df(buckets)
     out = grouping.histogram_quantile(sf, 0.5)
     return _flat(out, ["name", "region"])
+
+
+# ---------------------------------------------------------------------------
+# Binary operators — entirely beyond the reference (promql.jj:140 has no
+# operator productions at all)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promql_scalar_arith",
+    f"""{PRELUDE}
+    SELECT "user", region, shard, ts,
+           {sql_quant('(value * 2 + 1) / 10')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def promql_scalar_arith(spark, sf_dir):
+    """(error * 2 + 1) / 10 — vector-scalar arithmetic with precedence
+    (* binds over +, parens group); the metric name drops from the
+    result identity."""
+    sf = run_promql(spark, sf_dir, "(error * 2 + 1) / 10")
+    return _flat(sf, ["user", "region", "shard"])
+
+
+@register(
+    "promql_vector_divide",
+    f"""{PRELUDE},
+    e AS (SELECT "user", region, shard, ts, value FROM samples WHERE name = 'error'),
+    c AS (SELECT "user", region, shard, ts, value FROM samples WHERE name = 'click')
+    SELECT e."user", e.region, e.shard, e.ts,
+           {sql_quant('e.value / c.value')} AS value
+    FROM e JOIN c USING ("user", region, shard, ts)""",
+)
+def promql_vector_divide(spark, sf_dir):
+    """error / click — one-to-one vector matching on the full label set
+    minus the metric name (PromQL default matching)."""
+    sf = run_promql(spark, sf_dir, "error / click")
+    return _flat(sf, ["user", "region", "shard"])
+
+
+@register(
+    "promql_binary_on",
+    f"""{PRELUDE},
+    e AS (SELECT region, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+          FROM samples WHERE name = 'error' GROUP BY 1, 2),
+    c AS (SELECT region, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS v
+          FROM samples WHERE name = 'click' GROUP BY 1, 2)
+    SELECT e.region, e.ts, {sql_quant('e.v / c.v')} AS value
+    FROM e JOIN c USING (region, ts)""",
+)
+def promql_binary_on(spark, sf_dir):
+    """sum by (region)(error) / on(region) sum by (region)(click) —
+    explicit on() matching; result labels are exactly the on() set."""
+    sf = run_promql(
+        spark, sf_dir,
+        "sum by (region) (error) / on(region) sum by (region) (click)",
+    )
+    return _flat(sf, ["region"])
+
+
+@register(
+    "promql_binary_ignoring",
+    f"""{PRELUDE},
+    e AS (SELECT "user", region, shard, ts, value FROM samples WHERE name = 'error'),
+    c AS (SELECT "user", region, shard, ts, value FROM samples WHERE name = 'click')
+    SELECT e."user", e.region, e.ts, {sql_quant('e.value - c.value')} AS value
+    FROM e JOIN c USING ("user", region, ts)""",
+)
+def promql_binary_ignoring(spark, sf_dir):
+    """error - ignoring(shard) click — matching on all labels except the
+    ignored one + name; shard leaves the result identity."""
+    sf = run_promql(spark, sf_dir, "error - ignoring(shard) click")
+    return _flat(sf, ["user", "region"])
+
+
+@register(
+    "promql_cmp_filter",
+    f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error' AND value > 100.0""",
+)
+def promql_cmp_filter(spark, sf_dir):
+    """error > 100 — comparison as filter: samples keep full identity
+    (metric name included)."""
+    sf = run_promql(spark, sf_dir, "error > 100")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_cmp_bool",
+    f"""{PRELUDE}
+    SELECT "user", region, shard, ts,
+           CASE WHEN value > 100.0 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS value
+    FROM samples WHERE name = 'error'""",
+)
+def promql_cmp_bool(spark, sf_dir):
+    """error > bool 100 — 0/1 flag; bool drops the metric name."""
+    sf = run_promql(spark, sf_dir, "error > bool 100")
+    return _flat(sf, ["user", "region", "shard"])
+
+
+@register(
+    "promql_set_and",
+    f"""{PRELUDE},
+    e AS (SELECT {SQL_LBLS}, ts, value FROM samples WHERE name = 'error'),
+    c AS (SELECT "user", region, shard, ts FROM samples
+          WHERE name = 'click' AND value > 150.0)
+    SELECT e.name, e."user", e.region, e.shard, e.ts, {sql_quant('e.value')} AS value
+    FROM e SEMI JOIN c ON e."user" = c."user" AND e.region = c.region
+       AND e.shard = c.shard AND e.ts = c.ts""",
+)
+def promql_set_and(spark, sf_dir):
+    """error and (click > 150) — left samples where a matching right
+    series (same non-name labels) exists at the timestamp."""
+    sf = run_promql(spark, sf_dir, "error and (click > 150)")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_set_unless",
+    f"""{PRELUDE},
+    e AS (SELECT {SQL_LBLS}, ts, value FROM samples WHERE name = 'error'),
+    c AS (SELECT "user", region, shard, ts FROM samples
+          WHERE name = 'click' AND value > 150.0)
+    SELECT e.name, e."user", e.region, e.shard, e.ts, {sql_quant('e.value')} AS value
+    FROM e ANTI JOIN c ON e."user" = c."user" AND e.region = c.region
+       AND e.shard = c.shard AND e.ts = c.ts""",
+)
+def promql_set_unless(spark, sf_dir):
+    """error unless (click > 150) — complement of `and`."""
+    sf = run_promql(spark, sf_dir, "error unless (click > 150)")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_set_or",
+    f"""{PRELUDE},
+    e AS (SELECT {SQL_LBLS}, ts, value FROM samples WHERE name = 'error'),
+    c AS (SELECT {SQL_LBLS}, ts, value FROM samples WHERE name = 'click')
+    SELECT * FROM (
+      SELECT name, "user", region, shard, ts, {sql_quant('value')} AS value FROM e
+      UNION ALL
+      SELECT c.name, c."user", c.region, c.shard, c.ts, {sql_quant('c.value')} AS value
+      FROM c ANTI JOIN e ON c."user" = e."user" AND c.region = e.region
+         AND c.shard = e.shard AND c.ts = e.ts
+    )""",
+)
+def promql_set_or(spark, sf_dir):
+    """error or click — all error samples plus click samples whose label
+    set has no error sample at that timestamp."""
+    sf = run_promql(spark, sf_dir, "error or click")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_rate_ratio",
+    f"""{PRELUDE},
+    e AS (SELECT * FROM samples WHERE name = 'error'),
+    lagged AS (
+      SELECT {SQL_LBLS}, ts, value,
+             lag(value) OVER ({_W}) AS pv, lag(ts) OVER ({_W}) AS pts
+      FROM e),
+    rates AS (
+      SELECT {SQL_LBLS}, ts,
+             (CASE WHEN value < pv THEN value ELSE value - pv END)
+               / ((ts - pts) / 1000.0) AS rate
+      FROM lagged WHERE pts IS NOT NULL),
+    sm AS (
+      SELECT {SQL_LBLS}, ts,
+             avg(rate) OVER ({_FRAME}) AS r
+      FROM rates),
+    g AS (SELECT region, ts, sum(r) AS v FROM sm GROUP BY 1, 2),
+    t AS (SELECT ts, sum(r) AS v FROM sm GROUP BY 1)
+    SELECT g.region, g.ts, {sql_quant('g.v / t.v')} AS value
+    FROM g JOIN t USING (ts)""",
+)
+def promql_rate_ratio(spark, sf_dir):
+    """sum by (region)(rate(…)) / on() group_left sum(rate(…)) — the
+    canonical share-of-total query: empty on() matches every pair at the
+    timestamp, group_left keeps the many side's (region) identity."""
+    sf = run_promql(
+        spark, sf_dir,
+        "sum by (region) (rate(error[3h]))"
+        " / on() group_left sum(rate(error[3h]))",
+    )
+    return _flat(sf, ["region"])

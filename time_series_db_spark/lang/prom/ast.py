@@ -87,6 +87,31 @@ class AggregationNode(PromNode):
     param: float | None = None
 
 
+@dataclass
+class NumberLiteralNode(PromNode):
+    """Bare scalar literal in an expression position (``v * 2``)."""
+
+    value: float = 0.0
+
+
+@dataclass
+class BinaryExprNode(PromNode):
+    """lhs op rhs — the full PromQL binary-operator surface, entirely
+    beyond the reference (promql.jj:140 Expression has no operators at
+    all). children = [lhs, rhs]; literal operands are
+    :class:`NumberLiteralNode`.
+
+    ``matching``/``match_labels`` carry ``on(...)`` / ``ignoring(...)``;
+    ``group`` carries group_left/group_right (parsed, rejected at build —
+    many-to-one is not yet supported)."""
+
+    op: str = ""
+    bool_modifier: bool = False
+    matching: str | None = None  # "on" | "ignoring" | None
+    match_labels: list[str] = field(default_factory=list)
+    group: str | None = None  # "group_left" | "group_right" | None
+
+
 #: duration unit table — promql.jj parseDuration (ms s m h d w y)
 _UNITS_MS = {
     "ms": 1,

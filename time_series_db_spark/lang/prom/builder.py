@@ -181,7 +181,197 @@ def _build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
     if isinstance(node, A.FunctionCallNode):
         return _apply_function(node, ctx)
 
+    if isinstance(node, A.BinaryExprNode):
+        return _binary_expr(node, ctx)
+
     raise PromUnsupportedError(f"cannot build {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Binary operators — entirely beyond the reference (promql.jj:140 has no
+# operator productions). Arithmetic + - * / % ^, comparisons (filter /
+# bool), and set operators and/or/unless, with on()/ignoring() matching.
+# ---------------------------------------------------------------------------
+
+_ARITH = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+}
+_CMP = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+
+def _arith_col(op: str, l, r):
+    from pyspark.sql import functions as F
+
+    if op == "%":
+        return l % r  # fmod on doubles, PromQL % semantics
+    if op == "^":
+        return F.pow(l, r)
+    return _ARITH[op](l, r)
+
+
+def _match_key_expr(node: A.BinaryExprNode):
+    """Canonical match-key for vector matching: the on() labels, or all
+    labels except ignoring() + the metric name (PromQL always excludes
+    __name__ from matching)."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import series_key_expr
+
+    lbl = F.col("labels")
+    if node.matching == "on":
+        keep = node.match_labels
+        filtered = F.map_filter(
+            lbl, lambda k, _v: k.isin(*keep) if keep else F.lit(False)
+        )
+    else:
+        drop = [NAME_LABEL] + (
+            node.match_labels if node.matching == "ignoring" else []
+        )
+        filtered = F.map_filter(lbl, lambda k, _v: ~k.isin(*drop))
+    return series_key_expr(filtered)
+
+
+def _drop_name(sf: SeriesFrame) -> SeriesFrame:
+    """Arithmetic and bool-comparison results drop the metric name
+    (PromQL drops __name__), recomputing series identity."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+
+    df = (
+        sf.df.withColumn(
+            "labels",
+            F.map_filter(F.col("labels"), lambda k, _v: k != F.lit(NAME_LABEL)),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SAMPLE_COLS, labels_from_key_expr
+
+    lhs, rhs = node.children
+    l_lit = isinstance(lhs, A.NumberLiteralNode)
+    r_lit = isinstance(rhs, A.NumberLiteralNode)
+    if l_lit and r_lit:  # constant fold scalar-scalar
+        import math
+
+        lv, rv = lhs.value, rhs.value
+        if node.op in _ARITH or node.op in ("%", "^"):
+            f = {"%": math.fmod, "^": lambda a, b: a ** b}.get(node.op)
+            val = f(lv, rv) if f else {
+                "+": lv + rv, "-": lv - rv, "*": lv * rv,
+                "/": lv / rv if rv else float("nan"),
+            }[node.op]
+            raise PromUnsupportedError(
+                f"bare scalar expression ({val}) is not an instant vector"
+            )
+        raise PromUnsupportedError("scalar comparison is not an instant vector")
+
+    op = node.op
+    if l_lit or r_lit:
+        # vector ⊕ scalar / scalar ⊕ vector
+        sf = build_frame(rhs if l_lit else lhs, ctx)
+        lit = F.lit(lhs.value if l_lit else rhs.value)
+        v = F.col("value")
+        l, r = (lit, v) if l_lit else (v, lit)
+        if op in ("and", "or", "unless"):
+            raise PromUnsupportedError(f"set operator {op} requires vectors")
+        if op in _CMP:
+            if node.bool_modifier:
+                flag = F.when(_CMP[op](l, r), 1.0).otherwise(0.0)
+                out = sf.with_df(
+                    sf.df.withColumn("value", flag).select(*SAMPLE_COLS)
+                )
+                return _drop_name(out)
+            return sf.with_df(sf.df.filter(_CMP[op](l, r)))
+        out = sf.with_df(
+            sf.df.withColumn(
+                "value", _arith_col(op, l, r).cast("double")
+            ).select(*SAMPLE_COLS)
+        )
+        return _drop_name(out)
+
+    left = build_frame(lhs, ctx)
+    right = build_frame(rhs, ctx)
+    mk = _match_key_expr(node)
+
+    if op in ("and", "or", "unless"):
+        lf = left.df.withColumn("__mk", mk)
+        rk = right.df.withColumn("__mk", mk).select("__mk", "ts").distinct()
+        if op == "and":  # left samples with a matching right at that ts
+            df = lf.join(rk, on=["__mk", "ts"], how="left_semi")
+            return left.with_df(df.select(*SAMPLE_COLS))
+        if op == "unless":
+            df = lf.join(rk, on=["__mk", "ts"], how="left_anti")
+            return left.with_df(df.select(*SAMPLE_COLS))
+        # or: all left + right samples with no matching left at that ts
+        lk = left.df.withColumn("__mk", mk).select("__mk", "ts").distinct()
+        extra = (
+            right.df.withColumn("__mk", mk)
+            .join(lk, on=["__mk", "ts"], how="left_anti")
+            .select(*SAMPLE_COLS)
+        )
+        return left.with_df(left.df.unionByName(extra))
+
+    # arithmetic / comparison between vectors: equi-join on
+    # (match key, ts). One-to-one dedups the right side; group_left /
+    # group_right keep the many side row-per-row and dedupe the one
+    # side. Series merging within a key is deterministic last-write-wins
+    # (PromQL errors on many-to-many; we take the deterministic merge,
+    # same stance as the m3 chain).
+    if node.group is not None and op in _CMP:
+        raise PromUnsupportedError(
+            f"comparison with {node.group} is not supported"
+        )
+    group = node.group
+    many, one = (right, left) if group == "group_right" else (left, right)
+    mf = many.df.withColumn("__mk", mk)
+    of = (
+        one.df.withColumn("__mk", mk)
+        .groupBy("__mk", "ts")
+        .agg(F.expr("max_by(value, series_key)").alias("__ov"))
+    )
+    joined = mf.join(of, on=["__mk", "ts"], how="inner")
+    l_col = F.col("__ov") if group == "group_right" else F.col("value")
+    r_col = F.col("value") if group == "group_right" else F.col("__ov")
+    if op in _CMP:
+        if node.bool_modifier:
+            flag = F.when(_CMP[op](l_col, r_col), 1.0).otherwise(0.0)
+            df = joined.withColumn("value", flag).select(*SAMPLE_COLS)
+            return _drop_name(left.with_df(df))
+        # filter: keep left samples (full identity, name included)
+        df = joined.filter(_CMP[op](l_col, r_col)).select(*SAMPLE_COLS)
+        return left.with_df(df)
+    value = _arith_col(op, l_col, r_col).cast("double")
+    if group is not None:
+        # many-to-one: result identity = the many side's labels (name
+        # dropped, Prometheus group_left/group_right result labels)
+        df = joined.withColumn("value", value).select(*SAMPLE_COLS)
+        return _drop_name(many.with_df(df))
+    # one-to-one: result identity = the match-key labels (name dropped;
+    # with on(), exactly the on() set — PromQL one-to-one result labels)
+    df = (
+        joined.withColumn("value", value)
+        .withColumn("series_key", F.col("__mk"))
+        .withColumn("labels", labels_from_key_expr(F.col("__mk")))
+        .select(*SAMPLE_COLS)
+    )
+    return left.with_df(df)
 
 
 def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:

@@ -18,9 +18,11 @@ import re
 
 from time_series_db_spark.lang.prom.ast import (
     AggregationNode,
+    BinaryExprNode,
     FunctionCallNode,
     InstantVectorSelectorNode,
     LabelMatcherNode,
+    NumberLiteralNode,
     PromNode,
     PromParseError,
     RangeVectorSelectorNode,
@@ -36,19 +38,34 @@ _AGGREGATIONS = {
 #: aggregations taking a leading scalar parameter: aggr(param, expr)
 _PARAM_AGGS = {"quantile", "topk", "bottomk"}
 
-#: token spec, most-specific first (promql.jj TOKEN block ordering)
+#: token spec, most-specific first (promql.jj TOKEN block ordering);
+#: CMP before OP so ``==`` wins over ``=``, ARITH for the binary-operator
+#: extension (the reference grammar has no operators at all)
 _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n\r]*)
   | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)\b)
   | (?P<NUMBER>\d+(?:\.\d+)?)
+  | (?P<CMP>==|>=|<=|>|<)
   | (?P<OP>=~|!~|!=|=)
+  | (?P<ARITH>[-+*/%^])
   | (?P<DELIM>[(){}\[\],])
   | (?P<IDENTIFIER>[a-zA-Z_]+[a-zA-Z0-9_:]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
     """,
     re.VERBOSE,
 )
+
+#: binary-operator precedence, lowest binds loosest (Prometheus table);
+#: ^ is right-associative
+_PRECEDENCE = {
+    "or": 1,
+    "and": 2, "unless": 2,
+    "==": 3, "!=": 3, "<=": 3, "<": 3, ">=": 3, ">": 3,
+    "+": 4, "-": 4,
+    "*": 5, "/": 5, "%": 5,
+    "^": 6,
+}
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -91,10 +108,83 @@ class _Parser:
         self.expect("EOF")
         return RootNode(children=[expr])
 
-    # Expression() — promql.jj:140 (aggregation lookahead, then fn-call,
-    # then selector)
-    def expression(self) -> PromNode:
+    # Expression() — promql.jj:140 extended with the binary-operator
+    # surface (precedence climbing; the reference grammar has none)
+    def expression(self, min_prec: int = 1) -> PromNode:
+        left = self.atom()
+        while True:
+            op = self._peek_binop()
+            if op is None or _PRECEDENCE[op] < min_prec:
+                return left
+            self.next()
+            if op == "unless":
+                op_canon = "unless"
+            else:
+                op_canon = op.lower() if op in ("and", "or") else op
+            bool_mod = False
+            if (
+                op in ("==", "!=", "<=", "<", ">=", ">")
+                and self.peek() == ("IDENTIFIER", "bool")
+            ):
+                self.next()
+                bool_mod = True
+            matching, match_labels, group = self._vector_matching()
+            # left-assoc: right side binds at prec+1; ^ is right-assoc
+            next_min = _PRECEDENCE[op] + (0 if op == "^" else 1)
+            right = self.expression(next_min)
+            left = BinaryExprNode(
+                children=[left, right], op=op_canon,
+                bool_modifier=bool_mod, matching=matching,
+                match_labels=match_labels, group=group,
+            )
+
+    def _peek_binop(self) -> str | None:
         k, v = self.peek()
+        if k in ("ARITH", "CMP"):
+            return v
+        if k == "OP" and v == "!=":
+            return v
+        if k == "IDENTIFIER" and v.lower() in ("and", "or", "unless"):
+            return v.lower()
+        return None
+
+    def _vector_matching(self):
+        """[on|ignoring (labels)] [group_left|group_right [(labels)]]"""
+        matching, labels, group = None, [], None
+        if (
+            self.peek()[0] == "IDENTIFIER"
+            and self.peek()[1].lower() in ("on", "ignoring")
+            and self.peek(1) == ("DELIM", "(")
+        ):
+            matching = self.next()[1].lower()
+            self.expect("DELIM", "(")
+            if self.peek() != ("DELIM", ")"):
+                labels = self.label_list()
+            self.expect("DELIM", ")")
+        if (
+            self.peek()[0] == "IDENTIFIER"
+            and self.peek()[1].lower() in ("group_left", "group_right")
+        ):
+            group = self.next()[1].lower()
+            if self.peek() == ("DELIM", "("):
+                self.next()
+                if self.peek() != ("DELIM", ")"):
+                    self.label_list()
+                self.expect("DELIM", ")")
+        return matching, labels, group
+
+    def atom(self) -> PromNode:
+        k, v = self.peek()
+        if (k, v) == ("DELIM", "("):
+            self.next()
+            node = self.expression()
+            self.expect("DELIM", ")")
+            return node
+        if k == "NUMBER":
+            return NumberLiteralNode(value=float(self.next()[1]))
+        if (k, v) == ("ARITH", "-") and self.peek(1)[0] == "NUMBER":
+            self.next()
+            return NumberLiteralNode(value=-float(self.next()[1]))
         if k == "IDENTIFIER" and v.lower() in _AGGREGATIONS:
             return self.aggregation()
         if k == "IDENTIFIER" and self.peek(1) == ("DELIM", "("):
