@@ -709,3 +709,17 @@ def promql_rate_ratio(spark, sf_dir):
         " / on() group_left sum(rate(error[3h]))",
     )
     return _flat(sf, ["region"])
+
+
+@register(
+    "promql_offset",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts + 86400000 AS ts, {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error' AND ts < {EVENTS_MAX_TS} - 86400000""",
+)
+def promql_offset(spark, sf_dir):
+    """error offset 1d — the offset modifier (absent from the reference
+    grammar): scan shifted back a day, timestamps shifted forward onto
+    the query grid, exactly the m3 timeshift mechanism."""
+    sf = run_promql(spark, sf_dir, "error offset 1d")
+    return _flat(sf, LABEL_KEYS)

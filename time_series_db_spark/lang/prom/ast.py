@@ -49,10 +49,13 @@ class LabelMatcherNode(PromNode):
 
 @dataclass
 class VectorSelectorNode(PromNode):
-    """Common selector base — VectorSelectorNode.java."""
+    """Common selector base — VectorSelectorNode.java. ``offset_ms``
+    carries the PromQL ``offset`` modifier (beyond the reference grammar,
+    which parses no modifiers)."""
 
     metric: str | None = None
     matchers: list[LabelMatcherNode] = field(default_factory=list)
+    offset_ms: int = 0
 
 
 @dataclass

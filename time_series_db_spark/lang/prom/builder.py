@@ -110,15 +110,21 @@ class BuildContext:
                 A.REGEX_NOT_MATCH: inverse_re,
             }[m.op]
             target.setdefault(key, []).append(m.value)
+        offset = getattr(node, "offset_ms", 0)
         key = repr((sorted(match.items()), sorted(inverse.items()),
                     sorted(match_re.items()), sorted(inverse_re.items()),
-                    buffer_ms))
+                    buffer_ms, offset))
         if key not in self._fetch_cache:
+            # offset modifier: scan shifted back, timestamps shifted
+            # forward onto the query grid (the m3 timeshift mechanism;
+            # the reference grammar parses no modifiers at all)
             sf = self.source.fetch(
                 match, inverse,
-                self.start - buffer_ms, self.end, self.step,
+                self.start - buffer_ms - offset, self.end - offset, self.step,
                 match_re=match_re, inverse_re=inverse_re,
             )
+            if offset:
+                sf = mappers.timeshift(sf, offset)
             if self.profiler is not None:
                 sf = self.profiler.record("fetch", sf)
             self._fetch_cache[key] = sf

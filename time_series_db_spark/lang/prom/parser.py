@@ -274,15 +274,24 @@ class _Parser:
         else:
             raise PromParseError(f"expected selector, got {v!r}")
 
+        range_ms = None
         if self.peek() == ("DELIM", "["):
             self.next()
             dur = self.expect("DURATION")
             self.expect("DELIM", "]")
+            range_ms = parse_duration_ms(dur)
+        offset_ms = 0
+        if self.peek() == ("IDENTIFIER", "offset"):  # offset modifier
+            self.next()
+            offset_ms = parse_duration_ms(self.expect("DURATION"))
+        if range_ms is not None:
             return RangeVectorSelectorNode(
                 metric=metric, matchers=matchers,
-                range_ms=parse_duration_ms(dur),
+                range_ms=range_ms, offset_ms=offset_ms,
             )
-        return InstantVectorSelectorNode(metric=metric, matchers=matchers)
+        return InstantVectorSelectorNode(
+            metric=metric, matchers=matchers, offset_ms=offset_ms
+        )
 
     # LabelMatchers()/LabelMatcher() — promql.jj:300-340
     def label_matchers(self) -> list[LabelMatcherNode]:
