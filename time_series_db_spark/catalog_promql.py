@@ -723,3 +723,38 @@ def promql_offset(spark, sf_dir):
     the query grid, exactly the m3 timeshift mechanism."""
     sf = run_promql(spark, sf_dir, "error offset 1d")
     return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_label_replace",
+    f"""{PRELUDE}
+    SELECT name, region, regexp_extract(region, '^r(.*)$', 1) AS dc,
+           "user", shard, ts, {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def promql_label_replace(spark, sf_dir):
+    """label_replace(error, "dc", "$1", "region", "r(.*)") — full-match
+    regex capture into a new label (beyond the reference: FunctionType
+    has no label functions)."""
+    sf = run_promql(
+        spark, sf_dir,
+        'label_replace(error, "dc", "$1", "region", "r(.*)")',
+    )
+    return _flat(sf, ["name", "region", "dc", "user", "shard"])
+
+
+@register(
+    "promql_label_join",
+    f"""{PRELUDE}
+    SELECT name, region || '-' || shard AS host, "user", ts,
+           {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def promql_label_join(spark, sf_dir):
+    """label_join(error, "host", "-", "region", "shard") — joined label
+    value, recomputed series identity."""
+    sf = run_promql(
+        spark, sf_dir,
+        'label_join(error, "host", "-", "region", "shard")',
+    )
+    return _flat(sf, ["name", "host", "user"])

@@ -77,6 +77,8 @@ class FunctionCallNode(PromNode):
     name: str = ""
     #: scalar arguments (φ for quantile, bounds for clamp/round)
     scalars: list[float] = field(default_factory=list)
+    #: string arguments (label_replace/label_join dst, patterns, sep)
+    strings: list[str] = field(default_factory=list)
 
 
 @dataclass

@@ -460,6 +460,25 @@ def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
         return ordering.sort(sf, "current", descending=False)
     if name == "sort_desc":
         return ordering.sort(sf, "current", descending=True)
+    if name == "label_replace":
+        if len(node.strings) != 4:
+            raise A.PromParseError(
+                "label_replace(v, dst, replacement, src, regex) "
+                "needs four string arguments"
+            )
+        from time_series_db_spark.operators import labels as labels_ops
+
+        dst, repl, src, regex = node.strings
+        return labels_ops.label_replace(sf, dst, repl, src, regex)
+    if name == "label_join":
+        if len(node.strings) < 2:
+            raise A.PromParseError(
+                "label_join(v, dst, sep, src...) needs dst and separator"
+            )
+        from time_series_db_spark.operators import labels as labels_ops
+
+        dst, sep, *srcs = node.strings
+        return labels_ops.label_join(sf, dst, sep, srcs)
 
     raise PromUnsupportedError(f"function {name}() is not yet implemented")
 

@@ -249,6 +249,9 @@ class _Parser:
             k, v = self.peek()
             if k == "NUMBER":
                 node.scalars.append(float(self.next()[1]))
+            elif k == "STRING":
+                raw = self.next()[1]
+                node.strings.append(re.sub(r"\\(.)", r"\1", raw[1:-1]))
             else:
                 node.children.append(self.expression())
             if self.peek() == ("DELIM", ","):

@@ -135,3 +135,56 @@ def tag_add(sf: SeriesFrame, key: str, value: str) -> SeriesFrame:
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def label_replace(
+    sf: SeriesFrame, dst: str, replacement: str, src: str, regex: str
+) -> SeriesFrame:
+    """PromQL label_replace(v, dst, replacement, src, regex) — beyond the
+    reference (its FunctionType has no label functions). If ``regex``
+    matches the ENTIRE ``src`` value (missing label = empty string),
+    ``dst`` is set to ``replacement`` with ``$1``… backrefs; an empty
+    result removes ``dst``; non-matching series pass through unchanged.
+    Pure map expressions + identity recompute — no shuffle."""
+    import re as _re
+
+    try:
+        _re.compile(regex)
+    except _re.error as e:
+        raise ValueError(f"invalid label_replace regex: {e}") from e
+    lbl = F.col("labels")
+    anchored = f"^(?:{regex})$"
+    srcv = F.coalesce(lbl[src], F.lit(""))
+    newv = F.regexp_replace(srcv, anchored, replacement)
+    matched = srcv.rlike(anchored)
+    without_dst = F.map_filter(lbl, lambda k, _v: k != F.lit(dst))
+    add = F.when(
+        newv == "", F.create_map().cast("map<string,string>")
+    ).otherwise(F.create_map(F.lit(dst), newv))
+    labels2 = F.when(matched, F.map_concat(without_dst, add)).otherwise(lbl)
+    df = (
+        sf.df.withColumn("labels", labels2)
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def label_join(
+    sf: SeriesFrame, dst: str, sep: str, srcs: list[str]
+) -> SeriesFrame:
+    """PromQL label_join(v, dst, sep, src...) — dst = src values joined
+    with sep (missing labels = empty string); an empty result removes
+    dst. Same no-shuffle shape as :func:`label_replace`."""
+    lbl = F.col("labels")
+    joined = F.concat_ws(sep, *[F.coalesce(lbl[s], F.lit("")) for s in srcs])
+    without_dst = F.map_filter(lbl, lambda k, _v: k != F.lit(dst))
+    add = F.when(
+        joined == "", F.create_map().cast("map<string,string>")
+    ).otherwise(F.create_map(F.lit(dst), joined))
+    df = (
+        sf.df.withColumn("labels", F.map_concat(without_dst, add))
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
