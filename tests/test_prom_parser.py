@@ -1,0 +1,110 @@
+"""PromQL parser unit tests for the binary-operator extension.
+
+The reference grammar (promql.jj:140) has no operator productions, so
+these pin OUR precedence/associativity choices to the published
+Prometheus operator table.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from time_series_db_spark.lang.prom import ast as A
+from time_series_db_spark.lang.prom.parser import parse
+
+
+def _expr(q: str) -> A.PromNode:
+    return parse(q).children[0]
+
+
+def _shape(node: A.PromNode) -> str:
+    """Compact s-expression of the tree for precedence assertions."""
+    if isinstance(node, A.BinaryExprNode):
+        l, r = node.children
+        mods = ""
+        if node.bool_modifier:
+            mods += " bool"
+        if node.matching:
+            mods += f" {node.matching}({','.join(node.match_labels)})"
+        if node.group:
+            mods += f" {node.group}"
+        return f"({_shape(l)} {node.op}{mods} {_shape(r)})"
+    if isinstance(node, A.NumberLiteralNode):
+        v = node.value
+        return str(int(v)) if v == int(v) else str(v)
+    if isinstance(node, A.AggregationNode):
+        return f"{node.agg_type}[{_shape(node.children[0])}]"
+    if isinstance(node, A.FunctionCallNode):
+        return f"{node.name}[{_shape(node.children[0])}]"
+    if isinstance(node, A.VectorSelectorNode):
+        return node.metric or "{}"
+    return type(node).__name__
+
+
+def test_mul_binds_over_add():
+    assert _shape(_expr("a + b * c")) == "(a + (b * c))"
+    assert _shape(_expr("a * b + c")) == "((a * b) + c)"
+
+
+def test_left_associativity():
+    assert _shape(_expr("a / b / c")) == "((a / b) / c)"
+    assert _shape(_expr("a - b - c")) == "((a - b) - c)"
+
+
+def test_pow_right_associative_and_tightest():
+    assert _shape(_expr("2 ^ 3 ^ 2")) == "(2 ^ (3 ^ 2))"
+    assert _shape(_expr("a * b ^ c")) == "(a * (b ^ c))"
+
+
+def test_comparison_below_arithmetic():
+    assert _shape(_expr("a + b > c * 2")) == "((a + b) > (c * 2))"
+
+
+def test_set_ops_loosest_or_below_and():
+    assert _shape(_expr("a and b or c")) == "((a and b) or c)"
+    assert _shape(_expr("a or b unless c")) == "(a or (b unless c))"
+
+
+def test_parens_override():
+    assert _shape(_expr("(a + b) * c")) == "((a + b) * c)"
+    assert _shape(_expr("a + (b or c)")) == "(a + (b or c))"
+
+
+def test_bool_and_matching_modifiers():
+    assert _shape(_expr("a > bool 1")) == "(a > bool 1)"
+    assert _shape(_expr("a / on(region) b")) == "(a / on(region) b)"
+    assert (
+        _shape(_expr("a / ignoring(shard) group_left b"))
+        == "(a / ignoring(shard) group_left b)"
+    )
+    assert _shape(_expr("a / on() group_left sum(b)")) == "(a / on() group_left sum[b])"
+
+
+def test_offset_modifier_parses():
+    sel = _expr("a offset 1h")
+    assert isinstance(sel, A.InstantVectorSelectorNode)
+    assert sel.offset_ms == 3_600_000
+    rng = _expr("rate(a[5m] offset 1d)").children[0]
+    assert isinstance(rng, A.RangeVectorSelectorNode)
+    assert rng.range_ms == 300_000 and rng.offset_ms == 86_400_000
+
+
+def test_negative_literal():
+    assert _shape(_expr("a * -2")) == "(a * -2)"
+
+
+def test_string_args_collected():
+    fn = _expr('label_replace(a, "dc", "$1", "region", "r(.*)")')
+    assert isinstance(fn, A.FunctionCallNode)
+    assert fn.strings == ["dc", "$1", "region", "r(.*)"]
+
+
+def test_aggregation_operand():
+    assert (
+        _shape(_expr("sum(a) / sum by (x) (b)")) == "(sum[a] / sum[b])"
+    )
+
+
+def test_unclosed_paren_raises():
+    with pytest.raises(A.PromParseError):
+        parse("(a + b")
