@@ -35,39 +35,56 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names that already have a driver-green CORRECTNESS row (union of the
-# r1 + r2 runs: 100 green rows, zero red).  The driver's per-round run
+# r1 + r2 + r3 runs: 150 green rows, zero red).  The driver's per-round run
 # covers a prefix of the dict, so order the not-yet-verified entries first;
 # previously-green entries go last and get re-checked as budget allows.
 _DRIVER_VERIFIED = frozenset({
     'ann_cosine_topk', 'ann_ivf_kmeans_topk', 'ann_ivf_topk',
     'ann_lsh_topk', 'dedup_cluster_survivors', 'dedup_embedding_cosine',
     'dedup_exact', 'dedup_minhash_lsh', 'dedup_ngram_jaccard',
-    'dedup_simhash', 'm3_abs', 'm3_as_percent', 'm3_avg_by', 'm3_changed',
-    'm3_count_by', 'm3_derivative', 'm3_divide', 'm3_divide_scalar',
-    'm3_exclude_by_tag', 'm3_fallback_series', 'm3_federated_fetch',
+    'dedup_simhash', 'm3_abs', 'm3_alias', 'm3_alias_by_tags',
+    'm3_as_percent', 'm3_avg_by', 'm3_changed', 'm3_count_by',
+    'm3_derivative', 'm3_divide', 'm3_divide_scalar', 'm3_exclude_by_tag',
+    'm3_fallback_constant', 'm3_fallback_series', 'm3_federated_fetch',
     'm3_federated_windows', 'm3_fetch', 'm3_fetch_filtered', 'm3_head',
     'm3_integral', 'm3_integral_reset', 'm3_intersect', 'm3_is_non_null',
-    'm3_keep_last_value', 'm3_logarithm', 'm3_max_by', 'm3_min_by',
-    'm3_moving_avg', 'm3_moving_max', 'm3_moving_median', 'm3_moving_min',
-    'm3_moving_sum', 'm3_multiply_by', 'm3_offset', 'm3_per_second',
+    'm3_keep_last_value', 'm3_logarithm', 'm3_map_key', 'm3_max_by',
+    'm3_min_by', 'm3_moving_avg', 'm3_moving_max', 'm3_moving_median',
+    'm3_moving_min', 'm3_moving_sum', 'm3_multiply_by',
+    'm3_normalize_mixed_step', 'm3_offset', 'm3_per_second',
     'm3_per_second_rate', 'm3_percentile_of_series', 'm3_range_by',
     'm3_remove_empty', 'm3_round', 'm3_scale', 'm3_scale_to_seconds',
-    'm3_sort', 'm3_sqrt', 'm3_subtract', 'm3_sum_by', 'm3_sum_global',
-    'm3_summarize', 'm3_summarize_last', 'm3_sustain', 'm3_tag_compare',
-    'm3_tail', 'm3_timeshift', 'm3_topk', 'm3_transform_null', 'm3_union',
-    'm3_value_filter_eq', 'm3_value_filter_ge', 'm3_value_filter_lt',
-    'm3_value_filter_ne', 'm3_where', 'm3ql_divide_by_group_total',
+    'm3_show_tags', 'm3_sort', 'm3_sqrt', 'm3_subtract', 'm3_sum_by',
+    'm3_sum_global', 'm3_summarize', 'm3_summarize_last', 'm3_sustain',
+    'm3_tag_compare', 'm3_tag_sub', 'm3_tail', 'm3_timeshift', 'm3_topk',
+    'm3_transform_null', 'm3_truncate', 'm3_union', 'm3_value_filter_eq',
+    'm3_value_filter_ge', 'm3_value_filter_lt', 'm3_value_filter_ne',
+    'm3_where', 'm3ql_alias_sort_head', 'm3ql_alias_sub',
+    'm3ql_anomalies', 'm3ql_constant_line', 'm3ql_divide_by_group_total',
     'm3ql_federated_sum', 'm3ql_fetch_wildcard', 'm3ql_filter_topk',
-    'm3ql_keep_last_summarize', 'm3ql_mapper_chain', 'm3ql_union_sum',
-    'mm_audio_features', 'mm_decode_image_meta', 'mm_sample_frames',
-    'promql_avg_over_time', 'promql_delta', 'promql_increase',
-    'promql_irate', 'promql_rate', 'promql_selector',
-    'promql_selector_regex', 'stats_fetch_labels', 'stats_head',
-    'stats_labels', 'stats_values', 'text_fingerprint', 'text_langid',
-    'text_quality', 'text_repetition', 'text_token_stats',
-    'tpch_q10_returns', 'tpch_q14_promo', 'tpch_q18_large_orders',
-    'tpch_q1_pricing', 'tpch_q3_shipping', 'tpch_q5_local_volume',
-    'tpch_q6_forecast',
+    'm3ql_histogram_percentile', 'm3ql_keep_last_summarize',
+    'm3ql_macros_binary', 'm3ql_mapper_chain', 'm3ql_mock_fetch',
+    'm3ql_n_percentile', 'm3ql_non_negative_derivative',
+    'm3ql_percentile_interpolate', 'm3ql_remove_above_percentile',
+    'm3ql_set_diff', 'm3ql_stdev_by', 'm3ql_sustained_above',
+    'm3ql_tag_add', 'm3ql_to_histogram', 'm3ql_to_histogram_percentile',
+    'm3ql_top_k_per_timestamp', 'm3ql_union_sum', 'mm_audio_features',
+    'mm_decode_image_meta', 'mm_sample_frames', 'promql_absent',
+    'promql_avg_over_time', 'promql_binary_ignoring', 'promql_binary_on',
+    'promql_changes', 'promql_cmp_bool', 'promql_cmp_filter',
+    'promql_count_without', 'promql_delta', 'promql_deriv',
+    'promql_histogram_quantile', 'promql_holt_winters', 'promql_increase',
+    'promql_irate', 'promql_math_clamp', 'promql_predict_linear',
+    'promql_quantile_agg', 'promql_quantile_over_time', 'promql_rate',
+    'promql_resets', 'promql_scalar_arith', 'promql_scalar_time',
+    'promql_selector', 'promql_selector_regex', 'promql_set_and',
+    'promql_stddev_agg', 'promql_sum_by_rate', 'promql_time_fields',
+    'promql_topk_agg', 'promql_trig_chain', 'promql_vector_divide',
+    'stats_fetch_labels', 'stats_head', 'stats_labels', 'stats_values',
+    'text_fingerprint', 'text_langid', 'text_quality', 'text_repetition',
+    'text_token_stats', 'tpch_q10_returns', 'tpch_q14_promo',
+    'tpch_q18_large_orders', 'tpch_q1_pricing', 'tpch_q3_shipping',
+    'tpch_q5_local_volume', 'tpch_q6_forecast',
 })
 
 
