@@ -1,0 +1,94 @@
+"""PromQL execution semantics over constructed fixtures.
+
+Covers behavior the parser goldens can't: IEEE-754 / Go-float64 edge
+cases that Spark's ANSI mode (default in Spark 4) would otherwise turn
+into runtime errors, and vector-matching result shapes. The reference
+grammar has no binary operators (promql.jj:140), so the pinned
+semantics here are the published Prometheus operator table.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+H = 3_600_000
+T0 = 1_704_067_200_000
+
+
+def _fixture(spark, rows):
+    """rows: list of (labels_dict, ts, value) → fixture DataFrame."""
+    from tests.yaml_harness import _FIXTURE_SCHEMA
+
+    return spark.createDataFrame([(l, t, v, 0) for l, t, v in rows], _FIXTURE_SCHEMA)
+
+
+def _source(spark, rows):
+    from tests.yaml_harness import FixtureSource
+
+    return FixtureSource(spark, [_fixture(spark, rows)])
+
+
+def _run(spark, src, query, n_steps=4):
+    from time_series_db_spark.lang.prom.builder import execute
+
+    # fetch window is [start, end) — end excluded, so n_steps grid points
+    sf = execute(query, src, T0, T0 + n_steps * H, H)
+    out = {}
+    for r in sf.df.collect():
+        out.setdefault(tuple(sorted(dict(r["labels"]).items())), {})[r["ts"]] = r["value"]
+    return out
+
+
+def _series(spark, src, query, n_steps=4):
+    got = _run(spark, src, query, n_steps)
+    assert len(got) == 1, f"expected one series, got {sorted(got)}"
+    return next(iter(got.values()))
+
+
+def test_vector_divide_by_zero_promql_semantics(spark):
+    """x/0 = ±Inf, 0/0 = NaN (Go float64) — must not raise ANSI
+    DIVIDE_BY_ZERO (pyspark 4 defaults spark.sql.ansi.enabled=true)."""
+    rows = []
+    for i, v in enumerate([1.0, -2.0, 0.0, 5.0]):
+        rows.append(({"name": "a"}, T0 + i * H, v))
+    for i, v in enumerate([0.0, 0.0, 0.0, 2.0]):
+        rows.append(({"name": "b"}, T0 + i * H, v))
+    src = _source(spark, rows)
+    vals = _series(spark, src, "a / b")
+    assert vals[T0] == math.inf
+    assert vals[T0 + H] == -math.inf
+    assert math.isnan(vals[T0 + 2 * H])
+    assert vals[T0 + 3 * H] == 2.5
+
+
+def test_vector_mod_by_zero_promql_semantics(spark):
+    rows = []
+    for i, v in enumerate([7.0, -7.0, 0.0, 7.0]):
+        rows.append(({"name": "a"}, T0 + i * H, v))
+    for i, v in enumerate([0.0, 0.0, 0.0, 4.0]):
+        rows.append(({"name": "b"}, T0 + i * H, v))
+    src = _source(spark, rows)
+    vals = _series(spark, src, "a % b")
+    assert math.isnan(vals[T0])
+    assert math.isnan(vals[T0 + H])
+    assert math.isnan(vals[T0 + 2 * H])
+    assert vals[T0 + 3 * H] == 3.0  # fmod(7, 4)
+
+
+def test_scalar_divide_and_mod_by_zero(spark):
+    rows = [({"name": "a"}, T0 + i * H, v)
+            for i, v in enumerate([3.0, -3.0, 0.0, 8.0])]
+    src = _source(spark, rows)
+    vals = _series(spark, src, "a / 0")
+    assert vals[T0] == math.inf
+    assert vals[T0 + H] == -math.inf
+    assert math.isnan(vals[T0 + 2 * H])
+    vals = _series(spark, src, "a % 0")
+    assert all(math.isnan(v) for v in vals.values())
+    # scalar numerator over a zero vector value
+    rows = [({"name": "b"}, T0, 0.0), ({"name": "b"}, T0 + H, 4.0)]
+    vals = _series(spark, _source(spark, rows), "2 / b", n_steps=2)
+    assert vals[T0] == math.inf and vals[T0 + H] == 0.5

@@ -216,10 +216,23 @@ _CMP = {
 
 
 def _arith_col(op: str, l, r):
+    """PromQL arithmetic on doubles. ``/`` and ``%`` need an explicit
+    zero-denominator guard: Spark 4 runs in ANSI mode, where a bare
+    ``l / r`` or ``l % r`` raises DIVIDE_BY_ZERO / REMAINDER_BY_ZERO at
+    runtime, while PromQL follows Go float64 (IEEE-754): x/0 = ±Inf,
+    0/0 = NaN, fmod(x, 0) = NaN.  CASE WHEN evaluates branches lazily,
+    so the guarded divide never fires for zero denominators."""
     from pyspark.sql import functions as F
 
     if op == "%":
-        return l % r  # fmod on doubles, PromQL % semantics
+        return F.when(r == 0, F.lit(float("nan"))).otherwise(l % r)
+    if op == "/":
+        return F.when(
+            r == 0,
+            F.when(F.isnan(l) | (l == 0), F.lit(float("nan")))
+            .when(l > 0, F.lit(float("inf")))
+            .otherwise(F.lit(float("-inf"))),
+        ).otherwise(l / r)
     if op == "^":
         return F.pow(l, r)
     return _ARITH[op](l, r)
@@ -278,10 +291,16 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
 
         lv, rv = lhs.value, rhs.value
         if node.op in _ARITH or node.op in ("%", "^"):
-            f = {"%": math.fmod, "^": lambda a, b: a ** b}.get(node.op)
+            def _div(a, b):  # Go float64: x/0 = ±Inf, 0/0 = NaN
+                if b:
+                    return a / b
+                return math.copysign(math.inf, a) if a else math.nan
+            f = {
+                "%": lambda a, b: math.fmod(a, b) if b else math.nan,
+                "^": lambda a, b: a ** b,
+            }.get(node.op)
             val = f(lv, rv) if f else {
-                "+": lv + rv, "-": lv - rv, "*": lv * rv,
-                "/": lv / rv if rv else float("nan"),
+                "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": _div(lv, rv),
             }[node.op]
             raise PromUnsupportedError(
                 f"bare scalar expression ({val}) is not an instant vector"
