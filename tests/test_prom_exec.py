@@ -92,3 +92,48 @@ def test_scalar_divide_and_mod_by_zero(spark):
     rows = [({"name": "b"}, T0, 0.0), ({"name": "b"}, T0 + H, 4.0)]
     vals = _series(spark, _source(spark, rows), "2 / b", n_steps=2)
     assert vals[T0] == math.inf and vals[T0 + H] == 0.5
+
+
+def test_group_left_include_labels(spark):
+    """group_left(role): result keeps the many side's labels (name
+    dropped) plus `role` copied from the one side — Prometheus
+    many-to-one result-label rules. A many-side label with the same
+    name is overwritten by the one side's value."""
+    rows = [
+        ({"name": "a", "inst": "1", "job": "x", "role": "old"}, T0, 2.0),
+        ({"name": "a", "inst": "2", "job": "x"}, T0, 3.0),
+        ({"name": "b", "inst": "1", "role": "db"}, T0, 10.0),
+        ({"name": "b", "inst": "2", "role": "web"}, T0, 100.0),
+    ]
+    src = _source(spark, rows)
+    got = _run(spark, src, "a * on(inst) group_left(role) b", n_steps=1)
+    assert got == {
+        (("inst", "1"), ("job", "x"), ("role", "db")): {T0: 20.0},
+        (("inst", "2"), ("job", "x"), ("role", "web")): {T0: 300.0},
+    }
+
+
+def test_group_right_include_labels(spark):
+    rows = [
+        ({"name": "a", "inst": "1", "team": "core"}, T0, 100.0),
+        ({"name": "b", "inst": "1", "shard": "s0"}, T0, 4.0),
+        ({"name": "b", "inst": "1", "shard": "s1"}, T0, 5.0),
+    ]
+    src = _source(spark, rows)
+    got = _run(spark, src, "a / on(inst) group_right(team) b", n_steps=1)
+    assert got == {
+        (("inst", "1"), ("shard", "s0"), ("team", "core")): {T0: 25.0},
+        (("inst", "1"), ("shard", "s1"), ("team", "core")): {T0: 20.0},
+    }
+
+
+def test_group_left_missing_include_label(spark):
+    """Include label absent on the one side: dropped from the result
+    (Prometheus deletes the listed label when the one side lacks it)."""
+    rows = [
+        ({"name": "a", "inst": "1", "role": "old"}, T0, 2.0),
+        ({"name": "b", "inst": "1"}, T0, 10.0),
+    ]
+    src = _source(spark, rows)
+    got = _run(spark, src, "a * on(inst) group_left(role) b", n_steps=1)
+    assert got == {(("inst", "1"),): {T0: 20.0}}

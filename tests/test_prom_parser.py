@@ -108,3 +108,41 @@ def test_aggregation_operand():
 def test_unclosed_paren_raises():
     with pytest.raises(A.PromParseError):
         parse("(a + b")
+
+
+def test_group_modifier_include_labels_carried():
+    node = _expr("a * on(inst) group_left(role, zone) b")
+    assert node.group == "group_left"
+    assert node.group_labels == ["role", "zone"]
+    node = _expr("a / ignoring(x) group_right(owner) b")
+    assert node.group == "group_right"
+    assert node.group_labels == ["owner"]
+    node = _expr("a * on(inst) group_left b")
+    assert node.group_labels == []
+
+
+def test_string_escape_sequences():
+    """PromQL strings follow Go strconv.Unquote: \\n is a newline, not
+    the letter n; \\xHH / \\uXXXX are code points."""
+    from time_series_db_spark.lang.prom.parser import unquote_string
+
+    assert unquote_string(r'"a\nb"') == "a\nb"
+    assert unquote_string(r'"tab\there"') == "tab\there"
+    assert unquote_string(r'"q\"q"') == 'q"q'
+    assert unquote_string(r'"back\\slash"') == "back\\slash"
+    assert unquote_string(r'"\x41B"') == "AB"
+    assert unquote_string(r'"\101"') == "A"  # octal
+    fn = _expr(r'label_join(a, "dst", "\n", "x")')
+    assert fn.strings == ["dst", "\n", "x"]
+
+
+def test_keywords_fold_case_like_prometheus():
+    """Prometheus's lexer lowercases words before keyword lookup
+    (lexer.go lexKeywordOrIdentifier) and the reference grammar's
+    aggregation lookahead does the same (promql.jj:148), so AND/OR and
+    modifiers in any case are operators, not metric names."""
+    node = _expr("a AND b")
+    assert isinstance(node, A.BinaryExprNode) and node.op == "and"
+    node = _expr("a * ON(inst) GROUP_LEFT(role) b")
+    assert node.matching == "on" and node.group == "group_left"
+    assert node.group_labels == ["role"]

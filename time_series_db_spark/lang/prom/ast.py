@@ -107,14 +107,16 @@ class BinaryExprNode(PromNode):
     :class:`NumberLiteralNode`.
 
     ``matching``/``match_labels`` carry ``on(...)`` / ``ignoring(...)``;
-    ``group`` carries group_left/group_right (parsed, rejected at build —
-    many-to-one is not yet supported)."""
+    ``group`` carries group_left/group_right and ``group_labels`` its
+    include list — the labels PromQL copies from the "one" side into
+    the many-to-one result."""
 
     op: str = ""
     bool_modifier: bool = False
     matching: str | None = None  # "on" | "ignoring" | None
     match_labels: list[str] = field(default_factory=list)
     group: str | None = None  # "group_left" | "group_right" | None
+    group_labels: list[str] = field(default_factory=list)
 
 
 #: duration unit table — promql.jj parseDuration (ms s m h d w y)

@@ -366,11 +366,12 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
     group = node.group
     many, one = (right, left) if group == "group_right" else (left, right)
     mf = many.df.withColumn("__mk", mk)
-    of = (
-        one.df.withColumn("__mk", mk)
-        .groupBy("__mk", "ts")
-        .agg(F.expr("max_by(value, series_key)").alias("__ov"))
-    )
+    aggs = [F.expr("max_by(value, series_key)").alias("__ov")]
+    if group is not None and node.group_labels:
+        # group_left(l1, ...) include list: carry the winning one-side
+        # series' label map so the listed labels can be copied over
+        aggs.append(F.expr("max_by(labels, series_key)").alias("__olab"))
+    of = one.df.withColumn("__mk", mk).groupBy("__mk", "ts").agg(*aggs)
     joined = mf.join(of, on=["__mk", "ts"], how="inner")
     l_col = F.col("__ov") if group == "group_right" else F.col("value")
     r_col = F.col("value") if group == "group_right" else F.col("__ov")
@@ -385,9 +386,25 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
     value = _arith_col(op, l_col, r_col).cast("double")
     if group is not None:
         # many-to-one: result identity = the many side's labels (name
-        # dropped, Prometheus group_left/group_right result labels)
-        df = joined.withColumn("value", value).select(*SAMPLE_COLS)
-        return _drop_name(many.with_df(df))
+        # dropped, Prometheus group_left/group_right result labels),
+        # plus the include-list labels copied from the one side —
+        # Prometheus drops the listed labels from the many side and
+        # takes the one side's values where present
+        df = joined.withColumn("value", value)
+        if node.group_labels:
+            incl = node.group_labels
+            df = df.withColumn(
+                "labels",
+                F.map_concat(
+                    F.map_filter(
+                        F.col("labels"), lambda k, _v: ~k.isin(*incl)
+                    ),
+                    F.map_filter(
+                        F.col("__olab"), lambda k, _v: k.isin(*incl)
+                    ),
+                ),
+            )
+        return _drop_name(many.with_df(df.select(*SAMPLE_COLS)))
     # one-to-one: result identity = the match-key labels (name dropped;
     # with on(), exactly the on() set — PromQL one-to-one result labels)
     df = (

@@ -68,6 +68,34 @@ _PRECEDENCE = {
 }
 
 
+#: Go/PromQL string escapes (strconv.Unquote semantics): named escapes,
+#: \xHH, \uXXXX, \UXXXXXXXX, and 3-digit octal. Unknown escapes keep the
+#: escaped character (lenient, like the previous behavior for \{ etc.).
+_NAMED_ESCAPES = {
+    "n": "\n", "t": "\t", "r": "\r", "a": "\a", "b": "\b",
+    "f": "\f", "v": "\v", "\\": "\\", '"': '"', "'": "'",
+}
+_ESCAPE_RE = re.compile(
+    r"\\(x[0-9a-fA-F]{2}|u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|[0-7]{3}|.)"
+)
+
+
+def unquote_string(raw: str) -> str:
+    """Strip quotes and interpret escape sequences the way PromQL does
+    (Go strconv.Unquote): ``"\\n"`` is a newline, not the letter n."""
+    def repl(m: re.Match) -> str:
+        e = m.group(1)
+        if e[0] == "x" and len(e) == 3:
+            return chr(int(e[1:], 16))
+        if e[0] in "uU" and len(e) > 1:
+            return chr(int(e[1:], 16))
+        if len(e) == 3 and all(c in "01234567" for c in e):
+            return chr(int(e, 8))
+        return _NAMED_ESCAPES.get(e, e)
+
+    return _ESCAPE_RE.sub(repl, raw[1:-1])
+
+
 def _tokenize(text: str) -> list[tuple[str, str]]:
     out, pos = [], 0
     while pos < len(text):
@@ -124,11 +152,12 @@ class _Parser:
             bool_mod = False
             if (
                 op in ("==", "!=", "<=", "<", ">=", ">")
-                and self.peek() == ("IDENTIFIER", "bool")
+                and self.peek()[0] == "IDENTIFIER"
+                and self.peek()[1].lower() == "bool"
             ):
                 self.next()
                 bool_mod = True
-            matching, match_labels, group = self._vector_matching()
+            matching, match_labels, group, group_labels = self._vector_matching()
             # left-assoc: right side binds at prec+1; ^ is right-assoc
             next_min = _PRECEDENCE[op] + (0 if op == "^" else 1)
             right = self.expression(next_min)
@@ -136,6 +165,7 @@ class _Parser:
                 children=[left, right], op=op_canon,
                 bool_modifier=bool_mod, matching=matching,
                 match_labels=match_labels, group=group,
+                group_labels=group_labels,
             )
 
     def _peek_binop(self) -> str | None:
@@ -149,8 +179,15 @@ class _Parser:
         return None
 
     def _vector_matching(self):
-        """[on|ignoring (labels)] [group_left|group_right [(labels)]]"""
-        matching, labels, group = None, [], None
+        """[on|ignoring (labels)] [group_left|group_right [(labels)]]
+
+        Keyword matching is case-INsensitive on purpose: Prometheus's
+        lexer folds words with strings.ToLower before keyword lookup
+        (promql/parser/lexer.go lexKeywordOrIdentifier) and the reference
+        grammar's aggregation lookahead does the same
+        (promql.jj:148 ``getToken(1).image.toLowerCase()``), so ``ON``/
+        ``GROUP_LEFT`` are modifiers upstream too."""
+        matching, labels, group, group_labels = None, [], None, []
         if (
             self.peek()[0] == "IDENTIFIER"
             and self.peek()[1].lower() in ("on", "ignoring")
@@ -169,9 +206,9 @@ class _Parser:
             if self.peek() == ("DELIM", "("):
                 self.next()
                 if self.peek() != ("DELIM", ")"):
-                    self.label_list()
+                    group_labels = self.label_list()
                 self.expect("DELIM", ")")
-        return matching, labels, group
+        return matching, labels, group, group_labels
 
     def atom(self) -> PromNode:
         k, v = self.peek()
@@ -250,8 +287,7 @@ class _Parser:
             if k == "NUMBER":
                 node.scalars.append(float(self.next()[1]))
             elif k == "STRING":
-                raw = self.next()[1]
-                node.strings.append(re.sub(r"\\(.)", r"\1", raw[1:-1]))
+                node.strings.append(unquote_string(self.next()[1]))
             else:
                 node.children.append(self.expression())
             if self.peek() == ("DELIM", ","):
@@ -307,8 +343,7 @@ class _Parser:
     def label_matcher(self) -> LabelMatcherNode:
         name = self.expect("IDENTIFIER")
         op = self.expect("OP")
-        raw = self.expect("STRING")
-        value = re.sub(r"\\(.)", r"\1", raw[1:-1])
+        value = unquote_string(self.expect("STRING"))
         return LabelMatcherNode(name=name, op=op, value=value)
 
 

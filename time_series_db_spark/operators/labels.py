@@ -145,13 +145,27 @@ def label_replace(
     matches the ENTIRE ``src`` value (missing label = empty string),
     ``dst`` is set to ``replacement`` with ``$1``… backrefs; an empty
     result removes ``dst``; non-matching series pass through unchanged.
-    Pure map expressions + identity recompute — no shuffle."""
-    import re as _re
+    Pure map expressions + identity recompute — no shuffle.
 
-    try:
-        _re.compile(regex)
-    except _re.error as e:
-        raise ValueError(f"invalid label_replace regex: {e}") from e
+    Dialect note: execution is Java regex (``rlike``/``regexp_replace``
+    run java.util.regex on executors), not Prometheus's RE2, so
+    validation compiles the pattern with java.util.regex via the JVM
+    gateway — a pattern that passes validation cannot fail later on an
+    executor. Under Spark Connect (no JVM gateway) a best-effort Python
+    ``re`` check runs instead."""
+    jvm = getattr(sf.df.sparkSession, "_jvm", None)
+    if jvm is not None:
+        try:
+            jvm.java.util.regex.Pattern.compile(regex)
+        except Exception as e:
+            raise ValueError(f"invalid label_replace regex: {e}") from e
+    else:
+        import re as _re
+
+        try:
+            _re.compile(regex)
+        except _re.error as e:
+            raise ValueError(f"invalid label_replace regex: {e}") from e
     lbl = F.col("labels")
     anchored = f"^(?:{regex})$"
     srcv = F.coalesce(lbl[src], F.lit(""))
