@@ -105,8 +105,24 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
+    """Catalog registration. Each entry point releases the PREVIOUS
+    query's tracked caches (binary-probe / rank / fallback persists —
+    see time_series_db_spark.cache) before building: the prior result
+    has been materialized by the caller by the time the next query is
+    requested, so at most one query's caches are ever live in a
+    long-running driver session."""
+
     def deco(fn: QueryFn):
-        QUERIES[name] = fn
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark, sf_dir):
+            from time_series_db_spark.cache import release_all
+
+            release_all()
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -588,12 +588,12 @@ def _absent(sf: SeriesFrame, node: A.FunctionCallNode, ctx: BuildContext) -> Ser
 def _scalar(sf: SeriesFrame, ctx: BuildContext) -> SeriesFrame:
     """PromQL scalar(v): if v has exactly one series, its values as a
     label-free scalar series; else NaN — FunctionType.SCALAR."""
-    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from time_series_db_spark.cache import persist_tracked
     from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
 
-    cached = sf.df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = persist_tracked(sf.df)
     n = cached.select("series_key").distinct().limit(2).count()
     if n != 1:
         cached.unpersist()

@@ -96,10 +96,12 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
     execution of the right pipeline — in r2 these were separate actions
     that re-executed an unpersisted right side up to 3×.  The left side
     is scanned at most twice (label-name probe + join) and only its
-    ``series_key`` column leaves the scan for the probe.
+    ``series_key`` column leaves the scan for the probe.  The persist is
+    registered with :mod:`time_series_db_spark.cache` — the join that
+    consumes it runs after this function returns, so release happens at
+    the next query boundary, not here.
     """
-    from pyspark import StorageLevel
-
+    from time_series_db_spark.cache import persist_tracked
     from time_series_db_spark.operators.normalize import aligned, normalize_frames
 
     if not aligned(left, right):
@@ -111,7 +113,7 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
     # One materialization of the right pipeline feeds every probe AND the
     # join (the reference holds this same list in coordinator memory —
     # right sides are typically aggregates, bounded by series × grid).
-    rf = rf.persist(StorageLevel.MEMORY_AND_DISK)
+    rf = persist_tracked(rf)
 
     if keys is None:
         # auto-matching needs the key LIST to shape the plan → a
@@ -265,11 +267,12 @@ def fallback_series(left: SeriesFrame, right: SeriesFrame) -> SeriesFrame:
     The emptiness probe is a ``limit(1)`` count — O(first partition), a
     metadata-scale driver check, not a data collect.  The left side is
     persisted first so whatever the probe computes is reused (not
-    recomputed) when the surviving frame is consumed downstream.
+    recomputed) when the surviving frame is consumed downstream; the
+    cache is released at the next query boundary (cache.release_all).
     """
-    from pyspark import StorageLevel
+    from time_series_db_spark.cache import persist_tracked
 
-    cached = left.df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = persist_tracked(left.df)
     if cached.limit(1).count() > 0:
         return left.with_df(cached)
     cached.unpersist()
@@ -280,9 +283,9 @@ def fallback_constant(sf: SeriesFrame, constant: float) -> SeriesFrame:
     """L if non-empty else a single constant dense series on the query grid
     — FallbackSeriesUnaryStage.java:40 (coordinator-only in the reference;
     here a one-row DataFrame exploded over the grid)."""
-    from pyspark import StorageLevel
+    from time_series_db_spark.cache import persist_tracked
 
-    cached = sf.df.persist(StorageLevel.MEMORY_AND_DISK)
+    cached = persist_tracked(sf.df)
     if cached.limit(1).count() > 0:
         return sf.with_df(cached)
     cached.unpersist()

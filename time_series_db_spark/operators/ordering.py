@@ -59,12 +59,13 @@ def _ranked_stats(stats, key):
     series_key), so the sampled range boundaries cannot change the result
     — and the ranged table is persisted so both the local-rank branch and
     the count branch read one consistent partitioning (spark_partition_id
-    must not be recomputed under different boundaries).
+    must not be recomputed under different boundaries); the cache is
+    released at the next query boundary (cache.release_all).
 
     Returns ``(series_key, __order, __rorder)`` — forward and reverse
     1-based ranks; the reverse rank gives ``tail`` a count-free slice.
     """
-    from pyspark import StorageLevel
+    from time_series_db_spark.cache import persist_tracked
 
     spark = stats.sparkSession
     try:
@@ -72,9 +73,7 @@ def _ranked_stats(stats, key):
     except (TypeError, ValueError):  # "auto" under some AQE configs
         nparts = 32
     order = [*key, F.col("series_key").asc()]
-    ranged = stats.repartitionByRange(nparts, *order).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    ranged = persist_tracked(stats.repartitionByRange(nparts, *order))
     pid = ranged.withColumn("__pid", F.spark_partition_id())
     local = pid.withColumn(
         "__lrank",

@@ -195,12 +195,13 @@ def minhash_dedup_pairs(
     Signatures feed three consumers (band join left+right, verify joins);
     persisting them computes the shingle+hash scan once — at cluster scale
     this is the standard "materialize signatures, then self-join" shape
-    (a checkpoint/intermediate table on a real pipeline).
+    (a checkpoint/intermediate table on a real pipeline); released at the
+    next query boundary (cache.release_all).
     """
-    from pyspark import StorageLevel
+    from time_series_db_spark.cache import persist_tracked
 
     sigs = minhash_signatures(df, id_col, text_col, num_perms, shingle_k, hash_fn)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = persist_tracked(sigs)
     cands = lsh_candidate_pairs(sigs, id_col, num_perms, num_bands)
     return jaccard_verify(cands, sigs, id_col).filter(
         F.col("jaccard") >= F.lit(float(threshold))

@@ -29,6 +29,7 @@ from __future__ import annotations
 import time
 from typing import Any
 
+from time_series_db_spark import cache
 from time_series_db_spark.output import to_matrix
 
 DEFAULT_STEP_MS = 10_000  # RestM3QLAction default step (params javadoc :1-70)
@@ -114,6 +115,7 @@ def m3ql_query_range(
     if profiler is not None:
         resp["profile"] = {"stages": profiler.stages}
         profiler.release()
+    cache.release_all()  # response collected — drop stage-probe persists
     return resp
 
 
@@ -152,6 +154,7 @@ def promql_query_range(
     if profiler is not None:
         resp["profile"] = {"stages": profiler.stages}
         profiler.release()
+    cache.release_all()  # response collected — drop stage-probe persists
     return resp
 
 
