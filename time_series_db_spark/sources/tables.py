@@ -39,10 +39,12 @@ TABLES = [
 ]
 
 
-#: timestamp columns per table — stored as parquet TIMESTAMP(NANOS), which
-#: Spark only reads via the nanosAsLong legacy flag; the loader converts the
-#: resulting BIGINT nanos back to TimestampType so downstream code sees the
-#: same logical schema DuckDB does.
+#: timestamp columns per table.  The driver has generated these two ways
+#: across rounds: parquet TIMESTAMP(NANOS) (readable only as BIGINT nanos
+#: via the nanosAsLong legacy flag) and plain timestamp[us] (read as
+#: TIMESTAMP_NTZ).  The loader normalizes both to session-TZ TimestampType
+#: (session is pinned UTC — session.py:25) so downstream code and the
+#: DuckDB oracle (naive-as-UTC `epoch_ms`) see the same instants.
 _TS_COLS = {
     "events": ["ts"],
     "orders": ["o_orderdate"],
@@ -58,6 +60,15 @@ def _date_ns(date: str) -> int:
         tzinfo=datetime.timezone.utc
     )
     return int(d.timestamp()) * 1_000_000_000
+
+
+def _ms_naive_str(ms: int) -> str:
+    """epoch millis → 'YYYY-MM-DD HH:MM:SS.ffffff' naive-UTC string, the
+    literal form that casts exactly to both TIMESTAMP and TIMESTAMP_NTZ."""
+    import datetime
+
+    d = datetime.datetime(1970, 1, 1) + datetime.timedelta(milliseconds=ms)
+    return d.strftime("%Y-%m-%d %H:%M:%S.%f")
 
 
 def load_table(
@@ -87,15 +98,21 @@ def load_table(
             if hi is not None:
                 df = df.filter(F.col(c) < F.lit(_date_ns(hi)))
         elif (dtypes.get(c) or "").startswith("timestamp"):
-            # ms/us-precision columns arrive as native timestamps;
-            # timestamp predicates push down to parquet directly
+            # ms/us-precision columns arrive as native timestamps; cast the
+            # LITERAL to the column's exact type (TIMESTAMP vs TIMESTAMP_NTZ
+            # don't coerce under ANSI) so the constant-folded predicate
+            # pushes down to parquet directly
             if lo is not None:
-                df = df.filter(F.col(c) >= F.lit(lo).cast("timestamp"))
+                df = df.filter(F.col(c) >= F.lit(lo).cast(dtypes[c]))
             if hi is not None:
-                df = df.filter(F.col(c) < F.lit(hi).cast("timestamp"))
+                df = df.filter(F.col(c) < F.lit(hi).cast(dtypes[c]))
     for c in _TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # naive-UTC wall clock → session-TZ (UTC) instant; filters above
+            # already ran against the raw column, so pushdown is unaffected
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -112,28 +129,40 @@ def fetch_events(
     Scan → optional label predicate (pushed down) → grid alignment with
     deterministic LWW (max event_id per bucket) → SeriesFrame.
     """
-    # Read the raw TIMESTAMP(NANOS)-as-BIGINT column and filter on it
-    # BEFORE any conversion: a range predicate on the bare int64 column is
-    # pushed into the parquet scan (PushedFilters: GreaterThanOrEqual/
-    # LessThan on ts) and prunes row groups via min/max stats — the
-    # reference's TimeRangePruningQuery segment skip (SURVEY.md §4.1 row 3).
-    # Wrapping the column in unix_millis(timestamp_micros(...)) first would
-    # reduce the pushdown to IsNotNull and scan every row group.
+    # Filter the raw ts column BEFORE any conversion: a range predicate on
+    # the stored column is pushed into the parquet scan (PushedFilters:
+    # GreaterThanOrEqual/LessThan on ts) and prunes row groups via min/max
+    # stats — the reference's TimeRangePruningQuery segment skip
+    # (SURVEY.md §4.1 row 3).  Wrapping the column in a conversion first
+    # would reduce the pushdown to IsNotNull and scan every row group.
+    # Two physical layouts exist across driver rounds: TIMESTAMP(NANOS)
+    # read as BIGINT nanos (legacy flag) and timestamp[us] read as
+    # TIMESTAMP_NTZ; both floor to epoch millis like DuckDB's epoch_ms.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    samples = (
-        ev.filter(
-            (F.col("ts") >= F.lit(min_ts * 1_000_000))
-            & (F.col("ts") < F.lit(max_ts * 1_000_000))
+    ts_type = dict(ev.dtypes).get("ts", "bigint")
+    if ts_type == "bigint":
+        rng = (F.col("ts") >= F.lit(min_ts * 1_000_000)) & (
+            F.col("ts") < F.lit(max_ts * 1_000_000)
         )
+        # integer division: exact (long/long division via `div`), no
+        # double round-trip on 1e18-scale nanos
+        raw_ts = F.expr("ts div 1000000")
+    else:
+        # constant-folded literal casts keep the predicate pushdown-able
+        rng = (
+            F.col("ts") >= F.lit(_ms_naive_str(min_ts)).cast(ts_type)
+        ) & (F.col("ts") < F.lit(_ms_naive_str(max_ts)).cast(ts_type))
+        # NTZ naive-UTC → UTC-session instant → floor millis
+        raw_ts = F.unix_millis(F.col("ts").cast("timestamp"))
+    samples = (
+        ev.filter(rng)
         .select(
             F.col("event_type").alias("name"),
             F.col("user_id").cast("string").alias("user"),
             F.concat(F.lit("r"), (F.col("user_id") % 4).cast("string")).alias("region"),
             F.concat(F.lit("r"), (F.col("user_id") % 2).cast("string")).alias("shard"),
-            # integer division: exact (long/long division via `div`), no
-            # double round-trip on 1e18-scale nanos
-            F.expr("ts div 1000000").alias("raw_ts"),
+            raw_ts.alias("raw_ts"),
             F.col("event_id"),
             F.col("value"),
         )
