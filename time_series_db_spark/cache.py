@@ -10,13 +10,21 @@ a long-lived session the cached blocks would accumulate and evict
 executor memory (the reference has no analogous leak: its coordinator
 holds series lists on the request heap, freed with the request).
 
-Contract: stages call :func:`persist_tracked` instead of ``persist``;
-query boundaries call :func:`release_all` once the previous result has
-been materialized — the service facade releases after shaping each
-response, and every catalog entry point releases on build, so at most
-one query's caches are ever live.  ``unpersist`` is always safe: if a
-released frame is re-executed later, Spark recomputes it from lineage
-(correctness never depends on the cache).
+Contract: the registry is keyed by a *scope* — the query name/text, set
+by the entry point (catalog ``register`` wrapper, service facade) via
+:func:`set_scope` before building.  Stages call :func:`persist_tracked`
+instead of ``persist``; query boundaries call :func:`release_others`,
+which unpersists every *other* scope's frames but keeps the current
+scope's alive.  Re-running the same query therefore re-persists an
+identical analyzed plan and rehydrates from Spark CacheManager's
+existing entry (warm dashboards, warm bench re-runs), while cross-query
+accumulation stays bounded: at most the current and the most recent
+other scope's caches are ever live, and the next boundary drops the
+latter.  ``unpersist`` is always safe — a released frame re-executed
+later recomputes from lineage (correctness never depends on the cache).
+
+Frames are deduplicated within a scope by ``DataFrame.semanticHash`` so
+an N-times-re-run query tracks one handle per distinct plan, not N.
 """
 
 from __future__ import annotations
@@ -24,27 +32,62 @@ from __future__ import annotations
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_TRACKED: list[DataFrame] = []
+#: scope -> {semantic_hash: frame}.  Scope "" is the anonymous pool for
+#: persists issued outside any entry point (released at every boundary).
+_TRACKED: dict[str, dict[int, DataFrame]] = {}
+_SCOPE: str = ""
+
+
+def set_scope(name: str) -> None:
+    """Name the scope under which subsequent :func:`persist_tracked`
+    calls register.  Entry points pass their query name/text."""
+    global _SCOPE
+    _SCOPE = name or ""
+
+
+def current_scope() -> str:
+    return _SCOPE
 
 
 def persist_tracked(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """Persist ``df`` and register it for the next :func:`release_all`."""
+    """Persist ``df`` and register it under the current scope."""
     cached = df.persist(level)
-    _TRACKED.append(cached)
+    try:
+        key = cached.semanticHash()
+    except Exception:  # pragma: no cover - analysis failure → unique key
+        key = id(cached)
+    _TRACKED.setdefault(_SCOPE, {})[key] = cached
     return cached
 
 
-def release_all(blocking: bool = False) -> int:
-    """Unpersist every tracked frame (LIFO); returns the release count.
-    Never raises — a frame whose session already stopped is skipped."""
+def _release_scope(scope: str, blocking: bool) -> int:
     n = 0
-    while _TRACKED:
-        df = _TRACKED.pop()
+    for df in _TRACKED.pop(scope, {}).values():
         try:
             df.unpersist(blocking)
             n += 1
         except Exception:
             pass
+    return n
+
+
+def release_others(blocking: bool = False) -> int:
+    """Unpersist every scope's frames EXCEPT the current scope's; returns
+    the release count.  The query boundary call: keeps the active query
+    warm for identical re-runs, drops everything else.  Never raises —
+    a frame whose session already stopped is skipped."""
+    n = 0
+    for scope in [s for s in _TRACKED if s != _SCOPE]:
+        n += _release_scope(scope, blocking)
+    return n
+
+
+def release_all(blocking: bool = False) -> int:
+    """Unpersist every tracked frame in every scope (session teardown /
+    tests); returns the release count."""
+    n = 0
+    for scope in list(_TRACKED):
+        n += _release_scope(scope, blocking)
     return n

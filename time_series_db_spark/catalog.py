@@ -105,21 +105,24 @@ ORACLES: dict[str, str] = {}
 
 
 def register(name: str, oracle: str | None = None):
-    """Catalog registration. Each entry point releases the PREVIOUS
-    query's tracked caches (binary-probe / rank / fallback persists —
-    see time_series_db_spark.cache) before building: the prior result
-    has been materialized by the caller by the time the next query is
-    requested, so at most one query's caches are ever live in a
-    long-running driver session."""
+    """Catalog registration. Each entry point scopes the cache registry
+    to its own name and releases the PREVIOUS query's tracked caches
+    (binary-probe / rank / fallback / minhash persists — see
+    time_series_db_spark.cache) before building: the prior result has
+    been materialized by the caller by the time the next query is
+    requested, so at most one other query's caches are ever live in a
+    long-running driver session — while re-running the SAME query keeps
+    its persists warm (identical plans rehydrate from CacheManager)."""
 
     def deco(fn: QueryFn):
         import functools
 
         @functools.wraps(fn)
         def wrapped(spark, sf_dir):
-            from time_series_db_spark.cache import release_all
+            from time_series_db_spark import cache
 
-            release_all()
+            cache.set_scope(name)
+            cache.release_others()
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped

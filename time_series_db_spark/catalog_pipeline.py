@@ -50,16 +50,27 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
-def _sql_minhash_sig_cte() -> str:
-    """CTEs: toks → sh (shingle sets) → sig (16 min-hashes) → bands.
+def _sql_minhash_sig_cte(k: int = 3) -> str:
+    """CTEs: toks → tokh (token hashes) → sh (shingle-hash sets) → sig
+    (16 min-hashes) → bands.
 
     Mirrors dedup.minhash_signatures exactly: one md5 base hash per
-    shingle (mod 2^30), then affine permutations mod FP_MOD.
+    TOKEN (mod 2^30), shingle hashes as polynomial folds of k
+    consecutive token hashes mod FP_MOD, then affine permutations.
     """
-    shingles = sql_word_shingles("t", 3)
-    base = f"({sql_hash64('s', 'mh')} % {dedup.BASE_MOD})"
+    fold = (
+        "list_reduce(list_prepend(0::BIGINT, {lst}), "
+        f"(acc, h) -> (acc * {FP_BASE} + h) % {FP_MOD})"
+    )
+    win = fold.format(lst=f"th[i:i+{k - 1}]")
+    whole = fold.format(lst="th")
+    shingles = (
+        f"list_distinct(CASE WHEN len(th) >= {k} THEN "
+        f"[{win} for i in generate_series(1, len(th) - {k - 1})] "
+        f"ELSE [{whole}] END)"
+    )
     sig_cols = ",\n    ".join(
-        f"list_min([({dedup.PERM_A[p]} * {base} + {dedup.PERM_B[p]}) % {FP_MOD} "
+        f"list_min([({dedup.PERM_A[p]} * s + {dedup.PERM_B[p]}) % {FP_MOD} "
         f"for s in shingles]) AS sig{p}"
         for p in range(dedup.NUM_PERMS)
     )
@@ -75,7 +86,10 @@ def _sql_minhash_sig_cte() -> str:
     )
     return f"""
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (SELECT doc_id, {shingles} AS shingles FROM toks),
+tokh AS (SELECT doc_id,
+         [({sql_hash64('tok', 'mh')} % {dedup.BASE_MOD}) for tok in t] AS th
+         FROM toks),
+sh AS (SELECT doc_id, {shingles} AS shingles FROM tokh),
 sig AS (SELECT doc_id, shingles, {sig_cols} FROM sh),
 bands AS (
 {band_rows}

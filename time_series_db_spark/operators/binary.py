@@ -38,39 +38,47 @@ def _match_cols(df, keys: list[str] | None, side: str):
     return [df["series_key"].alias("__mk_0")]
 
 
-def _series_meta(df):
-    """Distinct per-series metadata (series_key + labels rebuilt from the
-    canonical key), persisted MEMORY_AND_DISK.  One materialization of the
-    source pipeline answers every coordinator-side probe (series count,
-    common label names, match-group count) from cache — the Spark analog
-    of the reference coordinator branching on its in-memory series list
-    (AbstractBinaryProjectionStage.java:244-346) without re-executing the
-    upstream plan per probe.  Metadata-sized: one short row per series."""
-    from pyspark import StorageLevel
+def _meta_probe(lf, rf):
+    """ONE action answering every coordinator-side metadata question the
+    auto-matching branch needs: per-side series counts AND the
+    common-label-name set (Labels.findCommonLabelNames, core/model/
+    Labels.java:128-154).  Each distinct series contributes a sentinel
+    row (null key) for the totals plus one row per label name; a single
+    label-cardinality-sized aggregate then yields n_left/n_right from the
+    sentinel group and "present in every series" per label name.  The
+    right side reads its tracked cache; the left side is scanned once
+    with only ``series_key`` leaving the scan.  (r2 ran these as up to
+    three separate actions re-executing unpersisted pipelines; r4 still
+    paid three metadata actions — fused per round-3 item 7.)
 
-    return (
-        df.select("series_key")
-        .distinct()
+    Returns ``(n_left, n_right, common_label_names)``.
+    """
+    meta = (
+        rf.select("series_key").distinct().withColumn("__r", F.lit(1))
+        .unionAll(
+            lf.select("series_key").distinct().withColumn("__r", F.lit(0))
+        )
         .withColumn("labels", labels_from_key_expr(F.col("series_key")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-
-
-def _common_label_names(l_meta, r_meta, total: int) -> list[str]:
-    """Label names present in EVERY series on both sides —
-    Labels.findCommonLabelNames (core/model/Labels.java:128-154), the
-    auto-match key set for divide/subtract/asPercent when no explicit
-    keys are given.  Computed from the persisted per-side metadata frames
-    (``total`` = n_left + n_right, already known), so the only action here
-    scans cached series keys, not the source pipelines."""
-    per = (
-        l_meta.select("labels")
-        .unionAll(r_meta.select("labels"))
-        .select(F.explode(F.map_keys("labels")).alias("__k"))
+    rows = (
+        meta.select(
+            "__r",
+            F.explode(
+                F.concat(
+                    F.array(F.lit(None).cast("string")), F.map_keys("labels")
+                )
+            ).alias("__k"),
+        )
         .groupBy("__k")
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__r").alias("__nr"))
+        .collect()
     )
-    return sorted(r["__k"] for r in per.collect() if r["__n"] == total)
+    n_total = next(r["__n"] for r in rows if r["__k"] is None)
+    n_right = next(r["__nr"] for r in rows if r["__k"] is None)
+    common = sorted(
+        r["__k"] for r in rows if r["__k"] is not None and r["__n"] == n_total
+    )
+    return n_total - n_right, n_right, common
 
 
 def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
@@ -115,45 +123,35 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
     # right sides are typically aggregates, bounded by series × grid).
     rf = persist_tracked(rf)
 
+    n_groups = None
     if keys is None:
-        # auto-matching needs the key LIST to shape the plan → a
-        # series-level probe.  Exact counts per side (Labels
-        # .findCommonLabelNames needs the true total to threshold on);
-        # both metadata frames are one short row per series, read from
-        # the cached right side / a single left key-projection pass.
-        r_meta = _series_meta(rf)
-        try:
-            n_right = r_meta.count()
-            if n_right <= 1:
-                rvals = rf.groupBy("ts").agg(
-                    F.expr("max_by(value, series_key)").alias("__rvalue")
-                )
-                return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
-            l_meta = _series_meta(lf)
-            try:
-                n_left = l_meta.count()
-                keys = (
-                    _common_label_names(l_meta, r_meta, n_left + n_right)
-                    or None  # [] → full identity
-                )
-            finally:
-                l_meta.unpersist()
-        finally:
-            r_meta.unpersist()
+        # auto-matching needs the key LIST to shape the plan → one fused
+        # series-level metadata probe (counts + common label names).
+        _n_left, n_right, common = _meta_probe(lf, rf)
+        if n_right <= 1:
+            rvals = rf.groupBy("ts").agg(
+                F.expr("max_by(value, series_key)").alias("__rvalue")
+            )
+            return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
+        keys = common or None  # [] → full identity
+        if keys is None:
+            n_groups = n_right  # full identity ⇒ one group per right series
 
     # One probe decides the branch (AbstractBinaryProjectionStage: a
     # single right GROUP → project every left series onto the merged
     # group ignoring keys; multiple groups → equi-join on the keys).
     # It reads the cached right side, as does the join below — the
     # resulting plan is a plain hash join that AQE broadcasts when the
-    # right side is small, with no conditional-key machinery.
+    # right side is small, with no conditional-key machinery.  Skipped
+    # when the fused probe already pinned the group count.
     n_mk = len(keys) if keys else 1
     rk = rf
     if keys:
         rk = rf.filter(has_all_keys_expr(keys))
-    n_groups = (
-        rk.select(*_match_cols(rk, keys, "r")).distinct().limit(2).count()
-    )
+    if n_groups is None:
+        n_groups = (
+            rk.select(*_match_cols(rk, keys, "r")).distinct().limit(2).count()
+        )
 
     if n_groups <= 1:
         # all left series project onto the one merged group — join on

@@ -172,21 +172,13 @@ def tail(sf: SeriesFrame, n: int = 10) -> SeriesFrame:
     """Last n series of the current list order — SliceStage.java:48.
 
     Symmetric to :func:`head` on the reverse rank that sort/topK
-    materialize alongside ``__order`` — a plain filter, no count of the
-    input (the r2 formulation broadcast a 1-row max back onto the frame,
-    which re-executed the upstream plan: in-plan scalar subqueries get no
-    exchange reuse)."""
+    always materialize alongside ``__order`` — a plain filter, no count
+    of the input (the r2 formulation broadcast a 1-row max back onto the
+    frame, which re-executed the upstream plan: in-plan scalar subqueries
+    get no exchange reuse)."""
     ordered = sf if sf.ordered_by else sort(sf, fn="name", descending=False)
-    if "__rorder" in ordered.df.columns:
-        df = ordered.df.filter(F.col("__rorder") <= F.lit(int(n)))
-    else:  # ordered upstream that predates the reverse rank: 1-row max
-        total = ordered.df.select(F.max("__order").alias("__total"))
-        df = (
-            ordered.df.crossJoin(F.broadcast(total))
-            .filter(F.col("__order") > F.col("__total") - F.lit(int(n)))
-            .drop("__total")
-        )
-    return ordered.with_df(df)
+    assert "__rorder" in ordered.df.columns, "ordered frames carry __rorder"
+    return ordered.with_df(ordered.df.filter(F.col("__rorder") <= F.lit(int(n))))
 
 
 def top_k_per_timestamp(

@@ -21,7 +21,11 @@ Scale design (the point of each algorithm):
 
 All expressions are Catalyst built-ins (md5/conv/array ops) — no Python
 in the hot path. Hash choice: md5-60bit (portable to the DuckDB oracle);
-swap ``textprep.hash64(fn="xxhash64")`` for production throughput.
+swap ``textprep.hash64(fn="xxhash64")`` for production throughput
+(DuckDB has no xxhash64, so the differential entries stay on md5 — the
+cold-cost cut is hashing per TOKEN instead of per shingle string, which
+shrinks md5 input bytes ~3× and drops shingle-string building entirely;
+see :func:`minhash_signatures`).
 """
 
 from __future__ import annotations
@@ -37,10 +41,10 @@ NUM_PERMS = 16
 NUM_BANDS = 4
 
 #: Universal-hash permutation family: perm_p(h) = (A_p·h + B_p) mod FP_MOD
-#: over a single base hash per shingle reduced mod 2^30. One md5 per shingle
-#: instead of NUM_PERMS — the md5 (and its hex→int conv) dominates signature
-#: cost, so this is a ~NUM_PERMS× cut in scan-side work. Products stay
-#: < 2^61, exact in int64 on both engines (oracle-portable).
+#: over a single base hash per shingle. One md5 per TOKEN (not per perm,
+#: not per shingle) — the md5 (and its hex→int conv) dominates signature
+#: cost. Products stay < 2^61, exact in int64 on both engines
+#: (oracle-portable).
 BASE_MOD = 1 << 30
 PERM_A = [(2654435761 * (p + 1)) % textprep.FP_MOD for p in range(NUM_PERMS)]
 PERM_B = [(2246822519 * (p + 1)) % textprep.FP_MOD for p in range(NUM_PERMS)]
@@ -62,6 +66,32 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _poly_fold(arr: Column) -> Column:
+    """Rolling polynomial hash of a BIGINT array mod FP_MOD — the same
+    fold as textprep fingerprints (acc·B + h, all products < 2^38)."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(textprep.FP_BASE) + h) % F.lit(textprep.FP_MOD),
+    )
+
+
+def shingle_hashes(token_hashes: Column, k: int = 3) -> Column:
+    """Distinct k-gram shingle hashes (ARRAY<BIGINT>) from per-token
+    hashes: each shingle hash is the polynomial fold of its k consecutive
+    token hashes — no shingle string is ever materialized.  Documents
+    shorter than k tokens yield one whole-document shingle."""
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.size(token_hashes) - k),
+        lambda i: _poly_fold(F.slice(token_hashes, i + 1, k)),
+    )
+    return F.array_distinct(
+        F.when(F.size(token_hashes) >= k, ngrams).otherwise(
+            F.array(_poly_fold(token_hashes))
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -70,29 +100,35 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """(id, shingles ARRAY<STRING>, sig ARRAY<BIGINT>) per document.
+    """(id, shingles ARRAY<BIGINT>, sig ARRAY<BIGINT>) per document.
 
-    One pass over the scan: each shingle is hashed **once** (md5) to a
-    base value, then the num_perms min-hashes are affine permutations
-    ``(A_p·base + B_p) mod FP_MOD`` folded with ``array_min`` — all inside
-    one codegen stage, no shuffle.
+    One pass over the scan: each TOKEN is hashed **once** (md5 portable /
+    ``hash_fn="xxhash64"`` native) and reduced mod 2^30; shingle hashes
+    are polynomial folds of k consecutive token hashes (< FP_MOD); the
+    num_perms min-hashes are affine permutations ``(A_p·s + B_p) mod
+    FP_MOD`` folded with ``array_min`` — all inside one codegen stage, no
+    shuffle.  Hashing tokens instead of joined shingle strings cuts the
+    expensive hash to ~1/k of the input bytes and keeps the signature
+    table all-integer (arrays of longs, not strings) — the downstream
+    Jaccard verify intersects long arrays, and the persisted/materialized
+    signature table at 100 TB is a fraction of the string form.
     """
-    sh = textprep.word_shingles(textprep.tokens(F.col(text_col)), shingle_k)
-    bases = F.transform(
-        sh, lambda s: F.pmod(textprep.hash64(s, "mh", hash_fn), F.lit(BASE_MOD))
+    th = F.transform(
+        textprep.tokens(F.col(text_col)),
+        lambda t: F.pmod(textprep.hash64(t, "mh", hash_fn), F.lit(BASE_MOD)),
     )
-    base = df.select(F.col(id_col), sh.alias("shingles"), bases.alias("__bases"))
+    base = df.select(F.col(id_col), shingle_hashes(th, shingle_k).alias("shingles"))
 
     def _minhash(p: int) -> Column:
         a, b, m = PERM_A[p], PERM_B[p], textprep.FP_MOD
         return F.array_min(
             F.transform(
-                F.col("__bases"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(m)
+                F.col("shingles"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(m)
             )
         )
 
     sig = F.array(*[_minhash(p) for p in range(num_perms)])
-    return base.withColumn("sig", sig).drop("__bases")
+    return base.withColumn("sig", sig)
 
 
 def _band_buckets(num_perms: int, num_bands: int) -> list[Column]:
@@ -146,10 +182,12 @@ def lsh_candidate_pairs(
 def jaccard_verify(
     pairs: DataFrame, sigs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for each candidate pair.
+    """Exact Jaccard over hashed-shingle sets for each candidate pair.
 
-    Shingle arrays are re-joined by id (broadcast-sized after LSH
-    pruning); ``array_intersect`` computes the exact overlap.
+    Shingle-hash arrays (BIGINT) are re-joined by id (broadcast-sized
+    after LSH pruning); ``array_intersect`` on longs computes the exact
+    overlap — no false LSH positives survive, and hash collisions within
+    a set (p ≈ |set|²/2³⁰ per doc) merge identically on both engines.
     """
     sh = sigs.select(F.col(id_col), F.col("shingles"))
     return (

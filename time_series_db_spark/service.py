@@ -106,6 +106,7 @@ def m3ql_query_range(
         from time_series_db_spark.lang.m3.builder import StageProfiler
 
         profiler = StageProfiler()
+    cache.set_scope(f"m3ql:{query}")
     sf = execute(query, source, s, e, step, profiler=profiler)
     if explain:
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
@@ -115,7 +116,9 @@ def m3ql_query_range(
     if profiler is not None:
         resp["profile"] = {"stages": profiler.stages}
         profiler.release()
-    cache.release_all()  # response collected — drop stage-probe persists
+    # response collected — drop OTHER queries' stage-probe persists; this
+    # query's stay warm so a dashboard re-issuing it rehydrates from cache
+    cache.release_others()
     return resp
 
 
@@ -145,6 +148,7 @@ def promql_query_range(
         from time_series_db_spark.lang.m3.builder import StageProfiler
 
         profiler = StageProfiler()
+    cache.set_scope(f"promql:{query}")
     sf = execute(query, source, s, e, step, profiler=profiler)
     if explain:
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
@@ -154,7 +158,9 @@ def promql_query_range(
     if profiler is not None:
         resp["profile"] = {"stages": profiler.stages}
         profiler.release()
-    cache.release_all()  # response collected — drop stage-probe persists
+    # response collected — drop OTHER queries' stage-probe persists; this
+    # query's stay warm so a dashboard re-issuing it rehydrates from cache
+    cache.release_others()
     return resp
 
 
