@@ -488,3 +488,60 @@ def test_service_resolved_partitions(spark, sf_dir):
     assert sorted(out["data"]["result"], key=key) == sorted(
         base["data"]["result"], key=key
     )
+
+
+def test_tsdb_stats_flat_format(spark, sf_dir):
+    """format=flat (RestTSDBStatsAction VALID_FORMAT_OPTIONS) reshapes the
+    same frame into the listener's sorted name/value arrays — both shapes
+    from one frame, cross-checked against each other."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import fetch_events
+
+    sf = fetch_events(spark, sf_dir)
+    grouped = service.tsdb_stats(sf)
+    flat = service.tsdb_stats(sf, format="flat")
+
+    assert flat["headStats"] == grouped["headStats"]
+
+    # seriesCountByMetricName: one entry per name value, summing to the
+    # series total, sorted by count descending
+    by_name = flat["seriesCountByMetricName"]
+    assert sum(e["value"] for e in by_name) == grouped["headStats"]["numSeries"]
+    assert [e["value"] for e in by_name] == sorted(
+        (e["value"] for e in by_name), reverse=True
+    )
+    assert len(by_name) == grouped["labelStats"]["name"]
+
+    # labelValueCountByLabelName agrees with the grouped cardinalities
+    lvc = {e["name"]: e["value"] for e in flat["labelValueCountByLabelName"]}
+    assert lvc == grouped["labelStats"]
+
+    # memory estimate: ((len(name)*2+24) + (len(value)*2+24)) * numSeries
+    pairs = {
+        e["name"]: e["value"] for e in flat["seriesCountByLabelValuePair"]
+    }
+    expect_name_mem = sum(
+        ((4 * 2 + 24) + (len(p.split("=", 1)[1]) * 2 + 24)) * v
+        for p, v in pairs.items()
+        if p.startswith("name=")
+    )
+    mem = {e["name"]: e["value"] for e in flat["memoryInBytesByLabelName"]}
+    assert mem["name"] == expect_name_mem
+
+    # pair counts per label sum to the series total each
+    for lbl in grouped["labelStats"]:
+        assert (
+            sum(v for p, v in pairs.items() if p.startswith(f"{lbl}="))
+            == grouped["headStats"]["numSeries"]
+        )
+
+    # include gating: valueStats off drops the pair array; bad format raises
+    no_pairs = service.tsdb_stats(
+        sf, include=("headStats", "labelStats"), format="flat"
+    )
+    assert "seriesCountByLabelValuePair" not in no_pairs
+    try:
+        service.tsdb_stats(sf, format="nested")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass

@@ -574,3 +574,184 @@ def m3ql_anomalies(spark, sf_dir):
     distribution (Constants.java:48; documented chosen semantics)."""
     sf = run_m3ql(spark, sf_dir, "fetch name:view | anomalies 2")
     return _flat(sf, LABEL_KEYS)
+
+
+class _FrameSource:
+    """M3Source serving a pre-shaped SeriesFrame for any fetch — lets
+    catalog entries feed synthesized series (e.g. le-bucket histograms)
+    into the full text surface (parser → plan → builder)."""
+
+    def __init__(self, sf: SeriesFrame):
+        self._sf = sf
+
+    def fetch(self, match, inverse, min_ts, max_ts, step,
+              match_re=None, inverse_re=None) -> SeriesFrame:
+        return self._sf
+
+
+def _le_bucket_frame(spark, sf_dir) -> SeriesFrame:
+    """Cumulative le-bucket series fabricated from the view metric:
+    counts at le ∈ {5, 20, 50, +Inf} per (region, ts), one series per
+    le — the input shape promHistogramPercentile / histogram_quantile
+    consume (same fabrication as catalog_promql.promql_histogram_quantile)."""
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+    from time_series_db_spark.sources import fetch_events
+
+    base = fetch_events(spark, sf_dir)
+    df = base.df.filter(F.col("labels")["name"] == "view")
+    bounds = F.array(F.lit(5.0), F.lit(20.0), F.lit(50.0), F.lit(float("inf")))
+    exploded = df.select(
+        F.col("labels")["region"].alias("region"),
+        "ts", "value", F.explode(bounds).alias("le"),
+    )
+    buckets = (
+        exploded.groupBy("region", "ts", "le")
+        .agg(F.count(F.when(F.col("value") <= F.col("le"), 1))
+             .cast("double").alias("value"))
+        .select(
+            F.create_map(
+                F.lit("name"), F.lit("view_hist"),
+                F.lit("region"), F.col("region"),
+                F.lit("le"),
+                F.when(F.col("le") == float("inf"), F.lit("+Inf"))
+                 .otherwise(F.col("le").cast("string")),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            "ts", "value",
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return base.with_df(buckets)
+
+
+#: bucketQuantile CASE parametrized by the q column (pcts cross join) —
+#: mirrors grouping._bucket_quantile_expr for le ∈ {5, 20, 50, +Inf}
+_PHP_CASE = """CASE
+  WHEN c4 <= 0 THEN 'NaN'::DOUBLE
+  WHEN c1 >= q * c4 THEN 0.0  + (5.0  - 0.0)  * ((q * c4 - 0)  / c1)
+  WHEN c2 >= q * c4 THEN 5.0  + (20.0 - 5.0)  * ((q * c4 - c1) / (c2 - c1))
+  WHEN c3 >= q * c4 THEN 20.0 + (50.0 - 20.0) * ((q * c4 - c2) / (c3 - c2))
+  ELSE 50.0 END"""
+
+
+@register(
+    "m3ql_prom_histogram_percentile",
+    f"""{PRELUDE},
+    counts AS (
+      SELECT region, ts,
+             count(CASE WHEN value <= 5.0  THEN 1 END) AS c1,
+             count(CASE WHEN value <= 20.0 THEN 1 END) AS c2,
+             count(CASE WHEN value <= 50.0 THEN 1 END) AS c3,
+             count(*) AS c4
+      FROM samples WHERE name = 'view' GROUP BY region, ts)
+    SELECT 'view_hist' AS name, region, p AS "histogramPercentile", ts,
+           {sql_quant(_PHP_CASE)} AS value
+    FROM counts CROSS JOIN (VALUES ('p50', 0.50), ('p95', 0.95)) pcts(p, q)""",
+)
+def m3ql_prom_histogram_percentile(spark, sf_dir):
+    """promHistogramPercentile 50 95 through the full M3QL text surface —
+    the known-but-unimplemented reference name (Constants.java:64) as
+    Prometheus bucketQuantile over le-bucket series, output tagged
+    ``histogramPercentile: pNN``. One bucket collection is shared across
+    both percentiles (grouping.prom_histogram_percentile)."""
+    sf = execute(
+        "fetch name:view_hist | promHistogramPercentile 50 95",
+        _FrameSource(_le_bucket_frame(spark, sf_dir)),
+        EVENTS_MIN_TS, EVENTS_MAX_TS, DEFAULT_STEP_MS,
+    )
+    return _flat(sf, ["name", "region", "histogramPercentile"])
+
+
+_N_GRID = (EVENTS_MAX_TS - EVENTS_MIN_TS) // DEFAULT_STEP_MS
+_GRID_SQL = (
+    f"generate_series({EVENTS_MIN_TS}, "
+    f"{EVENTS_MAX_TS - DEFAULT_STEP_MS}, {DEFAULT_STEP_MS}) t(gs)"
+)
+
+
+@register(
+    "m3ql_mock_fetch_line",
+    f"""SELECT 'flat' AS name, gs AS ts, 85.0::DOUBLE AS value FROM {_GRID_SQL}""",
+)
+def m3ql_mock_fetch_line(spark, sf_dir):
+    """mockFetchLine 42.5 name:flat | scale 2 — the flat generator leaf
+    (Constants.java:58, beyond-reference documented semantics) heading a
+    pipeline: constant value at every grid step."""
+    sf = run_m3ql(spark, sf_dir, "mockFetchLine 42.5 name:flat | scale 2")
+    return _flat(sf, ["name"])
+
+
+@register(
+    "m3ql_mock_fetch_linear",
+    f"""SELECT 'mockFetchLinear' AS name, gs AS ts,
+           {sql_quant(f'10.0 + 0.5 * ((gs - {EVENTS_MIN_TS}) // {DEFAULT_STEP_MS})')} AS value
+    FROM {_GRID_SQL}""",
+)
+def m3ql_mock_fetch_linear(spark, sf_dir):
+    """mockFetchLinear 10 0.5 — ramp generator (Constants.java:59):
+    start + slope·i at grid step i, default name tag."""
+    sf = run_m3ql(spark, sf_dir, "mockFetchLinear 10 0.5")
+    return _flat(sf, ["name"])
+
+
+@register(
+    "m3ql_mock_fetch_periodic",
+    f"""SELECT 'wave' AS name, gs AS ts,
+           {sql_quant(f'10.0 * sin(2 * pi() * (gs - {EVENTS_MIN_TS}) / 21600000.0)')} AS value
+    FROM {_GRID_SQL}""",
+)
+def m3ql_mock_fetch_periodic(spark, sf_dir):
+    """mockFetchPeriodic 10 6h name:wave — sine generator
+    (Constants.java:60): amplitude·sin(2π·(i·step)/period); both engines
+    evaluate the same IEEE expression order, quantization absorbs any
+    last-ulp libm drift."""
+    sf = run_m3ql(spark, sf_dir, "mockFetchPeriodic 10 6h name:wave")
+    return _flat(sf, ["name"])
+
+
+_BR_RATE = """
+  SELECT region, ts,
+         (CASE WHEN value < pv THEN value ELSE value - pv END)
+           / ((ts - pts) / 1000.0) AS rate
+  FROM (SELECT region, ts, value,
+               lag(value) OVER (PARTITION BY region ORDER BY ts) AS pv,
+               lag(ts)    OVER (PARTITION BY region ORDER BY ts) AS pts
+        FROM {src})
+  WHERE pts IS NOT NULL"""
+
+_BR_SMOOTH = (
+    "SELECT region, ts, avg(rate) OVER (PARTITION BY region ORDER BY ts "
+    f"RANGE BETWEEN {3 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING "
+    "AND CURRENT ROW) AS v FROM {src}"
+)
+
+
+@register(
+    "m3ql_burn_rate",
+    f"""{PRELUDE},
+    err AS (SELECT region, ts, sum(value) AS value FROM samples
+            WHERE name = 'error' GROUP BY 1, 2),
+    tot AS (SELECT region, ts, sum(value) AS value FROM samples
+            WHERE name IN ('error', 'click') GROUP BY 1, 2),
+    erate AS ({_BR_RATE.format(src='err')}),
+    trate AS ({_BR_RATE.format(src='tot')}),
+    esm AS ({_BR_SMOOTH.format(src='erate')}),
+    tsm AS ({_BR_SMOOTH.format(src='trate')})
+    SELECT e.region, e.ts,
+           {sql_quant("(CASE WHEN t.v = 0 THEN 'NaN'::DOUBLE ELSE e.v / t.v END)"
+                      " * (1.0::DOUBLE / (1.0::DOUBLE - 0.99::DOUBLE))")} AS value
+    FROM esm e JOIN tsm t ON e.region = t.region AND e.ts = t.ts""",
+)
+def m3ql_burn_rate(spark, sf_dir):
+    """burnRate 3h 0.99 — SLO burn as perSecondRate + divide + scale
+    (BurnRateNode documented semantics): observed error-rate share of
+    total, normalized by the 1% error budget. Both sides are per-region
+    sums; the auto-common-label match joins them on (region, ts) with
+    the usual broadcast-aggregate shape."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:error | sum region"
+        " | burnRate 3h 0.99 (fetch name:{error,click} | sum region)",
+    )
+    return _flat(sf, ["region"])

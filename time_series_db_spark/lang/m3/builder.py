@@ -146,6 +146,9 @@ def _lookback_ms(node: P.PlanNode, step: int) -> int:
         return _window_ms(node.window, step)
     if isinstance(node, P.PerSecondRateNode):
         return P.parse_duration_ms(node.interval) + step  # +1 step for the lag
+    if isinstance(node, P.BurnRateNode):
+        # both sides feed perSecondRate over the burn window
+        return P.parse_duration_ms(node.window) + step
     if isinstance(node, (P.DerivativeNode, P.PerSecondNode)):
         return step
     if isinstance(node, P.SummarizeNode) and not node.align_to_from:
@@ -199,6 +202,36 @@ def build_frame(
         if ctx.profiler is not None:
             sf = ctx.profiler.record("mockFetch", sf)
         return sf
+    if isinstance(
+        node,
+        (P.MockFetchLineNode, P.MockFetchLinearNode, P.MockFetchPeriodicNode),
+    ):
+        # generator-variant leaves (Constants.java:58-60): closed-form
+        # value per grid step, synthesized through the mockFetch machinery
+        # (coordinator-side like MockFetchStage — the value list is grid-
+        # sized, the frame itself is a distributed DataFrame)
+        import math
+
+        n_steps = max(1, (ctx.end - ctx.start) // ctx.step)
+        if isinstance(node, P.MockFetchLineNode):
+            name, values = "mockFetchLine", [node.value] * n_steps
+        elif isinstance(node, P.MockFetchLinearNode):
+            name = "mockFetchLinear"
+            values = [node.start + node.slope * i for i in range(n_steps)]
+        else:
+            name = "mockFetchPeriodic"
+            period = P.parse_duration_ms(node.period)
+            values = [
+                node.amplitude
+                * math.sin(2.0 * math.pi * (i * ctx.step) / period)
+                for i in range(n_steps)
+            ]
+        sf = ctx.source.mock_fetch(
+            values, node.tags or {"name": name}, ctx.start, ctx.end, ctx.step
+        )
+        if ctx.profiler is not None:
+            sf = ctx.profiler.record(name, sf)
+        return sf
 
     inputs = [
         build_frame(c, ctx, child_buffer, child_shift) for c in node.children
@@ -239,6 +272,18 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
             return binary.fallback_series(left, right)
         if node.kind == "setDiff":
             return binary.set_diff(left, right, keys=keys)
+
+    if isinstance(node, P.BurnRateNode):
+        # burn = (perSecondRate(errors, w) / perSecondRate(total, w))
+        #        / (1 − slo): rate + divide + scale composition — every
+        # piece is an existing stage, so the plan inherits their scale
+        # shapes (pure window exprs; equi-join with broadcast aggregate)
+        left, right = inputs
+        w = P.parse_duration_ms(node.window)
+        err_rate = windows.per_second_rate(left, w)
+        tot_rate = windows.per_second_rate(right, w)
+        ratio = binary.divide(err_rate, tot_rate)
+        return mappers.scale(ratio, 1.0 / (1.0 - node.slo))
 
     if isinstance(node, P.MapperNode):
         k, p = node.kind, node.param
@@ -344,6 +389,8 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return grouping.histogram_percentile(
             sf, node.bucket_id, node.bucket_range, node.percentiles
         )
+    if isinstance(node, P.PromHistogramPercentileNode):
+        return grouping.prom_histogram_percentile(sf, node.percentiles)
 
     if isinstance(node, P.AliasNode):
         return labels_ops.alias(sf, node.alias)
@@ -410,7 +457,8 @@ def execute(
     sf = build_frame(plan, ctx)
     nodes = list(_walk(plan))
     needs_truncation = any(
-        isinstance(n, (P.MovingNode, P.PerSecondRateNode)) for n in nodes
+        isinstance(n, (P.MovingNode, P.PerSecondRateNode, P.BurnRateNode))
+        for n in nodes
     )
     if not needs_truncation:
         return sf

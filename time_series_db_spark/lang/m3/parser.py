@@ -303,6 +303,11 @@ class Parser:
                 self._tag(node)
         elif tok.image == "mockFetch":
             self._mock_fetch_arguments(node)
+        elif tok.image in (
+            "mockFetchLine", "mockFetchLinear", "mockFetchPeriodic"
+        ):
+            # generator variants: space-separated params, then tags
+            self._mock_fetch_arguments(node, comma_separated=False)
         else:
             while self._argument_ahead():
                 self._argument(node)
@@ -379,7 +384,14 @@ class Parser:
 
     # -- mockFetch ---------------------------------------------------------
 
-    def _mock_fetch_arguments(self, node: FunctionNode) -> None:
+    def _mock_fetch_arguments(
+        self, node: FunctionNode, comma_separated: bool = True
+    ) -> None:
+        def _value_ahead() -> bool:
+            return self.lex.peek(1).kind in (NULL, SCI, IDENT, OPERATOR) and not (
+                self.lex.peek(1).kind == IDENT and self.lex.peek(2).kind == COLON
+            )
+
         def _one_value() -> None:
             tok = self.lex.peek(1)
             if tok.kind == NULL:
@@ -399,13 +411,15 @@ class Parser:
             else:
                 raise M3ParseError(f"expected number in mockFetch, got {tok.image!r}")
 
-        if self.lex.peek(1).kind in (NULL, SCI, IDENT, OPERATOR) and not (
-            self.lex.peek(1).kind == IDENT and self.lex.peek(2).kind == COLON
-        ):
+        if _value_ahead():
             _one_value()
-            while self.lex.peek(1).kind == COMMA:
-                self.lex.next()
-                _one_value()
+            if comma_separated:
+                while self.lex.peek(1).kind == COMMA:
+                    self.lex.next()
+                    _one_value()
+            else:
+                while _value_ahead():
+                    _one_value()
         while (
             self.lex.peek(1).kind in (IDENT, NULL)
             and self.lex.peek(2).kind == COLON

@@ -397,6 +397,82 @@ class ConstantLineNode(PlanNode):
         return f"CONSTANT_LINE(value={java_double_str(self.value)})"
 
 
+class BurnRateNode(PlanNode):
+    """burnRate — beyond-reference SLO primitive (documented chosen
+    semantics, the standard multi-window burn-rate construction):
+    ``errors | burnRate <window> <slo> (total-pipeline)`` =
+    ``(perSecondRate(errors, window) / perSecondRate(total, window))
+    / (1 − slo)`` — i.e. the observed error ratio over the window as a
+    multiple of the SLO error budget; 1.0 burns the budget exactly over
+    the SLO period, >1 burns faster.  Children: [errors, total]."""
+
+    def __init__(self, window: str, slo: float):
+        super().__init__()
+        self.window = window
+        self.slo = slo
+
+    def explain(self) -> str:
+        return (
+            f"BURN_RATE(window={self.window}, "
+            f"slo={java_double_str(self.slo)})"
+        )
+
+
+class MockFetchLineNode(PlanNode):
+    """mockFetchLine — reference known-but-unimplemented name
+    (Constants.java:58); documented chosen semantics: a flat generated
+    series, ``value`` at every grid step (the generator-variant family
+    of MockFetchStage.java:40)."""
+
+    def __init__(self, value: float, tags: dict[str, str]):
+        super().__init__()
+        self.value = value
+        self.tags = tags
+
+    def explain(self) -> str:
+        return (
+            f"MOCK_FETCH_LINE(value={java_double_str(self.value)}, "
+            f"tags={java_map_str(self.tags)})"
+        )
+
+
+class MockFetchLinearNode(PlanNode):
+    """mockFetchLinear — reference known-but-unimplemented name
+    (Constants.java:59); documented chosen semantics: ``start + slope·i``
+    at grid step i."""
+
+    def __init__(self, start: float, slope: float, tags: dict[str, str]):
+        super().__init__()
+        self.start = start
+        self.slope = slope
+        self.tags = tags
+
+    def explain(self) -> str:
+        return (
+            f"MOCK_FETCH_LINEAR(start={java_double_str(self.start)}, "
+            f"slope={java_double_str(self.slope)}, "
+            f"tags={java_map_str(self.tags)})"
+        )
+
+
+class MockFetchPeriodicNode(PlanNode):
+    """mockFetchPeriodic — reference known-but-unimplemented name
+    (Constants.java:60); documented chosen semantics:
+    ``amplitude · sin(2π·(i·step)/period)`` at grid step i."""
+
+    def __init__(self, amplitude: float, period: str, tags: dict[str, str]):
+        super().__init__()
+        self.amplitude = amplitude
+        self.period = period
+        self.tags = tags
+
+    def explain(self) -> str:
+        return (
+            f"MOCK_FETCH_PERIODIC(amplitude={java_double_str(self.amplitude)}, "
+            f"period={self.period}, tags={java_map_str(self.tags)})"
+        )
+
+
 class TopKPerTimestampNode(PlanNode):
     """Beyond the reference (Constants.java:44 _topKPerTimestamp): keep
     the k largest values at each timestamp across series."""
@@ -547,6 +623,16 @@ class HistogramPercentileNode(PlanNode):
     def explain(self) -> str:
         pcts = "[" + ", ".join(java_float_str(p) for p in self.percentiles) + "]"
         return f"HISTOGRAM_PERCENTILE({self.bucket_id}, {self.bucket_range}, {pcts})"
+
+
+class PromHistogramPercentileNode(PlanNode):
+    def __init__(self, percentiles: list[float]):
+        super().__init__()
+        self.percentiles = percentiles
+
+    def explain(self) -> str:
+        pcts = "[" + ", ".join(java_float_str(p) for p in self.percentiles) + "]"
+        return f"PROM_HISTOGRAM_PERCENTILE({pcts})"
 
 
 class AliasNode(PlanNode):
@@ -800,6 +886,17 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         return HistogramPercentileNode(
             args[0], args[1], [float(a) for a in args[2:]]
         )
+    if name == "promHistogramPercentile":
+        # known-but-unimplemented reference name (Constants.java:64) with
+        # public Prometheus semantics: bucketQuantile over le-bucket series
+        if not args:
+            raise M3PlanError(
+                "promHistogramPercentile requires at least one percentile"
+            )
+        pcts = [float(a) for a in args]
+        if any(not 0 <= p <= 100 for p in pcts):
+            raise M3PlanError("promHistogramPercentile percentiles must be 0-100")
+        return PromHistogramPercentileNode(pcts)
 
     if name == "alias":
         return AliasNode(args[0] if args else "")
@@ -872,6 +969,21 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         return _fetch_node(fn)
     if name == "mockFetch":
         return _mock_fetch_node(fn)
+    if name == "mockFetchLine":
+        if len(args) != 1:
+            raise M3PlanError("mockFetchLine expects: value [tags...]")
+        return MockFetchLineNode(float(args[0]), _mock_tags(fn))
+    if name == "mockFetchLinear":
+        if len(args) != 2:
+            raise M3PlanError("mockFetchLinear expects: start slope [tags...]")
+        return MockFetchLinearNode(float(args[0]), float(args[1]), _mock_tags(fn))
+    if name == "mockFetchPeriodic":
+        if len(args) != 2:
+            raise M3PlanError(
+                "mockFetchPeriodic expects: amplitude period [tags...]"
+            )
+        parse_duration_ms(args[1])  # validate eagerly at plan time
+        return MockFetchPeriodicNode(float(args[0]), args[1], _mock_tags(fn))
 
     agg = AGG_TYPES.get(name)
     if agg is not None:
@@ -910,17 +1022,22 @@ def _fetch_node(fn: ast.FunctionNode) -> FetchNode:
     return FetchNode(match, inverse)
 
 
-def _mock_fetch_node(fn: ast.FunctionNode) -> MockFetchNode:
-    values = [
-        float("nan") if v == "nan" else float(v) for v in _values(fn)
-    ]
+def _mock_tags(fn: ast.FunctionNode) -> dict[str, str]:
+    """Trailing ``k:v`` args of the mockFetch generator family."""
     tags: dict[str, str] = {}
     for child in fn.children:
         if isinstance(child, ast.TagKeyNode):
             for vc in child.children:
                 if isinstance(vc, ast.TagValueNode):
                     tags[child.key] = vc.value
-    return MockFetchNode(values, tags)
+    return tags
+
+
+def _mock_fetch_node(fn: ast.FunctionNode) -> MockFetchNode:
+    values = [
+        float("nan") if v == "nan" else float(v) for v in _values(fn)
+    ]
+    return MockFetchNode(values, _mock_tags(fn))
 
 
 # ---------------------------------------------------------------------------
@@ -934,9 +1051,11 @@ _PIPELINE_ARG_FNS = {
 
 
 def _is_fetch_fn(node: ast.Node) -> bool:
-    # constantLine is a generator leaf like mockFetch (Constants.java:55)
+    # constantLine + mockFetch variants are generator leaves like
+    # mockFetch (Constants.java:55,58-60)
     return isinstance(node, ast.FunctionNode) and node.name in (
         "fetch", "mockFetch", "constantLine",
+        "mockFetchLine", "mockFetchLinear", "mockFetchPeriodic",
     )
 
 
@@ -1018,6 +1137,25 @@ def _convert(node: ast.Node) -> PlanNode:
             bin_node.add(result)
             bin_node.add(rhs)
             result = bin_node
+        elif isinstance(child, ast.FunctionNode) and child.name == "burnRate":
+            result = _finalized()
+            dangling = None
+            vals = [
+                c.value for c in child.children if isinstance(c, ast.ValueNode)
+            ]
+            groups = [c for c in child.children if _is_pipeline_or_group(c)]
+            if len(vals) != 2 or len(groups) != 1:
+                raise M3PlanError(
+                    "burnRate expects: window slo (total-pipeline)"
+                )
+            parse_duration_ms(vals[0])  # validate the window eagerly
+            slo = float(vals[1])
+            if not 0 < slo < 1:
+                raise M3PlanError("burnRate slo must be in (0, 1)")
+            bn = BurnRateNode(vals[0], slo)
+            bn.add(result)
+            bn.add(_convert(groups[0]))
+            result = bn
         elif (
             isinstance(child, ast.FunctionNode) and child.name in _PIPELINE_ARG_FNS
         ):

@@ -523,29 +523,19 @@ def topk_bottomk(
     return sf.with_df(df)
 
 
-def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
-    """PromQL histogram_quantile(φ, v) — FunctionType.HISTOGRAM_QUANTILE.
-
-    Input series are cumulative buckets identified by an ``le`` label
-    (upper bound, "+Inf" last). Groups = all labels except ``le``; at each
-    (group, ts) the φ-rank lands in the first bucket whose cumulative
-    count reaches φ·total, with linear interpolation inside the bucket —
-    the official Prometheus bucketQuantile algorithm. (Distinct from M3
-    histogram_percentile, whose buckets are non-cumulative with explicit
-    range tags — HistogramPercentileStage.java:44-50.)
-
-    Spark shape: one groupBy (group, ts) collecting the tiny (le, count)
-    bucket array, then a pure-SQL fold — no UDF, partial aggregation keeps
-    the shuffle at group granularity.
-    """
-    q = float(q)
+def _le_bucket_base(sf: SeriesFrame):
+    """Collect cumulative ``le``-labeled bucket series into one sorted
+    (le, count) array per (group, ts) — group = all labels except ``le``.
+    Shared by :func:`histogram_quantile` and
+    :func:`prom_histogram_percentile`; one groupBy, partial aggregation
+    keeps the shuffle at group granularity."""
     lbl = F.col("labels")
     df = sf.df.filter(lbl["le"].isNotNull())
     glabels = F.map_filter(lbl, lambda k, _v: k != F.lit("le"))
     le = F.when(lbl["le"] == "+Inf", F.lit(float("inf"))).otherwise(
         lbl["le"].cast("double")
     )
-    base = (
+    return (
         df.withColumn("__le", le)
         .withColumn("__glabels", glabels)
         .withColumn("__gkey", series_key_expr(F.col("__glabels")))
@@ -558,8 +548,13 @@ def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
         )
         .withColumn("labels", labels_from_key_expr(F.col("__gkey")))
     )
-    # Prometheus bucketQuantile: rank = φ·total; walk cumulative buckets.
-    value = F.expr(
+
+
+def _bucket_quantile_expr(q: float) -> Column:
+    """Prometheus bucketQuantile over the ``__bk`` array: rank = φ·total;
+    walk cumulative buckets, linear interpolation inside the landing
+    bucket, +Inf lands on the previous finite upper bound."""
+    return F.expr(
         f"""
         CASE
           WHEN size(__bk) < 2 OR __bk[size(__bk)-1].le != double('Infinity')
@@ -591,13 +586,77 @@ def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
         END
         """
     )
+
+
+def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
+    """PromQL histogram_quantile(φ, v) — FunctionType.HISTOGRAM_QUANTILE.
+
+    Input series are cumulative buckets identified by an ``le`` label
+    (upper bound, "+Inf" last). Groups = all labels except ``le``; at each
+    (group, ts) the φ-rank lands in the first bucket whose cumulative
+    count reaches φ·total, with linear interpolation inside the bucket —
+    the official Prometheus bucketQuantile algorithm. (Distinct from M3
+    histogram_percentile, whose buckets are non-cumulative with explicit
+    range tags — HistogramPercentileStage.java:44-50.)
+
+    Spark shape: one groupBy (group, ts) collecting the tiny (le, count)
+    bucket array, then a pure-SQL fold — no UDF, partial aggregation keeps
+    the shuffle at group granularity.
+    """
+    base = _le_bucket_base(sf)
     out = base.select(
         F.col("__gkey").alias("series_key"),
         F.col("labels"),
         F.lit(None).cast("string").alias("alias"),
         F.col("ts"),
-        value.cast("double").alias("value"),
+        _bucket_quantile_expr(float(q)).cast("double").alias("value"),
     ).select(*SAMPLE_COLS)
+    return sf.with_df(out)
+
+
+def prom_histogram_percentile(
+    sf: SeriesFrame, percentiles: list[float]
+) -> SeriesFrame:
+    """promHistogramPercentile — the one name-only reference function with
+    fully public semantics (known-but-unimplemented list,
+    lang/m3/common/Constants.java:64): Prometheus ``histogram_quantile``
+    over cumulative ``le``-bucket series, surfaced as an M3QL stage
+    taking 0-100 percentile args.
+
+    Composition of the two existing halves: the ``le`` bucket collection
+    of :func:`histogram_quantile` (one groupBy shared across ALL
+    requested percentiles) and the ``histogramPercentile: pNN`` output
+    tagging convention of :func:`histogram_percentile` — so
+    ``fetch … | promHistogramPercentile 50 95`` emits one series per
+    (group, percentile), interpolated per the official bucketQuantile
+    algorithm (unlike M3 histogramPercentile's nearest-upper-bound walk).
+    """
+    base = _le_bucket_base(sf)
+    results = F.array(
+        *[_bucket_quantile_expr(float(p) / 100.0) for p in percentiles]
+    )
+    pnames = F.array(
+        *[F.lit("p" + _format_percentile(p)) for p in percentiles]
+    )
+    out = (
+        base.select(
+            "labels", "ts", F.posexplode(results).alias("pos", "value")
+        )
+        .select(
+            F.map_concat(
+                "labels",
+                F.create_map(
+                    F.lit("histogramPercentile"),
+                    F.element_at(pnames, F.col("pos") + 1),
+                ),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
     return sf.with_df(out)
 
 

@@ -50,6 +50,22 @@ def label_stats(sf: SeriesFrame, approx: bool = False) -> DataFrame:
     return exploded.groupBy("label").agg(card.alias("cardinality"))
 
 
+def label_value_stats(sf: SeriesFrame) -> DataFrame:
+    """Per-(label, value) series counts — the grouped format's
+    ``valuesStats`` maps and every ``format=flat`` array
+    (TSDBStatsResponseListener.formatFlatResponse) derive from this one
+    aggregate: one explode over deduplicated series identities, one
+    shuffle on (label, value) with map-side partial counts.  Label-value
+    cardinality is bounded by series cardinality, so the result is
+    metadata-sized at any corpus scale."""
+    series = sf.distinct_series()
+    return (
+        series.select(F.explode("labels").alias("label", "val"))
+        .groupBy("label", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("num_series"))
+    )
+
+
 def fetch_labels(sf: SeriesFrame) -> DataFrame:
     """Per-hit label retrieval — the ``_search`` ext ``tsdb_labels``
     fetch sub-phase (query/fetch/LabelsFetchSubPhase.java): every series

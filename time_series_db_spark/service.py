@@ -164,12 +164,92 @@ def promql_query_range(
     return resp
 
 
-def tsdb_stats(
-    sf, include: tuple[str, ...] = ("headStats", "labelStats", "valueStats")
-) -> dict[str, Any]:
-    """Stats over a SeriesFrame, shaped like the reference's grouped
-    format (InternalTSDBStats sections)."""
+#: Java String header overhead the reference's memory estimate charges
+#: per string (TSDBStatsResponseListener.formatFlatResponse)
+_STRING_HEADER_BYTES = 24
+
+
+def _flat_stats(sf, include: tuple[str, ...]) -> dict[str, Any]:
+    """``format=flat`` shaping — TSDBStatsResponseListener
+    .formatFlatResponse: grouped label data as sorted name/value arrays.
+    All four arrays derive from ONE (label, value, num_series) aggregate
+    (operators.stats.label_value_stats), collected once.  Sort order is
+    value-descending with a name-ascending tie-break (the reference's
+    stable sort over hash-map iteration leaves ties JVM-dependent; ours
+    is deterministic by contract)."""
     from time_series_db_spark.operators import stats as S
+
+    out: dict[str, Any] = {}
+    if "headStats" in include:
+        r = S.head_stats(sf).first()
+        out["headStats"] = {
+            "numSeries": r["num_series"],
+            "numSamples": r["num_samples"],
+            "minTimestamp": r["min_timestamp"],
+            "maxTimestamp": r["max_timestamp"],
+        }
+    if "labelStats" not in include:
+        return out
+
+    rows = S.label_value_stats(sf).collect()
+
+    def _arr(pairs):
+        return [
+            {"name": n, "value": v}
+            for n, v in sorted(pairs, key=lambda p: (-p[1], p[0]))
+        ]
+
+    out["seriesCountByMetricName"] = _arr(
+        [(r["val"], r["num_series"]) for r in rows if r["label"] == "name"]
+    )
+    by_label: dict[str, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(r)
+    out["labelValueCountByLabelName"] = _arr(
+        [(lbl, len(vs)) for lbl, vs in by_label.items()]
+    )
+    # Prometheus-style memory estimate: (UTF-16 chars + header) per name
+    # and value string, weighted by the series carrying the pair
+    out["memoryInBytesByLabelName"] = _arr(
+        [
+            (
+                lbl,
+                sum(
+                    (
+                        (len(lbl) * 2 + _STRING_HEADER_BYTES)
+                        + (len(r["val"]) * 2 + _STRING_HEADER_BYTES)
+                    )
+                    * r["num_series"]
+                    for r in vs
+                ),
+            )
+            for lbl, vs in by_label.items()
+        ]
+    )
+    if "valueStats" in include:
+        out["seriesCountByLabelValuePair"] = _arr(
+            [(f"{r['label']}={r['val']}", r["num_series"]) for r in rows]
+        )
+    return out
+
+
+def tsdb_stats(
+    sf,
+    include: tuple[str, ...] = ("headStats", "labelStats", "valueStats"),
+    format: str = "grouped",
+) -> dict[str, Any]:
+    """Stats over a SeriesFrame — the ``/_tsdb/stats`` surface.
+
+    ``format="grouped"`` (default) mirrors the reference's
+    InternalTSDBStats sections; ``format="flat"`` the sorted
+    name/value-array shape (RestTSDBStatsAction ``format`` param,
+    VALID_FORMAT_OPTIONS = {grouped, flat})."""
+    from time_series_db_spark.operators import stats as S
+
+    if format not in ("grouped", "flat"):
+        raise ValueError(f"format must be grouped or flat, got {format!r}")
+    if format == "flat":
+        return _flat_stats(sf, include)
 
     out: dict[str, Any] = {}
     if "headStats" in include:

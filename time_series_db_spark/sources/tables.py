@@ -97,18 +97,31 @@ def load_table(
                 df = df.filter(F.col(c) >= F.lit(_date_ns(lo)))
             if hi is not None:
                 df = df.filter(F.col(c) < F.lit(_date_ns(hi)))
-        elif (dtypes.get(c) or "").startswith("timestamp"):
-            # ms/us-precision columns arrive as native timestamps; cast the
+        elif (dtypes.get(c) or "").startswith("timestamp") or dtypes.get(c) == "date":
+            # ms/us-precision (or date32) columns arrive native; cast the
             # LITERAL to the column's exact type (TIMESTAMP vs TIMESTAMP_NTZ
-            # don't coerce under ANSI) so the constant-folded predicate
-            # pushes down to parquet directly
+            # vs DATE don't coerce under ANSI) so the constant-folded
+            # predicate pushes down to parquet directly
             if lo is not None:
                 df = df.filter(F.col(c) >= F.lit(lo).cast(dtypes[c]))
             if hi is not None:
                 df = df.filter(F.col(c) < F.lit(hi).cast(dtypes[c]))
+        else:
+            # a silently unpushed range predicate is a full scan at 100 TB —
+            # fail loudly when a future driver round emits a new layout
+            raise TypeError(
+                f"ts_range on {name}.{c}: unhandled dtype "
+                f"{dtypes.get(c)!r}; add a pushdown branch"
+            )
     for c in _TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            # floor division via pmod (not `div`, which truncates toward
+            # zero): keeps pre-1970 nanos consistent with the NTZ branch
+            # and DuckDB's epoch_ms flooring
+            df = df.withColumn(
+                c,
+                F.timestamp_micros(F.expr(f"(({c}) - pmod({c}, 1000)) div 1000")),
+            )
         elif dtypes.get(c) == "timestamp_ntz":
             # naive-UTC wall clock → session-TZ (UTC) instant; filters above
             # already ran against the raw column, so pushdown is unaffected
@@ -145,9 +158,11 @@ def fetch_events(
         rng = (F.col("ts") >= F.lit(min_ts * 1_000_000)) & (
             F.col("ts") < F.lit(max_ts * 1_000_000)
         )
-        # integer division: exact (long/long division via `div`), no
-        # double round-trip on 1e18-scale nanos
-        raw_ts = F.expr("ts div 1000000")
+        # integer FLOOR division: exact long arithmetic (no double
+        # round-trip on 1e18-scale nanos), and pmod keeps pre-1970
+        # timestamps flooring like unix_millis / DuckDB's epoch_ms
+        # (`div` alone truncates toward zero)
+        raw_ts = F.expr("(ts - pmod(ts, 1000000)) div 1000000")
     else:
         # constant-folded literal casts keep the predicate pushdown-able
         rng = (
