@@ -1,0 +1,148 @@
+"""Property test: PromQL binary-op vector matching vs a DuckDB join oracle.
+
+The directed tests in test_prom_exec.py pin individual branches
+(on/ignoring/group_left/group_right); this generates randomized label
+sets and checks the full cross-product behavior of one-to-one matching
+— match-signature equality (absent label ≡ empty string), result-label
+shaping per mode, and IEEE arithmetic — against an independent DuckDB
+equi-join on the same data.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+H = 3_600_000
+T0 = 1_704_067_200_000
+KEYS = ["job", "inst", "env"]
+VALS = ["x", "y", "z"]
+
+_label_map = st.fixed_dictionaries(
+    {}, optional={k: st.sampled_from(VALS) for k in KEYS}
+)
+
+
+@st.composite
+def _case(draw):
+    mode = draw(st.sampled_from(["plain", "on", "ignoring"]))
+    op = draw(st.sampled_from(["+", "-", "*"]))
+    mod_keys = (
+        draw(st.lists(st.sampled_from(KEYS), min_size=1, max_size=2, unique=True))
+        if mode != "plain"
+        else []
+    )
+
+    def match_sig(labels: dict) -> tuple:
+        if mode == "on":
+            return tuple((k, labels.get(k, "")) for k in sorted(mod_keys))
+        dropped = set(mod_keys) if mode == "ignoring" else set()
+        return tuple(
+            (k, v) for k, v in sorted(labels.items()) if k not in dropped
+        )
+
+    def unique_side(maps: list[dict]) -> list[dict]:
+        seen, out = set(), []
+        for m in maps:
+            s = match_sig(m)
+            if s not in seen:  # one-to-one matching only: unique signatures
+                seen.add(s)
+                out.append(m)
+        return out
+
+    left = unique_side(draw(st.lists(_label_map, min_size=1, max_size=4)))
+    right = unique_side(draw(st.lists(_label_map, min_size=1, max_size=4)))
+    return mode, op, mod_keys, left, right, match_sig
+
+
+def _expected_duckdb(mode, op, mod_keys, left, right, match_sig):
+    """Join oracle: both sides as relations with ''-coalesced label
+    columns, equi-join on the mode's match keys + ts, op in SQL."""
+    con = duckdb.connect()
+
+    def _rel(name, maps, base):
+        rows = []
+        for i, m in enumerate(maps):
+            for s in range(2):
+                rows.append(
+                    tuple(m.get(k, "") for k in KEYS)
+                    + (T0 + s * H, float(base + 2 * i + s))
+                )
+        con.execute(
+            f"CREATE TABLE {name} (job VARCHAR, inst VARCHAR, env VARCHAR, "
+            "ts BIGINT, value DOUBLE)"
+        )
+        con.executemany(
+            f"INSERT INTO {name} VALUES (?, ?, ?, ?, ?)", rows
+        )
+
+    _rel("l", left, 1)
+    _rel("r", right, 100)
+    join_keys = (
+        sorted(mod_keys)
+        if mode == "on"
+        else [k for k in KEYS if not (mode == "ignoring" and k in mod_keys)]
+    )
+    on = " AND ".join(f"l.{k} = r.{k}" for k in join_keys) or "TRUE"
+    sql_op = {"+": "+", "-": "-", "*": "*"}[op]
+    rows = con.execute(
+        f"SELECT {', '.join('l.' + k for k in KEYS)}, l.ts, "
+        f"l.value {sql_op} r.value FROM l JOIN r ON {on} AND l.ts = r.ts"
+    ).fetchall()
+
+    out = {}
+    for *lvals, ts, v in rows:
+        llabels = {k: lv for k, lv in zip(KEYS, lvals) if lv}
+        if mode == "on":
+            keep = {k: llabels[k] for k in mod_keys if k in llabels}
+        elif mode == "ignoring":
+            keep = {k: v2 for k, v2 in llabels.items() if k not in mod_keys}
+        else:
+            keep = llabels
+        out.setdefault(tuple(sorted(keep.items())), {})[ts] = v
+    return out
+
+
+@pytest.mark.usefixtures("spark")
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=_case())
+def test_vector_matching_matches_duckdb_join(spark, case):
+    from tests.yaml_harness import _FIXTURE_SCHEMA, FixtureSource
+    from time_series_db_spark.lang.prom.builder import execute
+
+    mode, op, mod_keys, left, right, match_sig = case
+
+    rows = []
+    for i, m in enumerate(left):
+        for s in range(2):
+            rows.append(
+                ({**m, "name": "a"}, T0 + s * H, float(1 + 2 * i + s), 0)
+            )
+    for i, m in enumerate(right):
+        for s in range(2):
+            rows.append(
+                ({**m, "name": "b"}, T0 + s * H, float(100 + 2 * i + s), 0)
+            )
+    src = FixtureSource(spark, [spark.createDataFrame(rows, _FIXTURE_SCHEMA)])
+
+    if mode == "on":
+        query = f"a {op} on({', '.join(mod_keys)}) b"
+    elif mode == "ignoring":
+        query = f"a {op} ignoring({', '.join(mod_keys)}) b"
+    else:
+        query = f"a {op} b"
+
+    sf = execute(query, src, T0, T0 + 2 * H, H)
+    got = {}
+    for r in sf.df.collect():
+        labels = {k: v for k, v in dict(r["labels"]).items() if v}
+        got.setdefault(tuple(sorted(labels.items())), {})[r["ts"]] = r["value"]
+
+    expected = _expected_duckdb(mode, op, mod_keys, left, right, match_sig)
+    assert got == expected, f"query={query!r} left={left} right={right}"
