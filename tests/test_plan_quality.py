@@ -140,3 +140,46 @@ def test_moving_single_series_shuffle(events):
     plan = _plan(windows.moving(events, 3 * events.step, "avg").df)
     # scan-side LWW grid grouping + the window's series grouping only
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_burn_rate_plan_shape(spark, sf_dir):
+    """burnRate = window exprs + equi-join: no Python eval, no crossJoin,
+    and exactly one join (err-rate vs total-rate on the match keys)."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    sf = execute(
+        "fetch name:error | sum region"
+        " | burnRate 3h 0.99 (fetch name:{error,click} | sum region)",
+        EventsSource(spark, sf_dir), events_min(), events_max(), 3_600_000,
+    )
+    plan = _plan(sf.df)
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_prom_histogram_percentile_single_aggregation(spark, sf_dir):
+    """promHistogramPercentile shares ONE bucket collection across all
+    percentiles: a single ObjectHashAggregate pair (partial + final) over
+    (group, ts), no join, no Python eval — the percentile fan-out is a
+    posexplode over the collected array."""
+    from time_series_db_spark.operators import grouping
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
+    from pyspark.sql import functions as F
+
+    base = fetch_events(spark, sf_dir)
+    df = base.df.withColumn(
+        "labels",
+        F.map_concat(
+            "labels",
+            F.create_map(F.lit("le"), F.lit("+Inf")),
+        ),
+    ).withColumn("series_key", series_key_expr()).select(*SAMPLE_COLS)
+    sf = grouping.prom_histogram_percentile(
+        base.with_df(df), [50.0, 95.0, 99.0]
+    )
+    plan = _plan(sf.df)
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan  # one aggregation path, no self-joins
+    # one collect_list aggregate pair regardless of percentile count
+    assert plan.count("ObjectHashAggregate") == 2

@@ -59,10 +59,17 @@ def m3ql_query_range(
     include_metadata: bool = True,
     now_ms: int | None = None,
     resolved_partitions: list[dict] | None = None,
+    pushdown: bool = True,
     spark=None,
 ) -> dict[str, Any] | str:
     """Execute an M3QL pipeline query over ``source`` and return the
     matrix response (or the physical plan when ``explain``).
+
+    ``pushdown`` is accepted for wire parity with the reference's
+    RestM3QLAction param (its differential-testing toggle); results never
+    depend on it there, and Catalyst's pushdown is not user-disableable
+    here — ``pushdown=False`` is therefore a validated no-op (our
+    differential gate is the DuckDB oracle instead, SURVEY.md §5).
 
     ``profile=True`` appends a ``profile`` block with per-stage wall time
     and output sample counts — the reference's ``profile`` REST param
@@ -83,6 +90,8 @@ def m3ql_query_range(
     """
     from time_series_db_spark.lang.m3.builder import execute
 
+    if not isinstance(pushdown, bool):
+        raise ValueError("pushdown must be a boolean")
     if resolved_partitions:
         from time_series_db_spark.sources.federation import (
             FederatedEventsSource,
