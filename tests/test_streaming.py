@@ -408,6 +408,78 @@ def test_service_profile_and_metadata(spark, sf_dir):
     ]
 
 
+def _plan_stage_names(query: str) -> list:
+    """Expected profile-stage sequence derived FROM THE PLAN (not a
+    hardcoded golden): post-order walk emitting builder._stage_name per
+    node, with fetch deduped by its cache key (BuildContext.fetch caches
+    identical fetches, so the profiler records each distinct one once)
+    and the conditional trailing truncate (execute() appends it only for
+    scan-widening windows — SourceBuilderVisitor.java:528,596)."""
+    from time_series_db_spark.lang.m3 import plan as P
+    from time_series_db_spark.lang.m3.builder import _stage_name
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import build_plan
+
+    names: list = []
+    seen_fetch: set = set()
+
+    def walk(node):
+        if isinstance(node, P.FetchNode):
+            key = repr((sorted(node.match.items()), sorted(node.inverse.items())))
+            if key not in seen_fetch:
+                seen_fetch.add(key)
+                names.append("fetch")
+            return
+        for c in node.children:
+            walk(c)
+        names.append(_stage_name(node))
+
+    plan = build_plan(parse(query))
+    walk(plan)
+    if any(
+        isinstance(n, (P.MovingNode, P.PerSecondRateNode, P.BurnRateNode))
+        for n in _walk_plan(plan)
+    ):
+        names.append("truncate")
+    return names
+
+
+def _walk_plan(node):
+    yield node
+    for c in node.children:
+        yield from _walk_plan(c)
+
+
+def test_profile_stages_match_plan(spark, sf_dir):
+    """StageProfiler drift gate (ProfileInfoMapper parity): for pipelines
+    spanning mapper / window / agg / binary / ordering stages, the
+    profile block's stage sequence must equal the sequence derived from
+    the logical plan — so a builder refactor that stops (or double-)
+    recording a stage fails here, not in a human-maintained golden."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, sf_dir)
+    end = EVENTS_MIN_TS + 24 * DEFAULT_STEP_MS
+
+    queries = [
+        # window (injects truncate) + agg + mapper
+        "fetch name:error | moving 3h avg | sum region | abs",
+        # binary divide over a shared fetch (CSE: fetch recorded once)
+        "fetch name:error | sum region | divide (fetch name:error | sum)",
+        # ordering + label stage, no truncate expected
+        "fetch name:login | sort max desc | head 5 | alias foo",
+    ]
+    for q in queries:
+        m = service.m3ql_query_range(
+            src, q, start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+            profile=True,
+        )
+        got = [s["stage"] for s in m["profile"]["stages"]]
+        assert got == _plan_stage_names(q), q
+
+
 def test_streaming_per_second_rate_state_across_batches(spark, tmp_path):
     """applyInPandasWithState: per-series (last_ts, last_value) state
     survives micro-batch boundaries, so batch 2's first sample rates
