@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names that already have a driver-green CORRECTNESS row (union of the
-# r1 + r2 + r3 runs: 150 green rows, zero red).  The driver's per-round run
+# r1–r4 runs: 156 green rows, zero red).  The driver's per-round run
 # covers a prefix of the dict, so order the not-yet-verified entries first;
 # previously-green entries go last and get re-checked as budget allows.
 _DRIVER_VERIFIED = frozenset({
@@ -74,10 +74,12 @@ _DRIVER_VERIFIED = frozenset({
     'promql_changes', 'promql_cmp_bool', 'promql_cmp_filter',
     'promql_count_without', 'promql_delta', 'promql_deriv',
     'promql_histogram_quantile', 'promql_holt_winters', 'promql_increase',
-    'promql_irate', 'promql_math_clamp', 'promql_predict_linear',
+    'promql_irate', 'promql_label_join', 'promql_label_replace',
+    'promql_math_clamp', 'promql_offset', 'promql_predict_linear',
     'promql_quantile_agg', 'promql_quantile_over_time', 'promql_rate',
-    'promql_resets', 'promql_scalar_arith', 'promql_scalar_time',
-    'promql_selector', 'promql_selector_regex', 'promql_set_and',
+    'promql_rate_ratio', 'promql_resets', 'promql_scalar_arith',
+    'promql_scalar_time', 'promql_selector', 'promql_selector_regex',
+    'promql_set_and', 'promql_set_or', 'promql_set_unless',
     'promql_stddev_agg', 'promql_sum_by_rate', 'promql_time_fields',
     'promql_topk_agg', 'promql_trig_chain', 'promql_vector_divide',
     'stats_fetch_labels', 'stats_head', 'stats_labels', 'stats_values',

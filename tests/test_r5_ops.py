@@ -1,0 +1,206 @@
+"""Round-5 operator semantics: the last known-but-unimplemented
+Constants.java names with defensible public semantics — timestamp,
+histogramCDF, toHistogram (explicit bounds), aliasByBucket /
+aliasByHistogramBucket / aliasByDistinctTags, multiBurnRate / asBurnRate /
+asMultiBurnRate, _summarizeBy, showAnomalyThresholds.
+
+The catalog entries carry the DuckDB differentials; these tests pin the
+edge semantics the differentials can't reach (clamping, fallbacks, plan
+validation errors) on tiny mockFetch frames.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+
+H = DEFAULT_STEP_MS
+T0 = EVENTS_MIN_TS
+
+
+def _run(spark, q, steps=4):
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    return execute(q, src, T0, T0 + steps * H, H)
+
+
+def test_timestamp_value_is_epoch_seconds(spark):
+    sf = _run(spark, "mockFetch 5,6 name:a | timestamp", steps=2)
+    rows = {r.ts: r.value for r in sf.df.collect()}
+    assert rows == {T0: T0 / 1000.0, T0 + H: (T0 + H) / 1000.0}
+
+
+def test_histogram_cdf_edges(spark):
+    # values 10,60,110,160 → linear buckets [0,50) [50,100) [100,150) [150,200)
+    sf = _run(
+        spark,
+        "mockFetch 10 name:a | mockFetch 60 name:b | mockFetch 110 name:c"
+        " | mockFetch 160 name:d | toHistogramLinearBuckets 0 50 4"
+        " | histogramCDF bucketid bucket 0 100 9999",
+        steps=1,
+    )
+    got = {r.labels["histogramCDF"]: r.value for r in sf.df.collect()}
+    # no bucket upper ≤ 0 → 0.0; uppers 50,100 ≤ 100 → 2/4; all ≤ 9999 → 1.0
+    assert got == {"le_0": 0.0, "le_100": 0.5, "le_9999": 1.0}
+
+
+def test_to_histogram_explicit_bounds_clamp(spark):
+    # bounds 0,10,100: two buckets [0,10) and [10,100); -5 clamps into the
+    # first, 500 clamps into the last
+    sf = _run(
+        spark,
+        "mockFetch -5 name:a | mockFetch 5 name:b | mockFetch 500 name:c"
+        " | toHistogram 0 10 100",
+        steps=1,
+    )
+    got = {r.labels["bucket"]: r.value for r in sf.df.collect()}
+    assert got == {"0-10": 2.0, "10-100": 1.0}
+
+
+def test_to_histogram_rejects_unsorted_bounds(spark):
+    from time_series_db_spark.lang.m3.plan import M3PlanError
+
+    with pytest.raises(M3PlanError, match="strictly increasing"):
+        _run(spark, "mockFetch 1 name:a | toHistogram 0 100 50")
+
+
+def test_alias_by_bucket_variants(spark):
+    sf = _run(
+        spark,
+        "mockFetch 10 name:a | toHistogram 0 50 100 | aliasByBucket bucket",
+        steps=1,
+    )
+    assert [r.alias for r in sf.df.collect()] == ["0-50"]
+    sf = _run(
+        spark,
+        "mockFetch 10 name:a | toHistogram 0 50 100"
+        " | aliasByHistogramBucket bucket",
+        steps=1,
+    )
+    assert [r.alias for r in sf.df.collect()] == ["le 50"]
+    # series without the bucket tag keep their alias untouched
+    sf = _run(spark, "mockFetch 10 name:a | alias keep | aliasByBucket bucket",
+              steps=1)
+    assert [r.alias for r in sf.df.collect()] == ["keep"]
+
+
+def test_alias_by_distinct_tags_single_series_falls_back_to_name(spark):
+    sf = _run(spark, "mockFetch 1,2 name:solo | aliasByDistinctTags", steps=2)
+    assert {r.alias for r in sf.df.collect()} == {"solo"}
+
+
+def test_alias_by_distinct_tags_varying_tag_only(spark):
+    # name varies, host is constant → alias = name value alone
+    sf = _run(
+        spark,
+        "mockFetch 1 name:a host:h | mockFetch 2 name:b host:h"
+        " | aliasByDistinctTags",
+        steps=1,
+    )
+    assert {r.alias for r in sf.df.collect()} == {"a", "b"}
+
+
+def test_as_burn_rate_scales_by_budget(spark):
+    # ratio 0.01 against a 0.99 SLO = exactly 1× budget burn
+    sf = _run(
+        spark,
+        "mockFetch 0.01,0.02 name:r | asBurnRate 0.99",
+        steps=2,
+    )
+    vals = sorted(round(r.value, 9) for r in sf.df.collect())
+    assert vals == [1.0, 2.0]
+
+
+def test_as_burn_rate_rejects_bad_slo(spark):
+    from time_series_db_spark.lang.m3.plan import M3PlanError
+
+    with pytest.raises(M3PlanError, match="slo must be in"):
+        _run(spark, "mockFetch 1 name:r | asBurnRate 1.5")
+
+
+def test_multi_burn_rate_windows_tagged_and_truncated(spark):
+    sf = _run(
+        spark,
+        "mockFetch 1,2,3,4 name:e"
+        " | multiBurnRate 0.9 1h 2h (mockFetch 10,20,30,40 name:e)",
+        steps=4,
+    )
+    rows = sf.df.collect()
+    assert {r.labels["window"] for r in rows} == {"1h", "2h"}
+    # counter deltas are equal on both sides → ratio 0.1, scaled ×10 → 1.0
+    for r in rows:
+        assert math.isclose(r.value, 1.0, rel_tol=1e-9)
+    # truncation applies (scan-widening stage): no rows past the range
+    assert all(T0 <= r.ts < T0 + 4 * H for r in rows)
+
+
+def test_summarize_by_count_sums_in_time(spark):
+    # 2 series over 4 steps, interval 2h: per-step series count = 2,
+    # COUNT summarizes with SUM in time → 4 samples per bucket
+    sf = _run(
+        spark,
+        "mockFetch 1,1,1,1 name:a | mockFetch 2,2,2,2 name:b"
+        " | _summarizeBy 2h count",
+        steps=4,
+    )
+    got = sorted((r.ts, r.value) for r in sf.df.collect())
+    assert got == [(T0, 4.0), (T0 + 2 * H, 4.0)]
+
+
+def test_show_anomaly_thresholds_bands(spark):
+    sf = _run(
+        spark, "mockFetch 1,2,3 name:a | showAnomalyThresholds 2", steps=3
+    )
+    rows = sf.df.collect()
+    assert len(rows) == 6  # 3 ts × {upper, lower}
+    mu = 2.0
+    sd = math.sqrt(2.0 / 3.0)
+    for r in rows:
+        want = mu + 2 * sd if r.labels["anomalyThreshold"] == "upper" else mu - 2 * sd
+        assert math.isclose(r.value, want, rel_tol=1e-9)
+
+
+def test_show_anomaly_thresholds_zero_variance(spark):
+    sf = _run(
+        spark, "mockFetch 5,5 name:a | showAnomalyThresholds 3", steps=2
+    )
+    assert {r.value for r in sf.df.collect()} == {5.0}
+
+
+def test_new_nodes_explain(spark):
+    """Plan explains render for every new node (drift guard for the
+    explain surface; golden formats are ours, not the reference's)."""
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import build_plan
+
+    def explain_of(q):
+        return build_plan(parse(q)).explain()
+
+    assert explain_of("mockFetch 1 name:a | timestamp") == "TIMESTAMP()"
+    assert "HISTOGRAM_CDF" in explain_of(
+        "mockFetch 1 name:a | histogramCDF bucketid bucket 50"
+    )
+    assert "TO_HISTOGRAM" in explain_of("mockFetch 1 name:a | toHistogram 0 1")
+    assert "ALIAS_BY_HISTOGRAM_BUCKET" in explain_of(
+        "mockFetch 1 name:a | aliasByHistogramBucket bucket"
+    )
+    assert "ALIAS_BY_DISTINCT_TAGS" in explain_of(
+        "mockFetch 1 name:a | aliasByDistinctTags"
+    )
+    assert "SHOW_ANOMALY_THRESHOLDS" in explain_of(
+        "mockFetch 1 name:a | showAnomalyThresholds 2"
+    )
+    assert "SUMMARIZE_BY" in explain_of(
+        "mockFetch 1 name:a | _summarizeBy 2h max region"
+    )
+    assert "MULTI_BURN_RATE" in explain_of(
+        "mockFetch 1 name:a | multiBurnRate 0.99 1h (mockFetch 1 name:a)"
+    )
+    assert "AS_MULTI_BURN_RATE" in explain_of(
+        "mockFetch 1 name:a | asMultiBurnRate 0.99 1h"
+    )

@@ -437,7 +437,11 @@ def _plan_stage_names(query: str) -> list:
     plan = build_plan(parse(query))
     walk(plan)
     if any(
-        isinstance(n, (P.MovingNode, P.PerSecondRateNode, P.BurnRateNode))
+        isinstance(
+            n,
+            (P.MovingNode, P.PerSecondRateNode, P.BurnRateNode,
+             P.MultiBurnRateNode, P.AsMultiBurnRateNode),
+        )
         for n in _walk_plan(plan)
     ):
         names.append("truncate")

@@ -755,3 +755,349 @@ def m3ql_burn_rate(spark, sf_dir):
         " | burnRate 3h 0.99 (fetch name:{error,click} | sum region)",
     )
     return _flat(sf, ["region"])
+
+
+# ---------------------------------------------------------------------------
+# Round 5: remaining known-but-unimplemented names with defensible public
+# semantics (Constants.java:40-76) — timestamp, histogramCDF, toHistogram,
+# aliasByBucket/aliasByHistogramBucket/aliasByDistinctTags, multiBurnRate /
+# asBurnRate / asMultiBurnRate, _summarizeBy, showAnomalyThresholds.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m3ql_timestamp",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts, {sql_quant('ts / 1000.0')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def m3ql_timestamp(spark, sf_dir):
+    """timestamp — Constants.java:73 known-unimplemented name with the
+    public Graphite/PromQL ``timestamp()`` semantics: value := the
+    sample's own epoch-second timestamp. Pure column expression."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:error | timestamp")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_histogram_cdf",
+    f"""{PRELUDE},
+    b AS (
+      SELECT least(7, greatest(0, CAST(floor(value / 50) AS INT))) AS idx, ts
+      FROM samples WHERE name = 'view' AND NOT isnan(value)),
+    counts AS (
+      SELECT idx, ts, CAST(count(*) AS DOUBLE) AS cnt,
+             CAST((idx + 1) * 50 AS DOUBLE) AS upper
+      FROM b GROUP BY 1, 2),
+    cdfx AS (
+      SELECT ts, 'le_100' AS cdf,
+             sum(CASE WHEN upper <= 100 THEN cnt ELSE 0 END) / sum(cnt) AS v
+      FROM counts GROUP BY 1
+      UNION ALL
+      SELECT ts, 'le_250' AS cdf,
+             sum(CASE WHEN upper <= 250 THEN cnt ELSE 0 END) / sum(cnt) AS v
+      FROM counts GROUP BY 1)
+    SELECT 'histogram' AS name, cdf, ts, {sql_quant('v')} AS value FROM cdfx""",
+)
+def m3ql_histogram_cdf(spark, sf_dir):
+    """toHistogramLinearBuckets … | histogramCDF bucketid bucket 100 250
+    — the CDF dual of histogramPercentile (Constants.java:56): fraction
+    of observations at or below each threshold, from the same bucket-tag
+    format, one shuffle + pure array fold."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:view | toHistogramLinearBuckets 0 50 8"
+        " | histogramCDF bucketid bucket 100 250",
+    )
+    return sf.df.select(
+        F.col("labels")["name"].alias("name"),
+        F.col("labels")["histogramCDF"].alias("cdf"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_to_histogram_explicit",
+    f"""{PRELUDE},
+    b AS (
+      SELECT greatest(0, least(3,
+               CAST(len(list_filter([0, 50, 150, 300, 600],
+                                    x -> x <= value)) AS INT) - 1)) AS idx,
+             ts
+      FROM samples WHERE name = 'view' AND NOT isnan(value))
+    SELECT 'histogram' AS name,
+           lpad(CAST(idx AS VARCHAR), 3, '0') AS bucketid,
+           CAST([0, 50, 150, 300, 600][idx + 1] AS VARCHAR) || '-' ||
+           CAST([0, 50, 150, 300, 600][idx + 2] AS VARCHAR) AS bucket,
+           ts, CAST(count(*) AS DOUBLE) AS value
+    FROM b GROUP BY 1, 2, 3, 4""",
+)
+def m3ql_to_histogram_explicit(spark, sf_dir):
+    """toHistogram 0 50 150 300 600 — explicit-bounds histogram
+    (Constants.java:75): 4 buckets [b_i, b_{i+1}) with edge clamping,
+    emitting the same bucket tags the histogram consumers parse."""
+    sf = run_m3ql(
+        spark, sf_dir, "fetch name:view | toHistogram 0 50 150 300 600"
+    )
+    return sf.df.select(
+        F.col("labels")["name"].alias("name"),
+        F.col("labels")["bucketid"].alias("bucketid"),
+        F.col("labels")["bucket"].alias("bucket"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_alias_by_histogram_bucket",
+    f"""{PRELUDE},
+    b AS (
+      SELECT least(7, greatest(0, CAST(floor(value / 50) AS INT))) AS idx, ts
+      FROM samples WHERE name = 'view' AND NOT isnan(value))
+    SELECT lpad(CAST(idx AS VARCHAR), 3, '0') AS bucketid,
+           'le ' || CAST((idx + 1) * 50 AS VARCHAR) AS alias,
+           ts, CAST(count(*) AS DOUBLE) AS value
+    FROM b GROUP BY 1, 2, 3""",
+)
+def m3ql_alias_by_histogram_bucket(spark, sf_dir):
+    """aliasByHistogramBucket bucket — Constants.java:48: bucket series
+    renamed Prometheus-style ``le <upper>`` from the range tag's upper
+    bound as written."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:view | toHistogramLinearBuckets 0 50 8"
+        " | aliasByHistogramBucket bucket",
+    )
+    return sf.df.select(
+        F.col("labels")["bucketid"].alias("bucketid"),
+        F.col("alias").alias("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_alias_by_bucket",
+    f"""{PRELUDE},
+    b AS (
+      SELECT least(7, greatest(0, CAST(floor(value / 50) AS INT))) AS idx, ts
+      FROM samples WHERE name = 'view' AND NOT isnan(value))
+    SELECT lpad(CAST(idx AS VARCHAR), 3, '0') AS bucketid,
+           CAST(idx * 50 AS VARCHAR) || '-' ||
+           CAST((idx + 1) * 50 AS VARCHAR) AS alias,
+           ts, CAST(count(*) AS DOUBLE) AS value
+    FROM b GROUP BY 1, 2, 3""",
+)
+def m3ql_alias_by_bucket(spark, sf_dir):
+    """aliasByBucket bucket — Constants.java:47: alias = the raw
+    ``"low-high"`` bucket-range tag value."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:view | toHistogramLinearBuckets 0 50 8"
+        " | aliasByBucket bucket",
+    )
+    return sf.df.select(
+        F.col("labels")["bucketid"].alias("bucketid"),
+        F.col("alias").alias("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_alias_by_distinct_tags",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, region || ' ' || shard || ' ' || "user" AS alias,
+           ts, {sql_quant('value')} AS value
+    FROM samples WHERE name = 'error'""",
+)
+def m3ql_alias_by_distinct_tags(spark, sf_dir):
+    """aliasByDistinctTags — Constants.java:46: alias by the values of
+    the tags that vary across the fetched series set (here user/region/
+    shard vary, name is pinned by the filter), joined in sorted-key
+    order. The varying-key probe is metadata-sized (distinct series ×
+    tags)."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:error | aliasByDistinctTags")
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("alias").alias("alias"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_multi_burn_rate",
+    f"""{PRELUDE},
+    err AS (SELECT region, ts, max(value) AS value FROM samples
+            WHERE name = 'error' GROUP BY 1, 2),
+    tot AS (SELECT region, ts, max(value) AS value FROM samples
+            WHERE name IN ('error', 'click') GROUP BY 1, 2),
+    erate AS ({_BR_RATE.format(src='err')}),
+    trate AS ({_BR_RATE.format(src='tot')}),
+    esm1 AS (SELECT region, ts, avg(rate) OVER (PARTITION BY region ORDER BY ts
+             RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS v FROM erate),
+    tsm1 AS (SELECT region, ts, avg(rate) OVER (PARTITION BY region ORDER BY ts
+             RANGE BETWEEN 0 PRECEDING AND CURRENT ROW) AS v FROM trate),
+    esm6 AS (SELECT region, ts, avg(rate) OVER (PARTITION BY region ORDER BY ts
+             RANGE BETWEEN {6 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW) AS v FROM erate),
+    tsm6 AS (SELECT region, ts, avg(rate) OVER (PARTITION BY region ORDER BY ts
+             RANGE BETWEEN {6 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW) AS v FROM trate)
+    SELECT e.region, '1h' AS win, e.ts,
+           {sql_quant("(CASE WHEN t.v = 0 THEN 'NaN'::DOUBLE ELSE e.v / t.v END)"
+                      " * 100.0::DOUBLE")} AS value
+    FROM esm1 e JOIN tsm1 t ON e.region = t.region AND e.ts = t.ts
+    UNION ALL
+    SELECT e.region, '6h' AS win, e.ts,
+           {sql_quant("(CASE WHEN t.v = 0 THEN 'NaN'::DOUBLE ELSE e.v / t.v END)"
+                      " * 100.0::DOUBLE")} AS value
+    FROM esm6 e JOIN tsm6 t ON e.region = t.region AND e.ts = t.ts""",
+)
+def m3ql_multi_burn_rate(spark, sf_dir):
+    """multiBurnRate 0.99 1h 6h — the SRE-workbook multi-window burn
+    construction (Constants.java:61): one BurnRate branch per window
+    over the SAME fetched frames (fetch CSE scans once), window-tagged
+    and union'd."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:error | max region"
+        " | multiBurnRate 0.99 1h 6h (fetch name:{error,click} | max region)",
+    )
+    return sf.df.select(
+        F.col("labels")["region"].alias("region"),
+        F.col("labels")["window"].alias("win"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_as_burn_rate",
+    f"""{PRELUDE},
+    err AS (SELECT region, ts, max(value) AS value FROM samples
+            WHERE name = 'error' GROUP BY 1, 2),
+    tot AS (SELECT region, ts, max(value) AS value FROM samples
+            WHERE name IN ('error', 'click') GROUP BY 1, 2)
+    SELECT e.region, e.ts,
+           {sql_quant("(CASE WHEN t.value = 0 THEN 'NaN'::DOUBLE "
+                      "ELSE e.value / t.value END) * 1000.0::DOUBLE")} AS value
+    FROM err e JOIN tot t ON e.region = t.region AND e.ts = t.ts""",
+)
+def m3ql_as_burn_rate(spark, sf_dir):
+    """asBurnRate 0.999 — Constants.java:50: a precomputed error-ratio
+    series expressed as a burn multiple of the 0.1% error budget (scale
+    by 1/(1−slo)); the ratio here is the divide stage's output."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:error | max region"
+        " | divide (fetch name:{error,click} | max region)"
+        " | asBurnRate 0.999",
+    )
+    return _flat(sf, ["region"])
+
+
+@register(
+    "m3ql_as_multi_burn_rate",
+    f"""{PRELUDE},
+    err AS (SELECT region, ts, max(value) AS value FROM samples
+            WHERE name = 'error' GROUP BY 1, 2),
+    tot AS (SELECT region, ts, max(value) AS value FROM samples
+            WHERE name IN ('error', 'click') GROUP BY 1, 2),
+    ratio AS (
+      SELECT e.region, e.ts,
+             CASE WHEN t.value = 0 THEN 'NaN'::DOUBLE
+                  ELSE e.value / t.value END AS value
+      FROM err e JOIN tot t ON e.region = t.region AND e.ts = t.ts),
+    rgrid AS (SELECT gs AS ts FROM generate_series({EVENTS_MIN_TS},
+              {EVENTS_MAX_TS - DEFAULT_STEP_MS}, {DEFAULT_STEP_MS}) t(gs)),
+    rsids AS (SELECT DISTINCT region FROM ratio),
+    rdense AS (
+      SELECT s.region, g.ts, v.value
+      FROM rsids s CROSS JOIN rgrid g
+      LEFT JOIN ratio v ON v.region = s.region AND v.ts = g.ts),
+    w3 AS (
+      SELECT region, ts,
+             avg(value) OVER (PARTITION BY region ORDER BY ts
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv,
+             count(value) OVER (PARTITION BY region ORDER BY ts
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS c
+      FROM rdense),
+    w6 AS (
+      SELECT region, ts,
+             avg(value) OVER (PARTITION BY region ORDER BY ts
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS mv,
+             count(value) OVER (PARTITION BY region ORDER BY ts
+               ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS c
+      FROM rdense)
+    SELECT region, '3h' AS win, ts, {sql_quant('mv * 100.0::DOUBLE')} AS value
+    FROM w3 WHERE c > 0
+    UNION ALL
+    SELECT region, '6h' AS win, ts, {sql_quant('mv * 100.0::DOUBLE')} AS value
+    FROM w6 WHERE c > 0""",
+)
+def m3ql_as_multi_burn_rate(spark, sf_dir):
+    """asMultiBurnRate 0.99 3h 6h — Constants.java:50: the precomputed
+    ratio smoothed with a moving average per window (M3 moving
+    semantics: trailing, current point excluded, dense emission), scaled
+    by the error budget, window-tagged, union'd."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:error | max region"
+        " | divide (fetch name:{error,click} | max region)"
+        " | asMultiBurnRate 0.99 3h 6h",
+    )
+    return sf.df.select(
+        F.col("labels")["region"].alias("region"),
+        F.col("labels")["window"].alias("win"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )
+
+
+@register(
+    "m3ql_summarize_by",
+    f"""{PRELUDE},
+    g AS (SELECT region, ts, max(value) AS value FROM samples GROUP BY 1, 2)
+    SELECT region, ts - (ts % {6 * DEFAULT_STEP_MS}) AS ts,
+           {sql_quant('max(value)')} AS value
+    FROM g GROUP BY 1, 2""",
+)
+def m3ql_summarize_by(spark, sf_dir):
+    """_summarizeBy 6h max region — Constants.java:41: collapse series to
+    the tag set with the aggregation, then summarize in time with the
+    same function (documented chosen semantics; max keeps the
+    differential fp-order-insensitive). Two hash aggregations, both with
+    map-side partial aggregation."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:* | _summarizeBy 6h max region")
+    return _flat(sf, ["region"])
+
+
+@register(
+    "m3ql_show_anomaly_thresholds",
+    f"""{PRELUDE},
+    stats AS (
+      SELECT {SQL_LBLS}, ts,
+             avg(value) OVER (PARTITION BY {SQL_LBLS}) AS mu,
+             coalesce(stddev_pop(value) OVER (PARTITION BY {SQL_LBLS}), 0.0) AS sd
+      FROM samples WHERE name = 'view')
+    SELECT {SQL_LBLS}, 'upper' AS bound, ts,
+           {sql_quant('mu + 2.5 * sd')} AS value FROM stats
+    UNION ALL
+    SELECT {SQL_LBLS}, 'lower' AS bound, ts,
+           {sql_quant('mu - 2.5 * sd')} AS value FROM stats""",
+)
+def m3ql_show_anomaly_thresholds(spark, sf_dir):
+    """showAnomalyThresholds 2.5 — Constants.java:70: the anomalies
+    stage's detection band (mean ± 2.5·stddev_pop per series) emitted as
+    upper/lower series — same single window aggregate as anomalies plus
+    a bounded 2-way explode."""
+    sf = run_m3ql(
+        spark, sf_dir, "fetch name:view | showAnomalyThresholds 2.5"
+    )
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("labels")["anomalyThreshold"].alias("bound"),
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+    )

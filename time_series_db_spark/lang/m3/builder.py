@@ -149,6 +149,12 @@ def _lookback_ms(node: P.PlanNode, step: int) -> int:
     if isinstance(node, P.BurnRateNode):
         # both sides feed perSecondRate over the burn window
         return P.parse_duration_ms(node.window) + step
+    if isinstance(node, P.MultiBurnRateNode):
+        # widest window dominates the scan adjustment
+        return max(P.parse_duration_ms(w) for w in node.windows) + step
+    if isinstance(node, P.AsMultiBurnRateNode):
+        # widest moving-average window
+        return max(P.parse_duration_ms(w) for w in node.windows)
     if isinstance(node, (P.DerivativeNode, P.PerSecondNode)):
         return step
     if isinstance(node, P.SummarizeNode) and not node.align_to_from:
@@ -285,6 +291,31 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         ratio = binary.divide(err_rate, tot_rate)
         return mappers.scale(ratio, 1.0 / (1.0 - node.slo))
 
+    if isinstance(node, P.MultiBurnRateNode):
+        # one BurnRate composition per window over the SAME two input
+        # frames (the fetch CSE means the sources scan once), each branch
+        # tagged window:<w>, union'd — bag union, no shuffle of its own
+        left, right = inputs
+        branches = []
+        for w in node.windows:
+            wms = P.parse_duration_ms(w)
+            ratio = binary.divide(
+                windows.per_second_rate(left, wms),
+                windows.per_second_rate(right, wms),
+            )
+            burn = mappers.scale(ratio, 1.0 / (1.0 - node.slo))
+            branches.append(labels_ops.tag_add(burn, "window", w))
+        return binary.union(branches)
+
+    if isinstance(node, P.AsMultiBurnRateNode):
+        branches = []
+        for w in node.windows:
+            wms = _window_ms(w, ctx.step)
+            smoothed = windows.moving(sf, wms, "avg")
+            burn = mappers.scale(smoothed, 1.0 / (1.0 - node.slo))
+            branches.append(labels_ops.tag_add(burn, "window", w))
+        return binary.union(branches)
+
     if isinstance(node, P.MapperNode):
         k, p = node.kind, node.param
         if k == "abs":
@@ -305,6 +336,9 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
             return mappers.scale_to_seconds(sf, int(p))
         if k == "timeshift":
             return mappers.timeshift(sf, abs(P.parse_duration_ms(p)))
+        if k == "asBurnRate":
+            # precomputed error ratio → burn multiple of the error budget
+            return mappers.scale(sf, 1.0 / (1.0 - p))
 
     if isinstance(node, P.ValueFilterNode):
         return filters.value_filter(sf, node.op.lower(), node.value)
@@ -418,6 +452,34 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         )
     if isinstance(node, P.AnomaliesNode):
         return windows.anomalies(sf, node.threshold)
+    if isinstance(node, P.ShowAnomalyThresholdsNode):
+        return windows.show_anomaly_thresholds(sf, node.threshold)
+    if isinstance(node, P.TimestampNode):
+        return mappers.timestamp_(sf)
+    if isinstance(node, P.HistogramCDFNode):
+        return grouping.histogram_cdf(
+            sf, node.bucket_id, node.bucket_range, node.thresholds
+        )
+    if isinstance(node, P.ToHistogramNode):
+        return grouping.to_histogram(sf, node.bounds)
+    if isinstance(node, P.AliasByBucketNode):
+        return labels_ops.alias_by_bucket(
+            sf, node.bucket_range, histogram=node.histogram
+        )
+    if isinstance(node, P.AliasByDistinctTagsNode):
+        return labels_ops.alias_by_distinct_tags(sf)
+    if isinstance(node, P.SummarizeByNode):
+        agg_fn = {
+            "SUM": grouping.sum_, "AVG": grouping.avg, "MIN": grouping.min_,
+            "MAX": grouping.max_, "COUNT": grouping.count,
+            "STDDEV": grouping.stddev,
+        }[node.fn]
+        agged = agg_fn(sf, node.tags)
+        # COUNT per-step series counts SUM up to per-bucket sample counts
+        time_fn = "sum" if node.fn == "COUNT" else node.fn.lower()
+        return windows.summarize(
+            agged, P.parse_duration_ms(node.interval), time_fn
+        )
 
     raise P.M3PlanError(f"no builder for plan node {type(node).__name__}")
 
@@ -457,7 +519,16 @@ def execute(
     sf = build_frame(plan, ctx)
     nodes = list(_walk(plan))
     needs_truncation = any(
-        isinstance(n, (P.MovingNode, P.PerSecondRateNode, P.BurnRateNode))
+        isinstance(
+            n,
+            (
+                P.MovingNode,
+                P.PerSecondRateNode,
+                P.BurnRateNode,
+                P.MultiBurnRateNode,
+                P.AsMultiBurnRateNode,
+            ),
+        )
         for n in nodes
     )
     if not needs_truncation:

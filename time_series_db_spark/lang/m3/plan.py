@@ -418,6 +418,141 @@ class BurnRateNode(PlanNode):
         )
 
 
+class MultiBurnRateNode(PlanNode):
+    """multiBurnRate — beyond-reference SLO primitive
+    (known-but-unimplemented name, Constants.java:61; documented chosen
+    semantics, the SRE-workbook multi-window construction):
+    ``errors | multiBurnRate <slo> <w1> <w2>… (total-pipeline)`` = the
+    union of the :class:`BurnRateNode` result at each window, each
+    output series tagged ``window:<w>``.  Children: [errors, total]."""
+
+    def __init__(self, windows: list[str], slo: float):
+        super().__init__()
+        self.windows = windows
+        self.slo = slo
+
+    def explain(self) -> str:
+        return (
+            f"MULTI_BURN_RATE(windows={','.join(self.windows)}, "
+            f"slo={java_double_str(self.slo)})"
+        )
+
+
+class AsMultiBurnRateNode(PlanNode):
+    """asMultiBurnRate — beyond-reference (Constants.java:50; documented
+    chosen semantics): input is an already-computed error-ratio series;
+    for each window the ratio is smoothed with a moving average over that
+    window and scaled by 1/(1−slo), union'd with a ``window:<w>`` tag —
+    the multi-window burn view of a precomputed ratio."""
+
+    def __init__(self, windows: list[str], slo: float):
+        super().__init__()
+        self.windows = windows
+        self.slo = slo
+
+    def explain(self) -> str:
+        return (
+            f"AS_MULTI_BURN_RATE(windows={','.join(self.windows)}, "
+            f"slo={java_double_str(self.slo)})"
+        )
+
+
+class TimestampNode(_Simple):
+    """timestamp — known-but-unimplemented (Constants.java:73); Graphite/
+    PromQL ``timestamp()`` semantics: value := the sample's own timestamp
+    in epoch seconds."""
+
+    def explain(self) -> str:
+        return "TIMESTAMP()"
+
+
+class HistogramCDFNode(PlanNode):
+    """histogramCDF — known-but-unimplemented (Constants.java:56); the
+    dual of histogramPercentile (documented in operators.grouping
+    .histogram_cdf)."""
+
+    def __init__(self, bucket_id: str, bucket_range: str, thresholds: list[float]):
+        super().__init__()
+        self.bucket_id = bucket_id
+        self.bucket_range = bucket_range
+        self.thresholds = thresholds
+
+    def explain(self) -> str:
+        ts = ",".join(java_double_str(t) for t in self.thresholds)
+        return (
+            f"HISTOGRAM_CDF(bucketId={self.bucket_id}, "
+            f"bucketRange={self.bucket_range}, thresholds=[{ts}])"
+        )
+
+
+class ToHistogramNode(PlanNode):
+    """toHistogram — known-but-unimplemented (Constants.java:75);
+    explicit-bounds companion of toHistogramLinearBuckets."""
+
+    def __init__(self, bounds: list[float]):
+        super().__init__()
+        self.bounds = bounds
+
+    def explain(self) -> str:
+        bs = ",".join(java_double_str(b) for b in self.bounds)
+        return f"TO_HISTOGRAM(bounds=[{bs}])"
+
+
+class AliasByBucketNode(PlanNode):
+    """aliasByBucket / aliasByHistogramBucket — known-but-unimplemented
+    (Constants.java:47-48); semantics in operators.labels.alias_by_bucket."""
+
+    def __init__(self, bucket_range: str, histogram: bool):
+        super().__init__()
+        self.bucket_range = bucket_range
+        self.histogram = histogram
+
+    def explain(self) -> str:
+        kind = "ALIAS_BY_HISTOGRAM_BUCKET" if self.histogram else "ALIAS_BY_BUCKET"
+        return f"{kind}(bucketRange={self.bucket_range})"
+
+
+class AliasByDistinctTagsNode(_Simple):
+    """aliasByDistinctTags — known-but-unimplemented (Constants.java:46);
+    semantics in operators.labels.alias_by_distinct_tags."""
+
+    def explain(self) -> str:
+        return "ALIAS_BY_DISTINCT_TAGS()"
+
+
+class ShowAnomalyThresholdsNode(PlanNode):
+    """showAnomalyThresholds — known-but-unimplemented (Constants.java:70);
+    companion of AnomaliesNode (operators.windows.show_anomaly_thresholds)."""
+
+    def __init__(self, threshold: float):
+        super().__init__()
+        self.threshold = threshold
+
+    def explain(self) -> str:
+        return f"SHOW_ANOMALY_THRESHOLDS(threshold={java_double_str(self.threshold)})"
+
+
+class SummarizeByNode(PlanNode):
+    """_summarizeBy — known-but-unimplemented (Constants.java:41);
+    documented chosen semantics: collapse series to the given tags with
+    the aggregation (AbstractGroupingStage semantics), then summarize the
+    grouped series in time with the same function over the interval —
+    COUNT uses SUM in the time dimension (per-step series counts add up
+    to sample counts per bucket)."""
+
+    def __init__(self, interval: str, fn: str, tags: list[str]):
+        super().__init__()
+        self.interval = interval
+        self.fn = fn
+        self.tags = tags
+
+    def explain(self) -> str:
+        return (
+            f"SUMMARIZE_BY(interval={self.interval}, fn={self.fn}, "
+            f"tags=[{','.join(self.tags)}])"
+        )
+
+
 class MockFetchLineNode(PlanNode):
     """mockFetchLine — reference known-but-unimplemented name
     (Constants.java:58); documented chosen semantics: a flat generated
@@ -964,6 +1099,63 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         if len(args) > 1:
             raise M3PlanError("anomalies expects at most one threshold")
         return AnomaliesNode(float(args[0]) if args else 3.0)
+    if name == "showAnomalyThresholds":
+        if len(args) > 1:
+            raise M3PlanError(
+                "showAnomalyThresholds expects at most one threshold"
+            )
+        return ShowAnomalyThresholdsNode(float(args[0]) if args else 3.0)
+    if name == "timestamp":
+        return TimestampNode()
+    if name == "histogramCDF":
+        if len(args) < 3:
+            raise M3PlanError(
+                "histogramCDF expects: bucketId bucketRange thresholds..."
+            )
+        return HistogramCDFNode(
+            args[0], args[1], [float(a) for a in args[2:]]
+        )
+    if name == "toHistogram":
+        if len(args) < 2:
+            raise M3PlanError("toHistogram expects: bound bound ...")
+        bounds = [float(a) for a in args]
+        if any(b2 <= b1 for b1, b2 in zip(bounds, bounds[1:])):
+            raise M3PlanError("toHistogram bounds must be strictly increasing")
+        return ToHistogramNode(bounds)
+    if name in ("aliasByBucket", "aliasByHistogramBucket"):
+        if len(args) > 1:
+            raise M3PlanError(f"{name} expects at most one bucket-range tag")
+        return AliasByBucketNode(
+            args[0] if args else "bucket", name == "aliasByHistogramBucket"
+        )
+    if name == "aliasByDistinctTags":
+        return AliasByDistinctTagsNode()
+    if name == "asBurnRate":
+        if len(args) != 1:
+            raise M3PlanError("asBurnRate expects: slo")
+        slo = float(args[0])
+        if not 0 < slo < 1:
+            raise M3PlanError("asBurnRate slo must be in (0, 1)")
+        return MapperNode("asBurnRate", slo)
+    if name == "asMultiBurnRate":
+        if len(args) < 2:
+            raise M3PlanError("asMultiBurnRate expects: slo window...")
+        slo = float(args[0])
+        if not 0 < slo < 1:
+            raise M3PlanError("asMultiBurnRate slo must be in (0, 1)")
+        for w in args[1:]:
+            parse_duration_ms(w)  # validate eagerly at plan time
+        return AsMultiBurnRateNode(list(args[1:]), slo)
+    if name == "_summarizeBy":
+        if len(args) < 2:
+            raise M3PlanError("_summarizeBy expects: interval fn tags...")
+        fn_type = AGG_TYPES.get(args[1])
+        if fn_type is None or fn_type in ("MULTIPLY", "RANGE"):
+            raise M3PlanError(f"invalid _summarizeBy function: {args[1]}")
+        parse_duration_ms(args[0])
+        return SummarizeByNode(
+            args[0], fn_type, [_strip_quotes(a) for a in args[2:]]
+        )
 
     if name == "fetch":
         return _fetch_node(fn)
@@ -1143,7 +1335,7 @@ def _convert(node: ast.Node) -> PlanNode:
             vals = [
                 c.value for c in child.children if isinstance(c, ast.ValueNode)
             ]
-            groups = [c for c in child.children if _is_pipeline_or_group(c)]
+            groups = [c for c in child.children if _is_chain_arg(c)]
             if len(vals) != 2 or len(groups) != 1:
                 raise M3PlanError(
                     "burnRate expects: window slo (total-pipeline)"
@@ -1154,8 +1346,28 @@ def _convert(node: ast.Node) -> PlanNode:
                 raise M3PlanError("burnRate slo must be in (0, 1)")
             bn = BurnRateNode(vals[0], slo)
             bn.add(result)
-            bn.add(_convert(groups[0]))
+            bn.add(_chain_arg(groups[0]))
             result = bn
+        elif isinstance(child, ast.FunctionNode) and child.name == "multiBurnRate":
+            result = _finalized()
+            dangling = None
+            vals = [
+                c.value for c in child.children if isinstance(c, ast.ValueNode)
+            ]
+            groups = [c for c in child.children if _is_chain_arg(c)]
+            if len(vals) < 2 or len(groups) != 1:
+                raise M3PlanError(
+                    "multiBurnRate expects: slo window... (total-pipeline)"
+                )
+            slo = float(vals[0])
+            if not 0 < slo < 1:
+                raise M3PlanError("multiBurnRate slo must be in (0, 1)")
+            for w in vals[1:]:
+                parse_duration_ms(w)  # validate the windows eagerly
+            mbn = MultiBurnRateNode(vals[1:], slo)
+            mbn.add(result)
+            mbn.add(_chain_arg(groups[0]))
+            result = mbn
         elif (
             isinstance(child, ast.FunctionNode) and child.name in _PIPELINE_ARG_FNS
         ):
@@ -1196,6 +1408,19 @@ def _convert(node: ast.Node) -> PlanNode:
         marker.add(sub)
         return marker
     return _finalized()
+
+
+def _is_chain_arg(node: ast.Node) -> bool:
+    """A parenthesized total-pipeline argument: a pipeline/group, or —
+    when the parens held a single generator stage — the bare fetch-family
+    FunctionNode the parser unwraps it to."""
+    return _is_pipeline_or_group(node) or _is_fetch_fn(node)
+
+
+def _chain_arg(node: ast.Node) -> PlanNode:
+    if _is_pipeline_or_group(node):
+        return _convert(node)
+    return create_plan_node(node)
 
 
 def _is_fallback_with_pipeline_arg(node: ast.Node) -> bool:

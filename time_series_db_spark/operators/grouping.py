@@ -344,29 +344,12 @@ def _format_percentile(p: float) -> str:
     return str(p).rstrip("0").rstrip(".")
 
 
-def histogram_percentile(
-    sf: SeriesFrame,
-    bucket_id: str,
-    bucket_range: str,
-    percentiles: list[float],
-) -> SeriesFrame:
-    """histogramPercentile — HistogramPercentileStage.java:52.
-
-    Series are one-per-bucket, identified by a bucket-id tag and a
-    bucket-range tag ("low-high"); at each (group, ts) the bucket counts
-    form a cumulative histogram and each percentile reports the first
-    bucket's upper bound where the cumulative count reaches
-    p% · total (no intra-bucket interpolation — matches the reference).
-
-    Spark shape: the bucket-range string is parsed into its upper bound
-    entirely in-plan (regexp_extract + try_cast — no driver round-trip,
-    no blocking action before the output boundary); the per-(group, ts)
-    scan is one groupBy with a sorted-struct-array fold — partial
-    aggregation keeps the shuffle at group granularity. Malformed range
-    strings yield a null upper bound and are dropped (the driver-side
-    parser used to raise; in-plan we prefer skipping bad buckets over
-    failing the whole query at scale).
-    """
+def _bucket_pairs_base(sf: SeriesFrame, bucket_id: str, bucket_range: str):
+    """Shared bucket-series fold for histogramPercentile / histogramCDF:
+    per (bucket-stripped group, ts), the sorted ``(upper, value)`` bucket
+    array (``__pairs``) plus its count total (``__total``). One groupBy at
+    group granularity — partial aggregation keeps the shuffle small; the
+    range-tag parse is pure Catalyst (no driver round-trip)."""
     lbl = F.col("labels")
     df = sf.df.filter(
         lbl[bucket_id].isNotNull() & lbl[bucket_range].isNotNull()
@@ -394,7 +377,33 @@ def histogram_percentile(
     total = F.aggregate(
         F.col("__pairs"), F.lit(0.0), lambda acc, x: acc + x.getField("value")
     )
-    base = base.withColumn("__total", total)
+    return base.withColumn("__total", total)
+
+
+def histogram_percentile(
+    sf: SeriesFrame,
+    bucket_id: str,
+    bucket_range: str,
+    percentiles: list[float],
+) -> SeriesFrame:
+    """histogramPercentile — HistogramPercentileStage.java:52.
+
+    Series are one-per-bucket, identified by a bucket-id tag and a
+    bucket-range tag ("low-high"); at each (group, ts) the bucket counts
+    form a cumulative histogram and each percentile reports the first
+    bucket's upper bound where the cumulative count reaches
+    p% · total (no intra-bucket interpolation — matches the reference).
+
+    Spark shape: the bucket-range string is parsed into its upper bound
+    entirely in-plan (regexp_extract + try_cast — no driver round-trip,
+    no blocking action before the output boundary); the per-(group, ts)
+    scan is one groupBy with a sorted-struct-array fold — partial
+    aggregation keeps the shuffle at group granularity. Malformed range
+    strings yield a null upper bound and are dropped (the driver-side
+    parser used to raise; in-plan we prefer skipping bad buckets over
+    failing the whole query at scale).
+    """
+    base = _bucket_pairs_base(sf, bucket_id, bucket_range)
 
     def _pct_value(p: float) -> Column:
         target = F.col("__total") * F.lit(float(p) / 100.0)
@@ -432,6 +441,65 @@ def histogram_percentile(
                 F.create_map(
                     F.lit("histogramPercentile"),
                     F.element_at(pnames, F.col("pos") + 1),
+                ),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)
+
+
+def histogram_cdf(
+    sf: SeriesFrame,
+    bucket_id: str,
+    bucket_range: str,
+    thresholds: list[float],
+) -> SeriesFrame:
+    """histogramCDF — reference known-but-unimplemented
+    (lang/m3/common/Constants.java:56: parser accepts, planner rejects).
+    Chosen, documented semantics — the dual of
+    :func:`histogram_percentile`: for each threshold ``x``, the fraction
+    of observations in buckets whose upper bound is ≤ x (cumulative count
+    at x over total count) per (group, ts). Output series add a
+    ``histogramCDF: le_<x>`` tag per threshold; duration thresholds
+    normalize like the bucket tags do (ms).
+
+    Same single-shuffle bucket-fold as histogramPercentile: one groupBy
+    at group granularity, the CDF itself a pure array fold — no second
+    shuffle, no driver round-trip.
+    """
+    base = _bucket_pairs_base(sf, bucket_id, bucket_range)
+
+    def _cdf_value(x: float) -> Column:
+        cum = F.aggregate(
+            F.col("__pairs"),
+            F.lit(0.0),
+            lambda acc, p: acc
+            + F.when(
+                p.getField("upper") <= F.lit(float(x)), p.getField("value")
+            ).otherwise(F.lit(0.0)),
+        )
+        return cum / F.col("__total")
+
+    results = F.array(*[_cdf_value(x) for x in thresholds])
+    names = F.array(
+        *[F.lit("le_" + _format_percentile(float(x))) for x in thresholds]
+    )
+    out = (
+        base.filter(F.col("__total") > 0)
+        .select(
+            "labels", "ts", F.posexplode(results).alias("pos", "value")
+        )
+        .select(
+            F.map_concat(
+                "labels",
+                F.create_map(
+                    F.lit("histogramCDF"),
+                    F.element_at(names, F.col("pos") + 1),
                 ),
             ).alias("labels"),
             F.lit(None).cast("string").alias("alias"),
@@ -697,6 +765,58 @@ def to_histogram_linear_buckets(
     )
     lo = (F.lit(float(start)) + idx * F.lit(float(width))).cast("bigint")
     hi = (F.lit(float(start)) + (idx + 1) * F.lit(float(width))).cast("bigint")
+    labels = F.create_map(
+        F.lit(bucket_id), F.lpad(idx.cast("string"), 3, "0"),
+        F.lit(bucket_range),
+        F.concat(lo.cast("string"), F.lit("-"), hi.cast("string")),
+        F.lit("name"), F.lit("histogram"),
+    )
+    df = (
+        sf.df.filter(~F.isnan(v))
+        .withColumn("labels", labels)
+        .withColumn("series_key", series_key_expr())
+        .groupBy("series_key", "ts")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def to_histogram(
+    sf: SeriesFrame,
+    bounds: list[float],
+    bucket_id: str = "bucketid",
+    bucket_range: str = "bucket",
+) -> SeriesFrame:
+    """toHistogram — reference known-but-unimplemented
+    (lang/m3/common/Constants.java:75). Chosen, documented semantics: the
+    explicit-bounds companion of :func:`to_histogram_linear_buckets` —
+    ``bounds`` (strictly increasing) define ``len(bounds)-1`` buckets
+    ``[b_i, b_{i+1})``; each timestamp's value distribution is counted
+    into them, one output series per bucket. Out-of-range values clamp
+    into the edge buckets; NaN samples are dropped. Output carries the
+    same ``bucketid`` / ``"low-high"`` tags histogramPercentile and
+    histogramCDF consume, so the families compose.
+
+    Spark shape: identical to the linear variant — one hash aggregation
+    on (bucket, ts); the bounds array is a Catalyst literal, the bucket
+    index a pure array expression (count of bounds ≤ value), so group
+    cardinality stays bounded at ``len(bounds)-1 × grid``.
+    """
+    n = len(bounds)
+    arr = F.array(*[F.lit(float(b)) for b in bounds])
+    v = F.col("value")
+    idx = F.least(
+        F.lit(n - 2),
+        F.greatest(
+            F.lit(0),
+            (F.size(F.filter(arr, lambda b: b <= v)) - 1).cast("int"),
+        ),
+    )
+    lo = F.element_at(arr, idx + 1).cast("bigint")
+    hi = F.element_at(arr, idx + 2).cast("bigint")
     labels = F.create_map(
         F.lit(bucket_id), F.lpad(idx.cast("string"), 3, "0"),
         F.lit(bucket_range),

@@ -202,3 +202,66 @@ def label_join(
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def alias_by_bucket(
+    sf: SeriesFrame, bucket_range: str = "bucket", histogram: bool = False
+) -> SeriesFrame:
+    """aliasByBucket / aliasByHistogramBucket — reference
+    known-but-unimplemented (lang/m3/common/Constants.java:47-48).
+    Chosen, documented semantics: rename each histogram-bucket series by
+    its bucket-range tag — ``aliasByBucket`` uses the raw ``"low-high"``
+    tag value; ``aliasByHistogramBucket`` renders Prometheus-style
+    ``"le <upper>"`` from the range's upper bound (taken as written in
+    the tag, so ``+Inf`` and duration uppers stay verbatim). Series
+    without the tag keep their current alias. Pure string expressions,
+    no shuffle."""
+    tag = F.col("labels")[bucket_range]
+    if histogram:
+        # last '-'-separated component = the upper bound as written
+        # ("0-10" → "10", "-Inf-0" → "0", "10-+Inf" → "+Inf")
+        expr = F.concat(F.lit("le "), F.substring_index(tag, "-", -1))
+    else:
+        expr = tag
+    aliased = F.when(tag.isNotNull(), expr).otherwise(F.col("alias"))
+    return sf.with_df(sf.df.withColumn("alias", aliased).select(*SAMPLE_COLS))
+
+
+def alias_by_distinct_tags(sf: SeriesFrame) -> SeriesFrame:
+    """aliasByDistinctTags — reference known-but-unimplemented
+    (lang/m3/common/Constants.java:46). Chosen, documented semantics:
+    alias each series by the values of the tags that DISTINGUISH it
+    within the current series set — a tag distinguishes when its value
+    varies across series or it is absent from some series. Values join
+    with a space in sorted-key order (the aliasByTags format); when
+    nothing varies (single series), the ``name`` label is the alias.
+
+    Spark shape: the varying-key probe aggregates over DISTINCT series
+    identities — series-count × tag-count rows, metadata-sized like the
+    binary-op probes — then the alias itself is a pure expression over
+    the collected key list; the data pass is untouched (no shuffle
+    added to the main plan).
+    """
+    from time_series_db_spark import cache
+
+    distinct_series = cache.persist_tracked(
+        sf.df.select("series_key", "labels").dropDuplicates(["series_key"])
+    )
+    n_series = distinct_series.count()
+    per_tag = (
+        distinct_series.select(F.explode("labels").alias("k", "v"))
+        .groupBy("k")
+        .agg(
+            F.countDistinct("v").alias("n_values"),
+            F.count(F.lit(1)).alias("n_present"),
+        )
+        .collect()
+    )
+    varying = sorted(
+        r["k"] for r in per_tag if r["n_values"] > 1 or r["n_present"] < n_series
+    )
+    if varying:
+        expr = F.concat_ws(" ", *[F.col("labels")[t] for t in varying])
+    else:
+        expr = F.col("labels")["name"]
+    return sf.with_df(sf.df.withColumn("alias", expr).select(*SAMPLE_COLS))

@@ -737,3 +737,55 @@ def anomalies(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     )
     df = sf.df.withColumn("value", flag).select(*SAMPLE_COLS)
     return sf.with_df(df)
+
+
+def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
+    """showAnomalyThresholds — reference known-but-unimplemented
+    (lang/m3/common/Constants.java:70); the companion surface of
+    :func:`anomalies` under the same documented z-score model: instead of
+    the 0/1 flags it emits each series' detection band — two output
+    series per input series, tagged ``anomalyThreshold: upper|lower``,
+    valued mean ± threshold·stddev_pop over the query window (constant
+    across the series' timestamps; NaN samples are excluded from the
+    moments; zero-variance series emit the mean as both bounds).
+
+    Same single unbounded window aggregate as anomalies, then a bounded
+    2-way posexplode and identity recompute — no additional shuffle.
+    """
+    from time_series_db_spark.model import series_key_expr
+
+    w = _series_window(ordered=False).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v = F.col("value")
+    finite = F.when(~F.isnan(v), v)
+    mu = F.avg(finite).over(w)
+    sd = F.coalesce(
+        F.expr("stddev_pop(CASE WHEN NOT isnan(value) THEN value END)").over(w),
+        F.lit(0.0),
+    )
+    bounds = F.array(
+        mu + F.lit(float(threshold)) * sd, mu - F.lit(float(threshold)) * sd
+    )
+    names = F.array(F.lit("upper"), F.lit("lower"))
+    df = (
+        sf.df.withColumn("__bounds", bounds)
+        .select(
+            "labels", "ts", F.posexplode(F.col("__bounds")).alias("pos", "value")
+        )
+        .select(
+            F.map_concat(
+                "labels",
+                F.create_map(
+                    F.lit("anomalyThreshold"),
+                    F.element_at(names, F.col("pos") + 1),
+                ),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
