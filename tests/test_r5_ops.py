@@ -204,3 +204,52 @@ def test_new_nodes_explain(spark):
     assert "AS_MULTI_BURN_RATE" in explain_of(
         "mockFetch 1 name:a | asMultiBurnRate 0.99 1h"
     )
+
+
+def test_pack_sequences_offsets_and_blocks(spark):
+    from time_series_db_spark.pipeline.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g h i"), (3, "j k")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.shard, r.pack_id, r.start_offset, r.n_tokens)
+        for r in pack_sequences(df, budget=5, n_shards=1).collect()
+    }
+    # single shard → order by doc_id: tokens 4,5,2 → starts 0,4,9 →
+    # blocks 0,0,1 (a doc belongs to the block holding its FIRST token)
+    assert out == {1: (0, 0, 0, 4), 2: (0, 0, 4, 5), 3: (0, 1, 9, 2)}
+
+
+def test_pack_sequences_sharding_is_deterministic_and_partitioned(spark):
+    from time_series_db_spark.pipeline.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(50)], ["doc_id", "text"]
+    )
+    a = {r.doc_id: tuple(r) for r in pack_sequences(df, 16, 8).collect()}
+    b = {r.doc_id: tuple(r) for r in pack_sequences(df, 16, 8).collect()}
+    assert a == b and len(a) == 50
+    # offsets restart per shard: every shard stream starts at 0
+    starts = {}
+    for doc, (_, shard, _, start, _) in a.items():
+        starts.setdefault(shard, []).append(start)
+    assert all(min(v) == 0 for v in starts.values())
+
+
+def test_sample_stratified_exact_and_stable(spark):
+    from time_series_db_spark.pipeline.pack import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)], ["doc_id", "lang"]
+    )
+    out = sample_stratified(df, "lang", n_per_stratum=5).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.stratum, []).append((r.sample_rank, r.doc_id))
+    assert {k: len(v) for k, v in by.items()} == {"en": 5, "de": 5}
+    assert sorted(r for r, _ in by["en"]) == [1, 2, 3, 4, 5]
+    # small stratum: fewer members than n → all of them, ranked
+    tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], ["doc_id", "lang"])
+    assert len(sample_stratified(tiny, "lang", 5).collect()) == 2

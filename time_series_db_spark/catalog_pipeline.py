@@ -629,3 +629,61 @@ def text_repetition(spark, sf_dir):
         quant(F.col("dup_bigram_frac")).alias("dup_bigram_frac"),
         quant(F.col("top_bigram_frac")).alias("top_bigram_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# training-batch construction (pipeline/pack.py): sequence packing +
+# deterministic stratified sampling — the assembly steps downstream of
+# filter/dedup in an LLM data pipeline.
+# ---------------------------------------------------------------------------
+
+_SHARD_SQL = (
+    "CAST((" + sql_hash64("CAST(doc_id AS VARCHAR)", "shard") + " % 64) AS INT)"
+)
+
+
+@register(
+    "pack_sequences",
+    f"""WITH base AS (
+      SELECT doc_id,
+             {_SHARD_SQL} AS shard,
+             len(string_split({_NORM}, ' '))::BIGINT AS n_tokens
+      FROM documents),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM base)
+    SELECT doc_id, shard, (start_offset // 512)::BIGINT AS pack_id,
+           start_offset, n_tokens
+    FROM packed""",
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 512-token blocks, per
+    hash-balanced shard (pipeline/pack.py — the GPT-style pretraining
+    batch layout; window per shard, no global sort)."""
+    from time_series_db_spark.pipeline import pack
+
+    return pack.pack_sequences(_docs(spark, sf_dir), budget=512, n_shards=64)
+
+
+@register(
+    "sample_stratified",
+    """WITH r AS (
+      SELECT doc_id, lang AS stratum,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+    SELECT doc_id, stratum, rnk::BIGINT AS sample_rank
+    FROM r WHERE rnk <= 20""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic 20-per-language sample by md5(doc_id) rank —
+    re-runnable eval/ablation splits (pipeline/pack.py; WindowGroupLimit
+    keeps giant strata shuffle-bounded at n×partitions rows)."""
+    from time_series_db_spark.pipeline import pack
+
+    return pack.sample_stratified(
+        _docs(spark, sf_dir), strata_col="lang", n_per_stratum=20
+    )

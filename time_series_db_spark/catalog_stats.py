@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from time_series_db_spark.catalog import PRELUDE, register, sql_quant
 from time_series_db_spark.operators import stats
-from time_series_db_spark.sources import fetch_events
+from time_series_db_spark.sources import fetch_events, fetch_series_identities
 
 _SIDS = ''',
 sids AS (SELECT DISTINCT name, "user", region, shard FROM samples)'''
@@ -48,8 +48,10 @@ SELECT 'user', CAST(COUNT(DISTINCT "user") AS BIGINT) FROM sids""",
 )
 def stats_labels(spark, sf_dir):
     """labelStats: per-label-key value cardinality (exact here; the
-    ``approx=True`` HLL path is the 100 TB default — see operators/stats)."""
-    return stats.label_stats(fetch_events(spark, sf_dir))
+    ``approx=True`` HLL path is the 100 TB default — see operators/stats).
+    Uses the identity fast path: stats are over series, so the LWW grid
+    aggregation is skipped and the scan prunes to the label columns."""
+    return stats.label_stats(fetch_series_identities(spark, sf_dir))
 
 
 @register(
@@ -101,10 +103,11 @@ FROM sids CROSS JOIN LATERAL (VALUES
 def stats_fetch_labels(spark, sf_dir):
     """labels-fetch ``_search`` ext: full label maps for every series
     matching a tag filter (LabelsFetchSubPhase.java — the dedicated
-    per-hit label surface, distinct from labelStats cardinalities)."""
+    per-hit label surface, distinct from labelStats cardinalities).
+    Identity fast path: the per-hit surface never touches values."""
     from pyspark.sql import functions as F
 
-    sf = fetch_events(
+    ids = fetch_series_identities(
         spark, sf_dir, where=F.col("name").isin("error", "click")
     )
-    return stats.fetch_labels(sf)
+    return stats.fetch_labels(ids)

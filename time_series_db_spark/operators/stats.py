@@ -41,8 +41,12 @@ def label_stats(sf: SeriesFrame, approx: bool = False) -> DataFrame:
     deduplicated first (stats are over series, not samples), then the label
     maps explode into (key, value) pairs — both steps shuffle once on keys
     that are near-uniform (label keys), so no skew handling is needed.
+
+    ``sf`` may be a SeriesFrame or an already-deduplicated identity
+    DataFrame (``sources.fetch_series_identities`` — the fast path that
+    skips sample alignment entirely when only identities are needed).
     """
-    series = sf.distinct_series()
+    series = sf if isinstance(sf, DataFrame) else sf.distinct_series()
     exploded = series.select(F.explode("labels").alias("label", "val"))
     card = (
         F.approx_count_distinct("val") if approx else F.countDistinct("val")
@@ -72,8 +76,11 @@ def fetch_labels(sf: SeriesFrame) -> DataFrame:
     matching the query carries its full label map in the response. The
     DocValues walk becomes a distinct over series identities (the labels
     ARE the identity here) exploded to (series_key, label, value) rows.
+    ``sf`` may be a SeriesFrame or an identity DataFrame (see
+    :func:`label_stats`).
     """
-    return sf.distinct_series().select(
+    series = sf if isinstance(sf, DataFrame) else sf.distinct_series()
+    return series.select(
         "series_key", F.explode("labels").alias("label", "value")
     )
 

@@ -76,9 +76,19 @@ def cosine_topk(
     neighbor id for determinism. The query side is broadcast — the
     corpus scan is embarrassingly parallel.
     """
+    # The per-pair cosine is interpreted (Catalyst higher-order folds),
+    # so parallelism across the corpus is what bounds wall time — but a
+    # BroadcastNestedLoopJoin inherits the scan's partitioning, and a
+    # compact parquet corpus arrives as 1-2 splits, serializing the
+    # scoring AND the partial WindowGroupLimit behind it on one core.
+    # Spread the corpus over the cluster first (tiny shuffle of raw
+    # vectors; at real scale the scan has many splits and this is a
+    # cheap no-op rebalance).
+    spark = corpus.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
-    )
+    ).repartition(n_parts)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__qv")
@@ -115,11 +125,14 @@ def lsh_bucketed_topk(
     Same output shape as :func:`cosine_topk`; queries whose bucket holds
     fewer than k other vectors return fewer rows (recall trade-off).
     """
+    # spread the interpreted per-candidate cosine across cores (see
+    # cosine_topk: a compact corpus arrives as 1-2 splits otherwise)
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
         hyperplane_bucket(F.col(vec_col), num_planes).alias("__bucket"),
-    )
+    ).repartition(n_parts)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -158,10 +171,13 @@ def ivf_assign(
     """Assign each vector to its ``nprobe`` nearest centroids by cosine.
 
     The centroid table is broadcast (nlist rows — bytes, not gigabytes),
-    so assignment is a map-side cross join: corpus never shuffles. Output:
-    (id, __v, __cell, __probe_rank).
+    so assignment is a map-side cross join: corpus never shuffles beyond
+    an initial rebalance across cores (the interpreted per-(vector,
+    centroid) cosine otherwise serializes on a compact scan's 1-2
+    splits). Output: (id, __v, __cell, __probe_rank).
     """
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    n_parts = vectors.sparkSession.sparkContext.defaultParallelism
+    scored = vectors.repartition(n_parts).crossJoin(F.broadcast(centroids)).select(
         id_col,
         "__v",
         F.col("__cid").alias("__cell"),

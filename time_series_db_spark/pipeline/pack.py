@@ -1,0 +1,106 @@
+"""Training-batch construction: sequence packing + stratified sampling.
+
+Beyond the reference (its engine stops at query operators): the two
+assembly steps a large-scale LLM training-data pipeline runs after
+filtering/dedup — packing documents into fixed-token-budget training
+sequences, and drawing deterministic per-stratum samples for eval/
+ablation splits. Both are pure DataFrame plans with DuckDB oracles
+(catalog entries ``pack_sequences`` / ``sample_stratified``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_db_spark.pipeline import textprep
+
+#: shards for packing — the unit of window parallelism. At 100 TB this is
+#: sized so one shard's documents fit a task comfortably (each shard only
+#: ever sorts its own documents, never the corpus).
+DEFAULT_SHARDS = 64
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = DEFAULT_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining
+    batch layout): documents are concatenated in a deterministic order
+    and the token stream is cut into fixed-``budget`` blocks; each
+    document is assigned the block containing its first token.
+
+    Order is (shard, doc_id) where ``shard = hash(doc_id) % n_shards`` —
+    packing is per-shard, the standard practice for sharded corpora, so
+    the only window runs per shard: no global sort, no single-partition
+    exchange, and shards are hash-balanced regardless of document-id
+    distribution. Token counts are the whitespace tokenization of the
+    normalized text (``text.token_stats`` ws_tokens semantics).
+
+    Output: (doc_id, shard, pack_id, start_offset, n_tokens) —
+    ``start_offset`` is the document's first-token position within its
+    shard's stream, ``pack_id`` the block index within the shard.
+    """
+    norm = textprep.normalize(F.col(text_col))
+    toks = F.size(F.split(norm, " ")).cast("long")
+    # md5-based hash64: engine-portable (the DuckDB oracle computes the
+    # identical shard), non-negative, uniform; production runs off the
+    # differential gate can swap fn="xxhash64" (textprep.hash64 contract)
+    shard = (
+        textprep.hash64(F.col(id_col).cast("string"), "shard")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    base = df.select(
+        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).alias("start_offset")
+    return base.select(
+        id_col,
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / F.lit(int(budget)))
+        .cast("long")
+        .alias("pack_id"),
+        start,
+        "n_tokens",
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    strata_col: str = "lang",
+    n_per_stratum: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic exact n-per-stratum sample: rank documents within
+    each stratum by ``md5(id)`` (a fixed, engine-independent pseudorandom
+    order) and keep the first ``n_per_stratum``. Re-running on the same
+    corpus always returns the same sample — the property eval/ablation
+    splits need.
+
+    Scale shape: the rank is a window per stratum, but Spark's
+    WindowGroupLimit inserts a per-partition partial top-n BEFORE the
+    shuffle, so even a stratum holding most of the corpus ships at most
+    ``n × input_partitions`` rows to its final sort — a giant stratum
+    skews the shuffle by n-rows-per-partition, not by its full size.
+
+    Output: (id, stratum, sample_rank).
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col).alias("stratum"),
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        .filter(F.col("sample_rank") <= int(n_per_stratum))
+    )

@@ -129,28 +129,27 @@ def load_table(
     return df
 
 
-def fetch_events(
+def _raw_samples(
     spark: SparkSession,
     sf_dir: str,
-    step: int = DEFAULT_STEP_MS,
-    min_ts: int = EVENTS_MIN_TS,
-    max_ts: int = EVENTS_MAX_TS,
+    min_ts: int,
+    max_ts: int,
     where=None,
-) -> SeriesFrame:
-    """``fetch`` over the events-as-metrics mapping.
+):
+    """Pre-alignment events projection: labels + raw epoch-ms ts +
+    (event_id, value) carriers, with the time-range predicate on the RAW
+    stored column so it reaches the parquet scan.
 
-    Scan → optional label predicate (pushed down) → grid alignment with
-    deterministic LWW (max event_id per bucket) → SeriesFrame.
+    Filter the raw ts column BEFORE any conversion: a range predicate on
+    the stored column is pushed into the parquet scan (PushedFilters:
+    GreaterThanOrEqual/LessThan on ts) and prunes row groups via min/max
+    stats — the reference's TimeRangePruningQuery segment skip
+    (SURVEY.md §4.1 row 3).  Wrapping the column in a conversion first
+    would reduce the pushdown to IsNotNull and scan every row group.
+    Two physical layouts exist across driver rounds: TIMESTAMP(NANOS)
+    read as BIGINT nanos (legacy flag) and timestamp[us] read as
+    TIMESTAMP_NTZ; both floor to epoch millis like DuckDB's epoch_ms.
     """
-    # Filter the raw ts column BEFORE any conversion: a range predicate on
-    # the stored column is pushed into the parquet scan (PushedFilters:
-    # GreaterThanOrEqual/LessThan on ts) and prunes row groups via min/max
-    # stats — the reference's TimeRangePruningQuery segment skip
-    # (SURVEY.md §4.1 row 3).  Wrapping the column in a conversion first
-    # would reduce the pushdown to IsNotNull and scan every row group.
-    # Two physical layouts exist across driver rounds: TIMESTAMP(NANOS)
-    # read as BIGINT nanos (legacy flag) and timestamp[us] read as
-    # TIMESTAMP_NTZ; both floor to epoch millis like DuckDB's epoch_ms.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     ts_type = dict(ev.dtypes).get("ts", "bigint")
@@ -184,6 +183,59 @@ def fetch_events(
     )
     if where is not None:
         samples = samples.filter(where)
+    return samples
+
+
+def fetch_series_identities(
+    spark: SparkSession,
+    sf_dir: str,
+    min_ts: int = EVENTS_MIN_TS,
+    max_ts: int = EVENTS_MAX_TS,
+    where=None,
+) -> "DataFrame":
+    """Distinct series identities straight off the events scan — the
+    stats fast path, result-identical to
+    ``fetch_events(...).distinct_series()`` (grid alignment merges
+    samples *within* a series and never creates or drops an identity)
+    but without the LWW grid aggregation: one 4-column distinct with
+    map-side partial aggregation, and Catalyst prunes ``value`` /
+    ``event_id`` out of the scan since only the label columns survive.
+    Returns ``(series_key, labels, alias)`` — the
+    :meth:`SeriesFrame.distinct_series` shape."""
+    ids = (
+        _raw_samples(spark, sf_dir, min_ts, max_ts, where=where)
+        .select("name", "user", "region", "shard")
+        .distinct()
+    )
+    return (
+        ids.select(
+            F.create_map(
+                F.lit("name"), F.col("name"),
+                F.lit("user"), F.col("user"),
+                F.lit("region"), F.col("region"),
+                F.lit("shard"), F.col("shard"),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+        )
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias")
+    )
+
+
+def fetch_events(
+    spark: SparkSession,
+    sf_dir: str,
+    step: int = DEFAULT_STEP_MS,
+    min_ts: int = EVENTS_MIN_TS,
+    max_ts: int = EVENTS_MAX_TS,
+    where=None,
+) -> SeriesFrame:
+    """``fetch`` over the events-as-metrics mapping.
+
+    Scan → optional label predicate (pushed down) → grid alignment with
+    deterministic LWW (max event_id per bucket) → SeriesFrame.
+    """
+    samples = _raw_samples(spark, sf_dir, min_ts, max_ts, where=where)
     grid_ts = (F.col("raw_ts") - (F.col("raw_ts") % F.lit(step))).alias("__grid")
     aligned = (
         samples.withColumn("__grid", grid_ts)
