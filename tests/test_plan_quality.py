@@ -183,3 +183,57 @@ def test_prom_histogram_percentile_single_aggregation(spark, sf_dir):
     assert "Join" not in plan  # one aggregation path, no self-joins
     # one collect_list aggregate pair regardless of percentile count
     assert plan.count("ObjectHashAggregate") == 2
+
+
+def test_stats_identity_fast_path_prunes_scan(spark, sf_dir):
+    """stats_labels' identity path must scan only the label-deriving
+    columns (event_type, user_id) + the pushed ts filter — never value /
+    event_id. At 100 TB the value column is most of the bytes."""
+    from time_series_db_spark.sources import fetch_series_identities
+
+    plan = _plan(fetch_series_identities(spark, sf_dir))
+    schema = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "event_type" in schema and "user_id" in schema
+    assert "value" not in schema and "event_id" not in schema
+
+
+def test_ann_scoring_not_single_partition(spark, sf_dir):
+    """The brute-force cosine path must spread the corpus across cores
+    before the broadcast join — a compact parquet corpus arrives as 1-2
+    splits and would serialize the interpreted per-pair folds (and the
+    partial WindowGroupLimit behind them) on one task otherwise."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.pipeline import ann
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = ann.cosine_topk(embs, embs.filter(F.col("vec_id") % 50 == 0), k=5)
+    plan = _plan(out)
+    assert "RoundRobinPartitioning" in plan or "Exchange hashpartitioning" in plan
+    # top-k pushdown: partial group-limit before the rank shuffle
+    assert "WindowGroupLimit" in plan
+
+
+def test_pack_sequences_windows_per_shard(spark, sf_dir):
+    """Sequence packing must never sort globally: the only window runs
+    per hash shard, so the Sort is preceded by a hashpartitioning
+    exchange on shard — not a SinglePartition exchange."""
+    from time_series_db_spark.pipeline.pack import pack_sequences
+    from time_series_db_spark.sources import load_table
+
+    out = pack_sequences(load_table(spark, sf_dir, "documents"))
+    plan = _plan(out)
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_sample_stratified_partial_top_n(spark, sf_dir):
+    """Stratified sampling must bound a giant stratum's shuffle: Spark's
+    partial WindowGroupLimit runs before the exchange, shipping at most
+    n rows per stratum per input partition."""
+    from time_series_db_spark.pipeline.pack import sample_stratified
+    from time_series_db_spark.sources import load_table
+
+    out = sample_stratified(load_table(spark, sf_dir, "documents"))
+    plan = _plan(out)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
