@@ -253,3 +253,60 @@ def test_sample_stratified_exact_and_stable(spark):
     # small stratum: fewer members than n → all of them, ranked
     tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], ["doc_id", "lang"])
     assert len(sample_stratified(tiny, "lang", 5).collect()) == 2
+
+
+# ---------------------------------------------------------------------------
+# PromQL subqueries (expr[range:step])
+# ---------------------------------------------------------------------------
+
+def _prom(spark, q, steps=24):
+    from time_series_db_spark.lang.prom.builder import execute
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    return execute(q, src, T0, T0 + steps * H, H)
+
+
+def test_subquery_parses_to_node_shapes():
+    from time_series_db_spark.lang.prom import ast as A
+    from time_series_db_spark.lang.prom.parser import parse
+
+    root = parse("max_over_time(rate(error[2h])[6h:1h])")
+    fn = root.children[0]
+    assert isinstance(fn, A.FunctionCallNode) and fn.name == "max_over_time"
+    sub = fn.children[0]
+    assert isinstance(sub, A.SubqueryNode)
+    assert (sub.range_ms, sub.step_ms) == (6 * H, H)
+    inner = sub.children[0]
+    assert isinstance(inner, A.FunctionCallNode) and inner.name == "rate"
+
+    # default step ([3h:]) and offset modifier
+    sub = parse("error[3h:] offset 2h").children[0]
+    assert (sub.range_ms, sub.step_ms, sub.offset_ms) == (3 * H, 0, 2 * H)
+
+    # recording-rule-style metric names keep their colon
+    sel = parse('foo:rate5m{region="r0"}').children[0]
+    assert sel.metric == "foo:rate5m"
+
+
+def test_subquery_same_step_equals_plain_range(spark):
+    """[6h:1h] with inner step == query step must be pointwise identical
+    to the plain range vector — the re-grid is then the identity."""
+    a = _prom(spark, "avg_over_time(view[6h:1h])")
+    b = _prom(spark, "avg_over_time(view[6h])")
+    ra = {(r.series_key, r.ts): r.value for r in a.df.collect()}
+    rb = {(r.series_key, r.ts): r.value for r in b.df.collect()}
+    assert ra == rb and ra
+
+
+def test_subquery_finer_step_emits_outer_grid_only(spark):
+    sf = _prom(spark, "avg_over_time(view[6h:30m])")
+    assert sf.step == H
+    assert all(r.ts % H == 0 for r in sf.df.collect())
+
+
+def test_subquery_non_dividing_step_raises(spark):
+    from time_series_db_spark.lang.prom.builder import PromUnsupportedError
+
+    with pytest.raises(PromUnsupportedError, match="must divide"):
+        _prom(spark, "avg_over_time(view[6h:25m])")

@@ -758,3 +758,61 @@ def promql_label_join(spark, sf_dir):
         'label_join(error, "host", "-", "region", "shard")',
     )
     return _flat(sf, ["name", "host", "user"])
+
+
+# ---------------------------------------------------------------------------
+# subqueries expr[range:step] (round 5 — beyond the reference grammar,
+# like the whole operator surface): inner expression evaluated at its own
+# resolution, outer range function over the result, re-gridded to the
+# query step.
+# ---------------------------------------------------------------------------
+
+from time_series_db_spark.sources import oracle_samples_cte
+
+#: 30-minute inner-resolution samples CTE (the subquery's finer grid)
+_SQ_STEP = DEFAULT_STEP_MS // 2
+_SQ_PRELUDE = "WITH " + oracle_samples_cte(step=_SQ_STEP)
+_SQ_W = _W  # identical partition/order spec works on the finer grid
+
+
+@register(
+    "promql_subquery_avg",
+    f"""{_SQ_PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(
+               f'avg(value) OVER ({_SQ_W} RANGE BETWEEN '
+               f'{6 * DEFAULT_STEP_MS - _SQ_STEP} PRECEDING AND CURRENT ROW)'
+           )} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')
+    QUALIFY ts % {DEFAULT_STEP_MS} = 0""",
+)
+def promql_subquery_avg(spark, sf_dir):
+    """avg_over_time(view[6h:30m]) — the inner selector evaluates on a
+    30m grid (finer than the 1h query step), the outer window spans 6h
+    of those samples, and only the 1h evaluation instants survive."""
+    sf = run_promql(spark, sf_dir, "avg_over_time(view[6h:30m])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_subquery_max_rate",
+    f"""{PRELUDE}{_lagged("error")}{_RATE_CORE},
+    smoothed AS (
+      SELECT {SQL_LBLS}, ts,
+             avg(rate) OVER ({_W} RANGE BETWEEN
+               {2 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW)
+               AS value
+      FROM rates)
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(
+               f'max(value) OVER ({_W} RANGE BETWEEN '
+               f'{6 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW)'
+           )} AS value
+    FROM smoothed""",
+)
+def promql_subquery_max_rate(spark, sf_dir):
+    """max_over_time(rate(error[2h])[6h:1h]) — the classic worst-burn
+    alert shape: rate evaluated per instant of the subquery grid, max
+    over the trailing 6h of those rates."""
+    sf = run_promql(spark, sf_dir, "max_over_time(rate(error[2h])[6h:1h])")
+    return _flat(sf, LABEL_KEYS)

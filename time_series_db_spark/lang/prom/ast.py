@@ -71,6 +71,21 @@ class RangeVectorSelectorNode(VectorSelectorNode):
 
 
 @dataclass
+class SubqueryNode(PromNode):
+    """expr[range:step] — PromQL subquery (beyond the reference grammar,
+    which has neither operators nor subqueries): evaluate the inner
+    expression at ``step_ms`` resolution over the trailing ``range_ms``
+    window, producing a range vector any range function can consume.
+    ``step_ms=0`` means the query's own step (Prometheus's default
+    evaluation-interval rule); ``offset_ms`` shifts the whole window.
+    children = [inner expr]."""
+
+    range_ms: int = 0
+    step_ms: int = 0
+    offset_ms: int = 0
+
+
+@dataclass
 class FunctionCallNode(PromNode):
     """fn(expr) — FunctionCallNode.java; argument is children[0]."""
 

@@ -171,6 +171,11 @@ def _build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
     if isinstance(node, A.InstantVectorSelectorNode):
         return ctx.fetch(node, 0)
 
+    if isinstance(node, A.SubqueryNode):
+        # bare subquery: the inner evaluation at its own resolution, like
+        # a bare range selector returns its raw window samples
+        return _subquery_frame(node, ctx)
+
     if isinstance(node, A.AggregationNode):
         sf = build_frame(node.children[0], ctx)
         without = node.modifier == "without"
@@ -416,47 +421,105 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
     return left.with_df(df)
 
 
+def _subquery_frame(sub: A.SubqueryNode, ctx: BuildContext) -> SeriesFrame:
+    """Evaluate a subquery's inner expression at its own resolution over
+    the query window extended back by the subquery range — the frame IS
+    the range vector (sparse samples on the finer grid), exactly like a
+    buffered fetch is for ``selector[d]``.
+
+    v1 restriction: the inner step must divide the query step (both
+    grids are epoch-aligned, so the outer evaluation instants are then a
+    subset of the inner grid and re-gridding is a filter). Prometheus
+    evaluates at arbitrary instants via its lookback rule; a
+    non-dividing step raises rather than silently mis-gridding."""
+    step2 = sub.step_ms or ctx.step
+    if ctx.step % step2 != 0:
+        raise PromUnsupportedError(
+            f"subquery step {step2}ms must divide the query step "
+            f"{ctx.step}ms (both grids are epoch-aligned)"
+        )
+    inner = BuildContext(
+        ctx.source,
+        ctx.start - sub.range_ms - sub.offset_ms,
+        ctx.end - sub.offset_ms,
+        step2,
+        profiler=ctx.profiler,
+    )
+    sf = build_frame(sub.children[0], inner)
+    if sub.offset_ms:
+        sf = mappers.timeshift(sf, sub.offset_ms)
+    return sf
+
+
+def _regrid(sf: SeriesFrame, ctx: BuildContext) -> SeriesFrame:
+    """Keep only the outer evaluation instants of a subquery result
+    (inner grid ⊇ outer grid — enforced in :func:`_subquery_frame`) and
+    restore the query step."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    df = sf.df.filter(F.col("ts") % F.lit(ctx.step) == 0)
+    return replace(sf, df=df, step=ctx.step)
+
+
 def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
     name = node.name
 
     if name in _RANGE_FNS:
+        child = node.children[0] if node.children else None
+        if isinstance(child, A.SubqueryNode):
+            sf = _subquery_frame(child, ctx)
+            out = _apply_range_fn(node, sf, child.range_ms, ctx)
+            return _regrid(out, ctx)
         sel = _range_child(node)
         sf = ctx.fetch(sel, sel.range_ms + ctx.step)
-        r = sel.range_ms
-        if name == "rate":
-            # PerSecondRateStage(interval, 1000) — :155-164
-            return windows.per_second_rate(sf, r, scale=1.0)
-        if name == "increase":
-            # PerSecondRateStage(interval, 1) — :165-173 (reference TODO
-            # notes this is rate-shaped, not exact extrapolation)
-            return windows.per_second_rate(sf, r, scale=0.001)
-        if name == "irate":
-            return windows.irate(sf)
-        if name == "delta":
-            return windows.delta_over_time(sf, r)
-        if name == "deriv":
-            return windows.deriv_over_time(sf, r)
-        if name == "changes":
-            return windows.changes_over_time(sf, r)
-        if name == "resets":
-            return windows.resets_over_time(sf, r)
-        if name == "quantile_over_time":
-            if not node.scalars:
-                raise A.PromParseError("quantile_over_time needs φ scalar")
-            return windows.quantile_over_time(sf, node.scalars[0], r)
-        if name == "stdvar_over_time":
-            return windows.stdvar_over_time(sf, r)
-        if name == "predict_linear":
-            if not node.scalars:
-                raise A.PromParseError("predict_linear(v[d], t) needs t scalar")
-            return windows.predict_linear(sf, r, node.scalars[0])
-        if name == "holt_winters":
-            if len(node.scalars) != 2:
-                raise A.PromParseError("holt_winters(v[d], sf, tf) needs two scalars")
-            return windows.holt_winters(sf, r, node.scalars[0], node.scalars[1])
-        if name == "absent_over_time":
-            return windows.absent_over_time(windows.truncate(sf, ctx.start, ctx.end), r)
-        return windows.over_time(sf, r, _OVER_TIME[name])
+        return _apply_range_fn(node, sf, sel.range_ms, ctx)
+    return _apply_instant_fn(node, ctx)
+
+
+def _apply_range_fn(
+    node: A.FunctionCallNode, sf: SeriesFrame, r: int, ctx: BuildContext
+) -> SeriesFrame:
+    name = node.name
+    if name == "rate":
+        # PerSecondRateStage(interval, 1000) — :155-164
+        return windows.per_second_rate(sf, r, scale=1.0)
+    if name == "increase":
+        # PerSecondRateStage(interval, 1) — :165-173 (reference TODO
+        # notes this is rate-shaped, not exact extrapolation)
+        return windows.per_second_rate(sf, r, scale=0.001)
+    if name == "irate":
+        return windows.irate(sf)
+    if name == "delta":
+        return windows.delta_over_time(sf, r)
+    if name == "deriv":
+        return windows.deriv_over_time(sf, r)
+    if name == "changes":
+        return windows.changes_over_time(sf, r)
+    if name == "resets":
+        return windows.resets_over_time(sf, r)
+    if name == "quantile_over_time":
+        if not node.scalars:
+            raise A.PromParseError("quantile_over_time needs φ scalar")
+        return windows.quantile_over_time(sf, node.scalars[0], r)
+    if name == "stdvar_over_time":
+        return windows.stdvar_over_time(sf, r)
+    if name == "predict_linear":
+        if not node.scalars:
+            raise A.PromParseError("predict_linear(v[d], t) needs t scalar")
+        return windows.predict_linear(sf, r, node.scalars[0])
+    if name == "holt_winters":
+        if len(node.scalars) != 2:
+            raise A.PromParseError("holt_winters(v[d], sf, tf) needs two scalars")
+        return windows.holt_winters(sf, r, node.scalars[0], node.scalars[1])
+    if name == "absent_over_time":
+        return windows.absent_over_time(windows.truncate(sf, ctx.start, ctx.end), r)
+    return windows.over_time(sf, r, _OVER_TIME[name])
+
+
+def _apply_instant_fn(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
+    name = node.name
 
     # zero-vector-argument functions
     if name in ("time", "pi", "vector"):

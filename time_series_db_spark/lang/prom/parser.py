@@ -27,6 +27,7 @@ from time_series_db_spark.lang.prom.ast import (
     PromParseError,
     RangeVectorSelectorNode,
     RootNode,
+    SubqueryNode,
     parse_duration_ms,
 )
 
@@ -49,7 +50,7 @@ _TOKEN_RE = re.compile(
   | (?P<CMP>==|>=|<=|>|<)
   | (?P<OP>=~|!~|!=|=)
   | (?P<ARITH>[-+*/%^])
-  | (?P<DELIM>[(){}\[\],])
+  | (?P<DELIM>[(){}\[\],:])
   | (?P<IDENTIFIER>[a-zA-Z_]+[a-zA-Z0-9_:]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
     """,
@@ -216,17 +217,44 @@ class _Parser:
             self.next()
             node = self.expression()
             self.expect("DELIM", ")")
-            return node
+            return self._postfix_subquery(node)
         if k == "NUMBER":
             return NumberLiteralNode(value=float(self.next()[1]))
         if (k, v) == ("ARITH", "-") and self.peek(1)[0] == "NUMBER":
             self.next()
             return NumberLiteralNode(value=-float(self.next()[1]))
         if k == "IDENTIFIER" and v.lower() in _AGGREGATIONS:
-            return self.aggregation()
+            return self._postfix_subquery(self.aggregation())
         if k == "IDENTIFIER" and self.peek(1) == ("DELIM", "("):
-            return self.function_call()
-        return self.selector()
+            return self._postfix_subquery(self.function_call())
+        return self._postfix_subquery(self.selector())
+
+    def _postfix_subquery(self, node: PromNode) -> PromNode:
+        """``expr[range:step]`` — subquery postfix (Prometheus grammar;
+        beyond the reference, like the whole operator surface). The
+        plain ``[range]`` (no colon) postfix is a range selector and is
+        consumed inside :meth:`selector` only."""
+        while (
+            self.peek() == ("DELIM", "[")
+            and self.peek(1)[0] == "DURATION"
+            and self.peek(2) == ("DELIM", ":")
+        ):
+            self.next()
+            range_ms = parse_duration_ms(self.expect("DURATION"))
+            self.expect("DELIM", ":")
+            step_ms = 0
+            if self.peek()[0] == "DURATION":
+                step_ms = parse_duration_ms(self.next()[1])
+            self.expect("DELIM", "]")
+            offset_ms = 0
+            if self.peek() == ("IDENTIFIER", "offset"):
+                self.next()
+                offset_ms = parse_duration_ms(self.expect("DURATION"))
+            node = SubqueryNode(
+                children=[node], range_ms=range_ms,
+                step_ms=step_ms, offset_ms=offset_ms,
+            )
+        return node
 
     # Aggregation() — promql.jj:166 (both formats)
     def aggregation(self) -> AggregationNode:
@@ -314,7 +342,9 @@ class _Parser:
             raise PromParseError(f"expected selector, got {v!r}")
 
         range_ms = None
-        if self.peek() == ("DELIM", "["):
+        # a '[' holding DURATION ':' is a subquery postfix — leave it for
+        # _postfix_subquery (the selector stays an instant vector)
+        if self.peek() == ("DELIM", "[") and self.peek(2) == ("DELIM", "]"):
             self.next()
             dur = self.expect("DURATION")
             self.expect("DELIM", "]")
