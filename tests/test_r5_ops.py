@@ -310,3 +310,53 @@ def test_subquery_non_dividing_step_raises(spark):
 
     with pytest.raises(PromUnsupportedError, match="must divide"):
         _prom(spark, "avg_over_time(view[6h:25m])")
+
+
+# ---------------------------------------------------------------------------
+# PromQL @ modifier
+# ---------------------------------------------------------------------------
+
+def test_at_modifier_parses():
+    from time_series_db_spark.lang.prom import ast as A
+    from time_series_db_spark.lang.prom.parser import parse
+
+    sel = parse("error @ 1704067200").children[0]
+    assert sel.at == 1_704_067_200_000
+    sel = parse("error @ start()").children[0]
+    assert sel.at == "start"
+    # both modifiers, either order
+    sel = parse("error offset 1h @ end()").children[0]
+    assert sel.at == "end" and sel.offset_ms == H
+    rng = parse("rate(error[3h] @ end())").children[0].children[0]
+    assert isinstance(rng, A.RangeVectorSelectorNode) and rng.at == "end"
+
+
+def test_at_modifier_constant_line(spark):
+    """An aggregated @-pinned selector emits one constant value at EVERY
+    grid step (@ start() with no earlier data pins nothing — lookback
+    only sees history at or before the instant)."""
+    sf = _prom(spark, "sum by (region) (view @ end())", steps=24)
+    rows = sf.df.collect()
+    per_series = {}
+    for r in rows:
+        per_series.setdefault(r.series_key, []).append((r.ts, r.value))
+    assert per_series
+    for pts in per_series.values():
+        assert len(pts) == 24                     # every grid step
+        assert len({v for _, v in pts}) == 1      # one constant value
+    # and @ start() with sparse history yields a (valid) empty result
+    assert _prom(spark, "view @ start()", steps=6).df.count() == 0
+
+
+def test_at_end_equals_last_grid_instant_value(spark):
+    """view @ end() pins each series to its most recent sample at or
+    before the last grid instant — cross-checked against the raw frame."""
+    sf = _prom(spark, "view @ end()", steps=24)
+    raw = _prom(spark, "view", steps=24)
+    te = T0 + 23 * H
+    last = {}
+    for r in raw.df.collect():
+        if r.ts <= te and (r.series_key not in last or r.ts > last[r.series_key][0]):
+            last[r.series_key] = (r.ts, r.value)
+    got = {r.series_key: r.value for r in sf.df.collect()}
+    assert got == {k: v for k, (_, v) in last.items()}

@@ -816,3 +816,62 @@ def promql_subquery_max_rate(spark, sf_dir):
     over the trailing 6h of those rates."""
     sf = run_promql(spark, sf_dir, "max_over_time(rate(error[2h])[6h:1h])")
     return _flat(sf, LABEL_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# @ modifier (round 5 — beyond the reference grammar): selector evaluation
+# pinned to one instant, emitted as a constant line across the query grid.
+# ---------------------------------------------------------------------------
+
+#: pinned instant for the numeric-@ entry: 12h into the events span
+_AT_TE = EVENTS_MIN_TS + 12 * DEFAULT_STEP_MS
+_GRID_SQL = (
+    f"SELECT gs AS ts FROM generate_series({EVENTS_MIN_TS}, "
+    f"{EVENTS_MAX_TS - DEFAULT_STEP_MS}, {DEFAULT_STEP_MS}) t(gs)"
+)
+
+
+@register(
+    "promql_at_instant",
+    f"""{PRELUDE},
+    at_rows AS (
+      SELECT {SQL_LBLS}, arg_max(value, ts) AS value FROM samples
+      WHERE name = 'error' AND ts <= {_AT_TE}
+      GROUP BY 1, 2, 3, 4),
+    grid AS ({_GRID_SQL})
+    SELECT {SQL_LBLS}, g.ts, {sql_quant('value')} AS value
+    FROM at_rows CROSS JOIN grid g""",
+)
+def promql_at_instant(spark, sf_dir):
+    """error @ <t> — the selector evaluates once at the pinned instant
+    (most recent sample at or before it — the engine-grid lookback
+    analog) and every query-grid step shows that value: a Prometheus
+    range query of ``m @ t`` is a constant line."""
+    sf = run_promql(spark, sf_dir, f"error @ {_AT_TE // 1000}")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_at_max_over_time",
+    f"""{PRELUDE},
+    src AS (SELECT * FROM samples WHERE name = 'error'),
+    wmax AS (
+      SELECT {SQL_LBLS}, ts,
+             max(value) OVER ({_W} RANGE BETWEEN
+               {6 * DEFAULT_STEP_MS - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW)
+               AS v
+      FROM src),
+    pin AS (
+      SELECT {SQL_LBLS}, arg_max(v, ts) AS value
+      FROM wmax WHERE ts <= {EVENTS_MAX_TS - DEFAULT_STEP_MS}
+      GROUP BY 1, 2, 3, 4),
+    grid AS ({_GRID_SQL})
+    SELECT {SQL_LBLS}, g.ts, {sql_quant('value')} AS value
+    FROM pin CROSS JOIN grid g""",
+)
+def promql_at_max_over_time(spark, sf_dir):
+    """max_over_time(error[6h] @ end()) — the range function evaluated at
+    the query's last grid instant (most recent emission at or before it,
+    the lookback analog), broadcast across the grid."""
+    sf = run_promql(spark, sf_dir, "max_over_time(error[6h] @ end())")
+    return _flat(sf, LABEL_KEYS)

@@ -50,12 +50,15 @@ class LabelMatcherNode(PromNode):
 @dataclass
 class VectorSelectorNode(PromNode):
     """Common selector base — VectorSelectorNode.java. ``offset_ms``
-    carries the PromQL ``offset`` modifier (beyond the reference grammar,
-    which parses no modifiers)."""
+    carries the PromQL ``offset`` modifier and ``at`` the ``@`` modifier
+    (both beyond the reference grammar, which parses no modifiers):
+    ``at`` is an epoch-ms int, or the sentinel strings ``"start"`` /
+    ``"end"`` for ``@ start()`` / ``@ end()``."""
 
     metric: str | None = None
     matchers: list[LabelMatcherNode] = field(default_factory=list)
     offset_ms: int = 0
+    at: int | str | None = None
 
 
 @dataclass

@@ -94,6 +94,21 @@ class BuildContext:
         self.profiler = profiler
         self._fetch_cache: dict[str, SeriesFrame] = {}
 
+    def resolve_at(self, at: int | str | None) -> int | None:
+        """``@`` instant → the grid-aligned evaluation timestamp:
+        ``start()`` is the first, ``end()`` the last query-grid instant;
+        a numeric timestamp floors onto the grid (our grids are
+        epoch-aligned multiples of step)."""
+        if at is None:
+            return None
+        if at == "start":
+            t = self.start
+        elif at == "end":
+            t = self.end - 1
+        else:
+            t = int(at)
+        return t - (t % self.step)
+
     def fetch(self, node: A.VectorSelectorNode, buffer_ms: int) -> SeriesFrame:
         match: dict[str, list[str]] = {}
         inverse: dict[str, list[str]] = {}
@@ -111,16 +126,25 @@ class BuildContext:
             }[m.op]
             target.setdefault(key, []).append(m.value)
         offset = getattr(node, "offset_ms", 0)
+        at_te = self.resolve_at(getattr(node, "at", None))
         key = repr((sorted(match.items()), sorted(inverse.items()),
                     sorted(match_re.items()), sorted(inverse_re.items()),
-                    buffer_ms, offset))
+                    buffer_ms, offset, at_te))
         if key not in self._fetch_cache:
             # offset modifier: scan shifted back, timestamps shifted
             # forward onto the query grid (the m3 timeshift mechanism;
-            # the reference grammar parses no modifiers at all)
+            # the reference grammar parses no modifiers at all).
+            # @ modifier: widen the scan to cover the query range AND the
+            # pinned instant — the pin picks the most recent emission at
+            # or before the instant (see _pin_to_grid), so its lookback
+            # must see the same history a normal selector would.
+            lo, hi = self.start, self.end
+            if at_te is not None:
+                lo = min(lo, at_te)
+                hi = max(hi, at_te + self.step)
             sf = self.source.fetch(
                 match, inverse,
-                self.start - buffer_ms - offset, self.end - offset, self.step,
+                lo - buffer_ms - offset, hi - offset, self.step,
                 match_re=match_re, inverse_re=inverse_re,
             )
             if offset:
@@ -169,7 +193,10 @@ def _build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
         # bare range selector (query 7): raw samples over the range window
         return ctx.fetch(node, 0)
     if isinstance(node, A.InstantVectorSelectorNode):
-        return ctx.fetch(node, 0)
+        sf = ctx.fetch(node, 0)
+        if node.at is not None:
+            return _pin_to_grid(sf, ctx.resolve_at(node.at), ctx)
+        return sf
 
     if isinstance(node, A.SubqueryNode):
         # bare subquery: the inner evaluation at its own resolution, like
@@ -463,6 +490,45 @@ def _regrid(sf: SeriesFrame, ctx: BuildContext) -> SeriesFrame:
     return replace(sf, df=df, step=ctx.step)
 
 
+def _pin_to_grid(sf: SeriesFrame, te: int, ctx: BuildContext) -> SeriesFrame:
+    """``@`` emission: each series' value at the pinned instant, repeated
+    at every query-grid step — a Prometheus range query of ``m @ t`` is a
+    constant line. "At the instant" uses the engine's grid semantics:
+    the series' most recent emission at or before ``te`` inside the
+    fetched window (the Prometheus-lookback analog — sparse series have
+    no sample exactly on the instant). One series-count aggregate then a
+    bounded grid explode."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SAMPLE_COLS
+
+    pinned = (
+        sf.df.filter(F.col("ts") <= F.lit(int(te)))
+        .groupBy("series_key")
+        .agg(F.expr("max_by(struct(labels, alias, value), ts)").alias("__s"))
+        .select(
+            "series_key",
+            F.col("__s.labels").alias("labels"),
+            F.col("__s.alias").alias("alias"),
+            F.col("__s.value").alias("value"),
+        )
+    )
+    lo = ctx.start - (ctx.start % ctx.step)
+    if lo < ctx.start:
+        lo += ctx.step
+    hi = (ctx.end - 1) - ((ctx.end - 1) % ctx.step)
+    df = pinned.select(
+        "series_key", "labels", "alias",
+        F.explode(
+            F.sequence(F.lit(lo), F.lit(hi), F.lit(ctx.step))
+        ).alias("ts"),
+        "value",
+    ).select(*SAMPLE_COLS)
+    return replace(sf, df=df, step=ctx.step, min_ts=ctx.start, max_ts=ctx.end)
+
+
 def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
     name = node.name
 
@@ -474,7 +540,12 @@ def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
             return _regrid(out, ctx)
         sel = _range_child(node)
         sf = ctx.fetch(sel, sel.range_ms + ctx.step)
-        return _apply_range_fn(node, sf, sel.range_ms, ctx)
+        out = _apply_range_fn(node, sf, sel.range_ms, ctx)
+        if sel.at is not None:
+            # @ on the range vector: the function's value at the pinned
+            # instant, emitted at every query-grid step
+            out = _pin_to_grid(out, ctx.resolve_at(sel.at), ctx)
+        return out
     return _apply_instant_fn(node, ctx)
 
 

@@ -50,7 +50,7 @@ _TOKEN_RE = re.compile(
   | (?P<CMP>==|>=|<=|>|<)
   | (?P<OP>=~|!~|!=|=)
   | (?P<ARITH>[-+*/%^])
-  | (?P<DELIM>[(){}\[\],:])
+  | (?P<DELIM>[(){}\[\],:@])
   | (?P<IDENTIFIER>[a-zA-Z_]+[a-zA-Z0-9_:]*)
   | (?P<STRING>"(?:[^"\\]|\\.)*")
     """,
@@ -350,16 +350,37 @@ class _Parser:
             self.expect("DELIM", "]")
             range_ms = parse_duration_ms(dur)
         offset_ms = 0
-        if self.peek() == ("IDENTIFIER", "offset"):  # offset modifier
-            self.next()
-            offset_ms = parse_duration_ms(self.expect("DURATION"))
+        at: int | str | None = None
+        # offset and @ modifiers, in either order (Prometheus allows both)
+        while True:
+            if self.peek() == ("IDENTIFIER", "offset"):
+                self.next()
+                offset_ms = parse_duration_ms(self.expect("DURATION"))
+            elif self.peek() == ("DELIM", "@"):
+                self.next()
+                k, v = self.peek()
+                if k == "IDENTIFIER" and v in ("start", "end"):
+                    self.next()
+                    self.expect("DELIM", "(")
+                    self.expect("DELIM", ")")
+                    at = v
+                elif k in ("NUMBER", "DURATION"):
+                    # epoch seconds; DURATION absorbs forms like "30s"
+                    # only when unitless digits were lexed as NUMBER
+                    if k != "NUMBER":
+                        raise PromParseError("@ expects epoch seconds")
+                    at = int(float(self.next()[1]) * 1000.0)
+                else:
+                    raise PromParseError(f"@ expects a timestamp, got {v!r}")
+            else:
+                break
         if range_ms is not None:
             return RangeVectorSelectorNode(
                 metric=metric, matchers=matchers,
-                range_ms=range_ms, offset_ms=offset_ms,
+                range_ms=range_ms, offset_ms=offset_ms, at=at,
             )
         return InstantVectorSelectorNode(
-            metric=metric, matchers=matchers, offset_ms=offset_ms
+            metric=metric, matchers=matchers, offset_ms=offset_ms, at=at
         )
 
     # LabelMatchers()/LabelMatcher() — promql.jj:300-340
