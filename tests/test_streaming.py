@@ -621,3 +621,98 @@ def test_tsdb_stats_flat_format(spark, sf_dir):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+def test_streaming_sessionize_gap_windows(spark, tmp_path):
+    """session_window streaming sessions: events within the gap merge
+    into one session, a gap strictly greater than 30m splits, and the
+    emitted spans are [first_event, last_event + gap) per the built-in
+    session_window contract."""
+    import json as _json
+
+    from time_series_db_spark.streaming.sessions import streaming_sessionize
+
+    GAP = 1_800_000
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    out_dir = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def iso(ms):
+        import datetime
+
+        return (
+            datetime.datetime(1970, 1, 1)
+            + datetime.timedelta(milliseconds=ms)
+        ).strftime("%Y-%m-%dT%H:%M:%S.000Z")
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                _json.dumps({"user_id": u, "ts": iso(t)}) for u, t in rows
+            )
+        )
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            streaming_sessionize(stream, gap_ms=GAP)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_batch("b1.json", [
+        (1, T0),                     # session A: two events 10m apart
+        (1, T0 + 600_000),
+        (1, T0 + 3 * H),             # session B: isolated event
+        (2, T0),                     # user 2: one session
+    ])
+    # append mode emits a session only once its window has passed the
+    # watermark (max event time − 2h = T0+1h): A and user-2 emit, B is
+    # still open in state
+    got = {
+        (r.user, r.session_start): (r.session_end, r.n_events, r.duration_ms)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, T0): (T0 + 600_000 + GAP, 2, 600_000 + GAP),
+        (2, T0): (T0 + GAP, 1, GAP),
+    }
+
+    # a later batch advances the watermark past B's close → B emits from
+    # state carried across micro-batch runs (checkpointed)
+    run_batch("b2.json", [(3, T0 + 8 * H)])
+    got = {
+        (r.user, r.session_start): (r.session_end, r.n_events, r.duration_ms)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        (1, T0): (T0 + 600_000 + GAP, 2, 600_000 + GAP),
+        (1, T0 + 3 * H): (T0 + 3 * H + GAP, 1, GAP),
+        (2, T0): (T0 + GAP, 1, GAP),
+    }
+
+
+def test_batch_sessionize_semantics(spark):
+    """Batch gap sessions: boundary exactly at the gap does NOT split
+    (strictly-greater rule); session ids number per user in time order."""
+    from time_series_db_spark.streaming.sessions import sessionize
+
+    GAP = 1_800_000
+    df = spark.createDataFrame(
+        [(1, T0), (1, T0 + GAP), (1, T0 + GAP + GAP + 1),
+         (2, T0 + 5 * H)],
+        "user_id long, ts long",
+    )
+    got = {
+        (r.user, r.session_id): (r.session_start, r.n_events)
+        for r in sessionize(df, gap_ms=GAP).collect()
+    }
+    assert got == {
+        (1, 1): (T0, 2),             # gap == GAP merges
+        (1, 2): (T0 + 2 * GAP + 1, 1),
+        (2, 1): (T0 + 5 * H, 1),
+    }

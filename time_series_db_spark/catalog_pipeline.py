@@ -687,3 +687,38 @@ def sample_stratified(spark, sf_dir):
     return pack.sample_stratified(
         _docs(spark, sf_dir), strata_col="lang", n_per_stratum=20
     )
+
+
+@register(
+    "sessionize_events",
+    """WITH base AS (
+      SELECT user_id AS "user", epoch_ms(ts) AS ts FROM events),
+    lagged AS (
+      SELECT "user", ts,
+             lag(ts) OVER (PARTITION BY "user" ORDER BY ts) AS pts
+      FROM base),
+    flagged AS (
+      SELECT "user", ts,
+             CASE WHEN pts IS NULL OR ts - pts > 1800000
+                  THEN 1 ELSE 0 END AS ns
+      FROM lagged),
+    sess AS (
+      SELECT "user", ts,
+             sum(ns) OVER (PARTITION BY "user" ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+               AS session_id
+      FROM flagged)
+    SELECT "user", session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           count(*)::BIGINT AS n_events,
+           max(ts) - min(ts) AS duration_ms
+    FROM sess GROUP BY 1, 2""",
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based user sessions (30m gap) over the raw events table —
+    streaming/sessions.py batch path: one per-user window + one hash
+    aggregation; the session boundary is tie-insensitive so the
+    differential is deterministic under any shuffle order."""
+    from time_series_db_spark.streaming.sessions import sessionize
+
+    return sessionize(load_table(spark, sf_dir, "events"))
