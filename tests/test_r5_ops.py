@@ -360,3 +360,43 @@ def test_at_end_equals_last_grid_instant_value(spark):
             last[r.series_key] = (r.ts, r.value)
     got = {r.series_key: r.value for r in sf.df.collect()}
     assert got == {k: v for k, (_, v) in last.items()}
+
+
+def test_divide_when_pass_through_and_guard(spark):
+    """divideWhen ge 20: steps where the denominator ≥ 20 divide; others
+    pass the numerator through unchanged; a zero denominator passing the
+    guard (ge 0) yields NaN like the divide family."""
+    sf = _run(
+        spark,
+        "mockFetch 10,30 name:n | divideWhen ge 20 (mockFetch 5,30 name:n)",
+        steps=2,
+    )
+    got = {r.ts: r.value for r in sf.df.collect()}
+    assert got == {T0: 10.0, T0 + H: 1.0}   # 5<20 → pass-through; 30/30
+    assert all(
+        r.labels.get("type") == "ratios" for r in sf.df.collect()
+    )
+
+    sf = _run(
+        spark,
+        "mockFetch 7 name:n | divideWhen ge 0 (mockFetch 0 name:n)",
+        steps=1,
+    )
+    [r] = sf.df.collect()
+    assert math.isnan(r.value)
+
+    # missing denominator timestamps pass through (left join)
+    sf = _run(
+        spark,
+        "mockFetch 4,8 name:n | divideWhen ge 1 (mockFetch 2 name:n)",
+        steps=2,
+    )
+    got = {r.ts: r.value for r in sf.df.collect()}
+    assert got == {T0: 2.0, T0 + H: 8.0}
+
+
+def test_divide_when_rejects_bad_op(spark):
+    from time_series_db_spark.lang.m3.plan import M3PlanError
+
+    with pytest.raises(M3PlanError, match="invalid divideWhen operator"):
+        _run(spark, "mockFetch 1 name:n | divideWhen foo 1 (mockFetch 1 name:n)")

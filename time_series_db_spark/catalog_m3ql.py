@@ -1101,3 +1101,33 @@ def m3ql_show_anomaly_thresholds(spark, sf_dir):
         F.col("ts"),
         quant(F.col("value")).alias("value"),
     )
+
+
+@register(
+    "m3ql_divide_when",
+    f"""{PRELUDE},
+    totals AS (
+      SELECT region, ts, CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS tv
+      FROM samples WHERE name = 'error' GROUP BY 1, 2)
+    SELECT s.name, s."user", s.region, s.shard, s.ts,
+           {sql_quant(
+               "CASE WHEN t.tv IS NOT NULL AND t.tv >= 50.0"
+               " THEN (CASE WHEN t.tv = 0 THEN 'NaN'::DOUBLE"
+               "       ELSE s.value / t.tv END)"
+               " ELSE s.value END"
+           )} AS value
+    FROM samples s LEFT JOIN totals t
+      ON s.region = t.region AND s.ts = t.ts
+    WHERE s.name = 'error'""",
+)
+def m3ql_divide_when(spark, sf_dir):
+    """divideWhen ge 50 (sum region) region — Constants.java:53 with
+    documented chosen semantics: the per-region total divides the series
+    only where it is ≥50; elsewhere (small or missing denominator) the
+    raw value passes through. LEFT-outer variant of the divide join."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        "fetch name:error"
+        " | divideWhen ge 50 (fetch name:error | sum region) region",
+    )
+    return _flat(sf, LABEL_KEYS)

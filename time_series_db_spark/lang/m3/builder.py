@@ -291,6 +291,12 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         ratio = binary.divide(err_rate, tot_rate)
         return mappers.scale(ratio, 1.0 / (1.0 - node.slo))
 
+    if isinstance(node, P.DivideWhenNode):
+        left, right = inputs
+        return binary.divide_when(
+            left, right, node.op, node.threshold, keys=node.keys or None
+        )
+
     if isinstance(node, P.MultiBurnRateNode):
         # one BurnRate composition per window over the SAME two input
         # frames (the fetch CSE means the sources scan once), each branch

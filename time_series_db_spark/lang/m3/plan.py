@@ -457,6 +457,26 @@ class AsMultiBurnRateNode(PlanNode):
         )
 
 
+class DivideWhenNode(PlanNode):
+    """divideWhen — known-but-unimplemented (Constants.java:53);
+    documented chosen semantics in operators.binary.divide_when: divide
+    where the matched denominator passes ``<op> <threshold>``, pass the
+    numerator through unchanged elsewhere. Children: [lhs, rhs]."""
+
+    def __init__(self, op: str, threshold: float, keys: list[str]):
+        super().__init__()
+        self.op = op
+        self.threshold = threshold
+        self.keys = keys
+
+    def explain(self) -> str:
+        return (
+            f"DIVIDE_WHEN(op={self.op.upper()}, "
+            f"threshold={java_double_str(self.threshold)}, "
+            f"keys=[{','.join(self.keys)}])"
+        )
+
+
 class TimestampNode(_Simple):
     """timestamp — known-but-unimplemented (Constants.java:73); Graphite/
     PromQL ``timestamp()`` semantics: value := the sample's own timestamp
@@ -1348,6 +1368,27 @@ def _convert(node: ast.Node) -> PlanNode:
             bn.add(result)
             bn.add(_chain_arg(groups[0]))
             result = bn
+        elif isinstance(child, ast.FunctionNode) and child.name == "divideWhen":
+            result = _finalized()
+            dangling = None
+            vals = [
+                c.value for c in child.children if isinstance(c, ast.ValueNode)
+            ]
+            groups = [c for c in child.children if _is_chain_arg(c)]
+            if len(vals) < 2 or len(groups) != 1:
+                raise M3PlanError(
+                    "divideWhen expects: op value (denominator-pipeline) [keys...]"
+                )
+            if vals[0] not in VALUE_FILTER_OPS:
+                raise M3PlanError(f"invalid divideWhen operator: {vals[0]}")
+            dw = DivideWhenNode(
+                VALUE_FILTER_OPS[vals[0]].lower(),
+                float(vals[1]),
+                [_strip_quotes(v) for v in vals[2:]],
+            )
+            dw.add(result)
+            dw.add(_chain_arg(groups[0]))
+            result = dw
         elif isinstance(child, ast.FunctionNode) and child.name == "multiBurnRate":
             result = _finalized()
             dangling = None

@@ -81,7 +81,12 @@ def _meta_probe(lf, rf):
     return n_total - n_right, n_right, common
 
 
-def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
+def _binary_join(
+    left: SeriesFrame,
+    right: SeriesFrame,
+    keys: list[str] | None,
+    how: str = "inner",
+):
     """The reference's binary matching chain
     (AbstractBinaryProjectionStage.process, :244-346):
 
@@ -132,7 +137,7 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
             rvals = rf.groupBy("ts").agg(
                 F.expr("max_by(value, series_key)").alias("__rvalue")
             )
-            return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
+            return lf.join(F.broadcast(rvals), on="ts", how=how), left
         keys = common or None  # [] → full identity
         if keys is None:
             n_groups = n_right  # full identity ⇒ one group per right series
@@ -160,7 +165,7 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
         rvals = rk.groupBy("ts").agg(
             F.expr("max_by(value, series_key)").alias("__rvalue")
         )
-        return lf.join(F.broadcast(rvals), on="ts", how="inner"), left
+        return lf.join(F.broadcast(rvals), on="ts", how=how), left
 
     if keys:
         lf = lf.filter(has_all_keys_expr(keys))
@@ -180,7 +185,7 @@ def _binary_join(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None):
     )
     on = [lcols[f"__mk_{i}"] == rcols[f"__mk_{i}"] for i in range(n_mk)]
     on.append(lcols["ts"] == rcols["__rts"])
-    joined = lcols.join(rcols, on=on, how="inner")
+    joined = lcols.join(rcols, on=on, how=how)
     return joined, left
 
 
@@ -213,6 +218,39 @@ def divide(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = None)
     expr = F.when(F.col("__rvalue") == 0, F.lit(NAN)).otherwise(
         F.col("value") / F.col("__rvalue")
     )
+    return _tag_ratios(_projected(left, joined, expr))
+
+
+def divide_when(
+    left: SeriesFrame,
+    right: SeriesFrame,
+    op: str,
+    threshold: float,
+    keys: list[str] | None = None,
+) -> SeriesFrame:
+    """divideWhen — reference known-but-unimplemented
+    (lang/m3/common/Constants.java:53). Chosen, documented semantics:
+    divide the numerator by the matched denominator only at timestamps
+    where the denominator satisfies ``<op> <threshold>`` (the
+    ValueFilterStage comparison set); timestamps with no denominator
+    match or a failing denominator pass the numerator through UNCHANGED
+    — a guarded ratio that degrades to the raw series instead of
+    emitting junk when the denominator is unhealthy. Matching follows
+    the divide chain (explicit keys / auto-common / single-group);
+    NaN-on-zero inside the divide branch like every divide-family stage;
+    output tagged ``type:ratios``.
+
+    Spark shape: the same equi-join as divide but LEFT-outer, so the
+    pass-through rows ride the join instead of a second union pass.
+    """
+    from time_series_db_spark.operators.filters import value_pred
+
+    joined, left = _binary_join(left, right, keys, how="left")
+    rv = F.col("__rvalue")
+    guarded = F.when(rv == 0, F.lit(NAN)).otherwise(F.col("value") / rv)
+    expr = F.when(
+        rv.isNotNull() & value_pred(rv, op, threshold), guarded
+    ).otherwise(F.col("value"))
     return _tag_ratios(_projected(left, joined, expr))
 
 

@@ -28,10 +28,17 @@ def value_filter(sf: SeriesFrame, op: str, threshold: float) -> SeriesFrame:
     NaN fails every comparison (Java double compare), so NaN samples are
     dropped by all ops except ``ne``.
     """
+    return sf.with_df(sf.df.filter(value_pred(F.col("value"), op, threshold)))
+
+
+def value_pred(v, op: str, threshold: float):
+    """The ValueFilterStage comparison as a reusable column predicate
+    (shared with the divideWhen denominator guard). NaN fails every
+    comparison except ``ne`` (Java double compare)."""
     if op not in _OPS:
         raise ValueError(f"unknown value_filter op: {op}")
-    v, t = F.col("value"), F.lit(float(threshold))
-    cond = {
+    t = F.lit(float(threshold))
+    return {
         "eq": F.abs(v - t) < F.lit(EQ_TOLERANCE),
         "ne": ~(F.abs(v - t) < F.lit(EQ_TOLERANCE)),
         "gt": v > t,
@@ -39,7 +46,6 @@ def value_filter(sf: SeriesFrame, op: str, threshold: float) -> SeriesFrame:
         "lt": v < t,
         "le": v <= t,
     }[op]
-    return sf.with_df(sf.df.filter(cond))
 
 
 def where(sf: SeriesFrame, tag_a: str, tag_b: str, negate: bool = False) -> SeriesFrame:
