@@ -148,3 +148,64 @@ def test_moving_formulations_agree(spark, sf_dir, fn):
     scatter = windows._moving_scatter(sf, 3, fn)
     dense = windows._moving_dense(sf, w, fn)
     assert _rows(scatter) == _rows(dense)
+
+
+# ---------------------------------------------------------------------------
+# Composition identities: a composite operator must equal the composition
+# it documents (r5 additions) — run through the full language path so the
+# planner, builder, and operators are all in the loop.
+# ---------------------------------------------------------------------------
+
+
+def _m3ql(spark, sf_dir, q):
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.sources import EVENTS_MAX_TS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    sf = execute(
+        q, EventsSource(spark, sf_dir),
+        EVENTS_MIN_TS, EVENTS_MAX_TS, DEFAULT_STEP_MS,
+    )
+    return {
+        (r.series_key, r.ts): round(r.value, 9) if not math.isnan(r.value) else "NaN"
+        for r in sf.df.collect()
+    }
+
+
+def test_multi_burn_rate_equals_burn_rate_union(spark, sf_dir):
+    multi = _m3ql(
+        spark, sf_dir,
+        "fetch name:error | max region"
+        " | multiBurnRate 0.99 1h 6h (fetch name:{error,click} | max region)",
+    )
+    singles = {}
+    for w in ("1h", "6h"):
+        singles.update(_m3ql(
+            spark, sf_dir,
+            f"fetch name:error | max region"
+            f" | burnRate {w} 0.99 (fetch name:{{error,click}} | max region)"
+            f" | _tagAdd window {w}",
+        ))
+    assert multi == singles
+
+
+def test_summarize_by_equals_agg_then_summarize(spark, sf_dir):
+    composite = _m3ql(spark, sf_dir, "fetch name:* | _summarizeBy 6h max region")
+    composed = _m3ql(spark, sf_dir, "fetch name:* | max region | summarize 6h max")
+    assert composite == composed and composite
+
+
+def test_divide_when_always_true_equals_divide(spark, sf_dir):
+    """With a predicate every denominator passes and full match coverage,
+    divideWhen degenerates to divide exactly (left join ≡ inner join when
+    every row matches)."""
+    guarded = _m3ql(
+        spark, sf_dir,
+        "fetch name:error | divideWhen ge -999999999 "
+        "(fetch name:error | sum region) region",
+    )
+    plain = _m3ql(
+        spark, sf_dir,
+        "fetch name:error | divide (fetch name:error | sum region) region",
+    )
+    assert guarded == plain and guarded
