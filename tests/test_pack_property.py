@@ -1,0 +1,131 @@
+"""Property tests for the round-5 batch-construction and histogram ops.
+
+Directed tests pin specific cases; these check the structural invariants
+that must hold for ANY input — packing conserves and tiles the token
+stream, stratified sampling is an exact deterministic prefix, and the
+histogram CDF is a monotone [0,1] staircase.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_doc_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=1, max_value=40),  # token count
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_doc_lists, budget=st.sampled_from([8, 32, 128]))
+def test_pack_sequences_invariants(spark, docs, budget):
+    """For any corpus and budget: token totals are conserved, each
+    shard's stream tiles [0, total) contiguously, and a document's block
+    is exactly start_offset // budget."""
+    from time_series_db_spark.pipeline.pack import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "w " * n) for i, n in docs], ["doc_id", "text"]
+    )
+    rows = pack_sequences(df, budget=budget, n_shards=4).collect()
+    assert len(rows) == len(docs)
+    want_tokens = {i: n for i, n in docs}
+    by_shard: dict = {}
+    for r in rows:
+        assert r.n_tokens == want_tokens[r.doc_id]
+        assert r.pack_id == r.start_offset // budget
+        by_shard.setdefault(r.shard, []).append((r.start_offset, r.n_tokens))
+    for spans in by_shard.values():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos  # contiguous tiling, no gaps or overlaps
+            pos += n
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n_docs=st.integers(min_value=1, max_value=80),
+    n=st.sampled_from([1, 5, 20]),
+)
+def test_sample_stratified_prefix_property(spark, n_docs, n):
+    """The n-sample of a stratum is exactly the first n of the md5-ranked
+    full ordering — so growing n only EXTENDS a sample, never reshuffles
+    it (the property that makes eval splits stable as quotas change)."""
+    import hashlib
+
+    from time_series_db_spark.pipeline.pack import sample_stratified
+
+    df = spark.createDataFrame(
+        [(i, "L" + str(i % 3)) for i in range(n_docs)], ["doc_id", "lang"]
+    )
+    got = {}
+    for r in sample_stratified(df, "lang", n_per_stratum=n).collect():
+        got.setdefault(r.stratum, []).append((r.sample_rank, r.doc_id))
+    for stratum, picked in got.items():
+        members = [i for i in range(n_docs) if "L" + str(i % 3) == stratum]
+        full = sorted(members, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want = [(k + 1, d) for k, d in enumerate(full[:n])]
+        assert sorted(picked) == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    values=st.lists(
+        st.integers(min_value=0, max_value=399), min_size=1, max_size=12
+    ),
+    thresholds=st.lists(
+        st.integers(min_value=-50, max_value=500),
+        min_size=1, max_size=4, unique=True,
+    ),
+)
+def test_histogram_cdf_monotone_bounded(spark, values, thresholds):
+    """For any value set and thresholds: CDF values lie in [0,1], are
+    non-decreasing in the threshold, and hit 1 at/after the top bucket."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    q = (
+        " | ".join(
+            f"mockFetch {v} name:s{i}" for i, v in enumerate(values)
+        )
+        + " | toHistogramLinearBuckets 0 50 8 | histogramCDF bucketid bucket "
+        + " ".join(str(t) for t in sorted(thresholds))
+    )
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    sf = execute(
+        q, src, EVENTS_MIN_TS, EVENTS_MIN_TS + DEFAULT_STEP_MS, DEFAULT_STEP_MS
+    )
+    got = sorted(
+        (float(r.labels["histogramCDF"].removeprefix("le_")), r.value)
+        for r in sf.df.collect()
+    )
+    assert got, q
+    prev = 0.0
+    for _, v in got:
+        assert 0.0 <= v <= 1.0
+        assert v >= prev - 1e-12
+        prev = v
+    top_threshold, top_v = got[-1]
+    if top_threshold >= 400:  # ≥ the top bucket's upper bound
+        assert top_v == pytest.approx(1.0)
