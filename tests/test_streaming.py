@@ -716,3 +716,59 @@ def test_batch_sessionize_semantics(spark):
         (1, 2): (T0 + 2 * GAP + 1, 1),
         (2, 1): (T0 + 5 * H, 1),
     }
+
+
+def test_bucketed_store_elides_series_exchange(spark, tmp_path):
+    """ingest_batch_bucketed bakes series clustering into storage:
+    reading back and running a per-series window (derivative) must plan
+    ZERO hashpartitioning exchanges on series_key — the scan's bucket
+    partitioning satisfies the window's distribution — while the plain
+    table pays one. Values are identical either way."""
+    from time_series_db_spark.model import SeriesFrame
+    from time_series_db_spark.operators import windows
+    from time_series_db_spark.streaming import (
+        INGEST_SCHEMA,
+        ingest_batch,
+        ingest_batch_bucketed,
+        read_metrics,
+        read_metrics_bucketed,
+    )
+
+    docs = spark.createDataFrame(
+        [(f"name cpu host h{i % 7}", T0 + j * H, float(i + j))
+         for i in range(7) for j in range(6)],
+        INGEST_SCHEMA,
+    )
+    plain_path = str(tmp_path / "plain")
+    ingest_batch(spark, docs, plain_path)
+    spark.sql("DROP TABLE IF EXISTS metrics_bucketed_test")
+    ingest_batch_bucketed(
+        spark, docs, "metrics_bucketed_test",
+        path=str(tmp_path / "bucketed"), n_buckets=4,
+    )
+    try:
+        def deriv(df):
+            sf = SeriesFrame(
+                df=df.withColumn("alias", F.lit(None).cast("string"))
+                     .select(*SAMPLE_COLS),
+                step=H, min_ts=T0, max_ts=T0 + 6 * H,
+            )
+            return windows.derivative(sf).df
+
+        plain = deriv(read_metrics(spark, plain_path))
+        bucketed = deriv(read_metrics_bucketed(spark, "metrics_bucketed_test"))
+
+        def n_series_exchanges(df):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return sum(
+                1 for line in plan.splitlines()
+                if "Exchange hashpartitioning" in line and "series_key" in line
+            )
+
+        assert n_series_exchanges(plain) >= 1
+        assert n_series_exchanges(bucketed) == 0
+        a = sorted((r.series_key, r.ts, r.value) for r in plain.collect())
+        b = sorted((r.series_key, r.ts, r.value) for r in bucketed.collect())
+        assert a == b and a
+    finally:
+        spark.sql("DROP TABLE IF EXISTS metrics_bucketed_test")

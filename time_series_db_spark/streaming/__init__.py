@@ -7,9 +7,11 @@ from time_series_db_spark.streaming.ingest import (  # noqa: F401
     DEFAULT_OOO_CUTOFF,
     INGEST_SCHEMA,
     ingest_batch,
+    ingest_batch_bucketed,
     ingestion_lag,
     parse_ingest,
     read_metrics,
+    read_metrics_bucketed,
     start_ingest,
 )
 from time_series_db_spark.streaming.maintenance import (  # noqa: F401
