@@ -772,3 +772,62 @@ def test_bucketed_store_elides_series_exchange(spark, tmp_path):
         assert a == b and a
     finally:
         spark.sql("DROP TABLE IF EXISTS metrics_bucketed_test")
+
+
+def test_ingest_to_m3ql_query_loop(spark, tmp_path):
+    """The reference's full lifecycle on our engine: bulk docs →
+    (bucketed) ingest → M3QL and PromQL queries through the language
+    front-ends via MetricsSource — with tag wildcards, negation, a
+    grouped aggregation, and a window stage."""
+    from time_series_db_spark import service
+    from time_series_db_spark.lang.m3.builder import execute as m3ql
+    from time_series_db_spark.lang.prom.builder import execute as promql
+    from time_series_db_spark.sources.m3source import MetricsSource
+    from time_series_db_spark.streaming import INGEST_SCHEMA, ingest_batch_bucketed
+
+    docs = spark.createDataFrame(
+        [(f"name req host h{i % 2} dc {'east' if i % 3 else 'west'}",
+          T0 + j * H, float(10 * i + j))
+         for i in range(4) for j in range(4)]
+        + [(f"name err host h0 dc east", T0 + j * H, float(j)) for j in range(4)],
+        INGEST_SCHEMA,
+    )
+    spark.sql("DROP TABLE IF EXISTS metrics_loop_test")
+    ingest_batch_bucketed(
+        spark, docs, "metrics_loop_test", path=str(tmp_path / "loop"),
+    )
+    try:
+        src = MetricsSource(spark, "metrics_loop_test", bucketed=True)
+        end = T0 + 4 * H
+
+        sf = m3ql("fetch name:req dc:east | sum host", src, T0, end, H)
+        rows = {(r.labels["host"], r.ts): r.value for r in sf.df.collect()}
+        # east = i in {1,2} → host h1 (i=1) and h0 (i=2)
+        assert rows[("h1", T0)] == 10.0 and rows[("h0", T0)] == 20.0
+        assert rows[("h1", T0 + 3 * H)] == 13.0
+
+        # wildcard + negation through the same path
+        sf = m3ql("fetch name:* host:!h1 | sum", src, T0, end, H)
+        got = {r.ts: r.value for r in sf.df.collect()}
+        # h0 series: req i∈{0,2} + err → (0+j)+(20+j)+j at each step
+        assert got[T0] == 20.0 and got[T0 + 1 * H] == 23.0
+
+        # a window stage over the ingested store
+        sf = m3ql("fetch name:err | derivative", src, T0, end, H)
+        assert {r.value for r in sf.df.collect()} == {1.0}
+
+        # PromQL against the same source
+        sf = promql('sum by (dc) (req{host=~"h.*"})', src, T0, end, H)
+        by_dc = {(r.labels["dc"], r.ts): r.value for r in sf.df.collect()}
+        assert by_dc[("west", T0)] == 30.0   # i=0 (10*0) + i=3 (30)
+        assert by_dc[("east", T0)] == 30.0   # i=1 + i=2
+
+        # and the service facade end-to-end (matrix JSON shape)
+        m = service.m3ql_query_range(
+            src, "fetch name:err | sum", start=T0, end=end, step=H,
+        )
+        assert m["status"] == "success"
+        [series] = m["data"]["result"]
+        assert [v for _, v in series["values"]] == ["0", "1", "2", "3"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS metrics_loop_test")

@@ -200,3 +200,104 @@ def oracle_tag_sql(
         ors = " OR ".join(_one(_col(key), v) for v in values)
         parts.append(f"NOT ({ors})")
     return " AND ".join(parts) if parts else "TRUE"
+
+
+class MetricsSource:
+    """M3Source over an INGESTED metrics table (streaming/ingest.py) —
+    closes the write-read loop: bulk docs → Structured Streaming ingest →
+    M3QL/PromQL query, the reference's own lifecycle (TSDBEngine.index →
+    RestM3QLAction query). Accepts a parquet path (``read_metrics``) or,
+    with ``bucketed=True``, a catalog table written by
+    ``ingest_batch_bucketed`` — then per-series stages downstream plan
+    zero series_key exchanges.
+
+    Unlike EventsSource (fixed label columns), labels here are the open
+    map decoded from ``series_key``, so tag predicates evaluate against
+    ``labels[key]`` — they cannot reach parquet as pushed filters, but
+    block-partition pruning and ts row-group pruning still bound the
+    scan (the reference's Lucene label index is the part Spark replaces
+    with the bucket/partition layout, not with per-label statistics)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: str,
+        bucketed: bool = False,
+    ):
+        self.spark = spark
+        self.table = table
+        self.bucketed = bucketed
+
+    def fetch(
+        self,
+        match: dict[str, list[str]],
+        inverse: dict[str, list[str]],
+        min_ts: int,
+        max_ts: int,
+        step: int,
+        match_re: dict[str, list[str]] | None = None,
+        inverse_re: dict[str, list[str]] | None = None,
+    ) -> SeriesFrame:
+        from time_series_db_spark.streaming.ingest import (
+            read_metrics,
+            read_metrics_bucketed,
+        )
+
+        if self.bucketed:
+            df = read_metrics_bucketed(
+                self.spark, self.table, min_ts=min_ts, max_ts=max_ts
+            )
+        else:
+            df = read_metrics(
+                self.spark, self.table, min_ts=min_ts, max_ts=max_ts
+            )
+        lbl = F.col("labels")
+        where = None
+        for key, values in match.items():
+            p = tag_filter_predicate(lbl[key], values)
+            where = p if where is None else (where & p)
+        for key, values in inverse.items():
+            # absent tag passes a negated filter (nothing to match)
+            p = lbl[key].isNull() | tag_filter_predicate(
+                lbl[key], values, inverted=True
+            )
+            where = p if where is None else (where & p)
+        for key, values in (match_re or {}).items():
+            p = regex_filter_predicate(lbl[key], values)
+            where = p if where is None else (where & p)
+        for key, values in (inverse_re or {}).items():
+            p = lbl[key].isNull() | regex_filter_predicate(
+                lbl[key], values, inverted=True
+            )
+            where = p if where is None else (where & p)
+        if where is not None:
+            df = df.filter(where)
+        # grid alignment with LWW by raw timestamp (the events adapter
+        # breaks ties by ingest order; stored samples carry no ingest id,
+        # so the latest raw timestamp in the bucket wins)
+        grid = (F.col("ts") - (F.col("ts") % F.lit(int(step)))).alias("__grid")
+        aligned = (
+            df.withColumn("__grid", grid)
+            .groupBy("series_key", "__grid")
+            .agg(F.expr("max_by(value, ts)").alias("value"))
+        )
+        from time_series_db_spark.model import labels_from_key_expr
+
+        out = aligned.select(
+            "series_key",
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("__grid").alias("ts"),
+            F.col("value"),
+        ).select(*SAMPLE_COLS)
+        return SeriesFrame(df=out, step=step, min_ts=min_ts, max_ts=max_ts)
+
+    def mock_fetch(
+        self,
+        values: list[float],
+        tags: dict[str, str],
+        min_ts: int,
+        max_ts: int,
+        step: int,
+    ) -> SeriesFrame:
+        return synth_mock_series(self.spark, values, tags, min_ts, max_ts, step)
