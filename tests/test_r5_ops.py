@@ -400,3 +400,25 @@ def test_divide_when_rejects_bad_op(spark):
 
     with pytest.raises(M3PlanError, match="invalid divideWhen operator"):
         _run(spark, "mockFetch 1 name:n | divideWhen foo 1 (mockFetch 1 name:n)")
+
+
+def test_count_values_parses_both_formats_and_counts(spark):
+    from time_series_db_spark.lang.prom.parser import parse
+
+    for q in ['count_values by (region) ("val", error)',
+              'count_values("val", error) by (region)']:
+        n = parse(q).children[0]
+        assert (n.agg_type, n.str_param, n.labels) == (
+            "count_values", "val", ["region"]
+        )
+
+    sf = _prom(spark, 'count_values("v", view @ end())', steps=24)
+    rows = sf.df.collect()
+    assert rows
+    # every output label set is exactly {v: <formatted value>} and the
+    # counts sum to the pinned series count
+    assert all(set(r.labels) == {"v"} for r in rows)
+    n_series = _prom(spark, "view @ end()", steps=24).df.select(
+        "series_key").distinct().count()
+    one_ts = [r for r in rows if r.ts == rows[0].ts]
+    assert sum(int(r.value) for r in one_ts) == n_series

@@ -875,3 +875,30 @@ def promql_at_max_over_time(spark, sf_dir):
     the lookback analog), broadcast across the grid."""
     sf = run_promql(spark, sf_dir, "max_over_time(error[6h] @ end())")
     return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_count_values",
+    f"""{PRELUDE},
+    r AS (
+      SELECT region, ts, floor(value / 1.0 + 0.5) * 1.0 AS val
+      FROM samples WHERE name = 'error')
+    SELECT region, CAST(val AS VARCHAR) AS val, ts,
+           CAST(count(*) AS DOUBLE) AS value
+    FROM r GROUP BY 1, 2, 3""",
+)
+def promql_count_values(spark, sf_dir):
+    """count_values by (region) ("val", round(error)) — the last missing
+    PromQL aggregation: series counted per distinct (rounded) sample
+    value, the value joining the output identity under the given label
+    (double→string cast formatting; rounding keeps the cross-engine
+    rendering integral and therefore identical)."""
+    sf = run_promql(
+        spark, sf_dir, 'count_values by (region) ("val", round(error))'
+    )
+    return sf.df.select(
+        F.col("labels")["region"].alias("region"),
+        F.col("labels")["val"].alias("val"),
+        F.col("ts"),
+        F.col("value"),
+    )

@@ -294,3 +294,63 @@ def tpch_q14_promo(spark, sf_dir):
         )
         .toDF("promo_revenue")
     )
+
+
+@register(
+    "tpch_q4_priority",
+    """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority""",
+)
+def tpch_q4_priority(spark, sf_dir):
+    """Q4-style priority check (adapted to this schema's columns: a
+    "slow" order has a lineitem shipped >60 days after the order date):
+    EXISTS = left-semi hash join on orderkey — the fact side never
+    duplicates, partial counts aggregate map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    slow = (
+        o.join(
+            li,
+            (li["l_orderkey"] == o["o_orderkey"])
+            & (li["l_shipdate"] > F.date_add(o["o_orderdate"], 60)),
+            "left_semi",
+        )
+    )
+    return slow.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+@register(
+    "tpch_rev_mom",
+    f"""WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             {_sql_dsum('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1)
+    SELECT CAST(month AS DATE) AS month, revenue,
+           revenue - lag(revenue) OVER (ORDER BY month) AS mom_delta
+    FROM monthly""",
+)
+def tpch_rev_mom(spark, sf_dir):
+    """Month-over-month revenue: grouped exact-decimal agg then a lag
+    window over the MONTH-level result — the post-aggregation frame is
+    months-count rows, so the single-partition window is metadata-sized
+    by construction (not a scale hazard; the heavy lifting happened in
+    the partial-aggregated groupBy)."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("__m")
+    ).agg(_dsum(F.col("o_totalprice")).alias("revenue"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("__m")
+    return monthly.select(
+        F.col("__m").cast("date").alias("month"),
+        "revenue",
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+    )

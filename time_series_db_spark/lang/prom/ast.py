@@ -108,6 +108,8 @@ class AggregationNode(PromNode):
     labels: list[str] = field(default_factory=list)
     #: leading scalar parameter — k for topk/bottomk, φ for quantile
     param: float | None = None
+    #: leading string parameter — dst label for count_values
+    str_param: str | None = None
 
 
 @dataclass

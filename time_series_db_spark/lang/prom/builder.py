@@ -213,6 +213,14 @@ def _build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
             )
         if node.agg_type == "quantile":
             return grouping.quantile(sf, node.param, node.labels, without=without)
+        if node.agg_type == "count_values":
+            if not node.str_param:
+                raise A.PromParseError(
+                    'count_values("dst", v) needs the dst label string'
+                )
+            return grouping.count_values(
+                sf, node.str_param, node.labels, without=without
+            )
         fn = _AGGS[node.agg_type]
         return fn(sf, node.labels, without=without)
 

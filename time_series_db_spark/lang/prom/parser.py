@@ -35,6 +35,7 @@ _AGGREGATIONS = {
     "sum", "avg", "min", "max", "count",
     # PromQL aggregations beyond the reference's AggregationType five
     "stddev", "stdvar", "group", "quantile", "topk", "bottomk",
+    "count_values",
 }
 #: aggregations taking a leading scalar parameter: aggr(param, expr)
 _PARAM_AGGS = {"quantile", "topk", "bottomk"}
@@ -267,13 +268,13 @@ class _Parser:
             labels = self.label_list()
             self.expect("DELIM", ")")
             self.expect("DELIM", "(")
-            param = self.agg_param(agg)
+            param, str_param = self.agg_param(agg)
             expr = self.expression()
             self.expect("DELIM", ")")
         else:
             # Format 2: aggr(expr) [by|without (labels)]
             self.expect("DELIM", "(")
-            param = self.agg_param(agg)
+            param, str_param = self.agg_param(agg)
             expr = self.expression()
             self.expect("DELIM", ")")
             if (
@@ -286,17 +287,21 @@ class _Parser:
                 self.expect("DELIM", ")")
         return AggregationNode(
             children=[expr], agg_type=agg.lower(), modifier=modifier,
-            labels=labels, param=param,
+            labels=labels, param=param, str_param=str_param,
         )
 
-    def agg_param(self, agg: str) -> float | None:
-        """Leading scalar parameter for topk/bottomk/quantile:
-        aggr(param, expr)."""
+    def agg_param(self, agg: str):
+        """Leading parameter: scalar for topk/bottomk/quantile, string
+        for count_values — aggr(param, expr)."""
+        if agg.lower() == "count_values":
+            raw = self.expect("STRING")
+            self.expect("DELIM", ",")
+            return None, unquote_string(raw)
         if agg.lower() not in _PARAM_AGGS:
-            return None
+            return None, None
         param = float(self.expect("NUMBER"))
         self.expect("DELIM", ",")
-        return param
+        return param, None
 
     def label_list(self) -> list[str]:
         labels = [self.expect("IDENTIFIER")]

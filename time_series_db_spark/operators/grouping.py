@@ -834,3 +834,34 @@ def to_histogram(
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def count_values(
+    sf: SeriesFrame, dst: str, keys: list[str] = (), without: bool = False
+) -> SeriesFrame:
+    """PromQL count_values("dst", v): per timestamp, the number of series
+    whose sample equals each distinct value within the group; the value
+    itself joins the output identity under the ``dst`` label (formatted
+    by the executor-side double→string cast, Java Double.toString).
+    One hash aggregation on (group+value, ts) — group cardinality is
+    bounded by distinct values per group, with map-side partials.
+    """
+    df = _with_group_key(sf.df, list(keys), without)
+    glabels2 = F.map_concat(
+        F.map_filter(F.col("__glabels"), lambda k, _v: k != F.lit(dst)),
+        F.create_map(F.lit(dst), F.col("value").cast("string")),
+    )
+    df = df.withColumn("__gkey2", series_key_expr(glabels2))
+    out = (
+        df.groupBy("__gkey2", "ts")
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+        .select(
+            F.col("__gkey2").alias("series_key"),
+            labels_from_key_expr(F.col("__gkey2")).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            F.col("ts"),
+            F.col("value"),
+        )
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)
