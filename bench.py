@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "stats_labels",            # stats API (count-distinct)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "pack_sequences",          # training-batch construction (r5)
+    "sessionize_events",       # gap-session construction (r5)
     "text_quality",
     "ann_cosine_topk",
     "ann_ivf_topk",            # cell-pruned ANN
