@@ -59,3 +59,36 @@ def test_catalog_entry_scopes_by_query_name(spark, sf_dir):
     # query's own scope, so a re-run would keep it warm
     assert "m3_divide" in cache._TRACKED and cache._TRACKED["m3_divide"]
     cache.release_all()
+
+
+def test_probe_memo_scoped_and_released(spark):
+    """probe_memo: one compute per (plan, kind) within a scope; a
+    different scope's release drops the memo with its frames; an
+    unhashable input falls through to compute."""
+    from time_series_db_spark import cache
+
+    df = spark.range(5)
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return df.count()
+
+    cache.set_scope("q1")
+    assert cache.probe_memo(df, "n", compute) == 5
+    assert cache.probe_memo(df, "n", compute) == 5
+    assert len(calls) == 1                      # memo hit
+    assert cache.probe_memo(df, "other", compute) == 5
+    assert len(calls) == 2                      # distinct kind recomputes
+
+    # same plan, new DataFrame object → still a hit (semantic hash)
+    assert cache.probe_memo(spark.range(5), "n", compute) == 5
+    assert len(calls) == 2
+
+    # another scope releasing others drops q1's memo
+    cache.set_scope("q2")
+    cache.release_others()
+    cache.set_scope("q1")
+    assert cache.probe_memo(df, "n", compute) == 5
+    assert len(calls) == 3
+    cache.release_all()

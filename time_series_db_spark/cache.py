@@ -35,6 +35,13 @@ from pyspark.sql import DataFrame
 #: scope -> {semantic_hash: frame}.  Scope "" is the anonymous pool for
 #: persists issued outside any entry point (released at every boundary).
 _TRACKED: dict[str, dict[int, DataFrame]] = {}
+#: scope -> {(semantic_hash, kind): value} — memoized coordinator-probe
+#: results (binary-op series counts / common-label sets).  A probe is a
+#: pure function of its frame's analyzed plan, and the frame cache
+#: already pins that plan's DATA for the scope's lifetime, so the probe
+#: result has exactly the cache's staleness semantics: released together
+#: at the same boundaries.
+_PROBES: dict[str, dict[tuple, object]] = {}
 _SCOPE: str = ""
 
 
@@ -62,8 +69,28 @@ def persist_tracked(
     return cached
 
 
+def probe_memo(dfs, kind: str, compute):
+    """Memoize a coordinator-probe result (a small driver value computed
+    by an action over the given frame(s)) under the current scope, keyed
+    by their semantic hashes: an identical query re-run skips the probe
+    job entirely — the warm-dashboard path pays zero blocking actions
+    for its binary stages. Falls through to ``compute()`` (uncached)
+    when a plan can't be hashed."""
+    if isinstance(dfs, DataFrame):
+        dfs = (dfs,)
+    try:
+        key = (tuple(df.semanticHash() for df in dfs), kind)
+    except Exception:  # pragma: no cover - analysis failure → no memo
+        return compute()
+    memo = _PROBES.setdefault(_SCOPE, {})
+    if key not in memo:
+        memo[key] = compute()
+    return memo[key]
+
+
 def _release_scope(scope: str, blocking: bool) -> int:
     n = 0
+    _PROBES.pop(scope, None)
     for df in _TRACKED.pop(scope, {}).values():
         try:
             df.unpersist(blocking)
@@ -79,7 +106,8 @@ def release_others(blocking: bool = False) -> int:
     warm for identical re-runs, drops everything else.  Never raises —
     a frame whose session already stopped is skipped."""
     n = 0
-    for scope in [s for s in _TRACKED if s != _SCOPE]:
+    scopes = set(_TRACKED) | set(_PROBES)
+    for scope in [s for s in scopes if s != _SCOPE]:
         n += _release_scope(scope, blocking)
     return n
 
@@ -88,6 +116,6 @@ def release_all(blocking: bool = False) -> int:
     """Unpersist every tracked frame in every scope (session teardown /
     tests); returns the release count."""
     n = 0
-    for scope in list(_TRACKED):
+    for scope in set(_TRACKED) | set(_PROBES):
         n += _release_scope(scope, blocking)
     return n

@@ -128,11 +128,16 @@ def _binary_join(
     # right sides are typically aggregates, bounded by series × grid).
     rf = persist_tracked(rf)
 
+    from time_series_db_spark import cache as _cache
+
     n_groups = None
     if keys is None:
         # auto-matching needs the key LIST to shape the plan → one fused
-        # series-level metadata probe (counts + common label names).
-        _n_left, n_right, common = _meta_probe(lf, rf)
+        # series-level metadata probe (counts + common label names),
+        # memoized per analyzed plan so identical re-runs skip the action
+        _n_left, n_right, common = _cache.probe_memo(
+            (lf, rf), "meta", lambda: _meta_probe(lf, rf)
+        )
         if n_right <= 1:
             rvals = rf.groupBy("ts").agg(
                 F.expr("max_by(value, series_key)").alias("__rvalue")
@@ -154,8 +159,13 @@ def _binary_join(
     if keys:
         rk = rf.filter(has_all_keys_expr(keys))
     if n_groups is None:
-        n_groups = (
-            rk.select(*_match_cols(rk, keys, "r")).distinct().limit(2).count()
+        n_groups = _cache.probe_memo(
+            rk,
+            f"n_groups:{keys}",
+            lambda: rk.select(*_match_cols(rk, keys, "r"))
+            .distinct()
+            .limit(2)
+            .count(),
         )
 
     if n_groups <= 1:
@@ -306,10 +316,10 @@ def fallback_series(left: SeriesFrame, right: SeriesFrame) -> SeriesFrame:
     recomputed) when the surviving frame is consumed downstream; the
     cache is released at the next query boundary (cache.release_all).
     """
-    from time_series_db_spark.cache import persist_tracked
+    from time_series_db_spark import cache as _cache
 
-    cached = persist_tracked(left.df)
-    if cached.limit(1).count() > 0:
+    cached = _cache.persist_tracked(left.df)
+    if _cache.probe_memo(cached, "nonempty", lambda: cached.limit(1).count()) > 0:
         return left.with_df(cached)
     cached.unpersist()
     return right
@@ -319,10 +329,10 @@ def fallback_constant(sf: SeriesFrame, constant: float) -> SeriesFrame:
     """L if non-empty else a single constant dense series on the query grid
     — FallbackSeriesUnaryStage.java:40 (coordinator-only in the reference;
     here a one-row DataFrame exploded over the grid)."""
-    from time_series_db_spark.cache import persist_tracked
+    from time_series_db_spark import cache as _cache
 
-    cached = persist_tracked(sf.df)
-    if cached.limit(1).count() > 0:
+    cached = _cache.persist_tracked(sf.df)
+    if _cache.probe_memo(cached, "nonempty", lambda: cached.limit(1).count()) > 0:
         return sf.with_df(cached)
     cached.unpersist()
     spark = sf.df.sparkSession
