@@ -831,3 +831,33 @@ def test_ingest_to_m3ql_query_loop(spark, tmp_path):
         assert [v for _, v in series["values"]] == ["0", "1", "2", "3"]
     finally:
         spark.sql("DROP TABLE IF EXISTS metrics_loop_test")
+
+
+def test_service_promql_r5_surface(spark, sf_dir):
+    """Subqueries, the @ modifier, and count_values through the REST
+    facade: response shape + the @-constant-line property end-to-end."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, sf_dir)
+    end = EVENTS_MIN_TS + 24 * DEFAULT_STEP_MS
+
+    sq = service.promql_query_range(
+        src, "max_over_time(view[6h:1h])",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+    )
+    assert sq["status"] == "success" and sq["data"]["result"]
+
+    at = service.promql_query_range(
+        src, "sum by (region) (view @ end())",
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+    )
+    for series in at["data"]["result"]:
+        assert len({v for _, v in series["values"]}) == 1  # constant line
+
+    cv = service.promql_query_range(
+        src, 'count_values("v", round(view))',
+        start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
+    )
+    assert all(set(r["metric"]) == {"v"} for r in cv["data"]["result"])
