@@ -722,3 +722,55 @@ def sessionize_events(spark, sf_dir):
     from time_series_db_spark.streaming.sessions import sessionize
 
     return sessionize(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "pipeline_curate",
+    f"""WITH feats AS (
+      SELECT doc_id, text,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE AS n_uniq,
+             len(list_filter({_TOKS}, tok -> tok IN ({_SQL_EN_STOP})))::DOUBLE AS stop
+      FROM documents),
+    kept AS (
+      SELECT doc_id, text FROM feats
+      WHERE least(n_tokens / 100.0, 1.0) * 0.4 + (n_uniq / n_tokens) * 0.4
+            + least((stop / n_tokens) * 5.0, 1.0) * 0.2 >= 0.55),
+    surv AS (
+      SELECT min(doc_id) AS doc_id
+      FROM (SELECT doc_id, {_NORM} AS norm FROM kept) GROUP BY norm),
+    final AS (SELECT k.doc_id, k.text FROM kept k JOIN surv s USING (doc_id)),
+    base AS (
+      SELECT doc_id,
+             {_SHARD_SQL.replace('% 64', '% 16')} AS shard,
+             len(string_split({_NORM}, ' '))::BIGINT AS n_tokens
+      FROM final),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM base)
+    SELECT doc_id, shard, (start_offset // 256)::BIGINT AS pack_id,
+           start_offset, n_tokens
+    FROM packed""",
+)
+def pipeline_curate(spark, sf_dir):
+    """The composed curation pipeline a training run actually executes:
+    quality filter (composite score ≥ 0.55, identical expression tree on
+    both engines so the threshold is fp-safe) → exact dedup (min-id
+    survivor per normalized text) → 256-token sequence packing over the
+    survivors. Every stage is the already-verified operator; this entry
+    pins their composition end-to-end."""
+    from time_series_db_spark.pipeline import pack
+
+    docs = _docs(spark, sf_dir)
+    q = (
+        text.quality_score(docs)
+        .filter(F.col("quality") >= 0.55)
+        .select("doc_id")
+    )
+    kept = docs.join(q, "doc_id")
+    surv = dedup.exact_dedup(kept).select("doc_id")
+    final = kept.join(surv, "doc_id")
+    return pack.pack_sequences(final, budget=256, n_shards=16)
