@@ -422,3 +422,20 @@ def test_count_values_parses_both_formats_and_counts(spark):
         "series_key").distinct().count()
     one_ts = [r for r in rows if r.ts == rows[0].ts]
     assert sum(int(r.value) for r in one_ts) == n_series
+
+
+def test_subquery_offset_shifts_and_validates(spark):
+    from time_series_db_spark.lang.prom.builder import PromUnsupportedError
+
+    # step-multiple offset: [2h:1h] offset 2h equals the plain series two
+    # hours back, shifted forward onto the query grid
+    sf = _prom(spark, "view[2h:1h] offset 2h", steps=24)
+    raw = _prom(spark, "view", steps=24)
+    shifted = {(r.series_key, r.ts + 2 * H): r.value for r in raw.df.collect()}
+    got = {(r.series_key, r.ts): r.value for r in sf.df.collect()}
+    assert got
+    for k, v in got.items():
+        assert shifted.get(k) == v
+
+    with pytest.raises(PromUnsupportedError, match="multiple of"):
+        _prom(spark, "avg_over_time(view[6h:30m] offset 45m)")

@@ -473,6 +473,13 @@ def _subquery_frame(sub: A.SubqueryNode, ctx: BuildContext) -> SeriesFrame:
             f"subquery step {step2}ms must divide the query step "
             f"{ctx.step}ms (both grids are epoch-aligned)"
         )
+    if sub.offset_ms % step2 != 0:
+        # a non-multiple shift would slide the inner grid off the outer
+        # instants and the re-grid filter would silently drop everything
+        raise PromUnsupportedError(
+            f"subquery offset {sub.offset_ms}ms must be a multiple of "
+            f"the subquery step {step2}ms"
+        )
     inner = BuildContext(
         ctx.source,
         ctx.start - sub.range_ms - sub.offset_ms,
