@@ -439,3 +439,48 @@ def test_subquery_offset_shifts_and_validates(spark):
 
     with pytest.raises(PromUnsupportedError, match="multiple of"):
         _prom(spark, "avg_over_time(view[6h:30m] offset 45m)")
+
+
+# ---------------------------------------------------------------------------
+# Front-end rejection behavior: malformed queries must fail with clear
+# parse/plan errors, never build a wrong frame silently.
+# ---------------------------------------------------------------------------
+
+def test_m3ql_malformed_queries_rejected(spark):
+    from time_series_db_spark.lang.m3.parser import M3ParseError
+    from time_series_db_spark.lang.m3.plan import M3PlanError
+
+    bad = [
+        "fetch name:error | moving",            # missing window + agg
+        "fetch name:error | moving 3h bogus",   # unknown moving agg
+        "fetch name:error | summarize 1d nope", # unknown summarize fn
+        "fetch name:error | sort sideways",     # unknown sort key
+        "fetch name:error | where eq name",     # where needs 3 args
+        "fetch name:error | tagCompare lt",     # tagCompare needs 2 args
+        "fetch name:error | histogramCDF bucketid",   # needs thresholds
+        "fetch name:error | unknownFn 1",       # unknown function
+        "fetch name:error | burnRate 3h (fetch name:a)",  # missing slo
+        "fetch name:error | multiBurnRate 0.99 (fetch name:a)",  # no window
+        "fetch name:error | _summarizeBy 6h multiply region",  # invalid fn
+    ]
+    for q in bad:
+        with pytest.raises((M3ParseError, M3PlanError)):
+            _run(spark, q)
+
+
+def test_promql_malformed_queries_rejected(spark):
+    from time_series_db_spark.lang.prom.ast import PromParseError
+
+    bad = [
+        "rate(error)",                 # range fn without range vector
+        "error[5x]",                   # bad duration unit
+        "sum by region (error)",       # by-list needs parens
+        'count_values(error)',         # missing dst string
+        "quantile(error)",             # missing φ scalar
+        "error{region=}",              # empty matcher value
+        "error @ later()",             # bad @ argument
+        "error[1h",                    # unbalanced bracket
+    ]
+    for q in bad:
+        with pytest.raises((PromParseError, ValueError)):
+            _prom(spark, q)

@@ -945,7 +945,7 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         return IsNonNullNode()
 
     if name == "moving":
-        if len(args) == 1:
+        if len(args) < 2:
             raise M3PlanError("moving requires window and aggregation type")
         agg = WINDOW_AGG_TYPES.get(args[1])
         if agg is None:
