@@ -484,3 +484,21 @@ def test_promql_malformed_queries_rejected(spark):
     for q in bad:
         with pytest.raises((PromParseError, ValueError)):
             _prom(spark, q)
+
+
+def test_pipeline_apis_reject_nonpositive_params(spark):
+    from time_series_db_spark.pipeline.pack import pack_sequences, sample_stratified
+    from time_series_db_spark.streaming.sessions import sessionize, streaming_sessionize
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    ev = spark.createDataFrame([(1, T0)], "user_id long, ts long")
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_sequences(df, budget=8, n_shards=0)
+    with pytest.raises(ValueError, match="n_per_stratum"):
+        sample_stratified(df.withColumnRenamed("text", "lang"), n_per_stratum=0)
+    with pytest.raises(ValueError, match="gap"):
+        sessionize(ev, gap_ms=0)
+    with pytest.raises(ValueError, match="gap"):
+        streaming_sessionize(ev, gap_ms=-5)

@@ -44,6 +44,10 @@ def pack_sequences(
     ``start_offset`` is the document's first-token position within its
     shard's stream, ``pack_id`` the block index within the shard.
     """
+    if budget <= 0:
+        raise ValueError("pack budget must be a positive token count")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
     norm = textprep.normalize(F.col(text_col))
     toks = F.size(F.split(norm, " ")).cast("long")
     # md5-based hash64: engine-portable (the DuckDB oracle computes the
@@ -94,6 +98,8 @@ def sample_stratified(
 
     Output: (id, stratum, sample_rank).
     """
+    if n_per_stratum <= 0:
+        raise ValueError("n_per_stratum must be positive")
     key = F.md5(F.col(id_col).cast("string"))
     w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
     return (

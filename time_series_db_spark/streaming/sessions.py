@@ -32,6 +32,8 @@ def sessionize(
     minimal sequential unit for gap detection) feeding one hash
     aggregation on (user, session) with map-side partials.
     """
+    if gap_ms <= 0:
+        raise ValueError("session gap must be a positive duration")
     ts_ms = F.col(ts_col)
     # events arrive as TimestampType from load_table; epoch-ms bigints
     # pass through (both layouts appear across driver rounds)
@@ -80,6 +82,8 @@ def streaming_sessionize(
     (stream sessions are identified by their start; a global per-user
     ordinal would require total history).
     """
+    if gap_ms <= 0:
+        raise ValueError("session gap must be a positive duration")
     gap = f"{int(gap_ms) // 1000} seconds"
     ts = F.col(ts_col).cast("timestamp")
     return (
