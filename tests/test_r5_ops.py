@@ -502,3 +502,31 @@ def test_pipeline_apis_reject_nonpositive_params(spark):
         sessionize(ev, gap_ms=0)
     with pytest.raises(ValueError, match="gap"):
         streaming_sessionize(ev, gap_ms=-5)
+
+
+def test_limit_ratio_partitions_exactly(spark):
+    """limit_ratio(0.4, v) and limit_ratio(-0.6, v) split the series set
+    into disjoint halves whose union is the full set."""
+    full = {r.series_key for r in _prom(spark, "view", steps=24).df.collect()}
+    a = {r.series_key
+         for r in _prom(spark, "limit_ratio(0.4, view)", steps=24).df.collect()}
+    b = {r.series_key
+         for r in _prom(spark, "limit_ratio(-0.6, view)", steps=24).df.collect()}
+    assert a | b == full and not (a & b)
+
+
+def test_limitk_k_per_group_and_validation(spark):
+    sf = _prom(spark, "limitk by (region) (1, view)", steps=24)
+    per_region = {}
+    for r in sf.df.collect():
+        per_region.setdefault(r.labels["region"], set()).add(r.series_key)
+    assert per_region and all(len(s) == 1 for s in per_region.values())
+    # repeated runs pick the same series (deterministic)
+    again = {r.series_key
+             for r in _prom(spark, "limitk by (region) (1, view)", steps=24).df.collect()}
+    assert again == {s for v in per_region.values() for s in v}
+
+    with pytest.raises(ValueError, match="positive"):
+        _prom(spark, "limitk(0, view)")
+    with pytest.raises(ValueError, match="limit_ratio"):
+        _prom(spark, "limit_ratio(2, view)")

@@ -902,3 +902,43 @@ def promql_count_values(spark, sf_dir):
         F.col("ts"),
         F.col("value"),
     )
+
+
+from time_series_db_spark.catalog import SQL_SERIES_KEY
+from time_series_db_spark.pipeline.textprep import sql_hash64
+
+
+@register(
+    "promql_limitk",
+    f"""{PRELUDE},
+    ranked AS (
+      SELECT {SQL_LBLS}, ts, value,
+             dense_rank() OVER (PARTITION BY region
+               ORDER BY md5({SQL_SERIES_KEY}), {SQL_SERIES_KEY}) AS rnk
+      FROM samples WHERE name = 'error')
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM ranked WHERE rnk <= 2""",
+)
+def promql_limitk(spark, sf_dir):
+    """limitk by (region) (2, error) — Prometheus 3 experimental
+    aggregation: 2 series per region, identities untouched, the pick
+    deterministic by md5(series_key) (Prometheus leaves it
+    implementation-defined)."""
+    sf = run_promql(spark, sf_dir, "limitk by (region) (2, error)")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_limit_ratio",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM samples
+    WHERE name = 'error'
+      AND ({sql_hash64(SQL_SERIES_KEY, 'lr')} % 1000000) / 1000000.0 < 0.4""",
+)
+def promql_limit_ratio(spark, sf_dir):
+    """limit_ratio(0.4, error) — deterministic ~40% series sample by
+    identity hash; limit_ratio(-0.6, v) keeps the exact complement (the
+    Prometheus partition contract)."""
+    sf = run_promql(spark, sf_dir, "limit_ratio(0.4, error)")
+    return _flat(sf, LABEL_KEYS)

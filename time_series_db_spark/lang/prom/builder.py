@@ -213,6 +213,14 @@ def _build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
             )
         if node.agg_type == "quantile":
             return grouping.quantile(sf, node.param, node.labels, without=without)
+        if node.agg_type == "limitk":
+            return grouping.limitk(
+                sf, int(node.param), node.labels, without=without
+            )
+        if node.agg_type == "limit_ratio":
+            return grouping.limit_ratio(
+                sf, node.param, node.labels, without=without
+            )
         if node.agg_type == "count_values":
             if not node.str_param:
                 raise A.PromParseError(

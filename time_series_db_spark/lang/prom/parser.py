@@ -35,10 +35,10 @@ _AGGREGATIONS = {
     "sum", "avg", "min", "max", "count",
     # PromQL aggregations beyond the reference's AggregationType five
     "stddev", "stdvar", "group", "quantile", "topk", "bottomk",
-    "count_values",
+    "count_values", "limitk", "limit_ratio",
 }
 #: aggregations taking a leading scalar parameter: aggr(param, expr)
-_PARAM_AGGS = {"quantile", "topk", "bottomk"}
+_PARAM_AGGS = {"quantile", "topk", "bottomk", "limitk", "limit_ratio"}
 
 #: token spec, most-specific first (promql.jj TOKEN block ordering);
 #: CMP before OP so ``==`` wins over ``=``, ARITH for the binary-operator
@@ -299,7 +299,11 @@ class _Parser:
             return None, unquote_string(raw)
         if agg.lower() not in _PARAM_AGGS:
             return None, None
-        param = float(self.expect("NUMBER"))
+        sign = 1.0
+        if self.peek() == ("ARITH", "-"):
+            self.next()
+            sign = -1.0
+        param = sign * float(self.expect("NUMBER"))
         self.expect("DELIM", ",")
         return param, None
 

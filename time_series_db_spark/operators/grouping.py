@@ -865,3 +865,52 @@ def count_values(
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(out)
+
+
+def limitk(
+    sf: SeriesFrame, k: int, keys: list[str] = (), without: bool = False
+) -> SeriesFrame:
+    """PromQL ``limitk(k, v)`` (Prometheus 3 experimental aggregation):
+    keep k series per group, identities untouched. Prometheus leaves the
+    pick implementation-defined; ours is deterministic — the k smallest
+    ``md5(series_key)`` — so re-runs and the differential oracle agree.
+
+    One rank window partitioned by group; dense_rank over the hashed
+    series order gives every sample of a series the same rank, so the
+    filter never splits a series.
+    """
+    if k <= 0:
+        raise ValueError("limitk k must be positive")
+    from pyspark.sql import Window
+
+    df = _with_group_key(sf.df, list(keys), without)
+    w = Window.partitionBy("__gkey").orderBy(
+        F.md5(F.col("series_key")), F.col("series_key")
+    )
+    out = (
+        df.withColumn("__r", F.dense_rank().over(w))
+        .filter(F.col("__r") <= int(k))
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)
+
+
+def limit_ratio(
+    sf: SeriesFrame, r: float, keys: list[str] = (), without: bool = False
+) -> SeriesFrame:
+    """PromQL ``limit_ratio(r, v)`` (Prometheus 3 experimental):
+    deterministically sample ~|r| of each group's series by hashing the
+    series identity to a uniform in [0,1): ``r ≥ 0`` keeps u < r,
+    ``r < 0`` keeps the complement u ≥ 1+r — so the two halves of
+    ``limit_ratio(0.4, v)`` / ``limit_ratio(-0.6, v)`` partition the
+    series set exactly, the Prometheus contract. Pure filter, no
+    shuffle; group keys only validate membership (the sampling hash is
+    group-independent, as upstream)."""
+    if not -1.0 <= r <= 1.0:
+        raise ValueError("limit_ratio r must be in [-1, 1]")
+    from time_series_db_spark.pipeline.textprep import hash64
+
+    df = _with_group_key(sf.df, list(keys), without)
+    u = (hash64(F.col("series_key"), "lr") % 1_000_000) / 1_000_000.0
+    cond = u < float(r) if r >= 0 else u >= 1.0 + float(r)
+    return sf.with_df(df.filter(cond).select(*SAMPLE_COLS))
