@@ -137,3 +137,93 @@ def test_group_left_missing_include_label(spark):
     src = _source(spark, rows)
     got = _run(spark, src, "a * on(inst) group_left(role) b", n_steps=1)
     assert got == {(("inst", "1"),): {T0: 20.0}}
+
+
+def test_atan2_vector_and_scalar(spark):
+    """l atan2 r = Go math.Atan2(l, r): vector-vector joins on the match
+    key like arithmetic; vector-scalar maps per sample; atan2(±x, 0)
+    never raises (no ANSI hazard) — Prometheus operator table."""
+    rows = []
+    for i, v in enumerate([1.0, -1.0, 0.0, 2.0]):
+        rows.append(({"name": "a", "k": "x"}, T0 + i * H, v))
+    for i, v in enumerate([1.0, 0.0, -1.0, 2.0]):
+        rows.append(({"name": "b", "k": "x"}, T0 + i * H, v))
+    src = _source(spark, rows)
+    vals = _series(spark, src, "a atan2 b")
+    expect = [math.atan2(1.0, 1.0), math.atan2(-1.0, 0.0),
+              math.atan2(0.0, -1.0), math.atan2(2.0, 2.0)]
+    for i, e in enumerate(expect):
+        assert vals[T0 + i * H] == pytest.approx(e)
+    svals = _series(spark, src, "a atan2 2")
+    for i, v in enumerate([1.0, -1.0, 0.0, 2.0]):
+        assert svals[T0 + i * H] == pytest.approx(math.atan2(v, 2.0))
+
+
+def test_sort_by_label_and_desc(spark):
+    """sort_by_label orders series by label values (asc/desc), missing
+    label sorts first ascending; rank lands in __order."""
+    from time_series_db_spark.lang.prom.builder import execute
+
+    rows = []
+    for i, reg in enumerate(["r2", "r1", "r3"]):
+        rows.append(({"name": "a", "region": reg}, T0, float(i)))
+    rows.append(({"name": "a"}, T0, 9.0))  # no region label → sorts first
+    src = _source(spark, rows)
+
+    def ranks(query):
+        sf = execute(query, src, T0, T0 + H, H)
+        return {
+            dict(r["labels"]).get("region", ""): r["__order"]
+            for r in sf.df.collect()
+        }
+
+    asc = ranks('sort_by_label(a, "region")')
+    assert asc == {"": 1, "r1": 2, "r2": 3, "r3": 4}
+    desc = ranks('sort_by_label_desc(a, "region")')
+    assert desc == {"r3": 1, "r2": 2, "r1": 3, "": 4}
+
+
+def test_ts_of_over_time_family(spark):
+    """ts_of_{max,min,last}_over_time: the window sample's timestamp in
+    epoch seconds; value ties resolve to the LATEST sample (>=/<= update
+    rule in Prometheus's funcTsOf*OverTime)."""
+    rows = [({"name": "a"}, T0 + i * H, v)
+            for i, v in enumerate([5.0, 5.0, 1.0, 1.0])]
+    src = _source(spark, rows)
+    mx = _series(spark, src, "ts_of_max_over_time(a[4h])")
+    # at t3 the window holds all samples: max=5.0 first at t0, tie at t1 → t1
+    assert mx[T0 + 3 * H] == (T0 + 1 * H) / 1000.0
+    mn = _series(spark, src, "ts_of_min_over_time(a[4h])")
+    # min=1.0 at t2, tie at t3 → latest t3
+    assert mn[T0 + 3 * H] == (T0 + 3 * H) / 1000.0
+    last = _series(spark, src, "ts_of_last_over_time(a[4h])")
+    for i in range(4):
+        assert last[T0 + i * H] == (T0 + i * H) / 1000.0
+
+
+def test_double_exponential_smoothing_alias(spark):
+    """double_exponential_smoothing is the Prometheus 3 rename of
+    holt_winters — identical level/trend recurrence."""
+    rows = [({"name": "a"}, T0 + i * H, v)
+            for i, v in enumerate([1.0, 3.0, 2.0, 6.0])]
+    src = _source(spark, rows)
+    hw = _series(spark, src, "holt_winters(a[4h], 0.3, 0.1)")
+    des = _series(spark, src, "double_exponential_smoothing(a[4h], 0.3, 0.1)")
+    assert hw.keys() == des.keys()
+    for t in hw:  # NaN == NaN for this comparison (single-sample windows)
+        assert hw[t] == des[t] or (math.isnan(hw[t]) and math.isnan(des[t]))
+
+
+def test_mad_over_time_small_windows(spark):
+    """mad_over_time: median(|x − median(x)|) with interpolated medians
+    — hand-computed odd and even window sizes."""
+    rows = [({"name": "a"}, T0 + i * H, v)
+            for i, v in enumerate([1.0, 2.0, 10.0, 4.0])]
+    src = _source(spark, rows)
+    vals = _series(spark, src, "mad_over_time(a[3h])")
+    # t1: window {1,2} → med 1.5, devs {.5,.5} → 0.5
+    assert vals[T0 + 1 * H] == pytest.approx(0.5)
+    # t2: window {1,2,10} → med 2, devs {1,0,8} → med 1
+    assert vals[T0 + 2 * H] == pytest.approx(1.0)
+    # t3: window {2,10,4} → med 4, devs {2,6,0} → med 2
+    assert vals[T0 + 3 * H] == pytest.approx(2.0)

@@ -942,3 +942,97 @@ def promql_limit_ratio(spark, sf_dir):
     Prometheus partition contract)."""
     sf = run_promql(spark, sf_dir, "limit_ratio(0.4, error)")
     return _flat(sf, LABEL_KEYS)
+
+
+# ---------------------------------------------------------------------------
+# Prometheus 3.x additions: atan2 operator, label-order sort, experimental
+# *_over_time family members
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "promql_atan2",
+    f"""{PRELUDE},
+    e AS (SELECT "user", region, shard, ts, value FROM samples WHERE name = 'error'),
+    c AS (SELECT "user", region, shard, ts, value FROM samples WHERE name = 'click')
+    SELECT e."user", e.region, e.shard, e.ts,
+           {sql_quant('atan2(e.value, c.value)')} AS value
+    FROM e JOIN c USING ("user", region, shard, ts)""",
+)
+def promql_atan2(spark, sf_dir):
+    """error atan2 click — the one keyword arithmetic operator in PromQL
+    (Go math.Atan2(l, r), same precedence tier as * / %); vector matching
+    and name-dropping behave exactly like the other arithmetic ops."""
+    sf = run_promql(spark, sf_dir, "error atan2 click")
+    return _flat(sf, ["user", "region", "shard"])
+
+
+@register(
+    "promql_sort_by_label",
+    f"""{PRELUDE},
+    sids AS (
+      SELECT DISTINCT name, "user", region, shard, {SQL_SERIES_KEY} AS skey
+      FROM samples WHERE name = 'error'),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY region ASC, "user" ASC, skey ASC) AS rnk
+      FROM sids)
+    SELECT r.name, r."user", r.region, r.shard, s.ts,
+           {sql_quant('s.value')} AS value, r.rnk
+    FROM samples s JOIN ranked r
+      ON s.name=r.name AND s."user"=r."user" AND s.region=r.region AND s.shard=r.shard""",
+)
+def promql_sort_by_label(spark, sf_dir):
+    """sort_by_label(error, "region", "user") — Prometheus 3 experimental:
+    series ordered by label VALUES (lexicographic, missing → empty-first),
+    tie-broken on the full series key; the rank materializes as __order
+    through the same range-partitioned distributed rank as sort()."""
+    sf = run_promql(spark, sf_dir, 'sort_by_label(error, "region", "user")')
+    return sf.df.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        F.col("ts"),
+        quant(F.col("value")).alias("value"),
+        F.col("__order").alias("rnk"),
+    )
+
+
+_MAD_SRC = "(SELECT * FROM samples WHERE name = 'view')"
+
+
+@register(
+    "promql_mad_over_time",
+    f"""{PRELUDE},
+    wins AS (
+      SELECT {SQL_LBLS}, ts, list(value) OVER ({_HW_FRAME}) AS l
+      FROM {_MAD_SRC}),
+    med AS (
+      SELECT {SQL_LBLS}, ts, l, list_aggregate(l, 'median') AS m FROM wins)
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant("list_aggregate(list_transform(l, x -> abs(x - m)), 'median')")} AS value
+    FROM med""",
+)
+def promql_mad_over_time(spark, sf_dir):
+    """mad_over_time(view[12h]) — Prometheus 3 experimental: median
+    absolute deviation over the trailing window, interpolated medians
+    (funcMadOverTime); Spark side is two pure array-expression medians."""
+    sf = run_promql(spark, sf_dir, "mad_over_time(view[12h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_ts_of_max",
+    f"""{PRELUDE},
+    wins AS (
+      SELECT {SQL_LBLS}, ts,
+             list(struct_pack(v := value, t := ts)) OVER ({_HW_FRAME}) AS l
+      FROM (SELECT * FROM samples WHERE name = 'purchase'))
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant("list_max(list_transform(list_filter(l, x -> x.v = list_max(list_transform(l, y -> y.v))), x -> x.t)) / 1000.0")} AS value
+    FROM wins""",
+)
+def promql_ts_of_max(spark, sf_dir):
+    """ts_of_max_over_time(purchase[12h]) — Prometheus 3.5 experimental:
+    timestamp (epoch seconds) of the window's maximum sample, ties → the
+    LATEST sample (the >= update rule in funcTsOfMaxOverTime); a pure
+    max_by(ts, struct(value, ts)) window aggregate."""
+    sf = run_promql(spark, sf_dir, "ts_of_max_over_time(purchase[12h])")
+    return _flat(sf, LABEL_KEYS)

@@ -77,7 +77,9 @@ _OVER_TIME = {
 _RANGE_FNS = (
     {"rate", "irate", "increase", "delta", "deriv", "changes", "resets",
      "quantile_over_time", "stdvar_over_time", "predict_linear",
-     "holt_winters", "absent_over_time"}
+     "holt_winters", "double_exponential_smoothing", "absent_over_time",
+     "mad_over_time", "ts_of_max_over_time", "ts_of_min_over_time",
+     "ts_of_last_over_time"}
     | set(_OVER_TIME)
 )
 
@@ -283,6 +285,10 @@ def _arith_col(op: str, l, r):
         ).otherwise(l / r)
     if op == "^":
         return F.pow(l, r)
+    if op == "atan2":
+        # binary atan2 joins like arithmetic (vector matching applies);
+        # Go math.Atan2 semantics match java.lang.Math.atan2 exactly
+        return F.atan2(l, r)
     return _ARITH[op](l, r)
 
 
@@ -338,7 +344,7 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
         import math
 
         lv, rv = lhs.value, rhs.value
-        if node.op in _ARITH or node.op in ("%", "^"):
+        if node.op in _ARITH or node.op in ("%", "^", "atan2"):
             def _div(a, b):  # Go float64: x/0 = ±Inf, 0/0 = NaN
                 if b:
                     return a / b
@@ -346,6 +352,7 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
             f = {
                 "%": lambda a, b: math.fmod(a, b) if b else math.nan,
                 "^": lambda a, b: a ** b,
+                "atan2": math.atan2,
             }.get(node.op)
             val = f(lv, rv) if f else {
                 "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": _div(lv, rv),
@@ -603,10 +610,20 @@ def _apply_range_fn(
         if not node.scalars:
             raise A.PromParseError("predict_linear(v[d], t) needs t scalar")
         return windows.predict_linear(sf, r, node.scalars[0])
-    if name == "holt_winters":
+    if name in ("holt_winters", "double_exponential_smoothing"):
+        # double_exponential_smoothing is the Prometheus 3 rename of
+        # holt_winters (same level/trend recurrence, same two scalars)
         if len(node.scalars) != 2:
-            raise A.PromParseError("holt_winters(v[d], sf, tf) needs two scalars")
+            raise A.PromParseError(f"{name}(v[d], sf, tf) needs two scalars")
         return windows.holt_winters(sf, r, node.scalars[0], node.scalars[1])
+    if name == "mad_over_time":
+        return windows.mad_over_time(sf, r)
+    if name in (
+        "ts_of_max_over_time", "ts_of_min_over_time", "ts_of_last_over_time"
+    ):
+        return windows.ts_of_over_time(
+            sf, r, name[len("ts_of_"):-len("_over_time")]
+        )
     if name == "absent_over_time":
         return windows.absent_over_time(windows.truncate(sf, ctx.start, ctx.end), r)
     return windows.over_time(sf, r, _OVER_TIME[name])
@@ -653,6 +670,13 @@ def _apply_instant_fn(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFram
         return ordering.sort(sf, "current", descending=False)
     if name == "sort_desc":
         return ordering.sort(sf, "current", descending=True)
+    if name in ("sort_by_label", "sort_by_label_desc"):
+        # Prometheus 3.x experimental: order series by label VALUES
+        if not node.strings:
+            raise A.PromParseError(f"{name}(v, label, ...) needs label names")
+        return ordering.sort_by_label(
+            sf, node.strings, descending=name.endswith("_desc")
+        )
     if name == "label_replace":
         if len(node.strings) != 4:
             raise A.PromParseError(

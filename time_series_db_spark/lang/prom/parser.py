@@ -65,7 +65,7 @@ _PRECEDENCE = {
     "and": 2, "unless": 2,
     "==": 3, "!=": 3, "<=": 3, "<": 3, ">=": 3, ">": 3,
     "+": 4, "-": 4,
-    "*": 5, "/": 5, "%": 5,
+    "*": 5, "/": 5, "%": 5, "atan2": 5,
     "^": 6,
 }
 
@@ -176,7 +176,7 @@ class _Parser:
             return v
         if k == "OP" and v == "!=":
             return v
-        if k == "IDENTIFIER" and v.lower() in ("and", "or", "unless"):
+        if k == "IDENTIFIER" and v.lower() in ("and", "or", "unless", "atan2"):
             return v.lower()
         return None
 

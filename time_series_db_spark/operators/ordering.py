@@ -123,6 +123,36 @@ def sort(sf: SeriesFrame, fn: str = "avg", descending: bool = True) -> SeriesFra
     )
 
 
+def sort_by_label(
+    sf: SeriesFrame, keys: list[str], descending: bool = False
+) -> SeriesFrame:
+    """PromQL (experimental) sort_by_label / sort_by_label_desc: order
+    series by the given label VALUES (lexicographic; a missing label
+    sorts as the empty string, first ascending), tie-broken on the full
+    series_key.  Same distributed shape as :func:`sort`: the rank runs
+    over the tiny distinct-series table via the range-partitioned
+    :func:`_ranked_stats` (never a single-partition sort), then
+    broadcasts back onto the samples as ``__order``/``__rorder``."""
+    if not keys:
+        raise ValueError("sort_by_label needs at least one label name")
+    stats = sf.distinct_series().select(
+        "series_key",
+        *[
+            F.coalesce(F.col("labels")[k], F.lit("")).alias(f"__lbl_{i}")
+            for i, k in enumerate(keys)
+        ],
+    )
+    cols = [F.col(f"__lbl_{i}") for i in range(len(keys))]
+    key = [c.desc() if descending else c.asc() for c in cols]
+    ranked = _ranked_stats(stats, key)
+    df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
+    return replace(
+        sf,
+        df=df.select(*SAMPLE_COLS, "__order", "__rorder"),
+        ordered_by=["__order"],
+    )
+
+
 def top_k(
     sf: SeriesFrame, k: int, fn: str = "avg", descending: bool = True
 ) -> SeriesFrame:

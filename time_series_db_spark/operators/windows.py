@@ -520,6 +520,67 @@ def quantile_over_time(sf: SeriesFrame, q: float, window_ms: int) -> SeriesFrame
     return sf.with_df(df.select(*SAMPLE_COLS))
 
 
+def _array_quantile(arr, q: float):
+    """Interpolated φ-quantile of an array column — the Prometheus
+    quantile rule (promql/quantile.go): rank = φ·(n−1), linear between
+    the two neighboring order statistics."""
+    s = F.array_sort(arr)
+    n = F.size(s)
+    rank = F.lit(float(q)) * (n - F.lit(1)).cast("double")
+    lo = F.floor(rank).cast("int")
+    hi = F.ceil(rank).cast("int")
+    vlo = F.element_at(s, lo + F.lit(1))
+    vhi = F.element_at(s, hi + F.lit(1))
+    return vlo + (vhi - vlo) * (rank - lo.cast("double"))
+
+
+def mad_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
+    """PromQL (3.x experimental) mad_over_time(v[w]): median absolute
+    deviation of the raw samples in the trailing window —
+    median(|x − median(x)|) with interpolated medians, Prometheus's
+    funcMadOverTime.  The window's samples are gathered into one array
+    per output row (bounded by window/step, the same bound every
+    *_over_time window carries) and both medians are pure array
+    expressions — no UDF, no extra shuffle beyond the per-series sort."""
+    w = _range_frame(sf, window_ms)
+    df = (
+        sf.df.withColumn("__arr", F.collect_list("value").over(w))
+        .withColumn("__med", _array_quantile(F.col("__arr"), 0.5))
+        .withColumn(
+            "value",
+            _array_quantile(
+                F.transform(F.col("__arr"), lambda x: F.abs(x - F.col("__med"))),
+                0.5,
+            ),
+        )
+    )
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
+def ts_of_over_time(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
+    """PromQL (3.5 experimental) ts_of_{max,min,last}_over_time(v[w]):
+    the timestamp, in epoch SECONDS, of the window's max / min / last raw
+    sample.  Ties on value resolve to the LATEST sample — the >= / <=
+    update rule in Prometheus's funcTsOfMaxOverTime/funcTsOfMinOverTime.
+    Pure window aggregates (max_by/min_by on a (value, ts) struct)."""
+    if fn == "last":
+        # trailing windows end at the current sample, so the last sample's
+        # timestamp is the row's own ts — same stance as over_time("last")
+        val = F.col("ts").cast("double")
+    elif fn == "max":
+        val = F.expr("max_by(ts, struct(value, ts))").over(
+            _range_frame(sf, window_ms)
+        ).cast("double")
+    elif fn == "min":
+        val = F.expr("min_by(ts, struct(value, -ts))").over(
+            _range_frame(sf, window_ms)
+        ).cast("double")
+    else:
+        raise ValueError(f"unknown ts_of fn: {fn}")
+    df = sf.df.withColumn("value", val / F.lit(1000.0))
+    return sf.with_df(df.select(*SAMPLE_COLS))
+
+
 def delta_over_time(sf: SeriesFrame, window_ms: int) -> SeriesFrame:
     """PromQL delta(v[w]): last − first raw sample in the trailing window
     (gauge difference) — FunctionType.DELTA."""
