@@ -8,6 +8,7 @@ result (approximation may lose pairs, never invent them).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from time_series_db_spark.pipeline import dedup
@@ -59,3 +60,67 @@ def test_dedup_survivors_keeps_min_and_unpaired(spark):
         r.doc_id for r in dedup.dedup_survivors(docs, pairs).collect()
     )
     assert kept == [1, 3, 4, 6]
+
+
+def test_apportion_largest_remainder():
+    """Quotas are exact integers summing to the budget; remainders go to
+    the largest fractional parts, name tie-break."""
+    from time_series_db_spark.pipeline.pack import apportion
+
+    assert apportion({"en": 0.5, "fr": 0.2, "zh": 0.2, "de": 0.1}, 120) == {
+        "en": 60, "fr": 24, "zh": 24, "de": 12,
+    }
+    # 3-way split of 10: 3.33.. each → two get the remainder, name order
+    assert apportion({"a": 1, "b": 1, "c": 1}, 10) == {"a": 4, "b": 3, "c": 3}
+    assert sum(apportion({"x": 0.7, "y": 0.3}, 7).values()) == 7
+    with pytest.raises(ValueError):
+        apportion({}, 10)
+    with pytest.raises(ValueError):
+        apportion({"a": -1.0, "b": 2.0}, 10)
+    with pytest.raises(ValueError):
+        apportion({"a": 1.0}, 0)
+
+
+def test_sample_mixture_shortfall_and_determinism(spark):
+    """A stratum smaller than its quota under-fills (ranks < target_n
+    visible); excluded strata never appear; re-runs are identical."""
+    from time_series_db_spark.pipeline.pack import sample_mixture
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    rows += [(200 + i, "excluded") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_mixture(df, {"big": 0.5, "small": 0.5}, budget=20)
+    got = {(r["stratum"], r["sample_rank"]): r["doc_id"] for r in out.collect()}
+    strata = {s for s, _ in got}
+    assert strata == {"big", "small"}
+    assert sum(1 for s, _ in got if s == "big") == 10        # filled quota
+    assert sum(1 for s, _ in got if s == "small") == 3       # shortfall: 3 < 10
+    again = {(r["stratum"], r["sample_rank"]): r["doc_id"]
+             for r in sample_mixture(df, {"big": 0.5, "small": 0.5}, budget=20).collect()}
+    assert got == again
+
+
+def test_decontaminate_flags_and_validation(spark):
+    """Documents sharing an n-gram with the eval set are flagged; clean
+    documents report zero collisions; bad params raise."""
+    from time_series_db_spark.pipeline.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),     # contains eval 3-gram
+            (2, "one two three four five"),            # clean
+            (3, "x y z alpha beta gamma tail words"),  # same eval 3-gram
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(9, "prefix alpha beta gamma suffix")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["n_collisions"], r["contaminated"])
+           for r in decontaminate(corpus, evals, n=3).collect()}
+    assert out[1][1] and out[3][1] and not out[2][1]
+    assert out[2][0] == 0 and out[1][0] >= 1
+    with pytest.raises(ValueError):
+        decontaminate(corpus, evals, n=0)
+    with pytest.raises(ValueError):
+        decontaminate(corpus, evals, n=3, min_hits=0)

@@ -237,3 +237,42 @@ def test_sample_stratified_partial_top_n(spark, sf_dir):
     out = sample_stratified(load_table(spark, sf_dir, "documents"))
     plan = _plan(out)
     assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+
+
+def test_sample_mixture_partial_top_n_and_broadcast_quotas(spark, sf_dir):
+    """Mixture sampling keeps the stratified-sample shuffle bound (the
+    constant max-quota rank filter sits under the window, so partial
+    WindowGroupLimit applies) and joins the tiny quota table broadcast."""
+    from time_series_db_spark.pipeline.pack import sample_mixture
+    from time_series_db_spark.sources import load_table
+
+    out = sample_mixture(
+        load_table(spark, sf_dir, "documents"),
+        weights={"en": 0.5, "fr": 0.5},
+        budget=40,
+    )
+    plan = _plan(out)
+    assert plan.count("WindowGroupLimit") >= 2  # Partial + Final
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_ngram_set(spark, sf_dir):
+    """Decontamination must broadcast the (small) benchmark n-gram hash
+    set against the exploded corpus side — the corpus n-grams are
+    filtered by a broadcast hash join before any shuffle, so only actual
+    collisions reach the per-doc aggregate."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.pipeline.decontam import decontaminate
+    from time_series_db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = decontaminate(
+        docs.filter(F.col("doc_id") % 20 != 0),
+        docs.filter(F.col("doc_id") % 20 == 0),
+        n=8,
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

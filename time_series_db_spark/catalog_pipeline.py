@@ -774,3 +774,65 @@ def pipeline_curate(spark, sf_dir):
     surv = dedup.exact_dedup(kept).select("doc_id")
     final = kept.join(surv, "doc_id")
     return pack.pack_sequences(final, budget=256, n_shards=16)
+
+
+# ---------------------------------------------------------------------------
+# decontamination + mixture sampling (r5)
+# ---------------------------------------------------------------------------
+
+_DECON_SH = sql_word_shingles(_TOKS, 8)
+
+
+@register(
+    "decontaminate_ngram",
+    f"""WITH corpus AS (SELECT doc_id, {_DECON_SH} AS g FROM documents WHERE doc_id % 20 <> 0),
+    evals  AS (SELECT {_DECON_SH} AS g FROM documents WHERE doc_id % 20 = 0),
+    eh AS (SELECT DISTINCT {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT unnest(g) AS gram FROM evals)),
+    ch AS (SELECT doc_id, {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT doc_id, unnest(g) AS gram FROM corpus)),
+    hits AS (SELECT doc_id, count(DISTINCT gh) AS n FROM ch JOIN eh USING (gh) GROUP BY 1)
+    SELECT c.doc_id, coalesce(h.n, 0)::BIGINT AS n_collisions,
+           coalesce(h.n, 0) >= 1 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+)
+def decontaminate_ngram(spark, sf_dir):
+    """Benchmark decontamination (pipeline/decontam.py): every 20th
+    document plays the benchmark set; the rest of the corpus is flagged
+    on any shared 8-word-gram (the GPT-3 appendix-C methodology).  Eval
+    n-gram hashes broadcast; only actual collisions ever shuffle."""
+    from time_series_db_spark.pipeline import decontam
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontam.decontaminate(corpus, evals, n=8, min_hits=1)
+
+
+@register(
+    "sample_mixture",
+    """WITH quotas(stratum, target_n) AS (
+      VALUES ('de', 12::BIGINT), ('en', 60::BIGINT),
+             ('fr', 24::BIGINT), ('zh', 24::BIGINT)),
+    r AS (
+      SELECT doc_id, lang AS stratum,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+    SELECT r.doc_id, r.stratum, r.rnk::BIGINT AS sample_rank, q.target_n
+    FROM r JOIN quotas q ON r.stratum = q.stratum
+    WHERE r.rnk <= q.target_n""",
+)
+def sample_mixture(spark, sf_dir):
+    """Weighted data-mixture sample (pipeline/pack.py sample_mixture):
+    120 documents at target proportions en:.5 fr:.2 zh:.2 de:.1 (es
+    excluded) — largest-remainder integer quotas (60/24/24/12), the
+    deterministic md5(doc_id) pick order shared with sample_stratified,
+    WindowGroupLimit-bounded shuffle."""
+    from time_series_db_spark.pipeline import pack
+
+    return pack.sample_mixture(
+        _docs(spark, sf_dir),
+        weights={"en": 0.5, "fr": 0.2, "zh": 0.2, "de": 0.1},
+        budget=120,
+    )

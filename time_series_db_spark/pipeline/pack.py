@@ -110,3 +110,70 @@ def sample_stratified(
         )
         .filter(F.col("sample_rank") <= int(n_per_stratum))
     )
+
+
+def apportion(weights: dict[str, float], budget: int) -> dict[str, int]:
+    """Largest-remainder apportionment of ``budget`` documents across
+    strata proportional to ``weights`` (Hamilton's method): exact integer
+    quotas that always sum to the budget, deterministic tie-break on the
+    stratum name.  Driver-side arithmetic on the (tiny) weights dict."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative with a positive sum")
+    total = float(sum(weights.values()))
+    quotas = {s: budget * w / total for s, w in weights.items()}
+    base = {s: int(q) for s, q in quotas.items()}
+    short = budget - sum(base.values())
+    by_rem = sorted(quotas, key=lambda s: (-(quotas[s] - base[s]), s))
+    for s in by_rem[:short]:
+        base[s] += 1
+    return base
+
+
+def sample_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    budget: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted-mixture sample: draw ``budget`` documents
+    with per-stratum counts proportional to ``weights`` (the data-mixture
+    step that hits target domain/language proportions for a training
+    run), picking within each stratum by the same fixed md5(id) order as
+    :func:`sample_stratified` — re-runs reproduce the sample exactly.
+
+    Strata absent from ``weights`` are excluded.  A stratum smaller than
+    its quota under-fills (the report column ``target_n`` vs the emitted
+    ranks makes the shortfall visible to the caller); quotas are exact
+    largest-remainder integers summing to the budget.
+
+    Scale shape: ranks are filtered to the LITERAL max quota first, so
+    Spark's WindowGroupLimit pushes a per-partition partial top-n below
+    the shuffle (a giant stratum ships max_quota × partitions rows, not
+    its full size); the per-stratum quota table is a broadcast literal.
+
+    Output: (id, stratum, sample_rank, target_n).
+    """
+    quotas = apportion(weights, budget)
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(s, n) for s, n in sorted(quotas.items())], "stratum string, target_n long"
+    )
+    key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    ranked = (
+        df.select(
+            F.col(id_col),
+            F.col(strata_col).alias("stratum"),
+            F.row_number().over(w).cast("long").alias("sample_rank"),
+        )
+        # constant bound first → WindowGroupLimit partial top-n pushdown
+        .filter(F.col("sample_rank") <= int(max(quotas.values())))
+    )
+    return ranked.join(F.broadcast(qdf), on="stratum", how="inner").filter(
+        F.col("sample_rank") <= F.col("target_n")
+    ).select(id_col, "stratum", "sample_rank", "target_n")
