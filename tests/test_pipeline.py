@@ -124,3 +124,29 @@ def test_decontaminate_flags_and_validation(spark):
         decontaminate(corpus, evals, n=0)
     with pytest.raises(ValueError):
         decontaminate(corpus, evals, n=3, min_hits=0)
+
+
+def test_semantic_dedup_keeps_min_id_per_near_group(spark):
+    # 4 well-separated axis directions seed 4 clusters; ids 4 and 5 are
+    # near-copies of id 0's direction -> same cluster, cosine ~1 -> both
+    # dropped, id 0 (the min) survives.  id 6 is a lone direction.
+    import math
+
+    def unit(*xs):
+        n = math.sqrt(sum(x * x for x in xs))
+        return [x / n for x in xs]
+
+    rows = [
+        (0, unit(1.0, 0.0, 0.0, 0.0)),
+        (1, unit(0.0, 1.0, 0.0, 0.0)),
+        (2, unit(0.0, 0.0, 1.0, 0.0)),
+        (3, unit(0.0, 0.0, 0.0, 1.0)),
+        (4, unit(0.99, 0.01, 0.0, 0.0)),
+        (5, unit(0.98, 0.0, 0.02, 0.0)),
+        (6, unit(0.5, -0.5, 0.5, -0.5)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(df, nlist=4, train_iters=1, threshold=0.9)
+    kept = sorted(r.vec_id for r in out.collect())
+    assert 0 in kept and 4 not in kept and 5 not in kept
+    assert {1, 2, 3, 6} <= set(kept)

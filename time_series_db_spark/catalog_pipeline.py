@@ -608,6 +608,36 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 
 
 @register(
+    "dedup_semantic",
+    f"""WITH e AS ({_SQL_E}),
+    {_KM_CTES},
+    assign AS (
+      SELECT e.vec_id, e.v, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.v', 'c.centroid')} DESC, c.cid
+             ) AS pr
+      FROM e CROSS JOIN {_KM_FINAL} c),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE pr = 1),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_cosine('a.v', 'b.v')} >= 0.45)
+    SELECT c.vec_id, c.cell::BIGINT AS cell
+    FROM cells c
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = c.vec_id)""",
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup: k-means clusters (same trained quantizer as IVF), then
+    within-cluster cosine ≥ 0.45 prunes to the min-id survivor — the
+    embedding-space semantic dedup a pretraining pipeline runs after
+    exact/minhash dedup. The oracle unrolls the identical Lloyd rounds."""
+    return dedup.semantic_dedup(
+        _embs(spark, sf_dir), nlist=16, train_iters=2, threshold=0.45
+    )
+
+
+@register(
     "text_repetition",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     grams AS (SELECT doc_id, unnest({sql_word_shingles('t', 2)}) AS g FROM toks),

@@ -595,3 +595,64 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: k-means clusters + within-cluster cosine prune (SemDeDup)
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup(
+    df: DataFrame,
+    nlist: int = 16,
+    train_iters: int = 2,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding
+    space with k-means, then within each cluster drop every document
+    whose cosine similarity to a lower-id document in the SAME cluster
+    is ≥ ``threshold``. Returns the survivors as (id, cell).
+
+    Distributed shape: centroids are trained by deterministic Lloyd
+    rounds (:func:`~time_series_db_spark.pipeline.ann.kmeans_centroids`)
+    and broadcast, so assignment is a map-side cross join — the corpus
+    never shuffles for clustering. The near-dup scan is a self-join on
+    the cell id: the shuffle co-partitions on ``cell``, and each task
+    compares only within-cluster pairs — O(Σ cell²), with cell sizes
+    held ~constant by scaling ``nlist`` ∝ corpus size (the paper's
+    regime), never the all-pairs O(n²). Survivor rule: keep the minimum
+    id of each similar group (deterministic; the paper keeps the item
+    farthest from the centroid — same asymptotics, different tie-break).
+    """
+    from time_series_db_spark.pipeline import ann
+
+    vecs = df.select(
+        F.col(id_col), ann._as_double(F.col(vec_col)).alias("__v")
+    )
+    cents = F.broadcast(
+        ann.kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
+    )
+    cells = ann.ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+        F.col(id_col), F.col("__v"), F.col("__cell").alias("cell")
+    )
+    a = cells.select(
+        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+        F.col("cell").alias("__ca"),
+    )
+    b = cells.select(
+        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+        F.col("cell").alias("__cb"),
+    )
+    dropped = (
+        a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
+        .filter(
+            cosine_expr(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold))
+        )
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return cells.join(dropped, id_col, "left_anti").select(
+        id_col, F.col("cell").cast("long").alias("cell")
+    )
