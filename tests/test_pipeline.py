@@ -150,3 +150,33 @@ def test_semantic_dedup_keeps_min_id_per_near_group(spark):
     kept = sorted(r.vec_id for r in out.collect())
     assert 0 in kept and 4 not in kept and 5 not in kept
     assert {1, 2, 3, 6} <= set(kept)
+
+
+def test_gopher_quality_rules(spark):
+    from time_series_db_spark.pipeline import text as T
+
+    long_good = " ".join(
+        ["the quick brown fox jumps over that lazy dog with energy to be of and"]
+        * 5
+    )
+    rows = [
+        (0, long_good),                       # passes every rule
+        (1, "short doc"),                     # < 50 words
+        (2, " ".join(["#"] * 60)),            # symbol ratio + no alpha + no stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in T.gopher_quality(df).collect()}
+    assert out[0].keep and out[0].stop_hits >= 2
+    assert not out[1].keep
+    assert not out[2].keep and out[2].alpha_frac == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from time_series_db_spark.pipeline import text as T
+
+    rows = [(0, "mail Bob.Smith+x@corp.EXAMPLE.com or 10.0.0.1 call +1 (555) 123-4567 now")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = T.pii_scrub(df).collect()[0]
+    assert r.n_email == 1 and r.n_ipv4 == 1 and r.n_phone == 1
+    assert "<EMAIL>" in r.scrubbed and "<IPV4>" in r.scrubbed and "<PHONE>" in r.scrubbed
+    assert "example.com" not in r.scrubbed and "555" not in r.scrubbed

@@ -378,6 +378,66 @@ def text_quality(spark, sf_dir):
     )
 
 
+_SQL_GOPHER_STOP = ", ".join(f"'{w}'" for w in text.GOPHER_STOPWORDS)
+
+@register(
+    "text_gopher_quality",
+    f"""WITH feats AS (
+      SELECT doc_id,
+             len(t)::DOUBLE AS nw,
+             length(norm)::DOUBLE AS nc,
+             (length(norm) - length(replace(norm, '#', '')))::DOUBLE AS nhash,
+             (length(norm) - length(replace(norm, '...', '')))::DOUBLE / 3.0 AS nell,
+             len(list_filter(t, tok -> regexp_matches(tok, '[a-z]')))::DOUBLE AS nalpha,
+             len(list_filter([{_SQL_GOPHER_STOP}],
+                             w -> list_contains(t, w)))::BIGINT AS stop_hits
+      FROM (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS t FROM documents)
+    )
+    SELECT doc_id, nw::BIGINT AS n_words,
+           {sql_quant('(nc - nw + 1) / nw')} AS mean_word_len,
+           {sql_quant('(nhash + nell) / nw')} AS symbol_ratio,
+           {sql_quant('nalpha / nw')} AS alpha_frac,
+           stop_hits,
+           ((nw BETWEEN 50 AND 100000)
+            AND ((nc - nw + 1) / nw BETWEEN 3.0 AND 10.0)
+            AND ((nhash + nell) / nw <= 0.1)
+            AND (nalpha / nw >= 0.8)
+            AND (stop_hits >= 2)) AS keep
+    FROM feats""",
+)
+def text_gopher_quality(spark, sf_dir):
+    """Gopher/MassiveText §A1.1 quality rules: word-count bounds, mean
+    word length, symbol-to-word ratio, alpha-word fraction, required
+    stop words — signals + composite keep flag, one scan, no UDFs."""
+    out = text.gopher_quality(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_words",
+        quant(F.col("mean_word_len")).alias("mean_word_len"),
+        quant(F.col("symbol_ratio")).alias("symbol_ratio"),
+        quant(F.col("alpha_frac")).alias("alpha_frac"),
+        "stop_hits", "keep",
+    )
+
+
+def _sql_pii() -> str:
+    s = _NORM
+    counts = []
+    for kind, pat in text.PII_PATTERNS.items():
+        counts.append(f"len(regexp_extract_all({s}, '{pat}'))::BIGINT AS n_{kind}")
+        s = f"regexp_replace({s}, '{pat}', '<{kind.upper()}>', 'g')"
+    return (
+        f"SELECT doc_id, {s} AS scrubbed, {', '.join(counts)} FROM documents"
+    )
+
+
+@register("text_pii_scrub", _sql_pii())
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction pass: emails / IPv4 / phone-like runs replaced by
+    <KIND> tags with per-kind counts — RE2-and-Java-portable patterns so
+    the differential is exact."""
+    return text.pii_scrub(_docs(spark, sf_dir))
+
+
 @register(
     "text_token_stats",
     f"""SELECT doc_id,

@@ -172,3 +172,102 @@ def repetition_stats(
             (F.col("__top") / F.col("n_bigrams")).alias("top_bigram_frac"),
         )
     )
+
+
+#: Gopher rule 5 (Rae et al. 2021, MassiveText): required English stop
+#: words — a document must contain at least 2 of these
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """Gopher/MassiveText document-quality rules (Rae et al. 2021 §A1.1)
+    as pure column expressions: word-count bounds, mean word length in
+    [3, 10], symbol-to-word ratio (# and ellipsis) ≤ 0.1, ≥ 80% of words
+    containing an alphabetic character, and ≥ 2 required stop words.
+
+    Output: per-doc signal columns + the composite ``keep`` flag.  One
+    scan, no shuffle, no UDFs — at 100 TB this is the first pass of the
+    curation funnel and runs at parquet-scan speed with only
+    (id, text) read.
+    """
+    norm = textprep.normalize(F.col(text_col))
+    tok = textprep.tokens(F.col(text_col))
+    n_words = F.size(tok).cast("double")
+    n_chars = F.length(norm).cast("double")
+    # single-space normalization => sum(len(word)) = n_chars - (n_words-1)
+    mean_wl = (n_chars - n_words + 1) / n_words
+    n_hash = n_chars - F.length(F.regexp_replace(norm, "#", ""))
+    n_ellipsis = (
+        n_chars - F.length(F.regexp_replace(norm, r"\.\.\.", ""))
+    ) / F.lit(3.0)
+    symbol_ratio = (n_hash + n_ellipsis) / n_words
+    alpha_frac = F.size(F.filter(tok, lambda w: w.rlike("[a-z]"))) / n_words
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda w: F.array_contains(tok, w),
+        )
+    )
+    feats = df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        stop_hits.cast("long").alias("stop_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_ratio") <= 0.1)
+        & (F.col("alpha_frac") >= 0.8)
+        & (F.col("stop_hits") >= 2)
+    )
+    return feats.select(
+        id_col, "n_words", "mean_word_len", "symbol_ratio", "alpha_frac",
+        "stop_hits", keep.alias("keep"),
+    )
+
+
+#: PII patterns portable across Java regex (Spark) and RE2 (DuckDB):
+#: character classes + bounded repetition only — no lookaround, no \b
+#: corner semantics in the replacement path
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+    "phone": r"\+?[0-9][0-9() -]{6,}[0-9]",
+}
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-like digit runs, keeping
+    per-kind match counts: (id, scrubbed, n_email, n_ipv4, n_phone).
+
+    Patterns apply in dict order (email first so its digits can't be
+    re-matched as phones); each is replaced by ``<KIND>``.  Pure
+    ``regexp_replace`` / ``regexp_extract_all`` column expressions —
+    the standard pre-training PII pass runs exactly like this shape at
+    scale (the production difference is bigger pattern lists and an NER
+    model for names, which would be a Pandas-UDF stage downstream).
+    """
+    scrubbed = textprep.normalize(F.col(text_col))
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        # count against the partially-scrubbed text so each count equals
+        # the number of <KIND> tags this pass inserts (an email's digits
+        # are never also counted as a phone)
+        counts.append(
+            F.size(F.regexp_extract_all(scrubbed, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{kind}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
