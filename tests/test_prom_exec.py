@@ -227,3 +227,35 @@ def test_mad_over_time_small_windows(spark):
     assert vals[T0 + 2 * H] == pytest.approx(1.0)
     # t3: window {2,10,4} → med 4, devs {2,6,0} → med 2
     assert vals[T0 + 3 * H] == pytest.approx(2.0)
+
+
+def test_histogram_fraction_classic_buckets(spark):
+    """histogram_fraction over classic le buckets: exact bounds give the
+    bucket-count difference over total; x beyond the largest finite
+    bound only reaches the +Inf tail at upper=+Inf (written as 1e999)."""
+    # 10 observations at ts=T0: cumulative le=1 -> 2, le=4 -> 6, +Inf -> 10
+    rows = []
+    for le, cnt in [("1", 2.0), ("4", 6.0), ("+Inf", 10.0)]:
+        rows.append(({"name": "h", "le": le}, T0, cnt))
+    src = _source(spark, rows)
+    # exact bucket bounds: (F(4)-F(1))/total = (6-2)/10
+    vals = _series(spark, src, "histogram_fraction(1, 4, h)", n_steps=1)
+    assert vals[T0] == pytest.approx(0.4)
+    # interpolated: F(2) = 2 + (6-2)*((2-1)/(4-1)) = 10/3; F(0)=0
+    vals = _series(spark, src, "histogram_fraction(0, 2, h)", n_steps=1)
+    assert vals[T0] == pytest.approx((2 + 4 / 3) / 10)
+    # upper beyond largest finite bound but not +Inf: tail mass excluded
+    vals = _series(spark, src, "histogram_fraction(0, 100, h)", n_steps=1)
+    assert vals[T0] == pytest.approx(0.6)
+    # upper = +Inf (Inf literal): everything
+    vals = _series(spark, src, "histogram_fraction(0, Inf, h)", n_steps=1)
+    assert vals[T0] == pytest.approx(1.0)
+
+
+def test_histogram_fraction_invalid_histogram_nan(spark):
+    """No +Inf bucket -> NaN, matching histogram_quantile's guard."""
+    rows = [({"name": "h", "le": "1"}, T0, 2.0),
+            ({"name": "h", "le": "4"}, T0, 6.0)]
+    src = _source(spark, rows)
+    vals = _series(spark, src, "histogram_fraction(0, 2, h)", n_steps=1)
+    assert math.isnan(vals[T0])

@@ -146,3 +146,19 @@ def test_keywords_fold_case_like_prometheus():
     node = _expr("a * ON(inst) GROUP_LEFT(role) b")
     assert node.matching == "on" and node.group == "group_left"
     assert node.group_labels == ["role"]
+
+
+def test_number_literals_scientific_inf_nan():
+    """Prometheus number literals: exponents, leading-dot, Inf/NaN —
+    previously 1e3 lexed as NUMBER(1) + metric e3 and silently queried
+    the wrong series."""
+    from time_series_db_spark.lang.prom.parser import parse
+
+    n = parse("histogram_fraction(0, 1e3, h)").children[0]
+    assert n.scalars == [0.0, 1000.0] and len(n.children) == 1
+
+    n = parse("clamp(v, -1.5e-1, .5)").children[0]
+    assert n.scalars == [-0.15, 0.5]
+
+    n = parse("histogram_fraction(-Inf, Inf, h)").children[0]
+    assert n.scalars[0] == float("-inf") and n.scalars[1] == float("inf")

@@ -494,8 +494,18 @@ def promql_histogram_quantile(spark, sf_dir):
     bucketization is one explode(4)+groupBy; the quantile walk is a pure
     SQL fold (grouping.histogram_quantile), no UDF anywhere.
     """
-    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
     from time_series_db_spark.operators import grouping
+
+    sf = _view_hist_buckets(spark, sf_dir)
+    out = grouping.histogram_quantile(sf, 0.5)
+    return _flat(out, ["name", "region"])
+
+
+def _view_hist_buckets(spark, sf_dir):
+    """Fabricate cumulative le-bucket series (le ∈ {5, 20, 50, +Inf}) per
+    (region, ts) from the view metric — shared input for the
+    histogram_quantile / histogram_fraction entries."""
+    from time_series_db_spark.model import SAMPLE_COLS, series_key_expr
     from time_series_db_spark.sources import fetch_events
 
     base = fetch_events(spark, sf_dir)
@@ -522,8 +532,36 @@ def promql_histogram_quantile(spark, sf_dir):
         .withColumn("series_key", series_key_expr())
         .select(*SAMPLE_COLS)
     )
-    sf = base.with_df(buckets)
-    out = grouping.histogram_quantile(sf, 0.5)
+    return base.with_df(buckets)
+
+
+@register(
+    "promql_histogram_fraction",
+    f"""{PRELUDE},
+    counts AS (
+      SELECT region, ts,
+             count(CASE WHEN value <= 5.0  THEN 1 END)::DOUBLE AS c1,
+             count(CASE WHEN value <= 20.0 THEN 1 END)::DOUBLE AS c2,
+             count(CASE WHEN value <= 50.0 THEN 1 END)::DOUBLE AS c3,
+             count(*)::DOUBLE AS c4
+      FROM samples WHERE name = 'view' GROUP BY region, ts)
+    SELECT 'view_hist' AS name, region, ts,
+           {sql_quant('''CASE WHEN c4 <= 0 THEN 'NaN'::DOUBLE ELSE
+             ((c2 + (c3 - c2) * ((30.0::DOUBLE - 20.0::DOUBLE) / (50.0::DOUBLE - 20.0::DOUBLE)))
+              - (c1 + (c2 - c1) * ((10.0::DOUBLE - 5.0::DOUBLE) / (20.0::DOUBLE - 5.0::DOUBLE))))
+             / c4 END''')} AS value
+    FROM counts""",
+)
+def promql_histogram_fraction(spark, sf_dir):
+    """histogram_fraction(10, 30, v) over classic le buckets: fraction of
+    observations in (10, 30] estimated by the same linear intra-bucket
+    interpolation as bucketQuantile, run in reverse (CDF at each bound).
+    Both bounds land strictly inside buckets so the oracle's closed form
+    exercises the interpolated path, not the exact-bound shortcut."""
+    from time_series_db_spark.operators import grouping
+
+    sf = _view_hist_buckets(spark, sf_dir)
+    out = grouping.histogram_fraction(sf, 10.0, 30.0)
     return _flat(out, ["name", "region"])
 
 

@@ -652,6 +652,12 @@ def _apply_instant_fn(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFram
         if not node.scalars:
             raise A.PromParseError("histogram_quantile(φ, v) needs φ scalar")
         return grouping.histogram_quantile(sf, node.scalars[0])
+    if name == "histogram_fraction":
+        if len(node.scalars) != 2:
+            raise A.PromParseError(
+                "histogram_fraction(lower, upper, v) needs two scalars"
+            )
+        return grouping.histogram_fraction(sf, node.scalars[0], node.scalars[1])
     if name == "absent":
         return _absent(sf, node, ctx)
     if name == "scalar":

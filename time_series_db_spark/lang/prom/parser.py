@@ -47,7 +47,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<WS>\s+|\#[^\n\r]*)
   | (?P<DURATION>\d+(?:ms|s|m|h|d|w|y)\b)
-  | (?P<NUMBER>\d+(?:\.\d+)?)
+  | (?P<NUMBER>(?:\d+(?:\.\d+)?|\.\d+)(?:[eE][+-]?\d+)?|[iI][nN][fF]\b|[nN][aA][nN]\b)
   | (?P<CMP>==|>=|<=|>|<)
   | (?P<OP>=~|!~|!=|=)
   | (?P<ARITH>[-+*/%^])
@@ -321,7 +321,13 @@ class _Parser:
         node = FunctionCallNode(name=name.lower())
         while self.peek() != ("DELIM", ")"):
             k, v = self.peek()
-            if k == "NUMBER":
+            if k == "ARITH" and v in "+-" and self.peek(1)[0] == "NUMBER":
+                # signed scalar argument: clamp(v, -1, 1), histogram_
+                # fraction(-Inf, 0, v) — the sign binds to the literal
+                sign = -1.0 if v == "-" else 1.0
+                self.next()
+                node.scalars.append(sign * float(self.next()[1]))
+            elif k == "NUMBER":
                 node.scalars.append(float(self.next()[1]))
             elif k == "STRING":
                 node.strings.append(unquote_string(self.next()[1]))

@@ -728,6 +728,83 @@ def prom_histogram_percentile(
     return sf.with_df(out)
 
 
+def _fmt_bound(x: float) -> str:
+    """Render a CDF evaluation point as a Spark/DuckDB double literal."""
+    if x == float("inf"):
+        return "double('Infinity')"
+    if x == float("-inf"):
+        return "double('-Infinity')"
+    return f"{float(x)!r}D"
+
+
+def _bucket_cdf_expr(x: float) -> str:
+    """Interpolated cumulative count at ``x`` over the sorted ``__bk``
+    cumulative-bucket array (SQL sub-expression, no outer guard).
+
+    Mirrors bucketQuantile's interpolation model run in reverse: count
+    below the first bucket interpolates from 0 at le=0; inside a finite
+    bucket, linearly; at or beyond the largest finite upper bound the
+    +Inf tail mass is only reached at x = +Inf (no interpolation toward
+    an infinite bound)."""
+    xl = _fmt_bound(x)
+    return f"""aggregate(
+        __bk,
+        named_struct('res', CAST(NULL AS DOUBLE), 'prev_le', 0.0D,
+                     'prev_cnt', 0.0D),
+        (acc, b) -> CASE WHEN acc.res IS NOT NULL THEN acc ELSE
+          CASE WHEN b.le >= {xl} THEN
+            named_struct(
+              'res',
+              CASE
+                WHEN {xl} = double('Infinity') THEN CAST(b.cnt AS DOUBLE)
+                WHEN {xl} <= acc.prev_le THEN acc.prev_cnt
+                WHEN b.le = double('Infinity') THEN CAST(acc.prev_cnt AS DOUBLE)
+                ELSE acc.prev_cnt +
+                     (CAST(b.cnt AS DOUBLE) - acc.prev_cnt) *
+                     (({xl} - acc.prev_le) / (b.le - acc.prev_le))
+              END,
+              'prev_le', b.le, 'prev_cnt', CAST(b.cnt AS DOUBLE))
+          ELSE named_struct('res', acc.res, 'prev_le', b.le,
+                            'prev_cnt', CAST(b.cnt AS DOUBLE))
+          END END,
+        acc -> coalesce(acc.res, acc.prev_cnt)
+      )"""
+
+
+def histogram_fraction(sf: SeriesFrame, lower: float, upper: float) -> SeriesFrame:
+    """PromQL ``histogram_fraction(lower, upper, v)`` over CLASSIC
+    cumulative ``le``-bucket series (beyond the reference; upstream
+    Prometheus restricts the function to native histograms — this is the
+    documented classic-bucket analog, using exactly bucketQuantile's
+    interpolation assumptions so ``histogram_fraction`` and
+    ``histogram_quantile`` are mutually consistent inverses).
+
+    fraction = (F(upper) − F(lower)) / total where F is the
+    linearly-interpolated cumulative count (observations in the +Inf
+    tail are reached only when the bound is +Inf itself; bounds are
+    clamped to [0, ∞) like positive classic buckets). Invalid histograms
+    (no +Inf last bucket, total ≤ 0) yield NaN, matching
+    :func:`histogram_quantile`'s guard. Same distributed shape as
+    histogram_quantile: one (group, ts) aggregation, pure-SQL fold.
+    """
+    base = _le_bucket_base(sf)
+    guard = """size(__bk) < 2 OR __bk[size(__bk)-1].le != double('Infinity')
+               OR __bk[size(__bk)-1].cnt <= 0"""
+    frac = F.expr(
+        f"""CASE WHEN {guard} THEN CAST('NaN' AS DOUBLE)
+        ELSE ({_bucket_cdf_expr(upper)} - {_bucket_cdf_expr(lower)})
+             / __bk[size(__bk)-1].cnt END"""
+    )
+    out = base.select(
+        F.col("__gkey").alias("series_key"),
+        F.col("labels"),
+        F.lit(None).cast("string").alias("alias"),
+        F.col("ts"),
+        frac.cast("double").alias("value"),
+    ).select(*SAMPLE_COLS)
+    return sf.with_df(out)
+
+
 def to_histogram_linear_buckets(
     sf: SeriesFrame,
     start: float,
