@@ -276,3 +276,47 @@ def test_decontaminate_broadcasts_eval_ngram_set(spark, sf_dir):
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semantic_dedup_broadcasts_centroids_no_cartesian(spark, sf_dir):
+    """SemDeDup's clustering must broadcast the centroid table (corpus
+    never shuffles for assignment) and the near-dup scan must be an
+    equi-join on the cell id — a CartesianProduct here is the O(n²)
+    all-pairs regression the clustering exists to avoid."""
+    from time_series_db_spark.pipeline import dedup
+    from time_series_db_spark.sources import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    out = dedup.semantic_dedup(embs, nlist=4, train_iters=1)
+    plan = _plan(out)
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast centroid assign
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # the pair scan shuffles on the cell key, not all-pairs
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_text_curation_ops_stay_codegen(spark, sf_dir):
+    """Gopher rules and PII scrub are single-scan column expressions: no
+    Python UDF, no shuffle — at 100 TB they run at parquet-scan speed."""
+    from time_series_db_spark.pipeline import text
+    from time_series_db_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for out in (text.gopher_quality(docs), text.pii_scrub(docs)):
+        plan = _plan(out)
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan
+
+
+def test_histogram_fraction_single_aggregation(spark, sf_dir):
+    """histogram_fraction folds buckets in one (group, ts) hash
+    aggregation — same shape as histogram_quantile; the CDF walk is a
+    pure SQL fold, never a UDF or a second shuffle."""
+    from time_series_db_spark.operators import grouping
+
+    sf = fetch_events(spark, sf_dir)
+    out = grouping.histogram_fraction(sf, 10.0, 30.0)
+    plan = _plan(out.df)
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg

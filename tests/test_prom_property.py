@@ -146,3 +146,52 @@ def test_vector_matching_matches_duckdb_join(spark, case):
 
     expected = _expected_duckdb(mode, op, mod_keys, left, right, match_sig)
     assert got == expected, f"query={query!r} left={left} right={right}"
+
+
+@st.composite
+def _histogram(draw):
+    """Random valid classic histogram: strictly increasing positive
+    bounds, strictly increasing cumulative counts, empty +Inf tail (so
+    every quantile lands in a finite bucket)."""
+    n = draw(st.integers(min_value=2, max_value=5))
+    widths = draw(
+        st.lists(
+            st.floats(min_value=0.5, max_value=50.0, allow_nan=False),
+            min_size=n, max_size=n,
+        )
+    )
+    bounds = []
+    acc = 0.0
+    for w in widths:
+        acc += w
+        bounds.append(round(acc, 3))
+    incs = draw(
+        st.lists(st.integers(min_value=1, max_value=20), min_size=n, max_size=n)
+    )
+    cum, counts = 0, []
+    for i in incs:
+        cum += i
+        counts.append(float(cum))
+    phi = draw(st.floats(min_value=0.1, max_value=0.9, allow_nan=False))
+    return bounds, counts, phi
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(_histogram())
+def test_histogram_fraction_inverts_quantile(spark, hist):
+    """For any valid histogram with an empty +Inf tail and φ ∈ (0, 1):
+    histogram_fraction(0, histogram_quantile(φ)) == φ — the two share
+    one interpolation model, so each must invert the other exactly (up
+    to float round-trip)."""
+    from tests.test_prom_exec import _source, _series
+
+    bounds, counts, phi = hist
+    rows = [
+        ({"name": "h", "le": str(b)}, T0, c) for b, c in zip(bounds, counts)
+    ]
+    rows.append(({"name": "h", "le": "+Inf"}, T0, counts[-1]))
+    src = _source(spark, rows)
+    q = _series(spark, src, f"histogram_quantile({phi!r}, h)", n_steps=1)[T0]
+    frac = _series(spark, src, f"histogram_fraction(0, {q!r}, h)", n_steps=1)[T0]
+    assert frac == pytest.approx(phi, rel=1e-9, abs=1e-9)
