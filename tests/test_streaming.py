@@ -861,3 +861,55 @@ def test_service_promql_r5_surface(spark, sf_dir):
         start=EVENTS_MIN_TS, end=end, step=DEFAULT_STEP_MS,
     )
     assert all(set(r["metric"]) == {"v"} for r in cv["data"]["result"])
+
+
+def test_promql_instant_query_vector(spark, sf_dir):
+    """promql_query evaluates at ONE instant with lookback and returns
+    the Prometheus vector wire shape; each series reports its most
+    recent grid emission at or before the instant, agreeing with the
+    equivalent query_range matrix."""
+    import json as _json
+
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, sf_dir)
+    step = DEFAULT_STEP_MS  # 1h grid: events are dense at this step
+    t = EVENTS_MIN_TS + 2 * DEFAULT_STEP_MS
+    look = 2 * DEFAULT_STEP_MS
+    v = service.promql_query(
+        src, "sum by (region) (error)", time_ms=t, step=step, lookback_ms=look
+    )
+    assert v["status"] == "success"
+    assert v["data"]["resultType"] == "vector"
+    assert v["data"]["result"], "instant query returned no series"
+    assert all(r["value"][0] == t for r in v["data"]["result"])
+    assert _json.dumps(v)
+
+    m = service.promql_query_range(
+        src, "sum by (region) (error)",
+        start=t - look, end=t + step, step=step, include_metadata=False,
+    )
+    expect = {}
+    for r in m["data"]["result"]:
+        at = [val for ts, val in r["values"] if ts <= t]
+        if at:
+            expect[tuple(sorted(r["metric"].items()))] = at[-1]
+    got = {
+        tuple(sorted(r["metric"].items())): r["value"][1]
+        for r in v["data"]["result"]
+    }
+    assert got == expect
+
+    # range function at an instant: full window ending at the grid point
+    # (instant chosen where a sparse sf0.001 series has >= 2 samples in
+    # its 3h window — the first emission of the promql_rate catalog run)
+    t3 = EVENTS_MIN_TS + 7 * DEFAULT_STEP_MS
+    rv = service.promql_query(
+        src, "rate(error[3h])", time_ms=t3, step=step,
+        lookback_ms=DEFAULT_STEP_MS,
+    )
+    assert rv["data"]["result"] and all(
+        r["value"][0] == t3 for r in rv["data"]["result"]
+    )

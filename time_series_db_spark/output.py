@@ -99,3 +99,38 @@ def to_matrix(
         for r in rows
     ]
     return {"status": "success", "data": {"resultType": "matrix", "result": result}}
+
+
+def to_vector(sf: SeriesFrame, time_ms: int) -> dict[str, Any]:
+    """SeriesFrame (evaluated on a one-instant grid) → Prometheus
+    instant-query vector response:
+
+        {"status": "success",
+         "data": {"resultType": "vector",
+                  "result": [{"metric": {...}, "value": [ts, "v"]}, ...]}}
+
+    Beyond the reference (its only sink is the matrix listener); format
+    follows the Prometheus HTTP API ``/api/v1/query`` wire shape, with
+    the millisecond timestamps this engine uses throughout. One sample
+    per series: the most recent emission at or before ``time_ms``
+    (Prometheus's lookback rule — the caller bounds the grid to the
+    lookback window), reported at the evaluation instant. Series with no
+    emission at or before the instant drop out, like stale series.
+    """
+    rows = (
+        matrix_frame(sf)
+        .select("series_key", "labels", "samples")
+        .collect()
+    )
+    rows.sort(key=lambda r: r["series_key"])
+    result = []
+    for r in rows:
+        at = [s for s in r["samples"] if s["ts"] <= time_ms]
+        if at:  # sort_array ordered ascending — last is the most recent
+            result.append(
+                {
+                    "metric": dict(r["labels"]),
+                    "value": [int(time_ms), _fmt(at[-1]["value"])],
+                }
+            )
+    return {"status": "success", "data": {"resultType": "vector", "result": result}}

@@ -173,6 +173,41 @@ def promql_query_range(
     return resp
 
 
+def promql_query(
+    source,
+    query: str,
+    time_ms: int | None = None,
+    step: int = DEFAULT_STEP_MS,
+    *,
+    lookback_ms: int = DEFAULT_LOOKBACK_MS,
+    now_ms: int | None = None,
+) -> dict[str, Any]:
+    """Prometheus instant query (``/api/v1/query``): evaluate ``query``
+    at the single instant ``time_ms`` (default: now) → vector response.
+
+    Beyond the reference (RestPromQLAction only exposes query_range);
+    semantics follow the Prometheus HTTP API: the expression is
+    evaluated on a grid covering the ``lookback_ms`` window (default
+    5 minutes, Prometheus's lookback-delta) ending at
+    ``time_ms``, and each series reports its most recent emission at or
+    before the instant (Prometheus's staleness/lookback rule under this
+    engine's grid semantics — the same rule :func:`…builder.resolve_at`
+    applies to ``@`` modifiers). Range functions read their full window
+    ending at each grid point as usual.
+    """
+    from time_series_db_spark.lang.prom.builder import execute
+    from time_series_db_spark.output import to_vector
+
+    t = time_ms if time_ms is not None else (
+        now_ms if now_ms is not None else int(time.time() * 1000)
+    )
+    cache.set_scope(f"promql-instant:{query}")
+    sf = execute(query, source, t - lookback_ms, t + step, step)
+    resp = to_vector(sf, t)
+    cache.release_others()
+    return resp
+
+
 #: Java String header overhead the reference's memory estimate charges
 #: per string (TSDBStatsResponseListener.formatFlatResponse)
 _STRING_HEADER_BYTES = 24
