@@ -913,3 +913,69 @@ def test_promql_instant_query_vector(spark, sf_dir):
     assert rv["data"]["result"] and all(
         r["value"][0] == t3 for r in rv["data"]["result"]
     )
+
+
+def test_downsample_rollup_stream(spark, tmp_path):
+    """Ingest stream → 5m-windowed rollup table: every aggregation
+    computed in one pass, window-start timestamps, block partitioning,
+    and the namespace-style read returning a metrics-shaped frame."""
+    from time_series_db_spark.streaming.downsample import (
+        read_rollup,
+        start_downsample,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rollup = str(tmp_path / "rollup_5m")
+    M5 = 300_000
+    docs = [
+        # series cpu/a: 3 samples in window 0, 1 in window 2
+        _doc("name cpu host a", T0 + 10_000, 1.0),
+        _doc("name cpu host a", T0 + 20_000, 5.0),
+        _doc("name cpu host a", T0 + 250_000, 3.0),
+        _doc("name cpu host a", T0 + 2 * M5 + 1_000, 7.0),
+        # series mem/b: 1 sample in window 0
+        _doc("name mem host b", T0 + 60_000, 11.0),
+    ]
+    (src / "b1.json").write_text("\n".join(docs))
+    q = start_downsample(
+        spark, str(src), rollup, resolution_ms=M5, available_now=True
+    )
+    q.awaitTermination(120)
+    # append mode emits a window only once the watermark (max event time
+    # − ooo cutoff) passes its END — a later batch advances it past every
+    # real window; the sentinel's own window stays open and unflushed
+    (src / "b2.json").write_text(_doc("name sentinel host z", T0 + 10 * H, 0.0))
+    q = start_downsample(
+        spark, str(src), rollup, resolution_ms=M5, available_now=True
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r["series_key"], r["ts"]): r
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert set(rows) == {
+        ("host:a,name:cpu", T0), ("host:a,name:cpu", T0 + 2 * M5),
+        ("host:b,name:mem", T0),
+    }
+    w0 = rows[("host:a,name:cpu", T0)]
+    assert w0["value_sum"] == 9.0 and w0["value_count"] == 3.0
+    assert w0["value_min"] == 1.0 and w0["value_max"] == 5.0
+    assert w0["value_last"] == 3.0  # max_by ts
+    assert dict(w0["labels"]) == {"name": "cpu", "host": "a"}
+    assert w0["block"] == T0  # block partitioning like the raw table
+
+    # namespace read: metrics-shaped frame with the chosen aggregation
+    out = read_rollup(spark, rollup, agg="last")
+    got = {(r["series_key"], r["ts"]): r["value"] for r in out.collect()}
+    assert got[("host:a,name:cpu", T0)] == 3.0
+    assert got[("host:b,name:mem", T0)] == 11.0
+    assert out.columns == ["series_key", "labels", "ts", "value"]
+
+    # time-pruned read
+    pruned = read_rollup(spark, rollup, agg="sum", min_ts=T0 + M5)
+    assert [r["ts"] for r in pruned.collect()] == [T0 + 2 * M5]
+
+    with pytest.raises(ValueError, match="agg must be one of"):
+        read_rollup(spark, rollup, agg="median")

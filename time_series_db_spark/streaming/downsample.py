@@ -1,0 +1,171 @@
+"""Streaming downsample: the M3 aggregated-namespace write path.
+
+The reference ecosystem stores metrics at multiple resolutions — a raw
+namespace plus downsampled namespaces (e.g. 10s raw / 5m rollup held for
+longer retention), populated continuously at ingest time, and the query
+path picks the namespace whose resolution matches the query range. The
+reference repo itself carries only the raw path (TSDBEngine.index →
+Head → closed chunks); this module adds the rollup leg as a second
+Structured Streaming consumer of the SAME ingest stream — the fan-out
+shape M3's downsampler uses (ingest → raw table + N rollup tables).
+
+Spark mapping:
+
+==============================  ===========================================
+aggregated-namespace concept    Structured Streaming equivalent
+==============================  ===========================================
+rollup resolution               ``window(event_time, resolution)`` grouped
+                                aggregation
+rollup types (Last/Sum/…)       one column per aggregation in ONE pass —
+                                readers pick theirs at query time
+late-sample cutoff              the same watermark as the raw leg; a
+                                window's rollup row is emitted once the
+                                watermark passes its end (append mode)
+longer-retention namespace      separate table ⇒ separate retention sweep
+                                (maintenance.apply_retention)
+==============================  ===========================================
+
+Scale design: the rollup aggregation is hash-partitioned by
+(series_key, window) — no per-executor global state, partial aggregation
+combines map-side, and the output table is block-partitioned exactly
+like the raw table so reads prune the same way.  State size is bounded
+by (active series × windows inside the watermark), the same bound the
+raw leg's dedup state carries.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from time_series_db_spark.model import labels_from_key_expr
+from time_series_db_spark.streaming.ingest import (
+    DEFAULT_BLOCK_MS,
+    DEFAULT_OOO_CUTOFF,
+    INGEST_SCHEMA,
+    parse_ingest,
+)
+
+#: rollup value columns, computed in one aggregation pass
+ROLLUP_AGGS = ("sum", "count", "min", "max", "last")
+
+#: physical schema of a rollup table
+ROLLUP_COLS = [
+    "series_key", "labels", "ts",
+    *[f"value_{a}" for a in ROLLUP_AGGS], "block",
+]
+
+
+def start_downsample(
+    spark: SparkSession,
+    source_dir: str,
+    rollup_path: str,
+    resolution_ms: int = 300_000,
+    *,
+    ooo_cutoff: str = DEFAULT_OOO_CUTOFF,
+    block_ms: int = DEFAULT_BLOCK_MS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the rollup leg: the ingest JSON stream aggregated into
+    ``resolution_ms`` windows per series, appended to a block-partitioned
+    parquet rollup table.
+
+    Every rollup type is computed in the single pass (``value_sum`` …
+    ``value_last``); ``value_last`` is last-write-wins by sample
+    timestamp (``max_by``), matching the raw read path's merge policy.
+    A window emits once the watermark passes its end — the same
+    ooo-cutoff rule the raw leg enforces, so raw and rollup agree on
+    which late samples count.  (With ``available_now`` batch drains, the
+    watermark advances at the END of a batch, so a window flushes on the
+    run AFTER the one whose data closed it — backfills finish with one
+    extra drain.) Row timestamps are the window START (the
+    convention summarize's epoch alignment uses on the query side).
+    """
+    if resolution_ms <= 0:
+        raise ValueError(f"resolution_ms must be positive, got {resolution_ms}")
+    raw = spark.readStream.schema(INGEST_SCHEMA).json(source_dir)
+    samples = (
+        parse_ingest(raw, block_ms)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", ooo_cutoff)
+    )
+    rolled = (
+        samples.groupBy(
+            "series_key",
+            F.window("event_time", f"{resolution_ms} milliseconds"),
+        )
+        .agg(
+            F.sum("value").alias("value_sum"),
+            F.count(F.lit(1)).cast("double").alias("value_count"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.expr("max_by(value, ts)").alias("value_last"),
+        )
+        .select(
+            "series_key",
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.unix_millis(F.col("window.start")).alias("ts"),
+            *[f"value_{a}" for a in ROLLUP_AGGS],
+        )
+        .withColumn(
+            "block", F.col("ts") - F.col("ts") % F.lit(int(block_ms))
+        )
+    )
+    writer = (
+        rolled.writeStream.format("parquet")
+        .partitionBy("block")
+        .option("path", rollup_path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(rollup_path, "_checkpoint"),
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_rollup(
+    spark: SparkSession,
+    rollup_path: str,
+    agg: str = "last",
+    min_ts: int | None = None,
+    max_ts: int | None = None,
+    block_ms: int = DEFAULT_BLOCK_MS,
+) -> DataFrame:
+    """Scan a rollup table as a metrics-shaped frame (series_key, labels,
+    ts, value) with the requested aggregation as the value column — the
+    namespace-selection read: a long-range query reads this instead of
+    the raw table, with the same block/row-group pruning.
+
+    Duplicate (series, window) rows can exist across restarted streams'
+    checkpoints; they merge by the aggregation's own combine rule (sum →
+    sum, count → sum, min → min, max → max, last → any — ANY_WINS like
+    the raw path).
+    """
+    if agg not in ROLLUP_AGGS:
+        raise ValueError(f"agg must be one of {ROLLUP_AGGS}, got {agg!r}")
+    df = spark.read.parquet(rollup_path)
+    if min_ts is not None:
+        df = df.filter(
+            (F.col("block") >= F.lit(min_ts - min_ts % block_ms))
+            & (F.col("ts") >= F.lit(min_ts))
+        )
+    if max_ts is not None:
+        df = df.filter((F.col("block") < F.lit(max_ts)) & (F.col("ts") < F.lit(max_ts)))
+    col = f"value_{agg}"
+    merge = {
+        "sum": F.sum(col), "count": F.sum(col), "min": F.min(col),
+        "max": F.max(col), "last": F.first(col),
+    }[agg]
+    return (
+        df.groupBy("series_key", "ts")
+        .agg(merge.alias("value"))
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .select("series_key", "labels", "ts", "value")
+    )
