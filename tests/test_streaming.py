@@ -979,3 +979,73 @@ def test_downsample_rollup_stream(spark, tmp_path):
 
     with pytest.raises(ValueError, match="agg must be one of"):
         read_rollup(spark, rollup, agg="median")
+
+
+def test_rollup_namespace_selection(spark, tmp_path):
+    """MetricsSource with rollup namespaces: a coarse-grid query reads
+    the rollup table (scan reduction — the aggregated-namespace point),
+    a fine-grid query reads raw, and at equal LWW semantics both give
+    the same values on the coarse grid."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources.m3source import MetricsSource
+    from time_series_db_spark.streaming.downsample import start_downsample
+    from time_series_db_spark.streaming.ingest import start_ingest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = str(tmp_path / "metrics")
+    rollup = str(tmp_path / "rollup_5m")
+    M5 = 300_000
+    docs = [
+        _doc("name cpu host a", T0 + 10_000, 1.0),
+        _doc("name cpu host a", T0 + 20_000, 5.0),      # LWW in 5m w0
+        _doc("name cpu host a", T0 + M5 + 30_000, 2.0),
+        _doc("name cpu host b", T0 + 15_000, 7.0),
+    ]
+    (src / "b1.json").write_text("\n".join(docs))
+    q = start_ingest(spark, str(src), table, available_now=True)
+    q.awaitTermination(120)
+    q = start_downsample(spark, str(src), rollup, resolution_ms=M5,
+                         available_now=True)
+    q.awaitTermination(120)
+    # closer doc advances the watermark so the rollup windows flush
+    (src / "b2.json").write_text(_doc("name closer host z", T0 + 10 * H, 0.0))
+    q = start_ingest(spark, str(src), table, available_now=True)
+    q.awaitTermination(120)
+    q = start_downsample(spark, str(src), rollup, resolution_ms=M5,
+                         available_now=True)
+    q.awaitTermination(120)
+
+    ns = MetricsSource(
+        spark, table,
+        rollups=[{"path": rollup, "resolution_ms": M5, "agg": "last"}],
+    )
+    raw_only = MetricsSource(spark, table)
+
+    # coarse grid (1h >= 5m): reads the rollup table
+    sf = ns.fetch({"name": ["cpu"]}, {}, T0, T0 + 2 * H, H)
+    assert any("rollup_5m" in f for f in sf.df.inputFiles())
+    coarse = {
+        (r["series_key"], r["ts"]): r["value"] for r in sf.df.collect()
+    }
+    sf_raw = raw_only.fetch({"name": ["cpu"]}, {}, T0, T0 + 2 * H, H)
+    assert not any("rollup_5m" in f for f in sf_raw.df.inputFiles())
+    assert coarse == {
+        (r["series_key"], r["ts"]): r["value"] for r in sf_raw.df.collect()
+    }
+    assert coarse[("host:a,name:cpu", T0)] == 2.0  # LWW across windows
+
+    # fine grid (10s < 5m): raw table, rollup untouched
+    sf_fine = ns.fetch({"name": ["cpu"]}, {}, T0, T0 + M5, 10_000)
+    assert not any("rollup_5m" in f for f in sf_fine.df.inputFiles())
+    assert len(sf_fine.df.collect()) == 3  # each raw sample own bucket
+
+    # full language path over the rollup namespace
+    m = service.m3ql_query_range(
+        ns, "fetch name:cpu | sum host", start=T0, end=T0 + H, step=H,
+    )
+    vals = {r["metric"]["host"]: r["values"] for r in m["data"]["result"]}
+    assert vals["a"] == [[T0, "2"]] and vals["b"] == [[T0, "7"]]
+
+    with pytest.raises(ValueError, match="resolution_ms"):
+        MetricsSource(spark, table, rollups=[{"path": rollup, "resolution_ms": 0}])

@@ -216,17 +216,34 @@ class MetricsSource:
     ``labels[key]`` — they cannot reach parquet as pushed filters, but
     block-partition pruning and ts row-group pruning still bound the
     scan (the reference's Lucene label index is the part Spark replaces
-    with the bucket/partition layout, not with per-label statistics)."""
+    with the bucket/partition layout, not with per-label statistics).
+
+    ``rollups`` opts into M3-style aggregated-namespace selection: a
+    list of ``{"path": str, "resolution_ms": int, "agg": str}`` dicts
+    (``agg`` default ``"last"``, the gauge-downsampling default).  A
+    fetch whose grid ``step`` is at least a rollup's resolution reads
+    the COARSEST such rollup table instead of raw — the long-range
+    query scans resolution/step fewer rows, which is the entire point
+    of keeping downsampled namespaces at 100 TB.  Queries finer than
+    every rollup read raw, so results are never less precise than the
+    grid asked for."""
 
     def __init__(
         self,
         spark: SparkSession,
         table: str,
         bucketed: bool = False,
+        rollups: list[dict] | None = None,
     ):
         self.spark = spark
         self.table = table
         self.bucketed = bucketed
+        for r in rollups or []:
+            if int(r["resolution_ms"]) <= 0:
+                raise ValueError("rollup resolution_ms must be positive")
+        self.rollups = sorted(
+            rollups or [], key=lambda r: int(r["resolution_ms"])
+        )
 
     def fetch(
         self,
@@ -243,7 +260,20 @@ class MetricsSource:
             read_metrics_bucketed,
         )
 
-        if self.bucketed:
+        # namespace selection: coarsest rollup whose resolution fits the
+        # query grid (rollups sorted ascending) — else the raw table
+        chosen = None
+        for r in self.rollups:
+            if int(r["resolution_ms"]) <= step:
+                chosen = r
+        if chosen is not None:
+            from time_series_db_spark.streaming.downsample import read_rollup
+
+            df = read_rollup(
+                self.spark, chosen["path"], chosen.get("agg", "last"),
+                min_ts=min_ts, max_ts=max_ts,
+            )
+        elif self.bucketed:
             df = read_metrics_bucketed(
                 self.spark, self.table, min_ts=min_ts, max_ts=max_ts
             )
