@@ -1049,3 +1049,36 @@ def test_rollup_namespace_selection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="resolution_ms"):
         MetricsSource(spark, table, rollups=[{"path": rollup, "resolution_ms": 0}])
+
+
+def test_prom_metadata_endpoints(spark, sf_dir):
+    """/api/v1/labels, /label/<name>/values, /series — wire shapes and
+    selector filtering through the normal PromQL path."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, sf_dir)
+    s, e = EVENTS_MIN_TS, EVENTS_MIN_TS + 24 * DEFAULT_STEP_MS
+
+    labs = service.prom_labels(src, start=s, end=e)
+    assert labs["status"] == "success"
+    assert labs["data"] == sorted(labs["data"])
+    assert {"name", "region"} <= set(labs["data"])
+
+    vals = service.prom_label_values(src, "name", start=s, end=e)
+    assert "error" in vals["data"] and vals["data"] == sorted(vals["data"])
+    # selector-filtered: only the matching metric's label values remain
+    only = service.prom_label_values(
+        src, "name", match=['{__name__="error"}'], start=s, end=e
+    )
+    assert only["data"] == ["error"]
+
+    ser = service.prom_series(src, ['{__name__="error"}'], start=s, end=e)
+    assert ser["data"] and all(m["name"] == "error" for m in ser["data"])
+    assert len({tuple(sorted(m.items())) for m in ser["data"]}) == len(ser["data"])
+
+    with pytest.raises(ValueError, match="match"):
+        service.prom_series(src, [], start=s, end=e)
+    with pytest.raises(ValueError, match="label name"):
+        service.prom_label_values(src, "", start=s, end=e)

@@ -318,3 +318,103 @@ def tsdb_stats(
             "avg": r["avg_value"],
         }
     return out
+
+
+def _instant_frame(source, match: list[str] | None, start, end, now_ms):
+    """Union the selectors in ``match`` (PromQL selector strings; None →
+    match-all fetch) over [start, end) — shared by the metadata
+    endpoints. Each selector builds through the normal PromQL path, so
+    regex/negation semantics are exactly the query path's."""
+    from time_series_db_spark.lang.prom.builder import execute
+
+    s, e = _resolve_times(start, end, now_ms)
+    step = e - s  # one grid bucket: metadata needs presence, not shape
+    frames = []
+    for sel in (match or ["{__name__=~\".+\"}"]):
+        frames.append(execute(sel, source, s, e, step).df)
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other)
+    return df
+
+
+def prom_labels(
+    source,
+    match: list[str] | None = None,
+    start: int | None = None,
+    end: int | None = None,
+    *,
+    now_ms: int | None = None,
+) -> dict[str, Any]:
+    """Prometheus ``GET /api/v1/labels`` — sorted label names present on
+    series matching any of the ``match[]`` selectors in the time range.
+
+    Beyond the reference's stats surface (RestTSDBStatsAction exposes
+    cardinalities, not the names-list wire shape). Distributed shape:
+    one scan → explode(map_keys) → distinct — an aggregation over label
+    names only, never a collect of series."""
+    from pyspark.sql import functions as F
+
+    df = _instant_frame(source, match, start, end, now_ms)
+    rows = (
+        df.select(F.explode(F.map_keys(F.col("labels"))).alias("l"))
+        .distinct()
+        .collect()
+    )
+    return {"status": "success", "data": sorted(r["l"] for r in rows)}
+
+
+def prom_label_values(
+    source,
+    label: str,
+    match: list[str] | None = None,
+    start: int | None = None,
+    end: int | None = None,
+    *,
+    now_ms: int | None = None,
+) -> dict[str, Any]:
+    """Prometheus ``GET /api/v1/label/<label>/values`` — sorted distinct
+    values of one label over matching series in the time range."""
+    from pyspark.sql import functions as F
+
+    if not label:
+        raise ValueError("label name must be non-empty")
+    df = _instant_frame(source, match, start, end, now_ms)
+    rows = (
+        df.select(F.col("labels")[label].alias("v"))
+        .filter(F.col("v").isNotNull())
+        .distinct()
+        .collect()
+    )
+    return {"status": "success", "data": sorted(r["v"] for r in rows)}
+
+
+def prom_series(
+    source,
+    match: list[str],
+    start: int | None = None,
+    end: int | None = None,
+    *,
+    now_ms: int | None = None,
+) -> dict[str, Any]:
+    """Prometheus ``GET /api/v1/series`` — the label sets of series
+    matching any ``match[]`` selector in the range. ``match[]`` is
+    required (as in Prometheus). One distinct over series identity —
+    the per-series row count never reaches the driver, only the
+    distinct label sets (bounded by series cardinality, the same bound
+    the reference's coordinator holds in memory)."""
+    from pyspark.sql import functions as F
+
+    if not match:
+        raise ValueError("prom_series requires at least one match[] selector")
+    df = _instant_frame(source, match, start, end, now_ms)
+    # distinct on the scalar series_key (map columns don't support set
+    # ops); the labels map is functionally dependent on the key
+    rows = (
+        df.groupBy("series_key").agg(F.first("labels").alias("labels")).collect()
+    )
+    uniq = {r["series_key"]: dict(r["labels"]) for r in rows}
+    return {
+        "status": "success",
+        "data": [uniq[k] for k in sorted(uniq)],
+    }
