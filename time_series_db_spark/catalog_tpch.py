@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from time_series_db_spark.catalog import register, sql_quant
+from time_series_db_spark.catalog import quant, register, sql_quant
 from time_series_db_spark.sources import load_table
 
 _DEC = "decimal(27,6)"
@@ -353,4 +353,210 @@ def tpch_rev_mom(spark, sf_dir):
         F.col("__m").cast("date").alias("month"),
         "revenue",
         (F.col("revenue") - F.lag("revenue").over(w)).alias("mom_delta"),
+    )
+
+
+@register(
+    "tpch_q7_nation_volume",
+    f"""SELECT supp_nation, cust_nation, l_year,
+           {_sql_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate)::BIGINT AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) shipping
+    GROUP BY 1, 2, 3""",
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """Q7 volume shipping between two nations: the OR-of-nation-pairs
+    predicate lands AFTER the broadcast dim joins (it needs both
+    sides), but the two-value IN filters on each nation dim shrink the
+    broadcast sides first, so the fact shuffle is lineitem↔orders only."""
+    nations = ["NATION_1", "NATION_2"]
+    n1 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    n2 = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(nations))
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": ("1996-01-01", "1998-01-01")},
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                s.join(n1.withColumnRenamed("n_name", "supp_nation"),
+                       F.col("s_nationkey") == n1["n_nationkey"])
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(
+                c.join(n2.withColumnRenamed("n_name", "cust_nation"),
+                       F.col("c_nationkey") == n2["n_nationkey"])
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    f"""SELECT o_year,
+           {sql_quant('''CAST(sum(CASE WHEN nation = 'NATION_3'
+                        THEN CAST(volume AS DECIMAL(27,6)) ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(27,6))) AS DOUBLE)''')} AS mkt_share
+    FROM (
+      SELECT year(o.o_orderdate)::BIGINT AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             n2.n_name AS nation
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ) all_nations
+    GROUP BY o_year""",
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """Q8 national market share: conditional-sum ratio per year; every
+    dimension (part, supplier+nation, customer+nation+region) broadcasts,
+    the two decimal sums share one aggregation pass."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(
+        spark, sf_dir, "orders",
+        ts_range={"o_orderdate": ("1996-01-01", "1998-01-01")},
+    ).filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    n1 = load_table(spark, sf_dir, "nation")
+    n2 = load_table(spark, sf_dir, "nation").withColumnRenamed("n_name", "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_side = F.broadcast(
+        c.join(n1, F.col("c_nationkey") == n1["n_nationkey"])
+         .join(r, n1["n_regionkey"] == F.col("r_regionkey"))
+         .select("c_custkey")
+    )
+    supp_side = F.broadcast(
+        s.join(n2, F.col("s_nationkey") == n2["n_nationkey"])
+         .select("s_suppkey", "nation")
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(cust_side, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_side, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(_DEC)
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            quant(
+                F.sum(F.when(F.col("nation") == "NATION_3", vol).otherwise(
+                    F.lit(0).cast(_DEC))).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q13_order_distribution",
+    """WITH counts AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count::BIGINT AS c_count, count(*)::BIGINT AS custdist
+    FROM counts GROUP BY c_count""",
+)
+def tpch_q13_order_distribution(spark, sf_dir):
+    """Q13 customer order-count distribution (sans the o_comment NOT LIKE
+    filter — the synthetic orders table carries no comment column): the
+    left join keeps zero-order customers, then a two-level aggregation.
+    Both aggs hash-partition on their own keys; no dimension broadcast —
+    customer and orders are both fact-sized here."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    counts = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    f"""WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             {_sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """Q15 top supplier: the correlated-max-view shape — revenue per
+    supplier over one quarter, then only rows equal to the global max
+    (ties kept, per spec). The max is a broadcast one-row aggregate
+    joined back, never a driver-side collect."""
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": ("1996-01-01", "1996-04-01")},
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("total_revenue")
+    )
+    best = rev.agg(F.max("total_revenue").alias("__best"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(best), F.col("total_revenue") == F.col("__best"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
     )
