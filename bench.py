@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "stats_labels",            # stats API (count-distinct)
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_semantic",          # SemDeDup k-means + within-cell prune (r5)
+    "text_gopher_quality",     # Gopher curation rules (r5)
     "pack_sequences",          # training-batch construction (r5)
     "sessionize_events",       # gap-session construction (r5)
     "text_quality",

@@ -667,33 +667,43 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
     )
 
 
+_KM64_CTES, _KM64_FINAL = _sql_kmeans_cents(nlist=64, iters=2)
+
+
 @register(
     "dedup_semantic",
     f"""WITH e AS ({_SQL_E}),
-    {_KM_CTES},
+    {_KM64_CTES},
     assign AS (
       SELECT e.vec_id, e.v, c.cid,
              row_number() OVER (
                PARTITION BY e.vec_id
                ORDER BY {_sql_cosine('e.v', 'c.centroid')} DESC, c.cid
              ) AS pr
-      FROM e CROSS JOIN {_KM_FINAL} c),
+      FROM e CROSS JOIN {_KM64_FINAL} c),
     cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE pr = 1),
+    ucells AS (
+      SELECT vec_id, cell,
+             [v[i] / sqrt({_sql_dot('v', 'v')})
+              for i in generate_series(1, len(v))] AS u
+      FROM cells),
     dropped AS (
       SELECT DISTINCT b.vec_id
-      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
-      WHERE {_sql_cosine('a.v', 'b.v')} >= 0.45)
+      FROM ucells a JOIN ucells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_dot('a.u', 'b.u')} >= 0.45)
     SELECT c.vec_id, c.cell::BIGINT AS cell
     FROM cells c
     WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = c.vec_id)""",
 )
 def dedup_semantic(spark, sf_dir):
-    """SemDeDup: k-means clusters (same trained quantizer as IVF), then
-    within-cluster cosine ≥ 0.45 prunes to the min-id survivor — the
-    embedding-space semantic dedup a pretraining pipeline runs after
-    exact/minhash dedup. The oracle unrolls the identical Lloyd rounds."""
+    """SemDeDup: k-means clusters (same trained quantizer as IVF, nlist
+    scaled with the corpus per the paper's constant-cell-size regime),
+    then within-cluster unit-vector dot ≥ 0.45 prunes to the min-id
+    survivor — the embedding-space semantic dedup a pretraining pipeline
+    runs after exact/minhash dedup. The oracle unrolls the identical
+    Lloyd rounds and the identical normalize-then-dot fold."""
     return dedup.semantic_dedup(
-        _embs(spark, sf_dir), nlist=16, train_iters=2, threshold=0.45
+        _embs(spark, sf_dir), nlist=64, train_iters=2, threshold=0.45
     )
 
 

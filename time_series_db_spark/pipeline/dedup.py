@@ -634,21 +634,35 @@ def semantic_dedup(
     cents = F.broadcast(
         ann.kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
     )
-    cells = ann.ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
-        F.col(id_col), F.col("__v"), F.col("__cell").alias("cell")
+    # normalize ONCE per vector so the quadratic within-cell pass is a
+    # plain dot product — 3× fewer interpreted float ops per pair than
+    # cosine (the pair count, Σ cell², dominates everything else here)
+    unit = F.transform(
+        F.col("__v"), lambda x: x / F.sqrt(_dot_fold(F.col("__v"), F.col("__v")))
+    )
+    from time_series_db_spark.cache import persist_tracked
+
+    # the assignment (broadcast cross join + per-vector rank + normalize)
+    # feeds BOTH self-join legs and the final anti-join — one tracked
+    # materialization instead of three recomputes (released at the next
+    # query boundary, same policy as the binary matching chain)
+    cells = persist_tracked(
+        ann.ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+            F.col(id_col), F.col("__cell").alias("cell"), unit.alias("__u")
+        )
     )
     a = cells.select(
-        F.col(id_col).alias("__ida"), F.col("__v").alias("__va"),
+        F.col(id_col).alias("__ida"), F.col("__u").alias("__ua"),
         F.col("cell").alias("__ca"),
     )
     b = cells.select(
-        F.col(id_col).alias("__idb"), F.col("__v").alias("__vb"),
+        F.col(id_col).alias("__idb"), F.col("__u").alias("__ub"),
         F.col("cell").alias("__cb"),
     )
     dropped = (
         a.join(b, (F.col("__ca") == F.col("__cb")) & (F.col("__ida") < F.col("__idb")))
         .filter(
-            cosine_expr(F.col("__va"), F.col("__vb")) >= F.lit(float(threshold))
+            _dot_fold(F.col("__ua"), F.col("__ub")) >= F.lit(float(threshold))
         )
         .select(F.col("__idb").alias(id_col))
         .distinct()
