@@ -180,3 +180,54 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert r.n_email == 1 and r.n_ipv4 == 1 and r.n_phone == 1
     assert "<EMAIL>" in r.scrubbed and "<IPV4>" in r.scrubbed and "<PHONE>" in r.scrubbed
     assert "example.com" not in r.scrubbed and "555" not in r.scrubbed
+
+
+def test_cosine_topk_arrow_matches_exact(spark, sf_dir):
+    """The Arrow/numpy scoring kernel must return the same neighbors and
+    ranks as the oracle-exact interpreted fold (values equal to fp noise;
+    ties broken identically by neighbor id)."""
+    from time_series_db_spark.pipeline import ann
+    from time_series_db_spark.sources import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    exact = ann.cosine_topk(embs, queries, k=5).collect()
+    arrow = ann.cosine_topk_arrow(embs, queries, k=5).collect()
+    ek = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in exact}
+    ak = {(r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in arrow}
+    assert set(ek) == set(ak)
+    for key, (nid, cos) in ek.items():
+        anid, acos = ak[key]
+        assert anid == nid, f"{key}: {anid} != {nid}"
+        assert abs(acos - cos) < 1e-9
+
+    # no self-matches, exactly k per query
+    import collections
+    per_q = collections.Counter(r.query_id for r in arrow)
+    assert all(v == 5 for v in per_q.values())
+    assert all(r.query_id != r.neighbor_id for r in arrow)
+
+
+def test_zero_vector_does_not_crash_cosine_paths(spark):
+    """A zero embedding must yield NULL cosine (no direction), not an
+    ANSI DIVIDE_BY_ZERO crash — across exact top-k, near-dup pairs, and
+    semantic dedup. The zero vector ranks below every real neighbor and
+    never forms a near-dup pair."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),   # zero vector
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from time_series_db_spark.pipeline import ann
+
+    topk = ann.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    assert [r.neighbor_id for r in topk] == [1, 3]  # zero vec ranked out
+
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.5, bucketed=False)
+    assert all(2 not in (r.id_a, r.id_b) for r in pairs.collect())
+
+    out = dedup.semantic_dedup(df, nlist=2, train_iters=1, threshold=0.5)
+    kept = sorted(r.vec_id for r in out.collect())
+    assert 2 in kept  # no similarity defined -> survives, never crashes

@@ -197,7 +197,11 @@ def _sql_dot(a: str, b: str) -> str:
 
 
 def _sql_cosine(a: str, b: str) -> str:
-    return f"({_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)})))"
+    # nullif mirrors cosine_expr's try_divide: zero vector -> NULL cosine
+    return (
+        f"({_sql_dot(a, b)} / "
+        f"nullif(sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}), 0.0))"
+    )
 
 
 def _sql_bucket(v: str, num_planes: int = ann.NUM_PLANES, start_plane: int = 0) -> str:
@@ -684,7 +688,7 @@ _KM64_CTES, _KM64_FINAL = _sql_kmeans_cents(nlist=64, iters=2)
     cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE pr = 1),
     ucells AS (
       SELECT vec_id, cell,
-             [v[i] / sqrt({_sql_dot('v', 'v')})
+             [v[i] / nullif(sqrt({_sql_dot('v', 'v')}), 0.0)
               for i in generate_series(1, len(v))] AS u
       FROM cells),
     dropped AS (

@@ -350,3 +350,88 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def cosine_topk_arrow(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized exact top-k — the production-throughput variant
+    of :func:`cosine_topk`.
+
+    Same contract and distributed shape (query side replicated to every
+    task, corpus embarrassingly parallel, per-query global rank at the
+    end), but the scoring kernel is one numpy matmul per Arrow batch
+    (queries × batch similarity matrix) instead of an interpreted
+    Catalyst fold per pair — one to two orders of magnitude faster per
+    element, which is what a real 100-TB scoring pass runs.  Each task
+    emits only its batch-local top-k per query (k × queries rows, not
+    batch × queries), so the final rank's shuffle is bounded by
+    k × queries × partitions.
+
+    NOT the differential-oracle path: numpy's pairwise summation is not
+    bit-identical to the sequential fold the DuckDB oracle mirrors —
+    tests assert neighbor-set equality against :func:`cosine_topk`
+    instead.  Queries are collected to the driver (they are broadcast-
+    small by the same assumption the exact path makes).
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__qv")
+    ).collect()
+    if not q_rows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long, cosine double"
+        )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = np.array([r["__qv"] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    spark = corpus.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("__cv")
+    ).repartition(n_parts)
+    kk = int(k)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cm = np.stack(pdf["__cv"].to_numpy())
+            cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)
+            sim = qm @ cm.T  # queries × batch
+            # self-matches ranked out with -inf
+            sim[q_ids[:, None] == ids[None, :]] = -np.inf
+            take = min(kk, sim.shape[1])
+            # batch-local top-k per query (argpartition: O(batch) per row)
+            part = np.argpartition(-sim, take - 1, axis=1)[:, :take]
+            out_q = np.repeat(q_ids, take)
+            out_n = ids[part.ravel()]
+            out_s = np.take_along_axis(sim, part, axis=1).ravel()
+            keep = np.isfinite(out_s)
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "neighbor_id": out_n[keep],
+                    "cosine": out_s[keep],
+                }
+            )
+
+    scored = c.mapInPandas(
+        score, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

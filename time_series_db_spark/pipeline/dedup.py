@@ -411,9 +411,16 @@ def _dot_fold(a: Column, b: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    """Cosine similarity of two ARRAY<DOUBLE> columns."""
-    return _dot_fold(a, b) / (
-        F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))
+    """Cosine similarity of two ARRAY<DOUBLE> columns.
+
+    A zero vector has no direction: its cosine is NULL (``try_divide``),
+    which every consumer handles for free — threshold filters fail,
+    descending ranks put NULLs last — instead of the ANSI
+    DIVIDE_BY_ZERO error a plain ``/`` raises (Spark 4 default).  The
+    DuckDB oracles mirror with ``/ nullif(denom, 0)``.
+    """
+    return F.try_divide(
+        _dot_fold(a, b), F.sqrt(_dot_fold(a, a)) * F.sqrt(_dot_fold(b, b))
     )
 
 
@@ -638,7 +645,8 @@ def semantic_dedup(
     # plain dot product — 3× fewer interpreted float ops per pair than
     # cosine (the pair count, Σ cell², dominates everything else here)
     unit = F.transform(
-        F.col("__v"), lambda x: x / F.sqrt(_dot_fold(F.col("__v"), F.col("__v")))
+        F.col("__v"),
+        lambda x: F.try_divide(x, F.sqrt(_dot_fold(F.col("__v"), F.col("__v")))),
     )
     from time_series_db_spark.cache import persist_tracked
 
