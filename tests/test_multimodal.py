@@ -212,3 +212,33 @@ def test_decode_image_pixels_pil_guard(spark):
         media = spark.createDataFrame(px_rows, mm.MEDIA_SCHEMA)
         out = mm.decode_image_pixels(media, "pil").collect()
         assert out[0].px_mean_q == 9 * 10_000
+
+
+def test_resize_images_nearest_neighbor(spark):
+    """resize_images: decode → integer nearest-neighbor → raw HWC bytes;
+    undecodable payloads keep their row with null pixels."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    rows = [
+        (0, bytearray(full_png_bytes(px))),
+        (1, bytearray(b"not a png")),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    out = {r.media_id: r for r in mm.resize_images(media, 2, 3).collect()}
+
+    r0 = out[0]
+    assert (r0.width, r0.height, r0.channels) == (4, 6, 3)
+    assert (r0.out_width, r0.out_height) == (2, 3)
+    got = np.frombuffer(bytes(r0.pixels), dtype=np.uint8).reshape(3, 2, 3)
+    yi = (np.arange(3) * 6) // 3
+    xi = (np.arange(2) * 4) // 2
+    assert (got == px[yi[:, None], xi[None, :], :]).all()
+
+    r1 = out[1]
+    assert r1.pixels is None and (r1.out_width, r1.out_height) == (2, 3)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive"):
+        mm.resize_images(media, 0, 3)

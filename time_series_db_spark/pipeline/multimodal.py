@@ -497,3 +497,79 @@ def extract_audio_features(media: DataFrame, decode_fn: str = "fake") -> DataFra
             ).astype("Int64")
 
     return media.select("media_id", "content").mapInPandas(_extract, AUDIO_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "media_id long, width long, height long, channels long, "
+    "out_width long, out_height long, pixels binary"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    out_w: int,
+    out_h: int,
+    decode_fn: str = "real",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize to (out_w, out_h) → re-encode as
+    a raw HWC uint8 BINARY column, via Arrow-batched ``mapInPandas``.
+
+    The standard vision-preprocessing step (dataloader resize) as Spark
+    plumbing: constant memory per task (one batch of images), output
+    rows carry fixed-size ``out_w × out_h × channels`` byte payloads —
+    the shape a downstream training shard writer packs directly.
+    Nearest-neighbor is chosen because it is exactly reproducible in
+    integer arithmetic on any engine (index = i·in/out, floor) — no
+    resampling-kernel fp drift between runs or platforms.  Undecodable
+    payloads yield a null pixels column (kept, so the caller can audit
+    drop rates — the same contract as decode_image_pixels).
+
+    ``decode_fn`` as in :func:`decode_image_pixels`: ``"real"`` = stdlib
+    PNG decoder with Pillow fallback when importable; ``"pil"`` =
+    require Pillow (NotImplementedError here, where it isn't shipped).
+    """
+    import numpy as np
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"resize target must be positive, got {out_w}x{out_h}")
+    if decode_fn not in ("real", "pil"):
+        raise ValueError(f"unknown decode_fn: {decode_fn}")
+    if decode_fn == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "decode_fn='pil' requires Pillow, which this container "
+                "does not ship — PNG payloads decode fully via "
+                "decode_fn='real'"
+            ) from e
+
+    ow, oh = int(out_w), int(out_h)
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                px = decode_png_pixels(payload) if decode_fn == "real" else None
+                if px is None:
+                    rows.append((mid, None, None, None, ow, oh, None))
+                    continue
+                if px.ndim == 2:
+                    px = px[:, :, None]
+                h, w, ch = px.shape
+                yi = (np.arange(oh, dtype=np.int64) * h) // oh
+                xi = (np.arange(ow, dtype=np.int64) * w) // ow
+                out = px[yi[:, None], xi[None, :], :]
+                rows.append(
+                    (mid, w, h, ch, ow, oh,
+                     out.astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "channels",
+                         "out_width", "out_height", "pixels"],
+            )
+
+    return media.select("media_id", "content").mapInPandas(
+        _resize, RESIZE_SCHEMA
+    )
