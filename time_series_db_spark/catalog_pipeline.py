@@ -940,3 +940,108 @@ def sample_mixture(spark, sf_dir):
         weights={"en": 0.5, "fr": 0.2, "zh": 0.2, "de": 0.1},
         budget=120,
     )
+
+
+def _sql_scrub_chain() -> str:
+    """The PII scrub replace chain as one SQL expression (text → text)."""
+    s = _NORM
+    for kind, pat in text.PII_PATTERNS.items():
+        s = f"regexp_replace({s}, '{pat}', '<{kind.upper()}>', 'g')"
+    return s
+
+
+_MH_FULL = _sql_minhash_sig_cte().replace("FROM documents", "FROM fdocs")
+
+
+@register(
+    "pipeline_curate_full",
+    f"""WITH feats AS (
+      SELECT doc_id, text,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE AS n_uniq,
+             len(list_filter({_TOKS}, tok -> tok IN ({_SQL_EN_STOP})))::DOUBLE AS stop
+      FROM documents),
+    kept AS (
+      SELECT doc_id, text FROM feats
+      WHERE least(n_tokens / 100.0, 1.0) * 0.4 + (n_uniq / n_tokens) * 0.4
+            + least((stop / n_tokens) * 5.0, 1.0) * 0.2 >= 0.55),
+    fdocs AS (SELECT doc_id, {_sql_scrub_chain()} AS text FROM kept),
+    {_MH_FULL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8),
+    surv AS (
+      SELECT f.doc_id, f.text FROM fdocs f
+      WHERE NOT EXISTS (SELECT 1 FROM verified v WHERE v.id_b = f.doc_id)),
+    corpus AS (SELECT * FROM surv WHERE doc_id % 20 <> 0),
+    evals AS (SELECT {_DECON_SH} AS g FROM documents WHERE doc_id % 20 = 0),
+    eh AS (SELECT DISTINCT {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT unnest(g) AS gram FROM evals)),
+    ch AS (SELECT doc_id, {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT doc_id, unnest({_DECON_SH}) AS gram FROM corpus)),
+    hits AS (SELECT doc_id, count(DISTINCT gh) AS n
+             FROM ch JOIN eh USING (gh) GROUP BY 1),
+    clean AS (
+      SELECT c.doc_id, c.text FROM corpus c
+      LEFT JOIN hits h USING (doc_id) WHERE coalesce(h.n, 0) = 0),
+    base AS (
+      SELECT doc_id,
+             {_SHARD_SQL.replace('% 64', '% 16')} AS shard,
+             len(string_split({_NORM}, ' '))::BIGINT AS n_tokens
+      FROM clean),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM base)
+    SELECT doc_id, shard, (start_offset // 256)::BIGINT AS pack_id,
+           start_offset, n_tokens
+    FROM packed""",
+)
+def pipeline_curate_full(spark, sf_dir):
+    """The COMPLETE pretraining curation funnel in one verified plan:
+    quality filter (composite ≥ 0.55) → PII scrub → MinHash+LSH near-dup
+    drop (any document with a smaller-id partner at Jaccard ≥ 0.8 on the
+    scrubbed text; greedy keep-first, the min-id convention every dedup
+    entry uses) → benchmark decontamination (every 20th RAW document
+    plays the held-out eval set; eval members themselves leave the
+    corpus) → 256-token sequence packing across 16 hash shards.
+
+    Each stage is the already-verified operator — this entry pins the
+    INTEGRATION: stage order, which text each stage reads (scrubbed for
+    dedup/decontam, raw for the eval side), and the funnel's survivors.
+    One linear pass of bounded shuffles: quality/scrub are scan-side,
+    dedup shuffles on LSH buckets, decontamination on broadcast-filtered
+    collisions, packing on the shard id."""
+    from time_series_db_spark.pipeline import decontam, pack
+
+    docs = _docs(spark, sf_dir)
+    q = (
+        text.quality_score(docs)
+        .filter(F.col("quality") >= 0.55)
+        .select("doc_id")
+    )
+    kept = docs.join(q, "doc_id")
+    scrub = text.pii_scrub(kept).select(
+        "doc_id", F.col("scrubbed").alias("text")
+    )
+    pairs = dedup.minhash_dedup_pairs(scrub, threshold=0.8)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = scrub.join(dropped, "doc_id", "left_anti")
+    corpus = surv.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    flags = decontam.decontaminate(corpus, evals, n=8, min_hits=1)
+    clean = corpus.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    return pack.pack_sequences(clean, budget=256, n_shards=16)
