@@ -1082,3 +1082,56 @@ def test_prom_metadata_endpoints(spark, sf_dir):
         service.prom_series(src, [], start=s, end=e)
     with pytest.raises(ValueError, match="label name"):
         service.prom_label_values(src, "", start=s, end=e)
+
+
+def test_streaming_ingest_bucketed(spark, tmp_path):
+    """foreachBatch commit into the bucketed store: micro-batches land
+    with the bucket layout (per-series window plans zero series_key
+    exchanges), checkpointed runs only process new files, and the read
+    path dedups replays ANY_WINS."""
+    from time_series_db_spark.streaming import read_metrics_bucketed
+    from time_series_db_spark.streaming.ingest import start_ingest_bucketed
+
+    src = tmp_path / "in"
+    src.mkdir()
+    path = str(tmp_path / "bucketed_stream")
+    spark.sql("DROP TABLE IF EXISTS metrics_stream_bucketed_test")
+    (src / "b1.json").write_text(
+        "\n".join(
+            _doc(f"name cpu host h{i % 3}", T0 + j * H, float(i + j))
+            for i in range(3) for j in range(4)
+        )
+    )
+    q = start_ingest_bucketed(
+        spark, str(src), "metrics_stream_bucketed_test", path=path,
+        n_buckets=4, available_now=True,
+    )
+    q.awaitTermination(120)
+    try:
+        out = read_metrics_bucketed(spark, "metrics_stream_bucketed_test")
+        assert out.count() == 12
+        # bucket clustering survives the streaming commit: a per-series
+        # aggregation plans no series_key exchange
+        agg = (
+            spark.table("metrics_stream_bucketed_test")
+            .groupBy("series_key").count()
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(series_key" not in plan
+
+        # second drain: only the new file lands (checkpoint)
+        (src / "b2.json").write_text(
+            _doc("name cpu host h0", T0 + 10 * H, 42.0)
+        )
+        q = start_ingest_bucketed(
+            spark, str(src), "metrics_stream_bucketed_test", path=path,
+            n_buckets=4, available_now=True,
+        )
+        q.awaitTermination(120)
+        out2 = read_metrics_bucketed(spark, "metrics_stream_bucketed_test")
+        assert out2.count() == 13
+    finally:
+        spark.sql("DROP TABLE IF EXISTS metrics_stream_bucketed_test")
+
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        start_ingest_bucketed(spark, str(src), "t_nochk")

@@ -327,3 +327,70 @@ def read_metrics(
         .withColumn("labels", labels_from_key_expr(F.col("series_key")))
         .select("series_key", "labels", "ts", "value")
     )
+
+
+def start_ingest_bucketed(
+    spark: SparkSession,
+    source_dir: str,
+    table_name: str,
+    path: str | None = None,
+    *,
+    n_buckets: int = 32,
+    ooo_cutoff: str = DEFAULT_OOO_CUTOFF,
+    block_ms: int = DEFAULT_BLOCK_MS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous ingest INTO the series-bucketed store: the streaming
+    front half of :func:`start_ingest` (watermark ooo cutoff +
+    in-stream (series, ts) dedup) committed through ``foreachBatch``
+    into the bucketed catalog table of :func:`ingest_batch_bucketed`.
+
+    ``bucketBy`` is not a streaming sink, but it IS a deterministic
+    batch write — ``foreachBatch`` gives each micro-batch the full batch
+    writer, so the stored layout keeps the property every per-series
+    operator depends on (scan-reported hash clustering on
+    ``series_key``, no exchange under windows). Exactly-once: the
+    foreachBatch append is idempotent per epoch only via the
+    checkpoint's epoch tracking — a replayed epoch re-appends, and the
+    read path's ANY_WINS (series, ts) dedup absorbs the duplicates,
+    the same contract the plain parquet sink already relies on.
+    """
+    if checkpoint_dir is None:
+        if path is None:
+            raise ValueError(
+                "start_ingest_bucketed needs checkpoint_dir when the "
+                "table has no external path"
+            )
+        # SIBLING of the table path, not inside it: saveAsTable manages
+        # the table directory's contents and would race the checkpoint
+        checkpoint_dir = path.rstrip("/") + "_checkpoint" 
+    raw = spark.readStream.schema(INGEST_SCHEMA).json(source_dir)
+    samples = (
+        parse_ingest(raw, block_ms)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", ooo_cutoff)
+        .dropDuplicatesWithinWatermark(["series_key", "ts"])
+        .drop("event_time")
+    )
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        w = (
+            batch_df.write.mode("append")
+            .partitionBy("block")
+            .bucketBy(int(n_buckets), "series_key")
+            .sortBy("series_key", "ts")
+            .format("parquet")
+        )
+        if path is not None:
+            w = w.option("path", path)
+        w.saveAsTable(table_name)
+
+    writer = (
+        samples.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
