@@ -1,0 +1,111 @@
+"""Command-line query runner: the REST surface as a shell command.
+
+    python -m time_series_db_spark 'fetch name:error | sum region' \
+        --sf-dir /root/testdata/sf0.001 --start <ms> --end <ms> --step 3600000
+    python -m time_series_db_spark --lang promql 'sum by (region) (error)' ...
+    python -m time_series_db_spark --lang promql --instant 'error' --time <ms>
+    python -m time_series_db_spark --stats head,labels --sf-dir ...
+
+Prints the same JSON the service facade returns (matrix / vector /
+stats), one document on stdout — pipeable to jq. Exits non-zero with
+the parse/validation error message on stderr for malformed queries.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(
+        prog="python -m time_series_db_spark",
+        description="Run an M3QL or PromQL query against a testdata sf dir",
+    )
+    p.add_argument("query", nargs="?", help="query text (required unless --stats)")
+    p.add_argument("--lang", choices=["m3ql", "promql"], default="m3ql")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--start", type=int, default=None, help="epoch ms")
+    p.add_argument("--end", type=int, default=None, help="epoch ms")
+    p.add_argument("--step", type=int, default=3_600_000, help="ms")
+    p.add_argument("--instant", action="store_true",
+                   help="PromQL instant query (vector result)")
+    p.add_argument("--time", type=int, default=None,
+                   help="instant evaluation time, epoch ms")
+    p.add_argument("--lookback", type=int, default=None,
+                   help="instant lookback window, ms")
+    p.add_argument("--explain", action="store_true",
+                   help="print the physical plan instead of results")
+    p.add_argument("--profile", action="store_true",
+                   help="append per-stage wall time to the response")
+    p.add_argument("--stats", default=None,
+                   help="comma list of head,labels,values — stats instead of a query")
+    p.add_argument("--cpus", type=int, default=4)
+    args = p.parse_args(argv)
+
+    if args.stats is None and not args.query:
+        p.error("query is required unless --stats is given")
+    if args.instant and args.lang != "promql":
+        p.error("--instant requires --lang promql")
+
+    from time_series_db_spark import service
+    from time_series_db_spark.session import get_spark
+    from time_series_db_spark.sources import (
+        DEFAULT_STEP_MS,
+        EVENTS_MAX_TS,
+        EVENTS_MIN_TS,
+    )
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    import os as _os
+
+    _os.environ.setdefault("SPARK_GRAFT_CPUS", str(args.cpus))
+    spark = get_spark("tsdb-cli")
+    spark.sparkContext.setLogLevel("ERROR")
+    src = EventsSource(spark, args.sf_dir)
+    start = args.start if args.start is not None else EVENTS_MIN_TS
+    end = args.end if args.end is not None else EVENTS_MAX_TS
+
+    try:
+        if args.stats is not None:
+            names = {
+                "head": "headStats", "labels": "labelStats",
+                "values": "valueStats",
+            }
+            include = tuple(
+                names[part.strip()] for part in args.stats.split(",") if part.strip()
+            )
+            sf = src.fetch({}, {}, start, end, args.step)
+            out = service.tsdb_stats(sf, include=include)
+        elif args.instant:
+            kw = {}
+            if args.lookback is not None:
+                kw["lookback_ms"] = args.lookback
+            out = service.promql_query(
+                src, args.query, time_ms=args.time, step=args.step, **kw
+            )
+        else:
+            fn = (
+                service.m3ql_query_range
+                if args.lang == "m3ql"
+                else service.promql_query_range
+            )
+            out = fn(
+                src, args.query, start=start, end=end,
+                step=args.step or DEFAULT_STEP_MS,
+                explain=args.explain, profile=args.profile,
+                include_metadata=False,
+            )
+    except Exception as e:  # parse/validation errors → message, not traceback
+        print(f"error: {e}", file=sys.stderr)
+        return 2
+    if isinstance(out, str):  # --explain returns the plan text
+        print(out)
+    else:
+        print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
