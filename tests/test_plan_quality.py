@@ -320,3 +320,40 @@ def test_histogram_fraction_single_aggregation(spark, sf_dir):
     plan = _plan(out.df)
     assert "BatchEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2  # partial+final agg
+
+
+def test_tpch_new_queries_no_cartesian_and_broadcast_dims(spark, sf_dir):
+    """The round-5 TPC-H additions (q9/q17/q19/q21/q22): every dim side
+    broadcasts, the only exchanges are aggregation/fact-join keys, and
+    the sole nested-loop join allowed is q22's one-row scalar-average
+    compare (the broadcast-constant pattern). A CartesianProduct in any
+    of these is a 100-TB outage."""
+    from time_series_db_spark.catalog import QUERIES
+
+    for name in (
+        "tpch_q9_profit",
+        "tpch_q17_small_quantity",
+        "tpch_q19_disjunctive_revenue",
+        "tpch_q21_waiting_suppliers",
+        "tpch_q22_lapsed_customers",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            # only q22's one-row avg-balance compare may nested-loop
+            assert name == "tpch_q22_lapsed_customers", name
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
+def test_tpch_q17_window_after_part_prune(spark, sf_dir):
+    """Q17's correlated average runs as a window over l_partkey AFTER the
+    broadcast part filter — the shuffle carries only matching parts'
+    rows. The broadcast join must appear below the window exchange."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["tpch_q17_small_quantity"](spark, sf_dir))
+    assert "Window" in plan
+    # the window's partition exchange exists, and so does the broadcast
+    assert "Exchange hashpartitioning(l_partkey" in plan
+    assert "BroadcastHashJoin" in plan
