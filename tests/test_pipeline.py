@@ -231,3 +231,57 @@ def test_zero_vector_does_not_crash_cosine_paths(spark):
     out = dedup.semantic_dedup(df, nlist=2, train_iters=1, threshold=0.5)
     kept = sorted(r.vec_id for r in out.collect())
     assert 2 in kept  # no similarity defined -> survives, never crashes
+
+
+def test_exact_substring_dedup_edges(spark):
+    """First-occurrence-wins across docs, intra-doc repeats cut, and a
+    fully-duplicate doc collapses to empty text (not NULL)."""
+    base = " ".join(f"w{i}" for i in range(16))          # one full chunk
+    rows = [
+        (0, base + " " + "tail one two"),                # owns both chunks
+        (1, base + " other words here"),                 # chunk 0 duplicated
+        (2, base),                                       # fully duplicate
+        (3, ""),                                         # empty text
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r.doc_id: r
+        for r in dedup.exact_substring_dedup(df, chunk_words=16).collect()
+    }
+    assert (out[0].n_chunks, out[0].n_kept) == (2, 2)
+    assert out[0].text_clean == base + " " + "tail one two"
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 1)
+    assert out[1].text_clean == "other words here"
+    assert (out[2].n_chunks, out[2].n_kept) == (1, 0)
+    assert out[2].text_clean == ""
+    # empty text splits to one ''-chunk; doc 3 is its first owner
+    assert (out[3].n_chunks, out[3].n_kept) == (1, 1)
+    assert out[3].text_clean == ""
+    with pytest.raises(ValueError):
+        dedup.exact_substring_dedup(df, chunk_words=0)
+
+
+def test_compression_ratio_exact_values(spark):
+    """Pin the UDF to in-process zlib: same bytes, same level-6 deflate."""
+    import zlib
+
+    from time_series_db_spark.pipeline import text as text_ops
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "zebras quietly examine forty jugs of vexing liquid nearby and "
+        "a small band of wandering minstrels plays an entirely different "
+        "melody about rivers mountains harbors and the slow turn of "
+        "seasons across a wide and varied countryside full of detail"
+    )
+    rows = [(0, "abc " * 200), (1, prose), (2, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text_ops.compression_ratio(df).collect()}
+    for i, t in rows:
+        raw = t.encode("utf-8")
+        want = len(zlib.compress(raw, 6)) / len(raw) if raw else 0.0
+        assert got[i].ratio == pytest.approx(want, abs=1e-12), i
+        assert got[i].n_bytes == len(raw)
+    assert got[0].keep is False       # ultra-repetitive → below low bound
+    assert got[1].keep is True
+    assert got[2].keep is False       # empty → ratio 0.0

@@ -357,3 +357,26 @@ def test_tpch_q17_window_after_part_prune(spark, sf_dir):
     # the window's partition exchange exists, and so does the broadcast
     assert "Exchange hashpartitioning(l_partkey" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_exact_substring_dedup_partial_agg_no_window(spark, sf_dir):
+    """The first-occurrence pick must be a min-struct AGGREGATION (partial
+    combine absorbs hot boilerplate chunks map-side), never a row_number
+    window that piles a hot chunk's copies onto one reducer."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["dedup_exact_substring"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_compression_ratio_arrow_no_shuffle(spark, sf_dir):
+    """zlib ratio runs as ONE Arrow-batched projection over the scan —
+    no shuffle, no row-at-a-time Python."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_compression_ratio"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan

@@ -1045,3 +1045,35 @@ def pipeline_curate_full(spark, sf_dir):
         flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
     )
     return pack.pack_sequences(clean, budget=256, n_shards=16)
+
+
+@register(
+    "dedup_exact_substring",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    chunks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS chunk_idx,
+             array_to_string(w[(t.i*16+1):((t.i+1)*16)], ' ') AS chunk
+      FROM toks CROSS JOIN UNNEST(range(0, CAST(ceil(len(w)/16.0) AS BIGINT))) AS t(i)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn=1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           coalesce(string_agg(CASE WHEN rn=1 THEN chunk END, ' ' ORDER BY chunk_idx), '') AS text_clean
+    FROM ranked GROUP BY doc_id""",
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Chunk-level exact-substring dedup (Lee et al. 2022 adaptation):
+    global first-occurrence-wins over tumbling 16-word chunks; oracle
+    dedups on the chunk string, Spark on its xxhash64 — a hash collision
+    would surface as a differential mismatch, not hide."""
+    return dedup.exact_substring_dedup(_docs(spark, sf_dir))
+
+
+@register("text_compression_ratio")  # rows-only: DuckDB cannot deflate
+def text_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (Arrow-batched pandas UDF —
+    deflate has no Catalyst builtin; exact values pinned by unit test)."""
+    return text.compression_ratio(_docs(spark, sf_dir))

@@ -678,3 +678,86 @@ def semantic_dedup(
     return cells.join(dropped, id_col, "left_anti").select(
         id_col, F.col("cell").cast("long").alias("cell")
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 16,
+) -> DataFrame:
+    """Exact duplicate-span removal at word-chunk granularity — the
+    Spark-distributable adaptation of suffix-array exact-substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): a suffix array is inherently sequential,
+    so the distributed form dedups TUMBLING ``chunk_words``-word chunks;
+    any duplicated span ≥ 2·chunk_words−1 words is guaranteed to contain
+    a duplicated chunk.
+
+    Every chunk keeps exactly its GLOBAL first occurrence (ordered by
+    (id, chunk_idx)); later occurrences are cut from their documents and
+    the survivors re-joined in order. Returns one row per document:
+    (id, n_chunks, n_kept, text_clean).
+
+    Scale shape: chunking is scan-side (split + slice, no shuffle). The
+    first-occurrence choice is a min-struct **aggregation** on the chunk
+    hash — NOT a row_number window — so map-side partial aggregation
+    absorbs hot chunks (boilerplate repeated millions of times) before
+    the shuffle, and the join back on the hash is AQE-skew-splittable;
+    a window would pile every copy of a hot chunk onto one reducer.
+    Chunk identity is xxhash64 (64-bit): collisions at 100 TB
+    (~2⁴⁴ chunks) remain ~2⁻²⁰-improbable per corpus; the DuckDB
+    differential dedups on the chunk STRING, so a collision would
+    surface as a mismatch rather than hide.
+    """
+    k = int(chunk_words)
+    if k <= 0:
+        raise ValueError(f"chunk_words must be positive, got {chunk_words}")
+    words = F.split(F.col(text_col), " ")
+    chunks = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("__w") / F.lit(float(k))).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(
+                        F.slice("__w", i * k + 1, k), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk"),
+        )
+        .withColumn("__h", F.xxhash64("chunk"))
+    )
+    keeper = chunks.groupBy("__h").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("kid"), F.col("chunk_idx").alias("kidx")
+            )
+        ).alias("__keep")
+    )
+    flagged = chunks.join(keeper, "__h").withColumn(
+        "__first",
+        (F.col(id_col) == F.col("__keep.kid"))
+        & (F.col("chunk_idx") == F.col("__keep.kidx")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(F.col("__first"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__first"), F.struct("chunk_idx", "chunk"))
+                    )
+                ),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )

@@ -8,6 +8,7 @@ column pruning (only ``doc_id, text`` are read).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -271,3 +272,51 @@ def pii_scrub(
         )
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return df.select(F.col(id_col), scrubbed.alias("scrubbed"), *counts)
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    low: float = 0.3,
+    high: float = 0.95,
+) -> DataFrame:
+    """Per-document zlib compression ratio — the deflate-redundancy
+    quality signal used by large-corpus curation stacks (e.g. the
+    RedPajama-v2 quality annotations' ``ccnet_*`` companions): highly
+    repetitive machine text compresses far below natural prose, and
+    near-random noise barely compresses at all. Flags docs outside
+    ``[low, high]`` for the filter step.
+
+    Returns (id, n_bytes, ratio, keep). Runs as an Arrow-batched scalar
+    pandas UDF (deflate has no Catalyst builtin): one Python call per
+    ~10k-row batch, CPU-bound and scan-parallel — no shuffle, constant
+    memory per task, so at 100 TB it scales exactly with executor cores.
+    The DuckDB differential cannot express deflate, so this is a
+    rows-only catalog entry; exact values are pinned by unit tests
+    computing zlib in-process (tests/test_pipeline.py).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t: str) -> float:
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                return 0.0
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return s.map(one)
+
+    n_bytes = F.octet_length(F.col(text_col)).cast("long")
+    ratio = _ratio(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        n_bytes.alias("n_bytes"),
+        ratio.alias("ratio"),
+        ((ratio >= F.lit(float(low))) & (ratio <= F.lit(float(high)))).alias(
+            "keep"
+        ),
+    )
