@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_semantic",          # SemDeDup k-means + within-cell prune (r5)
+    "dedup_exact_substring",   # chunk-level Lee-et-al dedup (r5)
+    "text_compression_ratio",  # zlib quality signal, Arrow UDF (r5)
     "text_gopher_quality",     # Gopher curation rules (r5)
     "pack_sequences",          # training-batch construction (r5)
     "sessionize_events",       # gap-session construction (r5)
@@ -50,6 +52,7 @@ BENCH_QUERIES = [
     "mm_audio_features",       # mapInPandas (Arrow) path
     "tpch_q1_pricing",
     "tpch_q3_shipping",
+    "tpch_q9_profit",          # multi-dim broadcast profit rollup (r5)
 ]
 
 

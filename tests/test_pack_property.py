@@ -129,3 +129,46 @@ def test_histogram_cdf_monotone_bounded(spark, values, thresholds):
     top_threshold, top_v = got[-1]
     if top_threshold >= 400:  # ≥ the top bucket's upper bound
         assert top_v == pytest.approx(1.0)
+
+
+_word = st.sampled_from(["alpha", "beta", "gamma", "delta", "epsilon", "zeta"])
+_texts = st.lists(
+    st.lists(_word, min_size=0, max_size=40).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_texts, k=st.sampled_from([3, 5, 16]))
+def test_exact_substring_dedup_invariants(spark, texts, k):
+    """Random corpora vs an exact in-Python simulation: Σ n_kept equals
+    the number of DISTINCT chunks, Σ n_chunks the total, and every
+    reassembled text equals the global-first-occurrence replay in
+    (doc_id, chunk_idx) order."""
+    from time_series_db_spark.pipeline.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {r.doc_id: r for r in exact_substring_dedup(df, chunk_words=k).collect()}
+
+    def chunked(t):
+        w = t.split(" ")
+        return [" ".join(w[i : i + k]) for i in range(0, max(len(w), 1), k)]
+
+    all_chunks = [c for t in texts for c in chunked(t)]
+    assert sum(r.n_kept for r in out.values()) == len(set(all_chunks))
+    assert sum(r.n_chunks for r in out.values()) == len(all_chunks)
+    # exact in-Python simulation: global first-occurrence by (doc, idx)
+    seen: set[str] = set()
+    for i, t in enumerate(texts):
+        kept = []
+        for c in chunked(t):
+            if c not in seen:
+                seen.add(c)
+                kept.append(c)
+        assert out[i].text_clean == " ".join(kept), (i, t)
+        assert out[i].n_kept == len(kept)
