@@ -209,3 +209,23 @@ def test_divide_when_always_true_equals_divide(spark, sf_dir):
         "fetch name:error | divide (fetch name:error | sum region) region",
     )
     assert guarded == plain and guarded
+
+
+def test_percentile_windowed_equals_array_path(spark, sf_dir):
+    """The spill-safe rank-window percentile and the MultiValueSample
+    array path are the same function — including interpolation and the
+    rank<=1 edge."""
+    from time_series_db_spark.operators import grouping
+    from time_series_db_spark.sources import fetch_events
+
+    sf = fetch_events(spark, sf_dir)
+    for interpolate in (False, True):
+        a = grouping.percentile_of_series(
+            sf, [10.0, 50.0, 99.5], ["region"], interpolate=interpolate
+        ).df
+        b = grouping.percentile_of_series_windowed(
+            sf, [10.0, 50.0, 99.5], ["region"], interpolate=interpolate
+        ).df
+        ra = sorted(repr((r.series_key, r.ts, round(r.value, 9))) for r in a.collect())
+        rb = sorted(repr((r.series_key, r.ts, round(r.value, 9))) for r in b.collect())
+        assert ra == rb, interpolate

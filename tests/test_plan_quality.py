@@ -380,3 +380,18 @@ def test_compression_ratio_arrow_no_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_percentile_windowed_sorts_instead_of_arrays(spark, sf_dir):
+    """The spill-safe percentile path must rank via a sorted window (one
+    exchange on (group, ts), disk-spillable sort) and never materialize
+    per-group arrays — no collect_list / ObjectHashAggregate."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m3_percentile_of_series_windowed"](spark, sf_dir))
+    assert "Window" in plan
+    assert "collect_list" not in plan
+    assert "ObjectHashAggregate" not in plan
+    # one exchange for the fetch's grid alignment + exactly ONE for the
+    # (group, ts) rank window — the count and row_number windows share it
+    assert plan.count("Exchange hashpartitioning") == 2

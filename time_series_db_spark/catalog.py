@@ -491,6 +491,25 @@ def m3_percentile_of_series(spark, sf_dir):
     return _out(sf, ["name", "__percentile"])
 
 
+@register(
+    "m3_percentile_of_series_windowed",
+    f"""{PRELUDE},
+    lsts AS (SELECT name, ts, list(value ORDER BY value) AS l
+             FROM samples GROUP BY 1, 2)
+    SELECT name, p AS __percentile, ts,
+           {sql_quant('l[greatest(1, CAST(ceil(pct * len(l)) AS INT))]')} AS value
+    FROM lsts CROSS JOIN (VALUES ('50', 0.50), ('95', 0.95)) pcts(p, pct)""",
+)
+def m3_percentile_of_series_windowed(spark, sf_dir):
+    """Spill-safe percentile variant: same oracle as the array path —
+    rank-window selection instead of collect_list, for groups too large
+    to hold as one in-memory array (grouping.py docstring)."""
+    sf = grouping.percentile_of_series_windowed(
+        _fetch(spark, sf_dir), [50.0, 95.0], ["name"]
+    )
+    return _out(sf, ["name", "__percentile"])
+
+
 # ---------------------------------------------------------------------------
 # window / sequential stages
 # ---------------------------------------------------------------------------

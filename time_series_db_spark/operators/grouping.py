@@ -337,6 +337,92 @@ def _bucket_upper_expr(range_col: Column) -> Column:
     ).otherwise(_side(right))
 
 
+def percentile_of_series_windowed(
+    sf: SeriesFrame,
+    percentiles: list[float],
+    keys: list[str] = (),
+    interpolate: bool = False,
+) -> SeriesFrame:
+    """Spill-safe exact percentileOfSeries — the 100-TB path for giant
+    groups. Identical semantics (and catalog oracle) to
+    :func:`percentile_of_series`; different physical shape: instead of
+    materializing each (group, ts) value set as one in-memory array
+    (the MultiValueSample analog — fan-in bounded by series-per-group),
+    values are SORTED WITHIN THE SHUFFLE via a rank window and only the
+    rank-selected rows survive. Sort-based aggregation spills to disk,
+    so a pathological group (millions of series on one timestamp) can
+    exceed executor memory in the array path but not here. NaN ordering
+    matches array_sort/Java Double.compare: NaN sorts last.
+
+    Same single exchange on (group, ts) as the array path; the extra
+    cost is the per-partition sort — pick this variant when
+    series-per-group is unbounded, the array variant when it's known
+    small (the reference's own coordinator assumption).
+    """
+    from pyspark.sql import Window
+
+    ps = list(percentiles)
+    df = _with_group_key(sf.df, list(keys))
+    w = Window.partitionBy("__gkey", "ts")
+    wo = w.orderBy("value")
+    df = (
+        df.select("__gkey", "ts", "value")
+        .withColumn("__n", F.count("value").over(w))
+        .withColumn("__rn", F.row_number().over(wo))
+        .withColumn("__prev", F.lag("value").over(wo))
+    )
+
+    def _rank(p: float) -> Column:
+        frac = F.lit(float(p) / 100.0) * F.col("__n")
+        return F.greatest(F.lit(1), F.ceil(frac).cast("int"))
+
+    def _val(p: float) -> Column:
+        if not interpolate:
+            return F.col("value")
+        frac = F.lit(float(p) / 100.0) * F.col("__n")
+        rank = _rank(p)
+        fraction = frac - (F.ceil(frac) - 1)
+        return F.when(rank <= 1, F.col("value")).otherwise(
+            F.coalesce(F.col("__prev"), F.col("value"))
+            + fraction * (F.col("value") - F.coalesce(F.col("__prev"), F.col("value")))
+        )
+
+    hits = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(_format_percentile(float(p))).alias("pname"),
+                    _rank(p).alias("r"),
+                    _val(p).alias("v"),
+                )
+                for p in ps
+            ]
+        ),
+        lambda s: s["r"] == F.col("__rn"),
+    )
+    out = (
+        df.select("__gkey", "ts", F.explode(hits).alias("__hit"))
+        .select(
+            labels_from_key_expr(F.col("__gkey")).alias("__glabels"),
+            "ts",
+            F.col("__hit.pname").alias("__pname"),
+            F.col("__hit.v").cast("double").alias("value"),
+        )
+        .select(
+            F.map_concat(
+                "__glabels",
+                F.create_map(F.lit("__percentile"), F.col("__pname")),
+            ).alias("labels"),
+            F.lit(None).cast("string").alias("alias"),
+            "ts",
+            "value",
+        )
+        .withColumn("series_key", series_key_expr())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)
+
+
 def _format_percentile(p: float) -> str:
     """p99 label formatting — PercentileUtils.formatPercentile."""
     if p == int(p):
