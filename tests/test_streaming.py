@@ -1135,3 +1135,119 @@ def test_streaming_ingest_bucketed(spark, tmp_path):
 
     with pytest.raises(ValueError, match="checkpoint_dir"):
         start_ingest_bucketed(spark, str(src), "t_nochk")
+
+
+def test_recording_rule_stream_and_backfill(spark, tmp_path):
+    """Recording rules end-to-end: the streaming leg records the
+    windowed aggregation for matched series only; the batch backfill
+    over the raw store produces the same rows; and the recorded series
+    are queryable through MetricsSource + M3QL like any metric."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources.m3source import MetricsSource
+    from time_series_db_spark.streaming.ingest import start_ingest
+    from time_series_db_spark.streaming.rules import (
+        apply_rule_frame,
+        backfill_recording_rule,
+        compile_rule,
+        start_recording_rule,
+    )
+
+    M5 = 300_000
+    rule = {
+        "record": "region:error:sum",
+        "match": {"name": ["error"]},
+        "group_by": ["region"],
+        "agg": "sum",
+        "resolution_ms": M5,
+    }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = str(tmp_path / "recorded")
+    table = str(tmp_path / "metrics")
+    docs = [
+        _doc("name error region east", T0 + 10_000, 1.0),
+        _doc("name error region east", T0 + 20_000, 2.0),
+        _doc("name error region west", T0 + 30_000, 5.0),
+        _doc("name error region east", T0 + M5 + 1_000, 7.0),
+        _doc("name request region east", T0 + 10_000, 100.0),  # unmatched
+        _doc("name error host nolabel", T0 + 10_000, 9.0),  # no region
+    ]
+    (src / "b1.json").write_text("\n".join(docs))
+    q = start_recording_rule(
+        spark, str(src), out, rule, available_now=True
+    )
+    q.awaitTermination(120)
+    # advance the watermark past the real windows. The sentinel must
+    # MATCH the rule: the tag filter pushes below the watermark node, so
+    # only matched samples advance the rule's event clock (rules.py
+    # watermark-scope note); its own window stays open and unflushed
+    (src / "b2.json").write_text(_doc("name error region zz", T0 + 10 * H, 0.0))
+    q = start_recording_rule(
+        spark, str(src), out, rule, available_now=True
+    )
+    q.awaitTermination(120)
+
+    rows = {
+        (r["series_key"], r["ts"]): r for r in spark.read.parquet(out).collect()
+    }
+    assert set(rows) == {
+        ("name:region:error:sum,region:east", T0),
+        ("name:region:error:sum,region:west", T0),
+        ("name:region:error:sum,region:east", T0 + M5),
+    }
+    assert rows[("name:region:error:sum,region:east", T0)]["value"] == 3.0
+    assert rows[("name:region:error:sum,region:west", T0)]["value"] == 5.0
+    assert rows[("name:region:error:sum,region:east", T0 + M5)]["value"] == 7.0
+    east = rows[("name:region:error:sum,region:east", T0)]
+    assert dict(east["labels"]) == {"name": "region:error:sum", "region": "east"}
+    assert east["block"] == T0
+
+    # batch backfill over the raw store gives the SAME rows (restricted
+    # to the same sample set; the sentinel lands in its own window)
+    q = start_ingest(spark, str(src), table, available_now=True)
+    q.awaitTermination(120)
+    out2 = str(tmp_path / "recorded_backfill")
+    n = backfill_recording_rule(
+        spark, table, out2, rule, min_ts=T0, max_ts=T0 + 2 * M5
+    )
+    assert n == 3
+    back = {
+        (r["series_key"], r["ts"]): r["value"]
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert back == {k: rows[k]["value"] for k in rows}
+
+    # the recorded series are ordinary metrics: query through M3QL
+    rsrc = MetricsSource(spark, out)
+    resp = service.m3ql_query_range(
+        rsrc,
+        'fetch name:"region:error:sum" region:east',
+        T0,
+        T0 + 2 * M5,
+        M5,
+    )
+    vals = {
+        p[0]: float(p[1])
+        for s in resp["data"]["result"]
+        for p in s["values"]
+    }
+    assert vals == {T0: 3.0, T0 + M5: 7.0}
+
+    # validation surface
+    with pytest.raises(ValueError, match="agg"):
+        compile_rule({"record": "x", "agg": "median", "resolution_ms": M5})
+    with pytest.raises(ValueError, match="record"):
+        compile_rule({"agg": "sum", "resolution_ms": M5})
+    with pytest.raises(ValueError, match="resolution_ms"):
+        compile_rule({"record": "x", "agg": "sum"})
+    with pytest.raises(ValueError, match="group_by"):
+        compile_rule(
+            {"record": "x", "agg": "sum", "resolution_ms": M5,
+             "group_by": ["name"]}
+        )
+    # apply_rule_frame drops series missing a group_by label
+    raw = read_metrics(spark, table)
+    applied = apply_rule_frame(raw, rule)
+    keys = {r["series_key"] for r in applied.collect()}
+    assert all("region:" in k for k in keys)

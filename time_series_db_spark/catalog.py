@@ -1041,3 +1041,41 @@ from time_series_db_spark import catalog_tpch as _catalog_tpch  # noqa: E402,F40
 from time_series_db_spark import catalog_m3ql as _catalog_m3ql  # noqa: E402,F401
 from time_series_db_spark import catalog_promql as _catalog_promql  # noqa: E402,F401
 from time_series_db_spark import catalog_stats as _catalog_stats  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# recording rules (streaming/rules.py — batch leg differential)
+# ---------------------------------------------------------------------------
+
+_RULE_RES = 2 * DEFAULT_STEP_MS
+
+
+@register(
+    "recording_rule_batch",
+    f"""{PRELUDE}
+    SELECT 'name:region:error:max,region:' || region AS series_key,
+           ts - ts % {_RULE_RES} AS ts,
+           {sql_quant('max(value)')} AS value
+    FROM samples WHERE name = 'error' GROUP BY 1, 2""",
+)
+def recording_rule_batch(spark, sf_dir):
+    """Recording-rule machinery differential (streaming/rules.py): the
+    batch leg (= promtool rule backfill) applied to the events store —
+    tag match, group_by label selection, re-windowing to a coarser
+    resolution, and record-name key building. ``max`` is the
+    order-insensitive aggregation (sum's exactness is pinned by the
+    streaming end-to-end test with exact values instead)."""
+    from time_series_db_spark.streaming.rules import apply_rule_frame
+
+    sf = _fetch(spark, sf_dir)
+    out = apply_rule_frame(
+        sf.df,
+        {
+            "record": "region:error:max",
+            "match": {"name": ["error"]},
+            "group_by": ["region"],
+            "agg": "max",
+            "resolution_ms": _RULE_RES,
+        },
+    )
+    return out.select("series_key", "ts", quant(F.col("value")).alias("value"))

@@ -23,3 +23,9 @@ from time_series_db_spark.streaming.stateful import (  # noqa: F401
     RATE_OUTPUT_SCHEMA,
     streaming_per_second_rate,
 )
+from time_series_db_spark.streaming.rules import (  # noqa: F401
+    apply_rule_frame,
+    backfill_recording_rule,
+    compile_rule,
+    start_recording_rule,
+)

@@ -1,0 +1,243 @@
+"""Streaming recording rules: continuously evaluate a named aggregation
+over the ingest stream and store the result as first-class series.
+
+This is the M3 rollup-rule / Prometheus recording-rule capability — the
+one write-path feature of the reference's ecosystem (M3 aggregator,
+Prometheus rule evaluation) that the reference repo itself leaves to the
+surrounding platform. A rule names a derived metric and defines it as a
+tag-filtered, label-grouped aggregation at a fixed resolution:
+
+    {"record": "region:error_rate:sum",      # new metric name
+     "match": {"name": ["error"]},           # M3 fetch tag filters
+     "group_by": ["region"],                 # surviving labels
+     "agg": "sum",                           # sum|min|max|count|avg|last
+     "resolution_ms": 300_000}
+
+The rule subset is deliberately the *incrementally computable* one (the
+same subset M3 rollup rules support): filter → group → windowed
+aggregate. Arbitrary M3QL pipelines (sort, topk, binary joins) are not
+incrementally evaluable over an append stream and belong on the query
+path, which can already read a rule's OUTPUT — rows are written in the
+metrics-store shape, so :class:`~time_series_db_spark.sources.m3source.
+MetricsSource` (and therefore both query languages and the service
+facade) queries recorded series like any ingested metric.
+
+Three legs share one compiled core (:func:`compile_rule` + the
+match/label front half):
+
+- :func:`start_recording_rule` — Structured Streaming: watermarked
+  tumbling-window aggregation, append-emitted when the watermark closes
+  the window (same late-data rule as the raw/downsample legs, so all
+  three stores agree on which samples count).
+- :func:`backfill_recording_rule` — batch evaluation of the same rule
+  over an existing metrics table's historical range (the promtool
+  "rule backfill" operation); bit-identical to what the streaming leg
+  would have produced for closed windows.
+- :func:`apply_rule_frame` — the pure frame transform, for composition
+  and tests.
+
+Scale: one hash-partitioned windowed aggregation — partial aggregation
+combines map-side, state is bounded by (matched series × in-watermark
+windows), and the tag filter runs BEFORE the shuffle so an ingest stream
+of 10M series pays shuffle only for the rule's matched subset. Output is
+block-partitioned like the raw table; readers prune identically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from time_series_db_spark.model import labels_from_key_expr, series_key_expr
+from time_series_db_spark.sources.m3source import tag_filter_predicate
+from time_series_db_spark.streaming.ingest import (
+    DEFAULT_BLOCK_MS,
+    DEFAULT_OOO_CUTOFF,
+    INGEST_SCHEMA,
+    METRICS_COLS,
+    parse_ingest,
+)
+
+#: aggregation -> column expression over the window's samples
+RULE_AGGS = {
+    "sum": lambda: F.sum("value"),
+    "min": lambda: F.min("value"),
+    "max": lambda: F.max("value"),
+    "count": lambda: F.count(F.lit(1)).cast("double"),
+    "avg": lambda: F.avg("value"),
+    "last": lambda: F.expr("max_by(value, ts)"),
+}
+
+
+def compile_rule(rule: dict) -> dict:
+    """Validate and normalize a rule dict; raises ValueError with the
+    offending field (the RestM3QLAction-style fail-early contract)."""
+    record = rule.get("record")
+    if not record or not isinstance(record, str):
+        raise ValueError("rule.record must be a non-empty metric name")
+    agg = rule.get("agg", "last")
+    if agg not in RULE_AGGS:
+        raise ValueError(
+            f"rule.agg {agg!r} not in {sorted(RULE_AGGS)}"
+        )
+    res = int(rule.get("resolution_ms", 0))
+    if res <= 0:
+        raise ValueError(f"rule.resolution_ms must be positive, got {res}")
+    group_by = list(rule.get("group_by", []))
+    if "name" in group_by:
+        raise ValueError(
+            "rule.group_by may not contain 'name' — the record name "
+            "replaces it (Prometheus recording-rule naming contract)"
+        )
+    match = {k: list(v) for k, v in (rule.get("match") or {}).items()}
+    return {
+        "record": record,
+        "match": match,
+        "group_by": group_by,
+        "agg": agg,
+        "resolution_ms": res,
+    }
+
+
+def _match_and_label(samples: DataFrame, r: dict):
+    """Shared rule front half: tag filter (BEFORE any shuffle), drop
+    series missing a group_by label (AbstractGroupingStage.java:94-99),
+    and build the output label map (record name + surviving labels)."""
+    lbl = F.col("labels")
+    where = None
+    for key, values in r["match"].items():
+        p = tag_filter_predicate(lbl[key], values)
+        where = p if where is None else (where & p)
+    if where is not None:
+        samples = samples.filter(where)
+    for k in r["group_by"]:
+        samples = samples.filter(lbl[k].isNotNull())
+    out_labels = F.map_from_arrays(
+        F.array(F.lit("name"), *[F.lit(k) for k in r["group_by"]]),
+        F.array(F.lit(r["record"]), *[lbl[k] for k in r["group_by"]]),
+    )
+    return samples, out_labels
+
+
+def apply_rule_frame(
+    samples: DataFrame, rule: dict, block_ms: int = DEFAULT_BLOCK_MS
+) -> DataFrame:
+    """Pure transform: canonical sample rows → the rule's output rows in
+    metrics-store shape (METRICS_COLS). Batch semantics: tumbling window
+    by ``ts − ts mod resolution`` — identical to the streaming leg's
+    ``window(event_time, resolution)`` for closed windows."""
+    r = compile_rule(rule)
+    samples, out_labels = _match_and_label(samples, r)
+    res = r["resolution_ms"]
+    # group on the PACKED key string, not the map (maps are not
+    # orderable grouping keys; the key is the canonical identity anyway)
+    return (
+        samples.withColumn("series_key", series_key_expr(out_labels))
+        .withColumn("__wts", F.col("ts") - F.col("ts") % F.lit(res))
+        .groupBy("series_key", "__wts")
+        .agg(RULE_AGGS[r["agg"]]().alias("value"))
+        .select(
+            "series_key",
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.col("__wts").alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn(
+            "block", F.col("ts") - F.col("ts") % F.lit(int(block_ms))
+        )
+        .select(*METRICS_COLS)
+    )
+
+
+def start_recording_rule(
+    spark: SparkSession,
+    source_dir: str,
+    out_path: str,
+    rule: dict,
+    *,
+    ooo_cutoff: str = DEFAULT_OOO_CUTOFF,
+    block_ms: int = DEFAULT_BLOCK_MS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the rule's streaming leg over the ingest JSON stream.
+
+    A window's row emits once the rule's watermark passes its end
+    (append mode) — late samples beyond ``ooo_cutoff`` are excluded from
+    the recorded series exactly as they are from the raw store, so rule
+    output never disagrees with what a query-time aggregation over the
+    raw table would have seen. Checkpoint-replay duplicates are absorbed
+    by the read path's LWW grid merge (MetricsSource.fetch).
+
+    Watermark scope: Catalyst pushes the (deterministic) tag filter
+    below the EventTimeWatermark operator, so the rule's event clock
+    advances with its MATCHED samples — each rule stream keeps its own
+    clock, and a rule whose series go quiet holds its last window open
+    until matched data resumes (it never emits a partial window early).
+    """
+    r = compile_rule(rule)
+    raw = spark.readStream.schema(INGEST_SCHEMA).json(source_dir)
+    samples = (
+        parse_ingest(raw, block_ms)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", ooo_cutoff)
+    )
+    samples, out_labels = _match_and_label(samples, r)
+    res = r["resolution_ms"]
+    rolled = (
+        samples.withColumn("series_key", series_key_expr(out_labels))
+        .groupBy(
+            "series_key",
+            F.window("event_time", f"{res} milliseconds"),
+        )
+        .agg(RULE_AGGS[r["agg"]]().alias("value"))
+        .select(
+            "series_key",
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.unix_millis(F.col("window.start")).alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn(
+            "block", F.col("ts") - F.col("ts") % F.lit(int(block_ms))
+        )
+        .select(*METRICS_COLS)
+    )
+    writer = (
+        rolled.writeStream.format("parquet")
+        .partitionBy("block")
+        .option("path", out_path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(out_path, "_checkpoint"),
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def backfill_recording_rule(
+    spark: SparkSession,
+    store_path: str,
+    out_path: str,
+    rule: dict,
+    *,
+    min_ts: int | None = None,
+    max_ts: int | None = None,
+    block_ms: int = DEFAULT_BLOCK_MS,
+) -> int:
+    """Evaluate ``rule`` over an existing metrics table's history and
+    write the recorded series (the promtool rule-backfill operation).
+    Returns the number of recorded rows. Windows that the streaming leg
+    already emitted merge by the read path's LWW — backfill + streaming
+    over the same range is idempotent, not duplicating."""
+    from time_series_db_spark.streaming.ingest import read_metrics
+
+    samples = read_metrics(spark, store_path, min_ts=min_ts, max_ts=max_ts)
+    out = apply_rule_frame(samples, rule, block_ms)
+    out.write.mode("append").partitionBy("block").parquet(out_path)
+    return spark.read.parquet(out_path).count()
