@@ -1251,3 +1251,135 @@ def test_recording_rule_stream_and_backfill(spark, tmp_path):
     applied = apply_rule_frame(raw, rule)
     keys = {r["series_key"] for r in applied.collect()}
     assert all("region:" in k for k in keys)
+
+
+def test_alert_rule_batch_state_machine(spark):
+    """Gaps-and-islands alert evaluation: pending until for_windows
+    consecutive breaches, firing after, reset on a gap or a healthy
+    window; ALERTS-series labels per the Prometheus contract."""
+    from time_series_db_spark.streaming.rules import (
+        compile_alert,
+        evaluate_alert_frame,
+    )
+
+    M5 = 300_000
+    spec = {
+        "alert": "HighErrors",
+        "rule": {"record": "r", "agg": "sum", "resolution_ms": M5},
+        "op": ">",
+        "threshold": 10.0,
+        "for_windows": 2,
+        "labels": {"severity": "page"},
+    }
+    rows = [
+        # series A: breach, breach, healthy, breach → pending, firing, -, pending
+        ("name:r,region:east", {"name": "r", "region": "east"}, T0 + 0 * M5, 20.0),
+        ("name:r,region:east", {"name": "r", "region": "east"}, T0 + 1 * M5, 30.0),
+        ("name:r,region:east", {"name": "r", "region": "east"}, T0 + 2 * M5, 5.0),
+        ("name:r,region:east", {"name": "r", "region": "east"}, T0 + 3 * M5, 40.0),
+        # series B: breach, GAP (missing window), breach → both pending
+        ("name:r,region:west", {"name": "r", "region": "west"}, T0 + 0 * M5, 99.0),
+        ("name:r,region:west", {"name": "r", "region": "west"}, T0 + 2 * M5, 99.0),
+    ]
+    df = spark.createDataFrame(
+        [(k, l, t, v, t - t % DEFAULT_BLOCK_MS) for k, l, t, v in rows],
+        "series_key string, labels map<string,string>, ts long, value double, block long",
+    )
+    out = {
+        (r["labels"]["region"], r["ts"]): r
+        for r in evaluate_alert_frame(df, spec).collect()
+    }
+    states = {k: v["labels"]["alertstate"] for k, v in out.items()}
+    assert states == {
+        ("east", T0 + 0 * M5): "pending",
+        ("east", T0 + 1 * M5): "firing",
+        ("east", T0 + 3 * M5): "pending",  # run reset by healthy window
+        ("west", T0 + 0 * M5): "pending",
+        ("west", T0 + 2 * M5): "pending",  # run reset by the GAP
+    }
+    sample = out[("east", T0 + 1 * M5)]
+    assert sample["value"] == 1.0
+    assert dict(sample["labels"]) == {
+        "region": "east", "alertname": "HighErrors",
+        "alertstate": "firing", "severity": "page",
+    }
+    assert "name" not in dict(sample["labels"])  # record name dropped
+
+    # validation
+    with pytest.raises(ValueError, match="op"):
+        compile_alert({**spec, "op": "~"})
+    with pytest.raises(ValueError, match="for_windows"):
+        compile_alert({**spec, "for_windows": 0})
+    with pytest.raises(ValueError, match="reserved"):
+        compile_alert({**spec, "labels": {"alertstate": "x"}})
+
+
+def test_alert_rule_stream_appends_once_per_window(spark, tmp_path):
+    """Streaming alerts: rule windows aggregate in-stream; each closed
+    window appends EXACTLY ONE alert row with the state known at that
+    window — later batches never rewrite history (pending rows stay
+    pending after the alert fires)."""
+    from time_series_db_spark.streaming.rules import start_alert_rule
+
+    M5 = 300_000
+    spec = {
+        "alert": "HighErrors",
+        "rule": {
+            "record": "region:error:sum",
+            "match": {"name": ["error"]},
+            "group_by": ["region"],
+            "agg": "sum",
+            "resolution_ms": M5,
+        },
+        "op": ">",
+        "threshold": 10.0,
+        "for_windows": 2,
+    }
+    src = tmp_path / "in"
+    src.mkdir()
+    rule_path = str(tmp_path / "rule")
+    alerts_path = str(tmp_path / "alerts")
+
+    # batch 1: windows 0 and 1 breach (flushed after batch 2 advances
+    # the watermark); window 0 closes with run=1 → pending
+    (src / "b1.json").write_text(
+        "\n".join(
+            [
+                _doc("name error region east", T0 + 10_000, 20.0),
+                _doc("name error region east", T0 + M5 + 10_000, 30.0),
+            ]
+        )
+    )
+    q = start_alert_rule(
+        spark, str(src), rule_path, alerts_path, spec, available_now=True
+    )
+    q.awaitTermination(120)
+    # batch 2: window 2 breaches too; watermark passes windows 0-1
+    (src / "b2.json").write_text(
+        _doc("name error region east", T0 + 2 * M5 + 10_000, 40.0)
+    )
+    q = start_alert_rule(
+        spark, str(src), rule_path, alerts_path, spec, available_now=True
+    )
+    q.awaitTermination(120)
+    # batch 3: sentinel closes window 2
+    (src / "b3.json").write_text(
+        _doc("name error region east", T0 + 10 * H, 0.0)
+    )
+    q = start_alert_rule(
+        spark, str(src), rule_path, alerts_path, spec, available_now=True
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(
+        (r["ts"], r["labels"]["alertstate"])
+        for r in spark.read.parquet(alerts_path).collect()
+        if r["labels"]["region"] == "east"
+    )
+    # exactly one row per closed window; window 0 stays pending even
+    # though the alert fired later
+    assert rows == [
+        (T0 + 0 * M5, "pending"),
+        (T0 + 1 * M5, "firing"),
+        (T0 + 2 * M5, "firing"),
+    ]

@@ -1079,3 +1079,55 @@ def recording_rule_batch(spark, sf_dir):
         },
     )
     return out.select("series_key", "ts", quant(F.col("value")).alias("value"))
+
+
+@register(
+    "alert_rule_batch",
+    f"""{PRELUDE},
+    rec AS (
+      SELECT region, ts - ts % {_RULE_RES} AS ts, max(value) AS value
+      FROM samples WHERE name = 'error' GROUP BY 1, 2),
+    breached AS (
+      SELECT region, ts,
+             CAST(ts / {_RULE_RES} AS BIGINT)
+               - row_number() OVER (PARTITION BY region ORDER BY ts) AS island
+      FROM rec WHERE value > 60.0),
+    runs AS (
+      SELECT region, ts,
+             count(*) OVER (PARTITION BY region, island ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM breached)
+    SELECT 'alertname:HighErrors,alertstate:'
+             || CASE WHEN run >= 2 THEN 'firing' ELSE 'pending' END
+             || ',region:' || region AS series_key,
+           ts, 1.0::DOUBLE AS value
+    FROM runs""",
+)
+def alert_rule_batch(spark, sf_dir):
+    """Alert-rule evaluation differential (streaming/rules.py): the
+    gaps-and-islands pending/firing state machine over a recorded
+    series — DuckDB replays the identical island arithmetic."""
+    from time_series_db_spark.streaming.rules import (
+        apply_rule_frame,
+        evaluate_alert_frame,
+    )
+
+    sf = _fetch(spark, sf_dir)
+    rule = {
+        "record": "region:error:max",
+        "match": {"name": ["error"]},
+        "group_by": ["region"],
+        "agg": "max",
+        "resolution_ms": _RULE_RES,
+    }
+    spec = {
+        "alert": "HighErrors",
+        "rule": rule,
+        "op": ">",
+        "threshold": 60.0,
+        "for_windows": 2,
+    }
+    recorded = apply_rule_frame(sf.df, rule)
+    return evaluate_alert_frame(recorded, spec).select(
+        "series_key", "ts", F.col("value")
+    )

@@ -26,6 +26,9 @@ from time_series_db_spark.streaming.stateful import (  # noqa: F401
 from time_series_db_spark.streaming.rules import (  # noqa: F401
     apply_rule_frame,
     backfill_recording_rule,
+    compile_alert,
     compile_rule,
+    evaluate_alert_frame,
+    start_alert_rule,
     start_recording_rule,
 )

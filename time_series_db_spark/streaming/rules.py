@@ -241,3 +241,217 @@ def backfill_recording_rule(
     out = apply_rule_frame(samples, rule, block_ms)
     out.write.mode("append").partitionBy("block").parquet(out_path)
     return spark.read.parquet(out_path).count()
+
+
+#: comparison operators an alert rule may use (Prometheus expr compare)
+ALERT_OPS = {
+    ">": lambda c, t: c > t,
+    ">=": lambda c, t: c >= t,
+    "<": lambda c, t: c < t,
+    "<=": lambda c, t: c <= t,
+    "==": lambda c, t: c == t,
+    "!=": lambda c, t: c != t,
+}
+
+
+def compile_alert(spec: dict) -> dict:
+    """Validate an alert spec: a recording-rule body plus a threshold
+    comparison and a ``for``-duration in windows.
+
+        {"alert": "HighErrors",
+         "rule": {...recording-rule dict...},   # what to evaluate
+         "op": ">", "threshold": 10.0,
+         "for_windows": 3,                      # consecutive breaches
+         "labels": {"severity": "page"}}        # static extra labels
+    """
+    name = spec.get("alert")
+    if not name or not isinstance(name, str):
+        raise ValueError("alert.alert must be a non-empty alert name")
+    op = spec.get("op", ">")
+    if op not in ALERT_OPS:
+        raise ValueError(f"alert.op {op!r} not in {sorted(ALERT_OPS)}")
+    k = int(spec.get("for_windows", 1))
+    if k < 1:
+        raise ValueError(f"alert.for_windows must be >= 1, got {k}")
+    extra = dict(spec.get("labels") or {})
+    for res in ("alertname", "alertstate", "name"):
+        if res in extra:
+            raise ValueError(f"alert.labels may not set reserved {res!r}")
+    return {
+        "alert": name,
+        "rule": compile_rule(spec["rule"]),
+        "op": op,
+        "threshold": float(spec.get("threshold", 0.0)),
+        "for_windows": k,
+        "labels": extra,
+    }
+
+
+def evaluate_alert_frame(
+    recorded: DataFrame, spec: dict, keep_source_key: bool = False
+) -> DataFrame:
+    """Prometheus alert-state evaluation over a recorded series frame
+    (metrics-store shape, one row per (series, window)): a series whose
+    value breaches ``op threshold`` is *pending* until it has breached
+    ``for_windows`` CONSECUTIVE windows, then *firing* — emitted as the
+    Prometheus ``ALERTS{alertname=…, alertstate=pending|firing}`` series
+    (value 1 while active, absent otherwise).
+
+    Consecutive-run length is the gaps-and-islands form: among a
+    series' breached windows ordered by ts, ``ts/resolution −
+    row_number()`` is constant within a maximal run, so a count over
+    (series, island) up to the current row is the run length — two
+    window functions over ONE (series_key) partitioning, no self-join,
+    no state blowup: at 100 TB this is a per-series sort exactly like
+    every sequential operator in the query path.
+    """
+    from pyspark.sql import Window
+
+    a = compile_alert(spec)
+    res = a["rule"]["resolution_ms"]
+    breached = recorded.filter(
+        ALERT_OPS[a["op"]](F.col("value"), F.lit(a["threshold"]))
+    )
+    w = Window.partitionBy("series_key").orderBy("ts")
+    isl = (F.col("ts") / F.lit(res)).cast("long") - F.row_number().over(w)
+    wrun = (
+        Window.partitionBy("series_key", "__island")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    staged = (
+        breached.withColumn("__island", isl)
+        .withColumn("__run", F.count(F.lit(1)).over(wrun))
+        .withColumn(
+            "__state",
+            F.when(F.col("__run") >= a["for_windows"], F.lit("firing"))
+            .otherwise(F.lit("pending")),
+        )
+    )
+    alert_labels = F.map_from_arrays(
+        F.array(
+            F.lit("alertname"),
+            F.lit("alertstate"),
+            *[F.lit(k) for k in sorted(a["labels"])],
+        ),
+        F.array(
+            F.lit(a["alert"]),
+            F.col("__state"),
+            *[F.lit(a["labels"][k]) for k in sorted(a["labels"])],
+        ),
+    )
+    out_labels = F.map_concat(
+        F.map_filter(F.col("labels"), lambda k, _v: k != "name"),
+        alert_labels,
+    )
+    extra = (
+        [F.col("series_key").alias("__source_key")] if keep_source_key else []
+    )
+    return staged.withColumn("__alabels", out_labels).select(
+        series_key_expr(F.col("__alabels")).alias("series_key"),
+        F.col("__alabels").alias("labels"),
+        F.col("ts"),
+        F.lit(1.0).alias("value"),
+        F.col("block"),
+        *extra,
+    )
+
+
+def start_alert_rule(
+    spark: SparkSession,
+    source_dir: str,
+    rule_path: str,
+    alerts_path: str,
+    spec: dict,
+    *,
+    ooo_cutoff: str = DEFAULT_OOO_CUTOFF,
+    block_ms: int = DEFAULT_BLOCK_MS,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming alert evaluation, composed from the pieces that already
+    stream correctly: the spec's recording rule runs as the watermarked
+    windowed aggregation, and ``foreachBatch`` appends each emitted
+    micro-batch to the rule table then evaluates alert state for the
+    AFFECTED series only (a semi-join on the batch's series keys) over
+    the rule table's history, appending alert rows ONLY for the batch's
+    new windows — each (series, window) alert row is written exactly
+    once, with the run-length state known as of that window. A past
+    ``pending`` row stays pending when the alert later fires, which is
+    the Prometheus ALERTS-series contract (state at time t, not
+    retroactive).
+
+    Recomputation is bounded: windows emit exactly once (append mode),
+    so a batch touches |batch series| × their recorded history — the
+    same per-series sequential unit every window operator partitions
+    by. State is replayed deterministically from the store, surviving
+    restarts without custom state-store code.
+    """
+    a = compile_alert(spec)
+    r = a["rule"]
+    raw = spark.readStream.schema(INGEST_SCHEMA).json(source_dir)
+    samples = (
+        parse_ingest(raw, block_ms)
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", ooo_cutoff)
+    )
+    samples, out_labels = _match_and_label(samples, r)
+    res = r["resolution_ms"]
+    rolled = (
+        samples.withColumn("series_key", series_key_expr(out_labels))
+        .groupBy(
+            "series_key",
+            F.window("event_time", f"{res} milliseconds"),
+        )
+        .agg(RULE_AGGS[r["agg"]]().alias("value"))
+        .select(
+            "series_key",
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.unix_millis(F.col("window.start")).alias("ts"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .withColumn(
+            "block", F.col("ts") - F.col("ts") % F.lit(int(block_ms))
+        )
+        .select(*METRICS_COLS)
+    )
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            batch_df.write.mode("append").partitionBy("block").parquet(
+                rule_path
+            )
+            touched = batch_df.select("series_key").distinct()
+            history = spark.read.parquet(rule_path).join(
+                F.broadcast(touched), "series_key", "left_semi"
+            )
+            alerts = evaluate_alert_frame(history, spec, keep_source_key=True)
+            new_windows = batch_df.select(
+                F.col("series_key").alias("__bk"), F.col("ts").alias("__bt")
+            ).distinct()
+            fresh = alerts.join(
+                F.broadcast(new_windows),
+                (F.col("__source_key") == F.col("__bk"))
+                & (F.col("ts") == F.col("__bt")),
+                "left_semi",
+            ).drop("__source_key")
+            fresh.write.mode("append").partitionBy("block").parquet(
+                alerts_path
+            )
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        rolled.writeStream.foreachBatch(_commit)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(rule_path, "_checkpoint"),
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
