@@ -1,0 +1,121 @@
+"""Scale self-check: do the heavy operators scale ~linearly sf0.1 → ~sf1?
+
+Synthesizes a 10× events table and a 10× documents table in /tmp by
+re-stamping the sf0.1 parquet with shifted time ranges / doc ids (same
+schema, same per-series density — so series count ×10 for events, corpus
+×10 for documents), then times representative heavy queries at 1× and
+10× and prints the scaling exponents. A healthy distributed plan lands
+near 1.0 (linear); quadratic candidate generation or a single-partition
+sort shows up as ≫1.
+
+Usage: python scripts/scale_check.py [out.json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/scale_check_sf1"
+COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+
+#: heavy queries whose scaling we certify (one per risk class)
+QUERIES = [
+    "m3_sum_by",               # grouped agg (shuffle volume)
+    "m3_moving_avg",           # per-series window
+    "m3_sort",                 # distributed rank
+    "m3_percentile_of_series_windowed",  # rank-window percentile
+    "dedup_exact",
+    "dedup_minhash_lsh",       # banded LSH — the quadratic-risk one
+    "dedup_exact_substring",
+    "text_quality",
+    "tpch_q1_pricing",
+]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(WORK, exist_ok=True)
+    done = os.path.join(WORK, "_DONE")
+    if os.path.exists(done):
+        return
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    n_users = ev.agg(F.max("user_id")).first()[0] + 1
+    copies = spark.range(COPIES).withColumnRenamed("id", "__c")
+    # user-id shift per copy: series count ×COPIES, same time range and
+    # per-series density (the dimension that actually grows at 100 TB)
+    big = ev.crossJoin(F.broadcast(copies)).select(
+        (F.col("event_id") + F.col("__c") * 10_000_000_000).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__c") * n_users).cast("int").alias("user_id"),
+        "event_type", "value", "props",
+    )
+    big.write.mode("overwrite").parquet(f"{WORK}/events.parquet")
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    n_docs = docs.count()
+    bigd = docs.crossJoin(F.broadcast(copies)).select(
+        (F.col("doc_id") + F.col("__c") * n_docs).alias("doc_id"),
+        # perturb text per copy so dedup work scales honestly (pure
+        # clones would make near-dup candidate sets degenerate)
+        F.when(F.col("__c") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" c"), F.col("__c")))
+        .alias("text"),
+        "lang", "source", "n_chars",
+    )
+    bigd.write.mode("overwrite").parquet(f"{WORK}/documents.parquet")
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{WORK}/{t}.parquet")
+    open(done, "w").write("ok")
+
+
+def main() -> None:
+    from time_series_db_spark.catalog import QUERIES as CAT
+    from time_series_db_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+
+    def run(name: str, sf_dir: str) -> float:
+        fn = CAT[name]
+
+        def once() -> float:
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            return time.perf_counter() - t0
+
+        once()  # warm-up
+        return round(statistics.median(once() for _ in range(3)), 4)
+
+    import math
+
+    out = {}
+    for name in QUERIES:
+        t1 = run(name, BASE)
+        t10 = run(name, WORK)
+        out[name] = {
+            "t_1x": t1,
+            "t_10x": t10,
+            "ratio": round(t10 / t1, 2),
+            # time ∝ N^e  ⇒  e = log(t10/t1) / log(COPIES)
+            "exponent": round(math.log(t10 / t1) / math.log(COPIES), 2),
+        }
+        print(name, out[name], flush=True)
+    line = json.dumps({"copies": COPIES, "queries": out})
+    print(line)
+    if len(sys.argv) > 1:
+        open(sys.argv[1], "w").write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
