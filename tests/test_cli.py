@@ -36,3 +36,43 @@ def test_cli_stats_and_errors(spark, sf_dir, capsys):
     rc = main(["fetch name:error | bogusop 3", "--sf-dir", sf_dir])
     assert rc == 2
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_ingest_backfill_alert_loop(spark, tmp_path, capsys):
+    """The full ops loop from the shell: drain docs → backfill a rule →
+    evaluate an alert over the recorded series."""
+    import json
+
+    from time_series_db_spark.__main__ import main
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    T0 = 1_704_067_200_000
+    M5 = 300_000
+    docs = [
+        {"labels": "name error region east", "timestamp": T0 + 10_000, "value": 20.0},
+        {"labels": "name error region east", "timestamp": T0 + M5 + 10_000, "value": 30.0},
+    ]
+    (src / "d.json").write_text("\n".join(json.dumps(d) for d in docs))
+    store = str(tmp_path / "metrics")
+    rc = main(["--ingest", str(src), "--store", store])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 2
+
+    rule = {
+        "record": "region:error:sum", "match": {"name": ["error"]},
+        "group_by": ["region"], "agg": "sum", "resolution_ms": M5,
+    }
+    out_dir = str(tmp_path / "recorded")
+    rc = main(["--backfill-rule", json.dumps(rule), "--store", store,
+               "--out", out_dir])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 2
+
+    alert = {"alert": "High", "rule": rule, "op": ">", "threshold": 10.0,
+             "for_windows": 2}
+    rc = main(["--evaluate-alert", json.dumps(alert), "--store", out_dir])
+    assert rc == 0
+    alerts = json.loads(capsys.readouterr().out)["alerts"]
+    states = {a["ts"]: a["labels"]["alertstate"] for a in alerts}
+    assert states == {T0: "pending", T0 + M5: "firing"}

@@ -5,6 +5,10 @@
     python -m time_series_db_spark --lang promql 'sum by (region) (error)' ...
     python -m time_series_db_spark --lang promql --instant 'error' --time <ms>
     python -m time_series_db_spark --stats head,labels --sf-dir ...
+    python -m time_series_db_spark --ingest docs_dir --store metrics_dir
+    python -m time_series_db_spark --backfill-rule rule.json \
+        --store metrics_dir --out recorded_dir
+    python -m time_series_db_spark --evaluate-alert alert.json --store recorded_dir
 
 Prints the same JSON the service facade returns (matrix / vector /
 stats), one document on stdout — pipeable to jq. Exits non-zero with
@@ -41,11 +45,24 @@ def main(argv: list[str] | None = None) -> int:
                    help="append per-stage wall time to the response")
     p.add_argument("--stats", default=None,
                    help="comma list of head,labels,values — stats instead of a query")
+    p.add_argument("--ingest", default=None, metavar="JSON_DIR",
+                   help="drain a JSON doc dir into --store (availableNow)")
+    p.add_argument("--backfill-rule", default=None, metavar="RULE_JSON",
+                   help="backfill a recording rule (file or inline JSON) from --store to --out")
+    p.add_argument("--evaluate-alert", default=None, metavar="ALERT_JSON",
+                   help="evaluate an alert spec over the recorded store; prints alert rows")
+    p.add_argument("--store", default=None, help="metrics/rule table path")
+    p.add_argument("--out", default=None, help="output table path")
     p.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
 
-    if args.stats is None and not args.query:
-        p.error("query is required unless --stats is given")
+    rules_mode = args.ingest or args.backfill_rule or args.evaluate_alert
+    if args.stats is None and not rules_mode and not args.query:
+        p.error("query is required unless --stats or a rules mode is given")
+    if rules_mode and not args.store:
+        p.error("--store is required with --ingest/--backfill-rule/--evaluate-alert")
+    if args.backfill_rule and not args.out:
+        p.error("--out is required with --backfill-rule")
     if args.instant and args.lang != "promql":
         p.error("--instant requires --lang promql")
 
@@ -67,8 +84,42 @@ def main(argv: list[str] | None = None) -> int:
     start = args.start if args.start is not None else EVENTS_MIN_TS
     end = args.end if args.end is not None else EVENTS_MAX_TS
 
+    def _spec(arg: str) -> dict:
+        import os
+        if os.path.exists(arg):
+            with open(arg) as fh:
+                return json.load(fh)
+        return json.loads(arg)
+
     try:
-        if args.stats is not None:
+        if args.ingest is not None:
+            from time_series_db_spark.streaming import start_ingest
+
+            q = start_ingest(spark, args.ingest, args.store, available_now=True)
+            q.awaitTermination()
+            n = spark.read.parquet(args.store).count()
+            out = {"status": "success", "store": args.store, "rows": n}
+        elif args.backfill_rule is not None:
+            from time_series_db_spark.streaming import backfill_recording_rule
+
+            n = backfill_recording_rule(
+                spark, args.store, args.out, _spec(args.backfill_rule),
+                min_ts=args.start, max_ts=args.end,
+            )
+            out = {"status": "success", "out": args.out, "rows": n}
+        elif args.evaluate_alert is not None:
+            from time_series_db_spark.streaming import evaluate_alert_frame
+
+            recorded = spark.read.parquet(args.store)
+            rows = evaluate_alert_frame(recorded, _spec(args.evaluate_alert))
+            out = {
+                "status": "success",
+                "alerts": [
+                    {"labels": dict(r["labels"]), "ts": r["ts"], "value": r["value"]}
+                    for r in rows.collect()
+                ],
+            }
+        elif args.stats is not None:
             names = {
                 "head": "headStats", "labels": "labelStats",
                 "values": "valueStats",
