@@ -395,3 +395,14 @@ def test_percentile_windowed_sorts_instead_of_arrays(spark, sf_dir):
     # one exchange for the fetch's grid alignment + exactly ONE for the
     # (group, ts) rank window — the count and row_number windows share it
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_vocab_count_partial_topn(spark, sf_dir):
+    """Vocab top-N must cut via TakeOrderedAndProject (distributed
+    partial top-N) before any rank window — a global sort of all
+    distinct tokens is a web-scale outage."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_vocab_count"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan

@@ -1077,3 +1077,22 @@ def text_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal (Arrow-batched pandas UDF —
     deflate has no Catalyst builtin; exact values pinned by unit test)."""
     return text.compression_ratio(_docs(spark, sf_dir))
+
+
+@register(
+    "text_vocab_count",
+    f"""WITH toks AS (
+      SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents),
+    counts AS (
+      SELECT token, count(*)::BIGINT AS count FROM toks
+      WHERE token <> '' GROUP BY token),
+    ranked AS (
+      SELECT token, count,
+             row_number() OVER (ORDER BY count DESC, token)::BIGINT AS rank
+      FROM counts)
+    SELECT token, count, rank FROM ranked WHERE rank <= 50""",
+)
+def text_vocab_count(spark, sf_dir):
+    """Corpus word-frequency top-50 (BPE vocab-induction first pass):
+    explode + partial-agg count, TakeOrdered cut."""
+    return text.vocab_count(_docs(spark, sf_dir), top_n=50)

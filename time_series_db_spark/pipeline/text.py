@@ -320,3 +320,46 @@ def compression_ratio(
             "keep"
         ),
     )
+
+
+def vocab_count(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus-wide word-frequency table — the first pass of BPE/WordPiece
+    vocabulary induction and the standard corpus-statistics probe.
+    Returns (token, count [, rank]) over normalized whitespace tokens,
+    filtered to ``count >= min_count``; with ``top_n`` the table is cut
+    to the N most frequent (ties broken by token for determinism).
+
+    Scale shape: explode + groupBy(token) — partial aggregation combines
+    each task's local counts before the shuffle, so the shuffle carries
+    one row per DISTINCT token per task (Zipf makes this tiny relative
+    to the corpus); the top-N cut is a TakeOrdered over the aggregated
+    counts, never a global sort of the corpus.
+    """
+    toks = (
+        df.select(
+            F.explode(
+                F.split(textprep.normalize(F.col(text_col)), " ")
+            ).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("count"))
+        .filter(F.col("count") >= F.lit(int(min_count)))
+    )
+    if top_n is not None:
+        from pyspark.sql import Window
+
+        # TakeOrderedAndProject first (distributed partial top-N per
+        # partition, then a bounded merge) — a global rank window over
+        # ALL distinct tokens would single-partition-sort billions of
+        # rows at web scale. The row_number runs over the already-cut
+        # top_n rows only.
+        toks = toks.orderBy(F.desc("count"), F.asc("token")).limit(int(top_n))
+        w = Window.orderBy(F.desc("count"), F.asc("token"))
+        toks = toks.withColumn("rank", F.row_number().over(w).cast("long"))
+    return toks
