@@ -172,3 +172,60 @@ def test_exact_substring_dedup_invariants(spark, texts, k):
                 kept.append(c)
         assert out[i].text_clean == " ".join(kept), (i, t)
         assert out[i].n_kept == len(kept)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    windows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),   # window index (gaps!)
+            st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        ),
+        min_size=1, max_size=12, unique_by=lambda t: t[0],
+    ),
+    threshold=st.sampled_from([25.0, 50.0, 75.0]),
+    k=st.sampled_from([1, 2, 3]),
+)
+def test_alert_state_machine_matches_replay(spark, windows, threshold, k):
+    """Random window sequences (with gaps) vs an exact in-Python replay
+    of the pending/firing contract: state at window w is firing iff the
+    w-ending run of CONSECUTIVE breached windows has length >= k."""
+    from time_series_db_spark.streaming.rules import evaluate_alert_frame
+
+    T0 = 1_704_067_200_000
+    M5 = 300_000
+    rows = [
+        ("name:r", {"name": "r"}, T0 + i * M5, v, 0)
+        for i, v in windows
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "series_key string, labels map<string,string>, ts long, "
+        "value double, block long",
+    )
+    spec = {
+        "alert": "A",
+        "rule": {"record": "r", "agg": "sum", "resolution_ms": M5},
+        "op": ">", "threshold": threshold, "for_windows": k,
+    }
+    got = {
+        r["ts"]: r["labels"]["alertstate"]
+        for r in evaluate_alert_frame(df, spec).collect()
+    }
+    # exact replay
+    by_idx = dict(windows)
+    want = {}
+    for i in sorted(by_idx):
+        if not by_idx[i] > threshold:
+            continue
+        run = 0
+        j = i
+        while j in by_idx and by_idx[j] > threshold:
+            run += 1
+            j -= 1
+        want[T0 + i * M5] = "firing" if run >= k else "pending"
+    assert got == want

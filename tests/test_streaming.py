@@ -1383,3 +1383,48 @@ def test_alert_rule_stream_appends_once_per_window(spark, tmp_path):
         (T0 + 1 * M5, "firing"),
         (T0 + 2 * M5, "firing"),
     ]
+
+
+def test_prom_rules_endpoint(spark, tmp_path):
+    """/api/v1/rules facade: recording + alerting definitions; alert
+    state aggregated from the alerts store's latest row per series
+    (firing wins over pending; no rows → inactive)."""
+    from time_series_db_spark import service
+    from time_series_db_spark.streaming.rules import (
+        apply_rule_frame,
+        evaluate_alert_frame,
+    )
+
+    M5 = 300_000
+    rule = {"record": "region:error:sum", "match": {"name": ["error"]},
+            "group_by": ["region"], "agg": "sum", "resolution_ms": M5}
+    spec = {"alert": "High", "rule": rule, "op": ">", "threshold": 10.0,
+            "for_windows": 2, "labels": {"severity": "page"}}
+    samples = spark.createDataFrame(
+        [
+            ({"name": "error", "region": "east"}, T0 + 10_000, 20.0),
+            ({"name": "error", "region": "east"}, T0 + M5 + 10_000, 30.0),
+            ({"name": "error", "region": "west"}, T0 + 10_000, 99.0),
+        ],
+        "labels map<string,string>, ts long, value double",
+    ).withColumn("series_key", series_key_expr()).withColumn(
+        "block", F.col("ts") - F.col("ts") % DEFAULT_BLOCK_MS
+    )
+    alerts_path = str(tmp_path / "alerts")
+    evaluate_alert_frame(
+        apply_rule_frame(samples, rule), spec
+    ).write.partitionBy("block").parquet(alerts_path)
+
+    out = service.prom_rules(spark, [rule], [spec], alerts_path)
+    rules = out["data"]["groups"][0]["rules"]
+    assert [r["type"] for r in rules] == ["recording", "alerting"]
+    assert rules[0]["name"] == "region:error:sum"
+    al = rules[1]
+    assert al["state"] == "firing"  # east fired; firing wins over pending
+    states = {a["labels"]["region"]: a["state"] for a in al["alerts"]}
+    assert states == {"east": "firing", "west": "pending"}
+    assert al["labels"] == {"severity": "page"}
+
+    # no alerts store → inactive
+    empty = service.prom_rules(spark, [rule], [spec], str(tmp_path / "none"))
+    assert empty["data"]["groups"][0]["rules"][1]["state"] == "inactive"

@@ -418,3 +418,93 @@ def prom_series(
         "status": "success",
         "data": [uniq[k] for k in sorted(uniq)],
     }
+
+
+def prom_rules(
+    spark,
+    rule_specs: list[dict],
+    alert_specs: list[dict],
+    alerts_path: str | None = None,
+    *,
+    now_ms: int | None = None,
+) -> dict[str, Any]:
+    """Prometheus ``GET /api/v1/rules`` — one group listing the
+    configured recording and alerting rules, with each alert's ACTIVE
+    state read from the alerts store: the latest recorded ALERTS row per
+    alert series (pending/firing + its labels and window timestamp).
+    An alert with no active series reports ``state: "inactive"``.
+
+    Driver-side data is bounded by the number of ACTIVE alert series
+    (a max_by aggregation per series runs cluster-side), matching the
+    Prometheus endpoint's own payload shape.
+    """
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.streaming.rules import compile_alert, compile_rule
+
+    groups: list[dict] = []
+    recording = [
+        {
+            "name": r["record"],
+            "type": "recording",
+            "query": {k: v for k, v in r.items() if k != "record"},
+            "health": "ok",
+        }
+        for r in (compile_rule(s) for s in rule_specs)
+    ]
+    active_by_alert: dict[str, list[dict]] = {}
+    if alerts_path is not None and alert_specs:
+        import os
+
+        if os.path.exists(alerts_path):
+            from time_series_db_spark.model import series_key_expr
+
+            # one alert instance = the label set MINUS alertstate (the
+            # state is a property of the instance, not its identity)
+            ident = series_key_expr(
+                F.map_filter(
+                    F.col("labels"), lambda k, _v: k != F.lit("alertstate")
+                )
+            )
+            latest = (
+                spark.read.parquet(alerts_path)
+                .withColumn("__ident", ident)
+                .groupBy("__ident")
+                .agg(
+                    F.expr("max_by(labels, ts)").alias("labels"),
+                    F.max("ts").alias("ts"),
+                )
+                .collect()
+            )
+            for r in latest:
+                labels = dict(r["labels"])
+                active_by_alert.setdefault(labels.get("alertname"), []).append(
+                    {
+                        "labels": labels,
+                        "state": labels.get("alertstate"),
+                        "activeAt": r["ts"],
+                        "value": "1",
+                    }
+                )
+    alerting = []
+    for spec in (compile_alert(s) for s in alert_specs):
+        alerts = active_by_alert.get(spec["alert"], [])
+        state = "inactive"
+        if any(a["state"] == "firing" for a in alerts):
+            state = "firing"
+        elif alerts:
+            state = "pending"
+        alerting.append(
+            {
+                "name": spec["alert"],
+                "type": "alerting",
+                "state": state,
+                "alerts": sorted(alerts, key=lambda a: sorted(a["labels"].items())),
+                "labels": spec["labels"],
+                "health": "ok",
+            }
+        )
+    groups.append(
+        {"name": "default", "rules": recording + alerting}
+    )
+    return {"status": "success", "data": {"groups": groups}}
