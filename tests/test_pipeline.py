@@ -285,3 +285,32 @@ def test_compression_ratio_exact_values(spark):
     assert got[0].keep is False       # ultra-repetitive → below low bound
     assert got[1].keep is True
     assert got[2].keep is False       # empty → ratio 0.0
+
+
+def test_quantize_embeddings_error_bound(spark):
+    """Round-trip bound: |v_i − q_i·scale| ≤ scale/2 everywhere (half-up
+    rounding), all-zero vectors quantize to zeros with scale 0, and q
+    stays inside [-127, 127]."""
+    from time_series_db_spark.pipeline.ann import quantize_embeddings
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 127.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),
+        (2, [-3.0, 2.9999, 0.0001, -0.0001]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for i, v in rows:
+        r = out[i]
+        assert all(-127 <= q <= 127 for q in r.q)
+        if all(x == 0.0 for x in v):
+            assert r.scale == 0.0 and all(q == 0 for q in r.q)
+            assert r.recon_rmse == 0.0
+            continue
+        for x, q in zip(v, r.q):
+            assert abs(x - q * r.scale) <= r.scale / 2 + 1e-12, (i, x, q)
+        import math
+        want = math.sqrt(
+            sum((x - q * r.scale) ** 2 for x, q in zip(v, r.q)) / len(v)
+        )
+        assert r.recon_rmse == pytest.approx(want, abs=1e-12)

@@ -1096,3 +1096,48 @@ def text_vocab_count(spark, sf_dir):
     """Corpus word-frequency top-50 (BPE vocab-induction first pass):
     explode + partial-agg count, TakeOrdered cut."""
     return text.vocab_count(_docs(spark, sf_dir), top_n=50)
+
+
+@register(
+    "embedding_quantize",
+    """WITH dv AS (
+      -- cast elements to DOUBLE first: the sf0.01 parquet stores
+      -- float32 embeddings, and float32 arithmetic would diverge from
+      -- Spark's cast-then-compute double path
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM dv),
+    quant AS (
+      SELECT vec_id, scale, v,
+             list_transform(
+               v,
+               x -> CASE WHEN scale = 0 THEN 0
+                    ELSE greatest(-127, least(127,
+                         CAST(floor(x / scale + 0.5) AS INT))) END
+             ) AS q
+      FROM scaled)
+    SELECT vec_id,
+           CAST(floor(scale * 10000.0 + 0.5) / 10000 AS DOUBLE) AS scale,
+           array_to_string(q, ',') AS q_str,
+           CAST(floor(sqrt(
+             list_sum(list_transform(
+               list_zip(v, q),
+               p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)
+             )) / len(v)
+           ) * 10000.0 + 0.5) / 10000 AS DOUBLE) AS recon_rmse
+    FROM quant""",
+)
+def embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization differential: identical floor-half-up
+    rounding and clamping on both engines; q emitted as a joined string
+    for engine-portable value hashing."""
+    out = ann.quantize_embeddings(_embs(spark, sf_dir))
+    return out.select(
+        "vec_id",
+        quant(F.col("scale")).alias("scale"),
+        F.array_join(F.col("q"), ",").alias("q_str"),
+        quant(F.col("recon_rmse")).alias("recon_rmse"),
+    )

@@ -435,3 +435,47 @@ def cosine_topk_arrow(
         .filter(F.col("rank") <= kk)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the FAISS-SQ8 /
+    serving-format compression step that makes billion-vector ANN
+    indexes fit in memory (4 bytes → 1 byte per dimension): per vector,
+    ``scale = max|v|/127``, ``q_i = round(v_i/scale)`` (half-up via
+    floor(x+0.5), clamped to [-127,127]; an all-zero vector quantizes to
+    zeros with scale 0), plus the reconstruction RMSE so a recall budget
+    can gate which vectors tolerate quantization.
+
+    Pure column expressions over one scan — no shuffle, no UDF; at
+    100 TB this runs at parquet-scan speed alongside the IVF assignment.
+    Returns (id, scale, q [int array], recon_rmse).
+    """
+    v = _as_double(F.col(vec_col))
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = absmax / F.lit(127.0)
+    q = F.transform(
+        v,
+        lambda x: F.when(scale == 0.0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / scale + 0.5).cast("int")),
+            )
+        )
+        .cast("int"),
+    )
+    err2 = F.aggregate(
+        F.zip_with(v, q, lambda x, qi: (x - qi * scale) * (x - qi * scale)),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        q.alias("q"),
+        F.sqrt(err2 / F.size(v)).alias("recon_rmse"),
+    )
