@@ -406,3 +406,13 @@ def test_vocab_count_partial_topn(spark, sf_dir):
     plan = _plan(QUERIES["text_vocab_count"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_jl_projection_codegen_no_shuffle(spark, sf_dir):
+    """The JL projection is compile-time literal column math: one scan,
+    zero exchanges, zero Python eval."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["embedding_project_jl"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

@@ -1141,3 +1141,36 @@ def embedding_quantize(spark, sf_dir):
         F.array_join(F.col("q"), ",").alias("q_str"),
         quant(F.col("recon_rmse")).alias("recon_rmse"),
     )
+
+
+def _sql_jl(d_in: int = 64, d_out: int = 16) -> str:
+    """Oracle twin of ann.project_jl: the SAME deterministic sign matrix
+    rendered as SQL literals (single Python source for both engines)."""
+    import math
+
+    r = ann.jl_sign_matrix(d_in, d_out)
+    inv = 1.0 / math.sqrt(d_out)
+    cols = []
+    for j in range(d_out):
+        signs = ", ".join(str(float(r[i][j])) for i in range(d_in))
+        dot = (
+            "list_sum(list_transform(list_zip(v, [" + signs + "]), "
+            "p -> p[1] * p[2])) * " + repr(inv)
+        )
+        cols.append(sql_quant(dot) + f" AS p{j}")
+    sel = ",\n           ".join(cols)
+    return (
+        "WITH dv AS (SELECT vec_id,"
+        " list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)\n"
+        f"    SELECT vec_id,\n           {sel}\n    FROM dv"
+    )
+
+
+@register("embedding_project_jl", _sql_jl())
+def embedding_project_jl(spark, sf_dir):
+    """JL ±1 random projection 64→16: compile-time literal sign matrix,
+    whole-stage-codegen column math — no shuffle, no UDF (plan-gated)."""
+    out = ann.project_jl(_embs(spark, sf_dir))
+    return out.select(
+        "vec_id", *[quant(F.col(f"p{j}")).alias(f"p{j}") for j in range(16)]
+    )

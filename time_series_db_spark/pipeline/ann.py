@@ -479,3 +479,53 @@ def quantize_embeddings(
         q.alias("q"),
         F.sqrt(err2 / F.size(v)).alias("recon_rmse"),
     )
+
+
+def jl_sign_matrix(d_in: int, d_out: int) -> list[list[int]]:
+    """Deterministic ±1 Johnson-Lindenstrauss sign matrix: entry (i, j)
+    is the parity of md5(f"{i}_{j}") — reproducible anywhere (the oracle
+    embeds the same literals), no RNG state."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"{i}_{j}".encode()).digest()[0] % 2 else -1
+            for j in range(d_out)
+        ]
+        for i in range(d_in)
+    ]
+
+
+def project_jl(
+    df: DataFrame,
+    d_in: int = 64,
+    d_out: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 ±1
+    variant): ``p_j = (1/√d_out) Σ_i v_i·R_ij`` with the deterministic
+    sign matrix from :func:`jl_sign_matrix` — the standard cheap
+    dimension reduction before LSH/clustering at corpus scale (pairwise
+    distances preserved within ε w.h.p.).
+
+    The matrix is a compile-time literal (d_in×d_out ints folded into
+    the expression tree), so the projection is pure whole-stage-codegen
+    column math over one scan: no shuffle, no UDF, no broadcast needed.
+    Returns (id, p0..p{d_out-1}).
+    """
+    import math
+
+    r = jl_sign_matrix(d_in, d_out)
+    inv = 1.0 / math.sqrt(d_out)
+    v = _as_double(F.col(vec_col))
+    cols = []
+    for j in range(d_out):
+        signs = F.array(*[F.lit(float(r[i][j])) for i in range(d_in)])
+        dot = F.aggregate(
+            F.zip_with(v, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        cols.append((dot * F.lit(inv)).alias(f"p{j}"))
+    return df.select(F.col(id_col), *cols)
