@@ -232,15 +232,20 @@ def backfill_recording_rule(
 ) -> int:
     """Evaluate ``rule`` over an existing metrics table's history and
     write the recorded series (the promtool rule-backfill operation).
-    Returns the number of recorded rows. Windows that the streaming leg
-    already emitted merge by the read path's LWW — backfill + streaming
-    over the same range is idempotent, not duplicating."""
+    Returns the number of rows THIS backfill appended (not the output
+    table's total). Windows that the streaming leg already emitted merge
+    by the read path's LWW — backfill + streaming over the same range is
+    idempotent, not duplicating."""
     from time_series_db_spark.streaming.ingest import read_metrics
 
     samples = read_metrics(spark, store_path, min_ts=min_ts, max_ts=max_ts)
-    out = apply_rule_frame(samples, rule, block_ms)
-    out.write.mode("append").partitionBy("block").parquet(out_path)
-    return spark.read.parquet(out_path).count()
+    out = apply_rule_frame(samples, rule, block_ms).persist()
+    try:
+        n = out.count()
+        out.write.mode("append").partitionBy("block").parquet(out_path)
+    finally:
+        out.unpersist()
+    return n
 
 
 #: comparison operators an alert rule may use (Prometheus expr compare)
