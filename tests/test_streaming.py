@@ -1428,3 +1428,44 @@ def test_prom_rules_endpoint(spark, tmp_path):
     # no alerts store → inactive
     empty = service.prom_rules(spark, [rule], [spec], str(tmp_path / "none"))
     assert empty["data"]["groups"][0]["rules"][1]["state"] == "inactive"
+
+
+def test_backfill_rules_group_single_scan(spark, tmp_path):
+    """A rule group backfills over one shared scan and produces exactly
+    the union of the per-rule backfills; duplicate record names are
+    rejected."""
+    from time_series_db_spark.streaming.ingest import ingest_batch
+    from time_series_db_spark.streaming.rules import (
+        apply_rule_frame,
+        backfill_rules,
+    )
+
+    M5 = 300_000
+    table = str(tmp_path / "metrics")
+    docs = spark.createDataFrame(
+        [
+            ("name error region east", T0 + 10_000, 1.0),
+            ("name error region east", T0 + 20_000, 2.0),
+            ("name error region west", T0 + 30_000, 5.0),
+            ("name request region east", T0 + 40_000, 7.0),
+        ],
+        INGEST_SCHEMA,
+    )
+    ingest_batch(spark, docs, table)
+    r1 = {"record": "err:sum", "match": {"name": ["error"]},
+          "group_by": ["region"], "agg": "sum", "resolution_ms": M5}
+    r2 = {"record": "all:count", "group_by": [], "agg": "count",
+          "resolution_ms": M5}
+    out_dir = str(tmp_path / "recorded")
+    counts = backfill_rules(spark, table, out_dir, [r1, r2])
+    assert counts == {"err:sum": 2, "all:count": 1}
+    got = {
+        (r["series_key"], r["ts"]): r["value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got[("name:err:sum,region:east", T0)] == 3.0
+    assert got[("name:err:sum,region:west", T0)] == 5.0
+    assert got[("name:all:count", T0)] == 4.0
+
+    with pytest.raises(ValueError, match="duplicate record"):
+        backfill_rules(spark, table, out_dir, [r1, r1])

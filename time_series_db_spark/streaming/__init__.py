@@ -26,6 +26,7 @@ from time_series_db_spark.streaming.stateful import (  # noqa: F401
 from time_series_db_spark.streaming.rules import (  # noqa: F401
     apply_rule_frame,
     backfill_recording_rule,
+    backfill_rules,
     compile_alert,
     compile_rule,
     evaluate_alert_frame,
