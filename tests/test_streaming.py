@@ -1469,3 +1469,47 @@ def test_backfill_rules_group_single_scan(spark, tmp_path):
 
     with pytest.raises(ValueError, match="duplicate record"):
         backfill_rules(spark, table, out_dir, [r1, r1])
+
+
+def test_recording_rule_equals_query_path(spark, tmp_path):
+    """Cross-layer invariant: a recorded ``sum by region`` series equals
+    the query path's own `fetch | sum region` over the same store at the
+    rule's resolution — the write-path aggregation and the read-path
+    aggregation are the same function."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.sources.m3source import MetricsSource
+    from time_series_db_spark.streaming.ingest import ingest_batch
+    from time_series_db_spark.streaming.rules import backfill_recording_rule
+
+    M5 = 300_000
+    table = str(tmp_path / "metrics")
+    rows = []
+    for w in range(4):
+        for r_i, region in enumerate(["east", "west"]):
+            for k in range(3):
+                rows.append(
+                    (
+                        f"name error region {region} host h{k}",
+                        T0 + w * M5 + k * 10_000,
+                        float(w * 10 + r_i + k),
+                    )
+                )
+    ingest_batch(spark, spark.createDataFrame(rows, INGEST_SCHEMA), table)
+
+    rule = {"record": "region:error:sum", "match": {"name": ["error"]},
+            "group_by": ["region"], "agg": "sum", "resolution_ms": M5}
+    out_dir = str(tmp_path / "recorded")
+    backfill_recording_rule(spark, table, out_dir, rule)
+    recorded = {
+        (r["labels"]["region"], r["ts"]): r["value"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    src = MetricsSource(spark, table)
+    sf = execute(
+        "fetch name:error | sum region", src, T0, T0 + 4 * M5, M5
+    )
+    queried = {
+        (r["labels"]["region"], r["ts"]): r["value"] for r in sf.df.collect()
+    }
+    assert recorded == queried and len(recorded) == 8
