@@ -314,3 +314,38 @@ def test_quantize_embeddings_error_bound(spark):
             sum((x - q * r.scale) ** 2 for x, q in zip(v, r.q)) / len(v)
         )
         assert r.recon_rmse == pytest.approx(want, abs=1e-12)
+
+
+def test_pca_matches_numpy_and_projects_codegen(spark, sf_dir):
+    """pca_fit's distributed covariance path must reproduce numpy PCA on
+    the collected corpus exactly (same mean/eigenpairs to fp tolerance),
+    and the transform stays shuffle-free codegen column math."""
+    import numpy as np
+
+    from time_series_db_spark.pipeline.ann import pca_fit, pca_transform
+
+    embs = _embs(spark, sf_dir).limit(200)
+    model = pca_fit(embs, d_in=64, d_out=4)
+    X = np.array([r.embedding for r in embs.collect()], dtype=float)
+    mean = X.mean(axis=0)
+    assert np.allclose(model["mean"], mean, atol=1e-9)
+    cov = (X - mean).T @ (X - mean) / len(X)
+    evals = np.sort(np.linalg.eigvalsh(cov))[::-1][:4]
+    assert np.allclose(model["explained"], evals, atol=1e-9)
+    # components are unit-norm eigenvectors of cov
+    for c, lam in zip(model["components"], model["explained"]):
+        c = np.array(c)
+        assert abs(np.linalg.norm(c) - 1.0) < 1e-9
+        assert np.allclose(cov @ c, lam * c, atol=1e-7)
+    # transform: zero shuffle, values = (v - mean) . c
+    out = pca_transform(embs, model)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+    row = out.orderBy("vec_id").first()
+    v0 = X[0] - mean
+    want = [float(v0 @ np.array(c)) for c in model["components"]]
+    got = [row[f"p{k}"] for k in range(4)]
+    assert np.allclose(got, want, atol=1e-9)
+
+    with pytest.raises(ValueError, match=">= 2"):
+        pca_fit(_embs(spark, sf_dir).limit(1), d_in=64, d_out=2)

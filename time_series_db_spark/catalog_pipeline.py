@@ -1174,3 +1174,15 @@ def embedding_project_jl(spark, sf_dir):
     return out.select(
         "vec_id", *[quant(F.col(f"p{j}")).alias(f"p{j}") for j in range(16)]
     )
+
+
+@register("embedding_pca")  # rows-only: eigh is not SQL-expressible
+def embedding_pca(spark, sf_dir):
+    """PCA 64→8 fit + projection over the corpus: distributed covariance
+    (one aggregation), driver-side d×d eigh, codegen projection.
+    Exactness vs numpy pinned by unit test (tests/test_pipeline.py);
+    the driver check is rows-only — the eigendecomposition has no
+    DuckDB twin."""
+    embs = _embs(spark, sf_dir)
+    model = ann.pca_fit(embs, d_in=64, d_out=8)
+    return ann.pca_transform(embs, model)

@@ -529,3 +529,97 @@ def project_jl(
         )
         cols.append((dot * F.lit(inv)).alias(f"p{j}"))
     return df.select(F.col(id_col), *cols)
+
+
+def pca_fit(
+    df: DataFrame,
+    d_in: int = 64,
+    d_out: int = 16,
+    vec_col: str = "embedding",
+) -> dict:
+    """Fit a PCA projection on an embedding corpus, Spark-first: the
+    d×d covariance is ONE distributed aggregation (sums of x and x·xᵀ —
+    d(d+1)/2 + d doubles, partial-combined map-side; the corpus never
+    leaves the executors), then the tiny d×d eigendecomposition runs on
+    the driver with numpy — the standard scalable-PCA split (e.g.
+    Spark MLlib's own RowMatrix.computePrincipalComponents shape).
+
+    Returns {"mean": [d], "components": [d_out][d], "explained": [d_out]}
+    with components as unit eigenvectors of the covariance, sorted by
+    descending eigenvalue; sign fixed so each component's
+    largest-magnitude coordinate is positive (eigenvector sign is
+    otherwise arbitrary — determinism matters for tests/replays).
+    """
+    import numpy as np
+
+    v = _as_double(F.col(vec_col))
+    # Σx and Σ x_i·x_j in one aggregation: flatten the outer product's
+    # upper triangle into an array expression
+    upper = [(i, j) for i in range(d_in) for j in range(i, d_in)]
+    agg = df.select(v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(
+            *[F.sum(F.element_at("__v", i + 1)) for i in range(d_in)]
+        ).alias("sx"),
+        F.array(
+            *[
+                F.sum(
+                    F.element_at("__v", i + 1) * F.element_at("__v", j + 1)
+                )
+                for i, j in upper
+            ]
+        ).alias("sxx"),
+    ).first()
+    n = agg["n"]
+    if not n or n < 2:
+        raise ValueError(f"pca_fit needs >= 2 vectors, got {n}")
+    mean = np.array(agg["sx"]) / n
+    cov = np.zeros((d_in, d_in))
+    for (i, j), s in zip(upper, agg["sxx"]):
+        c = s / n - mean[i] * mean[j]
+        cov[i, j] = c
+        cov[j, i] = c
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:d_out]
+    comps = []
+    explained = []
+    for idx in order:
+        vec = evecs[:, idx]
+        if vec[int(np.argmax(np.abs(vec)))] < 0:
+            vec = -vec
+        comps.append([float(x) for x in vec])
+        explained.append(float(max(evals[idx], 0.0)))
+    return {
+        "mean": [float(x) for x in mean],
+        "components": comps,
+        "explained": explained,
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto a fitted PCA basis: ``p_k = (v − μ)·c_k``.
+    The model (d_out·d + d doubles) folds into the expression tree as
+    literals — like :func:`project_jl`, pure codegen column math with
+    zero shuffle. Returns (id, p0..p{d_out-1})."""
+    v = _as_double(F.col(vec_col))
+    mean = model["mean"]
+    centered = F.zip_with(
+        v,
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    cols = []
+    for k, comp in enumerate(model["components"]):
+        basis = F.array(*[F.lit(float(c)) for c in comp])
+        dot = F.aggregate(
+            F.zip_with(centered, basis, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, e: acc + e,
+        )
+        cols.append(dot.alias(f"p{k}"))
+    return df.select(F.col(id_col), *cols)
