@@ -1513,3 +1513,18 @@ def test_recording_rule_equals_query_path(spark, tmp_path):
         (r["labels"]["region"], r["ts"]): r["value"] for r in sf.df.collect()
     }
     assert recorded == queried and len(recorded) == 8
+
+
+def test_alert_for_ms_duration(spark):
+    """Prometheus `for:` duration sugar: for_ms rounds UP to whole rule
+    windows (700s at 5m resolution → 3 windows); 0 → fire immediately;
+    both forms together are rejected."""
+    from time_series_db_spark.streaming.rules import compile_alert
+
+    rule = {"record": "r", "agg": "sum", "resolution_ms": 300_000}
+    base = {"alert": "A", "rule": rule, "op": ">", "threshold": 1.0}
+    assert compile_alert({**base, "for_ms": 700_000})["for_windows"] == 3
+    assert compile_alert({**base, "for_ms": 600_000})["for_windows"] == 2
+    assert compile_alert({**base, "for_ms": 0})["for_windows"] == 1
+    with pytest.raises(ValueError, match="not both"):
+        compile_alert({**base, "for_ms": 1, "for_windows": 2})

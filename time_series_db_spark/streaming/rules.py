@@ -275,7 +275,20 @@ def compile_alert(spec: dict) -> dict:
     op = spec.get("op", ">")
     if op not in ALERT_OPS:
         raise ValueError(f"alert.op {op!r} not in {sorted(ALERT_OPS)}")
-    k = int(spec.get("for_windows", 1))
+    rule = compile_rule(spec["rule"])
+    if "for_ms" in spec and "for_windows" in spec:
+        raise ValueError("alert: give for_ms OR for_windows, not both")
+    if "for_ms" in spec:
+        # Prometheus-style `for:` duration — the alert fires once it has
+        # breached continuously for at least this long: ceil to whole
+        # evaluation windows of the rule's resolution
+        for_ms = int(spec["for_ms"])
+        if for_ms < 0:
+            raise ValueError(f"alert.for_ms must be >= 0, got {for_ms}")
+        res = rule["resolution_ms"]
+        k = max(1, -(-for_ms // res))
+    else:
+        k = int(spec.get("for_windows", 1))
     if k < 1:
         raise ValueError(f"alert.for_windows must be >= 1, got {k}")
     extra = dict(spec.get("labels") or {})
@@ -284,7 +297,7 @@ def compile_alert(spec: dict) -> dict:
             raise ValueError(f"alert.labels may not set reserved {res!r}")
     return {
         "alert": name,
-        "rule": compile_rule(spec["rule"]),
+        "rule": rule,
         "op": op,
         "threshold": float(spec.get("threshold", 0.0)),
         "for_windows": k,
