@@ -349,3 +349,22 @@ def test_pca_matches_numpy_and_projects_codegen(spark, sf_dir):
 
     with pytest.raises(ValueError, match=">= 2"):
         pca_fit(_embs(spark, sf_dir).limit(1), d_in=64, d_out=2)
+
+
+def test_int8_topk_recall_vs_exact(spark, sf_dir):
+    """Quantized scoring must preserve neighbor quality: recall@5 vs the
+    float-exact path >= 0.9 averaged over the query set (64-dim vectors
+    lose little cosine precision at int8)."""
+    from time_series_db_spark.pipeline.ann import cosine_topk, cosine_topk_int8
+
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    exact = {}
+    for r in cosine_topk(embs, queries, k=5).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    quant = {}
+    for r in cosine_topk_int8(embs, queries, k=5).collect():
+        quant.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(exact) == set(quant)
+    recalls = [len(exact[q] & quant[q]) / 5 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, sorted(recalls)[:5]

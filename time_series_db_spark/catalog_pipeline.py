@@ -1186,3 +1186,45 @@ def embedding_pca(spark, sf_dir):
     embs = _embs(spark, sf_dir)
     model = ann.pca_fit(embs, d_in=64, d_out=8)
     return ann.pca_transform(embs, model)
+
+
+@register(
+    "ann_cosine_topk_int8",
+    f"""WITH dv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    scaled AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM dv),
+    qv AS (
+      SELECT vec_id,
+             list_transform(
+               v,
+               x -> CASE WHEN scale = 0 THEN 0.0
+                    ELSE CAST(greatest(-127, least(127,
+                         CAST(floor(x / scale + 0.5) AS INT))) AS DOUBLE) END
+             ) AS q
+      FROM scaled),
+    qs AS (SELECT vec_id, q FROM qv WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('qs.q', 'c.q')} AS cosine
+      FROM qs JOIN qv c ON c.vec_id <> qs.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC NULLS LAST, neighbor_id
+      ) AS rank FROM scored)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_cosine_topk_int8(spark, sf_dir):
+    """Int8-quantized cosine top-5 (scales cancel → pure integer MAC):
+    the serving-memory path, same plan shape as the float baseline."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.cosine_topk_int8(embs, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )

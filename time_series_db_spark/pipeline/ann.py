@@ -623,3 +623,65 @@ def pca_transform(
         )
         cols.append(dot.alias(f"p{k}"))
     return df.select(F.col(id_col), *cols)
+
+
+def cosine_topk_int8(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact-shape cosine top-k scored on int8-QUANTIZED vectors — the
+    production serving path: 4× less memory/bandwidth per vector, and
+    because the per-vector scale is a positive scalar it CANCELS in
+    cosine, so scoring is pure integer multiply-accumulate over the q
+    arrays (no dequantization). Ranking differences vs the float path
+    are bounded by the quantization error (recall pinned by unit test).
+
+    Same plan shape as :func:`cosine_topk`: broadcast queries,
+    corpus-parallel scoring, per-query WindowGroupLimit.
+    """
+    spark = corpus.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    cq = quantize_embeddings(corpus, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("q").alias("__cq")
+    ).repartition(n_parts)
+    qq = F.broadcast(
+        quantize_embeddings(queries, id_col=id_col, vec_col=vec_col).select(
+            F.col(id_col).alias("query_id"), F.col("q").alias("__qq")
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qq"), F.col("__cq"),
+            lambda a, b: (a * b).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, e: acc + e,
+    )
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: (x * x).cast("double")),
+                F.lit(0.0),
+                lambda acc, e: acc + e,
+            )
+        )
+
+    cos = F.when(
+        (_norm(F.col("__qq")) == 0.0) | (_norm(F.col("__cq")) == 0.0),
+        F.lit(None).cast("double"),
+    ).otherwise(dot / (_norm(F.col("__qq")) * _norm(F.col("__cq"))))
+    scored = cq.join(qq, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cos.alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
