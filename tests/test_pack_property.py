@@ -229,3 +229,45 @@ def test_alert_state_machine_matches_replay(spark, windows, threshold, k):
             j -= 1
         want[T0 + i * M5] = "firing" if run >= k else "pending"
     assert got == want
+
+
+_M3_STAGES = st.sampled_from([
+    "abs", "sqrt", "log", "scale 2.5", "offset -1", "round",
+    "perSecond", "derivative", "integral", "changed", "isNonNull",
+    "keepLastValue", "transformNull 0", "removeEmpty",
+    "moving 2h avg", "moving 3h max", "summarize 2h sum",
+    "sum region", "avg region", "max name", "count region",
+    "range region", "stdev region",
+    "sort avg", "topK 3 avg", "head 2", "tail 2",
+    "alias foo", "aliasByTags region", "showTags",
+    ">= 0.5", "removeAboveValue 90",
+    "excludeByTag region r1", "percentileOfSeries 50",
+    "nonNegativeDerivative", "timestamp",
+])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(stages=st.lists(_M3_STAGES, min_size=0, max_size=4))
+def test_m3ql_random_pipeline_never_crashes(spark, stages):
+    """Grammar fuzz: any chain of valid stages after a fetch must parse,
+    plan, build, and execute to the canonical sample schema — no stage
+    combination may crash the front-end or produce a malformed frame."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.model import SAMPLE_COLS
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    q = " | ".join(["fetch name:error"] + list(stages))
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    sf = execute(
+        q, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 6 * DEFAULT_STEP_MS,
+        DEFAULT_STEP_MS,
+    )
+    assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
+    rows = sf.df.limit(50).collect()
+    for r in rows:
+        assert r["series_key"] is not None and r["ts"] is not None

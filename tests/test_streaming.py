@@ -1528,3 +1528,43 @@ def test_alert_for_ms_duration(spark):
     assert compile_alert({**base, "for_ms": 0})["for_windows"] == 1
     with pytest.raises(ValueError, match="not both"):
         compile_alert({**base, "for_ms": 1, "for_windows": 2})
+
+
+def test_maintenance_applies_to_rule_tables(spark, tmp_path):
+    """Retention and compaction are table-generic: a recorded-rule table
+    (block-partitioned like raw) ages out and compacts with the same
+    maintenance jobs — the separate-namespace retention story."""
+    from time_series_db_spark.streaming.ingest import ingest_batch
+    from time_series_db_spark.streaming.maintenance import (
+        apply_retention,
+        compact_blocks,
+        list_blocks,
+    )
+    from time_series_db_spark.streaming.rules import backfill_recording_rule
+
+    table = str(tmp_path / "metrics")
+    docs = spark.createDataFrame(
+        [
+            ("name error region east", T0 + 10_000, 1.0),
+            ("name error region east", T0 + 3 * H, 2.0),  # next block
+        ],
+        INGEST_SCHEMA,
+    )
+    ingest_batch(spark, docs, table)
+    rule = {"record": "r:sum", "match": {"name": ["error"]},
+            "group_by": ["region"], "agg": "sum", "resolution_ms": H}
+    out_dir = str(tmp_path / "recorded")
+    backfill_recording_rule(spark, table, out_dir, rule)
+    blocks = list_blocks(out_dir)
+    assert len(blocks) == 2
+    # compaction: rewrite whatever blocks qualify, rows preserved
+    before = spark.read.parquet(out_dir).count()
+    compact_blocks(spark, out_dir, min_files=1, blocks=blocks[:1])
+    assert spark.read.parquet(out_dir).count() == before
+    # retention: the older block ages out alone
+    dropped = apply_retention(
+        out_dir, retention_ms=2 * H, now_ms=T0 + 4 * H,
+        block_ms=DEFAULT_BLOCK_MS,
+    )
+    assert dropped == [blocks[0]]
+    assert list_blocks(out_dir) == blocks[1:]

@@ -118,7 +118,18 @@ class SeriesFrame:
     ordered_by: Optional[list[str]] = None  # column names defining series order
 
     def with_df(self, df: DataFrame) -> "SeriesFrame":
-        return replace(self, df=df)
+        # A stage that rebuilds the frame without the rank columns
+        # (grouping, summarize, …) destroys any upstream sort — drop the
+        # order claim so head/tail fall back to their documented
+        # deterministic order instead of referencing absent columns.
+        # (Reference analog: grouping emits a NEW series list whose
+        # order is unspecified; only column-preserving stages keep it.)
+        ordered = self.ordered_by
+        if ordered and any(
+            c not in df.columns for c in [*ordered, "__rorder"]
+        ):
+            ordered = None
+        return replace(self, df=df, ordered_by=ordered)
 
     @property
     def grid_points(self) -> int:
