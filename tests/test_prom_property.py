@@ -195,3 +195,40 @@ def test_histogram_fraction_inverts_quantile(spark, hist):
     q = _series(spark, src, f"histogram_quantile({phi!r}, h)", n_steps=1)[T0]
     frac = _series(spark, src, f"histogram_fraction(0, {q!r}, h)", n_steps=1)[T0]
     assert frac == pytest.approx(phi, rel=1e-9, abs=1e-9)
+
+
+_V2V = st.sampled_from([
+    "abs({})", "ceil({})", "floor({})", "exp({})", "ln({})", "sqrt({})",
+    "clamp_max({}, 10)", "clamp_min({}, 0.1)", "clamp({}, 0, 5)",
+    "sort({})", "sort_desc({})", "sgn({})", "round({}, 0.5)",
+    "sum by (region) ({})", "avg without (region) ({})",
+    "max ({})", "count by (name) ({})", "topk(2, {})",
+    "{} + 1", "{} * -2", "-{}", "{} > bool 0.5",
+    "label_replace({}, \"dst\", \"$1\", \"region\", \"(.*)\")",
+])
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(wrappers=st.lists(_V2V, min_size=0, max_size=3))
+def test_promql_random_chain_never_crashes(spark, wrappers):
+    """Grammar fuzz: any chain of instant-vector functions around a
+    selector must parse, build, and execute to the canonical schema."""
+    from time_series_db_spark.lang.prom.builder import execute as execute_promql
+    from time_series_db_spark.model import SAMPLE_COLS
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    expr = "error"
+    for w in wrappers:
+        expr = w.format(expr)
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    sf = execute_promql(
+        expr, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 4 * DEFAULT_STEP_MS,
+        DEFAULT_STEP_MS,
+    )
+    assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
+    sf.df.limit(20).collect()
