@@ -271,3 +271,42 @@ def test_m3ql_random_pipeline_never_crashes(spark, stages):
     rows = sf.df.limit(50).collect()
     for r in rows:
         assert r["series_key"] is not None and r["ts"] is not None
+
+
+_M3_BINARY = st.sampled_from([
+    "divide (fetch name:click | sum region)",
+    "subtract (fetch name:click | moving 2h avg)",
+    "asPercent (fetch name:{error,click} | sum region)",
+    "intersect (fetch name:error | head 3)",
+    "fetch name:click | scale 2",   # mid-pipeline fetch = union
+    "fallbackSeries 0.5",
+])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pre=st.lists(_M3_STAGES, min_size=0, max_size=2),
+    binary=_M3_BINARY,
+    post=st.lists(_M3_STAGES, min_size=0, max_size=2),
+)
+def test_m3ql_binary_pipeline_never_crashes(spark, pre, binary, post):
+    """Fuzz with a binary stage (sub-pipeline argument) spliced between
+    random stage chains — the matching chain must cope with whatever
+    label shape the upstream chain produced."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.model import SAMPLE_COLS
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    q = " | ".join(["fetch name:error", *pre, binary, *post])
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    sf = execute(
+        q, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 4 * DEFAULT_STEP_MS,
+        DEFAULT_STEP_MS,
+    )
+    assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
+    sf.df.limit(20).collect()

@@ -73,8 +73,10 @@ def _meta_probe(lf, rf):
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__r").alias("__nr"))
         .collect()
     )
-    n_total = next(r["__n"] for r in rows if r["__k"] is None)
-    n_right = next(r["__nr"] for r in rows if r["__k"] is None)
+    # both sides empty → no rows at all (not even sentinels): the
+    # binary op degenerates to an empty join, not a crash
+    n_total = next((r["__n"] for r in rows if r["__k"] is None), 0)
+    n_right = next((r["__nr"] for r in rows if r["__k"] is None), 0) or 0
     common = sorted(
         r["__k"] for r in rows if r["__k"] is not None and r["__n"] == n_total
     )
@@ -300,10 +302,13 @@ def intersect(left: SeriesFrame, right: SeriesFrame, keys: list[str] | None = No
 
 def union(frames: list[SeriesFrame]) -> SeriesFrame:
     """Concatenate series lists, duplicates retained (bag semantics) —
-    UnionStage.java:32."""
-    df = frames[0].df
+    UnionStage.java:32. Frames are projected to the canonical sample
+    columns first: an upstream sort's rank columns exist on one side
+    only, and unionByName would fail resolving them on the other (the
+    order claim is dropped by with_df since the columns are gone)."""
+    df = frames[0].df.select(*SAMPLE_COLS)
     for f in frames[1:]:
-        df = df.unionByName(f.df)
+        df = df.unionByName(f.df.select(*SAMPLE_COLS))
     return frames[0].with_df(df)
 
 
