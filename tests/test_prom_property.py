@@ -232,3 +232,47 @@ def test_promql_random_chain_never_crashes(spark, wrappers):
     )
     assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
     sf.df.limit(20).collect()
+
+
+_RANGE_FNS = st.sampled_from([
+    "avg_over_time", "max_over_time", "min_over_time", "sum_over_time",
+    "count_over_time", "last_over_time", "stddev_over_time",
+    "quantile_over_time(0.9, ", "changes", "resets", "delta", "deriv",
+])
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    inner=st.lists(_V2V, min_size=0, max_size=2),
+    range_fn=_RANGE_FNS,
+    outer=st.lists(_V2V, min_size=0, max_size=1),
+)
+def test_promql_subquery_chain_never_crashes(spark, inner, range_fn, outer):
+    """Fuzz range functions over subqueries: fn((expr)[4h:1h]) for any
+    instant-vector expr, optionally wrapped further — parser, subquery
+    evaluator, and window builder must all compose."""
+    from time_series_db_spark.lang.prom.builder import execute as run
+    from time_series_db_spark.model import SAMPLE_COLS
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    expr = "error"
+    for w in inner:
+        expr = w.format(expr)
+    if range_fn.endswith("("):
+        expr = f"{range_fn}({expr})[4h:1h])"
+    else:
+        expr = f"{range_fn}(({expr})[4h:1h])"
+    for w in outer:
+        expr = w.format(expr)
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    sf = run(
+        expr, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 4 * DEFAULT_STEP_MS,
+        DEFAULT_STEP_MS,
+    )
+    assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
+    sf.df.limit(20).collect()

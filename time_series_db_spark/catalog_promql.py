@@ -1074,3 +1074,47 @@ def promql_ts_of_max(spark, sf_dir):
     max_by(ts, struct(value, ts)) window aggregate."""
     sf = run_promql(spark, sf_dir, "ts_of_max_over_time(purchase[12h])")
     return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_count_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'CAST(count(value) OVER ({_FRAME}) AS DOUBLE)')} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_count_over_time(spark, sf_dir):
+    """count_over_time(v[3h]) — FunctionType.COUNT_OVER_TIME (previously
+    only fuzz-covered; the grammar fuzz found its window detached)."""
+    sf = run_promql(spark, sf_dir, "count_over_time(view[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_stddev_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(
+               f'sqrt(greatest(avg(value * value) OVER ({_FRAME})'
+               f' - avg(value) OVER ({_FRAME}) * avg(value) OVER ({_FRAME}), 0.0))'
+           )} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_stddev_over_time(spark, sf_dir):
+    """stddev_over_time(v[3h]): population stddev over the trailing
+    window — FunctionType.STDDEV_OVER_TIME."""
+    sf = run_promql(spark, sf_dir, "stddev_over_time(view[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_last_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'last_value(value) OVER ({_FRAME})')} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_last_over_time(spark, sf_dir):
+    """last_over_time(v[3h]) — FunctionType.LAST_OVER_TIME."""
+    sf = run_promql(spark, sf_dir, "last_over_time(view[3h])")
+    return _flat(sf, LABEL_KEYS)

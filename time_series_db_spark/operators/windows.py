@@ -493,20 +493,33 @@ def over_time(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
     (sparse discipline), matching Prometheus's raw-sample windows."""
     w = _range_frame(sf, window_ms)
     v = F.col("value")
+    # every aggregate gets .over(w) FIRST; scalar post-processing (cast,
+    # sqrt) wraps the windowed expression — wrapping the bare aggregate
+    # instead detaches it from the window and Spark rejects the plan as
+    # a group-less aggregate (caught by the PromQL grammar fuzz)
     aggs = {
-        "avg": F.avg(v),
-        "min": F.min(v),
-        "max": F.max(v),
-        "sum": F.sum(v),
-        "count": F.count(v).cast("double"),
-        "last": F.last(v),
-        # population stddev, the Prometheus definition
-        "stddev": F.sqrt(F.avg(v * v) - F.avg(v) * F.avg(v)),
-        "present": F.lit(1.0),
+        "avg": lambda: F.avg(v).over(w),
+        "min": lambda: F.min(v).over(w),
+        "max": lambda: F.max(v).over(w),
+        "sum": lambda: F.sum(v).over(w),
+        "count": lambda: F.count(v).over(w).cast("double"),
+        "last": lambda: F.last(v).over(w),
+        # population stddev, the Prometheus definition; the moment
+        # difference is clamped at 0 — fp rounding can push it a few
+        # ulps negative for a constant window, and sqrt(-ε) would turn
+        # a legitimate 0 into NaN (the oracle clamps identically)
+        "stddev": lambda: F.sqrt(
+            F.greatest(
+                F.avg(v * v).over(w)
+                - F.avg(v).over(w) * F.avg(v).over(w),
+                F.lit(0.0),
+            )
+        ),
+        "present": lambda: F.lit(1.0),
     }
     if fn not in aggs:
         raise ValueError(f"unknown over_time fn: {fn}")
-    df = sf.df.withColumn("value", aggs[fn].over(w) if fn != "present" else F.lit(1.0))
+    df = sf.df.withColumn("value", aggs[fn]())
     return sf.with_df(df.select(*SAMPLE_COLS))
 
 
