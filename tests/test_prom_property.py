@@ -263,7 +263,7 @@ def test_promql_subquery_chain_never_crashes(spark, inner, range_fn, outer):
     expr = "error"
     for w in inner:
         expr = w.format(expr)
-    if range_fn.endswith("("):
+    if "(" in range_fn:  # prefix form carries its own open paren + arg
         expr = f"{range_fn}({expr})[4h:1h])"
     else:
         expr = f"{range_fn}(({expr})[4h:1h])"

@@ -224,6 +224,18 @@ class _Parser:
         if (k, v) == ("ARITH", "-") and self.peek(1)[0] == "NUMBER":
             self.next()
             return NumberLiteralNode(value=-float(self.next()[1]))
+        if (k, v) in (("ARITH", "-"), ("ARITH", "+")):
+            # unary +/- on a vector expression — Prometheus desugars
+            # `-expr` to `0 - expr` (operand at unary precedence: the
+            # immediate atom, so `-a * b` is `(0-a) * b` as upstream)
+            self.next()
+            operand = self.atom()
+            if v == "+":
+                return operand
+            zero = NumberLiteralNode(value=0.0)
+            node = BinaryExprNode(op="-")
+            node.children = [zero, operand]
+            return node
         if k == "IDENTIFIER" and v.lower() in _AGGREGATIONS:
             return self._postfix_subquery(self.aggregation())
         if k == "IDENTIFIER" and self.peek(1) == ("DELIM", "("):

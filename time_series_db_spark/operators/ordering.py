@@ -115,7 +115,9 @@ def sort(sf: SeriesFrame, fn: str = "avg", descending: bool = True) -> SeriesFra
     stats = _series_stat(sf, fn)
     key = [F.col("__stat").desc()] if descending else [F.col("__stat").asc()]
     ranked = _ranked_stats(stats, key)
-    df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
+    df = sf.df.drop("__order", "__rorder").join(
+        F.broadcast(ranked), on="series_key", how="inner"
+    )
     return replace(
         sf,
         df=df.select(*SAMPLE_COLS, "__order", "__rorder"),
@@ -145,7 +147,9 @@ def sort_by_label(
     cols = [F.col(f"__lbl_{i}") for i in range(len(keys))]
     key = [c.desc() if descending else c.asc() for c in cols]
     ranked = _ranked_stats(stats, key)
-    df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
+    df = sf.df.drop("__order", "__rorder").join(
+        F.broadcast(ranked), on="series_key", how="inner"
+    )
     return replace(
         sf,
         df=df.select(*SAMPLE_COLS, "__order", "__rorder"),
@@ -181,7 +185,9 @@ def top_k(
         )
         .select("series_key", "__order", "__rorder")
     )
-    df = sf.df.join(F.broadcast(ranked), on="series_key", how="inner")
+    df = sf.df.drop("__order", "__rorder").join(
+        F.broadcast(ranked), on="series_key", how="inner"
+    )
     return replace(
         sf,
         df=df.select(*SAMPLE_COLS, "__order", "__rorder"),
