@@ -1118,3 +1118,46 @@ def promql_last_over_time(spark, sf_dir):
     """last_over_time(v[3h]) — FunctionType.LAST_OVER_TIME."""
     sf = run_promql(spark, sf_dir, "last_over_time(view[3h])")
     return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_sum_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts,
+           {sql_quant(f'sum(value) OVER ({_FRAME})')} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_sum_over_time(spark, sf_dir):
+    """sum_over_time(v[3h]) — FunctionType.SUM_OVER_TIME."""
+    sf = run_promql(spark, sf_dir, "sum_over_time(view[3h])")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_minmax_over_time",
+    f"""{PRELUDE}
+    SELECT NULL::VARCHAR AS name, "user", region, shard, ts,
+           {sql_quant(f'max(value) OVER ({_FRAME})'
+                      f' - min(value) OVER ({_FRAME})')} AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_minmax_over_time(spark, sf_dir):
+    """max_over_time − min_over_time composed through a binary op: one
+    entry covering both window aggs AND their arithmetic join."""
+    sf = run_promql(
+        spark, sf_dir, "max_over_time(view[3h]) - min_over_time(view[3h])"
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "promql_present_over_time",
+    f"""{PRELUDE}
+    SELECT {SQL_LBLS}, ts, 1.0::DOUBLE AS value
+    FROM (SELECT * FROM samples WHERE name = 'view')""",
+)
+def promql_present_over_time(spark, sf_dir):
+    """present_over_time(v[3h]): 1 wherever any sample exists in the
+    window — on the engine's dense grid every emitted instant has one."""
+    sf = run_promql(spark, sf_dir, "present_over_time(view[3h])")
+    return _flat(sf, LABEL_KEYS)
