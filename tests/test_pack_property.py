@@ -310,3 +310,37 @@ def test_m3ql_binary_pipeline_never_crashes(spark, pre, binary, post):
     )
     assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
     sf.df.limit(20).collect()
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    body_a=st.lists(_M3_STAGES, min_size=0, max_size=2),
+    body_b=st.lists(_M3_STAGES, min_size=0, max_size=2),
+    combiner=st.sampled_from(["divide", "subtract", "asPercent", "intersect"]),
+    post=st.lists(_M3_STAGES, min_size=0, max_size=1),
+)
+def test_m3ql_macros_never_crash(spark, body_a, body_b, combiner, post):
+    """Fuzz the macro surface: two random macro bodies combined by a
+    binary stage plus an optional tail — CSE, reference reuse, and the
+    matching chain must survive any body shape."""
+    from time_series_db_spark.lang.m3.builder import execute
+    from time_series_db_spark.model import SAMPLE_COLS
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    a = " | ".join(["fetch name:error", *body_a])
+    b = " | ".join(["fetch name:click", *body_b])
+    q = f"a = {a};b = {b};a | {combiner}(b)" + (
+        " | " + " | ".join(post) if post else ""
+    )
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    sf = execute(
+        q, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 4 * DEFAULT_STEP_MS,
+        DEFAULT_STEP_MS,
+    )
+    assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
+    sf.df.limit(20).collect()
