@@ -1568,3 +1568,73 @@ def test_maintenance_applies_to_rule_tables(spark, tmp_path):
     )
     assert dropped == [blocks[0]]
     assert list_blocks(out_dir) == blocks[1:]
+
+
+def test_cascade_rollup_tiers(spark, tmp_path):
+    """raw → 5m → 15m cascading tiers: the coarse tier folds fine rollup
+    rows by each aggregation's combine rule and equals what direct
+    aggregation of the raw samples would give; duplicate fine rows
+    (checkpoint replay) are pre-merged, never double-counted."""
+    from time_series_db_spark.streaming.downsample import (
+        cascade_rollup,
+        read_rollup,
+        start_downsample,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    fine = str(tmp_path / "rollup_5m")
+    coarse = str(tmp_path / "rollup_15m")
+    M5 = 300_000
+    docs = [
+        _doc("name cpu host a", T0 + 10_000, 1.0),       # 5m window 0
+        _doc("name cpu host a", T0 + M5 + 10_000, 5.0),  # window 1
+        _doc("name cpu host a", T0 + 2 * M5 + 10_000, 3.0),  # window 2
+        _doc("name cpu host a", T0 + 3 * M5 + 10_000, 7.0),  # next 15m
+    ]
+    (src / "b1.json").write_text("\n".join(docs))
+    q = start_downsample(spark, str(src), fine, resolution_ms=M5,
+                         available_now=True)
+    q.awaitTermination(120)
+    (src / "b2.json").write_text(_doc("name cpu host z", T0 + 10 * H, 0.0))
+    q = start_downsample(spark, str(src), fine, resolution_ms=M5,
+                         available_now=True)
+    q.awaitTermination(120)
+
+    n = cascade_rollup(spark, fine, coarse, resolution_ms=3 * M5)
+    rows = {
+        (r["series_key"], r["ts"]): r
+        for r in spark.read.parquet(coarse).collect()
+    }
+    w0 = rows[("host:a,name:cpu", T0)]
+    assert w0["value_sum"] == 9.0 and w0["value_count"] == 3.0
+    assert w0["value_min"] == 1.0 and w0["value_max"] == 5.0
+    assert w0["value_last"] == 3.0  # latest fine window's last
+    w1 = rows[("host:a,name:cpu", T0 + 3 * M5)]
+    assert (w1["value_sum"], w1["value_count"]) == (7.0, 1.0)
+    assert n == len(rows)
+
+    # duplicate fine rows (simulated checkpoint replay) pre-merge by
+    # any-one-row: a COPY table without the streaming _spark_metadata
+    # log (an appended duplicate to the sink itself is invisible — batch
+    # reads honor the log), every row doubled, must yield the same tier
+    fine_df = spark.read.parquet(fine)
+    fine_dup = str(tmp_path / "rollup_5m_dup")
+    fine_df.unionAll(fine_df).write.partitionBy("block").parquet(fine_dup)
+    coarse2 = str(tmp_path / "rollup_15m_v2")
+    cascade_rollup(spark, fine_dup, coarse2, resolution_ms=3 * M5)
+    again = {
+        (r["series_key"], r["ts"]): r
+        for r in spark.read.parquet(coarse2).collect()
+    }
+    for k in rows:
+        for c in ("value_sum", "value_count", "value_min", "value_max"):
+            assert again[k][c] == rows[k][c], (k, c)
+
+    # the coarse tier reads back through the namespace reader
+    got = read_rollup(spark, coarse, agg="sum")
+    vals = {(r["series_key"], r["ts"]): r["value"] for r in got.collect()}
+    assert vals[("host:a,name:cpu", T0)] == 9.0
+
+    with pytest.raises(ValueError, match="resolution_ms"):
+        cascade_rollup(spark, fine, coarse, resolution_ms=0)

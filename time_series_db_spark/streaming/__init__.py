@@ -33,3 +33,8 @@ from time_series_db_spark.streaming.rules import (  # noqa: F401
     start_alert_rule,
     start_recording_rule,
 )
+from time_series_db_spark.streaming.downsample import (  # noqa: F401
+    cascade_rollup,
+    read_rollup,
+    start_downsample,
+)

@@ -143,10 +143,11 @@ def read_rollup(
     namespace-selection read: a long-range query reads this instead of
     the raw table, with the same block/row-group pruning.
 
-    Duplicate (series, window) rows can exist across restarted streams'
-    checkpoints; they merge by the aggregation's own combine rule (sum →
-    sum, count → sum, min → min, max → max, last → any — ANY_WINS like
-    the raw path).
+    Duplicate (series, window) rows can exist in tables assembled
+    without the streaming sink's _spark_metadata log (batch backfills,
+    copies); a replayed window carries IDENTICAL totals, so they merge
+    ANY_WINS (first row) — an agg-specific combine (sum of sums) would
+    double-count the replay.
     """
     if agg not in ROLLUP_AGGS:
         raise ValueError(f"agg must be one of {ROLLUP_AGGS}, got {agg!r}")
@@ -159,13 +160,88 @@ def read_rollup(
     if max_ts is not None:
         df = df.filter((F.col("block") < F.lit(max_ts)) & (F.col("ts") < F.lit(max_ts)))
     col = f"value_{agg}"
-    merge = {
-        "sum": F.sum(col), "count": F.sum(col), "min": F.min(col),
-        "max": F.max(col), "last": F.first(col),
-    }[agg]
     return (
         df.groupBy("series_key", "ts")
-        .agg(merge.alias("value"))
+        .agg(F.first(col).alias("value"))
         .withColumn("labels", labels_from_key_expr(F.col("series_key")))
         .select("series_key", "labels", "ts", "value")
     )
+
+
+def cascade_rollup(
+    spark: SparkSession,
+    fine_path: str,
+    coarse_path: str,
+    resolution_ms: int,
+    *,
+    block_ms: int = DEFAULT_BLOCK_MS,
+    min_ts: int | None = None,
+    max_ts: int | None = None,
+) -> int:
+    """Build a coarser rollup tier FROM a finer one — the M3 cascading
+    aggregated-namespace chain (10s raw → 5m → 1h …): a coarse window's
+    aggregates combine the fine windows it contains by each
+    aggregation's own merge rule (sum of sums, sum of counts, min of
+    mins, max of maxes, last by latest fine window), so the coarse tier
+    never re-reads raw data. At 100 TB this is the difference between
+    re-scanning a year of raw samples and folding 12× fewer rollup rows
+    per tier step.
+
+    Checkpoint-duplicate fine rows are pre-merged per (series, fine
+    window) first — combining duplicates into the coarse window would
+    double-count sums. Appends block-partitioned rows in the same
+    physical schema as :func:`start_downsample`; returns rows written.
+    """
+    if resolution_ms <= 0:
+        raise ValueError(f"resolution_ms must be positive, got {resolution_ms}")
+    fine = spark.read.parquet(fine_path)
+    if min_ts is not None:
+        fine = fine.filter(
+            (F.col("block") >= F.lit(min_ts - min_ts % block_ms))
+            & (F.col("ts") >= F.lit(min_ts))
+        )
+    if max_ts is not None:
+        fine = fine.filter(
+            (F.col("block") < F.lit(max_ts)) & (F.col("ts") < F.lit(max_ts))
+        )
+    # pre-merge checkpoint duplicates per fine window. A replayed
+    # window re-emits IDENTICAL totals (append mode only emits closed
+    # windows computed from full state), so the correct dedup is
+    # any-one-row — summing would double-count. (Streaming-sink tables
+    # read via _spark_metadata can't even surface such duplicates; this
+    # guards tables assembled by batch backfills/copies without a log.)
+    fine = fine.groupBy("series_key", "ts").agg(
+        F.first("value_sum").alias("value_sum"),
+        F.first("value_count").alias("value_count"),
+        F.first("value_min").alias("value_min"),
+        F.first("value_max").alias("value_max"),
+        F.first("value_last").alias("value_last"),
+    )
+    coarse = (
+        fine.withColumn(
+            "__wts", F.col("ts") - F.col("ts") % F.lit(int(resolution_ms))
+        )
+        .groupBy("series_key", "__wts")
+        .agg(
+            F.sum("value_sum").alias("value_sum"),
+            F.sum("value_count").alias("value_count"),
+            F.min("value_min").alias("value_min"),
+            F.max("value_max").alias("value_max"),
+            F.expr("max_by(value_last, ts)").alias("value_last"),
+        )
+        .select(
+            "series_key",
+            labels_from_key_expr(F.col("series_key")).alias("labels"),
+            F.col("__wts").alias("ts"),
+            *[f"value_{a}" for a in ROLLUP_AGGS],
+        )
+        .withColumn(
+            "block", F.col("ts") - F.col("ts") % F.lit(int(block_ms))
+        )
+    ).persist()
+    try:
+        n = coarse.count()
+        coarse.write.mode("append").partitionBy("block").parquet(coarse_path)
+    finally:
+        coarse.unpersist()
+    return n
