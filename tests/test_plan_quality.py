@@ -416,3 +416,18 @@ def test_jl_projection_codegen_no_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["embedding_project_jl"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lm_perplexity_broadcasts_model(spark, sf_dir):
+    """The bigram-LM count tables are vocab-bounded metadata and must
+    broadcast to the corpus-sized scoring join (the CCNet ship-the-model
+    shape); the vocab cut must be a TakeOrdered, and no Python UDF may
+    appear — the whole operator is Catalyst expressions."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_lm_perplexity"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # bi, ctx, uni
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row total, broadcast
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

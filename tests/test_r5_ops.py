@@ -530,3 +530,31 @@ def test_limitk_k_per_group_and_validation(spark):
         _prom(spark, "limitk(0, view)")
     with pytest.raises(ValueError, match="limit_ratio"):
         _prom(spark, "limit_ratio(2, view)")
+
+
+def test_lm_perplexity_orders_repetition_below_soup(spark):
+    """A repetitive doc must score lower perplexity than token soup
+    under the corpus-trained bigram LM, and every perplexity is >= 1
+    (probabilities never exceed 1)."""
+    from time_series_db_spark.pipeline.text import lm_perplexity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 8),
+            (2, "quark zephyr oboe lattice nimbus grotto pylon ember "
+                "waltz igloo cairn dune fjord kelp onyx plume"),
+            (3, "the cat sat on the mat " * 8),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in lm_perplexity(docs, vocab_size=10, lam=0.9).collect()
+    }
+    assert 4 not in rows  # empty doc: no tokens, absent row
+    assert rows[1]["n_tokens"] == 48
+    assert all(r["perplexity"] >= 1.0 for r in rows.values())
+    # identical docs score identically; repetition beats token soup
+    assert rows[1]["perplexity"] == rows[3]["perplexity"]
+    assert rows[1]["perplexity"] < rows[2]["perplexity"]

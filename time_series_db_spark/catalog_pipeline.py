@@ -1228,3 +1228,61 @@ def ann_cosine_topk_int8(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
     )
+
+
+_LM_L1 = repr(0.9)
+_LM_L2 = repr(1.0 - 0.9)
+
+@register(
+    "text_lm_perplexity",
+    f"""WITH toks AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[t.i] AS token
+      FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents) d
+      CROSS JOIN UNNEST(range(1, len(w) + 1)) AS t(i)
+      WHERE w[t.i] <> ''
+    ),
+    vocab AS (
+      SELECT token FROM (
+        SELECT token, row_number() OVER (ORDER BY count(*) DESC, token) AS rn
+        FROM toks GROUP BY token) WHERE rn <= 200
+    ),
+    mapped AS (
+      SELECT t.doc_id, t.pos,
+             CASE WHEN v.token IS NULL THEN '<unk>' ELSE t.token END AS w
+      FROM toks t LEFT JOIN vocab v USING (token)
+    ),
+    big AS (
+      SELECT doc_id,
+             coalesce(lag(w) OVER (PARTITION BY doc_id ORDER BY pos), '<s>') AS v,
+             w
+      FROM mapped
+    ),
+    uni AS (SELECT w, count(*)::DOUBLE AS c_w FROM big GROUP BY w),
+    ctx AS (SELECT v, count(*)::DOUBLE AS c_v FROM big GROUP BY v),
+    bi  AS (SELECT v, w, count(*)::DOUBLE AS c_vw FROM big GROUP BY v, w),
+    tot AS (SELECT count(*)::DOUBLE AS t_n FROM big),
+    scored AS (
+      SELECT b.doc_id,
+             ln(({_LM_L1} * (bi.c_vw / ctx.c_v))
+                + ({_LM_L2} * (uni.c_w / tot.t_n))) AS logp
+      FROM big b
+      JOIN bi ON b.v = bi.v AND b.w = bi.w
+      JOIN ctx ON b.v = ctx.v
+      JOIN uni ON b.w = uni.w
+      CROSS JOIN tot
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           {sql_quant('exp(-avg(logp))')} AS perplexity
+    FROM scored GROUP BY doc_id""",
+)
+def text_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal (arXiv:1911.00359): perplexity under
+    a corpus-trained interpolated bigram LM, 200-token vocab + <unk>.
+    Oracle replays the identical training + scoring algebra as SQL CTEs
+    (same tie-breaks, same interpolation constants)."""
+    out = text.lm_perplexity(_docs(spark, sf_dir), vocab_size=200, lam=0.9)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        quant(F.col("perplexity")).alias("perplexity"),
+    )

@@ -363,3 +363,95 @@ def vocab_count(
         w = Window.orderBy(F.desc("count"), F.asc("token"))
         toks = toks.withColumn("rank", F.row_number().over(w).cast("long"))
     return toks
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 200,
+    lam: float = 0.9,
+) -> DataFrame:
+    """Per-document perplexity under a corpus-trained bigram language
+    model — the CCNet-style LM quality signal (Wenzek et al. 2019,
+    arXiv:1911.00359, which scores documents by KenLM perplexity and
+    keeps the low-perplexity head). A 5-gram KenLM needs an external
+    model file; the in-engine analog trains an interpolated bigram LM on
+    the corpus itself and scores each document under it:
+
+        p(w | v) = lam * c(v,w)/c(v) + (1-lam) * c(w)/T
+        ppl(doc) = exp(-mean(ln p(w_i | w_{i-1})))
+
+    with a per-document ``<s>`` start context, tokens outside the
+    ``vocab_size`` most frequent (count-desc, token-asc tie-break)
+    mapped to ``<unk>`` BEFORE counting, and T = total scored tokens.
+    Because the model is trained on the scoring corpus, every scored
+    bigram has c(v,w) >= 1, so no extra smoothing is needed and
+    p >= (1-lam)/T > 0. Boilerplate/repetitive text scores near 1;
+    token soup scores high — the same ordering KenLM induces.
+
+    Returns (id, n_tokens, perplexity); empty documents have no tokens
+    and drop out (absent-row semantics).
+
+    Scale shape: the vocabulary cut is a TakeOrdered over the
+    partial-aggregated token counts (never a global sort of the corpus);
+    the OOV-mapped alphabet is bounded by ``vocab_size``+2, so the
+    unigram/context/bigram count tables are bounded Zipf-sparse
+    metadata — all three broadcast to the scoring join exactly as CCNet
+    ships its KenLM model to every worker. The only corpus-sized
+    shuffles are the per-document lag window and the final per-document
+    aggregate, both partitioned by document id.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(textprep.tokens(F.col(text_col))).alias(
+                "pos", "token"
+            ),
+        )
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .orderBy(F.desc("__cnt"), F.asc("token"))
+        .limit(int(vocab_size))
+        .select("token", F.lit(True).alias("__in_vocab"))
+    )
+    mapped = toks.join(F.broadcast(vocab), "token", "left").select(
+        F.col(id_col),
+        F.col("pos"),
+        F.when(F.col("__in_vocab"), F.col("token"))
+        .otherwise(F.lit("<unk>"))
+        .alias("w"),
+    )
+    seq = Window.partitionBy(id_col).orderBy("pos")
+    big = mapped.withColumn(
+        "v", F.coalesce(F.lag("w").over(seq), F.lit("<s>"))
+    ).select(id_col, "v", "w")
+
+    uni = big.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_w"))
+    ctx = big.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("c_v"))
+    bi = big.groupBy("v", "w").agg(
+        F.count(F.lit(1)).cast("double").alias("c_vw")
+    )
+    tot = big.agg(F.count(F.lit(1)).cast("double").alias("t_n"))
+
+    l1, l2 = float(lam), 1.0 - float(lam)
+    logp = F.log(
+        (F.lit(l1) * (F.col("c_vw") / F.col("c_v")))
+        + (F.lit(l2) * (F.col("c_w") / F.col("t_n")))
+    )
+    scored = (
+        big.join(F.broadcast(bi), ["v", "w"])
+        .join(F.broadcast(ctx), "v")
+        .join(F.broadcast(uni), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(F.col(id_col), logp.alias("__logp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.exp(-F.avg("__logp")).alias("perplexity"),
+    )
