@@ -431,3 +431,19 @@ def test_lm_perplexity_broadcasts_model(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total, broadcast
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ppl_buckets_no_global_sort(spark, sf_dir):
+    """The CCNet tertile split must compute thresholds as a per-language
+    aggregate broadcast back to the corpus — an ntile/rank window here
+    would be a per-language global sort of the corpus."""
+    from time_series_db_spark.catalog import QUERIES
+
+    import re
+
+    plan = _plan(QUERIES["text_ppl_buckets"](spark, sf_dir))
+    # (?<![a-z]) so "percentile(...)" — the threshold AGGREGATE, which is
+    # the wanted shape — doesn't false-match the ntile window function
+    assert not re.search(r"(?<![a-z])ntile\(", plan.lower())
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

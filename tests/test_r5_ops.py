@@ -558,3 +558,29 @@ def test_lm_perplexity_orders_repetition_below_soup(spark):
     # identical docs score identically; repetition beats token soup
     assert rows[1]["perplexity"] == rows[3]["perplexity"]
     assert rows[1]["perplexity"] < rows[2]["perplexity"]
+
+
+def test_ppl_buckets_tertiles_per_language(spark):
+    """Tertile buckets: each language's docs split head/middle/tail by
+    perplexity thresholds, head = lowest-perplexity third."""
+    from time_series_db_spark.pipeline.text import ppl_buckets
+
+    # 6 English docs with graded repetitiveness (more repetition of the
+    # corpus-dominant bigram -> lower perplexity)
+    docs = spark.createDataFrame(
+        [(i, "the cat " * (12 - i) + " ".join(f"tok{i}x{j}" for j in range(i * 3)))
+         for i in range(1, 7)],
+        ["doc_id", "text"],
+    )
+    rows = ppl_buckets(docs, vocab_size=10, lam=0.9).collect()
+    assert len(rows) == 6
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["bucket"], []).append(r["perplexity"])
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert len(by_bucket["head"]) == 2
+    assert len(by_bucket["middle"]) == 2
+    assert len(by_bucket["tail"]) == 2
+    # ordering: every head ppl <= every middle ppl <= every tail ppl
+    assert max(by_bucket["head"]) <= min(by_bucket["middle"])
+    assert max(by_bucket["middle"]) <= min(by_bucket["tail"])

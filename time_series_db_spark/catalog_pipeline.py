@@ -1233,9 +1233,9 @@ def ann_cosine_topk_int8(spark, sf_dir):
 _LM_L1 = repr(0.9)
 _LM_L2 = repr(1.0 - 0.9)
 
-@register(
-    "text_lm_perplexity",
-    f"""WITH toks AS (
+#: full LM-perplexity oracle query — also nested as a CTE body by the
+#: ppl-buckets oracle (DuckDB allows WITH inside a derived subquery)
+_LM_PPL_SQL = f"""WITH toks AS (
       SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[t.i] AS token
       FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents) d
       CROSS JOIN UNNEST(range(1, len(w) + 1)) AS t(i)
@@ -1273,8 +1273,14 @@ _LM_L2 = repr(1.0 - 0.9)
     )
     SELECT doc_id, count(*)::BIGINT AS n_tokens,
            {sql_quant('exp(-avg(logp))')} AS perplexity
-    FROM scored GROUP BY doc_id""",
-)
+    FROM scored GROUP BY doc_id"""
+
+
+_LM_THIRD = repr(1.0 / 3.0)
+_LM_TWO_THIRDS = repr(2.0 / 3.0)
+
+
+@register("text_lm_perplexity", _LM_PPL_SQL)
 def text_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality signal (arXiv:1911.00359): perplexity under
     a corpus-trained interpolated bigram LM, 200-token vocab + <unk>.
@@ -1285,4 +1291,33 @@ def text_lm_perplexity(spark, sf_dir):
         "doc_id",
         "n_tokens",
         quant(F.col("perplexity")).alias("perplexity"),
+    )
+
+
+@register(
+    "text_ppl_buckets",
+    f"""WITH ppl AS ({_LM_PPL_SQL}),
+    lang AS ({_sql_langid()}),
+    j AS (
+      SELECT p.doc_id, l.pred_lang, p.perplexity
+      FROM ppl p JOIN lang l USING (doc_id)),
+    th AS (
+      SELECT pred_lang,
+             {sql_quant(f'quantile_cont(perplexity, {_LM_THIRD})')} AS t1,
+             {sql_quant(f'quantile_cont(perplexity, {_LM_TWO_THIRDS})')} AS t2
+      FROM j GROUP BY pred_lang)
+    SELECT j.doc_id, j.pred_lang, j.perplexity,
+           CASE WHEN j.perplexity <= th.t1 THEN 'head'
+                WHEN j.perplexity <= th.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM j JOIN th USING (pred_lang)""",
+)
+def text_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail split (arXiv:1911.00359 §4.3): per-language
+    perplexity tertiles via metadata-sized threshold aggregate +
+    broadcast-back comparison (never an ntile global sort). The gate's
+    quantizer rounds scores AND thresholds on both sides so the
+    comparisons are engine-exact."""
+    return text.ppl_buckets(
+        _docs(spark, sf_dir), vocab_size=200, lam=0.9, score_round=quant
     )

@@ -455,3 +455,60 @@ def lm_perplexity(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.exp(-F.avg("__logp")).alias("perplexity"),
     )
+
+
+def ppl_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 200,
+    lam: float = 0.9,
+    score_round=None,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (arXiv:1911.00359 §4.3):
+    per-language perplexity tertiles — the "head" (lowest-perplexity
+    third) is the highest-quality slice a curation run keeps or
+    up-samples. Composes :func:`lm_perplexity` with :func:`lang_id`,
+    computes the two tertile thresholds per predicted language with the
+    exact interpolated percentile, and assigns each document by
+    comparison. Returns (id, pred_lang, perplexity, bucket).
+
+    ``score_round`` (optional) rounds scores before thresholding —
+    the differential gate passes its quantizer so Spark and the SQL
+    oracle compare identical doubles; production runs leave it None.
+
+    Scale shape: this is CCNet's own threshold design — tertiles are
+    computed as a per-language aggregate (one row per language,
+    metadata-sized) and broadcast back for the bucket comparison, so
+    there is NO per-language global sort of the corpus (an ntile window
+    would be one); the corpus-sized work is the lm_perplexity pass plus
+    one broadcast join.
+    """
+    score = lm_perplexity(df, id_col, text_col, vocab_size, lam)
+    langs = lang_id(df, id_col, text_col)
+    j = score.join(langs.select(id_col, "pred_lang"), id_col)
+    ppl = F.col("perplexity")
+    if score_round is not None:
+        ppl = score_round(ppl)
+    j = j.select(F.col(id_col), F.col("pred_lang"), ppl.alias("__ppl"))
+    third = repr(1.0 / 3.0)
+    two_thirds = repr(2.0 / 3.0)
+    th = j.groupBy("pred_lang").agg(
+        F.expr(f"percentile(__ppl, {third})").alias("__t1"),
+        F.expr(f"percentile(__ppl, {two_thirds})").alias("__t2"),
+    )
+    if score_round is not None:
+        th = th.select(
+            "pred_lang",
+            score_round(F.col("__t1")).alias("__t1"),
+            score_round(F.col("__t2")).alias("__t2"),
+        )
+    return j.join(F.broadcast(th), "pred_lang").select(
+        F.col(id_col),
+        F.col("pred_lang"),
+        F.col("__ppl").alias("perplexity"),
+        F.when(F.col("__ppl") <= F.col("__t1"), F.lit("head"))
+        .when(F.col("__ppl") <= F.col("__t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
