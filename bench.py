@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "dedup_exact_substring",   # chunk-level Lee-et-al dedup (r5)
     "text_compression_ratio",  # zlib quality signal, Arrow UDF (r5)
     "text_gopher_quality",     # Gopher curation rules (r5)
+    "text_lm_perplexity",      # corpus-trained bigram LM scoring (r5)
     "pack_sequences",          # training-batch construction (r5)
     "sessionize_events",       # gap-session construction (r5)
     "text_quality",
