@@ -344,3 +344,93 @@ def test_m3ql_macros_never_crash(spark, body_a, body_b, combiner, post):
     )
     assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
     sf.df.limit(20).collect()
+
+
+def _lm_replay(docs, vocab_size, lam):
+    """Exact Python replay of text.lm_perplexity's algorithm."""
+    import math
+    import re
+    from collections import Counter
+
+    tok_by_doc = {}
+    for doc_id, raw in docs:
+        norm = re.sub(r"\s+", " ", raw.strip().lower())
+        toks = [t for t in norm.split(" ") if t]
+        if toks:
+            tok_by_doc[doc_id] = toks
+    counts = Counter(t for ts in tok_by_doc.values() for t in ts)
+    vocab = set(
+        t for t, _ in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :vocab_size
+        ]
+    )
+    mapped = {
+        d: [t if t in vocab else "<unk>" for t in ts]
+        for d, ts in tok_by_doc.items()
+    }
+    uni, ctx, bi = Counter(), Counter(), Counter()
+    total = 0
+    for ts in mapped.values():
+        prev = "<s>"
+        for w in ts:
+            uni[w] += 1
+            ctx[prev] += 1
+            bi[(prev, w)] += 1
+            total += 1
+            prev = w
+    out = {}
+    for d, ts in mapped.items():
+        prev, logps = "<s>", []
+        for w in ts:
+            p = lam * (bi[(prev, w)] / ctx[prev]) + (1.0 - lam) * (
+                uni[w] / total
+            )
+            logps.append(math.log(p))
+            prev = w
+        out[d] = (len(ts), math.exp(-sum(logps) / len(logps)))
+    return out
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+                min_size=0,
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda t: t[0],
+    ),
+    vocab_size=st.sampled_from([2, 4, 100]),
+)
+def test_lm_perplexity_matches_exact_replay(spark, docs, vocab_size):
+    """For ANY corpus the distributed LM training+scoring must equal an
+    exact sequential replay of the same algorithm (vocab tie-breaks,
+    <s>/<unk> handling, interpolation) to float tolerance — including
+    single-token docs, all-OOV docs under a tiny vocab, and empty docs
+    (absent from the output)."""
+    from time_series_db_spark.pipeline.text import lm_perplexity
+
+    rows = [(d, " ".join(ts)) for d, ts in docs]
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["perplexity"])
+        for r in lm_perplexity(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            vocab_size=vocab_size,
+            lam=0.9,
+        ).collect()
+    }
+    want = _lm_replay(rows, vocab_size, 0.9)
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert got[d][1] == pytest.approx(want[d][1], rel=1e-9)
