@@ -35,6 +35,8 @@ QUERIES = [
     "dedup_minhash_lsh",       # banded LSH — the quadratic-risk one
     "dedup_exact_substring",
     "text_quality",
+    "text_lm_perplexity",      # broadcast-LM scoring join
+    "text_ppl_buckets",        # per-language threshold broadcast-back
     "tpch_q1_pricing",
 ]
 
