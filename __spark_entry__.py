@@ -35,10 +35,30 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names that already have a driver-green CORRECTNESS row (union of the
-# r1–r4 runs: 156 green rows, zero red).  The driver's per-round run
+# r1–r5 runs: 201 green rows; the 5 r5 reds — 3 oracle HUGEINT casts, 2
+# no-oracle registrations — are fixed/restructured this round and kept OUT
+# of this set so the driver re-checks them).  The driver's per-round run
 # covers a prefix of the dict, so order the not-yet-verified entries first;
 # previously-green entries go last and get re-checked as budget allows.
 _DRIVER_VERIFIED = frozenset({
+    'alert_rule_batch', 'ann_cosine_topk_int8', 'decontaminate_ngram',
+    'dedup_exact_substring', 'dedup_semantic', 'embedding_project_jl',
+    'embedding_quantize', 'm3_percentile_of_series_windowed',
+    'm3ql_alias_by_histogram_bucket', 'm3ql_burn_rate',
+    'm3ql_histogram_cdf', 'm3ql_mock_fetch_line', 'm3ql_mock_fetch_linear',
+    'm3ql_mock_fetch_periodic', 'm3ql_prom_histogram_percentile',
+    'm3ql_timestamp', 'm3ql_to_histogram_explicit', 'promql_at_instant',
+    'promql_at_max_over_time', 'promql_atan2', 'promql_count_values',
+    'promql_histogram_fraction', 'promql_limit_ratio', 'promql_limitk',
+    'promql_subquery_avg', 'promql_subquery_max_rate',
+    'recording_rule_batch', 'sample_mixture', 'sample_stratified',
+    'sessionize_events', 'text_gopher_quality', 'text_lm_perplexity',
+    'text_pii_scrub', 'text_ppl_buckets', 'text_vocab_count',
+    'tpch_q13_order_distribution', 'tpch_q15_top_supplier',
+    'tpch_q17_small_quantity', 'tpch_q19_disjunctive_revenue',
+    'tpch_q21_waiting_suppliers', 'tpch_q4_priority',
+    'tpch_q7_nation_volume', 'tpch_q8_market_share', 'tpch_q9_profit',
+    'tpch_rev_mom',
     'ann_cosine_topk', 'ann_ivf_kmeans_topk', 'ann_ivf_topk',
     'ann_lsh_topk', 'dedup_cluster_survivors', 'dedup_embedding_cosine',
     'dedup_exact', 'dedup_minhash_lsh', 'dedup_ngram_jaccard',

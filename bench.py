@@ -42,11 +42,13 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_semantic",          # SemDeDup k-means + within-cell prune (r5)
     "dedup_exact_substring",   # chunk-level Lee-et-al dedup (r5)
-    "text_compression_ratio",  # zlib quality signal, Arrow UDF (r5)
+    "text_compressibility",    # token-entropy compressibility proxy (r6)
     "text_gopher_quality",     # Gopher curation rules (r5)
     "text_lm_perplexity",      # corpus-trained bigram LM scoring (r5)
     "pack_sequences",          # training-batch construction (r5)
     "sessionize_events",       # gap-session construction (r5)
+    "recording_rule_batch",    # rule machinery, batch leg (r6 bench add)
+    "alert_rule_batch",        # alert state machine, batch leg (r6 bench add)
     "text_quality",
     "ann_cosine_topk",
     "ann_ivf_topk",            # cell-pruned ANN
@@ -57,7 +59,82 @@ BENCH_QUERIES = [
 ]
 
 
+#: recording-rule group for the backfill bench — M3-aggregator shape,
+#: one shared scan for the whole group
+_RULE_GROUP = [
+    {"record": f"region:{n}:{agg}", "match": {"name": [n]},
+     "group_by": ["region"], "agg": agg, "resolution_ms": 120_000}
+    for n, agg in (
+        ("error", "max"), ("error", "sum"), ("click", "avg"),
+        ("purchase", "max"),
+    )
+]
+
+
+def _extra_benches(spark, tmp_root: str):
+    """Streaming heavyweights that WRITE stores instead of returning a
+    DataFrame (backfill_rules over a rule group, cascade_rollup): the
+    shared input stores are built once (setup, untimed — the protocol
+    times the operator, not fixture construction); each timed run
+    appends into a fresh output dir so runs stay comparable."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.sources.tables import fetch_events
+    from time_series_db_spark.streaming.downsample import cascade_rollup
+    from time_series_db_spark.streaming.ingest import DEFAULT_BLOCK_MS
+    from time_series_db_spark.streaming.rules import backfill_rules
+
+    store = os.path.join(tmp_root, "metrics")
+    base = fetch_events(spark, SF_DIR).df.select(
+        "series_key", "labels", "ts", "value"
+    ).withColumn("block", F.col("ts") - F.col("ts") % F.lit(DEFAULT_BLOCK_MS))
+    base.write.mode("overwrite").partitionBy("block").parquet(store)
+
+    fine = os.path.join(tmp_root, "rollup_fine")
+    res = 120_000
+    (
+        spark.read.parquet(store)
+        .withColumn("ts", F.col("ts") - F.col("ts") % F.lit(res))
+        .groupBy("series_key", "ts")
+        .agg(
+            F.sum("value").alias("value_sum"),
+            F.count(F.lit(1)).cast("double").alias("value_count"),
+            F.min("value").alias("value_min"),
+            F.max("value").alias("value_max"),
+            F.last("value").alias("value_last"),
+        )
+        .withColumn("labels", F.create_map(F.lit("name"), F.lit("x")))
+        .withColumn(
+            "block", F.col("ts") - F.col("ts") % F.lit(DEFAULT_BLOCK_MS)
+        )
+        .write.mode("overwrite")
+        .partitionBy("block")
+        .parquet(fine)
+    )
+
+    seq = iter(range(10_000))
+
+    def bench_backfill() -> None:
+        out = os.path.join(tmp_root, f"rules_out_{next(seq)}")
+        backfill_rules(spark, store, out, _RULE_GROUP)
+        shutil.rmtree(out, ignore_errors=True)
+
+    def bench_cascade() -> None:
+        out = os.path.join(tmp_root, f"cascade_out_{next(seq)}")
+        cascade_rollup(spark, fine, out, resolution_ms=12 * res)
+        shutil.rmtree(out, ignore_errors=True)
+
+    return {
+        "rules_group_backfill": bench_backfill,
+        "cascade_rollup": bench_cascade,
+    }
+
+
 def main() -> None:
+    import tempfile
+
     from time_series_db_spark.catalog import QUERIES
     from time_series_db_spark.session import get_spark
 
@@ -77,6 +154,19 @@ def main() -> None:
 
         run()  # warm-up (JIT, parquet footer cache) — discarded
         timings[name] = round(statistics.median(run() for _ in range(RUNS)), 4)
+
+    with tempfile.TemporaryDirectory(prefix="tsdb_bench_") as tmp_root:
+        for name, action in _extra_benches(spark, tmp_root).items():
+
+            def run_action(action=action) -> float:
+                t0 = time.perf_counter()
+                action()
+                return time.perf_counter() - t0
+
+            run_action()  # warm-up — discarded
+            timings[name] = round(
+                statistics.median(run_action() for _ in range(RUNS)), 4
+            )
 
     total = round(sum(timings.values()), 4)
     print(

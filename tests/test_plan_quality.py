@@ -372,14 +372,42 @@ def test_exact_substring_dedup_partial_agg_no_window(spark, sf_dir):
 
 
 def test_compression_ratio_arrow_no_shuffle(spark, sf_dir):
-    """zlib ratio runs as ONE Arrow-batched projection over the scan —
-    no shuffle, no row-at-a-time Python."""
-    from time_series_db_spark.catalog import QUERIES
+    """zlib ratio (non-catalog operator — DuckDB cannot deflate) runs as
+    ONE Arrow-batched projection over the scan — no shuffle, no
+    row-at-a-time Python."""
+    from time_series_db_spark.pipeline import text
 
-    plan = _plan(QUERIES["text_compression_ratio"](spark, sf_dir))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = _plan(text.compression_ratio(docs))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_compressibility_pure_hash_agg(spark, sf_dir):
+    """The oracle-able compressibility proxy is explode + two partial
+    hash aggregations — zero Python, zero window, zero join."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_compressibility"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_pca_cov_single_aggregation(spark, sf_dir):
+    """The PCA covariance accumulator is ONE corpus aggregation; the
+    d(d+1)/2 pair explosion happens on the single post-agg row (Generate
+    above the aggregate, never against the corpus scan) — no join, no
+    window, no Python."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["embedding_pca"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") <= 2  # partial + final, one agg
 
 
 def test_percentile_windowed_sorts_instead_of_arrays(spark, sf_dir):
@@ -431,6 +459,41 @@ def test_lm_perplexity_broadcasts_model(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row total, broadcast
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lm_perplexity_guards_large_vocab_broadcast(spark, sf_dir):
+    """Above MAX_BROADCAST_VOCAB the bigram table's (V+2)² row bound
+    makes broadcasting it a driver/executor OOM knob — the scoring join
+    must fall back to a shuffle join on (v, w) while the O(V)
+    unigram/context tables keep broadcasting."""
+    from time_series_db_spark.pipeline import text
+    from time_series_db_spark.pipeline.text import MAX_BROADCAST_VOCAB
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def _hints(df) -> int:
+        # count broadcast HINTS in the analyzed plan: at production
+        # scale an unhinted bigram table shuffles (its stats exceed
+        # autoBroadcastJoinThreshold); at test scale Catalyst may still
+        # auto-broadcast it by size, so the physical join kind is not
+        # the thing the guard controls
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "ResolvedHint"
+        )
+
+    guarded = _hints(
+        text.lm_perplexity(docs, vocab_size=MAX_BROADCAST_VOCAB + 1)
+    )
+    default = _hints(text.lm_perplexity(docs, vocab_size=200))
+    # one fewer broadcast hint: the (v, w) bigram join is left unhinted
+    assert guarded == default - 1
+    # explicit override beats the threshold
+    forced = _hints(
+        text.lm_perplexity(
+            docs, vocab_size=MAX_BROADCAST_VOCAB + 1, broadcast_bigrams=True
+        )
+    )
+    assert forced == default
 
 
 def test_ppl_buckets_no_global_sort(spark, sf_dir):

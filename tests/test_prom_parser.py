@@ -162,3 +162,34 @@ def test_number_literals_scientific_inf_nan():
 
     n = parse("histogram_fraction(-Inf, Inf, h)").children[0]
     assert n.scalars[0] == float("-inf") and n.scalars[1] == float("inf")
+
+
+def test_unary_minus_binds_looser_than_pow():
+    """Upstream PromQL declares unary below %right POW
+    (promql/parser/generated_parser.y), so `-a ^ b` is `-(a ^ b)` and
+    `-1 ^ 2` evaluates to -1 — previously both negated the atom first."""
+    from time_series_db_spark.lang.prom.parser import parse
+
+    def _expr(q):
+        return parse(q).children[0]
+
+    # -1 ^ 2 => 0 - (1 ^ 2)
+    node = _expr("-1 ^ 2")
+    assert isinstance(node, A.BinaryExprNode) and node.op == "-"
+    assert node.children[0].value == 0.0
+    assert node.children[1].op == "^"
+
+    # -a ^ 2 * b => (0 - (a ^ 2)) * b — unary still binds tighter than *
+    node = _expr("-a ^ 2 * b")
+    assert node.op == "*"
+    neg = node.children[0]
+    assert neg.op == "-" and neg.children[0].value == 0.0
+    assert neg.children[1].op == "^"
+
+    # -a * b unchanged: (0 - a) * b
+    node = _expr("-a * b")
+    assert node.op == "*" and node.children[0].op == "-"
+
+    # plain folded literal still a NumberLiteral (function args need it)
+    lit = _expr("-1.5")
+    assert isinstance(lit, A.NumberLiteralNode) and lit.value == -1.5

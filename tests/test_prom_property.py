@@ -276,3 +276,115 @@ def test_promql_subquery_chain_never_crashes(spark, inner, range_fn, outer):
     )
     assert [c for c in sf.df.columns if not c.startswith("__")] == SAMPLE_COLS
     sf.df.limit(20).collect()
+
+
+# ---------------------------------------------------------------------------
+# subquery × offset × @ composition (r6): the directed tests pin each
+# modifier alone; this replays fn(m[r:s] offset o) and fn((m @ t)[r:s])
+# for randomized (fn, r, s, o, t) against an exact sequential Python
+# replay of the documented grid semantics — the same method that caught
+# the over_time window-detachment bug (commit 7ce8225).
+# ---------------------------------------------------------------------------
+
+_Q15 = 900_000  # fixture sample spacing: 15m
+_SQ_FNS = {
+    "avg_over_time": lambda vs: sum(vs) / len(vs),
+    "sum_over_time": lambda vs: sum(vs),
+    "max_over_time": lambda vs: max(vs),
+    "min_over_time": lambda vs: min(vs),
+    "count_over_time": lambda vs: float(len(vs)),
+    "last_over_time": lambda vs: vs[-1],
+}
+
+
+def _val15(ts: int) -> float:
+    """Deterministic fixture value at a 15m sample instant."""
+    return float((ts // _Q15) * 37 % 101 + 1)
+
+
+def _sq_fixture_source(spark):
+    """One dense series 'm' every 15m over [T0-12h, T0+4h)."""
+    rows = [
+        ({"name": "m"}, ts, _val15(ts))
+        for ts in range(T0 - 12 * H, T0 + 4 * H, _Q15)
+    ]
+    from tests.yaml_harness import _FIXTURE_SCHEMA, FixtureSource
+
+    df = spark.createDataFrame(
+        [(l, t, v, 0) for l, t, v in rows], _FIXTURE_SCHEMA
+    )
+    return FixtureSource(spark, [df])
+
+
+def _sq_run(spark, query):
+    from time_series_db_spark.lang.prom.builder import execute
+
+    sf = execute(query, _sq_fixture_source(spark), T0, T0 + 4 * H, H)
+    out = {}
+    for r in sf.df.collect():
+        if T0 <= r["ts"] < T0 + 4 * H:
+            out[r["ts"]] = r["value"]
+    return out
+
+
+def _v_s(t: int, s: int) -> float:
+    """Inner-grid value at instant t, step s: the fixture grid is LWW
+    (latest raw sample in [t, t+s) wins), and samples are dense at 15m."""
+    return _val15(t + s - _Q15)
+
+
+@settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(sorted(_SQ_FNS)),
+    s=st.sampled_from([900_000, 1_800_000, 3_600_000]),
+    r_mult=st.integers(min_value=1, max_value=6),
+    o_mult=st.integers(min_value=0, max_value=3),
+)
+def test_subquery_offset_matches_replay(spark, fn, s, r_mult, o_mult):
+    """fn(m[r:s] offset o): the outer window at instant T must cover the
+    inner-grid instants (T-r, T] of the OFFSET-SHIFTED subquery frame —
+    4 query instants × 50 random (fn, r, s, o) draws, exact replay."""
+    r, o = r_mult * s, o_mult * s
+    got = _sq_run(spark, f"{fn}(m[{r // 1000}s:{s // 1000}s] offset {o // 1000}s)")
+    assert sorted(got) == [T0 + i * H for i in range(4)]
+    for T, v in got.items():
+        vals = [
+            _v_s(tt - o, s) for tt in range(T - r + s, T + s, s)
+        ]
+        assert v == pytest.approx(_SQ_FNS[fn](vals), rel=1e-9), (
+            fn, r, s, o, T,
+        )
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fn=st.sampled_from(sorted(_SQ_FNS)),
+    s=st.sampled_from([900_000, 1_800_000, 3_600_000]),
+    r_mult=st.integers(min_value=1, max_value=6),
+    te_q15=st.integers(min_value=0, max_value=15),
+)
+def test_at_inside_subquery_matches_replay(spark, fn, s, r_mult, te_q15):
+    """fn((m @ t)[r:s]): the pinned inner expression is a constant line
+    on the subquery grid, so every window holds exactly r/s copies of
+    the value at the last inner-grid instant ≤ t — count/sum must see
+    the window width, the rest the pinned value."""
+    r = r_mult * s
+    te = T0 + te_q15 * _Q15  # within [T0, T0+4h), not always on the s grid
+    got = _sq_run(spark, f"{fn}((m @ {te // 1000})[{r // 1000}s:{s // 1000}s])")
+    assert sorted(got) == [T0 + i * H for i in range(4)]
+    pinned = _v_s((te // s) * s, s)
+    k = r // s
+    expect = {
+        "count_over_time": float(k),
+        "sum_over_time": pinned * k,
+    }.get(fn, pinned)
+    for T, v in got.items():
+        assert v == pytest.approx(expect, rel=1e-9), (fn, r, s, te, T)

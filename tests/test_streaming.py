@@ -1415,7 +1415,9 @@ def test_prom_rules_endpoint(spark, tmp_path):
         apply_rule_frame(samples, rule), spec
     ).write.partitionBy("block").parquet(alerts_path)
 
-    out = service.prom_rules(spark, [rule], [spec], alerts_path)
+    out = service.prom_rules(
+        spark, [rule], [spec], alerts_path, now_ms=T0 + 2 * M5
+    )
     rules = out["data"]["groups"][0]["rules"]
     assert [r["type"] for r in rules] == ["recording", "alerting"]
     assert rules[0]["name"] == "region:error:sum"
@@ -1425,8 +1427,20 @@ def test_prom_rules_endpoint(spark, tmp_path):
     assert states == {"east": "firing", "west": "pending"}
     assert al["labels"] == {"severity": "page"}
 
+    # staleness horizon: an alert whose LAST row is older than
+    # staleness_windows × resolution stopped emitting — Prometheus
+    # ALERTS semantics say absent = resolved, so it must NOT report
+    # active forever off a stale last row
+    stale = service.prom_rules(
+        spark, [rule], [spec], alerts_path, now_ms=T0 + 10 * M5
+    )
+    assert stale["data"]["groups"][0]["rules"][1]["state"] == "inactive"
+    assert stale["data"]["groups"][0]["rules"][1]["alerts"] == []
+
     # no alerts store → inactive
-    empty = service.prom_rules(spark, [rule], [spec], str(tmp_path / "none"))
+    empty = service.prom_rules(
+        spark, [rule], [spec], str(tmp_path / "none"), now_ms=T0 + 2 * M5
+    )
     assert empty["data"]["groups"][0]["rules"][1]["state"] == "inactive"
 
 
@@ -1638,3 +1652,24 @@ def test_cascade_rollup_tiers(spark, tmp_path):
 
     with pytest.raises(ValueError, match="resolution_ms"):
         cascade_rollup(spark, fine, coarse, resolution_ms=0)
+
+    # unaligned incremental ranges are rejected: splitting one coarse
+    # window across two runs would append PARTIAL rows with different
+    # totals that read_rollup's ANY_WINS merge silently drops
+    with pytest.raises(ValueError, match="not aligned"):
+        cascade_rollup(
+            spark, fine, coarse, resolution_ms=3 * M5, min_ts=T0 + M5
+        )
+    with pytest.raises(ValueError, match="not aligned"):
+        cascade_rollup(
+            spark, fine, coarse, resolution_ms=3 * M5, max_ts=T0 + 4 * M5
+        )
+    # aligned bounds pass validation (whole-window range re-appends
+    # identical totals — exactly the replay case ANY_WINS handles)
+    cascade_rollup(
+        spark, fine, coarse, resolution_ms=3 * M5,
+        min_ts=T0, max_ts=T0 + 3 * M5,
+    )
+    got2 = read_rollup(spark, coarse, agg="sum")
+    vals2 = {(r["series_key"], r["ts"]): r["value"] for r in got2.collect()}
+    assert vals2[("host:a,name:cpu", T0)] == 9.0

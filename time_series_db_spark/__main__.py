@@ -109,8 +109,14 @@ def main(argv: list[str] | None = None) -> int:
             out = {"status": "success", "out": args.out, "rows": n}
         elif args.evaluate_alert is not None:
             from time_series_db_spark.streaming import evaluate_alert_frame
+            from time_series_db_spark.streaming.rules import (
+                dedup_rule_history,
+            )
 
-            recorded = spark.read.parquet(args.store)
+            # ANY_WINS dedup first: a re-run backfill (mode=append) or a
+            # replayed streaming epoch can leave duplicate (series, ts)
+            # rows, which would corrupt the island run-length arithmetic
+            recorded = dedup_rule_history(spark.read.parquet(args.store))
             rows = evaluate_alert_frame(recorded, _spec(args.evaluate_alert))
             out = {
                 "status": "success",

@@ -760,7 +760,7 @@ _SHARD_SQL = (
                - n_tokens AS start_offset
       FROM base)
     SELECT doc_id, shard, (start_offset // 512)::BIGINT AS pack_id,
-           start_offset, n_tokens
+           start_offset::BIGINT AS start_offset, n_tokens
     FROM packed""",
 )
 def pack_sequences(spark, sf_dir):
@@ -856,7 +856,7 @@ def sessionize_events(spark, sf_dir):
                - n_tokens AS start_offset
       FROM base)
     SELECT doc_id, shard, (start_offset // 256)::BIGINT AS pack_id,
-           start_offset, n_tokens
+           start_offset::BIGINT AS start_offset, n_tokens
     FROM packed""",
 )
 def pipeline_curate(spark, sf_dir):
@@ -1005,7 +1005,7 @@ _MH_FULL = _sql_minhash_sig_cte().replace("FROM documents", "FROM fdocs")
                - n_tokens AS start_offset
       FROM base)
     SELECT doc_id, shard, (start_offset // 256)::BIGINT AS pack_id,
-           start_offset, n_tokens
+           start_offset::BIGINT AS start_offset, n_tokens
     FROM packed""",
 )
 def pipeline_curate_full(spark, sf_dir):
@@ -1072,11 +1072,36 @@ def dedup_exact_substring(spark, sf_dir):
     return dedup.exact_substring_dedup(_docs(spark, sf_dir))
 
 
-@register("text_compression_ratio")  # rows-only: DuckDB cannot deflate
-def text_compression_ratio(spark, sf_dir):
-    """zlib compression-ratio quality signal (Arrow-batched pandas UDF —
-    deflate has no Catalyst builtin; exact values pinned by unit test)."""
-    return text.compression_ratio(_docs(spark, sf_dir))
+@register(
+    "text_compressibility",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token
+      FROM documents),
+    counts AS (
+      SELECT doc_id, token, count(*)::DOUBLE AS c
+      FROM toks WHERE token <> '' GROUP BY doc_id, token),
+    agg AS (
+      SELECT doc_id, sum(c) AS n, count(*)::BIGINT AS n_distinct,
+             sum(c * log2(c)) AS clogc
+      FROM counts GROUP BY doc_id)
+    SELECT doc_id, n::BIGINT AS n_tokens, n_distinct,
+           {sql_quant('n_distinct / n')} AS distinct_ratio,
+           {sql_quant('log2(n) - clogc / n')} AS entropy
+    FROM agg""",
+)
+def text_compressibility(spark, sf_dir):
+    """Token-entropy compressibility proxy (order-0 source-coding bound;
+    the oracle-able stand-in for the zlib ratio, which stays a
+    non-catalog operator — pipeline/text.py:compression_ratio — behind
+    its in-process-zlib unit test, since DuckDB cannot deflate)."""
+    out = text.compressibility(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        quant(F.col("distinct_ratio")).alias("distinct_ratio"),
+        quant(F.col("entropy")).alias("entropy"),
+    )
 
 
 @register(
@@ -1176,16 +1201,41 @@ def embedding_project_jl(spark, sf_dir):
     )
 
 
-@register("embedding_pca")  # rows-only: eigh is not SQL-expressible
+@register(
+    "embedding_pca",
+    f"""WITH dv AS (
+      SELECT list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    pairs AS (
+      SELECT a.i::BIGINT AS i, b.i::BIGINT AS j
+      FROM range(64) a(i), range(64) b(i) WHERE b.i >= a.i),
+    stats AS (
+      SELECT p.i, p.j, count(*)::BIGINT AS n,
+             sum(v[p.i + 1]) AS sxi, sum(v[p.j + 1]) AS sxj,
+             sum(v[p.i + 1] * v[p.j + 1]) AS sxx
+      FROM pairs p CROSS JOIN dv
+      GROUP BY p.i, p.j)
+    SELECT i, j, n,
+           {sql_quant('sxi / n')} AS mean_i,
+           {sql_quant('sxj / n')} AS mean_j,
+           {sql_quant('sxx / n - (sxi / n) * (sxj / n)')} AS cov
+    FROM stats""",
+)
 def embedding_pca(spark, sf_dir):
-    """PCA 64→8 fit + projection over the corpus: distributed covariance
-    (one aggregation), driver-side d×d eigh, codegen projection.
-    Exactness vs numpy pinned by unit test (tests/test_pipeline.py);
-    the driver check is rows-only — the eigendecomposition has no
-    DuckDB twin."""
-    embs = _embs(spark, sf_dir)
-    model = ann.pca_fit(embs, d_in=64, d_out=8)
-    return ann.pca_transform(embs, model)
+    """The distributed half of PCA, driver-verified: the covariance/mean
+    accumulator over the upper triangle — ONE corpus aggregation, the
+    exact input pca_fit eigendecomposes (pipeline/ann.py:pca_cov_frame).
+    The d×d driver-side eigh and the codegen projection have no SQL twin
+    and stay pinned by the numpy unit test (tests/test_pipeline.py)."""
+    out = ann.pca_cov_frame(_embs(spark, sf_dir), d_in=64)
+    return out.select(
+        "i",
+        "j",
+        "n",
+        quant(F.col("mean_i")).alias("mean_i"),
+        quant(F.col("mean_j")).alias("mean_j"),
+        quant(F.col("cov")).alias("cov"),
+    )
 
 
 @register(

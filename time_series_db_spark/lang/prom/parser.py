@@ -221,15 +221,25 @@ class _Parser:
             return self._postfix_subquery(node)
         if k == "NUMBER":
             return NumberLiteralNode(value=float(self.next()[1]))
-        if (k, v) == ("ARITH", "-") and self.peek(1)[0] == "NUMBER":
+        if (
+            (k, v) == ("ARITH", "-")
+            and self.peek(1)[0] == "NUMBER"
+            and self.peek(2) != ("ARITH", "^")
+        ):
+            # fold `-NUMBER` to a literal (function args expect
+            # NumberLiteralNode) — EXCEPT before `^`: upstream unary
+            # minus binds looser than `^`, so `-1 ^ 2` is `-(1^2)` = -1
+            # and must go through the general unary path below
             self.next()
             return NumberLiteralNode(value=-float(self.next()[1]))
         if (k, v) in (("ARITH", "-"), ("ARITH", "+")):
-            # unary +/- on a vector expression — Prometheus desugars
-            # `-expr` to `0 - expr` (operand at unary precedence: the
-            # immediate atom, so `-a * b` is `(0-a) * b` as upstream)
+            # unary +/- — Prometheus desugars `-expr` to `0 - expr`,
+            # with the operand at unary precedence: tighter than every
+            # binary op EXCEPT `^` (promql/parser/generated_parser.y:
+            # `%right POW`, unary declared below it), so `-a * b` is
+            # `(0-a) * b` but `-a ^ b` is `0 - (a ^ b)`
             self.next()
-            operand = self.atom()
+            operand = self.expression(_PRECEDENCE["^"])
             if v == "+":
                 return operand
             zero = NumberLiteralNode(value=0.0)

@@ -531,6 +531,71 @@ def project_jl(
     return df.select(F.col(id_col), *cols)
 
 
+def pca_cov_frame(
+    df: DataFrame,
+    d_in: int = 64,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The DISTRIBUTED half of PCA as a verifiable DataFrame: the
+    population covariance accumulator ``(i, j, n, mean_i, mean_j, cov)``
+    over the upper triangle (0-based ``i <= j``), computed as ONE
+    aggregation over the corpus (sums of x and x·xᵀ, partial-combined
+    map-side — the embeddings never leave the executors; the d(d+1)/2
+    pair explosion happens on the single post-aggregation row).
+
+    This is exactly the input :func:`pca_fit` eigendecomposes, split out
+    so the scale-critical aggregation has a SQL differential oracle —
+    the driver-side eigh is a d×d numpy call pinned by unit test.
+    """
+    v = _as_double(F.col(vec_col))
+    upper = [(i, j) for i in range(d_in) for j in range(i, d_in)]
+    agg = df.select(v.alias("__v")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array(
+            *[F.sum(F.element_at("__v", i + 1)) for i in range(d_in)]
+        ).alias("sx"),
+        F.array(
+            *[
+                F.sum(
+                    F.element_at("__v", i + 1) * F.element_at("__v", j + 1)
+                )
+                for i, j in upper
+            ]
+        ).alias("sxx"),
+    )
+    # posexplode the flat sxx array and map position → (i, j) via two
+    # small literal lookup arrays. (A single array-of-2080-structs
+    # projection re-inlining sx/sxx per entry creates a ~50k-node
+    # expression tree that OOMs janino codegen; this keeps the
+    # post-aggregation projection a handful of nodes.)
+    i_lut = F.array(*[F.lit(i) for i, _ in upper])
+    j_lut = F.array(*[F.lit(j) for _, j in upper])
+    n = F.col("n").cast("double")
+    flat = agg.select(
+        F.col("n").cast("long").alias("n"),
+        "sx",
+        i_lut.alias("__i_lut"),
+        j_lut.alias("__j_lut"),
+        F.posexplode("sxx").alias("k", "sxx"),
+    ).select(
+        F.element_at("__i_lut", F.col("k") + 1).cast("long").alias("i"),
+        F.element_at("__j_lut", F.col("k") + 1).cast("long").alias("j"),
+        "n",
+        "sx",
+        "sxx",
+    )
+    mean_i = F.element_at("sx", F.col("i").cast("int") + 1) / n
+    mean_j = F.element_at("sx", F.col("j").cast("int") + 1) / n
+    return flat.select(
+        "i",
+        "j",
+        "n",
+        mean_i.alias("mean_i"),
+        mean_j.alias("mean_j"),
+        (F.col("sxx") / n - mean_i * mean_j).alias("cov"),
+    )
+
+
 def pca_fit(
     df: DataFrame,
     d_in: int = 64,
@@ -552,33 +617,18 @@ def pca_fit(
     """
     import numpy as np
 
-    v = _as_double(F.col(vec_col))
-    # Σx and Σ x_i·x_j in one aggregation: flatten the outer product's
-    # upper triangle into an array expression
-    upper = [(i, j) for i in range(d_in) for j in range(i, d_in)]
-    agg = df.select(v.alias("__v")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.array(
-            *[F.sum(F.element_at("__v", i + 1)) for i in range(d_in)]
-        ).alias("sx"),
-        F.array(
-            *[
-                F.sum(
-                    F.element_at("__v", i + 1) * F.element_at("__v", j + 1)
-                )
-                for i, j in upper
-            ]
-        ).alias("sxx"),
-    ).first()
-    n = agg["n"]
+    rows = pca_cov_frame(df, d_in=d_in, vec_col=vec_col).collect()
+    n = rows[0]["n"] if rows else 0
     if not n or n < 2:
         raise ValueError(f"pca_fit needs >= 2 vectors, got {n}")
-    mean = np.array(agg["sx"]) / n
+    mean = np.zeros(d_in)
     cov = np.zeros((d_in, d_in))
-    for (i, j), s in zip(upper, agg["sxx"]):
-        c = s / n - mean[i] * mean[j]
-        cov[i, j] = c
-        cov[j, i] = c
+    for r in rows:
+        i, j = r["i"], r["j"]
+        if i == j:
+            mean[i] = r["mean_i"]
+        cov[i, j] = r["cov"]
+        cov[j, i] = r["cov"]
     evals, evecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(evals)[::-1][:d_out]
     comps = []

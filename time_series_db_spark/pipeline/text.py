@@ -322,6 +322,49 @@ def compression_ratio(
     )
 
 
+def compressibility(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document compressibility PROXY from token statistics — the
+    oracle-able twin of :func:`compression_ratio` (whose zlib deflate has
+    no SQL equivalent, so it stays a non-catalog operator behind its unit
+    test). Shannon's source-coding bound says an order-0 coder cannot
+    beat ``entropy`` bits/token, so per-token unigram entropy tracks the
+    same redundancy signal deflate exploits: boilerplate/repetitive
+    machine text scores low, diverse prose high.
+
+    Returns ``(doc_id, n_tokens, n_distinct, distinct_ratio, entropy)``
+    for every document with at least one non-empty normalized token
+    (docs whose normalized text is empty produce no token rows on either
+    engine and are excluded by construction).
+
+    Scale shape: explode → two hash aggregations, both partial-combined
+    map-side; keyed by (doc, token) then doc, so partitions stay bounded
+    by document size, never corpus size — no window, no join, no UDF.
+    """
+    tok = textprep.tokens(F.col(text_col))
+    counts = (
+        df.select(F.col(id_col), F.explode(tok).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    n = F.sum("c")
+    agg = counts.groupBy(id_col).agg(
+        n.cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (F.count(F.lit(1)) / n).alias("distinct_ratio"),
+        (F.log2(n) - F.sum(F.col("c") * F.log2("c")) / n).alias("entropy"),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        F.col("distinct_ratio").alias("distinct_ratio"),
+        F.col("entropy").alias("entropy"),
+    )
+
+
 def vocab_count(
     df: DataFrame,
     text_col: str = "text",
@@ -365,12 +408,21 @@ def vocab_count(
     return toks
 
 
+#: above this vocab size the bigram count table stops being broadcast:
+#: its row bound is min(corpus bigrams, (V+2)²), so V=2048 already allows
+#: ~4.2M rows (~hundreds of MB serialized) — past that a single knob turn
+#: would silently ship a multi-GB table to every executor and the driver.
+#: The unigram/context tables stay broadcast at any V (O(V) rows).
+MAX_BROADCAST_VOCAB = 2048
+
+
 def lm_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     vocab_size: int = 200,
     lam: float = 0.9,
+    broadcast_bigrams: bool | None = None,
 ) -> DataFrame:
     """Per-document perplexity under a corpus-trained bigram language
     model — the CCNet-style LM quality signal (Wenzek et al. 2019,
@@ -401,6 +453,14 @@ def lm_perplexity(
     ships its KenLM model to every worker. The only corpus-sized
     shuffles are the per-document lag window and the final per-document
     aggregate, both partitioned by document id.
+
+    The bigram table's bound is QUADRATIC in the vocabulary
+    ((V+2)² worst case), so its broadcast is guarded: above
+    ``MAX_BROADCAST_VOCAB`` (or with ``broadcast_bigrams=False``) the
+    scoring join shuffles on (v, w) instead — an equi-join both sides
+    hash-partition cleanly on — rather than letting one knob turn
+    silently produce a multi-GB broadcast. The O(V) unigram/context
+    tables broadcast at any size.
     """
     from pyspark.sql import Window
 
@@ -444,8 +504,11 @@ def lm_perplexity(
         (F.lit(l1) * (F.col("c_vw") / F.col("c_v")))
         + (F.lit(l2) * (F.col("c_w") / F.col("t_n")))
     )
+    if broadcast_bigrams is None:
+        broadcast_bigrams = int(vocab_size) <= MAX_BROADCAST_VOCAB
+    bi_side = F.broadcast(bi) if broadcast_bigrams else bi
     scored = (
-        big.join(F.broadcast(bi), ["v", "w"])
+        big.join(bi_side, ["v", "w"])
         .join(F.broadcast(ctx), "v")
         .join(F.broadcast(uni), "w")
         .crossJoin(F.broadcast(tot))
@@ -464,6 +527,7 @@ def ppl_buckets(
     vocab_size: int = 200,
     lam: float = 0.9,
     score_round=None,
+    broadcast_bigrams: bool | None = None,
 ) -> DataFrame:
     """CCNet's head/middle/tail corpus split (arXiv:1911.00359 §4.3):
     per-language perplexity tertiles — the "head" (lowest-perplexity
@@ -484,7 +548,10 @@ def ppl_buckets(
     would be one); the corpus-sized work is the lm_perplexity pass plus
     one broadcast join.
     """
-    score = lm_perplexity(df, id_col, text_col, vocab_size, lam)
+    score = lm_perplexity(
+        df, id_col, text_col, vocab_size, lam,
+        broadcast_bigrams=broadcast_bigrams,
+    )
     langs = lang_id(df, id_col, text_col)
     j = score.join(langs.select(id_col, "pred_lang"), id_col)
     ppl = F.col("perplexity")

@@ -427,21 +427,32 @@ def prom_rules(
     alerts_path: str | None = None,
     *,
     now_ms: int | None = None,
+    staleness_windows: int = 2,
 ) -> dict[str, Any]:
     """Prometheus ``GET /api/v1/rules`` — one group listing the
     configured recording and alerting rules, with each alert's ACTIVE
     state read from the alerts store: the latest recorded ALERTS row per
-    alert series (pending/firing + its labels and window timestamp).
-    An alert with no active series reports ``state: "inactive"``.
+    alert series (pending/firing + its labels and window timestamp),
+    restricted to a staleness horizon of ``staleness_windows`` rule
+    resolutions before ``now_ms``. Prometheus ALERTS semantics are
+    "value 1 while active, absent otherwise" — an alert whose last row
+    is older than the horizon has stopped emitting, i.e. RESOLVED, and
+    must report inactive, not pending/firing forever. An alert with no
+    in-horizon series reports ``state: "inactive"``.
 
     Driver-side data is bounded by the number of ACTIVE alert series
-    (a max_by aggregation per series runs cluster-side), matching the
-    Prometheus endpoint's own payload shape.
+    (the horizon filter prunes the scan BEFORE the max_by aggregation,
+    which runs cluster-side), matching the Prometheus endpoint's own
+    payload shape.
     """
+    import time as _time
+
     from pyspark.sql import functions as F
 
     from time_series_db_spark.streaming.rules import compile_alert, compile_rule
 
+    if now_ms is None:
+        now_ms = int(_time.time() * 1000)
     groups: list[dict] = []
     recording = [
         {
@@ -452,6 +463,16 @@ def prom_rules(
         }
         for r in (compile_rule(s) for s in rule_specs)
     ]
+    compiled_alerts = [compile_alert(s) for s in alert_specs]
+    # per-alert staleness horizon: k evaluation windows of its OWN rule
+    # resolution (window ts is the window START, so one closed window
+    # plus one evaluation delay is the natural "still being emitted"
+    # bound); the scan-side filter uses the loosest horizon, the exact
+    # per-alert cutoff is applied to the collected (active-sized) rows
+    horizon = {
+        a["alert"]: int(staleness_windows) * a["rule"]["resolution_ms"]
+        for a in compiled_alerts
+    }
     active_by_alert: dict[str, list[dict]] = {}
     if alerts_path is not None and alert_specs:
         import os
@@ -468,6 +489,7 @@ def prom_rules(
             )
             latest = (
                 spark.read.parquet(alerts_path)
+                .filter(F.col("ts") >= F.lit(now_ms - max(horizon.values())))
                 .withColumn("__ident", ident)
                 .groupBy("__ident")
                 .agg(
@@ -478,7 +500,10 @@ def prom_rules(
             )
             for r in latest:
                 labels = dict(r["labels"])
-                active_by_alert.setdefault(labels.get("alertname"), []).append(
+                name = labels.get("alertname")
+                if r["ts"] < now_ms - horizon.get(name, 0):
+                    continue  # stale — stopped emitting, i.e. resolved
+                active_by_alert.setdefault(name, []).append(
                     {
                         "labels": labels,
                         "state": labels.get("alertstate"),
@@ -487,7 +512,7 @@ def prom_rules(
                     }
                 )
     alerting = []
-    for spec in (compile_alert(s) for s in alert_specs):
+    for spec in compiled_alerts:
         alerts = active_by_alert.get(spec["alert"], [])
         state = "inactive"
         if any(a["state"] == "firing" for a in alerts):

@@ -191,9 +191,29 @@ def cascade_rollup(
     window) first — combining duplicates into the coarse window would
     double-count sums. Appends block-partitioned rows in the same
     physical schema as :func:`start_downsample`; returns rows written.
+
+    Incremental ranges MUST be resolution-aligned: ``min_ts`` /
+    ``max_ts`` are rejected unless they are multiples of
+    ``resolution_ms``. An unaligned range would split a coarse window
+    across two runs, appending two PARTIAL rows with different totals
+    for the same (series, window) — and :func:`read_rollup`'s ANY_WINS
+    merge (correct for the identical-totals replay case) would silently
+    drop one instead of combining. Aligned, non-overlapping ranges make
+    every append either a whole window or a replay of identical totals,
+    which is exactly the invariant ANY_WINS assumes.
     """
     if resolution_ms <= 0:
         raise ValueError(f"resolution_ms must be positive, got {resolution_ms}")
+    for nm, bound in (("min_ts", min_ts), ("max_ts", max_ts)):
+        if bound is not None and bound % resolution_ms != 0:
+            raise ValueError(
+                f"cascade_rollup {nm}={bound} is not aligned to "
+                f"resolution_ms={resolution_ms}: an unaligned range would "
+                f"split a coarse window into partial rows that ANY_WINS "
+                f"dedup cannot merge (use "
+                f"{bound - bound % resolution_ms} or "
+                f"{bound - bound % resolution_ms + resolution_ms})"
+            )
     fine = spark.read.parquet(fine_path)
     if min_ts is not None:
         fine = fine.filter(

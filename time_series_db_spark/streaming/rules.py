@@ -305,6 +305,27 @@ def compile_alert(spec: dict) -> dict:
     }
 
 
+def dedup_rule_history(df: DataFrame) -> DataFrame:
+    """Collapse a rule table to ONE row per (series_key, ts) —
+    read_metrics' ANY_WINS merge (reference SampleMerger ANY policy,
+    query/utils/SampleMerger.java via DedupIterator), applied before
+    alert evaluation. foreachBatch delivery is at-least-once, so a
+    replayed epoch (or a re-run backfill, mode=append) can double-append
+    identical windows; duplicate ts rows would split the row_number
+    islands in :func:`evaluate_alert_frame` and corrupt run lengths.
+    The groupBy is keyed by the same (series_key) the downstream windows
+    partition by, so on a bucketed store it inherits the clustering."""
+    return (
+        df.groupBy("series_key", "ts")
+        .agg(
+            F.first("value").alias("value"),
+            F.first("block").alias("block"),
+        )
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .select(*METRICS_COLS)
+    )
+
+
 def evaluate_alert_frame(
     recorded: DataFrame, spec: dict, keep_source_key: bool = False
 ) -> DataFrame:
@@ -358,8 +379,21 @@ def evaluate_alert_frame(
             *[F.lit(a["labels"][k]) for k in sorted(a["labels"])],
         ),
     )
+    # drop every key the alert side will write (alert labels WIN, the
+    # Prometheus override rule) — with spark.sql.mapKeyDedupPolicy's
+    # default EXCEPTION, a surviving collision (e.g. a static label
+    # matching a group_by label, or a source series that itself carries
+    # alertname/alertstate) would throw at runtime instead of overriding
+    reserved = F.array(
+        F.lit("name"),
+        F.lit("alertname"),
+        F.lit("alertstate"),
+        *[F.lit(k) for k in sorted(a["labels"])],
+    )
     out_labels = F.map_concat(
-        F.map_filter(F.col("labels"), lambda k, _v: k != "name"),
+        F.map_filter(
+            F.col("labels"), lambda k, _v: ~F.array_contains(reserved, k)
+        ),
         alert_labels,
     )
     extra = (
@@ -393,8 +427,11 @@ def start_alert_rule(
     micro-batch to the rule table then evaluates alert state for the
     AFFECTED series only (a semi-join on the batch's series keys) over
     the rule table's history, appending alert rows ONLY for the batch's
-    new windows — each (series, window) alert row is written exactly
-    once, with the run-length state known as of that window. A past
+    new windows — each (series, window) alert row is written effectively
+    once (a per-epoch commit marker skips replayed micro-batches, and
+    the history read runs the ANY_WINS (series_key, ts) dedup so even a
+    crash between data-append and marker leaves run lengths correct),
+    with the run-length state known as of that window. A past
     ``pending`` row stays pending when the alert later fires, which is
     the Prometheus ALERTS-series contract (state at time t, not
     retroactive).
@@ -434,7 +471,28 @@ def start_alert_rule(
         .select(*METRICS_COLS)
     )
 
+    epochs_path = os.path.join(rule_path, "_epoch_commits")
+
+    def _epoch_committed(eid: int) -> bool:
+        try:
+            return (
+                spark.read.parquet(epochs_path)
+                .filter(F.col("epoch") == F.lit(int(eid)))
+                .limit(1)
+                .count()
+                > 0
+            )
+        except Exception:  # no commits yet — first epoch
+            return False
+
     def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        # foreachBatch is at-least-once: after a restart the last epoch
+        # replays with the SAME epoch_id. Skip epochs whose marker row
+        # landed (fully committed); a crash BETWEEN the data append and
+        # the marker write still replays, which is why every read path
+        # also runs the ANY_WINS (series_key, ts) dedup.
+        if _epoch_committed(epoch_id):
+            return
         batch_df = batch_df.persist()
         try:
             if batch_df.isEmpty():
@@ -443,8 +501,10 @@ def start_alert_rule(
                 rule_path
             )
             touched = batch_df.select("series_key").distinct()
-            history = spark.read.parquet(rule_path).join(
-                F.broadcast(touched), "series_key", "left_semi"
+            history = dedup_rule_history(
+                spark.read.parquet(rule_path).join(
+                    F.broadcast(touched), "series_key", "left_semi"
+                )
             )
             alerts = evaluate_alert_frame(history, spec, keep_source_key=True)
             new_windows = batch_df.select(
@@ -459,6 +519,9 @@ def start_alert_rule(
             fresh.write.mode("append").partitionBy("block").parquet(
                 alerts_path
             )
+            spark.createDataFrame(
+                [(int(epoch_id),)], "epoch long"
+            ).write.mode("append").parquet(epochs_path)
         finally:
             batch_df.unpersist()
 
