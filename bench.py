@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "dedup_semantic",          # SemDeDup k-means + within-cell prune (r5)
     "dedup_exact_substring",   # chunk-level Lee-et-al dedup (r5)
     "text_compressibility",    # token-entropy compressibility proxy (r6)
+    "search_bm25",             # BM25 top-k lexical retrieval (r6)
+    "sample_importance_dsir",  # DSIR importance weights (r6)
     "text_gopher_quality",     # Gopher curation rules (r5)
     "text_lm_perplexity",      # corpus-trained bigram LM scoring (r5)
     "pack_sequences",          # training-batch construction (r5)

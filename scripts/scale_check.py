@@ -37,6 +37,8 @@ QUERIES = [
     "text_quality",
     "text_lm_perplexity",      # broadcast-LM scoring join
     "text_ppl_buckets",        # per-language threshold broadcast-back
+    "search_bm25",             # postings filter + broadcast stats (r6)
+    "sample_importance_dsir",  # hashed-model broadcast scoring (r6)
     "tpch_q1_pricing",
 ]
 

@@ -510,3 +510,42 @@ def test_ppl_buckets_no_global_sort(spark, sf_dir):
     assert not re.search(r"(?<![a-z])ntile\(", plan.lower())
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_prunes_postings_and_partial_topk(spark, sf_dir):
+    """BM25: postings filtered to the query terms BEFORE any exchange
+    (the corpus never shuffles unmatched tokens), document frequencies
+    and corpus stats broadcast, and the k-cut a WindowGroupLimit partial
+    top-k — no Python, no cartesian beyond the 1-row stats broadcast."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["search_bm25"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # limit-before-rank top-k
+    assert "BroadcastHashJoin" in plan        # dfreq join
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_model_tables_broadcast(spark, sf_dir):
+    """DSIR: the hashed-feature log-ratio table is fixed-size metadata
+    and must broadcast to the corpus-sized scoring join — a shuffle join
+    here would re-partition the whole token stream by bucket."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["sample_importance_dsir"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_sample_temperature_partial_topn(spark, sf_dir):
+    """Temperature mixture inherits sample_mixture's WindowGroupLimit
+    shape: a giant stratum ships max_quota × partitions rows to the
+    rank sort, never its full size."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["sample_lang_temperature"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan

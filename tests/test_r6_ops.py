@@ -1,0 +1,178 @@
+"""Unit tests for the round-6 retrieval / importance operators
+(pipeline/retrieval.py): BM25 hand-check, DSIR weight signs,
+temperature-mixture quota arithmetic."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# ---------------------------------------------------------------------------
+# BM25
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_hand_computation(spark):
+    from time_series_db_spark.pipeline.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark join join window", "en"),
+        (2, "spark table scan scan scan scan", "en"),
+        (3, "sort merge batch", "en"),
+    ]
+    got = {
+        r["doc_id"]: (r["score"], r["rank"])
+        for r in bm25_topk(_docs(spark, rows), "join spark", k=3).collect()
+    }
+
+    # replay: N=3, avgdl=(4+6+3)/3; df(join)=1, df(spark)=2
+    k1, b = 1.2, 0.75
+    n, avgdl = 3.0, 13.0 / 3.0
+
+    def idf(dfreq):
+        return math.log(1.0 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def part(tf, dl):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp1 = idf(1) * part(2, 4) + idf(2) * part(1, 4)
+    exp2 = idf(2) * part(1, 6)
+    assert got[1][0] == pytest.approx(exp1, rel=1e-12)
+    assert got[2][0] == pytest.approx(exp2, rel=1e-12)
+    assert 3 not in got  # no query term → no posting → no row
+    assert got[1][1] == 1 and got[2][1] == 2  # ranked by score desc
+
+    with pytest.raises(ValueError, match="no terms"):
+        bm25_topk(_docs(spark, rows), "   ")
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(_docs(spark, rows), "spark", k=0)
+
+
+def test_bm25_rank_cut_and_tiebreak(spark):
+    from time_series_db_spark.pipeline.retrieval import bm25_topk
+
+    # identical docs → identical scores → doc_id tie-break, k-cut exact
+    rows = [(i, "alpha beta", "en") for i in range(1, 6)]
+    got = bm25_topk(_docs(spark, rows), "alpha", k=3).collect()
+    assert [(r["doc_id"], r["rank"]) for r in sorted(got, key=lambda r: r["rank"])] == [
+        (1, 1), (2, 2), (3, 3)
+    ]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_weights_separate_target_from_raw(spark):
+    from time_series_db_spark.pipeline.retrieval import dsir_log_weights
+
+    # target (en) docs speak 'aaa', the rest speak 'bbb': an 'aaa' doc
+    # must score positive (target-like), a 'bbb' doc negative
+    rows = (
+        [(i, "aaa aaa aaa", "en") for i in range(4)]
+        + [(10 + i, "bbb bbb bbb", "fr") for i in range(4)]
+    )
+    got = {
+        r["doc_id"]: r["weight"]
+        for r in dsir_log_weights(
+            _docs(spark, rows), F.col("lang") == "en", n_buckets=32
+        ).collect()
+    }
+    assert got[0] > 0 and got[10] < 0
+    # per-token additivity: 3 identical tokens → weight = 3 × one-token lr
+    assert got[0] == pytest.approx(3 * (got[0] / 3), rel=1e-12)
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_log_weights(_docs(spark, rows), F.col("lang") == "en", n_buckets=0)
+
+
+def test_dsir_weight_replay_exact(spark):
+    from time_series_db_spark.pipeline.retrieval import dsir_log_weights
+    from time_series_db_spark.pipeline.textprep import hash64
+
+    rows = [(1, "x y", "en"), (2, "x x", "fr"), (3, "y z z", "en")]
+    B = 16
+    buckets = {
+        r["token"]: r["b"]
+        for r in spark.createDataFrame(
+            [("x",), ("y",), ("z",)], "token string"
+        ).select("token", (hash64(F.col("token")) % B).alias("b")).collect()
+    }
+    # replay count tables: target = en docs {x,y}, {y,z,z}; raw = all
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    for tok, tgt in [("x", 1), ("y", 1), ("x", 0), ("x", 0), ("y", 1), ("z", 1), ("z", 1)]:
+        bkt = buckets[tok]
+        c_r[bkt] = c_r.get(bkt, 0) + 1
+        if tgt:
+            c_t[bkt] = c_t.get(bkt, 0) + 1
+    t_t, t_r = sum(c_t.values()), sum(c_r.values())
+
+    def lr(tok):
+        bkt = buckets[tok]
+        return math.log((c_t.get(bkt, 0) + 1) / (t_t + B)) - math.log(
+            (c_r.get(bkt, 0) + 1) / (t_r + B)
+        )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["weight"])
+        for r in dsir_log_weights(
+            _docs(spark, rows), F.col("lang") == "en", n_buckets=B
+        ).collect()
+    }
+    assert got[1] == (2, pytest.approx(lr("x") + lr("y"), rel=1e-12))
+    assert got[2] == (2, pytest.approx(2 * lr("x"), rel=1e-12))
+    assert got[3] == (3, pytest.approx(lr("y") + 2 * lr("z"), rel=1e-12))
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_sample_temperature_flattens_head(spark):
+    from time_series_db_spark.pipeline.retrieval import sample_temperature
+
+    # 90 'en' docs vs 10 'fr' docs; alpha=0.5 → fr share rises from 10%
+    # toward sqrt-proportional (~25%), en falls — and quotas sum exactly
+    rows = [(i, f"doc {i}", "en") for i in range(90)] + [
+        (100 + i, f"doc {i}", "fr") for i in range(10)
+    ]
+    got = sample_temperature(_docs(spark, rows), alpha=0.5, budget=40).collect()
+    by_lang: dict[str, int] = {}
+    for r in got:
+        by_lang[r["stratum"]] = by_lang.get(r["stratum"], 0) + 1
+    assert sum(by_lang.values()) == 40
+    assert by_lang["fr"] > 4  # raw share would give exactly 4
+    # exact largest-remainder check: w_en=sqrt(90), w_fr=sqrt(10)
+    w_en, w_fr = 90 ** 0.5, 10 ** 0.5
+    q_fr = 40 * w_fr / (w_en + w_fr)
+    assert by_lang["fr"] in (int(q_fr), int(q_fr) + 1)
+
+    with pytest.raises(ValueError, match="alpha"):
+        sample_temperature(_docs(spark, rows), alpha=1.5, budget=10)
+
+
+def test_sample_temperature_alpha_one_is_proportional(spark):
+    from time_series_db_spark.pipeline.pack import apportion
+    from time_series_db_spark.pipeline.retrieval import sample_temperature
+
+    rows = [(i, "t", "en") for i in range(30)] + [
+        (100 + i, "t", "de") for i in range(10)
+    ]
+    got = sample_temperature(_docs(spark, rows), alpha=1.0, budget=20).collect()
+    by_lang: dict[str, int] = {}
+    for r in got:
+        by_lang[r["stratum"]] = by_lang.get(r["stratum"], 0) + 1
+    assert by_lang == apportion({"en": 30.0, "de": 10.0}, 20) == {
+        "en": 15, "de": 5,
+    }

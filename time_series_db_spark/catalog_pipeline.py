@@ -1371,3 +1371,154 @@ def text_ppl_buckets(spark, sf_dir):
     return text.ppl_buckets(
         _docs(spark, sf_dir), vocab_size=200, lam=0.9, score_round=quant
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval / importance weighting (r6)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "spark", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "search_bm25",
+    f"""WITH base AS (
+      SELECT doc_id,
+             len(list_filter(string_split({_NORM}, ' '), t -> t <> ''))::DOUBLE
+               AS dl,
+             string_split({_NORM}, ' ') AS toks
+      FROM documents),
+    stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base),
+    hits AS (
+      SELECT doc_id, dl, unnest(toks) AS term FROM base),
+    matched AS (
+      SELECT doc_id, dl, term FROM hits
+      WHERE term IN {repr(_BM25_TERMS)}),
+    tf AS (
+      SELECT doc_id, term, count(*)::DOUBLE AS tf, first(dl) AS dl
+      FROM matched GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(*)::DOUBLE AS df_t FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             sum(ln(1.0 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * tf * {_BM25_K1 + 1.0!r}
+                 / (tf + {_BM25_K1!r}
+                    * ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl)))
+               AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN stats
+      GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
+      FROM scored)
+    SELECT doc_id, {sql_quant('score')} AS score, rank
+    FROM ranked WHERE rank <= 10""",
+)
+def search_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 keyword retrieval (pipeline/retrieval.py) —
+    postings filtered to the query's terms before any shuffle, ≤|query|
+    document frequencies + 1-row corpus stats broadcast, partial top-k
+    cut."""
+    from time_series_db_spark.pipeline import retrieval
+
+    out = retrieval.bm25_topk(
+        _docs(spark, sf_dir), " ".join(_BM25_TERMS), k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    return out.select(
+        "doc_id", quant(F.col("score")).alias("score"), "rank"
+    )
+
+
+_DSIR_B = 64
+
+
+@register(
+    "sample_importance_dsir",
+    f"""WITH toks AS (
+      SELECT doc_id, lang = 'en' AS is_t,
+             unnest(string_split({_NORM}, ' ')) AS token
+      FROM documents),
+    tt AS (
+      SELECT doc_id, is_t, token,
+             {sql_hash64('token')} % {_DSIR_B} AS bucket
+      FROM toks WHERE token <> ''),
+    counts AS (
+      SELECT bucket,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END)::DOUBLE AS c_t,
+             count(*)::DOUBLE AS c_r
+      FROM tt GROUP BY bucket),
+    tot AS (SELECT sum(c_t) AS t_t, sum(c_r) AS t_r FROM counts),
+    lr AS (
+      SELECT bucket,
+             ln((c_t + 1.0) / (t_t + {float(_DSIR_B)!r}))
+               - ln((c_r + 1.0) / (t_r + {float(_DSIR_B)!r})) AS lr
+      FROM counts CROSS JOIN tot)
+    SELECT doc_id, count(*)::BIGINT AS n_tokens,
+           {sql_quant('sum(lr)')} AS weight
+    FROM tt JOIN lr USING (bucket) GROUP BY doc_id""",
+)
+def sample_importance_dsir(spark, sf_dir):
+    """DSIR importance weights (arXiv:2302.03169) with lang='en' as the
+    target domain: hashed-unigram log-likelihood ratios from two
+    fixed-size (n_buckets-row) broadcast count tables — the importance
+    model never grows with the corpus."""
+    from time_series_db_spark.pipeline import retrieval
+
+    out = retrieval.dsir_log_weights(
+        _docs(spark, sf_dir), F.col("lang") == "en", n_buckets=_DSIR_B
+    )
+    return out.select(
+        "doc_id", "n_tokens", quant(F.col("weight")).alias("weight")
+    )
+
+
+_TEMP_ALPHA = 0.5
+_TEMP_BUDGET = 120
+
+
+@register(
+    "sample_lang_temperature",
+    f"""WITH counts AS (
+      SELECT lang AS stratum, count(*)::DOUBLE AS n FROM documents
+      GROUP BY 1),
+    wts AS (SELECT stratum, pow(n, {_TEMP_ALPHA!r}) AS w FROM counts),
+    tot AS (SELECT sum(w) AS tw FROM wts),
+    q AS (
+      SELECT stratum, {_TEMP_BUDGET} * w / tw AS quota
+      FROM wts CROSS JOIN tot),
+    base AS (
+      SELECT stratum, floor(quota)::BIGINT AS b, quota - floor(quota) AS rem
+      FROM q),
+    short AS (SELECT {_TEMP_BUDGET} - sum(b) AS s FROM base),
+    give AS (
+      SELECT stratum,
+             row_number() OVER (ORDER BY rem DESC, stratum) AS rr
+      FROM base),
+    quotas AS (
+      SELECT b.stratum,
+             b.b + CASE WHEN g.rr <= (SELECT s FROM short) THEN 1 ELSE 0 END
+               AS target_n
+      FROM base b JOIN give g USING (stratum)),
+    ranked AS (
+      SELECT doc_id, lang AS stratum,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id
+             )::BIGINT AS sample_rank
+      FROM documents)
+    SELECT r.doc_id, r.stratum, r.sample_rank, q.target_n
+    FROM ranked r JOIN quotas q USING (stratum)
+    WHERE r.sample_rank <= q.target_n""",
+)
+def sample_lang_temperature(spark, sf_dir):
+    """Temperature-balanced (n^alpha) multilingual mixture — the XLM-R /
+    mT5 up-sampling rule as exact largest-remainder quotas over the
+    corpus language counts, drawn in the deterministic md5(id) order
+    (WindowGroupLimit partial top-n; quotas broadcast)."""
+    from time_series_db_spark.pipeline import retrieval
+
+    return retrieval.sample_temperature(
+        _docs(spark, sf_dir), alpha=_TEMP_ALPHA, budget=_TEMP_BUDGET
+    )

@@ -1,0 +1,221 @@
+"""Text retrieval and importance-weighting operators over the corpus:
+BM25 top-k keyword search and DSIR-style importance weights.
+
+Both are pure Catalyst expression pipelines (no UDFs) shaped for a
+100 TB corpus: the per-document work is one explode plus partial-combined
+hash aggregations keyed by document, and everything model-sized (query
+terms, document frequencies, hashed-feature count tables) is broadcast —
+the corpus itself never shuffles except keyed by ``doc_id``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from time_series_db_spark.pipeline import textprep
+
+
+def _norm_terms(query: str) -> list[str]:
+    """Python mirror of textprep.normalize + whitespace tokenization for
+    the (driver-side, constant) query string: lowercase, trim, collapse
+    whitespace, distinct terms sorted for determinism."""
+    norm = re.sub(r"\s+", " ", query.lower().strip())
+    return sorted({t for t in norm.split(" ") if t})
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by Okapi BM25 — the lexical
+    retrieval baseline every hybrid (BM25 + embedding) search stack
+    keeps, and the retrieval leg of contamination / attribution audits
+    over a training corpus:
+
+        idf(t)   = ln(1 + (N − df_t + 0.5) / (df_t + 0.5))
+        score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    with ``tf`` the term count in the document, ``dl`` the document's
+    token count and ``avgdl``/``N`` corpus statistics. Ties break on
+    ``doc_id`` for determinism. Returns (id, score, rank), rank 1..k.
+
+    Scale shape: the exploded token stream is filtered to the query's
+    terms BEFORE any shuffle (the corpus pays one scan; only matching
+    postings move), term document-frequencies are a ≤|query|-row
+    broadcast, the corpus stats are a 1-row broadcast, and the final cut
+    is a TakeOrdered top-k — no global sort, no corpus-sized join side.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    terms = _norm_terms(query)
+    if not terms:
+        raise ValueError("query has no terms after normalization")
+    toks = textprep.tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(toks, lambda t: t != "")).cast("double").alias("dl"),
+        toks.alias("__toks"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    hits = (
+        base.select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
+        .where(F.col("term").isin(terms))
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"),
+        F.first("dl").alias("dl"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+    )
+    tf_part = (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), (idf * tf_part).alias("__s"))
+        .groupBy(id_col)
+        .agg(F.sum("__s").alias("score"))
+    )
+    # limit-before-rank: the TakeOrdered cut runs distributed (partial
+    # top-k per partition), and the rank window then orders ≤k rows —
+    # a bare global row_number window here would sort every scored doc
+    # on one partition
+    cut = scored.orderBy(F.desc("score"), F.col(id_col)).limit(int(k))
+    w = Window.orderBy(F.desc("score"), F.col(id_col))
+    return cut.select(
+        id_col, "score", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    target_pred,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling", arXiv:2302.03169):
+    score every raw document by how much more likely its hashed unigram
+    features are under the TARGET distribution than under the raw
+    corpus, then resample by weight. ``target_pred`` is a Column
+    predicate selecting the in-domain subset (e.g. ``col("lang") ==
+    "en"``).
+
+        f(tok)    = hash64(tok) mod n_buckets
+        p_X[b]    = (c_X[b] + 1) / (T_X + n_buckets)      (Laplace)
+        weight(d) = Σ_tok ( ln p_target[f(tok)] − ln p_raw[f(tok)] )
+
+    Returns (id, n_tokens, weight) for every document with ≥1 token;
+    positive weights mark target-like documents. The hash is the
+    portable md5-based :func:`textprep.hash64` so a SQL differential
+    oracle computes bit-identical bucket ids.
+
+    Scale shape: the two count tables are ``n_buckets`` rows each —
+    fixed-size metadata broadcast to the scoring join regardless of
+    corpus size (DSIR's own design point: the importance model is
+    hashed so it never grows with the data). The corpus-sized work is
+    one explode and one per-document aggregation; the target subset is
+    a filter on the same scan, not a second pass.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    toks = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__is_target"),
+            F.explode(textprep.tokens(F.col(text_col))).alias("token"),
+        )
+        .where(F.col("token") != "")
+        .withColumn(
+            "bucket", textprep.hash64(F.col("token")) % F.lit(int(n_buckets))
+        )
+    )
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
+        .cast("double")
+        .alias("c_t"),
+        F.count(F.lit(1)).cast("double").alias("c_r"),
+    )
+    totals = counts.agg(
+        F.sum("c_t").alias("t_t"), F.sum("c_r").alias("t_r")
+    )
+    nb = float(n_buckets)
+    log_ratio = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("c_t") + 1.0) / (F.col("t_t") + F.lit(nb)))
+                - F.log((F.col("c_r") + 1.0) / (F.col("t_r") + F.lit(nb)))
+            ).alias("lr"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("lr").alias("weight"),
+        )
+    )
+
+
+def sample_temperature(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget: int = 100,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-balanced mixture sample: per-stratum quotas
+    proportional to ``n_s^alpha`` (the multilingual up-sampling rule of
+    XLM-R / mT5, arXiv:1911.02116 §3.1 — ``alpha < 1`` flattens the
+    head so low-resource strata are over-represented relative to their
+    raw share), apportioned exactly with largest-remainder and drawn in
+    the fixed md5(id) order shared by every sampler here.
+
+    Output: (id, stratum, sample_rank, target_n) — a thin composition:
+    one metadata-sized count aggregate feeds :func:`pack.apportion`,
+    then :func:`pack.sample_mixture` does the WindowGroupLimit-shaped
+    draw, so the corpus pays one count scan plus one partial top-n.
+    """
+    from time_series_db_spark.pipeline import pack
+
+    if not 0 < alpha <= 1:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    counts = {
+        r["stratum"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    weights = {s: float(n) ** float(alpha) for s, n in counts.items()}
+    return pack.sample_mixture(
+        df, weights, budget, strata_col=strata_col, id_col=id_col
+    )
