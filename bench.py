@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_semantic",          # SemDeDup k-means + within-cell prune (r5)
     "dedup_exact_substring",   # chunk-level Lee-et-al dedup (r5)
+    "dedup_cross_corpus",      # incremental-crawl two-corpus LSH (r6)
     "text_compressibility",    # token-entropy compressibility proxy (r6)
     "search_bm25",             # BM25 top-k lexical retrieval (r6)
     "sample_importance_dsir",  # DSIR importance weights (r6)

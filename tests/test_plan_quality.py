@@ -549,3 +549,16 @@ def test_sample_temperature_partial_topn(spark, sf_dir):
     plan = _plan(QUERIES["sample_lang_temperature"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
+
+
+def test_cross_corpus_dedup_band_equijoin(spark, sf_dir):
+    """Cross-corpus candidates must come from a (band, bucket) hash
+    equi-join of the two band tables — never a cross product; the
+    Jaccard verify touches candidates only (no corpus-sized nested
+    loop), and no Python appears anywhere."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["dedup_cross_corpus"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

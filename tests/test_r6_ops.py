@@ -176,3 +176,47 @@ def test_sample_temperature_alpha_one_is_proportional(spark):
     assert by_lang == apportion({"en": 30.0, "de": 10.0}, 20) == {
         "en": 15, "de": 5,
     }
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup
+# ---------------------------------------------------------------------------
+
+
+def test_cross_corpus_dedup_flags_and_witnesses(spark):
+    from time_series_db_spark.pipeline.dedup import cross_corpus_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    ref = _docs(
+        spark,
+        [
+            (100, base, "en"),
+            (101, base, "en"),                      # second identical ref
+            (102, "completely different reference words here", "en"),
+        ],
+    )
+    inc = _docs(
+        spark,
+        [
+            (1, base, "en"),                        # exact dup of 100+101
+            (2, "unrelated incoming text with no match at all", "en"),
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["ref_id"], r["jaccard"], r["n_matches"])
+        for r in cross_corpus_dedup(inc, ref, threshold=0.8).collect()
+    }
+    # doc 1 matches both identical refs: min-id witness, J=1, 2 matches
+    assert got[1] == (100, pytest.approx(1.0), 2)
+    assert 2 not in got  # clean doc produces no row (keep = anti-join)
+
+
+def test_cross_corpus_dedup_no_same_side_pairs(spark):
+    from time_series_db_spark.pipeline.dedup import cross_corpus_dedup
+
+    # duplicates WITHIN incoming must not flag each other — only
+    # reference matches count
+    inc = _docs(spark, [(1, "same text repeated here ok", "en"),
+                        (2, "same text repeated here ok", "en")])
+    ref = _docs(spark, [(100, "nothing like the incoming", "en")])
+    assert cross_corpus_dedup(inc, ref, threshold=0.5).count() == 0

@@ -122,6 +122,43 @@ def dedup_minhash_lsh(spark, sf_dir):
     return pairs.select("id_a", "id_b", quant(F.col("jaccard")).alias("jaccard"))
 
 
+@register(
+    "dedup_cross_corpus",
+    f"""WITH {_sql_minhash_sig_cte()},
+    refb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),
+    inb AS (SELECT * FROM bands WHERE doc_id % 3 <> 0),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS doc_id, r.doc_id AS ref_id
+      FROM inb i JOIN refb r ON i.band = r.band AND i.bucket = r.bucket),
+    verified AS (
+      SELECT c.doc_id, c.ref_id,
+             len(list_intersect(si.shingles, sr.shingles)) * 1.0
+               / (len(si.shingles) + len(sr.shingles)
+                  - len(list_intersect(si.shingles, sr.shingles))) AS jaccard
+      FROM cand c
+      JOIN sig si ON si.doc_id = c.doc_id
+      JOIN sig sr ON sr.doc_id = c.ref_id),
+    hits AS (SELECT * FROM verified WHERE jaccard >= 0.8)
+    SELECT doc_id, min(ref_id) AS ref_id,
+           {sql_quant('min_by(jaccard, ref_id)')} AS jaccard,
+           count(*)::BIGINT AS n_matches
+    FROM hits GROUP BY doc_id""",
+)
+def dedup_cross_corpus(spark, sf_dir):
+    """Incremental-crawl dedup (pipeline/dedup.py:cross_corpus_dedup):
+    incoming docs (doc_id % 3 ≠ 0) near-duplicating the reference set
+    (doc_id % 3 = 0) via a two-corpus MinHash-LSH band equi-join, exact
+    Jaccard verify at ≥0.8, min-ref-id witness per flagged doc."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup.cross_corpus_dedup(inc, ref, threshold=0.8)
+    return out.select(
+        "doc_id", "ref_id", quant(F.col("jaccard")).alias("jaccard"),
+        "n_matches",
+    )
+
+
 def _sql_simhash_cte() -> str:
     bits = dedup.SIMHASH_BITS
     votes = ",\n      ".join(

@@ -246,6 +246,99 @@ def minhash_dedup_pairs(
     )
 
 
+def cross_corpus_dedup(
+    incoming: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+    num_bands: int = NUM_BANDS,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental-crawl dedup: flag ``incoming`` documents that
+    near-duplicate a document already in the ``reference`` corpus — the
+    two-corpus variant of MinHash-LSH every continuously-crawled
+    training set runs per crawl snapshot (new data vs everything
+    already kept), and the fuzzy analog of benchmark decontamination.
+
+    Returns one row per flagged incoming doc: ``(id, ref_id, jaccard,
+    n_matches)`` with ``ref_id`` the SMALLEST matching reference id (a
+    deterministic witness), ``jaccard`` its exact verified similarity
+    and ``n_matches`` the number of reference near-dups at ≥ threshold.
+    Incoming docs with no match produce no row (keep set = anti-join).
+
+    Scale shape: both sides compute signatures in one codegen pass over
+    their own scan; candidates come from a (band, bucket) EQUI-join of
+    the two band tables — shuffle is O((n_in + n_ref) · bands) and
+    AQE-skew-splittable, never a cross product; the exact-Jaccard
+    verify touches candidates only, and the per-doc witness is one hash
+    aggregation. Unlike the self-join path there is no id ordering
+    constraint — the two id spaces are independent.
+    """
+    from time_series_db_spark.cache import persist_tracked
+
+    sigs_in = persist_tracked(
+        minhash_signatures(
+            incoming, id_col, text_col, num_perms, shingle_k, hash_fn
+        )
+    )
+    sigs_ref = persist_tracked(
+        minhash_signatures(
+            reference, id_col, text_col, num_perms, shingle_k, hash_fn
+        )
+    )
+
+    def _buckets(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(F.array(*_band_buckets(num_perms, num_bands))).alias(
+                "band", "bucket"
+            ),
+        )
+
+    cands = (
+        _buckets(sigs_in, "__in_id")
+        .join(_buckets(sigs_ref, "__ref_id"), ["band", "bucket"])
+        .select("__in_id", "__ref_id")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            sigs_in.select(
+                F.col(id_col).alias("__in_id"), F.col("shingles").alias("__sh_a")
+            ),
+            "__in_id",
+        )
+        .join(
+            sigs_ref.select(
+                F.col(id_col).alias("__ref_id"),
+                F.col("shingles").alias("__sh_b"),
+            ),
+            "__ref_id",
+        )
+        .withColumn(
+            "__common",
+            F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double"),
+        )
+        .select(
+            "__in_id",
+            "__ref_id",
+            (
+                F.col("__common")
+                / (F.size("__sh_a") + F.size("__sh_b") - F.col("__common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+    )
+    return verified.groupBy(F.col("__in_id").alias(id_col)).agg(
+        F.min("__ref_id").alias("ref_id"),
+        F.expr("min_by(jaccard, __ref_id)").alias("jaccard"),
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
