@@ -93,7 +93,9 @@ def _extra_benches(spark, tmp_root: str):
     base = fetch_events(spark, SF_DIR).df.select(
         "series_key", "labels", "ts", "value"
     ).withColumn("block", F.col("ts") - F.col("ts") % F.lit(DEFAULT_BLOCK_MS))
-    base.write.mode("overwrite").partitionBy("block").parquet(store)
+    base.repartition(F.col("block")).write.mode("overwrite").partitionBy(
+        "block"
+    ).parquet(store)
 
     fine = os.path.join(tmp_root, "rollup_fine")
     res = 120_000
@@ -112,6 +114,7 @@ def _extra_benches(spark, tmp_root: str):
         .withColumn(
             "block", F.col("ts") - F.col("ts") % F.lit(DEFAULT_BLOCK_MS)
         )
+        .repartition(F.col("block"))
         .write.mode("overwrite")
         .partitionBy("block")
         .parquet(fine)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import math
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
@@ -220,3 +222,106 @@ def test_cross_corpus_dedup_no_same_side_pairs(spark):
                         (2, "same text repeated here ok", "en")])
     ref = _docs(spark, [(100, "nothing like the incoming", "en")])
     assert cross_corpus_dedup(inc, ref, threshold=0.5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# exposition format source/sink
+# ---------------------------------------------------------------------------
+
+
+def _series_df(spark, rows):
+    from time_series_db_spark.model import series_key_expr
+
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    return df.withColumn("series_key", series_key_expr()).select(
+        "series_key", "labels", "ts", "value"
+    )
+
+
+def _roundtrip(spark, rows):
+    from time_series_db_spark.model import SeriesFrame
+    from time_series_db_spark.sources.exposition import (
+        format_exposition,
+        parse_exposition,
+    )
+
+    df = _series_df(spark, rows)
+    sf = SeriesFrame(df, 1000, 0, 10**15)
+    back = parse_exposition(format_exposition(sf))
+    def canon(frame):
+        return sorted(
+            repr((sorted(dict(r["labels"]).items()), r["ts"], r["value"]))
+            for r in frame.collect()
+        )
+    return canon(df), canon(back)
+
+
+def test_exposition_roundtrip_adversarial_labels(spark):
+    rows = [
+        ({"name": "m", "a": 'quo"te'}, 1, 1.0),
+        ({"name": "m", "a": "back\\slash"}, 2, 2.0),
+        ({"name": "m", "a": "new\nline"}, 3, 3.0),
+        ({"name": "m", "a": "\\n"}, 4, 4.0),          # literal backslash-n
+        ({"name": "m", "a": "\\\\n\\"}, 5, 5.0),      # escape-chain torture
+        ({"name": "m", "a": 'mix\\"\n\\n"'}, 6, 6.0),
+        ({"name": "m:sub_total", "b": ""}, 7, -1.5e-7),
+        ({"name": "up"}, 8, float("inf")),
+        ({"name": "up"}, 9, float("-inf")),
+        ({"name": "up"}, 10, float("nan")),
+    ]
+    a, b = _roundtrip(spark, rows)
+    assert a == b
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.text(
+            alphabet=st.sampled_from(list('ab\\"\n_ ')), max_size=8
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_exposition_roundtrip_property(spark, vals):
+    """format → parse is the identity for ANY label values (escape
+    handling is exactly inverse, including trailing backslashes and
+    embedded quotes/newlines)."""
+    rows = [
+        ({"name": "m", f"l{i}": v}, 100 + i, float(i))
+        for i, v in enumerate(vals)
+    ]
+    a, b = _roundtrip(spark, rows)
+    assert a == b
+
+
+def test_exposition_parser_skips_comments_and_garbage(spark):
+    from time_series_db_spark.sources.exposition import parse_exposition
+
+    lines = spark.createDataFrame(
+        [
+            ("# HELP cpu Total CPU.",),
+            ("# TYPE cpu counter",),
+            ("",),
+            ("   ",),
+            ('cpu{host="a"} 1.5 1000',),
+            ("cpu{} 2.5 2000",),
+            ("cpu{host='bad_quotes'} 1 1",),   # malformed → dropped
+            ("not a metric line at all",),
+            ('cpu{host="c"} +Inf',),           # no timestamp → ts NULL
+        ],
+        "line string",
+    )
+    got = parse_exposition(lines).collect()
+    by_key = {tuple(sorted(dict(r["labels"]).items())): r for r in got}
+    assert len(got) == 3
+    assert by_key[(("host", "a"), ("name", "cpu"))]["value"] == 1.5
+    assert by_key[(("name", "cpu"),)]["ts"] == 2000
+    c = by_key[(("host", "c"), ("name", "cpu"))]
+    assert c["ts"] is None and c["value"] == float("inf")

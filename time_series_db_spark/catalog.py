@@ -152,6 +152,28 @@ def m3_fetch(spark, sf_dir):
 
 
 @register(
+    "m3_exposition_roundtrip",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_exposition_roundtrip(spark, sf_dir):
+    """Prometheus/OpenMetrics text-exposition source + sink
+    (sources/exposition.py): fetch → render exposition lines → parse
+    back. The oracle is the PLAIN fetch — the round trip must be the
+    identity, so any formatting, escaping, or parsing divergence
+    surfaces as a differential mismatch (adversarial label values are
+    covered by the property test; this pins the wire format end-to-end
+    on real data)."""
+    from time_series_db_spark.sources.exposition import (
+        format_exposition,
+        parse_exposition,
+    )
+
+    sf = _fetch(spark, sf_dir)
+    parsed = parse_exposition(format_exposition(sf))
+    return _out(sf.with_df(parsed.withColumn("alias", F.lit(None).cast("string"))))
+
+
+@register(
     "m3_fetch_filtered",
     f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
     FROM samples WHERE name IN ('error', 'click') AND region <> 'r3'""",

@@ -47,6 +47,7 @@ from time_series_db_spark.streaming.ingest import (
     DEFAULT_OOO_CUTOFF,
     INGEST_SCHEMA,
     parse_ingest,
+    write_blocks,
 )
 
 #: rollup value columns, computed in one aggregation pass
@@ -261,7 +262,7 @@ def cascade_rollup(
     ).persist()
     try:
         n = coarse.count()
-        coarse.write.mode("append").partitionBy("block").parquet(coarse_path)
+        write_blocks(coarse, coarse_path)
     finally:
         coarse.unpersist()
     return n

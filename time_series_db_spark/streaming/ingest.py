@@ -177,7 +177,22 @@ def ingest_batch(
     """Batch ingest (the bulk-API analog without a stream): parse + dedup
     (first wins per (series, ts), matching SampleMerger) + append."""
     samples = parse_ingest(docs, block_ms).dropDuplicates(["series_key", "ts"])
-    samples.write.mode("append").partitionBy("block").parquet(table_path)
+    write_blocks(samples, table_path)
+
+
+def write_blocks(df: DataFrame, path: str) -> None:
+    """Append a block-partitioned frame with each time block clustered
+    into ONE task before the dynamic-partition write. Without the
+    clustering every upstream task holds rows of MANY blocks, and
+    ``partitionBy`` fans out tasks × blocks files — a 360-block table
+    written from 32 tasks is ~11k tiny files per append (measured: the
+    dominant cost of batch backfills at bench scale). Clustered, the
+    file count equals the block count; per-block volume is bounded by
+    (series × samples per block), the same unit every reader prunes
+    on, so the write task skew is bounded too."""
+    df.repartition(F.col("block")).write.mode("append").partitionBy(
+        "block"
+    ).parquet(path)
 
 
 def ingest_batch_bucketed(

@@ -59,6 +59,7 @@ from time_series_db_spark.streaming.ingest import (
     INGEST_SCHEMA,
     METRICS_COLS,
     parse_ingest,
+    write_blocks,
 )
 
 #: aggregation -> column expression over the window's samples
@@ -242,7 +243,7 @@ def backfill_recording_rule(
     out = apply_rule_frame(samples, rule, block_ms).persist()
     try:
         n = out.count()
-        out.write.mode("append").partitionBy("block").parquet(out_path)
+        write_blocks(out, out_path)
     finally:
         out.unpersist()
     return n
@@ -584,9 +585,7 @@ def backfill_rules(
             .agg(F.count(F.lit(1)).cast("long").alias("n"))
             .collect()
         }
-        out.drop("__record").write.mode("append").partitionBy(
-            "block"
-        ).parquet(out_path)
+        write_blocks(out.drop("__record"), out_path)
     finally:
         out.unpersist()
         samples.unpersist()
