@@ -528,16 +528,18 @@ def test_bm25_prunes_postings_and_partial_topk(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_dsir_model_tables_broadcast(spark, sf_dir):
-    """DSIR: the hashed-feature log-ratio table is fixed-size metadata
-    and must broadcast to the corpus-sized scoring join — a shuffle join
-    here would re-partition the whole token stream by bucket."""
+def test_dsir_scoring_is_single_pass_codegen(spark, sf_dir):
+    """DSIR fit/score split: the fit pass runs at build time (model is
+    n_buckets rows, collected); the SCORING frame must be one corpus
+    scan with the log-ratio lookup folded in as literals — no join of
+    any kind, no second scan for totals, no Python."""
     from time_series_db_spark.catalog import QUERIES
 
     plan = _plan(QUERIES["sample_importance_dsir"](spark, sf_dir))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
     assert "EvalPython" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_sample_temperature_partial_topn(spark, sf_dir):

@@ -136,15 +136,24 @@ def dsir_log_weights(
     portable md5-based :func:`textprep.hash64` so a SQL differential
     oracle computes bit-identical bucket ids.
 
-    Scale shape: the two count tables are ``n_buckets`` rows each —
-    fixed-size metadata broadcast to the scoring join regardless of
-    corpus size (DSIR's own design point: the importance model is
-    hashed so it never grows with the data). The corpus-sized work is
-    one explode and one per-document aggregation; the target subset is
-    a filter on the same scan, not a second pass.
+    Scale shape — fit/score split, two corpus passes total: the FIT
+    pass aggregates the two count tables (``n_buckets`` rows each —
+    fixed-size metadata regardless of corpus size, DSIR's own design
+    point: the importance model is hashed so it never grows with the
+    data) and collects them driver-side; the log-ratio lookup table
+    then folds into the SCORE pass as a literal array (like
+    :func:`~time_series_db_spark.pipeline.ann.pca_transform`'s basis),
+    so scoring is one explode + one per-document aggregation in pure
+    whole-stage codegen — no join, no broadcast exchange, and no third
+    scan for the totals (which a totals-subquery formulation would
+    recompute from scratch).
     """
+    import math
+
     if n_buckets <= 0:
         raise ValueError("n_buckets must be positive")
+    nb = int(n_buckets)
+    bucket = textprep.hash64(F.col("token")) % F.lit(nb)
     toks = (
         df.select(
             F.col(id_col),
@@ -152,32 +161,39 @@ def dsir_log_weights(
             F.explode(textprep.tokens(F.col(text_col))).alias("token"),
         )
         .where(F.col("token") != "")
-        .withColumn(
-            "bucket", textprep.hash64(F.col("token")) % F.lit(int(n_buckets))
+        .withColumn("bucket", bucket)
+    )
+    counts = {
+        r["bucket"]: (r["c_t"], r["c_r"])
+        for r in toks.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
+            .cast("double")
+            .alias("c_t"),
+            F.count(F.lit(1)).cast("double").alias("c_r"),
         )
-    )
-    counts = toks.groupBy("bucket").agg(
-        F.sum(F.when(F.col("__is_target"), 1).otherwise(0))
-        .cast("double")
-        .alias("c_t"),
-        F.count(F.lit(1)).cast("double").alias("c_r"),
-    )
-    totals = counts.agg(
-        F.sum("c_t").alias("t_t"), F.sum("c_r").alias("t_r")
-    )
-    nb = float(n_buckets)
-    log_ratio = (
-        counts.crossJoin(F.broadcast(totals))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("c_t") + 1.0) / (F.col("t_t") + F.lit(nb)))
-                - F.log((F.col("c_r") + 1.0) / (F.col("t_r") + F.lit(nb)))
-            ).alias("lr"),
-        )
+        .collect()
+    }
+    t_t = sum(c for c, _ in counts.values())
+    t_r = sum(c for _, c in counts.values())
+    lut = F.array(
+        *[
+            F.lit(
+                math.log(
+                    (counts.get(b, (0.0, 0.0))[0] + 1.0) / (t_t + nb)
+                )
+                - math.log(
+                    (counts.get(b, (0.0, 0.0))[1] + 1.0) / (t_r + nb)
+                )
+            )
+            for b in range(nb)
+        ]
     )
     return (
-        toks.join(F.broadcast(log_ratio), "bucket")
+        toks.select(
+            F.col(id_col),
+            F.element_at(lut, (F.col("bucket") + 1).cast("int")).alias("lr"),
+        )
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
