@@ -76,3 +76,33 @@ def test_cli_ingest_backfill_alert_loop(spark, tmp_path, capsys):
     alerts = json.loads(capsys.readouterr().out)["alerts"]
     states = {a["ts"]: a["labels"]["alertstate"] for a in alerts}
     assert states == {T0: "pending", T0 + M5: "firing"}
+
+
+def test_cli_parse_exposition_to_query(spark, tmp_path, capsys):
+    """Scrape-dump ingestion from the shell: parse Prometheus text
+    exposition files into a metrics store, then query it with M3QL —
+    the exposition source wired end-to-end."""
+    import json
+
+    from time_series_db_spark.__main__ import main
+
+    T0 = 1_704_067_200_000
+    src = tmp_path / "scrape"
+    src.mkdir()
+    (src / "dump.txt").write_text(
+        "# HELP error Errors.\n"
+        "# TYPE error counter\n"
+        f'error{{region="east"}} 20.5 {T0 + 10_000}\n'
+        f'error{{region="west"}} 7.5 {T0 + 10_000}\n'
+        "error{region=\"east\"} 1 \n"   # malformed (trailing space) → dropped
+        f'error{{region="nots"}} 3\n'   # no timestamp → dropped for the store
+    )
+    store = str(tmp_path / "metrics")
+    rc = main(["--parse-exposition", str(src), "--store", store])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 2
+
+    rows = spark.read.parquet(store).collect()
+    got = {dict(r["labels"])["region"]: r["value"] for r in rows}
+    assert got == {"east": 20.5, "west": 7.5}
+    assert all(r["ts"] == T0 + 10_000 for r in rows)

@@ -9,6 +9,7 @@
     python -m time_series_db_spark --backfill-rule rule.json \
         --store metrics_dir --out recorded_dir
     python -m time_series_db_spark --evaluate-alert alert.json --store recorded_dir
+    python -m time_series_db_spark --parse-exposition scrape_dir --store metrics_dir
 
 Prints the same JSON the service facade returns (matrix / vector /
 stats), one document on stdout — pipeable to jq. Exits non-zero with
@@ -51,16 +52,22 @@ def main(argv: list[str] | None = None) -> int:
                    help="backfill a recording rule (file or inline JSON) from --store to --out")
     p.add_argument("--evaluate-alert", default=None, metavar="ALERT_JSON",
                    help="evaluate an alert spec over the recorded store; prints alert rows")
+    p.add_argument("--parse-exposition", default=None, metavar="TEXT_DIR",
+                   help="parse Prometheus text-exposition files into --store")
     p.add_argument("--store", default=None, help="metrics/rule table path")
     p.add_argument("--out", default=None, help="output table path")
     p.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
 
-    rules_mode = args.ingest or args.backfill_rule or args.evaluate_alert
+    rules_mode = (
+        args.ingest or args.backfill_rule or args.evaluate_alert
+        or args.parse_exposition
+    )
     if args.stats is None and not rules_mode and not args.query:
         p.error("query is required unless --stats or a rules mode is given")
     if rules_mode and not args.store:
-        p.error("--store is required with --ingest/--backfill-rule/--evaluate-alert")
+        p.error("--store is required with --ingest/--backfill-rule/"
+                "--evaluate-alert/--parse-exposition")
     if args.backfill_rule and not args.out:
         p.error("--out is required with --backfill-rule")
     if args.instant and args.lang != "promql":
@@ -92,7 +99,30 @@ def main(argv: list[str] | None = None) -> int:
         return json.loads(arg)
 
     try:
-        if args.ingest is not None:
+        if args.parse_exposition is not None:
+            from pyspark.sql import functions as F
+
+            from time_series_db_spark.sources.exposition import (
+                parse_exposition,
+            )
+            from time_series_db_spark.streaming.ingest import (
+                DEFAULT_BLOCK_MS,
+                write_blocks,
+            )
+
+            lines = spark.read.text(args.parse_exposition).withColumnRenamed(
+                "value", "line"
+            )
+            parsed = parse_exposition(lines).where(
+                F.col("ts").isNotNull()  # a store row needs a timestamp
+            ).withColumn(
+                "block",
+                F.col("ts") - F.col("ts") % F.lit(DEFAULT_BLOCK_MS),
+            )
+            write_blocks(parsed, args.store)
+            n = spark.read.parquet(args.store).count()
+            out = {"status": "success", "store": args.store, "rows": n}
+        elif args.ingest is not None:
             from time_series_db_spark.streaming import start_ingest
 
             q = start_ingest(spark, args.ingest, args.store, available_now=True)
