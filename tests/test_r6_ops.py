@@ -325,3 +325,119 @@ def test_exposition_parser_skips_comments_and_garbage(spark):
     assert by_key[(("name", "cpu"),)]["ts"] == 2000
     c = by_key[(("host", "c"), ("name", "cpu"))]
     assert c["ts"] is None and c["value"] == float("inf")
+
+
+# ---------------------------------------------------------------------------
+# Influx line protocol source/sink
+# ---------------------------------------------------------------------------
+
+
+def _lp_roundtrip(spark, rows):
+    from time_series_db_spark.sources.lineprotocol import (
+        format_line_protocol,
+        parse_line_protocol,
+    )
+
+    df = _series_df(spark, rows)
+    back = parse_line_protocol(format_line_protocol(df))
+    def canon(frame):
+        return sorted(
+            repr((sorted(dict(r["labels"]).items()), r["ts"], r["value"]))
+            for r in frame.collect()
+        )
+    return canon(df), canon(back)
+
+
+def test_line_protocol_roundtrip_adversarial_tags(spark):
+    rows = [
+        ({"name": "cpu", "host": "a b"}, 1, 1.5),          # space in value
+        ({"name": "cpu", "host": "a,b=c"}, 2, 2.5),        # comma + equals
+        ({"name": "cpu", "host": "back\\slash"}, 3, 3.5),
+        ({"name": "cpu", "host": "trail\\"}, 4, 4.5),      # trailing backslash
+        ({"name": "cpu", "host": "\\,"}, 5, 5.5),          # backslash + comma
+        ({"name": "disk io", "path": "/x=1,y\\"}, 6, -1e-7),  # measurement space
+        ({"name": "up"}, 7, 42.0),                         # no tags
+    ]
+    a, b = _lp_roundtrip(spark, rows)
+    assert a == b
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.text(alphabet=st.sampled_from(list("ab\\,= _")), max_size=8),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_line_protocol_roundtrip_property(spark, vals):
+    """format → parse is the identity for ANY tag values — the escape
+    grammar (backslash, comma, equals, space) inverts exactly,
+    including trailing backslashes and escape-lookalike sequences."""
+    rows = [
+        ({"name": "m", f"t{i}": v}, 100 + i, float(i))
+        for i, v in enumerate(vals)
+    ]
+    a, b = _lp_roundtrip(spark, rows)
+    assert a == b
+
+
+def test_line_protocol_parses_multi_field_and_skips_nonnumeric(spark):
+    from time_series_db_spark.sources.lineprotocol import parse_line_protocol
+
+    lines = spark.createDataFrame(
+        [
+            ("# a comment",),
+            ("",),
+            ("cpu,host=a usage=0.5,idle=99i,label=\"web\",ok=true 1000000",),
+            ("mem value=7.25 2000000",),
+            ("bad_line_without_sections",),
+            ("bad 1.5 notanumber",),
+        ],
+        "line string",
+    )
+    got = parse_line_protocol(lines).collect()
+    by_name = {dict(r["labels"])["name"]: r for r in got}
+    # numeric fields only: usage (float) + idle (integer-suffix) + mem
+    assert sorted(by_name) == ["cpu_idle", "cpu_usage", "mem"]
+    assert by_name["cpu_usage"]["value"] == 0.5
+    assert by_name["cpu_idle"]["value"] == 99.0
+    assert dict(by_name["cpu_usage"]["labels"])["host"] == "a"
+    assert by_name["cpu_usage"]["ts"] == 1    # 1e6 ns -> 1 ms
+    assert by_name["mem"]["value"] == 7.25 and by_name["mem"]["ts"] == 2
+
+
+def test_streaming_exposition_scraper_to_query(spark, tmp_path):
+    """Scrape files land in a dir → streaming parse → metrics store →
+    readable through read_metrics with LWW dedup, same contract as the
+    JSON ingest leg."""
+    from time_series_db_spark.sources.exposition import (
+        start_exposition_ingest,
+    )
+    from time_series_db_spark.streaming.ingest import read_metrics
+
+    T0 = 1_704_067_200_000
+    src = tmp_path / "scrapes"
+    src.mkdir()
+    (src / "s1.txt").write_text(
+        f'error{{region="east"}} 20.0 {T0}\n'
+        f'error{{region="east"}} 30.0 {T0 + 60_000}\n'
+        "# comment\n"
+        f'error{{region="east"}} 99.0 {T0}\n'   # duplicate (series, ts)
+        f'error{{region="west"}} 7.0\n'          # no ts → dropped
+    )
+    store = str(tmp_path / "metrics")
+    q = start_exposition_ingest(
+        spark, str(src), store,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    rows = read_metrics(spark, store).collect()
+    got = {(r["series_key"], r["ts"]): r["value"] for r in rows}
+    assert len(got) == 2
+    assert got[("name:error,region:east", T0)] in (20.0, 99.0)  # ANY_WINS
+    assert got[("name:error,region:east", T0 + 60_000)] == 30.0

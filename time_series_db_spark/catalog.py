@@ -174,6 +174,25 @@ def m3_exposition_roundtrip(spark, sf_dir):
 
 
 @register(
+    "m3_line_protocol_roundtrip",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_line_protocol_roundtrip(spark, sf_dir):
+    """InfluxDB line-protocol source + sink (sources/lineprotocol.py):
+    fetch → render ``measurement,tags value=… <ns>`` lines → parse back.
+    Oracle = the plain fetch: the round trip (incl. ms→ns→ms timestamps,
+    tag escaping, field-name mapping) must be the identity."""
+    from time_series_db_spark.sources.lineprotocol import (
+        format_line_protocol,
+        parse_line_protocol,
+    )
+
+    sf = _fetch(spark, sf_dir)
+    parsed = parse_line_protocol(format_line_protocol(sf.df))
+    return _out(sf.with_df(parsed.withColumn("alias", F.lit(None).cast("string"))))
+
+
+@register(
     "m3_fetch_filtered",
     f"""{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
     FROM samples WHERE name IN ('error', 'click') AND region <> 'r3'""",

@@ -147,3 +147,57 @@ def parse_exposition(lines: DataFrame, column: str = "line") -> DataFrame:
         "ts",
         "value",
     )
+
+
+def start_exposition_ingest(
+    spark,
+    source_dir: str,
+    table_path: str,
+    *,
+    ooo_cutoff: str = "10 minutes",
+    block_ms: int | None = None,
+    checkpoint_dir: str | None = None,
+    available_now: bool = False,
+):
+    """Continuous scraper leg: text-exposition files landing in
+    ``source_dir`` (scrape dumps) stream-parsed into the partitioned
+    metrics table at ``table_path`` — the same watermark/dedup contract
+    as the JSON ingest leg (streaming/ingest.py:start_ingest), so
+    exposition-fed and bulk-fed stores behave identically to readers:
+    late samples beyond ``ooo_cutoff`` drop, duplicate (series, ts)
+    rows inside the watermark dedup first-write-wins, and replayed
+    epochs are absorbed by the read path's ANY_WINS merge.
+
+    Lines without a timestamp are dropped (a store row needs one);
+    comment/blank/malformed lines are skipped by the parser.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.streaming.ingest import DEFAULT_BLOCK_MS
+
+    block = int(block_ms or DEFAULT_BLOCK_MS)
+    lines = spark.readStream.text(source_dir)
+    samples = (
+        parse_exposition(lines, "value")
+        .where(F.col("ts").isNotNull())
+        .withColumn("block", F.col("ts") - F.col("ts") % F.lit(block))
+        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
+        .withWatermark("event_time", ooo_cutoff)
+        .dropDuplicatesWithinWatermark(["series_key", "ts"])
+        .drop("event_time")
+    )
+    writer = (
+        samples.writeStream.format("parquet")
+        .partitionBy("block")
+        .option("path", table_path)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or os.path.join(table_path, "_checkpoint"),
+        )
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
