@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "text_gopher_quality",     # Gopher curation rules (r5)
     "text_lm_perplexity",      # corpus-trained bigram LM scoring (r5)
     "pack_sequences",          # training-batch construction (r5)
+    "chunk_documents",         # RAG token-window chunking (r6)
     "sessionize_events",       # gap-session construction (r5)
     "recording_rule_batch",    # rule machinery, batch leg (r6 bench add)
     "alert_rule_batch",        # alert state machine, batch leg (r6 bench add)

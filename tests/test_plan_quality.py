@@ -564,3 +564,14 @@ def test_cross_corpus_dedup_band_equijoin(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_chunk_documents_zero_shuffle(spark, sf_dir):
+    """Chunking is one scan + posexplode inside codegen — no exchange,
+    no Python, no join; at 100 TB it runs at parquet-scan speed."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["chunk_documents"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Join" not in plan

@@ -441,3 +441,64 @@ def test_streaming_exposition_scraper_to_query(spark, tmp_path):
     assert len(got) == 2
     assert got[("name:error,region:east", T0)] in (20.0, 99.0)  # ANY_WINS
     assert got[("name:error,region:east", T0 + 60_000)] == 30.0
+
+
+# ---------------------------------------------------------------------------
+# document chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_windows_and_tail_rule(spark):
+    from time_series_db_spark.pipeline.pack import chunk_documents
+
+    text10 = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        (1, text10, "en"),       # n=10, size=8, stride=4 → starts 0, 4
+        (2, "a b", "en"),        # n=2 < size → one short chunk
+        (3, "", "en"),           # empty → no rows
+    ]
+    got = sorted(
+        (
+            (r["doc_id"], r["chunk_idx"], r["start_token"], r["n_tokens"],
+             r["chunk_text"])
+            for r in chunk_documents(
+                _docs(spark, rows), chunk_tokens=8, overlap=4
+            ).collect()
+        )
+    )
+    # doc 1: window@0 covers 0-7; window@4 covers 4-9 (6 tokens, adds
+    # 8-9); window@8 would add nothing beyond @4's reach +8=12 ≥ 10 →
+    # skipped by the tail rule
+    assert got == [
+        (1, 0, 0, 8, " ".join(f"w{i}" for i in range(8))),
+        (1, 1, 4, 6, " ".join(f"w{i}" for i in range(4, 10))),
+        (2, 0, 0, 2, "a b"),
+    ]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(_docs(spark, rows), chunk_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="chunk_tokens"):
+        chunk_documents(_docs(spark, rows), chunk_tokens=0)
+
+
+def test_chunk_documents_overlap_consistency(spark):
+    """Consecutive chunks share exactly `overlap` tokens, and the chunk
+    stream reconstructs the document (each chunk's suffix beyond the
+    overlap is new text)."""
+    from time_series_db_spark.pipeline.pack import chunk_documents
+
+    toks = [f"t{i}" for i in range(50)]
+    rows = [(1, " ".join(toks), "en")]
+    chunks = sorted(
+        (r["chunk_idx"], r["start_token"], r["chunk_text"].split(" "))
+        for r in chunk_documents(
+            _docs(spark, rows), chunk_tokens=16, overlap=6
+        ).collect()
+    )
+    stride = 10
+    rebuilt = list(chunks[0][2])
+    for idx, start, ctoks in chunks[1:]:
+        assert start == idx * stride
+        assert rebuilt[start:] [:6] == ctoks[:6]  # shared overlap
+        rebuilt.extend(ctoks[6:])
+    assert rebuilt == toks

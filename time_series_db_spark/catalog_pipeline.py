@@ -123,6 +123,39 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 @register(
+    "chunk_documents",
+    f"""WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM}, ' '), t -> t <> '') AS tok
+      FROM documents),
+    starts AS (
+      SELECT doc_id, tok,
+             [s for s in generate_series(0, len(tok) - 1, 96)
+              if s = 0 OR s - 96 + 128 < len(tok)] AS ss
+      FROM base WHERE len(tok) > 0),
+    ex AS (
+      SELECT doc_id, tok, unnest(ss) AS start_token,
+             generate_subscripts(ss, 1) - 1 AS chunk_idx
+      FROM starts)
+    SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+           start_token::BIGINT AS start_token,
+           len(tok[start_token + 1:start_token + 128])::BIGINT AS n_tokens,
+           array_to_string(tok[start_token + 1:start_token + 128], ' ')
+             AS chunk_text
+    FROM ex""",
+)
+def chunk_documents(spark, sf_dir):
+    """RAG chunking (pipeline/pack.py:chunk_documents): 128-token
+    windows at stride 96 (overlap 32), short fully-covered tails
+    skipped — one posexplode inside codegen, zero shuffle."""
+    from time_series_db_spark.pipeline import pack
+
+    return pack.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=128, overlap=32
+    )
+
+
+@register(
     "dedup_cross_corpus",
     f"""WITH {_sql_minhash_sig_cte()},
     refb AS (SELECT * FROM bands WHERE doc_id % 3 = 0),

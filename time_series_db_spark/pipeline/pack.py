@@ -177,3 +177,63 @@ def sample_mixture(
     return ranked.join(F.broadcast(qdf), on="stratum", how="inner").filter(
         F.col("sample_rank") <= F.col("target_n")
     ).select(id_col, "stratum", "sample_rank", "target_n")
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking — the RAG/embedding-index prep
+    step (and long-document splitter for context-bounded models): each
+    document yields windows of ``chunk_tokens`` whitespace tokens at
+    stride ``chunk_tokens − overlap``, so consecutive chunks share
+    ``overlap`` tokens of context.
+
+    Emission rule (the standard chunker contract): windows start at
+    0, stride, 2·stride, …; a window is emitted only if it CONTRIBUTES
+    tokens the previous window didn't reach (``start = 0`` or
+    ``start − stride + chunk_tokens < n``) — a short tail fully covered
+    by its predecessor is skipped, and the final emitted window may be
+    shorter than ``chunk_tokens``. Empty documents yield no rows.
+
+    Returns ``(id, chunk_idx, start_token, n_tokens, chunk_text)`` —
+    ``chunk_idx`` is the 0-based emitted-window index.
+
+    Scale shape: one scan, one posexplode of a per-document start list
+    (bounded by doc length / stride) with the slicing done by array
+    functions inside codegen — no shuffle at all; downstream embedding
+    or indexing decides its own partitioning.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens), got {overlap}"
+        )
+    stride = chunk_tokens - overlap
+    tok = F.filter(textprep.tokens(F.col(text_col)), lambda t: t != "")
+    n = F.size("__tok")
+    starts = F.filter(
+        F.when(
+            n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))
+        ).otherwise(F.array().cast("array<int>")),
+        lambda s: (s == 0) | (s - stride + chunk_tokens < n),
+    )
+    base = df.select(F.col(id_col), tok.alias("__tok")).select(
+        F.col(id_col),
+        "__tok",
+        F.posexplode(starts).alias("chunk_idx", "start_token"),
+    )
+    chunk = F.slice(
+        "__tok", F.col("start_token") + 1, F.lit(chunk_tokens)
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
