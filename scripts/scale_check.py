@@ -38,7 +38,8 @@ QUERIES = [
     "text_lm_perplexity",      # broadcast-LM scoring join
     "text_ppl_buckets",        # per-language threshold broadcast-back
     "search_bm25",             # postings filter + broadcast stats (r6)
-    "sample_importance_dsir",  # hashed-model broadcast scoring (r6)
+    "sample_importance_dsir",  # hashed-model literal-LUT scoring (r6)
+    "chunk_documents",         # zero-shuffle posexplode chunking (r6)
     "tpch_q1_pricing",
 ]
 

@@ -502,3 +502,34 @@ def test_chunk_documents_overlap_consistency(spark):
         assert rebuilt[start:] [:6] == ctoks[:6]  # shared overlap
         rebuilt.extend(ctoks[6:])
     assert rebuilt == toks
+
+
+def test_parsers_drop_duplicate_label_keys_instead_of_throwing(spark):
+    """A duplicated label/tag key (or a tag named 'name') is malformed
+    input and must DROP the line — under the default
+    spark.sql.mapKeyDedupPolicy=EXCEPTION a naive map_from_arrays would
+    crash the whole scan on one bad line."""
+    from time_series_db_spark.sources.exposition import parse_exposition
+    from time_series_db_spark.sources.lineprotocol import parse_line_protocol
+
+    exp = spark.createDataFrame(
+        [
+            ('cpu{a="1",a="2"} 1 1000',),     # dup key → dropped
+            ('cpu{name="x"} 1 1000',),        # label named name → dropped
+            ('cpu{a="1"} 2 2000',),           # fine
+        ],
+        "line string",
+    )
+    got = parse_exposition(exp).collect()
+    assert len(got) == 1 and got[0]["value"] == 2.0
+
+    lp = spark.createDataFrame(
+        [
+            ("cpu,a=1,a=2 value=1 1000000",),  # dup tag → dropped
+            ("cpu,name=x value=1 1000000",),   # tag named name → dropped
+            ("cpu,a=1 value=2 2000000",),      # fine
+        ],
+        "line string",
+    )
+    got = parse_line_protocol(lp).collect()
+    assert len(got) == 1 and got[0]["value"] == 2.0

@@ -126,10 +126,17 @@ def parse_exposition(lines: DataFrame, column: str = "line") -> DataFrame:
         F.regexp_extract_all("__blob", F.lit(_LABEL_RE), F.lit(2)),
         _unescape,
     )
+    all_keys = F.concat(F.array(F.lit("name")), keys)
     labels = F.map_from_arrays(
-        F.concat(F.array(F.lit("name")), keys),
+        all_keys,
         F.concat(F.array(F.col("__name")), vals),
     )
+    # a duplicated label key (or a label literally named "name") would
+    # make map_from_arrays THROW under spark.sql.mapKeyDedupPolicy's
+    # default EXCEPTION — such lines are malformed per the Prometheus
+    # data model and must drop like any other malformed line, not crash
+    # the whole scan
+    base = base.where(F.size(F.array_distinct(all_keys)) == F.size(all_keys))
     value = (
         F.when(F.col("__val") == "NaN", F.lit(float("nan")))
         .when(F.col("__val") == "+Inf", F.lit(float("inf")))

@@ -160,13 +160,21 @@ def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
     name = F.when(fname == "value", F.col("__m")).otherwise(
         F.concat(F.col("__m"), F.lit("_"), fname)
     )
-    labels = F.map_from_arrays(
-        F.concat(
-            F.array(F.lit("name")),
-            F.transform(
-                F.col("__tags"), lambda kv: _unescape(F.element_at(kv, 1))
-            ),
+    tag_keys = F.concat(
+        F.array(F.lit("name")),
+        F.transform(
+            F.col("__tags"), lambda kv: _unescape(F.element_at(kv, 1))
         ),
+    )
+    # duplicated tag keys (or a tag literally named "name", which would
+    # collide with the measurement entry) would make map_from_arrays
+    # THROW under the default mapKeyDedupPolicy=EXCEPTION — drop such
+    # malformed lines instead of crashing the scan
+    exploded = exploded.where(
+        F.size(F.array_distinct(tag_keys)) == F.size(tag_keys)
+    )
+    labels = F.map_from_arrays(
+        tag_keys,
         F.concat(
             F.array(name),
             F.transform(
