@@ -1673,3 +1673,54 @@ def test_cascade_rollup_tiers(spark, tmp_path):
     got2 = read_rollup(spark, coarse, agg="sum")
     vals2 = {(r["series_key"], r["ts"]): r["value"] for r in got2.collect()}
     assert vals2[("host:a,name:cpu", T0)] == 9.0
+
+
+def test_alert_history_dedup_keeps_islands_correct(spark):
+    """Replayed epochs / re-run backfills double-append identical
+    windows (foreachBatch is at-least-once); duplicate (series, ts)
+    rows would split the row_number islands and inflate run lengths —
+    an alert could fire after a single real breach. dedup_rule_history
+    (ANY_WINS, the SampleMerger policy) must restore exact state."""
+    from time_series_db_spark.streaming.rules import (
+        dedup_rule_history,
+        evaluate_alert_frame,
+    )
+
+    M5 = 300_000
+    spec = {
+        "alert": "High",
+        "rule": {"record": "r", "agg": "sum", "resolution_ms": M5},
+        "op": ">", "threshold": 10.0, "for_windows": 3,
+    }
+    base = [
+        ("name:r", {"name": "r"}, T0 + 0 * M5, 20.0),
+        ("name:r", {"name": "r"}, T0 + 1 * M5, 30.0),
+        ("name:r", {"name": "r"}, T0 + 2 * M5, 40.0),
+    ]
+    # replay: every row appended twice (identical totals, the
+    # append-mode replay shape)
+    rows = base + base
+    df = spark.createDataFrame(
+        [(k, l, t, v, t - t % DEFAULT_BLOCK_MS) for k, l, t, v in rows],
+        "series_key string, labels map<string,string>, ts long, "
+        "value double, block long",
+    )
+
+    # WITHOUT dedup the duplicated ts rows split the islands (ts/res −
+    # row_number is no longer constant within a real run), so the run
+    # length never reaches for_windows=3 and the alert NEVER fires —
+    # the exact failure the ADVICE finding describes
+    raw_states = {
+        r["labels"]["alertstate"]
+        for r in evaluate_alert_frame(df, spec).collect()
+    }
+    assert "firing" not in raw_states  # corrupted: 3 real breaches missed
+
+    # WITH dedup: 3 consecutive real breaches → fires on the third
+    out = {
+        r["ts"]: r["labels"]["alertstate"]
+        for r in evaluate_alert_frame(dedup_rule_history(df), spec).collect()
+    }
+    assert out == {
+        T0: "pending", T0 + M5: "pending", T0 + 2 * M5: "firing",
+    }
