@@ -533,3 +533,65 @@ def test_parsers_drop_duplicate_label_keys_instead_of_throwing(spark):
     )
     got = parse_line_protocol(lp).collect()
     assert len(got) == 1 and got[0]["value"] == 2.0
+
+
+# ---------------------------------------------------------------------------
+# Graphite plaintext source/sink
+# ---------------------------------------------------------------------------
+
+
+def test_graphite_roundtrip_and_strictness(spark):
+    from time_series_db_spark.sources.graphite import (
+        format_graphite,
+        parse_graphite,
+    )
+
+    rows = [
+        ({"name": "sys.cpu", "host": "web-1", "dc": "east"}, 1000, 1.5),
+        ({"name": "sys.cpu"}, 2000, -2.5e-3),
+    ]
+    df = _series_df(spark, rows)
+    back = parse_graphite(format_graphite(df))
+    a = sorted(
+        repr((sorted(dict(r["labels"]).items()), r["ts"], r["value"]))
+        for r in df.collect()
+    )
+    b = sorted(
+        repr((sorted(dict(r["labels"]).items()), r["ts"], r["value"]))
+        for r in back.collect()
+    )
+    assert a == b
+
+    # the protocol has NO escaping: a ';' in a value is unrepresentable —
+    # strict raises, lenient drops the row and keeps the clean one
+    bad = _series_df(
+        spark, [({"name": "m", "t": "a;b"}, 1000, 1.0),
+                ({"name": "m", "t": "ok"}, 2000, 2.0)]
+    )
+    with pytest.raises(Exception, match="cannot represent"):
+        format_graphite(bad).collect()
+    lenient = format_graphite(bad, strict=False).collect()
+    assert [r["line"] for r in lenient] == ["m;t=ok 2.0 2"]
+
+
+def test_graphite_parser_skips_garbage_and_dups(spark):
+    from time_series_db_spark.sources.graphite import parse_graphite
+
+    lines = spark.createDataFrame(
+        [
+            ("# comment",),
+            ("",),
+            ("sys.cpu;host=a 1.5 1000",),
+            ("sys.cpu 2.5 2000",),
+            ("sys.cpu;host=a;host=b 1 1",),  # dup tag key → dropped
+            ("sys.cpu;name=x 1 1",),          # tag named name → dropped
+            ("nope nope nope",),              # non-numeric value → dropped
+            ("bad;=v 1 1",),                  # empty tag name → malformed
+        ],
+        "line string",
+    )
+    got = parse_graphite(lines).collect()
+    by = {tuple(sorted(dict(r["labels"]).items())): r for r in got}
+    assert len(got) == 2
+    assert by[(("host", "a"), ("name", "sys.cpu"))]["ts"] == 1_000_000
+    assert by[(("name", "sys.cpu"),)]["value"] == 2.5

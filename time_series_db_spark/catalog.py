@@ -174,6 +174,26 @@ def m3_exposition_roundtrip(spark, sf_dir):
 
 
 @register(
+    "m3_graphite_roundtrip",
+    f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
+)
+def m3_graphite_roundtrip(spark, sf_dir):
+    """Graphite plaintext (carbon, tagged) source + sink
+    (sources/graphite.py): fetch → ``path;tags value ts_s`` lines →
+    parse back. Oracle = the plain fetch: the round trip (strict
+    representability validation, s↔ms timestamps, canonical tag order)
+    must be the identity on second-aligned data."""
+    from time_series_db_spark.sources.graphite import (
+        format_graphite,
+        parse_graphite,
+    )
+
+    sf = _fetch(spark, sf_dir)
+    parsed = parse_graphite(format_graphite(sf.df))
+    return _out(sf.with_df(parsed.withColumn("alias", F.lit(None).cast("string"))))
+
+
+@register(
     "m3_line_protocol_roundtrip",
     f"{PRELUDE} SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value FROM samples",
 )
