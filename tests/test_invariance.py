@@ -83,6 +83,15 @@ HEADLINE_QUERIES = [
     "text_quality",
     "ann_lsh_topk",
     "tpch_q1_pricing",
+    # round-6 families: retrieval, importance weighting, cross-corpus
+    # dedup, chunking, and the wire-format round trips
+    "search_bm25",
+    "sample_importance_dsir",
+    "dedup_cross_corpus",
+    "chunk_documents",
+    "m3_exposition_roundtrip",
+    "m3_line_protocol_roundtrip",
+    "m3_graphite_roundtrip",
 ]
 
 
