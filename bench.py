@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "pack_sequences",          # training-batch construction (r5)
     "chunk_documents",         # RAG token-window chunking (r6)
     "sessionize_events",       # gap-session construction (r5)
+    "events_asof_join",        # union-trick as-of join (r6)
+    "events_range_join",       # bucketed bounded-range join (r6)
+    "text_pmi_bigrams",        # PMI collocation mining (r6)
     "recording_rule_batch",    # rule machinery, batch leg (r6 bench add)
     "alert_rule_batch",        # alert state machine, batch leg (r6 bench add)
     "text_quality",

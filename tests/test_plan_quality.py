@@ -575,3 +575,54 @@ def test_chunk_documents_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
     assert "Join" not in plan
+
+
+def test_asof_join_is_join_free_single_exchange(spark, sf_dir):
+    """The as-of join must compile to the union trick — union + ONE
+    hash exchange on the key + a running-last window. Any Join node
+    means Spark fell back to an inequality join, which is per-key
+    quadratic at 100 TB; more than one data exchange means the union
+    trick regressed to a join-shaped plan."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["events_asof_join"](spark, sf_dir))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_is_bucketed_equijoin(spark, sf_dir):
+    """The bounded-range join must candidate via the (key, bucket±1)
+    hash EQUI-join — never the nested-loop plan the raw inequality
+    predicate would produce."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["events_range_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_funnel_all_equijoins(spark, sf_dir):
+    """Funnel stages are per-user conditional min-aggregations glued by
+    equi-joins on the user key — no nested loops, no Python."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["events_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_pmi_broadcasts_vocab_tables(spark, sf_dir):
+    """PMI's scoring joins ship the vocab-bounded unigram table by
+    broadcast (Zipf keeps it tiny); the bigram counts partial-aggregate
+    map-side and are never globally sorted."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_pmi_bigrams"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    assert "Sort [" not in plan.replace("SortAggregate", "")

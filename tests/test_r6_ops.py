@@ -595,3 +595,142 @@ def test_graphite_parser_skips_garbage_and_dups(spark):
     assert len(got) == 2
     assert by[(("host", "a"), ("name", "sys.cpu"))]["ts"] == 1_000_000
     assert by[(("name", "sys.cpu"),)]["value"] == 2.5
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    from time_series_db_spark.operators.temporal import asof_join
+
+    left = _events(spark, [(1, 7, 100, 1.0), (2, 7, 50, 2.0), (3, 8, 10, 3.0)])
+    right = _events(spark, [(10, 7, 40, 4.0), (11, 7, 100, 5.0), (12, 9, 5, 6.0)])
+    out = {
+        r.event_id: (r.ts_r, r.value_r)
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            right_cols=["value"], tiebreak_col="event_id",
+        ).collect()
+    }
+    assert out[1] == (100, 5.0)  # exactly-simultaneous right row matches
+    assert out[2] == (40, 4.0)   # strictly-before row
+    assert out[3] == (None, None)  # user 8 has no right rows at all
+
+
+def test_asof_join_tiebreak_and_tolerance(spark):
+    from time_series_db_spark.operators.temporal import asof_join
+
+    left = _events(spark, [(1, 7, 100, 0.0), (2, 7, 500, 0.0)])
+    # two right rows at the same instant: greatest tiebreak wins
+    right = _events(spark, [(10, 7, 90, 1.0), (11, 7, 90, 2.0)])
+    out = {
+        r.event_id: (r.ts_r, r.value_r)
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            right_cols=["value"], tiebreak_col="event_id",
+            tolerance_ms=50,
+        ).collect()
+    }
+    assert out[1] == (90, 2.0)
+    assert out[2] == (None, None)  # 410 ms back is beyond tolerance
+
+
+def test_asof_join_validates_inputs(spark):
+    from time_series_db_spark.operators.temporal import asof_join
+
+    df = _events(spark, [(1, 7, 1, 1.0)])
+    with pytest.raises(ValueError, match="equi-key"):
+        asof_join(df, df, on=[], right_cols=["value"])
+    with pytest.raises(ValueError, match="right_cols"):
+        asof_join(df, df, on=["user_id"], right_cols=[])
+    with pytest.raises(ValueError, match="lacks"):
+        asof_join(df, df, on=["user_id"], right_cols=["nope"])
+
+
+def test_range_join_radius_inclusive_and_bucket_edges(spark):
+    from time_series_db_spark.operators.temporal import range_join
+
+    probe = _events(spark, [(1, 7, 1000, 0.0)])
+    build = _events(
+        spark,
+        [
+            (10, 7, 900, 1.0),    # inside, previous bucket
+            (11, 7, 1100, 2.0),   # inside, next bucket
+            (12, 7, 1000 + 100, 3.0),
+            (13, 7, 1000 - 101, 4.0),  # exactly outside radius 100
+            (14, 8, 1000, 5.0),   # other key
+        ],
+    )
+    got = sorted(
+        (r.gap_ms_n, r.value_n)
+        for r in range_join(
+            probe, build, on=["user_id"], ts_col="ts",
+            radius_ms=100, build_cols=["value"],
+        ).collect()
+    )
+    assert got == [(-100, 1.0), (100, 2.0), (100, 3.0)]
+    with pytest.raises(ValueError, match="radius"):
+        range_join(probe, build, on=["user_id"], radius_ms=0, build_cols=[])
+
+
+def test_funnel_order_and_chain_break(spark):
+    from time_series_db_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, 10, "signup"), (2, 1, 20, "click"), (3, 1, 30, "purchase"),
+        # user 2: purchase BEFORE the click step -> chain stops at click
+        (4, 2, 10, "signup"), (5, 2, 40, "click"), (6, 2, 30, "purchase"),
+        # user 3: click precedes signup -> only step 1
+        (7, 3, 50, "signup"), (8, 3, 40, "click"),
+        # user 4: no signup -> excluded entirely
+        (9, 4, 5, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    out = {
+        r.user: (r.signup_ts, r.click_ts, r.purchase_ts, r.steps_completed)
+        for r in funnel(df, ["signup", "click", "purchase"]).collect()
+    }
+    assert out == {
+        1: (10, 20, 30, 3),
+        2: (10, 40, None, 2),
+        3: (50, None, None, 1),
+    }
+    with pytest.raises(ValueError, match="two steps"):
+        funnel(df, ["signup"])
+
+
+def test_pmi_bigrams_hand_computation(spark):
+    from time_series_db_spark.pipeline.text import pmi_bigrams
+
+    # corpus: "a b a b" + "a b c" -> bigrams: (a,b)x3, (b,a)x1, (b,c)x1
+    # unigrams: a=3, b=3, c=1, N=7
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+    )
+    got = {
+        (r.w1, r.w2): (r.c_xy, r.pmi)
+        for r in pmi_bigrams(docs, min_count=1).collect()
+    }
+    assert set(got) == {("a", "b"), ("b", "a"), ("b", "c")}
+    c, p = got[("a", "b")]
+    assert c == 3 and p == pytest.approx(math.log(3 * 7 / (3 * 3)))
+    c, p = got[("b", "c")]
+    assert c == 1 and p == pytest.approx(math.log(1 * 7 / (3 * 1)))
+    # min_count filters the singletons
+    assert set(
+        (r.w1, r.w2)
+        for r in pmi_bigrams(docs, min_count=2).collect()
+    ) == {("a", "b")}
+    with pytest.raises(ValueError, match="min_count"):
+        pmi_bigrams(docs, min_count=0)

@@ -1592,3 +1592,169 @@ def sample_lang_temperature(spark, sf_dir):
     return retrieval.sample_temperature(
         _docs(spark, sf_dir), alpha=_TEMP_ALPHA, budget=_TEMP_BUDGET
     )
+
+
+# ---------------------------------------------------------------------------
+# temporal joins (operators/temporal.py) — as-of, bounded-range, funnel
+# ---------------------------------------------------------------------------
+
+def _events_ms(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@register(
+    "events_asof_join",
+    """WITH p AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts, value
+      FROM events WHERE event_type = 'purchase'),
+    c0 AS (
+      SELECT user_id, epoch_ms(ts) AS ts, value, event_id
+      FROM events WHERE event_type = 'click'),
+    c AS (
+      SELECT user_id, ts, max_by(value, event_id) AS value
+      FROM c0 GROUP BY 1, 2)
+    SELECT p.event_id, p.user_id AS "user", p.ts,
+           p.value AS purchase_value, c.ts AS click_ts,
+           c.value AS click_value, p.ts - c.ts AS gap_ms
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join (kdb+ ``aj`` / DuckDB ``ASOF JOIN``): each
+    purchase gains the user's latest at-or-before click.  The Spark
+    plan is the union trick — ONE exchange on user, a running
+    last(ignorenulls) window, no inequality join (gated: no
+    BroadcastNestedLoopJoin) — while the oracle uses DuckDB's native
+    ASOF LEFT JOIN, so the differential crosses two independent
+    as-of implementations."""
+    from time_series_db_spark.operators.temporal import asof_join
+
+    ev = _events_ms(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase")
+    clicks = ev.where(F.col("event_type") == "click")
+    j = asof_join(
+        purchases, clicks, on=["user_id"], ts_col="ts",
+        right_cols=["value"], tiebreak_col="event_id",
+    )
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    return j.select(
+        F.col("event_id"),
+        F.col("user_id").alias("user"),
+        ts_ms.alias("ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("ts_r").alias("click_ts"),
+        F.col("value_r").alias("click_value"),
+        (ts_ms - F.col("ts_r")).alias("gap_ms"),
+    )
+
+
+@register(
+    "events_range_join",
+    """WITH e AS (
+      SELECT event_id, user_id, epoch_ms(ts) AS ts
+      FROM events WHERE event_type = 'error'),
+    c AS (
+      SELECT user_id, epoch_ms(ts) AS ts
+      FROM events WHERE event_type = 'click')
+    SELECT e.event_id, e.user_id AS "user", e.ts,
+           count(c.ts)::BIGINT AS n_nearby,
+           min(abs(c.ts - e.ts)) AS nearest_gap_ms
+    FROM e LEFT JOIN c
+      ON e.user_id = c.user_id AND abs(c.ts - e.ts) <= 1800000
+    GROUP BY 1, 2, 3""",
+)
+def events_range_join(spark, sf_dir):
+    """Bounded-range join: clicks within ±30 min of each error, same
+    user — the correlation probe behind "what surrounded this error".
+    Spark buckets time at the radius and EQUI-joins on (user, bucket±1)
+    + exact |Δt| filter (gated: no CartesianProduct), where the naive
+    inequality join the oracle runs would be per-key quadratic."""
+    from time_series_db_spark.operators.temporal import range_join
+
+    ev = _events_ms(spark, sf_dir)
+    ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", ts_ms.alias("ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", ts_ms.alias("ts")
+    )
+    pairs = range_join(
+        errors, clicks, on=["user_id"], ts_col="ts",
+        radius_ms=1_800_000, build_cols=[],
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.min(F.abs(F.col("gap_ms_n"))).alias("nearest_gap_ms"),
+    )
+    return errors.join(agg, "event_id", "left").select(
+        F.col("event_id"),
+        F.col("user_id").alias("user"),
+        F.col("ts"),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_nearby"),
+        F.col("nearest_gap_ms"),
+    )
+
+
+@register(
+    "events_funnel",
+    """WITH ev AS (
+      SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts
+      FROM events),
+    su AS (SELECT u, min(ts) AS signup_ts FROM ev
+           WHERE et = 'signup' GROUP BY 1),
+    cl AS (SELECT ev.u, min(ev.ts) AS click_ts FROM ev
+           JOIN su ON ev.u = su.u AND ev.ts >= su.signup_ts
+           WHERE et = 'click' GROUP BY 1),
+    pu AS (SELECT ev.u, min(ev.ts) AS purchase_ts FROM ev
+           JOIN cl ON ev.u = cl.u AND ev.ts >= cl.click_ts
+           WHERE et = 'purchase' GROUP BY 1)
+    SELECT su.u AS "user", su.signup_ts, cl.click_ts, pu.purchase_ts,
+           (1 + CASE WHEN click_ts IS NULL THEN 0 ELSE 1 END
+              + CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END)::BIGINT
+             AS steps_completed
+    FROM su LEFT JOIN cl ON su.u = cl.u LEFT JOIN pu ON su.u = pu.u""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel signup → click → purchase with
+    first-touch semantics: each step's timestamp is the earliest
+    occurrence at-or-after the previous step's.  Per-step state is one
+    row per user; all joins are equi on the user key."""
+    from time_series_db_spark.operators.temporal import funnel
+
+    return funnel(
+        _events_ms(spark, sf_dir), ["signup", "click", "purchase"]
+    )
+
+
+@register(
+    "text_pmi_bigrams",
+    f"""WITH toks AS (SELECT {_TOKS} AS t FROM documents),
+    u AS (SELECT unnest(t) AS w FROM toks),
+    uni AS (SELECT w, count(*)::BIGINT AS c FROM u
+            WHERE w <> '' GROUP BY w),
+    tot AS (SELECT sum(c)::BIGINT AS n FROM uni),
+    bi AS (SELECT unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                          for i in generate_series(1, len(t) - 1)],
+                         recursive := true) FROM toks),
+    bc AS (SELECT w1, w2, count(*)::BIGINT AS c_xy FROM bi
+           WHERE w1 <> '' AND w2 <> ''
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+    SELECT bc.w1, bc.w2, bc.c_xy,
+           {sql_quant("ln((bc.c_xy * tot.n)::DOUBLE / (u1.c * u2.c)::DOUBLE)")}
+             AS pmi
+    FROM bc, tot
+    JOIN uni u1 ON u1.w = bc.w1
+    JOIN uni u2 ON u2.w = bc.w2""",
+)
+def text_pmi_bigrams(spark, sf_dir):
+    """PMI collocation mining (Church & Hanks) over adjacent token
+    pairs with count >= 5 — the phrase-merge signal before vocabulary
+    induction.  Integer-exact counts; the single ln() is quantized on
+    both engines to absorb libm ULP skew."""
+    from time_series_db_spark.pipeline.text import pmi_bigrams
+
+    r = pmi_bigrams(_docs(spark, sf_dir), min_count=5)
+    return r.select(
+        "w1", "w2", "c_xy", quant(F.col("pmi")).alias("pmi")
+    )

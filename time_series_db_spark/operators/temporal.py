@@ -1,0 +1,248 @@
+"""Temporal joins over event frames — as-of, bounded-range, and funnel.
+
+The reference's query surface stops at per-series window operators; a
+time-series store feeding a training/feature pipeline also needs the
+classic temporal joins (kdb+ ``aj``, Pandas ``merge_asof``, DuckDB
+``ASOF JOIN``) expressed at cluster scale.  Spark has no built-in as-of
+join, and the naive formulation — an inequality join — degenerates to a
+BroadcastNestedLoopJoin/CartesianProduct that is quadratic per key.
+Both operators here avoid inequality joins entirely:
+
+* :func:`asof_join` uses the union trick: tag both sides, union, and
+  take a running ``last(ignorenulls)`` over one per-key time-ordered
+  window.  ONE shuffle on the join keys, O(n log n) per partition, no
+  pair blow-up — the per-key history is the minimal sequential unit,
+  exactly like sessionization.
+* :func:`range_join` buckets time by the radius and equi-joins on
+  (keys, bucket ± 1), then filters the exact predicate — a hash join
+  whose candidate set is bounded by true-neighborhood density, never
+  the cross product.  (The same bucket-join shape as the LSH dedup
+  candidate generation.)
+* :func:`funnel` computes ordered conversion steps (A then B then C)
+  with per-step conditional min-aggregations equi-joined on the user
+  key — each stage's state is one row per user, co-partitioned on the
+  same key so AQE reuses the exchange.
+
+All three are deterministic (explicit tie-breaks) so they carry exact
+DuckDB oracles in the catalog (``events_asof_join``,
+``events_range_join``, ``events_funnel``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _ms(df: DataFrame, ts_col: str) -> F.Column:
+    """Epoch-ms ordering column; timestamps cast, bigints pass through."""
+    if dict(df.dtypes).get(ts_col, "").startswith("timestamp"):
+        return F.unix_millis(F.col(ts_col).cast("timestamp"))
+    return F.col(ts_col).cast("long")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    *,
+    right_cols: list[str],
+    tiebreak_col: str | None = None,
+    tolerance_ms: int | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join: each left row gains the ``right_cols`` of
+    the latest right row with ``right.ts <= left.ts`` on the same
+    ``on`` keys (NULLs when no such row, or when it is further back
+    than ``tolerance_ms``).  Adds ``<ts_col>{suffix}`` with the matched
+    right row's epoch-ms timestamp.
+
+    Ties: a right row AT the left row's timestamp matches (>= semantics,
+    like DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``); among right rows
+    sharing one timestamp the greatest ``tiebreak_col`` wins — pass one
+    whenever (keys, ts) is not unique on the right or the result is
+    nondeterministic.
+
+    100 TB shape: union the tagged sides, ONE exchange on ``on``, one
+    time-ordered running ``last(ignorenulls)`` per key — no inequality
+    join, no candidate-pair materialization; skew is bounded by a single
+    key's history (the minimal sequential unit).  kdb+ ``aj`` / Pandas
+    ``merge_asof`` semantics, reference fetch/window model
+    (query/plan/ResolvedQuery.java) extended to cross-stream alignment.
+    """
+    if not on:
+        raise ValueError("asof_join requires at least one equi-key")
+    if not right_cols:
+        raise ValueError("asof_join requires right_cols to attach")
+    missing = [c for c in right_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"right side lacks columns {missing}")
+
+    order2 = (
+        F.col(f"__tb{suffix}")
+        if tiebreak_col is not None
+        else F.lit(0)
+    )
+    payload = F.struct(
+        F.col(f"__ts{suffix}").alias("__rts"),
+        *[F.col(c).alias(c) for c in right_cols],
+    )
+    r = right.select(
+        *[F.col(c) for c in on],
+        _ms(right, ts_col).alias(f"__ts{suffix}"),
+        *(
+            [F.col(tiebreak_col).cast("long").alias(f"__tb{suffix}")]
+            if tiebreak_col is not None
+            else []
+        ),
+        *[F.col(c) for c in right_cols if c not in on],
+    ).select(
+        *on,
+        F.col(f"__ts{suffix}"),
+        order2.alias(f"__tb{suffix}"),
+        payload.alias(f"__r{suffix}"),
+        F.lit(0).alias(f"__side{suffix}"),
+    )
+    l = left.withColumn(f"__ts{suffix}", _ms(left, ts_col)).withColumn(
+        f"__side{suffix}", F.lit(1)
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    # right rows (side 0) sort before left rows at the same instant so
+    # an exactly-simultaneous right row is visible to the left row
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(f"__ts{suffix}", f"__side{suffix}", f"__tb{suffix}")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(f"__r{suffix}", ignorenulls=True).over(w)
+    out = u.withColumn(f"__m{suffix}", matched).where(
+        F.col(f"__side{suffix}") == 1
+    )
+    if tolerance_ms is not None:
+        out = out.withColumn(
+            f"__m{suffix}",
+            F.when(
+                F.col(f"__ts{suffix}") - F.col(f"__m{suffix}.__rts")
+                <= F.lit(int(tolerance_ms)),
+                F.col(f"__m{suffix}"),
+            ),
+        )
+    keep = [c for c in left.columns]
+    proj = [F.col(c) for c in keep]
+    proj.append(F.col(f"__m{suffix}.__rts").alias(f"{ts_col}{suffix}"))
+    proj += [
+        F.col(f"__m{suffix}.{c}").alias(f"{c}{suffix}")
+        for c in right_cols
+    ]
+    return out.select(*proj)
+
+
+def range_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: list[str],
+    ts_col: str = "ts",
+    *,
+    radius_ms: int,
+    build_cols: list[str],
+    suffix: str = "_n",
+) -> DataFrame:
+    """Bounded-range join: all (probe, build) pairs on the same ``on``
+    keys with ``|build.ts - probe.ts| <= radius_ms`` — inner semantics,
+    one output row per matching pair, build payload suffixed, plus
+    ``gap_ms{suffix}`` = build.ts − probe.ts (signed epoch-ms delta).
+
+    100 TB shape: time is bucketed at ``radius_ms``; each probe row
+    expands to its bucket and both neighbors (a constant ×3), then an
+    EQUI hash join on (keys, bucket) + exact |Δt| filter.  Candidate
+    volume is bounded by the true neighborhood density per key, never
+    the per-key cross product an inequality join would scan; the plan
+    is gated to contain no CartesianProduct / BroadcastNestedLoopJoin
+    (tests/test_plan_quality.py).
+    """
+    if radius_ms <= 0:
+        raise ValueError("radius_ms must be a positive duration")
+    if not on:
+        raise ValueError("range_join requires at least one equi-key")
+    rad = int(radius_ms)
+    p = probe.withColumn("__pts", _ms(probe, ts_col))
+    b = build.select(
+        *[F.col(c) for c in on],
+        _ms(build, ts_col).alias("__bts"),
+        *[
+            F.col(c).alias(f"{c}{suffix}")
+            for c in build_cols
+            if c not in on
+        ],
+    ).withColumn("__bkt", F.floor(F.col("__bts") / F.lit(rad)))
+    p = p.withColumn(
+        "__bkt",
+        F.explode(
+            F.array(
+                F.floor(F.col("__pts") / F.lit(rad)) - 1,
+                F.floor(F.col("__pts") / F.lit(rad)),
+                F.floor(F.col("__pts") / F.lit(rad)) + 1,
+            )
+        ),
+    )
+    joined = p.join(b, on=[*on, "__bkt"], how="inner").where(
+        F.abs(F.col("__bts") - F.col("__pts")) <= F.lit(rad)
+    )
+    proj = [F.col(c) for c in probe.columns]
+    proj += [
+        F.col(f"{c}{suffix}") for c in build_cols if c not in on
+    ]
+    proj.append((F.col("__bts") - F.col("__pts")).alias(f"gap_ms{suffix}"))
+    return joined.select(*proj)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered conversion funnel: for each user with a ``steps[0]``
+    event, the earliest timestamp of each subsequent step that occurs
+    at-or-after the previous step's chosen timestamp (first-touch
+    semantics).  Output: (user, <step>_ts … one epoch-ms column per
+    step, NULL once the chain breaks, steps_completed BIGINT).
+
+    100 TB shape: per-step state is ONE row per user; every stage is a
+    conditional min-aggregation equi-joined back on the user key, so
+    all exchanges hash on the same key (AQE-coalesced, reusable) and
+    nothing is ever quadratic.  ``len(steps)`` is a small constant
+    (pipeline definition), so the plan depth is fixed.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    ts_ms = _ms(events, ts_col)
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        F.col(type_col).alias("__et"),
+        ts_ms.alias("__ts"),
+    )
+    cur = (
+        ev.where(F.col("__et") == steps[0])
+        .groupBy("user")
+        .agg(F.min("__ts").alias(f"{steps[0]}_ts"))
+    )
+    prev_col = f"{steps[0]}_ts"
+    for step in steps[1:]:
+        nxt = (
+            ev.where(F.col("__et") == step)
+            .join(cur.select("user", prev_col), on="user", how="inner")
+            .where(F.col("__ts") >= F.col(prev_col))
+            .groupBy("user")
+            .agg(F.min("__ts").alias(f"{step}_ts"))
+        )
+        cur = cur.join(nxt, on="user", how="left")
+        prev_col = f"{step}_ts"
+    completed = F.lit(0)
+    for step in steps:
+        completed = completed + F.when(
+            F.col(f"{step}_ts").isNotNull(), F.lit(1)
+        ).otherwise(F.lit(0))
+    return cur.withColumn("steps_completed", completed.cast("long"))

@@ -579,3 +579,70 @@ def ppl_buckets(
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def pmi_bigrams(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise-mutual-information phrase mining: every adjacent token
+    pair seen at least ``min_count`` times, scored with
+    ``pmi = ln(c_xy * N / (c_x * c_y))`` over corpus-wide counts — the
+    classic collocation signal (Church & Hanks 1990) used to decide
+    which bigrams merge into phrase tokens before vocabulary induction.
+
+    Returns (w1, w2, c_xy, pmi).  The count filter is integer-exact and
+    the score is a single double division + ln over exact BIGINT
+    products, so the DuckDB oracle matches bit-for-bit (the catalog
+    entry additionally quantizes the score).
+
+    Scale shape: bigrams come from zipping each token array with its
+    own tail — no per-document window, no shuffle before the counting
+    aggregations; both count tables partial-aggregate map-side, the
+    unigram table is vocab-bounded and broadcast to the scoring join,
+    and the corpus total is a 1-row broadcast.  Nothing is ever sorted
+    globally.
+    """
+    if min_count < 1:
+        raise ValueError("min_count must be at least 1")
+    toks = df.select(
+        F.split(textprep.normalize(F.col(text_col)), " ").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("w1"), F.col("p.1").alias("w2"))
+    bc = (
+        pairs.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= F.lit(int(min_count)))
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("__c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("__c2"))
+    return (
+        bc.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.log(
+                (F.col("c_xy") * F.col("n")).cast("double")
+                / (F.col("__c1") * F.col("__c2")).cast("double")
+            ).alias("pmi"),
+        )
+    )
