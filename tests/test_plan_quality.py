@@ -626,3 +626,15 @@ def test_pmi_broadcasts_vocab_tables(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
     assert "Sort [" not in plan.replace("SortAggregate", "")
+
+
+def test_retention_dedups_before_join(spark, sf_dir):
+    """Retention joins (user, bucket) pairs already deduplicated — the
+    join and distinct-shuffle carry at most users x active-buckets
+    rows, never raw events; the cohort join is equi on the user key."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["events_retention"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

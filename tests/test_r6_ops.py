@@ -734,3 +734,29 @@ def test_pmi_bigrams_hand_computation(spark):
     ) == {("a", "b")}
     with pytest.raises(ValueError, match="min_count"):
         pmi_bigrams(docs, min_count=0)
+
+
+def test_retention_cohorts_triangle(spark):
+    from time_series_db_spark.operators.temporal import retention_cohorts
+
+    b = 100  # tiny bucket for readability
+    rows = [
+        # user 1: first in bucket 0, active buckets 0, 1, 3 (two events
+        # inside bucket 1 count once)
+        (1, 1, 10, 0.0), (2, 1, 110, 0.0), (3, 1, 150, 0.0), (4, 1, 310, 0.0),
+        # user 2: first in bucket 1, active buckets 1 and 3 -> offsets 0, 2
+        (5, 2, 120, 0.0), (6, 2, 390, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, value double"
+    )
+    got = {
+        (r.cohort_ts, r.bucket_offset): r.n_active
+        for r in retention_cohorts(df, bucket_ms=b).collect()
+    }
+    assert got == {
+        (0, 0): 1, (0, 1): 1, (0, 3): 1,
+        (100, 0): 1, (100, 2): 1,
+    }
+    with pytest.raises(ValueError, match="bucket_ms"):
+        retention_cohorts(df, bucket_ms=0)

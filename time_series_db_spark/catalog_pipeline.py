@@ -1758,3 +1758,26 @@ def text_pmi_bigrams(spark, sf_dir):
     return r.select(
         "w1", "w2", "c_xy", quant(F.col("pmi")).alias("pmi")
     )
+
+
+@register(
+    "events_retention",
+    """WITH ev AS (
+      SELECT DISTINCT user_id AS u,
+             epoch_ms(ts) - epoch_ms(ts) % 86400000 AS bucket
+      FROM events),
+    cohort AS (SELECT u, min(bucket) AS cohort_ts FROM ev GROUP BY 1)
+    SELECT c.cohort_ts,
+           ((e.bucket - c.cohort_ts) // 86400000)::BIGINT AS bucket_offset,
+           count(*)::BIGINT AS n_active
+    FROM ev e JOIN cohort c ON e.u = c.u
+    GROUP BY 1, 2""",
+)
+def events_retention(spark, sf_dir):
+    """Daily cohort-retention triangle: users cohorted by first-event
+    day, counted per (cohort, day-offset) cell.  The activity stream is
+    deduplicated to (user, day) map-side before any join, and the
+    cohort table is one min-row per user equi-joined on the same key."""
+    from time_series_db_spark.operators.temporal import retention_cohorts
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))

@@ -246,3 +246,45 @@ def funnel(
             F.col(f"{step}_ts").isNotNull(), F.lit(1)
         ).otherwise(F.lit(0))
     return cur.withColumn("steps_completed", completed.cast("long"))
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_ms: int = 86_400_000,
+) -> DataFrame:
+    """Cohort retention: users are cohorted by the time bucket of their
+    FIRST event; for every (cohort, offset) cell, how many of that
+    cohort's users were active ``offset`` buckets later.  Output:
+    (cohort_ts epoch-ms bucket start, bucket_offset BIGINT >= 0,
+    n_active BIGINT) — the classic retention triangle, with offset 0 the
+    cohort size itself.
+
+    100 TB shape: the cohort table is ONE min-aggregation row per user,
+    equi-joined back on the user key (co-partitioned with the activity
+    scan — no broadcast needed, no skew beyond one user's history); the
+    final cell count is a distinct-aggregate whose input is already
+    deduplicated to (user, bucket) pairs map-side, so the heavy shuffle
+    carries at most users × active-buckets rows, never raw events.
+    """
+    if bucket_ms <= 0:
+        raise ValueError("bucket_ms must be a positive duration")
+    b = int(bucket_ms)
+    ev = events.select(
+        F.col(user_col).alias("user"),
+        (_ms(events, ts_col) - _ms(events, ts_col) % F.lit(b)).alias(
+            "__bucket"
+        ),
+    ).distinct()
+    first = ev.groupBy("user").agg(F.min("__bucket").alias("cohort_ts"))
+    return (
+        ev.join(first, "user")
+        .groupBy(
+            "cohort_ts",
+            ((F.col("__bucket") - F.col("cohort_ts")) / F.lit(b))
+            .cast("long")
+            .alias("bucket_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
