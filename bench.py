@@ -59,6 +59,7 @@ BENCH_QUERIES = [
     "text_quality",
     "ann_cosine_topk",
     "ann_ivf_topk",            # cell-pruned ANN
+    "ann_pq_adc_topk",         # PQ codes + ADC + exact re-rank (r6)
     "mm_audio_features",       # mapInPandas (Arrow) path
     "tpch_q1_pricing",
     "tpch_q3_shipping",

@@ -638,3 +638,14 @@ def test_retention_dedups_before_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir):
+    """The ADC scoring scan must join broadcast LUTs against the CODES
+    frame — no non-broadcast cartesian, no Python; full vectors appear
+    only in the bounded re-rank joins (broadcast shortlist)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["ann_pq_adc_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

@@ -760,3 +760,68 @@ def test_retention_cohorts_triangle(spark):
     }
     with pytest.raises(ValueError, match="bucket_ms"):
         retention_cohorts(df, bucket_ms=0)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pipeline/ann.py)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codes_shape_and_range(spark, sf_dir):
+    from time_series_db_spark.pipeline.ann import (
+        _as_double, pq_codebooks, pq_encode,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = embs.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
+    books = pq_codebooks(vecs, m=8, k=16, iters=1)
+    assert books.count() == 8 * 16  # every subspace has its k codewords
+    codes = pq_encode(vecs, books, m=8).collect()
+    assert len(codes) == embs.count()
+    for r in codes:
+        assert len(r.codes) == 8
+        assert all(0 <= c < 16 for c in r.codes)
+
+
+def test_pq_rerank_recall_gate(spark, sf_dir):
+    """The re-ranked PQ top-5 must keep >= 0.7 recall vs the exact L2
+    top-5 at the catalog configuration (m=16, k=16, shortlist 50) —
+    the quality bar that makes the 64x memory compression usable."""
+    from pyspark.sql import Window
+
+    from time_series_db_spark.pipeline.ann import (
+        _as_double, l2sq_expr, pq_rerank_topk,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    got = pq_rerank_topk(embs, queries, topk=5, shortlist=50).collect()
+
+    vecs = embs.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("__qv"),
+    )
+    ex = (
+        vecs.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2sq_expr(F.col("__v"), F.col("__qv")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id")
+    )
+    exact = ex.withColumn("r", F.row_number().over(w)).filter("r <= 5").collect()
+
+    true_sets: dict = {}
+    got_sets: dict = {}
+    for r in exact:
+        true_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(true_sets[q1] & got_sets.get(q1, set())) for q1 in true_sets)
+    total = sum(len(v) for v in true_sets.values())
+    assert hits / total >= 0.7, f"PQ recall@5 {hits/total:.3f} below gate"

@@ -1781,3 +1781,146 @@ def events_retention(spark, sf_dir):
     from time_series_db_spark.operators.temporal import retention_cohorts
 
     return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# product quantization (pipeline/ann.py) — codes + ADC search oracles
+# ---------------------------------------------------------------------------
+
+def _sql_l2sq(a: str, b: str) -> str:
+    """Squared L2 as the same sequential left-fold ann.l2sq_expr uses."""
+    return (
+        f"list_reduce(list_prepend(0.0, "
+        f"[(({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]) "
+        f"for i in generate_series(1, len({a}))]), (acc, x) -> acc + x)"
+    )
+
+
+def _sql_pq_ctes(m: int, k: int, iters: int, dims: int = 64) -> str:
+    """CTE chain mirroring ann.pq_codebooks + ann.pq_encode: per-subspace
+    slices, unrolled Lloyd rounds keyed by subspace (exact-decimal dim
+    means, empty cells keep their codeword), then the final-codebook
+    assignment as (vec_id, s, cid) rows and packed code lists."""
+    sub = dims // m
+    sql = f"""es AS (
+      SELECT vec_id, s, v[(s * {sub} + 1):((s + 1) * {sub})] AS sv
+      FROM e, generate_series(0, {m - 1}) t(s)),
+    pc0 AS (SELECT s, vec_id::BIGINT AS cid, sv AS cent
+            FROM es WHERE vec_id < {k})"""
+    for t in range(iters):
+        sql += f""",
+    pa{t} AS (
+      SELECT es.vec_id, es.s, es.sv, c.cid,
+             row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY {_sql_l2sq('es.sv', 'c.cent')} ASC, c.cid
+             ) AS rn
+      FROM es JOIN pc{t} c ON c.s = es.s),
+    pb{t} AS (SELECT vec_id, s, sv, cid FROM pa{t} WHERE rn = 1),
+    pd{t} AS (
+      SELECT s, cid, i,
+             CAST(sum(CAST(sv[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*)
+               AS dm
+      FROM pb{t}, generate_series(1, {sub}) t(i)
+      GROUP BY s, cid, i),
+    pn{t} AS (SELECT s, cid, list(dm ORDER BY i) AS cent
+              FROM pd{t} GROUP BY s, cid),
+    pc{t + 1} AS (
+      SELECT c.s, c.cid, COALESCE(n.cent, c.cent) AS cent
+      FROM pc{t} c LEFT JOIN pn{t} n ON n.s = c.s AND n.cid = c.cid)"""
+    sql += f""",
+    pq_enc0 AS (
+      SELECT es.vec_id, es.s, c.cid,
+             row_number() OVER (
+               PARTITION BY es.vec_id, es.s
+               ORDER BY {_sql_l2sq('es.sv', 'c.cent')} ASC, c.cid
+             ) AS rn
+      FROM es JOIN pc{iters} c ON c.s = es.s),
+    pq_enc AS (SELECT vec_id, s, cid FROM pq_enc0 WHERE rn = 1),
+    pq_codes AS (
+      SELECT vec_id, list(cid ORDER BY s) AS codes
+      FROM pq_enc GROUP BY vec_id)"""
+    return sql
+
+
+_PQ_M, _PQ_K, _PQ_ITERS = 16, 16, 2
+_PQ_CTES = _sql_pq_ctes(_PQ_M, _PQ_K, _PQ_ITERS)
+
+
+@register(
+    "embedding_pq_codes",
+    f"""WITH e AS ({_SQL_E}),
+    {_PQ_CTES}
+    SELECT vec_id, codes FROM pq_codes""",
+)
+def embedding_pq_codes(spark, sf_dir):
+    """PQ encoding (Jégou et al. 2011): 16 subspaces × 16 codewords
+    trained by the same deterministic Lloyd rounds as the IVF coarse
+    quantizer — a 64-dim float64 vector becomes 16 4-bit codes (512
+    bytes → 8).  The oracle unrolls the per-subspace training and the
+    final assignment; exact-decimal means keep the codebooks
+    bit-identical across engines."""
+    embs = _embs(spark, sf_dir)
+    vecs = embs.select("vec_id", ann._as_double(F.col("embedding")).alias("__v"))
+    books = ann.pq_codebooks(vecs, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
+    return ann.pq_encode(vecs, books, m=_PQ_M)
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""WITH e AS ({_SQL_E}),
+    {_PQ_CTES},
+    qes AS (SELECT vec_id AS query_id, s, sv FROM es WHERE vec_id % 50 = 0),
+    lut AS (
+      SELECT q.query_id, c.s, c.cid, {_sql_l2sq('q.sv', 'c.cent')} AS d
+      FROM qes q JOIN pc{_PQ_ITERS} c ON c.s = q.s),
+    pair AS (
+      SELECT l.query_id, enc.vec_id AS neighbor_id, l.s, l.d
+      FROM pq_enc enc JOIN lut l ON l.s = enc.s AND l.cid = enc.cid
+      WHERE enc.vec_id <> l.query_id),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+                         (acc, x) -> acc + x) AS adc_dist
+      FROM pair GROUP BY 1, 2),
+    shortl AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+             ) AS srank
+      FROM adc),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_sql_l2sq('cv.v', 'qv.v')} AS l2_dist
+      FROM shortl s
+      JOIN e cv ON cv.vec_id = s.neighbor_id
+      JOIN e qv ON qv.vec_id = s.query_id
+      WHERE s.srank <= 50),
+    ranked AS (
+      SELECT query_id, neighbor_id, l2_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id
+             ) AS rank
+      FROM rer)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('l2_dist')} AS l2_dist
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ search with asymmetric distance computation + exact re-rank —
+    the billion-scale memory path: the corpus-wide scan reads 16
+    one-byte codes per vector against a broadcast per-query LUT; only
+    the 50-candidate shortlist fetches full vectors for the exact L2
+    re-rank.  Recall vs exact search is pinned by a unit-test gate; the
+    oracle replays codebook training, encoding, LUT, ordered ADC fold,
+    shortlist, and re-rank."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.pq_rerank_topk(
+        embs, queries, topk=5, shortlist=50,
+        m=_PQ_M, k=_PQ_K, train_iters=_PQ_ITERS,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        quant(F.col("l2_dist")).alias("l2_dist"),
+    )
