@@ -1724,3 +1724,46 @@ def test_alert_history_dedup_keeps_islands_correct(spark):
     assert out == {
         T0: "pending", T0 + M5: "pending", T0 + 2 * M5: "firing",
     }
+
+
+def test_backfill_rules_prefilter_matches_unfiltered(spark, tmp_path):
+    """When every rule in the group carries a tag filter, the shared
+    scan is pruned to the UNION of the matches before it is persisted
+    (the 100 TB cache-bound); results must be identical to running each
+    rule alone over the unpruned store."""
+    from time_series_db_spark.streaming.ingest import ingest_batch
+    from time_series_db_spark.streaming.rules import (
+        backfill_recording_rule,
+        backfill_rules,
+    )
+
+    M5 = 300_000
+    table = str(tmp_path / "metrics")
+    docs = spark.createDataFrame(
+        [
+            ("name error region east", T0 + 10_000, 1.0),
+            ("name error region west", T0 + 30_000, 5.0),
+            ("name click region east", T0 + 40_000, 7.0),
+            ("name view region east", T0 + 50_000, 9.0),  # matched by nobody
+        ],
+        INGEST_SCHEMA,
+    )
+    ingest_batch(spark, docs, table)
+    r1 = {"record": "err:sum", "match": {"name": ["error"]},
+          "group_by": ["region"], "agg": "sum", "resolution_ms": M5}
+    r2 = {"record": "click:max", "match": {"name": ["click"]},
+          "group_by": [], "agg": "max", "resolution_ms": M5}
+    grouped = str(tmp_path / "grouped")
+    counts = backfill_rules(spark, table, grouped, [r1, r2])
+    assert counts == {"err:sum": 2, "click:max": 1}
+    got = {
+        (r["series_key"], r["ts"]): r["value"]
+        for r in spark.read.parquet(grouped).collect()
+    }
+    solo = {}
+    for i, r in enumerate([r1, r2]):
+        out = str(tmp_path / f"solo{i}")
+        backfill_recording_rule(spark, table, out, r)
+        for row in spark.read.parquet(out).collect():
+            solo[(row["series_key"], row["ts"])] = row["value"]
+    assert got == solo

@@ -568,9 +568,23 @@ def backfill_rules(
     names = [r["record"] for r in compiled]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate record names in rule group: {names}")
-    samples = persist_tracked(
-        read_metrics(spark, store_path, min_ts=min_ts, max_ts=max_ts)
-    )
+    samples = read_metrics(spark, store_path, min_ts=min_ts, max_ts=max_ts)
+    # Persisting materializes the scan, and a cache boundary blocks all
+    # later pushdown — so prune to the UNION of the rules' tag filters
+    # FIRST. A group matching 1% of a 100 TB store then caches 1%, not
+    # everything; each rule's own (subset) filter still runs on top.
+    # Any rule with an empty match selects the whole store: skip.
+    if all(r["match"] for r in compiled):
+        union_pred = None
+        for r in compiled:
+            pred = None
+            for key, values in r["match"].items():
+                p = tag_filter_predicate(F.col("labels")[key], values)
+                pred = p if pred is None else (pred & p)
+            union_pred = pred if union_pred is None else (union_pred | pred)
+        if union_pred is not None:
+            samples = samples.filter(union_pred)
+    samples = persist_tracked(samples)
     frames = [
         apply_rule_frame(samples, r, block_ms).withColumn(
             "__record", F.lit(r["record"])
