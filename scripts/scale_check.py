@@ -40,6 +40,10 @@ QUERIES = [
     "search_bm25",             # postings filter + broadcast stats (r6)
     "sample_importance_dsir",  # hashed-model literal-LUT scoring (r6)
     "chunk_documents",         # zero-shuffle posexplode chunking (r6)
+    "events_asof_join",        # union-trick as-of join (r6)
+    "events_range_join",       # bucketed range join — quadratic-risk (r6)
+    "events_retention",        # cohort dedup + self-key join (r6)
+    "text_pmi_bigrams",        # bigram count tables + broadcast joins (r6)
     "tpch_q1_pricing",
 ]
 

@@ -434,3 +434,62 @@ def test_lm_perplexity_matches_exact_replay(spark, docs, vocab_size):
     for d in want:
         assert got[d][0] == want[d][0]
         assert got[d][1] == pytest.approx(want[d][1], rel=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs exact replay (operators/temporal.py)
+# ---------------------------------------------------------------------------
+
+_asof_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=200),    # ts (dense -> many ties)
+        st.integers(min_value=0, max_value=1000),   # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=_asof_events, right=_asof_events,
+       tol=st.one_of(st.none(), st.integers(min_value=0, max_value=80)))
+def test_asof_join_matches_sequential_replay(spark, left, right, tol):
+    """For ANY event sets (including heavy timestamp ties), the
+    distributed union-trick as-of join equals the obvious sequential
+    replay: latest right row at-or-before each left row on the same
+    key, greatest event-id winning ties, tolerance nulling stale
+    matches."""
+    from time_series_db_spark.operators.temporal import asof_join
+
+    ldf = spark.createDataFrame(
+        [(i, k, t, float(v)) for i, (k, t, v) in enumerate(left)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    rdf = spark.createDataFrame(
+        [(i, k, t, float(v)) for i, (k, t, v) in enumerate(right)],
+        "event_id long, user_id long, ts long, value double",
+    )
+    got = {
+        r.event_id: (r.ts_r, r.value_r)
+        for r in asof_join(
+            ldf, rdf, on=["user_id"], ts_col="ts",
+            right_cols=["value"], tiebreak_col="event_id",
+            tolerance_ms=tol,
+        ).collect()
+    }
+    expect = {}
+    for i, (k, t, _v) in enumerate(left):
+        best = None  # (ts, event_id, value)
+        for j, (rk, rt, rv) in enumerate(right):
+            if rk == k and rt <= t and (best is None or (rt, j) > best[:2]):
+                best = (rt, j, float(rv))
+        if best is not None and (tol is None or t - best[0] <= tol):
+            expect[i] = (best[0], best[2])
+        else:
+            expect[i] = (None, None)
+    assert got == expect

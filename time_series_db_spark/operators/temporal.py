@@ -218,6 +218,8 @@ def funnel(
     """
     if len(steps) < 2:
         raise ValueError("a funnel needs at least two steps")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
     ts_ms = _ms(events, ts_col)
     ev = events.select(
         F.col(user_col).alias("user"),
