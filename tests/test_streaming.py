@@ -1767,3 +1767,84 @@ def test_backfill_rules_prefilter_matches_unfiltered(spark, tmp_path):
         for row in spark.read.parquet(out).collect():
             solo[(row["series_key"], row["ts"])] = row["value"]
     assert got == solo
+
+
+def test_streaming_asof_enrich_equals_batch_asof(spark, tmp_path):
+    """The stream-stream as-of enrichment (watermarked range join +
+    append-mode max_by finalization) must produce EXACTLY the batch
+    asof_join with the same tolerance — including NULLs for unmatched
+    left events and greatest-tiebreak resolution of timestamp ties."""
+    import json as _json
+
+    from time_series_db_spark.operators.temporal import asof_join
+    from time_series_db_spark.streaming.enrich import streaming_asof_enrich
+
+    lsrc, rsrc = tmp_path / "l", tmp_path / "r"
+    lsrc.mkdir(); rsrc.mkdir()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    lrows = [
+        {"event_id": i, "user_id": i % 3, "ts": T0 + i * 10_000,
+         "value": float(i)}
+        for i in range(20)
+    ]
+    # right stream includes a timestamp tie: events 100 and 121 share
+    # (user 0, T0) — the greater event_id must win
+    rrows = [
+        {"event_id": 100 + i, "user_id": i % 3, "ts": T0 + i * 7_000,
+         "value": 100.0 + i}
+        for i in range(20)
+    ] + [{"event_id": 121, "user_id": 0, "ts": T0, "value": 999.0}]
+    (lsrc / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in lrows)
+    )
+    (rsrc / "a.json").write_text(
+        "\n".join(_json.dumps(r) for r in rrows)
+    )
+    schema = "event_id long, user_id long, ts long, value double"
+    tol = 30_000
+
+    def run_pass():
+        l = spark.readStream.schema(schema).json(str(lsrc))
+        r = spark.readStream.schema(schema).json(str(rsrc))
+        q = (
+            streaming_asof_enrich(
+                l, r, on=["user_id"], tolerance_ms=tol,
+                watermark="1 minute",
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_pass()
+    # sentinel far ahead on both sides advances the persisted watermark
+    # so the first batch's groups finalize on the second pass
+    flush = [{"event_id": 9999, "user_id": 99, "ts": T0 + 10**9,
+              "value": 0.0}]
+    (lsrc / "b.json").write_text("\n".join(_json.dumps(r) for r in flush))
+    (rsrc / "b.json").write_text("\n".join(_json.dumps(r) for r in flush))
+    run_pass()
+
+    got = sorted(
+        (r.event_id, r.ts_r, r.value_r)
+        for r in spark.read.parquet(out).filter("user_id < 99").collect()
+    )
+    ref = asof_join(
+        spark.createDataFrame([tuple(r.values()) for r in lrows], schema),
+        spark.createDataFrame([tuple(r.values()) for r in rrows], schema),
+        on=["user_id"], ts_col="ts", right_cols=["value"],
+        tiebreak_col="event_id", tolerance_ms=tol,
+    )
+    want = sorted((r.event_id, r.ts_r, r.value_r) for r in ref.collect())
+    assert got == want and len(got) == 20
+
+    from time_series_db_spark.streaming.enrich import streaming_asof_enrich as s
+
+    with pytest.raises(ValueError, match="tolerance"):
+        s(spark.readStream.schema(schema).json(str(lsrc)),
+          spark.readStream.schema(schema).json(str(rsrc)),
+          on=["user_id"], tolerance_ms=0)
