@@ -825,3 +825,23 @@ def test_pq_rerank_recall_gate(spark, sf_dir):
     hits = sum(len(true_sets[q1] & got_sets.get(q1, set())) for q1 in true_sets)
     total = sum(len(v) for v in true_sets.values())
     assert hits / total >= 0.7, f"PQ recall@5 {hits/total:.3f} below gate"
+
+
+def test_event_transitions_counts_and_tiebreak(spark):
+    from time_series_db_spark.operators.temporal import event_transitions
+
+    rows = [
+        # user 1: a -> b -> a ; user 2: b -> b
+        (1, 1, 10, "a"), (2, 1, 20, "b"), (3, 1, 30, "a"),
+        (4, 2, 10, "b"), (5, 2, 20, "b"),
+        # user 3: timestamp tie resolved by event_id: a(6) then c(7)
+        (6, 3, 50, "a"), (7, 3, 50, "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {
+        (r.from_type, r.to_type): r.n_transitions
+        for r in event_transitions(df).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1, ("a", "c"): 1}

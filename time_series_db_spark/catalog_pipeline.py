@@ -1924,3 +1924,24 @@ def ann_pq_adc_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank",
         quant(F.col("l2_dist")).alias("l2_dist"),
     )
+
+
+@register(
+    "events_transitions",
+    """WITH seq AS (
+      SELECT user_id, event_type AS to_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+             ) AS from_type
+      FROM events)
+    SELECT from_type, to_type, count(*)::BIGINT AS n_transitions
+    FROM seq WHERE from_type IS NOT NULL
+    GROUP BY 1, 2""",
+)
+def events_transitions(spark, sf_dir):
+    """First-order event-type transition matrix over per-user
+    time-ordered sequences — one per-user lag window + one pair-count
+    hash aggregation; output is |types|² rows regardless of scale."""
+    from time_series_db_spark.operators.temporal import event_transitions
+
+    return event_transitions(load_table(spark, sf_dir, "events"))

@@ -290,3 +290,38 @@ def retention_cohorts(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order user-journey transition matrix: for each user's
+    time-ordered event sequence, count every adjacent (from_type →
+    to_type) step across all users — the Markov-chain estimate behind
+    "what do users do next" and next-event-prediction features.
+
+    Output: (from_type, to_type, n_transitions BIGINT).  Ordering ties
+    at one timestamp resolve by ``tiebreak_col`` so the sequence — and
+    therefore the counts — are deterministic under any partitioning.
+
+    100 TB shape: ONE window partitioned by user (lag of the type
+    column), then a hash aggregation on the (from, to) pair with
+    map-side partials; output cardinality is |event types|², metadata-
+    sized regardless of corpus.
+    """
+    w = Window.partitionBy("__u").orderBy("__ts", "__tb")
+    seq = events.select(
+        F.col(user_col).alias("__u"),
+        _ms(events, ts_col).alias("__ts"),
+        F.col(tiebreak_col).alias("__tb"),
+        F.col(type_col).alias("to_type"),
+    ).withColumn("from_type", F.lag("to_type").over(w))
+    return (
+        seq.where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
