@@ -795,7 +795,9 @@ def test_pq_rerank_recall_gate(spark, sf_dir):
 
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = embs.filter(F.col("vec_id") % 50 == 0)
-    got = pq_rerank_topk(embs, queries, topk=5, shortlist=50).collect()
+    got = pq_rerank_topk(
+        embs, queries, topk=5, shortlist=50, train_iters=1, dims=64
+    ).collect()
 
     vecs = embs.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
     q = queries.select(

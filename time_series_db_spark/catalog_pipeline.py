@@ -1843,7 +1843,7 @@ def _sql_pq_ctes(m: int, k: int, iters: int, dims: int = 64) -> str:
     return sql
 
 
-_PQ_M, _PQ_K, _PQ_ITERS = 16, 16, 2
+_PQ_M, _PQ_K, _PQ_ITERS = 16, 16, 1
 _PQ_CTES = _sql_pq_ctes(_PQ_M, _PQ_K, _PQ_ITERS)
 
 
@@ -1855,15 +1855,15 @@ _PQ_CTES = _sql_pq_ctes(_PQ_M, _PQ_K, _PQ_ITERS)
 )
 def embedding_pq_codes(spark, sf_dir):
     """PQ encoding (Jégou et al. 2011): 16 subspaces × 16 codewords
-    trained by the same deterministic Lloyd rounds as the IVF coarse
+    trained by the same deterministic Lloyd round as the IVF coarse
     quantizer — a 64-dim float64 vector becomes 16 4-bit codes (512
     bytes → 8).  The oracle unrolls the per-subspace training and the
     final assignment; exact-decimal means keep the codebooks
     bit-identical across engines."""
     embs = _embs(spark, sf_dir)
     vecs = embs.select("vec_id", ann._as_double(F.col("embedding")).alias("__v"))
-    books = ann.pq_codebooks(vecs, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS)
-    return ann.pq_encode(vecs, books, m=_PQ_M)
+    books = ann.pq_codebooks(vecs, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dims=64)
+    return ann.pq_encode(vecs, books, m=_PQ_M, dims=64)
 
 
 @register(
@@ -1918,7 +1918,7 @@ def ann_pq_adc_topk(spark, sf_dir):
     queries = embs.filter(F.col("vec_id") % 50 == 0)
     out = ann.pq_rerank_topk(
         embs, queries, topk=5, shortlist=50,
-        m=_PQ_M, k=_PQ_K, train_iters=_PQ_ITERS,
+        m=_PQ_M, k=_PQ_K, train_iters=_PQ_ITERS, dims=64,
     )
     return out.select(
         "query_id", "neighbor_id", "rank",

@@ -742,9 +742,21 @@ def cosine_topk_int8(
 # ---------------------------------------------------------------------------
 
 
-def l2sq_expr(a: Column, b: Column) -> Column:
+def l2sq_expr(a: Column, b: Column, n: int | None = None) -> Column:
     """Squared L2 distance of two ARRAY<DOUBLE> columns as a sequential
-    left-fold — deterministic FP order, mirrored by the DuckDB oracle."""
+    left-fold — deterministic FP order, mirrored by the DuckDB oracle.
+
+    With ``n`` (a known static dimension) the fold unrolls into plain
+    ``((0 + d1²) + d2²) + …`` arithmetic — the IDENTICAL operation
+    order, but whole-stage-codegen instead of an interpreted
+    higher-order function, ~3× cheaper per row on the PQ assignment's
+    hot path (corpus × k codewords evaluations)."""
+    if n is not None:
+        acc = F.lit(0.0)
+        for i in range(1, int(n) + 1):
+            d = F.element_at(a, i) - F.element_at(b, i)
+            acc = acc + d * d
+        return acc
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
@@ -767,23 +779,34 @@ def _subslices(vectors: DataFrame, m: int, id_col: str) -> DataFrame:
     )
 
 
-def _pq_assign(subs: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+def _pq_assign(
+    subs: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    sub_dims: int | None = None,
+) -> DataFrame:
     """Nearest codeword per (vector, subspace): broadcast the m×k
-    codebook table, equi-join on the subspace, rank by (L2², code)."""
+    codebook table, equi-join on the subspace, argmin by (L2², code).
+
+    The argmin is a ``min(struct(d, cid))`` hash aggregation — ordering
+    identical to the oracle's ``ORDER BY d, cid`` rank, but with
+    map-side partial combine: the shuffle carries one row per (vector,
+    subspace), never the scored k-fanout a sort window would move."""
     j = subs.join(F.broadcast(cents), "__s").select(
         id_col,
         "__s",
         "__sv",
         "__cid",
-        l2sq_expr(F.col("__sv"), F.col("__cent")).alias("__d"),
-    )
-    w = Window.partitionBy(id_col, "__s").orderBy(
-        F.col("__d").asc(), F.col("__cid")
+        l2sq_expr(F.col("__sv"), F.col("__cent"), sub_dims).alias("__d"),
     )
     return (
-        j.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "__s", "__sv", "__cid")
+        j.groupBy(id_col, "__s")
+        .agg(
+            F.min(F.struct("__d", "__cid")).alias("__best"),
+            # __sv is functionally dependent on the group key
+            F.first("__sv").alias("__sv"),
+        )
+        .select(id_col, "__s", "__sv", F.col("__best.__cid").alias("__cid"))
     )
 
 
@@ -793,6 +816,7 @@ def pq_codebooks(
     k: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Per-subspace k-means codebooks (the PQ training step, Jégou et
     al. 2011): each vector splits into ``m`` contiguous sub-vectors and
@@ -806,6 +830,8 @@ def pq_codebooks(
     for it) and the mean update is a single (s, code, dim) hash
     aggregation with map-side partials.
     """
+    from time_series_db_spark.cache import persist_tracked
+
     subs = _subslices(vectors, m, id_col)
     cents = subs.filter(F.col(id_col) < k).select(
         "__s",
@@ -813,38 +839,80 @@ def pq_codebooks(
         F.col("__sv").alias("__cent"),
     )
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
-    subs = subs.repartition(n_parts)
+    # the slice frame feeds every Lloyd round AND the encode pass —
+    # persist it once; each round's codebook is m·k tiny rows whose
+    # lineage would otherwise replay all prior rounds for every
+    # downstream consumer, so checkpoint it eagerly per round
+    subs = persist_tracked(subs.repartition(n_parts))
+    sub_dims = dims // m if dims is not None else None
     for _ in range(int(iters)):
-        assigned = _pq_assign(subs, cents, id_col)
-        dim_means = (
-            assigned.select(
-                "__s", "__cid", F.posexplode("__sv").alias("__pos", "__val")
-            )
-            .groupBy("__s", "__cid", "__pos")
-            .agg(
-                (
-                    F.sum(F.col("__val").cast("decimal(27,9)")).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("__m")
-            )
-        )
-        new_cents = (
-            dim_means.groupBy("__s", "__cid")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("__pos", "__m"))).alias(
-                    "__pm"
+        assigned = _pq_assign(subs, cents, id_col, sub_dims)
+        if sub_dims is not None:
+            # fixed-width fast path: per-dim exact-decimal sums as ONE
+            # hash aggregation (no posexplode, no second shuffle); the
+            # mean arithmetic — cast(decimal-sum as double) / count —
+            # is identical to the generic path and the SQL oracle
+            new_cents = (
+                assigned.groupBy("__s", "__cid")
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    *[
+                        F.sum(
+                            F.element_at("__sv", i).cast("decimal(27,9)")
+                        ).alias(f"__d{i}")
+                        for i in range(1, sub_dims + 1)
+                    ],
+                )
+                .select(
+                    "__s",
+                    "__cid",
+                    F.array(
+                        *[
+                            F.col(f"__d{i}").cast("double") / F.col("__n")
+                            for i in range(1, sub_dims + 1)
+                        ]
+                    ).alias("__new"),
                 )
             )
+        else:
+            dim_means = (
+                assigned.select(
+                    "__s", "__cid",
+                    F.posexplode("__sv").alias("__pos", "__val"),
+                )
+                .groupBy("__s", "__cid", "__pos")
+                .agg(
+                    (
+                        F.sum(F.col("__val").cast("decimal(27,9)")).cast(
+                            "double"
+                        )
+                        / F.count(F.lit(1))
+                    ).alias("__m")
+                )
+            )
+            new_cents = (
+                dim_means.groupBy("__s", "__cid")
+                .agg(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__m"))
+                    ).alias("__pm")
+                )
+                .select(
+                    "__s",
+                    "__cid",
+                    F.transform("__pm", lambda s: s.getField("__m")).alias(
+                        "__new"
+                    ),
+                )
+            )
+        cents = (
+            cents.join(new_cents, ["__s", "__cid"], "left")
             .select(
                 "__s",
                 "__cid",
-                F.transform("__pm", lambda s: s.getField("__m")).alias("__new"),
+                F.coalesce(F.col("__new"), F.col("__cent")).alias("__cent"),
             )
-        )
-        cents = cents.join(new_cents, ["__s", "__cid"], "left").select(
-            "__s",
-            "__cid",
-            F.coalesce(F.col("__new"), F.col("__cent")).alias("__cent"),
+            .localCheckpoint(eager=True)
         )
     return cents
 
@@ -854,13 +922,16 @@ def pq_encode(
     codebooks: DataFrame,
     m: int = 4,
     id_col: str = "vec_id",
+    dims: int | None = None,
 ) -> DataFrame:
     """Encode each vector as its m nearest-codeword ids (subspace
     order): (id, codes ARRAY<BIGINT>).  With m=4, k=16 a 64-dim float64
     vector compresses 512 bytes → 2 (16 bits) — the memory side of
     billion-scale ANN."""
     subs = _subslices(vectors, m, id_col)
-    assigned = _pq_assign(subs, codebooks, id_col)
+    assigned = _pq_assign(
+        subs, codebooks, id_col, dims // m if dims is not None else None
+    )
     return (
         assigned.groupBy(id_col)
         .agg(F.array_sort(F.collect_list(F.struct("__s", "__cid"))).alias("__sc"))
@@ -880,6 +951,7 @@ def pq_adc_topk(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """PQ search with Asymmetric Distance Computation: queries stay
     exact; each query precomputes an m×k lookup table of sub-distances
@@ -896,8 +968,10 @@ def pq_adc_topk(
     pinned by a unit-test gate.
     """
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
-    books = pq_codebooks(vecs, m=m, k=k, iters=train_iters, id_col=id_col)
-    codes = pq_encode(vecs, books, m=m, id_col=id_col)
+    books = pq_codebooks(
+        vecs, m=m, k=k, iters=train_iters, id_col=id_col, dims=dims
+    )
+    codes = pq_encode(vecs, books, m=m, id_col=id_col, dims=dims)
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__v")
     )
@@ -908,7 +982,10 @@ def pq_adc_topk(
             "query_id",
             "__s",
             "__cid",
-            l2sq_expr(F.col("__sv"), F.col("__cent")).alias("__d"),
+            l2sq_expr(
+                F.col("__sv"), F.col("__cent"),
+                dims // m if dims is not None else None,
+            ).alias("__d"),
         )
         .groupBy("query_id")
         .agg(
@@ -960,6 +1037,7 @@ def pq_rerank_topk(
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dims: int | None = None,
 ) -> DataFrame:
     """PQ + exact re-rank — the production billion-scale shape: the ADC
     scan over 2-byte codes nominates a per-query ``shortlist``, then
@@ -974,6 +1052,7 @@ def pq_rerank_topk(
     short = pq_adc_topk(
         corpus, queries, topk=shortlist, m=m, k=k,
         train_iters=train_iters, id_col=id_col, vec_col=vec_col,
+        dims=dims,
     ).select("query_id", "neighbor_id")
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -989,7 +1068,7 @@ def pq_rerank_topk(
         .select(
             "query_id",
             "neighbor_id",
-            l2sq_expr(F.col("__cv"), F.col("__qv")).alias("l2_dist"),
+            l2sq_expr(F.col("__cv"), F.col("__qv"), dims).alias("l2_dist"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
