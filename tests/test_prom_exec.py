@@ -259,3 +259,41 @@ def test_histogram_fraction_invalid_histogram_nan(spark):
     src = _source(spark, rows)
     vals = _series(spark, src, "histogram_fraction(0, 2, h)", n_steps=1)
     assert math.isnan(vals[T0])
+
+
+def test_scalar_subtree_folds_before_vector_match(spark):
+    """Prometheus types any expression over number literals as SCALAR
+    regardless of nesting: ``error > bool 0.5 + 1`` is ``error > bool
+    (0.5 + 1)`` (arithmetic binds tighter), so the right side must fold
+    to 1.5 and compare vector-to-scalar — not be built as a vector.
+    Found by the grammar fuzz (r6)."""
+    from time_series_db_spark.lang.prom.builder import (
+        PromUnsupportedError,
+        execute as execute_promql,
+    )
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    e, s = EVENTS_MIN_TS, DEFAULT_STEP_MS
+
+    base = execute_promql("error", src, e, e + 2 * s, s).df.collect()
+    folded = execute_promql(
+        "error > bool 0.5 + 1", src, e, e + 2 * s, s
+    ).df.collect()
+    explicit = execute_promql(
+        "error > bool (0.5 + 1)", src, e, e + 2 * s, s
+    ).df.collect()
+    assert len(folded) == len(base) > 0
+    key = lambda rows: sorted((r.series_key, r.ts, r.value) for r in rows)
+    assert key(folded) == key(explicit)
+    # nested scalar comparison with bool folds to 0/1 inside the scalar
+    shifted = execute_promql(
+        "error + (3 > bool 2)", src, e, e + 2 * s, s
+    ).df.collect()
+    plus_one = execute_promql("error + 1", src, e, e + 2 * s, s).df.collect()
+    assert key(shifted) == key(plus_one)
+    # scalar-scalar comparison without bool stays an error (Prometheus
+    # "comparisons between scalars must use BOOL modifier")
+    with pytest.raises(PromUnsupportedError, match="bool"):
+        execute_promql("error + (3 > 2)", src, e, e + 2 * s, s)

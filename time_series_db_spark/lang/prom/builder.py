@@ -332,41 +332,80 @@ def _drop_name(sf: SeriesFrame) -> SeriesFrame:
     return sf.with_df(df)
 
 
+def _fold_scalar(node: A.PromNode) -> float | None:
+    """Evaluate a pure-scalar subtree to its float value, None when the
+    node is (or contains) a vector.  Prometheus types any expression
+    over number literals as SCALAR no matter how deeply nested —
+    ``v > bool 0.5 + 1`` is ``v > bool (0.5 + 1)`` and the right side
+    must fold to 1.5 before the vector-scalar comparison, not be built
+    as a vector (caught by the grammar fuzz, r6)."""
+    import math
+
+    if isinstance(node, A.NumberLiteralNode):
+        return float(node.value)
+    if not isinstance(node, A.BinaryExprNode):
+        return None
+    lv = _fold_scalar(node.children[0])
+    rv = _fold_scalar(node.children[1])
+    if lv is None or rv is None:
+        return None
+    op = node.op
+    if op in _CMP:
+        # Prometheus: "comparisons between scalars must use BOOL modifier"
+        if not node.bool_modifier:
+            raise PromUnsupportedError(
+                "scalar comparison is not an instant vector "
+                "(comparisons between scalars must use the bool modifier)"
+            )
+        py = {
+            "==": lv == rv, "!=": lv != rv, ">": lv > rv,
+            "<": lv < rv, ">=": lv >= rv, "<=": lv <= rv,
+        }[op]
+        return 1.0 if py else 0.0
+    if op in ("and", "or", "unless"):
+        raise PromUnsupportedError(f"set operator {op} requires vectors")
+
+    def _div(a, b):  # Go float64: x/0 = ±Inf, 0/0 = NaN
+        if b:
+            return a / b
+        return math.copysign(math.inf, a) if a else math.nan
+
+    return {
+        "+": lambda a, b: a + b,
+        "-": lambda a, b: a - b,
+        "*": lambda a, b: a * b,
+        "/": _div,
+        "%": lambda a, b: math.fmod(a, b) if b else math.nan,
+        "^": lambda a, b: a ** b,
+        "atan2": math.atan2,
+    }[op](lv, rv)
+
+
 def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
     from pyspark.sql import functions as F
 
     from time_series_db_spark.model import SAMPLE_COLS, labels_from_key_expr
 
     lhs, rhs = node.children
-    l_lit = isinstance(lhs, A.NumberLiteralNode)
-    r_lit = isinstance(rhs, A.NumberLiteralNode)
+    l_val = _fold_scalar(lhs)
+    r_val = _fold_scalar(rhs)
+    l_lit = l_val is not None
+    r_lit = r_val is not None
     if l_lit and r_lit:  # constant fold scalar-scalar
-        import math
-
-        lv, rv = lhs.value, rhs.value
-        if node.op in _ARITH or node.op in ("%", "^", "atan2"):
-            def _div(a, b):  # Go float64: x/0 = ±Inf, 0/0 = NaN
-                if b:
-                    return a / b
-                return math.copysign(math.inf, a) if a else math.nan
-            f = {
-                "%": lambda a, b: math.fmod(a, b) if b else math.nan,
-                "^": lambda a, b: a ** b,
-                "atan2": math.atan2,
-            }.get(node.op)
-            val = f(lv, rv) if f else {
-                "+": lv + rv, "-": lv - rv, "*": lv * rv, "/": _div(lv, rv),
-            }[node.op]
+        if node.op in _CMP and not node.bool_modifier:
             raise PromUnsupportedError(
-                f"bare scalar expression ({val}) is not an instant vector"
+                "scalar comparison is not an instant vector"
             )
-        raise PromUnsupportedError("scalar comparison is not an instant vector")
+        val = _fold_scalar(node)
+        raise PromUnsupportedError(
+            f"bare scalar expression ({val}) is not an instant vector"
+        )
 
     op = node.op
     if l_lit or r_lit:
         # vector ⊕ scalar / scalar ⊕ vector
         sf = build_frame(rhs if l_lit else lhs, ctx)
-        lit = F.lit(lhs.value if l_lit else rhs.value)
+        lit = F.lit(l_val if l_lit else r_val)
         v = F.col("value")
         l, r = (lit, v) if l_lit else (v, lit)
         if op in ("and", "or", "unless"):
