@@ -649,3 +649,14 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark, sf_dir):
     plan = _plan(QUERIES["ann_pq_adc_topk"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_ivfpq_candidates_from_cell_equijoin(spark, sf_dir):
+    """IVF-PQ candidates must come from the (cell) hash equi-join of the
+    code table against broadcast probed query cells — no non-broadcast
+    cartesian, no Python anywhere in the index or search path."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["ann_ivfpq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

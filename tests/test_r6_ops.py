@@ -847,3 +847,50 @@ def test_event_transitions_counts_and_tiebreak(spark):
         for r in event_transitions(df).collect()
     }
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1, ("a", "c"): 1}
+
+
+def test_ivfpq_recall_gate(spark, sf_dir):
+    """IVF-PQ at the catalog configuration (16 cells, probe 6, PQ16,
+    50-candidate re-rank) must keep >= 0.6 recall@5 vs exact search —
+    on the synthetic near-uniform corpus, the hardest case for coarse
+    pruning, while ADC-scanning only 6/16 of the codes."""
+    from pyspark.sql import Window
+
+    from time_series_db_spark.pipeline.ann import (
+        _as_double, ivfpq_topk, l2sq_expr,
+    )
+
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    got = ivfpq_topk(
+        embs, queries, topk=5, shortlist=50, nlist=16, nprobe=6,
+        m=16, k=16, train_iters=1, dims=64,
+    ).collect()
+
+    vecs = embs.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("__qv"),
+    )
+    ex = (
+        vecs.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            l2sq_expr(F.col("__v"), F.col("__qv")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d").asc(), F.col("neighbor_id")
+    )
+    exact = ex.withColumn("r", F.row_number().over(w)).filter("r <= 5").collect()
+    true_sets: dict = {}
+    got_sets: dict = {}
+    for r in exact:
+        true_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in got:
+        got_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(true_sets[q1] & got_sets.get(q1, set())) for q1 in true_sets)
+    total = sum(len(v) for v in true_sets.values())
+    assert hits / total >= 0.6, f"IVF-PQ recall@5 {hits/total:.3f} below gate"

@@ -1945,3 +1945,83 @@ def events_transitions(spark, sf_dir):
     from time_series_db_spark.operators.temporal import event_transitions
 
     return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+_KM16_1_CTES, _KM16_1_FINAL = _sql_kmeans_cents(nlist=16, iters=1)
+
+
+@register(
+    "ann_ivfpq_topk",
+    f"""WITH e AS ({_SQL_E}),
+    {_KM16_1_CTES},
+    {_PQ_CTES},
+    ivf_assign AS (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.v', 'c.centroid')} DESC, c.cid
+             ) AS pr
+      FROM e CROSS JOIN {_KM16_1_FINAL} c),
+    cells AS (SELECT vec_id, cid AS cell FROM ivf_assign WHERE pr = 1),
+    qcells AS (
+      SELECT vec_id AS query_id, cid AS cell FROM ivf_assign
+      WHERE pr <= 6 AND vec_id % 50 = 0),
+    qes AS (SELECT vec_id AS query_id, s, sv FROM es WHERE vec_id % 50 = 0),
+    lut AS (
+      SELECT q.query_id, c.s, c.cid, {_sql_l2sq('q.sv', 'c.cent')} AS d
+      FROM qes q JOIN pc1 c ON c.s = q.s),
+    cand AS (
+      SELECT q.query_id, ce.vec_id AS neighbor_id
+      FROM qcells q JOIN cells ce
+        ON ce.cell = q.cell AND ce.vec_id <> q.query_id),
+    pair AS (
+      SELECT ca.query_id, ca.neighbor_id, l.s, l.d
+      FROM cand ca
+      JOIN pq_enc enc ON enc.vec_id = ca.neighbor_id
+      JOIN lut l ON l.query_id = ca.query_id
+        AND l.s = enc.s AND l.cid = enc.cid),
+    adc AS (
+      SELECT query_id, neighbor_id,
+             list_reduce(list_prepend(0.0, list(d ORDER BY s)),
+                         (acc, x) -> acc + x) AS adc_dist
+      FROM pair GROUP BY 1, 2),
+    shortl AS (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id
+             ) AS srank
+      FROM adc),
+    rer AS (
+      SELECT s.query_id, s.neighbor_id,
+             {_sql_l2sq('cv.v', 'qv.v')} AS l2_dist
+      FROM shortl s
+      JOIN e cv ON cv.vec_id = s.neighbor_id
+      JOIN e qv ON qv.vec_id = s.query_id
+      WHERE s.srank <= 50),
+    ranked AS (
+      SELECT query_id, neighbor_id, l2_dist,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY l2_dist ASC, neighbor_id
+             ) AS rank
+      FROM rer)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('l2_dist')} AS l2_dist
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ (FAISS ``IVF16,PQ16``, raw-vector codes): trained coarse
+    cells route each query's ADC scan to its 6 nearest of 16 cells'
+    codes, a 50-candidate shortlist re-ranks exactly — the full
+    billion-scale index shape with both codebooks broadcast.  The
+    oracle composes the coarse-kmeans and PQ CTE chains and replays
+    routing, LUT, ADC fold, shortlist, and re-rank."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.ivfpq_topk(
+        embs, queries, topk=5, shortlist=50, nlist=16, nprobe=6,
+        m=_PQ_M, k=_PQ_K, train_iters=1, dims=64,
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        quant(F.col("l2_dist")).alias("l2_dist"),
+    )

@@ -1079,3 +1079,129 @@ def pq_rerank_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "l2_dist")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    topk: int = 5,
+    shortlist: int = 50,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 16,
+    k: int = 16,
+    train_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the production billion-scale index shape (FAISS
+    ``IVFx,PQy``): a trained coarse quantizer routes each vector to a
+    cell; a query ADC-scans ONLY its ``nprobe`` nearest cells' PQ codes
+    for a shortlist, and exact L2² re-ranks the shortlist's full
+    vectors.  Output: (query_id, neighbor_id, rank, l2_dist).
+
+    Simplification vs FAISS: codes quantize raw vectors, not per-cell
+    residuals — residual encoding would couple the two codebook
+    trainings; the cell pruning and the memory story are identical.
+
+    100 TB shape: both codebooks broadcast (kilobytes); candidate
+    generation is the (cell) EQUI-join of the code table against the
+    probed query cells — corpus work scales with nprobe/nlist of the
+    data, never all of it; full vectors appear only in the bounded
+    re-rank.
+    """
+    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    coarse = F.broadcast(
+        kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
+    )
+    cells = ivf_assign(vecs, coarse, nprobe=1, id_col=id_col).select(
+        F.col(id_col), F.col("__cell")
+    )
+    books = pq_codebooks(
+        vecs, m=m, k=k, iters=train_iters, id_col=id_col, dims=dims
+    )
+    codes = pq_encode(vecs, books, m=m, id_col=id_col, dims=dims).join(
+        cells, id_col
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__v"),
+    )
+    qcells = ivf_assign(qvecs, coarse, nprobe=nprobe, id_col="query_id").select(
+        "query_id", "__cell"
+    )
+    qsubs = _subslices(qvecs, m, "query_id")
+    lut = (
+        qsubs.join(F.broadcast(books), "__s")
+        .select(
+            "query_id",
+            "__s",
+            "__cid",
+            l2sq_expr(
+                F.col("__sv"), F.col("__cent"),
+                dims // m if dims is not None else None,
+            ).alias("__d"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__s", "__cid", "__d"))).alias(
+                "__scd"
+            )
+        )
+        .select(
+            "query_id",
+            F.transform("__scd", lambda s: s.getField("__d")).alias("__lut"),
+        )
+    )
+    probes = F.broadcast(qcells.join(lut, "query_id"))
+    scored = (
+        codes.join(probes, "__cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.aggregate(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> "
+                    f"element_at(__lut, s * {k} + "
+                    f"int(element_at(codes, s + 1)) + 1))"
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id")
+    )
+    short = (
+        scored.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    rvecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    )
+    rq = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    )
+    rer = (
+        rvecs.join(F.broadcast(short), "neighbor_id")
+        .join(F.broadcast(rq), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            l2sq_expr(F.col("__cv"), F.col("__qv"), dims).alias("l2_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("l2_dist").asc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "neighbor_id", "rank", "l2_dist")
+    )
