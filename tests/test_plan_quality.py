@@ -660,3 +660,14 @@ def test_ivfpq_candidates_from_cell_equijoin(spark, sf_dir):
     plan = _plan(QUERIES["ann_ivfpq_topk"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_sample_weighted_partial_topn(spark, sf_dir):
+    """The weighted draw must cut with TakeOrdered (per-partition
+    partial top-n, bounded merge) — never a global sort of the corpus;
+    the rank window runs over the n winners only."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["sample_weighted"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan

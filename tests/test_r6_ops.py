@@ -894,3 +894,26 @@ def test_ivfpq_recall_gate(spark, sf_dir):
     hits = sum(len(true_sets[q1] & got_sets.get(q1, set())) for q1 in true_sets)
     total = sum(len(v) for v in true_sets.values())
     assert hits / total >= 0.6, f"IVF-PQ recall@5 {hits/total:.3f} below gate"
+
+
+def test_sample_weighted_properties(spark):
+    from time_series_db_spark.pipeline.pack import sample_weighted
+
+    rows = [(i, "t", "en", 10) for i in range(200)] + [
+        (999, "t", "en", 1_000_000),  # dominant weight
+        (998, "t", "en", 0),          # non-positive weight: excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    got = sample_weighted(df, "n_chars", 50).collect()
+    assert len(got) == 50
+    ids = {r.doc_id for r in got}
+    assert 999 in ids      # P(include) ≈ 1 at 10^5× the weight
+    assert 998 not in ids  # zero weight never drawn
+    assert sorted(r.sample_rank for r in got) == list(range(1, 51))
+    # deterministic: the same corpus yields the same sample
+    again = {r.doc_id for r in sample_weighted(df, "n_chars", 50).collect()}
+    assert again == ids
+    with pytest.raises(ValueError, match="positive"):
+        sample_weighted(df, "n_chars", 0)

@@ -2025,3 +2025,27 @@ def ann_ivfpq_topk(spark, sf_dir):
         "query_id", "neighbor_id", "rank",
         quant(F.col("l2_dist")).alias("l2_dist"),
     )
+
+
+@register(
+    "sample_weighted",
+    f"""WITH keyed AS (
+      SELECT doc_id, n_chars::DOUBLE AS weight,
+             ln((({sql_hash64('doc_id::VARCHAR', 'ws')} % 1000000007) + 1)
+                / 1000000008.0) / n_chars::DOUBLE AS k
+      FROM documents WHERE n_chars > 0),
+    top AS (
+      SELECT doc_id, weight,
+             row_number() OVER (ORDER BY k DESC, doc_id) AS sample_rank
+      FROM keyed)
+    SELECT doc_id, weight, sample_rank::BIGINT AS sample_rank
+    FROM top WHERE sample_rank <= 100""",
+)
+def sample_weighted(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sampling without replacement:
+    100 documents with inclusion probability proportional to length
+    (n_chars), drawn by the deterministic md5-uniform key ln(u)/w —
+    reproducible, engine-portable, TakeOrdered partial top-n."""
+    from time_series_db_spark.pipeline import pack
+
+    return pack.sample_weighted(_docs(spark, sf_dir), "n_chars", 100)

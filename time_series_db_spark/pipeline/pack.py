@@ -237,3 +237,50 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def sample_weighted(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws the pseudorandom uniform
+    ``u = (md5-hash(id) % M + 1) / (M + 1)`` and the ``n`` rows with the
+    largest ``ln(u) / w`` keys win — inclusion probability proportional
+    to weight, no replacement, and the same corpus always yields the
+    same sample (the reproducibility property every other sampler here
+    shares).  Rows with non-positive weight are excluded.
+
+    Output: (id, weight DOUBLE, sample_rank).
+
+    Scale shape: the key is pure column arithmetic over one scan; the
+    global top-n is orderBy+limit — Spark's TakeOrdered partial top-n
+    per partition then a bounded merge, never a full sort of the
+    corpus.  The final rank numbers only the n winners.
+    """
+    from time_series_db_spark.pipeline.textprep import hash64
+
+    if n <= 0:
+        raise ValueError("sample size n must be positive")
+    M = 1_000_000_007
+    u = (hash64(F.col(id_col).cast("string"), "ws") % M + 1) / F.lit(
+        float(M + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    keyed = (
+        df.select(
+            F.col(id_col),
+            w.alias("weight"),
+            (F.log(u) / w).alias("__key"),
+        )
+        .filter(F.col("weight") > 0)
+    )
+    top = keyed.orderBy(F.desc("__key"), F.asc(id_col)).limit(int(n))
+    rank_w = Window.orderBy(F.desc("__key"), F.asc(id_col))
+    return top.select(
+        id_col,
+        "weight",
+        F.row_number().over(rank_w).cast("long").alias("sample_rank"),
+    )
