@@ -297,3 +297,31 @@ def test_scalar_subtree_folds_before_vector_match(spark):
     # "comparisons between scalars must use BOOL modifier")
     with pytest.raises(PromUnsupportedError, match="bool"):
         execute_promql("error + (3 > 2)", src, e, e + 2 * s, s)
+
+
+def test_set_op_over_sorted_operands(spark):
+    """`sort_desc(x) or sort_desc(y)` — sorted frames carry internal
+    rank columns the other side lacks; the set-op union must project to
+    the canonical columns first (Prometheus leaves set-op order
+    unspecified). Found by the extended grammar fuzz (r6)."""
+    from time_series_db_spark.lang.prom.builder import execute as execute_promql
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    e, s = EVENTS_MIN_TS, DEFAULT_STEP_MS
+    for expr in (
+        "sum by (region) (sort_desc(error) or sort_desc(error))",
+        "sort_desc(error) or click",
+        "sort(error) and sort_desc(error)",
+        "sort_desc(error) unless click",
+    ):
+        sf = execute_promql(expr, src, e, e + 2 * s, s)
+        assert sf.df.count() > 0, expr
+    # or-union equals its unsorted twin
+    key = lambda sf: sorted(
+        (r.series_key, r.ts, r.value) for r in sf.df.collect()
+    )
+    a = execute_promql("sort_desc(error) or click", src, e, e + 2 * s, s)
+    b = execute_promql("error or click", src, e, e + 2 * s, s)
+    assert key(a) == key(b)

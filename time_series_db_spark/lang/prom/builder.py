@@ -438,14 +438,19 @@ def _binary_expr(node: A.BinaryExprNode, ctx: BuildContext) -> SeriesFrame:
         if op == "unless":
             df = lf.join(rk, on=["__mk", "ts"], how="left_anti")
             return left.with_df(df.select(*SAMPLE_COLS))
-        # or: all left + right samples with no matching left at that ts
+        # or: all left + right samples with no matching left at that ts.
+        # Project the left to the canonical columns BEFORE the union —
+        # a sorted left still carries __order/__rorder, which the right
+        # side never has (unionByName would fail to resolve them); the
+        # set-op result's order is unspecified in Prometheus anyway and
+        # with_df drops the stale order claim with the columns.
         lk = left.df.withColumn("__mk", mk).select("__mk", "ts").distinct()
         extra = (
             right.df.withColumn("__mk", mk)
             .join(lk, on=["__mk", "ts"], how="left_anti")
             .select(*SAMPLE_COLS)
         )
-        return left.with_df(left.df.unionByName(extra))
+        return left.with_df(left.df.select(*SAMPLE_COLS).unionByName(extra))
 
     # arithmetic / comparison between vectors: equi-join on
     # (match key, ts). One-to-one dedups the right side; group_left /
