@@ -203,7 +203,8 @@ _V2V = st.sampled_from([
     "sort({})", "sort_desc({})", "sgn({})", "round({}, 0.5)",
     "sum by (region) ({})", "avg without (region) ({})",
     "max ({})", "count by (name) ({})", "topk(2, {})",
-    "{} + 1", "{} * -2", "-{}", "{} > bool 0.5",
+    "{} + 1", "{} * -2", "-{}", "{} > bool 0.5", "{} > bool 0.5 + 1",
+    "{0} or sort_desc({0})", "sort({0}) and {0}",
     "label_replace({}, \"dst\", \"$1\", \"region\", \"(.*)\")",
 ])
 

@@ -1848,3 +1848,30 @@ def test_streaming_asof_enrich_equals_batch_asof(spark, tmp_path):
         s(spark.readStream.schema(schema).json(str(lsrc)),
           spark.readStream.schema(schema).json(str(rsrc)),
           on=["user_id"], tolerance_ms=0)
+
+
+def test_read_metrics_tag_filter_pushes_below_dedup(spark, tmp_path):
+    """A tag filter over read_metrics must sit BELOW the ANY_WINS dedup
+    aggregation in the physical plan (it is a function of the grouping
+    key, so Catalyst can push it) — the property the rule-group
+    backfill's union-of-matches prefilter relies on to prune the dedup
+    shuffle, not just the persisted cache."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.sources.m3source import tag_filter_predicate
+    from time_series_db_spark.streaming.ingest import ingest_batch, read_metrics
+
+    table = str(tmp_path / "metrics")
+    docs = spark.createDataFrame(
+        [("name error region east", T0 + 10_000, 1.0),
+         ("name click region east", T0 + 20_000, 2.0)],
+        INGEST_SCHEMA,
+    )
+    ingest_batch(spark, docs, table)
+    df = read_metrics(spark, table).filter(
+        tag_filter_predicate(F.col("labels")["name"], ["error"])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # children print BELOW parents: pushed filter ⇒ Filter after the agg
+    assert plan.find("Filter") > plan.find("HashAggregate") > -1
+    assert [r["value"] for r in df.collect()] == [1.0]
