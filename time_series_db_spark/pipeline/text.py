@@ -616,6 +616,12 @@ def pmi_bigrams(
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     tot = uni.agg(F.sum("c").cast("long").alias("n"))
+    # the broadcast side prunes losslessly: a bigram surviving
+    # count >= min_count implies BOTH its tokens have unigram count >=
+    # min_count, so the shipped table is bounded by corpus_tokens /
+    # min_count (the Zipf long tail of hapaxes never ships); N above
+    # was summed over ALL tokens first
+    uni = uni.filter(F.col("c") >= F.lit(int(min_count)))
     pairs = toks.select(
         F.explode(
             F.arrays_zip(
