@@ -917,3 +917,74 @@ def test_sample_weighted_properties(spark):
     assert again == ids
     with pytest.raises(ValueError, match="positive"):
         sample_weighted(df, "n_chars", 0)
+
+
+def test_asof_join_forward_direction(spark):
+    from time_series_db_spark.operators.temporal import asof_join
+
+    left = _events(spark, [(1, 7, 100, 0.0), (2, 7, 500, 0.0), (3, 8, 5, 0.0)])
+    right = _events(
+        spark,
+        [
+            (10, 7, 100, 1.0), (11, 7, 100, 2.0),  # simultaneous tie
+            (12, 7, 300, 3.0),
+            (13, 7, 90, 9.0),   # before: must NOT match forward
+        ],
+    )
+    out = {
+        r.event_id: (r.ts_r, r.value_r)
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            right_cols=["value"], tiebreak_col="event_id",
+            direction="forward",
+        ).collect()
+    }
+    # simultaneous matches; smallest tiebreak wins forward
+    assert out[1] == (100, 1.0)
+    assert out[2] == (None, None)  # nothing at-or-after 500
+    assert out[3] == (None, None)  # user 8 empty
+    # tolerance bounds the forward gap
+    out2 = {
+        r.event_id: (r.ts_r, r.value_r)
+        for r in asof_join(
+            left, right, on=["user_id"], ts_col="ts",
+            right_cols=["value"], tiebreak_col="event_id",
+            direction="forward", tolerance_ms=50,
+        ).collect()
+    }
+    l150 = _events(spark, [(9, 7, 150, 0.0)])
+    out3 = {
+        r.event_id: (r.ts_r, r.value_r)
+        for r in asof_join(
+            l150, right, on=["user_id"], ts_col="ts",
+            right_cols=["value"], tiebreak_col="event_id",
+            direction="forward", tolerance_ms=50,
+        ).collect()
+    }
+    assert out2[1] == (100, 1.0)
+    assert out3[9] == (None, None)  # next right at 300 is 150ms away > 50
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["user_id"], right_cols=["value"],
+                  direction="nearest")
+
+
+def test_funnel_within_window(spark):
+    from time_series_db_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: click 15ms after signup -> inside a 20ms window
+        (1, 1, 10, "signup"), (2, 1, 25, "click"),
+        # user 2: first click 50ms after signup -> outside the window;
+        # the funnel does NOT fall forward to later clicks
+        (3, 2, 10, "signup"), (4, 2, 60, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long, event_type string"
+    )
+    got = {
+        r.user: (r.click_ts, r.steps_completed)
+        for r in funnel(df, ["signup", "click"], within_ms=20).collect()
+    }
+    assert got == {1: (25, 2), 2: (None, 1)}
+    with pytest.raises(ValueError, match="within_ms"):
+        funnel(df, ["signup", "click"], within_ms=0)

@@ -51,18 +51,22 @@ def asof_join(
     tiebreak_col: str | None = None,
     tolerance_ms: int | None = None,
     suffix: str = "_r",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row gains the ``right_cols`` of
-    the latest right row with ``right.ts <= left.ts`` on the same
-    ``on`` keys (NULLs when no such row, or when it is further back
-    than ``tolerance_ms``).  Adds ``<ts_col>{suffix}`` with the matched
-    right row's epoch-ms timestamp.
+    """As-of join: each left row gains the ``right_cols`` of the
+    nearest right row at-or-before its timestamp (``direction=
+    "backward"``, the default — ``right.ts <= left.ts``) or at-or-after
+    it (``"forward"`` — ``right.ts >= left.ts``) on the same ``on``
+    keys; NULLs when no such row, or when it is further away than
+    ``tolerance_ms``.  Adds ``<ts_col>{suffix}`` with the matched right
+    row's epoch-ms timestamp.
 
-    Ties: a right row AT the left row's timestamp matches (>= semantics,
-    like DuckDB ``ASOF JOIN ... ON l.ts >= r.ts``); among right rows
-    sharing one timestamp the greatest ``tiebreak_col`` wins — pass one
-    whenever (keys, ts) is not unique on the right or the result is
-    nondeterministic.
+    Ties: a right row AT the left row's timestamp matches in both
+    directions (>= / <= semantics, like DuckDB ``ASOF JOIN``); among
+    right rows sharing one timestamp the greatest ``tiebreak_col``
+    wins backward, the smallest forward (each direction's natural
+    running pick) — pass one whenever (keys, ts) is not unique on the
+    right or the result is nondeterministic.
 
     100 TB shape: union the tagged sides, ONE exchange on ``on``, one
     time-ordered running ``last(ignorenulls)`` per key — no inequality
@@ -71,6 +75,10 @@ def asof_join(
     ``merge_asof`` semantics, reference fetch/window model
     (query/plan/ResolvedQuery.java) extended to cross-stream alignment.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     if not on:
         raise ValueError("asof_join requires at least one equi-key")
     if not right_cols:
@@ -102,31 +110,35 @@ def asof_join(
         F.col(f"__ts{suffix}"),
         order2.alias(f"__tb{suffix}"),
         payload.alias(f"__r{suffix}"),
-        F.lit(0).alias(f"__side{suffix}"),
+        # backward: right rows sort BEFORE left at one instant (side 0
+        # vs 1) so a simultaneous right is in the trailing frame;
+        # forward: right rows sort AFTER left (side 2) so it is in the
+        # leading frame
+        F.lit(0 if direction == "backward" else 2).alias(f"__side{suffix}"),
     )
     l = left.withColumn(f"__ts{suffix}", _ms(left, ts_col)).withColumn(
         f"__side{suffix}", F.lit(1)
     )
     u = l.unionByName(r, allowMissingColumns=True)
-    # right rows (side 0) sort before left rows at the same instant so
-    # an exactly-simultaneous right row is visible to the left row
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(f"__ts{suffix}", f"__side{suffix}", f"__tb{suffix}")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*on).orderBy(
+        f"__ts{suffix}", f"__side{suffix}", f"__tb{suffix}"
     )
-    matched = F.last(f"__r{suffix}", ignorenulls=True).over(w)
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last(f"__r{suffix}", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.first(f"__r{suffix}", ignorenulls=True).over(w)
     out = u.withColumn(f"__m{suffix}", matched).where(
         F.col(f"__side{suffix}") == 1
     )
     if tolerance_ms is not None:
+        gap = F.col(f"__ts{suffix}") - F.col(f"__m{suffix}.__rts")
+        if direction == "forward":
+            gap = -gap
         out = out.withColumn(
             f"__m{suffix}",
-            F.when(
-                F.col(f"__ts{suffix}") - F.col(f"__m{suffix}.__rts")
-                <= F.lit(int(tolerance_ms)),
-                F.col(f"__m{suffix}"),
-            ),
+            F.when(gap <= F.lit(int(tolerance_ms)), F.col(f"__m{suffix}")),
         )
     keep = [c for c in left.columns]
     proj = [F.col(c) for c in keep]
@@ -203,12 +215,19 @@ def funnel(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within_ms: int | None = None,
 ) -> DataFrame:
     """Ordered conversion funnel: for each user with a ``steps[0]``
     event, the earliest timestamp of each subsequent step that occurs
     at-or-after the previous step's chosen timestamp (first-touch
     semantics).  Output: (user, <step>_ts … one epoch-ms column per
     step, NULL once the chain breaks, steps_completed BIGINT).
+
+    With ``within_ms`` each step must additionally occur within that
+    many ms of the previous step's chosen timestamp — the
+    time-constrained funnel (windows measured greedily from the
+    first-touch choice of the previous step, not re-anchored per
+    step-0 occurrence as ClickHouse ``windowFunnel`` does).
 
     100 TB shape: per-step state is ONE row per user; every stage is a
     conditional min-aggregation equi-joined back on the user key, so
@@ -220,6 +239,8 @@ def funnel(
         raise ValueError("a funnel needs at least two steps")
     if len(set(steps)) != len(steps):
         raise ValueError(f"funnel steps must be distinct, got {steps}")
+    if within_ms is not None and within_ms <= 0:
+        raise ValueError("within_ms must be a positive duration")
     ts_ms = _ms(events, ts_col)
     ev = events.select(
         F.col(user_col).alias("user"),
@@ -237,6 +258,11 @@ def funnel(
             ev.where(F.col("__et") == step)
             .join(cur.select("user", prev_col), on="user", how="inner")
             .where(F.col("__ts") >= F.col(prev_col))
+            .where(
+                F.lit(True)
+                if within_ms is None
+                else F.col("__ts") <= F.col(prev_col) + F.lit(int(within_ms))
+            )
             .groupBy("user")
             .agg(F.min("__ts").alias(f"{step}_ts"))
         )
