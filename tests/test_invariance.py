@@ -92,6 +92,14 @@ HEADLINE_QUERIES = [
     "m3_exposition_roundtrip",
     "m3_line_protocol_roundtrip",
     "m3_graphite_roundtrip",
+    # temporal joins + sampling: tie-handling and top-n cuts must not
+    # depend on partitioning
+    "events_asof_join",
+    "events_range_join",
+    "events_retention",
+    "events_transitions",
+    "sample_weighted",
+    "text_pmi_bigrams",
 ]
 
 
