@@ -193,3 +193,64 @@ def test_unary_minus_binds_looser_than_pow():
     # plain folded literal still a NumberLiteral (function args need it)
     lit = _expr("-1.5")
     assert isinstance(lit, A.NumberLiteralNode) and lit.value == -1.5
+
+
+_FMT_CASES = [
+    'sum by (x) (rate(error{a="b"}[5m] offset 1m)) + topk(2, click)',
+    "error > bool 0.5 + 1",
+    "quantile_over_time(0.9, error[1h])",
+    "histogram_fraction(-Inf, 0.5, error)",
+    "clamp(error, -1, 1.5)",
+    'label_replace(error, "dst", "$1", "region", "(.*)")',
+    'label_join(error, "d", "-", "a", "b")',
+    "error / on(region) group_left(extra) nation_total",
+    "error[5m:1m] offset 2m",
+    "avg_over_time((rate(error[5m]))[30m:5m])",
+    "error @ 1700000000.000",
+    "error @ start()",
+    'count_values("v", error)',
+    "time()",
+    "vector(0.5)",
+    "round(error, 0.5)",
+    "holt_winters(error[1h], 0.3, 0.1)",
+    "predict_linear(error[30m], 600)",
+    'sort_by_label(error, "region")',
+    "-error",
+    "error unless on(region) click",
+    'error{a!="x", b=~"y.*"}',
+    '{__name__="error"}',
+    "limitk(2, error)",
+    "quantile(0.5, error)",
+    "error atan2 click",
+    "sum without (region) (error) ^ 2",
+]
+
+
+def test_format_query_round_trips():
+    """format(x) re-parses to the SAME tree and is idempotent — across
+    selectors, modifiers, subqueries, every argument-order family
+    (leading scalars, trailing scalars, strings), and set/vector
+    matching."""
+    from time_series_db_spark.lang.prom.fmt import format_query
+    from time_series_db_spark.lang.prom.parser import parse
+
+    for case in _FMT_CASES:
+        formatted = format_query(case)
+        assert parse(formatted) == parse(case), case
+        assert format_query(formatted) == formatted, case
+
+
+def test_parse_and_format_service_endpoints():
+    from time_series_db_spark.service import prom_format_query, prom_parse_query
+
+    ok = prom_format_query("rate(error[5m])")
+    assert ok == {"status": "success", "data": "rate(error[5m])"}
+    bad = prom_format_query("rate(error[5m]")
+    assert bad["status"] == "error" and bad["errorType"] == "bad_data"
+
+    ast = prom_parse_query("sum by (region) (error)")
+    assert ast["status"] == "success"
+    assert ast["data"]["type"] == "Aggregation"
+    assert ast["data"]["agg_type"] == "sum"
+    assert ast["data"]["children"][0]["type"] == "InstantVectorSelector"
+    assert prom_parse_query("{{")["status"] == "error"

@@ -389,3 +389,21 @@ def test_at_inside_subquery_matches_replay(spark, fn, s, r_mult, te_q15):
     }.get(fn, pinned)
     for T, v in got.items():
         assert v == pytest.approx(expect, rel=1e-9), (fn, r, s, te, T)
+
+
+@settings(max_examples=60, deadline=None)
+@given(wrappers=st.lists(_V2V, min_size=0, max_size=4))
+def test_format_query_round_trips_fuzz(wrappers):
+    """Formatter property over the grammar-fuzz corpus: any expression
+    the chain generator produces must canonicalize to text that
+    re-parses to the identical tree, idempotently.  Parser-only — no
+    Spark session."""
+    from time_series_db_spark.lang.prom.fmt import format_query
+    from time_series_db_spark.lang.prom.parser import parse
+
+    expr = "error"
+    for w in wrappers:
+        expr = w.format(expr)
+    formatted = format_query(expr)
+    assert parse(formatted) == parse(expr)
+    assert format_query(formatted) == formatted

@@ -533,3 +533,30 @@ def prom_rules(
         {"name": "default", "rules": recording + alerting}
     )
     return {"status": "success", "data": {"groups": groups}}
+
+
+def prom_format_query(query: str) -> dict[str, Any]:
+    """Prometheus 3 ``GET /api/v1/format_query`` — parse the expression
+    and return its canonical pretty-printed form (the reference grammar
+    has no printer; format is lang/prom/fmt.py's round-trip-faithful
+    canonicalization).  Parse failures return the Prometheus error
+    envelope instead of raising."""
+    from time_series_db_spark.lang.prom.fmt import format_query
+    from time_series_db_spark.lang.prom.parser import PromParseError
+
+    try:
+        return {"status": "success", "data": format_query(query)}
+    except PromParseError as e:
+        return {"status": "error", "errorType": "bad_data", "error": str(e)}
+
+
+def prom_parse_query(query: str) -> dict[str, Any]:
+    """Prometheus 3 ``GET /api/v1/parse_query`` — the expression's AST
+    as JSON (node type + scalar fields + recursive children)."""
+    from time_series_db_spark.lang.prom.fmt import parse_query
+    from time_series_db_spark.lang.prom.parser import PromParseError
+
+    try:
+        return {"status": "success", "data": parse_query(query)}
+    except PromParseError as e:
+        return {"status": "error", "errorType": "bad_data", "error": str(e)}
