@@ -1875,3 +1875,27 @@ def test_read_metrics_tag_filter_pushes_below_dedup(spark, tmp_path):
     # children print BELOW parents: pushed filter ⇒ Filter after the agg
     assert plan.find("Filter") > plan.find("HashAggregate") > -1
     assert [r["value"] for r in df.collect()] == [1.0]
+
+
+def test_query_range_rejects_nonpositive_step(spark):
+    """step <= 0 must fail fast at the API boundary with a typed error
+    (Prometheus bad_data) — never reach the grid arithmetic, which
+    would die executor-side with ANSI REMAINDER_BY_ZERO at step=0 and
+    silently degenerate at negative steps."""
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    for step in (0, -5):
+        with pytest.raises(ValueError, match="step must be"):
+            service.promql_query_range(
+                src, "error", EVENTS_MIN_TS, EVENTS_MIN_TS + 60_000, step
+            )
+        with pytest.raises(ValueError, match="step must be"):
+            service.m3ql_query_range(
+                src, "fetch name:error",
+                EVENTS_MIN_TS, EVENTS_MIN_TS + 60_000, step,
+            )
+        with pytest.raises(ValueError, match="step must be"):
+            service.promql_query(src, "error", EVENTS_MIN_TS, step)

@@ -37,8 +37,14 @@ DEFAULT_LOOKBACK_MS = 5 * 60_000  # start default: now-5m
 
 
 def _resolve_times(
-    start: int | None, end: int | None, now_ms: int | None
+    start: int | None, end: int | None, now_ms: int | None, step: int = 1
 ) -> tuple[int, int]:
+    # fail fast at the API boundary — a non-positive step otherwise
+    # reaches the grid arithmetic and dies executor-side with an ANSI
+    # REMAINDER_BY_ZERO (step=0) or silently degenerates (step<0),
+    # where Prometheus returns bad_data for step <= 0
+    if step <= 0:
+        raise ValueError(f"step must be a positive duration, got {step}")
     now = now_ms if now_ms is not None else int(time.time() * 1000)
     e = end if end is not None else now
     s = start if start is not None else e - DEFAULT_LOOKBACK_MS
@@ -109,7 +115,7 @@ def m3ql_query_range(
             )
             for w in resolved_partitions
         ])
-    s, e = _resolve_times(start, end, now_ms)
+    s, e = _resolve_times(start, end, now_ms, step)
     profiler = None
     if profile and not explain:
         from time_series_db_spark.lang.m3.builder import StageProfiler
@@ -151,7 +157,7 @@ def promql_query_range(
     (RestPromQLAction.java:232-233 threads the same params)."""
     from time_series_db_spark.lang.prom.builder import execute
 
-    s, e = _resolve_times(start, end, now_ms)
+    s, e = _resolve_times(start, end, now_ms, step)
     profiler = None
     if profile and not explain:
         from time_series_db_spark.lang.m3.builder import StageProfiler
@@ -198,6 +204,12 @@ def promql_query(
     from time_series_db_spark.lang.prom.builder import execute
     from time_series_db_spark.output import to_vector
 
+    if step <= 0:
+        raise ValueError(f"step must be a positive duration, got {step}")
+    if lookback_ms <= 0:
+        raise ValueError(
+            f"lookback must be a positive duration, got {lookback_ms}"
+        )
     t = time_ms if time_ms is not None else (
         now_ms if now_ms is not None else int(time.time() * 1000)
     )
