@@ -591,16 +591,25 @@ def backfill_rules(
         )
         for r in compiled
     ]
-    out = reduce(lambda a, b: a.unionByName(b), frames).persist()
+    out = reduce(lambda a, b: a.unionByName(b), frames)
+    # per-record row counts ride the WRITE pass as observed metrics —
+    # one action over the union instead of a count job plus a write
+    # job over a persisted intermediate
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = out.observe(
+        obs,
+        *[
+            F.sum(F.when(F.col("__record") == n, 1).otherwise(0))
+            .cast("long")
+            .alias(n)
+            for n in names
+        ],
+    )
     try:
-        counts = {
-            row["__record"]: row["n"]
-            for row in out.groupBy("__record")
-            .agg(F.count(F.lit(1)).cast("long").alias("n"))
-            .collect()
-        }
         write_blocks(out.drop("__record"), out_path)
+        counts = obs.get
     finally:
-        out.unpersist()
         samples.unpersist()
-    return {n: counts.get(n, 0) for n in names}
+    return {n: int(counts.get(n, 0) or 0) for n in names}
