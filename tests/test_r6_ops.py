@@ -988,3 +988,29 @@ def test_funnel_within_window(spark):
     assert got == {1: (25, 2), 2: (None, 1)}
     with pytest.raises(ValueError, match="within_ms"):
         funnel(df, ["signup", "click"], within_ms=0)
+
+
+def test_decimate_minmax_keeps_extremes(spark):
+    from time_series_db_spark.model import SeriesFrame
+    from time_series_db_spark.operators import windows
+
+    rows = [
+        # one series, bucket width 100: bucket 0 has spike 9 at ts=30
+        # and dip 1 at ts=10 among mid values; bucket 100 has one sample
+        ("k", 10, 1.0), ("k", 20, 5.0), ("k", 30, 9.0), ("k", 40, 5.0),
+        ("k", 120, 3.0),
+        # value tie in bucket 200: earliest ts wins for both extremes
+        ("k", 210, 7.0), ("k", 220, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "series_key string, ts long, value double")
+    df = df.selectExpr(
+        "series_key", "map('name','x') AS labels",
+        "CAST(NULL AS STRING) AS alias", "ts", "value",
+    )
+    sf = SeriesFrame(df=df, min_ts=0, max_ts=300, step=10)
+    got = sorted(
+        (r.ts, r.value) for r in windows.decimate(sf, 100).df.collect()
+    )
+    assert got == [(10, 1.0), (30, 9.0), (120, 3.0), (210, 7.0)]
+    with pytest.raises(ValueError, match="bucket"):
+        windows.decimate(sf, 0)

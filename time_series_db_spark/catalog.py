@@ -774,6 +774,29 @@ def m3_summarize_last(spark, sf_dir):
 
 
 @register(
+    "m3_decimate_minmax",
+    f"""{PRELUDE},
+    ranked AS (
+      SELECT {SQL_LBLS}, ts, value,
+             row_number() OVER (
+               PARTITION BY {SQL_LBLS}, ts - ts % 7200000
+               ORDER BY value ASC, ts ASC) AS rlo,
+             row_number() OVER (
+               PARTITION BY {SQL_LBLS}, ts - ts % 7200000
+               ORDER BY value DESC, ts ASC) AS rhi
+      FROM samples)
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM ranked WHERE rlo = 1 OR rhi = 1""",
+)
+def m3_decimate_minmax(spark, sf_dir):
+    """Min-max rendering decimation (operators/windows.py:decimate):
+    per series and 2h bucket, keep exactly the extreme samples — ties
+    resolve to the earliest timestamp on both engines, so the SELECTION
+    (not just the values) is differentially pinned."""
+    return _out(windows.decimate(_fetch(spark, sf_dir), 7_200_000))
+
+
+@register(
     "m3_per_second_rate",
     f"""{PRELUDE},
     lagged AS (

@@ -863,3 +863,56 @@ def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFr
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
+
+
+def decimate(sf: SeriesFrame, bucket_ms: int) -> SeriesFrame:
+    """Min-max decimation for rendering: within each ``bucket_ms``
+    window of each series, keep only the bucket's minimum-value and
+    maximum-value samples (one row when they coincide) — the standard
+    chart-downsample that preserves spikes and dips exactly, where a
+    plain ``summarize avg`` would flatten them (Grafana's min+max
+    rendering pair; M3's aggregated-namespace display path).  Ties on
+    value keep the earliest timestamp, so the selection is
+    deterministic under any partitioning.
+
+    Scale: ONE hash aggregation on (series, bucket) with map-side
+    ``min_by``/``max_by`` partials — no window sort, no shuffle beyond
+    the aggregation; output is ≤ 2 rows per series-bucket regardless of
+    input density.
+    """
+    if bucket_ms <= 0:
+        raise ValueError("decimate bucket must be a positive duration")
+    df = sf.df
+    g = (
+        df.where(F.col("value").isNotNull())
+        .groupBy(
+            "series_key",
+            (F.col("ts") - F.col("ts") % F.lit(int(bucket_ms))).alias("__b"),
+        )
+        .agg(
+            F.first("labels").alias("labels"),
+            F.first("alias", ignorenulls=True).alias("alias"),
+            F.expr("min_by(struct(ts, value), struct(value, ts))").alias(
+                "__lo"
+            ),
+            F.expr("max_by(struct(ts, value), struct(value, -ts))").alias(
+                "__hi"
+            ),
+        )
+    )
+    out = (
+        g.select(
+            "series_key",
+            "labels",
+            "alias",
+            F.explode(F.array_distinct(F.array("__lo", "__hi"))).alias("__p"),
+        )
+        .select(
+            "series_key",
+            "labels",
+            "alias",
+            F.col("__p.ts").alias("ts"),
+            F.col("__p.value").alias("value"),
+        )
+    )
+    return sf.with_df(out.select(*SAMPLE_COLS))
