@@ -106,3 +106,20 @@ def test_cli_parse_exposition_to_query(spark, tmp_path, capsys):
     got = {dict(r["labels"])["region"]: r["value"] for r in rows}
     assert got == {"east": 20.5, "west": 7.5}
     assert all(r["ts"] == T0 + 10_000 for r in rows)
+
+
+def test_cli_format_and_parse_query(capsys):
+    import json as _json
+
+    from time_series_db_spark.__main__ import main
+
+    assert main(["--lang", "promql", "--format-query",
+                 "sum by(region)(rate(error[5m]))"]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["data"] == "sum by (region)(rate(error[5m]))"
+
+    assert main(["--lang", "promql", "--parse-query", "rate(error[5m])"]) == 0
+    ast = _json.loads(capsys.readouterr().out)
+    assert ast["data"]["type"] == "FunctionCall"
+
+    assert main(["--lang", "promql", "--format-query", "rate("]) == 1

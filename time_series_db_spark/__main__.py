@@ -56,8 +56,27 @@ def main(argv: list[str] | None = None) -> int:
                    help="parse Prometheus text-exposition files into --store")
     p.add_argument("--store", default=None, help="metrics/rule table path")
     p.add_argument("--out", default=None, help="output table path")
+    p.add_argument("--format-query", action="store_true",
+                   help="canonically pretty-print the PromQL query and exit")
+    p.add_argument("--parse-query", action="store_true",
+                   help="print the PromQL query's JSON AST and exit")
     p.add_argument("--cpus", type=int, default=4)
     args = p.parse_args(argv)
+
+    if args.format_query or args.parse_query:
+        # parser-only paths — no Spark session, instant exit
+        if args.lang != "promql":
+            p.error("--format-query/--parse-query require --lang promql")
+        if not args.query:
+            p.error("query is required with --format-query/--parse-query")
+        from time_series_db_spark import service as _svc
+
+        resp = (
+            _svc.prom_format_query if args.format_query
+            else _svc.prom_parse_query
+        )(args.query)
+        print(json.dumps(resp, indent=2))
+        return 0 if resp.get("status") == "success" else 1
 
     rules_mode = (
         args.ingest or args.backfill_rule or args.evaluate_alert
