@@ -1851,19 +1851,25 @@ _PQ_CTES = _sql_pq_ctes(_PQ_M, _PQ_K, _PQ_ITERS)
     "embedding_pq_codes",
     f"""WITH e AS ({_SQL_E}),
     {_PQ_CTES}
-    SELECT vec_id, codes FROM pq_codes""",
+    SELECT vec_id, s::BIGINT AS subspace, cid::BIGINT AS code
+    FROM pq_enc""",
 )
 def embedding_pq_codes(spark, sf_dir):
     """PQ encoding (Jégou et al. 2011): 16 subspaces × 16 codewords
     trained by the same deterministic Lloyd round as the IVF coarse
     quantizer — a 64-dim float64 vector becomes 16 4-bit codes (512
     bytes → 8).  The oracle unrolls the per-subspace training and the
-    final assignment; exact-decimal means keep the codebooks
-    bit-identical across engines."""
+    final assignment.  Output is exploded to one (vec_id, subspace,
+    code) row per sub-code: the packed ARRAY<BIGINT> form (pq_encode's
+    native output, consumed by the green ADC/IVF-PQ entries) is not
+    hashable by the driver's pandas canonicalizer."""
     embs = _embs(spark, sf_dir)
     vecs = embs.select("vec_id", ann._as_double(F.col("embedding")).alias("__v"))
     books = ann.pq_codebooks(vecs, m=_PQ_M, k=_PQ_K, iters=_PQ_ITERS, dims=64)
-    return ann.pq_encode(vecs, books, m=_PQ_M, dims=64)
+    codes = ann.pq_encode(vecs, books, m=_PQ_M, dims=64)
+    return codes.select(
+        "vec_id", F.posexplode("codes").alias("subspace", "code")
+    ).select("vec_id", F.col("subspace").cast("long").alias("subspace"), "code")
 
 
 @register(
