@@ -45,6 +45,14 @@ QUERIES = [
     "events_retention",        # cohort dedup + self-key join (r6)
     "text_pmi_bigrams",        # bigram count tables + broadcast joins (r6)
     "tpch_q1_pricing",
+    "dedup_cross_corpus",      # two-corpus band join — cost ∝ snapshot (r7)
+    "embedding_pq_codes",      # PQ train + encode — linear corpus pass (r7)
+    "ann_pq_adc_topk",         # flat ADC — the O(N·Q) exposure check (r7):
+                               # the catalog entry's query set is N/50, so
+                               # BOTH sides grow 10× and honest flat-ADC
+                               # cost grows ~100×; ivfpq below is the
+                               # scale path that must stay near-linear
+    "ann_ivfpq_topk",          # celled ADC + re-rank — the scale path (r7)
 ]
 
 
@@ -52,7 +60,8 @@ def build(spark) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(WORK, exist_ok=True)
-    done = os.path.join(WORK, "_DONE")
+    # v2: embeddings now scale with COPIES too (PQ/IVF-PQ certification)
+    done = os.path.join(WORK, "_DONE_v2")
     if os.path.exists(done):
         return
     ev = spark.read.parquet(f"{BASE}/events.parquet")
@@ -79,8 +88,24 @@ def build(spark) -> None:
         "lang", "source", "n_chars",
     )
     bigd.write.mode("overwrite").parquet(f"{WORK}/documents.parquet")
+    embs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    n_vecs = embs.count()
+    # vec-id shift per copy keeps ids 0..k-1 present (PQ codebook seeds);
+    # a copy-dependent scale perturbs every vector so ANN candidate
+    # generation and ADC distances do honest work instead of hitting
+    # degenerate exact clones
+    bige = embs.crossJoin(F.broadcast(copies)).select(
+        (F.col("vec_id") + F.col("__c") * n_vecs).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x: (x * (F.lit(1.0) + F.col("__c") * F.lit(1e-4)))
+            .cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    bige.write.mode("overwrite").parquet(f"{WORK}/embeddings.parquet")
     for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings"):
+              "orders", "lineitem"):
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{WORK}/{t}.parquet")

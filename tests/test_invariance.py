@@ -100,6 +100,10 @@ HEADLINE_QUERIES = [
     "events_transitions",
     "sample_weighted",
     "text_pmi_bigrams",
+    # round-7: PQ encode in its exploded scalar shape — codeword
+    # assignment (argmin over trained books) must not depend on
+    # partitioning of the training pass
+    "embedding_pq_codes",
 ]
 
 

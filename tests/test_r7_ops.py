@@ -1,0 +1,283 @@
+"""Round-7 fixes: advisor findings (exposition label-less lines, PromQL
+scalar power semantics, parse_query zero-param fields, graphite
+non-finite values, PQ LUT density) plus the verdict's guard rails
+(flat-ADC query-count bound, asof tiebreak type validation)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# exposition: label-less sample lines (the most common exporter form)
+# ---------------------------------------------------------------------------
+
+
+def test_exposition_parses_label_less_lines(spark):
+    from time_series_db_spark.sources.exposition import parse_exposition
+
+    lines = spark.createDataFrame(
+        [
+            ("metric_name 42 1000",),           # bare name, no braces
+            ("up 1",),                           # no braces, no timestamp
+            ("cpu_total\t3.5\t2000",),           # tab separators
+            ("go_goroutines  7  3000",),         # multi-space separators
+            ('cpu{host="a"} 1.5 4000',),         # braced form still works
+        ],
+        "line string",
+    )
+    got = parse_exposition(lines).collect()
+    by = {tuple(sorted(dict(r["labels"]).items())): r for r in got}
+    assert len(got) == 5
+    assert by[(("name", "metric_name"),)]["value"] == 42.0
+    assert by[(("name", "metric_name"),)]["ts"] == 1000
+    assert by[(("name", "up"),)]["ts"] is None
+    assert by[(("name", "cpu_total"),)]["value"] == 3.5
+    assert by[(("name", "go_goroutines"),)]["ts"] == 3000
+    assert by[(("host", "a"), ("name", "cpu"))]["value"] == 1.5
+
+
+def test_exposition_label_less_roundtrip_unaffected(spark):
+    """The formatter always emits braces; its output must still parse
+    identically after the optional-brace change."""
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+    from time_series_db_spark.sources.exposition import (
+        format_exposition,
+        parse_exposition,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [({"name": "m"}, 1000, 1.0), ({"name": "m", "h": "x"}, 2000, 2.0)],
+        "labels map<string,string>, ts long, value double",
+    ).select(
+        series_key_expr(F.col("labels")).alias("series_key"),
+        "labels", "ts", "value",
+    )
+    back = parse_exposition(format_exposition(SeriesFrame(df, 1000, 0, 10**15)))
+    a = sorted(
+        repr((sorted(dict(r["labels"]).items()), r["ts"], r["value"]))
+        for r in df.collect()
+    )
+    b = sorted(
+        repr((sorted(dict(r["labels"]).items()), r["ts"], r["value"]))
+        for r in back.collect()
+    )
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# PromQL scalar folding: Go math.Pow semantics
+# ---------------------------------------------------------------------------
+
+
+def _fold(text: str):
+    from time_series_db_spark.lang.prom import builder
+    from time_series_db_spark.lang.prom.parser import parse
+
+    return builder._fold_scalar(parse(text).children[0])
+
+
+def test_fold_scalar_pow_go_semantics():
+    assert _fold("0 ^ -1") == math.inf          # Go: +Inf, not ZeroDivision
+    assert math.isnan(_fold("(0 - 2) ^ 0.5"))    # Go: NaN, not complex
+    assert _fold("2 ^ 10") == 1024.0
+    assert _fold("1e200 ^ 2") == math.inf        # overflow → +Inf
+    assert _fold("(0 - 1e200) ^ 3") == -math.inf  # odd power keeps sign
+    assert _fold("0 ^ 0") == 1.0                 # Go: Pow(0,0)=1
+    assert _fold("(0-8) ^ (1/3)") is not None    # folds, no crash
+
+
+def test_fold_scalar_pow_inside_comparison():
+    # the original crash shape: a valid query must evaluate, not raise
+    assert _fold("(0 ^ -1) > bool 1") == 1.0
+
+
+# ---------------------------------------------------------------------------
+# parse_query JSON AST: zero-valued params survive
+# ---------------------------------------------------------------------------
+
+
+def test_parse_query_keeps_zero_param():
+    from time_series_db_spark.lang.prom.fmt import parse_query
+
+    d = parse_query('topk(0, metric)')
+    assert d["param"] == 0.0
+    q = parse_query('quantile(0, metric)')
+    assert q["param"] == 0.0
+    # absent fields still drop: a plain selector has no param key
+    s = parse_query("metric")
+    assert "param" not in s
+
+
+def test_parse_query_zero_number_literal_kept():
+    from time_series_db_spark.lang.prom.fmt import parse_query
+
+    d = parse_query("0")
+    assert d["type"] == "NumberLiteral" and d["value"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# graphite: non-finite values are unrepresentable, not silently lost
+# ---------------------------------------------------------------------------
+
+
+def _series_df(spark, rows):
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import series_key_expr
+
+    return spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    ).select(
+        series_key_expr(F.col("labels")).alias("series_key"),
+        "labels", "ts", "value",
+    )
+
+
+def test_graphite_nonfinite_values_strict_raises_lenient_drops(spark):
+    from time_series_db_spark.sources.graphite import format_graphite
+
+    df = _series_df(
+        spark,
+        [
+            ({"name": "m"}, 1000, float("nan")),
+            ({"name": "m"}, 2000, float("inf")),
+            ({"name": "m"}, 3000, float("-inf")),
+            ({"name": "m"}, 4000, 1.5),
+        ],
+    )
+    with pytest.raises(Exception, match="cannot represent"):
+        format_graphite(df).collect()
+    lenient = [r["line"] for r in format_graphite(df, strict=False).collect()]
+    assert lenient == ["m 1.5 4"]
+
+
+# ---------------------------------------------------------------------------
+# PQ guards: dense codebooks + flat-ADC query bound
+# ---------------------------------------------------------------------------
+
+
+def _vec_df(spark, ids, dims=8):
+    import numpy as np
+
+    rows = [
+        (int(i), [float(x) for x in np.random.RandomState(i).rand(dims)])
+        for i in ids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_pq_adc_rejects_sparse_codebooks(spark):
+    """Ids not covering 0..k-1 train a sparse book; positional LUT
+    indexing would silently misalign — must raise instead."""
+    from time_series_db_spark.pipeline import ann
+
+    corpus = _vec_df(spark, range(100, 140))  # no ids < k → sparse book
+    queries = _vec_df(spark, range(100, 103))
+    with pytest.raises(ValueError, match="dense"):
+        ann.pq_adc_topk(
+            corpus, queries, m=4, k=8, train_iters=1, dims=8
+        ).collect()
+
+
+def test_pq_adc_guards_query_count(spark):
+    from time_series_db_spark.pipeline import ann
+
+    corpus = _vec_df(spark, range(40))
+    queries = _vec_df(spark, range(12))
+    with pytest.raises(ValueError, match="max_queries"):
+        ann.pq_adc_topk(
+            corpus, queries, m=4, k=8, dims=8, max_queries=10
+        )
+    # explicit override allows it (plan construction succeeds)
+    out = ann.pq_adc_topk(
+        corpus, queries, m=4, k=8, train_iters=1, dims=8, max_queries=None
+    )
+    assert out.columns == ["query_id", "neighbor_id", "rank", "adc_dist"]
+
+
+# ---------------------------------------------------------------------------
+# service query-limit guards (circuit-breaker semantics)
+# ---------------------------------------------------------------------------
+
+
+def test_query_range_enforces_series_and_point_limits(spark):
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    end = EVENTS_MIN_TS + 10 * DEFAULT_STEP_MS
+
+    # a wildcard fetch matches many series: a cap of 1 must trip
+    with pytest.raises(service.QueryLimitError, match="max_series"):
+        service.m3ql_query_range(
+            src, "fetch name:*", start=EVENTS_MIN_TS, end=end,
+            step=DEFAULT_STEP_MS, max_series=1,
+        )
+    with pytest.raises(service.QueryLimitError, match="max_points"):
+        service.promql_query_range(
+            src, "error", start=EVENTS_MIN_TS, end=end,
+            step=DEFAULT_STEP_MS, max_points=1,
+        )
+    # a global sum is ONE series — generous caps pass through unchanged
+    ok = service.m3ql_query_range(
+        src, "fetch name:error | sum", start=EVENTS_MIN_TS, end=end,
+        step=DEFAULT_STEP_MS, max_series=10, max_points=10_000,
+    )
+    assert ok["status"] == "success" and len(ok["data"]["result"]) == 1
+    # default (no caps) stays un-probed and identical
+    base = service.m3ql_query_range(
+        src, "fetch name:error | sum", start=EVENTS_MIN_TS, end=end,
+        step=DEFAULT_STEP_MS,
+    )
+    assert base["data"]["result"] == ok["data"]["result"]
+
+
+def test_instant_query_enforces_limits(spark):
+    from time_series_db_spark import service
+    from time_series_db_spark.sources import DEFAULT_STEP_MS, EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    with pytest.raises(service.QueryLimitError, match="max_points"):
+        service.promql_query(
+            src, "error", EVENTS_MIN_TS + 2 * DEFAULT_STEP_MS,
+            step=DEFAULT_STEP_MS, lookback_ms=2 * DEFAULT_STEP_MS,
+            max_points=0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# asof tiebreak type validation
+# ---------------------------------------------------------------------------
+
+
+def test_asof_join_rejects_non_numeric_tiebreak(spark):
+    from time_series_db_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(7, 100, 1.0)], "user_id long, ts long, value double"
+    )
+    right = spark.createDataFrame(
+        [(7, 90, "a", 2.0)],
+        "user_id long, ts long, tag string, value double",
+    )
+    with pytest.raises(TypeError, match="numeric"):
+        asof_join(
+            left, right, on=["user_id"], right_cols=["value"],
+            tiebreak_col="tag",
+        )
+    # numeric tiebreak still accepted
+    right2 = spark.createDataFrame(
+        [(7, 90, 5, 2.0)],
+        "user_id long, ts long, seq long, value double",
+    )
+    out = asof_join(
+        left, right2, on=["user_id"], right_cols=["value"],
+        tiebreak_col="seq",
+    ).collect()
+    assert out[0]["value_r"] == 2.0

@@ -370,13 +370,30 @@ def _fold_scalar(node: A.PromNode) -> float | None:
             return a / b
         return math.copysign(math.inf, a) if a else math.nan
 
+    def _pow(a, b):
+        # Go math.Pow semantics, where Python diverges: 0 ^ negative is
+        # +Inf in Go but ValueError under math.pow; negative base with
+        # fractional exponent is NaN in Go but ValueError here; huge
+        # finite results overflow to an exception instead of ±Inf.
+        if a == 0 and b < 0:
+            return math.inf
+        try:
+            return math.pow(a, b)
+        except ValueError:
+            return math.nan
+        except OverflowError:
+            # overflow means |result| exceeded float64 → ±Inf; negative
+            # only for a negative base raised to an odd integer
+            neg = a < 0 and b == int(b) and int(b) % 2 == 1
+            return -math.inf if neg else math.inf
+
     return {
         "+": lambda a, b: a + b,
         "-": lambda a, b: a - b,
         "*": lambda a, b: a * b,
         "/": _div,
         "%": lambda a, b: math.fmod(a, b) if b else math.nan,
-        "^": lambda a, b: a ** b,
+        "^": _pow,
         "atan2": math.atan2,
     }[op](lv, rv)
 

@@ -159,7 +159,11 @@ def ast_to_dict(node: A.PromNode) -> dict:
         if f.name == "children":
             continue
         v = getattr(node, f.name)
-        if v in (None, [], 0, "", False) and f.name not in ("value",):
+        # drop only genuinely-absent fields: None, empty containers, and
+        # an unset bool flag.  Numeric zero is MEANINGFUL (``topk(0, v)``,
+        # ``quantile(0, v)``, ``offset 0``) and must survive into the
+        # JSON AST — ``v in (None, 0, ...)`` would drop it (0 == False).
+        if v is None or v == [] or v == "" or v is False:
             continue
         if f.name == "matchers":
             out["matchers"] = [

@@ -86,6 +86,17 @@ def asof_join(
     missing = [c for c in right_cols if c not in right.columns]
     if missing:
         raise ValueError(f"right side lacks columns {missing}")
+    if tiebreak_col is not None:
+        from pyspark.sql.types import NumericType
+
+        tb_type = right.schema[tiebreak_col].dataType
+        if not isinstance(tb_type, NumericType):
+            # the long cast below would turn a non-numeric column into
+            # NULLs and silently degrade tie order to nondeterministic
+            raise TypeError(
+                f"asof_join tiebreak_col {tiebreak_col!r} must be "
+                f"numeric, got {tb_type.simpleString()}"
+            )
 
     order2 = (
         F.col(f"__tb{suffix}")

@@ -942,6 +942,32 @@ def pq_encode(
     )
 
 
+def _check_dense_codebooks(books: DataFrame, m: int, k: int) -> None:
+    """The ADC inner loop indexes the flattened per-query LUT
+    positionally (``s * k + code``), which is only correct when every
+    subspace carries a dense codeword set ``0..k-1`` — a shorter
+    codebook would silently misalign every lookup after the gap instead
+    of erroring.  ``pq_codebooks`` seeds codeword ``c`` from the vector
+    whose id is ``c``, so a corpus whose id space does not cover
+    ``0..k-1`` trains a sparse book; reject it here.  The codebook frame
+    is localCheckpoint'ed m·k-row metadata, so the count is free."""
+    n = books.count()
+    if n != m * k:
+        raise ValueError(
+            f"PQ ADC requires dense per-subspace codebooks: expected "
+            f"m*k = {m * k} codewords, got {n}. pq_codebooks seeds "
+            f"codeword c from the vector with id c, so the corpus id "
+            f"space must cover 0..k-1 — lower k or reindex the corpus."
+        )
+
+
+#: flat ADC is O(corpus × queries) with a broadcast per-query LUT —
+#: beyond this many queries the broadcast (m·k doubles per query) and
+#: the scored row count stop being "small side" and the celled
+#: :func:`ivfpq_topk` is the right shape
+MAX_ADC_QUERIES = 10_000
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -952,6 +978,7 @@ def pq_adc_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    max_queries: int | None = MAX_ADC_QUERIES,
 ) -> DataFrame:
     """PQ search with Asymmetric Distance Computation: queries stay
     exact; each query precomputes an m×k lookup table of sub-distances
@@ -967,10 +994,22 @@ def pq_adc_topk(
     WindowGroupLimit cut as the exact path.  Recall vs exact L2 is
     pinned by a unit-test gate.
     """
+    if max_queries is not None:
+        # bounded probe: LIMIT max+1 caps the work regardless of size
+        nq = queries.limit(max_queries + 1).count()
+        if nq > max_queries:
+            raise ValueError(
+                f"pq_adc_topk is a flat O(corpus × queries) ADC scan "
+                f"with a broadcast per-query LUT; the query set exceeds "
+                f"max_queries={max_queries}. Use ivfpq_topk (celled "
+                f"scan) for large query sets, or pass max_queries "
+                f"explicitly to override."
+            )
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
     books = pq_codebooks(
         vecs, m=m, k=k, iters=train_iters, id_col=id_col, dims=dims
     )
+    _check_dense_codebooks(books, m, k)
     codes = pq_encode(vecs, books, m=m, id_col=id_col, dims=dims)
     qvecs = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("__v")
@@ -1038,6 +1077,7 @@ def pq_rerank_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int | None = None,
+    max_queries: int | None = MAX_ADC_QUERIES,
 ) -> DataFrame:
     """PQ + exact re-rank — the production billion-scale shape: the ADC
     scan over 2-byte codes nominates a per-query ``shortlist``, then
@@ -1052,7 +1092,7 @@ def pq_rerank_topk(
     short = pq_adc_topk(
         corpus, queries, topk=shortlist, m=m, k=k,
         train_iters=train_iters, id_col=id_col, vec_col=vec_col,
-        dims=dims,
+        dims=dims, max_queries=max_queries,
     ).select("query_id", "neighbor_id")
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1121,6 +1161,7 @@ def ivfpq_topk(
     books = pq_codebooks(
         vecs, m=m, k=k, iters=train_iters, id_col=id_col, dims=dims
     )
+    _check_dense_codebooks(books, m, k)
     codes = pq_encode(vecs, books, m=m, id_col=id_col, dims=dims).join(
         cells, id_col
     )

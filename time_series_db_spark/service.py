@@ -36,6 +36,42 @@ DEFAULT_STEP_MS = 10_000  # RestM3QLAction default step (params javadoc :1-70)
 DEFAULT_LOOKBACK_MS = 5 * 60_000  # start default: now-5m
 
 
+class QueryLimitError(Exception):
+    """A query matched more series / sample points than its configured
+    cap — the Spark analog of the reference's reduce-phase circuit
+    breaker (query/breaker/ReduceCircuitBreakerConsumer.java, settings
+    TSDBPlugin.java:136-293): fail fast with a bounded error instead of
+    letting a runaway ``fetch name:*`` OOM the driver-side matrix
+    collect."""
+
+
+def _enforce_limits(sf, max_series: int | None, max_points: int | None) -> None:
+    """Metadata-sized probe run before the matrix collect: ONE
+    distributed aggregation returning a single (n_series, n_points) row
+    — the result crossing to the driver is two longs no matter how wide
+    the match is, so the guard itself can never OOM.  The stage-probe
+    persist cache keeps the subsequent collect from recomputing the
+    query from scratch."""
+    if max_series is None and max_points is None:
+        return
+    from pyspark.sql import functions as F
+
+    row = sf.df.agg(
+        F.countDistinct("series_key").alias("__ns"),
+        F.count(F.lit(1)).alias("__np"),
+    ).collect()[0]
+    if max_series is not None and row["__ns"] > max_series:
+        raise QueryLimitError(
+            f"query matched {row['__ns']} series, exceeding "
+            f"max_series={max_series}"
+        )
+    if max_points is not None and row["__np"] > max_points:
+        raise QueryLimitError(
+            f"query produced {row['__np']} sample points, exceeding "
+            f"max_points={max_points}"
+        )
+
+
 def _resolve_times(
     start: int | None, end: int | None, now_ms: int | None, step: int = 1
 ) -> tuple[int, int]:
@@ -67,6 +103,8 @@ def m3ql_query_range(
     resolved_partitions: list[dict] | None = None,
     pushdown: bool = True,
     spark=None,
+    max_series: int | None = None,
+    max_points: int | None = None,
 ) -> dict[str, Any] | str:
     """Execute an M3QL pipeline query over ``source`` and return the
     matrix response (or the physical plan when ``explain``).
@@ -84,6 +122,13 @@ def m3ql_query_range(
     per-series step/start/end fields (RestM3QLAction.java:207; REST
     default false — ours defaults true for API compatibility with the
     matrix helpers, pass False for wire parity).
+
+    ``max_series`` / ``max_points`` are the reference's reduce-phase
+    circuit-breaker semantics (ReduceCircuitBreakerConsumer.java): when
+    set, a metadata-sized count probe runs before the matrix collect
+    and a query matching more series / producing more sample points
+    than the cap raises :class:`QueryLimitError` instead of OOMing the
+    driver.
 
     ``resolved_partitions`` mirrors the REST body param
     (RestM3QLAction + ResolvedPartitions): a list of window dicts
@@ -127,6 +172,7 @@ def m3ql_query_range(
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
             sf.df._jdf.queryExecution(), "formatted"
         )
+    _enforce_limits(sf, max_series, max_points)
     resp = to_matrix(sf, include_metadata=include_metadata, include_alias=True)
     if profiler is not None:
         resp["profile"] = {"stages": profiler.stages}
@@ -148,6 +194,8 @@ def promql_query_range(
     profile: bool = False,
     include_metadata: bool = True,
     now_ms: int | None = None,
+    max_series: int | None = None,
+    max_points: int | None = None,
 ) -> dict[str, Any] | str:
     """Execute a PromQL query_range over ``source`` → matrix response.
 
@@ -169,6 +217,7 @@ def promql_query_range(
         return sf.df._sc._jvm.PythonSQLUtils.explainString(
             sf.df._jdf.queryExecution(), "formatted"
         )
+    _enforce_limits(sf, max_series, max_points)
     resp = to_matrix(sf, include_metadata=include_metadata, include_alias=False)
     if profiler is not None:
         resp["profile"] = {"stages": profiler.stages}
@@ -187,6 +236,8 @@ def promql_query(
     *,
     lookback_ms: int = DEFAULT_LOOKBACK_MS,
     now_ms: int | None = None,
+    max_series: int | None = None,
+    max_points: int | None = None,
 ) -> dict[str, Any]:
     """Prometheus instant query (``/api/v1/query``): evaluate ``query``
     at the single instant ``time_ms`` (default: now) → vector response.
@@ -215,6 +266,7 @@ def promql_query(
     )
     cache.set_scope(f"promql-instant:{query}")
     sf = execute(query, source, t - lookback_ms, t + step, step)
+    _enforce_limits(sf, max_series, max_points)
     resp = to_vector(sf, t)
     cache.release_others()
     return resp

@@ -26,8 +26,13 @@ from time_series_db_spark.model import SeriesFrame, series_key_expr
 #: metric-name and label grammar (Prometheus data model)
 _NAME_RE = "[a-zA-Z_:][a-zA-Z0-9_:]*"
 _LABEL_RE = '([a-zA-Z_][a-zA-Z0-9_]*)="((?:[^"\\\\]|\\\\.)*)"'
+#: the label section is OPTIONAL (``metric_name 42 1000`` is the most
+#: common exporter output form — bare counters/gauges carry no labels);
+#: an absent blob parses as the empty label set.  Separators accept runs
+#: of spaces/tabs, as real exporters emit both.
 _LINE_RE = (
-    f"^({_NAME_RE})\\{{(.*)\\}} (\\S+)(?: (-?[0-9]+))?$"
+    f"^({_NAME_RE})[ \\t]*(?:\\{{(.*)\\}})?[ \\t]+(\\S+)"
+    f"(?:[ \\t]+(-?[0-9]+))?[ \\t]*$"
 )
 #: a WHOLE label blob: empty, or comma-joined label pairs — guards
 #: against a blob that merely CONTAINS something pair-like (or nothing)

@@ -44,8 +44,9 @@ def format_graphite(df: DataFrame, strict: bool = True) -> DataFrame:
     """Render a sample frame as carbon lines ``(line: string)``.
 
     Labels that cannot be carried (``;``/whitespace in a value, the
-    spec's forbidden characters in a tag key, empty ``name``) make the
-    row unrepresentable: ``strict=True`` (default) RAISES on the first
+    spec's forbidden characters in a tag key, empty ``name``) and
+    non-finite sample values (the protocol has no NaN/Inf spelling)
+    make the row unrepresentable: ``strict=True`` (default) RAISES on the first
     such row, ``strict=False`` drops them. One projection — no shuffle
     (strict mode adds a lazy assertion column, still scan-parallel).
     """
@@ -59,6 +60,13 @@ def format_graphite(df: DataFrame, strict: bool = True) -> DataFrame:
             tags,
             lambda e: e["key"].rlike(_OK_TAG_KEY) & e["value"].rlike(_OK_VALUE),
         )
+        # the protocol has no NaN/Inf spelling — a cast-to-string
+        # 'NaN'/'Infinity' line would be silently dropped by the
+        # parser's numeric filter, so a non-finite VALUE makes the row
+        # unrepresentable exactly like a bad label (strict raises,
+        # non-strict drops — never a silent sink-side loss)
+        & ~F.isnan("value")
+        & (F.abs("value") != F.lit(float("inf")))
     )
     blob = F.array_join(
         F.transform(
@@ -79,8 +87,9 @@ def format_graphite(df: DataFrame, strict: bool = True) -> DataFrame:
             F.raise_error(
                 F.concat(
                     F.lit(
-                        "graphite protocol cannot represent labels "
-                        "(';'/whitespace or forbidden tag-key chars): "
+                        "graphite protocol cannot represent row "
+                        "(';'/whitespace or forbidden tag-key chars in "
+                        "labels, or non-finite value): "
                     ),
                     F.to_json(F.col("labels")),
                 )
