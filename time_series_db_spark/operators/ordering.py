@@ -109,9 +109,17 @@ def _ranked_stats(stats, key):
 
 def sort(sf: SeriesFrame, fn: str = "avg", descending: bool = True) -> SeriesFrame:
     """Order series by a per-series statistic — SortStage.java:48 (default
-    descending). Materializes ``__order`` (1-based) on every row."""
+    descending). Materializes ``__order`` (1-based) on every row.
+
+    As in :func:`top_k`, the input frame is persisted for the query's
+    cache scope so the stat aggregate and the join-back read ONE
+    materialization of the upstream pipeline instead of re-executing
+    the scan twice."""
     if fn not in _SORT_FNS:
         raise ValueError(f"unknown sort fn: {fn}")
+    from time_series_db_spark.cache import persist_tracked
+
+    sf = replace(sf, df=persist_tracked(sf.df))
     stats = _series_stat(sf, fn)
     key = [F.col("__stat").desc()] if descending else [F.col("__stat").asc()]
     ranked = _ranked_stats(stats, key)
@@ -137,6 +145,9 @@ def sort_by_label(
     broadcasts back onto the samples as ``__order``/``__rorder``."""
     if not keys:
         raise ValueError("sort_by_label needs at least one label name")
+    from time_series_db_spark.cache import persist_tracked
+
+    sf = replace(sf, df=persist_tracked(sf.df))
     stats = sf.distinct_series().select(
         "series_key",
         *[
@@ -168,9 +179,19 @@ def top_k(
     merge on one reducer) — the exact analog of the reference's
     shard-local sort+limit → coordinator re-topK pushdown
     (TopKStage.java:1-22). Ranks are then assigned on the k-row result
-    and broadcast back onto the samples."""
+    and broadcast back onto the samples.
+
+    The input frame feeds BOTH the stat aggregate and the final
+    join-back — without a persist Spark executes the upstream pipeline
+    (scan + fetch dedup shuffle) twice; ``persist_tracked`` pins one
+    materialization for the query's cache scope (spill-safe
+    MEMORY_AND_DISK, released at the next query boundary), the same
+    single-materialization contract the binary matching chain uses."""
     if fn not in _SORT_FNS:
         raise ValueError(f"unknown sort fn: {fn}")
+    from time_series_db_spark.cache import persist_tracked
+
+    sf = replace(sf, df=persist_tracked(sf.df))
     stats = _series_stat(sf, fn)
     key = F.col("__stat").desc() if descending else F.col("__stat").asc()
     topk = stats.orderBy(key, F.col("series_key").asc()).limit(int(k))
