@@ -346,6 +346,29 @@ def test_tpch_new_queries_no_cartesian_and_broadcast_dims(spark, sf_dir):
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
 
 
+def test_tpch_r7_queries_broadcast_dims_no_cartesian(spark, sf_dir):
+    """The round-7 TPC-H completions (q2/q11/q12/q16/q20): dim sides
+    broadcast, scalar thresholds are one-row broadcast nested-loops
+    (the q22 pattern), and nothing cartesian-products the fact table."""
+    from time_series_db_spark.catalog import QUERIES
+
+    scalar_threshold = {"tpch_q11_important_stock", "tpch_q20_excess_suppliers"}
+    for name in (
+        "tpch_q2_min_cost_supplier",
+        "tpch_q11_important_stock",
+        "tpch_q12_late_priority",
+        "tpch_q16_supplier_cnt",
+        "tpch_q20_excess_suppliers",
+    ):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        if "BroadcastNestedLoopJoin" in plan:
+            # only the one-row scalar-threshold compares may nested-loop
+            assert name in scalar_threshold, name
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
+
+
 def test_tpch_q17_window_after_part_prune(spark, sf_dir):
     """Q17's correlated average runs as a window over l_partkey AFTER the
     broadcast part filter — the shuffle carries only matching parts'

@@ -794,3 +794,256 @@ def tpch_q22_lapsed_customers(spark, sf_dir):
             _dsum(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    f"""WITH cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_type = 'STANDARD' AND p.p_size BETWEEN 10 AND 20
+      GROUP BY 1, 2),
+    best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY unit_cost ASC, l_suppkey ASC) AS rn
+      FROM cost)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name, s.s_acctbal,
+           {sql_quant('b.unit_cost')} AS unit_cost
+    FROM best b
+    JOIN part p ON p.p_partkey = b.l_partkey
+    JOIN supplier s ON s.s_suppkey = b.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE b.rn = 1""",
+)
+def tpch_q2_min_cost_supplier(spark, sf_dir):
+    """Q2 minimum-cost supplier (adapted: the schema has no partsupp, so
+    the part–supplier cost relation is OBSERVED unit price — min
+    l_extendedprice/l_quantity over each (part, supplier)'s lineitems).
+    Canonical shape preserved: restrict parts by type/size, find each
+    part's cheapest supplier (correlated-min → rank-1 window over the
+    tiny per-pair cost table), report supplier account details.
+
+    100 TB shape: the fact scan joins a broadcast filtered part dim and
+    partially aggregates to (part, supplier) pairs before any shuffle;
+    the rank window runs on that reduced pair table, never the fact;
+    supplier/nation attach by broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("__uc"),
+    )
+    cost = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__uc").alias("unit_cost"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = cost.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        best.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            quant(F.col("unit_cost")).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    f"""WITH val AS (
+      SELECT l.l_partkey,
+             {_sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      GROUP BY 1)
+    SELECT l_partkey AS p_partkey, value
+    FROM val
+    WHERE value > (SELECT {_sql_dsum('value')} * 2.0 / count(*) FROM val)""",
+)
+def tpch_q11_important_stock(spark, sf_dir):
+    """Q11 important stock (adapted: no partsupp, so per-part "stock
+    value" is the revenue shipped by a three-nation supplier group).  Canonical
+    shape preserved: a grouped value table filtered against a scalar
+    threshold derived from its own total (2x the mean per-part value —
+    scale-free, where the canonical fraction is spec-scaled by 1/SF) — the total is a ONE-ROW broadcast
+    (cross-join of a single aggregate row, the engine's standard scalar
+    pattern), never a second scan-side shuffle."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    val = (
+        li.join(F.broadcast(
+            supp.join(F.broadcast(nation),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+            .select("s_suppkey")
+        ), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(_dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("value"))
+    )
+    from time_series_db_spark.cache import persist_tracked
+
+    val = persist_tracked(val)
+    total = val.agg(
+        (_dsum(F.col("value")) * F.lit(2.0) / F.count(F.lit(1))).alias("__thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__thr"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+@register(
+    "tpch_q12_late_priority",
+    """SELECT l.l_linestatus,
+           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+           sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1""",
+)
+def tpch_q12_late_priority(spark, sf_dir):
+    """Q12 shipping modes / order priority (adapted: no
+    l_shipmode/l_commitdate/l_receiptdate — linestatus stands in for
+    the mode dimension and "late" is shipped >30 days after the order
+    date, the same lateness surrogate Q4 uses).  Canonical shape
+    preserved: one fact join, conditional counts as CASE-sum partial
+    aggregates — two groups cross the shuffle, not 60k rows."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": ("1996-01-01", "1998-01-01")},
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, (F.col("l_orderkey") == F.col("o_orderkey"))
+                & (F.col("l_shipdate")
+                   > F.date_add(F.col("o_orderdate"), 30)))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """SELECT p.p_brand, p.p_type, p.p_size::BIGINT AS p_size,
+           count(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY 1, 2, 3""",
+)
+def tpch_q16_supplier_cnt(spark, sf_dir):
+    """Q16 parts/supplier relationship (adapted: no partsupp — the
+    part–supplier association is observed shipments in lineitem; the
+    canonical complaint-supplier NOT IN is dropped with the missing
+    s_comment column).  Shape preserved: broadcast the filtered part
+    dim, exact COUNT(DISTINCT) per part-attribute group — Catalyst
+    expands it to a two-level aggregate with map-side partials."""
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_excess_suppliers",
+    f"""WITH shipped AS (
+      SELECT l.l_suppkey,
+             {_sql_dsum('l.l_quantity')} AS qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'small%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1)
+    SELECT s.s_name, n.n_name, sh.qty
+    FROM shipped sh
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE sh.qty > (SELECT {_sql_dsum('qty')} * 0.5 / count(*) FROM shipped)""",
+)
+def tpch_q20_excess_suppliers(spark, sf_dir):
+    """Q20 potential part promotion (adapted: no partsupp availqty — a
+    supplier is "excess" when its 1997 shipped quantity of 'small%'
+    parts exceeds half the mean shipped quantity).  Canonical shape
+    preserved: name-prefix part filter broadcast into the date-pruned
+    fact slice, per-supplier aggregate, scalar threshold broadcast,
+    supplier/nation attach by broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").startswith("small")
+    )
+    li = load_table(
+        spark, sf_dir, "lineitem",
+        ts_range={"l_shipdate": ("1997-01-01", "1998-01-01")},
+    ).filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(part.select("p_partkey")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(_dsum(F.col("l_quantity")).alias("qty"))
+    )
+    from time_series_db_spark.cache import persist_tracked
+
+    shipped = persist_tracked(shipped)
+    thr = shipped.agg(
+        (_dsum(F.col("qty")) * F.lit(0.5) / F.count(F.lit(1))).alias("__thr")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        shipped.crossJoin(F.broadcast(thr))
+        .filter(F.col("qty") > F.col("__thr"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "qty")
+    )
