@@ -200,6 +200,96 @@ def test_pq_adc_guards_query_count(spark):
 
 
 # ---------------------------------------------------------------------------
+# bloom-prefiltered decontamination
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bloom_decontaminate_equals_exact(spark):
+    """The bitmap prefilter is semantics-free: output must be row-equal
+    to the plain broadcast-hash-set decontaminate on the same inputs
+    (no false negatives by construction; the confirm join removes the
+    false positives)."""
+    from time_series_db_spark.pipeline import decontam
+
+    corpus = _docs_df(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated text about spark distributed joins"),
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        (4, "short"),
+    ])
+    evals = _docs_df(spark, [
+        (100, "xx the quick brown fox jumps over the lazy dog yy"),
+        (101, "short"),
+    ])
+    for n in (3, 8):
+        a = sorted(
+            tuple(r) for r in decontam.decontaminate(
+                corpus, evals, n=n, min_hits=1
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in decontam.bloom_decontaminate(
+                corpus, evals, n=n, min_hits=1, m_bits=1 << 12
+            ).collect()
+        )
+        assert a == b
+    # flagged docs are the overlapping ones
+    flagged = {r[0] for r in b if r[2]}
+    assert flagged == {1, 3, 4}
+
+
+def test_bloom_decontaminate_tiny_bitmap_still_exact(spark):
+    """An undersized bitmap (high FP rate) must never change results —
+    only cost: everything funnels to the exact confirm."""
+    from time_series_db_spark.pipeline import decontam
+
+    corpus = _docs_df(
+        spark, [(i, f"doc {i} words alpha beta gamma {i}") for i in range(20)]
+    )
+    evals = _docs_df(spark, [(99, "doc 7 words alpha beta gamma 7")])
+    out = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.bloom_decontaminate(
+            corpus, evals, n=3, m_bits=64, k_hashes=2
+        ).collect()
+    }
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.decontaminate(corpus, evals, n=3).collect()
+    }
+    assert out == exact
+
+
+def test_bloom_decontaminate_validates_params(spark):
+    from time_series_db_spark.pipeline import decontam
+
+    docs = _docs_df(spark, [(1, "a b c")])
+    with pytest.raises(ValueError, match="power of two"):
+        decontam.bloom_decontaminate(docs, docs, m_bits=1000)
+    with pytest.raises(ValueError, match="k_hashes"):
+        decontam.bloom_decontaminate(docs, docs, k_hashes=0)
+
+
+def test_bloom_decontaminate_plan_stays_jvm_side(spark):
+    from time_series_db_spark.pipeline import decontam
+
+    corpus = _docs_df(spark, [(1, "a b c d e f g h i j")])
+    evals = _docs_df(spark, [(2, "a b c d e f g h i j")])
+    plan = decontam.bloom_decontaminate(
+        corpus, evals, n=3
+    )._sc._jvm.PythonSQLUtils.explainString(
+        decontam.bloom_decontaminate(corpus, evals, n=3)._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
 # service query-limit guards (circuit-breaker semantics)
 # ---------------------------------------------------------------------------
 

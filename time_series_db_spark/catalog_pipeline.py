@@ -984,6 +984,36 @@ def decontaminate_ngram(spark, sf_dir):
 
 
 @register(
+    "decontaminate_bloom",
+    f"""WITH corpus AS (SELECT doc_id, {_DECON_SH} AS g FROM documents WHERE doc_id % 20 <> 0),
+    evals  AS (SELECT {_DECON_SH} AS g FROM documents WHERE doc_id % 20 = 0),
+    eh AS (SELECT DISTINCT {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT unnest(g) AS gram FROM evals)),
+    ch AS (SELECT doc_id, {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT doc_id, unnest(g) AS gram FROM corpus)),
+    hits AS (SELECT doc_id, count(DISTINCT gh) AS n FROM ch JOIN eh USING (gh) GROUP BY 1)
+    SELECT c.doc_id, coalesce(h.n, 0)::BIGINT AS n_collisions,
+           coalesce(h.n, 0) >= 1 AS contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+)
+def decontaminate_bloom(spark, sf_dir):
+    """Bloom-prefiltered decontamination
+    (pipeline/decontam.py:bloom_decontaminate): same contract as
+    ``decontaminate_ngram`` but the eval side ships as a 128 KB Bloom
+    bitmap instead of its raw hash set, and only bloom-surviving grams
+    reach the exact-confirm join.  Bloom filters have no false
+    negatives and the confirm removes the false positives, so the
+    ORACLE IS THE SAME exact-match SQL — the differential proves the
+    prefilter is semantics-free."""
+    from time_series_db_spark.pipeline import decontam
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    return decontam.bloom_decontaminate(corpus, evals, n=8, min_hits=1)
+
+
+@register(
     "sample_mixture",
     """WITH quotas(stratum, target_n) AS (
       VALUES ('de', 12::BIGINT), ('en', 60::BIGINT),

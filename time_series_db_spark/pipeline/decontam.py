@@ -81,3 +81,133 @@ def decontaminate(
             ),
         )
     )
+
+
+def bloom_decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-bitmap prefilter — EXACT
+    semantics, different 100 TB cost profile.
+
+    :func:`decontaminate` broadcasts the eval set's distinct n-gram
+    hashes (8 bytes per gram: a full eval *suite* can reach hundreds of
+    MB) to every task.  Here the eval grams compress into an ``m_bits``
+    Bloom bitmap (``m_bits/8`` bytes — 128 KB at the default 2²⁰,
+    independent of eval size) carried as a one-row broadcast; the
+    corpus side tests its exploded grams with pure bit arithmetic
+    (double hashing: k probe positions derived from the one portable
+    64-bit gram hash), and only the *surviving* grams — true hits plus
+    the bounded false-positive trickle — reach the exact-confirm join
+    against the real eval hashes.  Bloom filters have NO false
+    negatives, so the confirm join makes the output identical to
+    :func:`decontaminate` (one shared SQL oracle covers both).
+
+    The confirm join's eval side is NOT force-broadcast: survivors are
+    rare, so when the eval suite is genuinely huge Catalyst can shuffle
+    two small sides instead of shipping the full hash set everywhere —
+    exactly the case the bitmap exists for.
+
+    Output: ``(id_col, n_collisions, contaminated)``.
+    """
+    if m_bits <= 0 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a positive power of two")
+    if k_hashes <= 0:
+        raise ValueError("k_hashes must be positive")
+    if n <= 0:
+        raise ValueError("n-gram length must be positive")
+    if min_hits <= 0:
+        raise ValueError("min_hits must be positive")
+
+    mask = m_bits - 1
+
+    def probes(gh: Column) -> list[Column]:
+        # double hashing (Kirsch–Mitzenmacher): pos_i = h1 + i·h2 mod m
+        # from the single 64-bit gram hash; h2 forced odd so the probe
+        # sequence walks the full power-of-two table
+        h1 = gh.bitwiseAND(F.lit(mask))
+        h2 = (
+            F.shiftrightunsigned(gh, 32).bitwiseOR(F.lit(1))
+        ).bitwiseAND(F.lit(mask))
+        return [
+            (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask))
+            for i in range(k_hashes)
+        ]
+
+    eval_h = (
+        eval_set.select(
+            F.explode(ngram_hash_set(F.col(text_col), n, hash_fn)).alias("__gh")
+        )
+        .distinct()
+    )
+    # bitmap build: k positions per eval gram → (word, bit) → bit_or per
+    # word — at most m_bits/64 rows cross to the driver (metadata-sized:
+    # 16384 longs at the default m)
+    words = (
+        eval_h.select(F.explode(F.array(*probes(F.col("__gh")))).alias("__pos"))
+        .select(
+            F.shiftrightunsigned(F.col("__pos"), 6).cast("int").alias("__w"),
+            # Python-API shiftleft only takes literal shift amounts —
+            # the per-row bit position needs the SQL form
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(__pos & 63 AS INT))"
+            ).alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__b)").alias("__word"))
+        .collect()
+    )
+    bitmap = [0] * (m_bits // 64)
+    for r in words:
+        bitmap[r["__w"]] = r["__word"]
+    bits = corpus.sparkSession.createDataFrame(
+        [(bitmap,)], "__bloom array<long>"
+    )
+
+    grams = (
+        corpus.select(
+            F.col(id_col),
+            F.explode(ngram_hash_set(F.col(text_col), n, hash_fn)).alias("__gh"),
+        )
+        .crossJoin(F.broadcast(bits))
+        .select(
+            "*",
+            *[
+                p.alias(f"__p{i}")
+                for i, p in enumerate(probes(F.col("__gh")))
+            ],
+        )
+    )
+    member = None
+    for i in range(k_hashes):
+        # bit test in SQL (per-row shift amounts): word >> bit & 1
+        test = F.expr(
+            f"(shiftright(element_at(__bloom, "
+            f"CAST(shiftrightunsigned(__p{i}, 6) + 1 AS INT)), "
+            f"CAST(__p{i} & 63 AS INT)) & 1) = 1"
+        )
+        member = test if member is None else (member & test)
+    survivors = grams.filter(member).select(id_col, "__gh")
+    hits = (
+        survivors.join(eval_h, on="__gh", how="inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_collisions"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_collisions"), F.lit(0)).alias("n_collisions"),
+            (F.coalesce(F.col("n_collisions"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )
