@@ -290,6 +290,110 @@ def test_bloom_decontaminate_plan_stays_jvm_side(spark):
 
 
 # ---------------------------------------------------------------------------
+# BPE vocabulary induction
+# ---------------------------------------------------------------------------
+
+
+def _bpe_replay(texts, n_merges):
+    """Exact Python replay of bpe.bpe_train's variant: word-freq table,
+    spaced sequences, argmax pair by (count desc, pair asc), literal
+    left-to-right non-overlapping replace."""
+    import re
+    from collections import Counter
+
+    wf = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if w:
+                wf[w] += 1
+    seqs = {w: " " + " ".join(w) + " " for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, f in wf.items():
+            toks = seqs[w].strip().split(" ")
+            for a, b in zip(toks, toks[1:]):
+                pc[f"{a} {b}"] += f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        left, right = best[0].split(" ")
+        merges.append((rank, left, right, best[1]))
+        for w in seqs:
+            seqs[w] = seqs[w].replace(
+                f" {left} {right} ", f" {left}{right} "
+            )
+    return merges, seqs
+
+
+def test_bpe_train_matches_exact_replay(spark):
+    from time_series_db_spark.pipeline import bpe
+
+    texts = [
+        "low low low low lower lower newest newest newest",
+        "widest widest new new lowest",
+        "abcabc abc abc cab",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, wf = bpe.bpe_train(docs, n_merges=8)
+    expect, eseqs = _bpe_replay(texts, 8)
+    assert merges == expect
+    got_seqs = {r["__w"]: r["__seq"] for r in wf.collect()}
+    assert got_seqs == eseqs
+
+
+def test_bpe_token_counts_match_replay(spark):
+    from time_series_db_spark.pipeline import bpe
+
+    texts = ["aa aa ab", "aa b ab ab"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["n_tokens"]
+        for r in bpe.bpe_token_counts(docs, n_merges=2).collect()
+    }
+    _, seqs = _bpe_replay(texts, 2)
+    import re
+    expect = {}
+    for i, t in enumerate(texts):
+        n = 0
+        for w in re.sub(r"\s+", " ", t.strip().lower()).split(" "):
+            if w:
+                n += len(seqs[w].strip().split(" "))
+        expect[i] = n
+    assert out == expect
+
+
+def test_bpe_stops_early_when_no_pairs(spark):
+    from time_series_db_spark.pipeline import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    merges, _ = bpe.bpe_train(docs, n_merges=10)
+    assert merges == []  # single-char words have no adjacent pairs
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe.bpe_train(docs, n_merges=0)
+
+
+def test_bpe_plan_stays_jvm_side(spark):
+    from time_series_db_spark.pipeline import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello world")], "doc_id long, text string"
+    )
+    df = bpe.bpe_token_counts(docs, n_merges=2)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # per-word counts broadcast back
+
+
+# ---------------------------------------------------------------------------
 # service query-limit guards (circuit-breaker semantics)
 # ---------------------------------------------------------------------------
 

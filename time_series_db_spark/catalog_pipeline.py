@@ -2085,3 +2085,95 @@ def sample_weighted(spark, sf_dir):
     from time_series_db_spark.pipeline import pack
 
     return pack.sample_weighted(_docs(spark, sf_dir), "n_chars", 100)
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary induction (pipeline/bpe.py) — unrolled-merge oracles
+# ---------------------------------------------------------------------------
+
+def _sql_bpe_ctes(n_merges: int) -> str:
+    """CTE chain replaying bpe.bpe_train: word-frequency table, spaced
+    initial symbol sequences, then each merge round unrolled (pair
+    counts via list comprehension, argmax by (count DESC, pair ASC),
+    literal-replace rewrite with the round's one-row scalars) — the
+    same unrolling pattern as the PQ Lloyd oracle."""
+    sql = f"""wfreq AS MATERIALIZED (
+      SELECT w AS __w, count(*)::BIGINT AS __f
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      WHERE w <> '' GROUP BY 1),
+    bs0 AS MATERIALIZED (
+      SELECT __w, __f,
+             ' ' || trim(regexp_replace(__w, '(.)', '\\1 ', 'g')) || ' '
+               AS seq
+      FROM wfreq)"""
+    for t in range(n_merges):
+        sql += f""",
+    bpx{t} AS (
+      SELECT __f, unnest([toks[i] || ' ' || toks[i + 1]
+                          for i in generate_series(1, len(toks) - 1)])
+               AS pair
+      FROM (SELECT __f, string_split(trim(seq), ' ') AS toks FROM bs{t})),
+    bpc{t} AS (SELECT pair, CAST(sum(__f) AS BIGINT) AS cnt
+               FROM bpx{t} GROUP BY 1),
+    bm{t} AS MATERIALIZED (
+      SELECT {t}::BIGINT AS merge_rank,
+             string_split(pair, ' ')[1] AS left_sym,
+             string_split(pair, ' ')[2] AS right_sym, cnt AS freq
+      FROM bpc{t} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    bs{t + 1} AS MATERIALIZED (
+      SELECT __w, __f,
+             replace(seq,
+                     ' ' || (SELECT left_sym FROM bm{t}) || ' '
+                         || (SELECT right_sym FROM bm{t}) || ' ',
+                     ' ' || (SELECT left_sym FROM bm{t})
+                         || (SELECT right_sym FROM bm{t}) || ' ') AS seq
+      FROM bs{t})"""
+    return sql
+
+
+_BPE_N = 10
+_BPE_CTES = _sql_bpe_ctes(_BPE_N)
+_BPE_UNION = "\n    UNION ALL ".join(
+    f"SELECT * FROM bm{t}" for t in range(_BPE_N)
+)
+
+
+@register(
+    "text_bpe_merges",
+    f"""WITH {_BPE_CTES}
+    {_BPE_UNION}""",
+)
+def text_bpe_merges(spark, sf_dir):
+    """BPE merge-table induction (pipeline/bpe.py, Sennrich et al.
+    2016): 10 merge rounds trained on the corpus word-frequency table —
+    each round one distributed pair-count aggregation and a one-row
+    argmax collect (the k-means coordinator shape).  The oracle unrolls
+    all 10 rounds; ties break on (count DESC, pair ASC) in both
+    engines."""
+    from time_series_db_spark.pipeline import bpe
+
+    return bpe.bpe_merges(load_table(spark, sf_dir, "documents"), _BPE_N)
+
+
+@register(
+    "text_bpe_token_counts",
+    f"""WITH {_BPE_CTES},
+    per_word AS (
+      SELECT __w, len(string_split(trim(seq), ' '))::BIGINT AS n
+      FROM bs{_BPE_N}),
+    dw AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest({_TOKS}) AS w FROM documents)
+      WHERE w <> '')
+    SELECT dw.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens
+    FROM dw JOIN per_word p ON p.__w = dw.w
+    GROUP BY 1""",
+)
+def text_bpe_token_counts(spark, sf_dir):
+    """Token counting under the trained BPE vocabulary: the merged
+    word table (vocabulary-bounded) broadcasts back onto one corpus
+    scan; each document's count sums its words' cached symbol counts —
+    the corpus text is never re-segmented per merge."""
+    from time_series_db_spark.pipeline import bpe
+
+    return bpe.bpe_token_counts(load_table(spark, sf_dir, "documents"), _BPE_N)

@@ -1,0 +1,156 @@
+"""Distributed BPE vocabulary induction (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units").
+
+The trainer operates on the WORD-FREQUENCY table, not the corpus: BPE
+merge statistics depend only on distinct word types and their counts,
+so a 100 TB corpus first collapses to a vocabulary-bounded ``(word,
+freq)`` table (one partial-aggregated shuffle — the same reduction the
+reference-class trainers make) and every merge round then runs on that
+small table.  Each round is the k-means shape: a distributed pair-count
+aggregation, a ONE-ROW driver collect of the argmax pair (metadata-
+sized, like the Lloyd centroid fetch in pipeline/ann.py), and a pure
+column-expression rewrite of the symbol sequences.
+
+Symbol sequences are encoded as space-joined strings with a leading and
+trailing space (`` h e l l o ``), and a merge of pair ``(a, b)`` is the
+literal replace ``" a b " → " ab "``.  Both Spark's ``replace`` and
+DuckDB's ``replace`` scan left-to-right non-overlapping with identical
+semantics, so the DuckDB oracle replays training exactly.  Documented
+deviation from strict greedy BPE: in a chain like ``b b b b`` the
+shared-boundary space blocks every second occurrence within one round
+(it merges in a later round instead, and is still counted) — the
+variant is fully deterministic and engine-portable, which is what the
+differential gate needs; classic trainers differ between themselves on
+exactly these chain cases too.
+
+No end-of-word marker is appended (the ``</w>`` of the original paper)
+— token counts treat word boundaries as implicit, which only shifts the
+vocabulary's surface forms, not the algorithm shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from time_series_db_spark.pipeline import textprep
+
+
+def _word_freq(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
+        docs.select(F.explode(textprep.tokens(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+
+
+def _initial_seq() -> F.Column:
+    # " h e l l o " — each code point its own symbol, space-bounded
+    return F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("__w"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+
+
+def _pair_counts(wf: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.col("__seq")), " ")
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat(
+            F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+        ),
+    )
+    guarded = F.when(F.size(toks) >= 2, pairs).otherwise(
+        F.array().cast("array<string>")
+    )
+    return (
+        wf.select(F.col("__f"), F.explode(guarded).alias("__pair"))
+        .groupBy("__pair")
+        .agg(F.sum("__f").cast("long").alias("__cnt"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges over ``docs``.
+
+    Returns ``(merges, word_table)`` — ``merges`` is the ordered list
+    ``(rank, left, right, freq)`` (the model; tiny), ``word_table`` the
+    final ``(__w, __f, __seq)`` frame with every merge applied (feeds
+    :func:`bpe_token_counts`).  Stops early if the corpus runs out of
+    pairs.
+    """
+    if n_merges <= 0:
+        raise ValueError("n_merges must be positive")
+    from time_series_db_spark.cache import persist_tracked
+
+    wf = persist_tracked(
+        _word_freq(docs, text_col).withColumn("__seq", _initial_seq())
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        top = (
+            _pair_counts(wf)
+            .orderBy(F.col("__cnt").desc(), F.col("__pair").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["__pair"].split(" ")
+        merges.append((rank, left, right, int(top[0]["__cnt"])))
+        wf = wf.withColumn(
+            "__seq",
+            F.replace(
+                F.col("__seq"),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        )
+    return merges, wf
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """The merge table as a DataFrame: ``(merge_rank, left_sym,
+    right_sym, freq)`` — the BPE model artifact (rank order IS the
+    apply order)."""
+    merges, _ = bpe_train(docs, n_merges, text_col)
+    return docs.sparkSession.createDataFrame(
+        merges, "merge_rank long, left_sym string, right_sym string, freq long"
+    )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token count under the trained BPE vocabulary:
+    ``(id_col, n_tokens)``.
+
+    100 TB shape: the trained word table (vocabulary-bounded) broadcasts
+    and each document's count is the sum of its words' cached symbol
+    counts — one corpus scan, one broadcast join, partial-aggregated
+    sum; the corpus text is never re-segmented per merge."""
+    _, wf = bpe_train(docs, n_merges, text_col)
+    per_word = wf.select(
+        "__w",
+        F.size(F.split(F.trim(F.col("__seq")), " ")).cast("long").alias("__n"),
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(textprep.tokens(F.col(text_col))).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+        .join(F.broadcast(per_word), "__w")
+        .groupBy(id_col)
+        .agg(F.sum("__n").cast("long").alias("n_tokens"))
+    )
