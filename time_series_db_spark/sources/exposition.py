@@ -183,33 +183,10 @@ def start_exposition_ingest(
     Lines without a timestamp are dropped (a store row needs one);
     comment/blank/malformed lines are skipped by the parser.
     """
-    import os
+    from time_series_db_spark.streaming.ingest import start_text_wire_ingest
 
-    from pyspark.sql import functions as F
-
-    from time_series_db_spark.streaming.ingest import DEFAULT_BLOCK_MS
-
-    block = int(block_ms or DEFAULT_BLOCK_MS)
-    lines = spark.readStream.text(source_dir)
-    samples = (
-        parse_exposition(lines, "value")
-        .where(F.col("ts").isNotNull())
-        .withColumn("block", F.col("ts") - F.col("ts") % F.lit(block))
-        .withColumn("event_time", F.timestamp_millis(F.col("ts")))
-        .withWatermark("event_time", ooo_cutoff)
-        .dropDuplicatesWithinWatermark(["series_key", "ts"])
-        .drop("event_time")
+    return start_text_wire_ingest(
+        spark, source_dir, table_path, parse_exposition,
+        ooo_cutoff=ooo_cutoff, block_ms=block_ms,
+        checkpoint_dir=checkpoint_dir, available_now=available_now,
     )
-    writer = (
-        samples.writeStream.format("parquet")
-        .partitionBy("block")
-        .option("path", table_path)
-        .option(
-            "checkpointLocation",
-            checkpoint_dir or os.path.join(table_path, "_checkpoint"),
-        )
-        .outputMode("append")
-    )
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
