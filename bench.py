@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q9_profit",          # multi-dim broadcast profit rollup (r5)
+    "text_bpe_merges",         # iterative driver-loop trainer (r7)
+    "decontaminate_bloom",     # bitmap-prefilter decontamination (r7)
+    "tpch_q2_min_cost_supplier",  # pair-table rank window (r7)
 ]
 
 
