@@ -104,6 +104,11 @@ HEADLINE_QUERIES = [
     # assignment (argmin over trained books) must not depend on
     # partitioning of the training pass
     "embedding_pq_codes",
+    # round-7: argmax-area selection must not depend on partitioning
+    "m3_decimate_lttb",
+    # round-7: iterative trainer — per-round argmax pair collects must
+    # be partitioning-invariant or the whole merge chain diverges
+    "text_bpe_merges",
 ]
 
 

@@ -15,6 +15,18 @@ import pytest
 from time_series_db_spark.sources import fetch_events
 
 
+@pytest.fixture(autouse=True)
+def _release_caches(spark):
+    """Plan assertions must see the cold plan: a previous test's scoped
+    persist (e.g. sort/top_k pinning its input frame) would otherwise
+    substitute an InMemoryRelation whose printed cached plan inflates
+    Exchange counts — a test-order artifact, not a plan regression."""
+    from time_series_db_spark import cache
+
+    cache.release_all()
+    yield
+
+
 def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 

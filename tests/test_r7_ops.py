@@ -290,6 +290,56 @@ def test_bloom_decontaminate_plan_stays_jvm_side(spark):
 
 
 # ---------------------------------------------------------------------------
+# parallel-LTTB decimation
+# ---------------------------------------------------------------------------
+
+
+def _mini_series(spark, points):
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+
+    df = spark.createDataFrame(
+        [({"name": "m"}, ts, v) for ts, v in points],
+        "labels map<string,string>, ts long, value double",
+    ).select(
+        series_key_expr(F.col("labels")).alias("series_key"),
+        "labels", F.lit(None).cast("string").alias("alias"), "ts", "value",
+    )
+    return SeriesFrame(df, 10, 0, 10**9)
+
+
+def test_decimate_lttb_keeps_spike_and_endpoints(spark):
+    from time_series_db_spark.operators.windows import decimate_lttb
+
+    # buckets of 100: [0,100): flat-ish start; [100,200): contains a
+    # spike at 150 that a mean would flatten; [200,300): end
+    pts = [
+        (0, 1.0), (50, 1.0),
+        (100, 1.0), (150, 100.0), (190, 1.0),
+        (200, 1.0), (250, 1.0),
+    ]
+    out = sorted(
+        (r["ts"], r["value"])
+        for r in decimate_lttb(_mini_series(spark, pts), 100).df.collect()
+    )
+    # one row per bucket: first bucket keeps earliest, interior keeps
+    # the spike, last keeps latest
+    assert out == [(0, 1.0), (150, 100.0), (250, 1.0)]
+
+
+def test_decimate_lttb_single_bucket_and_validation(spark):
+    from time_series_db_spark.operators.windows import decimate_lttb
+
+    out = decimate_lttb(
+        _mini_series(spark, [(0, 5.0), (10, 7.0)]), 1000
+    ).df.collect()
+    assert [(r["ts"], r["value"]) for r in out] == [(0, 5.0)]
+    with pytest.raises(ValueError, match="positive"):
+        decimate_lttb(_mini_series(spark, [(0, 1.0)]), 0)
+
+
+# ---------------------------------------------------------------------------
 # streaming ingest legs for the remaining wire formats
 # ---------------------------------------------------------------------------
 

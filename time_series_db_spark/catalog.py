@@ -796,6 +796,52 @@ def m3_decimate_minmax(spark, sf_dir):
     return _out(windows.decimate(_fetch(spark, sf_dir), 7_200_000))
 
 
+_LTTB_B = 7_200_000
+
+
+@register(
+    "m3_decimate_lttb",
+    f"""{PRELUDE},
+    dbk AS (SELECT {SQL_LBLS}, ts, value, ts - ts % {_LTTB_B} AS b
+            FROM samples WHERE value IS NOT NULL),
+    dnb AS (
+      SELECT *,
+        CAST(sum(CAST(value AS DECIMAL(27,6))) OVER prevw AS DOUBLE)
+          / count(value) OVER prevw AS pv,
+        CAST(sum(ts) OVER prevw AS DOUBLE) / count(ts) OVER prevw AS pt,
+        CAST(sum(CAST(value AS DECIMAL(27,6))) OVER nextw AS DOUBLE)
+          / count(value) OVER nextw AS nv,
+        CAST(sum(ts) OVER nextw AS DOUBLE) / count(ts) OVER nextw AS nt
+      FROM dbk
+      WINDOW prevw AS (PARTITION BY {SQL_LBLS} ORDER BY b
+               RANGE BETWEEN {_LTTB_B} PRECEDING AND {_LTTB_B} PRECEDING),
+             nextw AS (PARTITION BY {SQL_LBLS} ORDER BY b
+               RANGE BETWEEN {_LTTB_B} FOLLOWING AND {_LTTB_B} FOLLOWING)),
+    dar AS (
+      SELECT *, abs((pt - nt) * (value - nv) - (pv - nv) * (ts - nt)) AS area
+      FROM dnb),
+    dpk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY {SQL_LBLS}, b
+        ORDER BY
+          CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN -area ELSE 0.0 END ASC,
+          CASE WHEN nv IS NULL AND pv IS NOT NULL
+               THEN -ts ELSE ts END ASC) AS rn
+      FROM dar)
+    SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
+    FROM dpk WHERE rn = 1""",
+)
+def m3_decimate_lttb(spark, sf_dir):
+    """Parallel largest-triangle decimation (operators/windows.py:
+    decimate_lttb): per series and 2h bucket keep the sample forming
+    the largest triangle with the neighbor buckets' mean points
+    (bucket-independent LTTB — the scalable formulation); first/last
+    buckets keep the endpoints.  Exact-decimal bucket means and the
+    earliest-ts tiebreak pin the SELECTION across engines."""
+    return _out(windows.decimate_lttb(_fetch(spark, sf_dir), _LTTB_B))
+
+
 @register(
     "m3_per_second_rate",
     f"""{PRELUDE},

@@ -865,6 +865,78 @@ def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFr
     return sf.with_df(df)
 
 
+def decimate_lttb(sf: SeriesFrame, bucket_ms: int) -> SeriesFrame:
+    """Parallel largest-triangle decimation: within each ``bucket_ms``
+    window of each series keep the ONE sample forming the largest
+    triangle with the neighboring buckets' mean points — the
+    shape-preserving chart downsample (Steinarsson's LTTB) in its
+    bucket-independent variant: the canonical algorithm anchors each
+    triangle on the PREVIOUS bucket's *selected* point, a sequential
+    dependency; anchoring on the previous bucket's MEAN instead (both
+    anchors are then means) makes every bucket independent, which is
+    the published parallel/MapReduce formulation and the only one that
+    scales.  Endpoint rule: a series' first bucket keeps its earliest
+    sample and its last bucket its latest (LTTB keeps the endpoints); a
+    single-bucket series keeps its earliest.
+
+    Determinism: bucket means are exact (DECIMAL sums / counts), the
+    triangle area is the same IEEE arithmetic on both engines, ties
+    break on earliest ts — the SELECTION is differentially pinned like
+    :func:`decimate`'s.
+
+    Scale: two range-frame window passes over ONE per-series sort
+    (neighbor-bucket means via ``RANGE BETWEEN bucket PRECEDING AND
+    bucket PRECEDING``) plus the per-bucket rank — no joins, no
+    self-union; output is exactly one row per series-bucket.
+    """
+    if bucket_ms <= 0:
+        raise ValueError("decimate bucket must be a positive duration")
+    b = int(bucket_ms)
+    base = sf.df.where(F.col("value").isNotNull()).withColumn(
+        "__b", F.col("ts") - F.col("ts") % F.lit(b)
+    )
+    wp = (
+        Window.partitionBy("series_key").orderBy("__b").rangeBetween(-b, -b)
+    )
+    wn = Window.partitionBy("series_key").orderBy("__b").rangeBetween(b, b)
+
+    def mean_v(w):
+        return (
+            F.sum(F.col("value").cast("decimal(27,6)")).over(w).cast("double")
+            / F.count("value").over(w)
+        )
+
+    def mean_t(w):
+        return F.sum("ts").over(w).cast("double") / F.count("ts").over(w)
+
+    scored = base.select(
+        "*",
+        mean_v(wp).alias("__pv"),
+        mean_t(wp).alias("__pt"),
+        mean_v(wn).alias("__nv"),
+        mean_t(wn).alias("__nt"),
+    ).withColumn(
+        "__area",
+        F.abs(
+            (F.col("__pt") - F.col("__nt")) * (F.col("value") - F.col("__nv"))
+            - (F.col("__pv") - F.col("__nv")) * (F.col("ts") - F.col("__nt"))
+        ),
+    )
+    interior = F.col("__pv").isNotNull() & F.col("__nv").isNotNull()
+    last_bucket = F.col("__nv").isNull() & F.col("__pv").isNotNull()
+    ord1 = F.when(interior, -F.col("__area")).otherwise(F.lit(0.0))
+    ord2 = F.when(last_bucket, -F.col("ts")).otherwise(F.col("ts"))
+    wpick = Window.partitionBy("series_key", "__b").orderBy(
+        ord1.asc(), ord2.asc()
+    )
+    out = (
+        scored.withColumn("__rn", F.row_number().over(wpick))
+        .where(F.col("__rn") == 1)
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(out)
+
+
 def decimate(sf: SeriesFrame, bucket_ms: int) -> SeriesFrame:
     """Min-max decimation for rendering: within each ``bucket_ms``
     window of each series, keep only the bucket's minimum-value and
