@@ -340,6 +340,46 @@ def test_decimate_lttb_single_bucket_and_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# seasonal decomposition
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_adjust_hand_computed(spark):
+    from time_series_db_spark.operators.windows import seasonal_adjust
+
+    H = 3_600_000
+    D = 24 * H
+    # two days: hour-0 values 10 and 20 (profile 15), hour-1 constant 5
+    pts = [(0, 10.0), (H, 5.0), (D, 20.0), (D + H, 5.0)]
+    res = {
+        r["ts"]: r["value"]
+        for r in seasonal_adjust(_mini_series(spark, pts)).df.collect()
+    }
+    assert res == {0: -5.0, H: 0.0, D: 5.0, D + H: 0.0}
+    seas = {
+        r["ts"]: r["value"]
+        for r in seasonal_adjust(
+            _mini_series(spark, pts), output="seasonal"
+        ).df.collect()
+    }
+    assert seas == {0: 15.0, H: 5.0, D: 15.0, D + H: 5.0}
+    with pytest.raises(ValueError, match="residual"):
+        seasonal_adjust(_mini_series(spark, pts), output="nope")
+    with pytest.raises(ValueError, match="divid"):
+        seasonal_adjust(_mini_series(spark, pts), 100, 33)
+
+
+def test_seasonal_adjust_m3ql_plan_validation():
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan
+
+    with pytest.raises(M3PlanError, match="divide"):
+        build_plan(parse("fetch name:x | seasonalAdjust 1d 7h"))
+    with pytest.raises(M3PlanError, match="residual"):
+        build_plan(parse("fetch name:x | seasonalAdjust 1d 1h bogus"))
+
+
+# ---------------------------------------------------------------------------
 # streaming ingest legs for the remaining wire formats
 # ---------------------------------------------------------------------------
 

@@ -842,6 +842,55 @@ def m3_decimate_lttb(spark, sf_dir):
     return _out(windows.decimate_lttb(_fetch(spark, sf_dir), _LTTB_B))
 
 
+_SEAS_SQL = f""",
+    sphase AS (
+      SELECT {SQL_LBLS}, ts, value,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER ph AS DOUBLE)
+               / count(value) OVER ph AS sm
+      FROM samples
+      WINDOW ph AS (PARTITION BY {SQL_LBLS},
+                    (ts % 86400000) - (ts % 3600000)))"""
+
+
+@register(
+    "m3_seasonal_residual",
+    f"""{PRELUDE}{_SEAS_SQL}
+    SELECT {SQL_LBLS}, ts, {sql_quant('value - sm')} AS value
+    FROM sphase""",
+)
+def m3_seasonal_residual(spark, sf_dir):
+    """Seasonal-naive decomposition (operators/windows.py:
+    seasonal_adjust): value minus the series' same-hour-of-day mean —
+    the diurnal-profile residual that feeds seasonality-aware anomaly
+    detection.  Exact-decimal profile means pin the values across
+    engines; one unbounded (series, phase) window aggregate."""
+    return _out(windows.seasonal_adjust(_fetch(spark, sf_dir)))
+
+
+@register(
+    "m3_seasonal_anomalies",
+    f"""{PRELUDE}{_SEAS_SQL},
+    sres AS (SELECT {SQL_LBLS}, ts, value - sm AS r FROM sphase),
+    sstat AS (
+      SELECT *, avg(r) OVER sw AS mu, stddev_pop(r) OVER sw AS sd
+      FROM sres
+      WINDOW sw AS (PARTITION BY {SQL_LBLS}))
+    SELECT {SQL_LBLS}, ts,
+           CASE WHEN sd > 0 AND abs(r - mu) > 3.0 * sd
+                THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END AS value
+    FROM sstat""",
+)
+def m3_seasonal_anomalies(spark, sf_dir):
+    """Seasonality-aware anomaly flags: the composition
+    ``anomalies(seasonal_adjust(fetch))`` — z-score outliers on the
+    diurnal-profile residual, so a spike that is normal for its
+    hour-of-day stops flagging.  Two window aggregates over the same
+    per-series partitioning; the flag is a pure row expression."""
+    return _out(
+        windows.anomalies(windows.seasonal_adjust(_fetch(spark, sf_dir)))
+    )
+
+
 @register(
     "m3_per_second_rate",
     f"""{PRELUDE},

@@ -576,6 +576,30 @@ def m3ql_anomalies(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
+@register(
+    "m3ql_seasonal_adjust",
+    f"""{PRELUDE},
+    sphase AS (
+      SELECT {SQL_LBLS}, ts, value,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER ph AS DOUBLE)
+               / count(value) OVER ph AS sm
+      FROM samples
+      WHERE name = 'view'
+      WINDOW ph AS (PARTITION BY {SQL_LBLS},
+                    (ts % 86400000) - (ts % 3600000)))
+    SELECT {SQL_LBLS}, ts, {sql_quant('value - sm')} AS value
+    FROM sphase""",
+)
+def m3ql_seasonal_adjust(spark, sf_dir):
+    """seasonalAdjust 1d 1h through the full language path (parser →
+    plan → builder → operators/windows.py:seasonal_adjust): the
+    diurnal-profile residual, exact-decimal profile means."""
+    sf = run_m3ql(
+        spark, sf_dir, "fetch name:view | seasonalAdjust 1d 1h residual"
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
 class _FrameSource:
     """M3Source serving a pre-shaped SeriesFrame for any fetch — lets
     catalog entries feed synthesized series (e.g. le-bucket histograms)

@@ -682,6 +682,28 @@ class AnomaliesNode(PlanNode):
         return f"ANOMALIES(threshold={self.threshold})"
 
 
+class SeasonalAdjustNode(PlanNode):
+    """Beyond the reference: seasonal-naive decomposition — value minus
+    the series' same-phase-of-season mean (default diurnal profile)."""
+
+    def __init__(
+        self,
+        season_ms: int = 86_400_000,
+        bucket_ms: int = 3_600_000,
+        output: str = "residual",
+    ):
+        super().__init__()
+        self.season_ms = season_ms
+        self.bucket_ms = bucket_ms
+        self.output = output
+
+    def explain(self) -> str:
+        return (
+            f"SEASONAL_ADJUST(season={self.season_ms}, "
+            f"bucket={self.bucket_ms}, output={self.output})"
+        )
+
+
 class AliasSubNode(PlanNode):
     """Beyond the reference (Constants.java:45): regex substitution on the
     display alias."""
@@ -1119,6 +1141,23 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         if len(args) > 1:
             raise M3PlanError("anomalies expects at most one threshold")
         return AnomaliesNode(float(args[0]) if args else 3.0)
+    if name == "seasonalAdjust":
+        if len(args) > 3:
+            raise M3PlanError(
+                "seasonalAdjust expects: [season [bucket [residual|seasonal]]]"
+            )
+        season = parse_duration_ms(args[0]) if len(args) >= 1 else 86_400_000
+        bucket = parse_duration_ms(args[1]) if len(args) >= 2 else 3_600_000
+        output = args[2] if len(args) >= 3 else "residual"
+        if output not in ("residual", "seasonal"):
+            raise M3PlanError(
+                "seasonalAdjust output must be residual|seasonal"
+            )
+        if season <= 0 or bucket <= 0 or season % bucket:
+            raise M3PlanError(
+                "seasonalAdjust bucket must divide the season"
+            )
+        return SeasonalAdjustNode(season, bucket, output)
     if name == "showAnomalyThresholds":
         if len(args) > 1:
             raise M3PlanError(

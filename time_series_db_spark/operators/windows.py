@@ -813,6 +813,48 @@ def anomalies(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     return sf.with_df(df)
 
 
+def seasonal_adjust(
+    sf: SeriesFrame,
+    season_ms: int = 86_400_000,
+    bucket_ms: int = 3_600_000,
+    output: str = "residual",
+) -> SeriesFrame:
+    """Seasonal-naive decomposition: a sample's SEASONAL component is
+    its series' mean at the same phase of the season (default: same
+    hour-of-day across all days in the query window — the classic
+    diurnal profile), and ``value`` becomes the residual
+    ``value − seasonal`` (``output="residual"``) or the profile itself
+    (``output="seasonal"``).  Compose with :func:`anomalies` for
+    seasonality-aware outlier detection: a nightly batch spike that is
+    normal *for 3am* stops flagging, a mild daytime bump that is
+    abnormal *for 2pm* starts.
+
+    The phase key is pure integer arithmetic (``(ts % season) −
+    (ts % bucket)``) and the profile mean is exact (DECIMAL sum /
+    count, NaN samples excluded), so the decomposition is
+    partitioning-invariant and engine-portable.  One unbounded window
+    aggregate per (series, phase) — no join, no second scan.
+    """
+    if output not in ("residual", "seasonal"):
+        raise ValueError(f"output must be residual|seasonal, got {output!r}")
+    if season_ms <= 0 or bucket_ms <= 0 or season_ms % bucket_ms:
+        raise ValueError(
+            "season/bucket must be positive with bucket dividing season"
+        )
+    phase = (F.col("ts") % F.lit(int(season_ms))) - (
+        F.col("ts") % F.lit(int(bucket_ms))
+    )
+    w = Window.partitionBy("series_key", phase)
+    finite = F.when(~F.isnan("value"), F.col("value"))
+    seasonal = (
+        F.sum(finite.cast("decimal(27,6)")).over(w).cast("double")
+        / F.count(finite).over(w)
+    )
+    v = F.col("value") - seasonal if output == "residual" else seasonal
+    df = sf.df.withColumn("value", v).select(*SAMPLE_COLS)
+    return sf.with_df(df)
+
+
 def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     """showAnomalyThresholds — reference known-but-unimplemented
     (lang/m3/common/Constants.java:70); the companion surface of
