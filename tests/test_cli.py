@@ -108,6 +108,38 @@ def test_cli_parse_exposition_to_query(spark, tmp_path, capsys):
     assert all(r["ts"] == T0 + 10_000 for r in rows)
 
 
+def test_cli_parse_line_protocol_and_graphite(spark, tmp_path, capsys):
+    """The other two wire formats load from the shell with the same
+    contract as --parse-exposition."""
+    import json
+
+    from time_series_db_spark.__main__ import main
+
+    T0 = 1_704_067_200_000
+    lp = tmp_path / "lp"
+    lp.mkdir()
+    (lp / "t.lp").write_text(
+        f"cpu,host=a usage=20.5 {T0 * 1_000_000}\n"
+        "garbage\n"
+    )
+    store1 = str(tmp_path / "m1")
+    assert main(["--parse-line-protocol", str(lp), "--store", store1]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 1
+    r = spark.read.parquet(store1).collect()[0]
+    assert dict(r["labels"]) == {"name": "cpu_usage", "host": "a"}
+    assert (r["ts"], r["value"]) == (T0, 20.5)
+
+    gr = tmp_path / "carbon"
+    gr.mkdir()
+    (gr / "c.txt").write_text(f"sys.cpu;host=b 7.5 {T0 // 1000}\n# c\n")
+    store2 = str(tmp_path / "m2")
+    assert main(["--parse-graphite", str(gr), "--store", store2]) == 0
+    assert json.loads(capsys.readouterr().out)["rows"] == 1
+    r = spark.read.parquet(store2).collect()[0]
+    assert dict(r["labels"]) == {"name": "sys.cpu", "host": "b"}
+    assert (r["ts"], r["value"]) == (T0, 7.5)
+
+
 def test_cli_format_and_parse_query(capsys):
     import json as _json
 

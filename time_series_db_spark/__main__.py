@@ -52,6 +52,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="backfill a recording rule (file or inline JSON) from --store to --out")
     p.add_argument("--evaluate-alert", default=None, metavar="ALERT_JSON",
                    help="evaluate an alert spec over the recorded store; prints alert rows")
+    p.add_argument("--parse-line-protocol", default=None, metavar="TEXT_DIR",
+                   help="load Influx line-protocol files into --store")
+    p.add_argument("--parse-graphite", default=None, metavar="TEXT_DIR",
+                   help="load Graphite plaintext files into --store")
     p.add_argument("--parse-exposition", default=None, metavar="TEXT_DIR",
                    help="parse Prometheus text-exposition files into --store")
     p.add_argument("--store", default=None, help="metrics/rule table path")
@@ -80,7 +84,8 @@ def main(argv: list[str] | None = None) -> int:
 
     rules_mode = (
         args.ingest or args.backfill_rule or args.evaluate_alert
-        or args.parse_exposition
+        or args.parse_exposition or args.parse_line_protocol
+        or args.parse_graphite
     )
     if args.stats is None and not rules_mode and not args.query:
         p.error("query is required unless --stats or a rules mode is given")
@@ -117,22 +122,35 @@ def main(argv: list[str] | None = None) -> int:
                 return json.load(fh)
         return json.loads(arg)
 
+    wire_dir = (
+        args.parse_exposition or args.parse_line_protocol
+        or args.parse_graphite
+    )
     try:
-        if args.parse_exposition is not None:
+        if wire_dir is not None:
             from pyspark.sql import functions as F
 
-            from time_series_db_spark.sources.exposition import (
-                parse_exposition,
-            )
             from time_series_db_spark.streaming.ingest import (
                 DEFAULT_BLOCK_MS,
                 write_blocks,
             )
 
-            lines = spark.read.text(args.parse_exposition).withColumnRenamed(
+            if args.parse_exposition is not None:
+                from time_series_db_spark.sources.exposition import (
+                    parse_exposition as parse_fn,
+                )
+            elif args.parse_line_protocol is not None:
+                from time_series_db_spark.sources.lineprotocol import (
+                    parse_line_protocol as parse_fn,
+                )
+            else:
+                from time_series_db_spark.sources.graphite import (
+                    parse_graphite as parse_fn,
+                )
+            lines = spark.read.text(wire_dir).withColumnRenamed(
                 "value", "line"
             )
-            parsed = parse_exposition(lines).where(
+            parsed = parse_fn(lines).where(
                 F.col("ts").isNotNull()  # a store row needs a timestamp
             ).withColumn(
                 "block",
