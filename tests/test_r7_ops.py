@@ -516,6 +516,39 @@ def test_bpe_token_counts_match_replay(spark):
     assert out == expect
 
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_bpe_texts = st.lists(
+    st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5),
+        min_size=1, max_size=8,
+    ).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_bpe_texts)
+def test_bpe_train_property_matches_replay(spark, texts):
+    """For ANY corpus over a tiny alphabet (maximizing tie and chain
+    cases), the distributed trainer must equal the exact sequential
+    replay — merges, order, counts, and final sequences."""
+    from time_series_db_spark.pipeline import bpe
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, wf = bpe.bpe_train(docs, n_merges=5)
+    expect, eseqs = _bpe_replay(texts, 5)
+    assert merges == expect
+    assert {r["__w"]: r["__seq"] for r in wf.collect()} == eseqs
+
+
 def test_bpe_stops_early_when_no_pairs(spark):
     from time_series_db_spark.pipeline import bpe
 
