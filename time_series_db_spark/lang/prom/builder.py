@@ -95,6 +95,9 @@ class BuildContext:
         #: params.profile exactly like RestM3QLAction)
         self.profiler = profiler
         self._fetch_cache: dict[str, SeriesFrame] = {}
+        self._fetch_hits: dict[str, int] = {}
+        self._expr_cache: dict[str, SeriesFrame] = {}
+        self._expr_hits: dict[str, int] = {}
 
     def resolve_at(self, at: int | str | None) -> int | None:
         """``@`` instant → the grid-aligned evaluation timestamp:
@@ -154,6 +157,24 @@ class BuildContext:
             if self.profiler is not None:
                 sf = self.profiler.record("fetch", sf)
             self._fetch_cache[key] = sf
+        # CSE at execution level, not just plan-object level: the dict
+        # alone makes both branches reference one DataFrame, but Spark
+        # still executes the subtree once per branch.  On the SECOND
+        # request the selector is provably shared — persist it under the
+        # query's cache scope; CacheManager then substitutes the cached
+        # relation into every branch (including the one already built),
+        # so `sum(rate(x[5m])) / count(rate(x[5m]))` pays one store scan.
+        # Same mechanism as the M3QL macro CSE and binary matching chain.
+        self._fetch_hits[key] = self._fetch_hits.get(key, 0) + 1
+        if self._fetch_hits[key] == 2:
+            from dataclasses import replace as _replace
+
+            from time_series_db_spark.cache import persist_tracked
+
+            cached = self._fetch_cache[key]
+            self._fetch_cache[key] = _replace(
+                cached, df=persist_tracked(cached.df)
+            )
         return self._fetch_cache[key]
 
 
@@ -169,12 +190,37 @@ def _range_child(node: A.FunctionCallNode) -> A.RangeVectorSelectorNode:
 
 
 def build_frame(node: A.PromNode, ctx: BuildContext) -> SeriesFrame:
+    # Subtree CSE: identical function-call / aggregation / subquery
+    # subtrees (dataclass repr = full structural identity) build once;
+    # on the SECOND request the shared frame is persisted under the
+    # query's cache scope so `sum(rate(x[5m])) / count(rate(x[5m]))`
+    # computes the rate pipeline once at execution time, not just at
+    # plan-build time — the PromQL analog of the M3QL macro CSE.
+    cacheable = isinstance(
+        node, (A.FunctionCallNode, A.AggregationNode, A.SubqueryNode)
+    )
+    key = repr(node) if cacheable else None
+    if key is not None and key in ctx._expr_cache:
+        ctx._expr_hits[key] += 1
+        if ctx._expr_hits[key] == 2:
+            from dataclasses import replace as _replace
+
+            from time_series_db_spark.cache import persist_tracked
+
+            cached = ctx._expr_cache[key]
+            ctx._expr_cache[key] = _replace(
+                cached, df=persist_tracked(cached.df)
+            )
+        return ctx._expr_cache[key]
     out = _build_frame(node, ctx)
     if (
         ctx.profiler is not None
         and not isinstance(node, (A.RootNode, A.VectorSelectorNode))
     ):  # selectors are recorded (CSE-deduped) inside ctx.fetch
         out = ctx.profiler.record(_prom_stage_name(node), out)
+    if key is not None:
+        ctx._expr_cache[key] = out
+        ctx._expr_hits[key] = 1
     return out
 
 
