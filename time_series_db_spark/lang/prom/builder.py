@@ -95,7 +95,6 @@ class BuildContext:
         #: params.profile exactly like RestM3QLAction)
         self.profiler = profiler
         self._fetch_cache: dict[str, SeriesFrame] = {}
-        self._fetch_hits: dict[str, int] = {}
         self._expr_cache: dict[str, SeriesFrame] = {}
         self._expr_hits: dict[str, int] = {}
 
@@ -157,24 +156,12 @@ class BuildContext:
             if self.profiler is not None:
                 sf = self.profiler.record("fetch", sf)
             self._fetch_cache[key] = sf
-        # CSE at execution level, not just plan-object level: the dict
-        # alone makes both branches reference one DataFrame, but Spark
-        # still executes the subtree once per branch.  On the SECOND
-        # request the selector is provably shared — persist it under the
-        # query's cache scope; CacheManager then substitutes the cached
-        # relation into every branch (including the one already built),
-        # so `sum(rate(x[5m])) / count(rate(x[5m]))` pays one store scan.
-        # Same mechanism as the M3QL macro CSE and binary matching chain.
-        self._fetch_hits[key] = self._fetch_hits.get(key, 0) + 1
-        if self._fetch_hits[key] == 2:
-            from dataclasses import replace as _replace
-
-            from time_series_db_spark.cache import persist_tracked
-
-            cached = self._fetch_cache[key]
-            self._fetch_cache[key] = _replace(
-                cached, df=persist_tracked(cached.df)
-            )
+        # NOTE: deliberately NO execution-level persist here — a raw
+        # fetch is a pushed-down scan, and pinning it behind a cache
+        # barrier measurably LOSES (it blocks scan/codegen fusion; the
+        # m3 side measured +18% trying it).  Execution-level CSE lives
+        # one level up in build_frame, where the shared subtree is an
+        # expensive computed pipeline worth materializing.
         return self._fetch_cache[key]
 
 
