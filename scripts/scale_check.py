@@ -53,6 +53,11 @@ QUERIES = [
                                # cost grows ~100×; ivfpq below is the
                                # scale path that must stay near-linear
     "ann_ivfpq_topk",          # celled ADC + re-rank — the scale path (r7)
+    "m3_decimate_lttb",        # range-frame window decimation (r7)
+    "m3_seasonal_anomalies",   # two-window seasonal z-score (r7)
+    "text_bpe_merges",         # iterative driver-loop trainer (r7)
+    "decontaminate_bloom",     # bitmap prefilter + exact confirm (r7)
+    "tpch_q2_min_cost_supplier",  # pair-table rank window (r7)
 ]
 
 

@@ -242,3 +242,60 @@ def test_resize_images_nearest_neighbor(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="positive"):
         mm.resize_images(media, 0, 3)
+
+
+def test_image_ahash_real_png_and_fake_replay(spark):
+    """aHash over real PNG payloads: identical pixels → identical hash,
+    structurally different pixels → different hash, garbage → NULL; the
+    fake path equals an exact Python replay of the stub cells."""
+    import numpy as np
+
+    # a 16x16 gradient and its copy; a checkerboard as the contrast
+    grad = np.tile(np.arange(16, dtype=np.uint8) * 16, (16, 1))
+    grad3 = np.repeat(grad[:, :, None], 3, axis=2)
+    checker = (np.indices((16, 16)).sum(axis=0) % 2 * 255).astype(np.uint8)
+    checker3 = np.repeat(checker[:, :, None], 3, axis=2)
+    rows = [
+        (1, full_png_bytes(grad3)),
+        (2, full_png_bytes(grad3)),
+        (3, full_png_bytes(checker3)),
+        (4, b"not a png"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary"
+    )
+    got = {
+        r["media_id"]: r["ahash"]
+        for r in mm.image_ahash(media, decode_fn="real").collect()
+    }
+    assert got[1] == got[2] and got[1] is not None
+    assert got[1] != got[3]
+    assert got[4] is None
+
+    # fake path vs exact replay
+    texts = ["hello world", "aaaa", "z"]
+    fm = spark.createDataFrame(
+        [(i, t.encode()) for i, t in enumerate(texts)],
+        "media_id long, content binary",
+    )
+    fgot = {
+        r["media_id"]: r["ahash"]
+        for r in mm.image_ahash(fm, decode_fn="fake").collect()
+    }
+    for i, t in enumerate(texts):
+        cells = [ord(t[(k * len(t)) // 64]) for k in range(64)]
+        mu = sum(cells) / 64.0
+        h = 0
+        for k, c in enumerate(cells):
+            if c > mu:
+                h |= 1 << k
+        if h >= 1 << 63:
+            h -= 1 << 64
+        assert fgot[i] == h, (i, t)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="grid"):
+        mm.image_ahash(media, grid=9)
+    with pytest.raises(ValueError, match="decode_fn"):
+        mm.image_ahash(media, decode_fn="nope")

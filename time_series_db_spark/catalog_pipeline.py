@@ -561,6 +561,52 @@ def mm_decode_image_meta(spark, sf_dir):
 
 
 @register(
+    "mm_image_ahash",
+    """WITH ah0 AS (
+      SELECT doc_id, k,
+             ord(substr(text, ((k * strlen(text)) // 64) + 1, 1)) AS L
+      FROM documents, generate_series(0, 63) t(k)
+      WHERE strlen(text) > 0),
+    ahm AS (SELECT doc_id, sum(L) / 64.0 AS mu FROM ah0 GROUP BY 1),
+    ahb AS (
+      SELECT a.doc_id,
+             sum(CASE WHEN a.k < 63 AND a.L > m.mu
+                      THEN (1::BIGINT << a.k) ELSE 0 END) AS lo,
+             max(CASE WHEN a.k = 63 AND a.L > m.mu THEN 1 ELSE 0 END)
+               AS hi
+      FROM ah0 a JOIN ahm m USING (doc_id)
+      GROUP BY 1),
+    ahh AS (
+      SELECT doc_id AS media_id,
+             (lo + CASE WHEN hi = 1
+                        THEN -9223372036854775807 - 1 ELSE 0 END) AS ahash
+      FROM ahb)
+    SELECT media_id, ahash,
+           count(*) OVER (PARTITION BY ahash)::BIGINT AS n_dupes
+    FROM ahh""",
+)
+def mm_image_ahash(spark, sf_dir):
+    """Perceptual image fingerprint + hash-exact dup counts
+    (pipeline/multimodal.py:image_ahash): aHash — decode → grayscale →
+    8×8 nearest resample → mean threshold → 64-bit fingerprint; the
+    production leg decodes real PNGs via the stdlib decoder (unit-
+    tested), this entry runs the deterministic stub codec so the SQL
+    oracle replays cells, mean, bit packing, and the per-hash dup
+    count exactly.  100 TB shape: Arrow mapInPandas hash pass, then
+    ONE hash aggregation for dup counting."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    hashes = multimodal.image_ahash(media, decode_fn="fake")
+    from pyspark.sql import Window as _W
+
+    return hashes.where(F.col("ahash").isNotNull()).select(
+        "media_id",
+        "ahash",
+        F.count(F.lit(1)).over(_W.partitionBy("ahash")).cast("long")
+        .alias("n_dupes"),
+    )
+
+
+@register(
     "mm_sample_frames",
     """SELECT doc_id AS media_id,
            unnest(generate_series(0, least(greatest(strlen(text) // 64, 1), 8) - 1))::BIGINT AS frame_idx,

@@ -573,3 +573,90 @@ def resize_images(
     return media.select("media_id", "content").mapInPandas(
         _resize, RESIZE_SCHEMA
     )
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("ahash", LongType()),
+    ]
+)
+
+
+def _pack_ahash_bits(bits) -> int:
+    """Row-major bit k set when cell k clears the mean; wrapped into a
+    signed int64 (bit 63 is the sign)."""
+    h = 0
+    for k, b in enumerate(bits):
+        if b:
+            h |= 1 << k
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_ahash(
+    media: DataFrame, decode_fn: str = "fake", grid: int = 8
+) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint — the standard
+    first-pass image-dedup signal: decode → grayscale → nearest-resample
+    to ``grid×grid`` → threshold each cell at the image mean → pack one
+    bit per cell (row-major; strictly-greater sets the bit, ties clear)
+    into a signed int64.  Hash-equal images are perceptual duplicates;
+    hamming-near hashes feed the same banded candidate machinery as
+    SimHash.  Output: ``(media_id, ahash)``; undecodable or empty
+    payloads yield NULL.
+
+    ``decode_fn="real"``: stdlib PNG decode
+    (:func:`decode_png_pixels`), channel-mean luminance, nearest
+    resize — the production path, unit-tested on synthesized PNGs.
+    ``decode_fn="fake"``: the oracle-mirrorable stub the other mm_*
+    entries use — cell k is the payload's CHARACTER CODEPOINT at
+    ``(k · len) // cells`` (character-based so the SQL oracle's
+    ``ord(substr(...))`` replays it exactly for any text payload).
+    """
+    if decode_fn not in ("fake", "real"):
+        raise ValueError(f"unknown decode_fn: {decode_fn}")
+    if grid <= 0 or grid * grid > 64:
+        raise ValueError("grid must be positive with grid*grid <= 64")
+    cells_n = grid * grid
+
+    def _cells_fake(payload):
+        s = bytes(payload).decode("utf-8", errors="replace")
+        if not s:
+            return None
+        return [ord(s[(k * len(s)) // cells_n]) for k in range(cells_n)]
+
+    def _cells_real(payload):
+        px = decode_png_pixels(payload)
+        if px is None:
+            return None
+        if px.ndim == 2:
+            px = px[:, :, None]
+        lum = px.astype("float64").mean(axis=2)
+        h, w = lum.shape
+        return [
+            lum[(i * h) // grid, (j * w) // grid]
+            for i in range(grid)
+            for j in range(grid)
+        ]
+
+    cells_fn = _cells_fake if decode_fn == "fake" else _cells_real
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                cells = cells_fn(payload)
+                if cells is None:
+                    rows.append((mid, None))
+                    continue
+                mu = sum(cells) / float(cells_n)
+                rows.append(
+                    (mid, _pack_ahash_bits(c > mu for c in cells))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "ahash"]
+            ).astype({"media_id": "int64", "ahash": "Int64"})
+
+    return media.select("media_id", "content").mapInPandas(
+        _hash, AHASH_SCHEMA
+    )
