@@ -381,6 +381,37 @@ def test_tpch_r7_queries_broadcast_dims_no_cartesian(spark, sf_dir):
         assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, name
 
 
+def test_r7_window_ops_no_joins(spark, sf_dir):
+    """LTTB decimation and seasonal decomposition are pure window plans:
+    no join node may appear (a join-back formulation would shuffle the
+    sample table twice), and no Python evaluation."""
+    from time_series_db_spark.operators import windows
+
+    sf = fetch_events(spark, sf_dir)
+    for out in (
+        windows.decimate_lttb(sf, 7_200_000),
+        windows.seasonal_adjust(sf),
+        windows.anomalies(windows.seasonal_adjust(sf)),
+    ):
+        plan = _plan(out.df)
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_image_ahash_single_arrow_pass(spark, sf_dir):
+    """The aHash catalog entry is ONE Arrow mapInPandas pass plus the
+    dup-count window — no per-row Python UDF, no join, and exactly the
+    window's exchange beyond the scan."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["mm_image_ahash"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan    # row-at-a-time Python banned
+    assert plan.count("MapInPandas") == 1   # one Arrow hash pass
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # dup-count window
+
+
 def test_tpch_q17_window_after_part_prune(spark, sf_dir):
     """Q17's correlated average runs as a window over l_partkey AFTER the
     broadcast part filter — the shuffle carries only matching parts'
