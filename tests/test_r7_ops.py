@@ -377,6 +377,10 @@ def test_seasonal_adjust_m3ql_plan_validation():
         build_plan(parse("fetch name:x | seasonalAdjust 1d 7h"))
     with pytest.raises(M3PlanError, match="residual"):
         build_plan(parse("fetch name:x | seasonalAdjust 1d 1h bogus"))
+    with pytest.raises(M3PlanError, match="minmax"):
+        build_plan(parse("fetch name:x | decimate 2h bogus"))
+    with pytest.raises(M3PlanError, match="decimate expects"):
+        build_plan(parse("fetch name:x | decimate"))
 
 
 # ---------------------------------------------------------------------------

@@ -799,11 +799,13 @@ def m3_decimate_minmax(spark, sf_dir):
 _LTTB_B = 7_200_000
 
 
-@register(
-    "m3_decimate_lttb",
-    f"""{PRELUDE},
+def sql_lttb_ctes(where: str = "value IS NOT NULL") -> str:
+    """The parallel-LTTB selection replay as a CTE chain (bucket means
+    via exact-decimal range-frame windows, triangle argmax, endpoint
+    rules) — shared by the operator entry and the language-path entry."""
+    return f"""
     dbk AS (SELECT {SQL_LBLS}, ts, value, ts - ts % {_LTTB_B} AS b
-            FROM samples WHERE value IS NOT NULL),
+            FROM samples WHERE {where}),
     dnb AS (
       SELECT *,
         CAST(sum(CAST(value AS DECIMAL(27,6))) OVER prevw AS DOUBLE)
@@ -830,7 +832,12 @@ _LTTB_B = 7_200_000
                THEN -ts ELSE ts END ASC) AS rn
       FROM dar)
     SELECT {SQL_LBLS}, ts, {sql_quant('value')} AS value
-    FROM dpk WHERE rn = 1""",
+    FROM dpk WHERE rn = 1"""
+
+
+@register(
+    "m3_decimate_lttb",
+    f"{PRELUDE},{sql_lttb_ctes()}",
 )
 def m3_decimate_lttb(spark, sf_dir):
     """Parallel largest-triangle decimation (operators/windows.py:

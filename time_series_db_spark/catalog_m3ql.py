@@ -600,6 +600,23 @@ def m3ql_seasonal_adjust(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
+from time_series_db_spark.catalog import sql_lttb_ctes as _sql_lttb  # noqa: E402
+
+
+@register(
+    "m3ql_decimate_lttb",
+    f"{PRELUDE},"
+    + _sql_lttb("value IS NOT NULL AND name = 'view'"),
+)
+def m3ql_decimate_lttb(spark, sf_dir):
+    """decimate 2h lttb through the full language path — the
+    chart-downsample fn family (minmax | lttb) wired into the M3QL
+    grammar; the oracle replays the triangle selection on the filtered
+    fetch."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | decimate 2h lttb")
+    return _flat(sf, LABEL_KEYS)
+
+
 class _FrameSource:
     """M3Source serving a pre-shaped SeriesFrame for any fetch — lets
     catalog entries feed synthesized series (e.g. le-bucket histograms)

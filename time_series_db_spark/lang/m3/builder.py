@@ -462,6 +462,13 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return windows.seasonal_adjust(
             sf, node.season_ms, node.bucket_ms, node.output
         )
+    if isinstance(node, P.DecimateNode):
+        fn = (
+            windows.decimate
+            if node.method == "minmax"
+            else windows.decimate_lttb
+        )
+        return fn(sf, node.bucket_ms)
     if isinstance(node, P.ShowAnomalyThresholdsNode):
         return windows.show_anomaly_thresholds(sf, node.threshold)
     if isinstance(node, P.TimestampNode):

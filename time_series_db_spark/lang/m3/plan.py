@@ -682,6 +682,19 @@ class AnomaliesNode(PlanNode):
         return f"ANOMALIES(threshold={self.threshold})"
 
 
+class DecimateNode(PlanNode):
+    """Beyond the reference: chart-rendering downsample — min-max pair
+    or parallel-LTTB selection per series-bucket."""
+
+    def __init__(self, bucket_ms: int, method: str = "minmax"):
+        super().__init__()
+        self.bucket_ms = bucket_ms
+        self.method = method
+
+    def explain(self) -> str:
+        return f"DECIMATE(bucket={self.bucket_ms}, method={self.method})"
+
+
 class SeasonalAdjustNode(PlanNode):
     """Beyond the reference: seasonal-naive decomposition — value minus
     the series' same-phase-of-season mean (default diurnal profile)."""
@@ -1141,6 +1154,13 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         if len(args) > 1:
             raise M3PlanError("anomalies expects at most one threshold")
         return AnomaliesNode(float(args[0]) if args else 3.0)
+    if name == "decimate":
+        if not 1 <= len(args) <= 2:
+            raise M3PlanError("decimate expects: bucket [minmax|lttb]")
+        method = args[1] if len(args) == 2 else "minmax"
+        if method not in ("minmax", "lttb"):
+            raise M3PlanError("decimate method must be minmax|lttb")
+        return DecimateNode(parse_duration_ms(args[0]), method)
     if name == "seasonalAdjust":
         if len(args) > 3:
             raise M3PlanError(
