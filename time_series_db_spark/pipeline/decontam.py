@@ -91,7 +91,7 @@ def bloom_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "md5",
-    m_bits: int = 1 << 20,
+    m_bits: int | None = None,
     k_hashes: int = 4,
 ) -> DataFrame:
     """:func:`decontaminate` with a Bloom-bitmap prefilter — EXACT
@@ -115,9 +115,17 @@ def bloom_decontaminate(
     two small sides instead of shipping the full hash set everywhere —
     exactly the case the bitmap exists for.
 
+    ``m_bits=None`` (default) AUTO-SIZES the bitmap to the eval set:
+    ~16 bits per distinct eval gram rounded up to a power of two (≲1%
+    false positives), measured by one metadata-sized count on the tiny
+    side — an undersized fixed bitmap stays CORRECT (the confirm join
+    absorbs the false-positive flood) but silently loses the prefilter
+    (the 10× scale self-check caught exactly that with the old fixed
+    2²⁰ default).
+
     Output: ``(id_col, n_collisions, contaminated)``.
     """
-    if m_bits <= 0 or m_bits & (m_bits - 1):
+    if m_bits is not None and (m_bits <= 0 or m_bits & (m_bits - 1)):
         raise ValueError("m_bits must be a positive power of two")
     if k_hashes <= 0:
         raise ValueError("k_hashes must be positive")
@@ -125,6 +133,20 @@ def bloom_decontaminate(
         raise ValueError("n-gram length must be positive")
     if min_hits <= 0:
         raise ValueError("min_hits must be positive")
+
+    from time_series_db_spark.cache import persist_tracked
+
+    eval_h = persist_tracked(
+        eval_set.select(
+            F.explode(ngram_hash_set(F.col(text_col), n, hash_fn)).alias("__gh")
+        )
+        .distinct()
+    )
+    if m_bits is None:
+        # metadata-sized count on the tiny side; the frame is persisted
+        # so the bitmap build and the confirm join reuse it
+        n_grams = eval_h.count()
+        m_bits = 1 << max(10, (max(1, 16 * n_grams) - 1).bit_length())
 
     mask = m_bits - 1
 
@@ -140,13 +162,6 @@ def bloom_decontaminate(
             (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask))
             for i in range(k_hashes)
         ]
-
-    eval_h = (
-        eval_set.select(
-            F.explode(ngram_hash_set(F.col(text_col), n, hash_fn)).alias("__gh")
-        )
-        .distinct()
-    )
     # bitmap build: k positions per eval gram → (word, bit) → bit_or per
     # word — at most m_bits/64 rows cross to the driver (metadata-sized:
     # 16384 longs at the default m)
