@@ -340,6 +340,52 @@ def test_decimate_lttb_single_bucket_and_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# hard-negative mining + KL domain scoring
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_cross_label_only_and_ranked(spark):
+    from time_series_db_spark.pipeline import ann
+
+    # label 0 anchors; label-1 vectors at varying similarity; a nearly
+    # identical label-0 vector must NOT appear despite top cosine
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),     # anchor
+        (1, [0.999, 0.01, 0.0], 0),  # same-label near-twin — excluded
+        (2, [0.9, 0.1, 0.0], 1),     # hardest negative
+        (3, [0.5, 0.5, 0.0], 1),
+        (4, [0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 1.0], 2),     # orthogonal, other label
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = ann.hard_negatives(
+        df, df.filter("vec_id = 0"), k=3
+    ).collect()
+    got = [(r["neighbor_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2), (4, 3)]
+    assert all(r["neighbor_label"] != r["query_label"] for r in out)
+
+
+def test_kl_divergence_orders_outlier_above_typical(spark):
+    from time_series_db_spark.pipeline import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat " * 10),   # corpus-typical
+            (2, "the cat sat on the mat " * 10),
+            (3, "zq xv wy unique rare tokens only here"),  # off-distribution
+        ],
+        "doc_id long, text string",
+    )
+    kl = {r["doc_id"]: r["kl"] for r in T.kl_divergence(docs).collect()}
+    assert all(v >= -1e-12 for v in kl.values())  # KL >= 0 (no smoothing)
+    assert kl[3] > kl[1]
+    assert abs(kl[1] - kl[2]) < 1e-12  # identical docs, identical score
+
+
+# ---------------------------------------------------------------------------
 # seasonal decomposition
 # ---------------------------------------------------------------------------
 

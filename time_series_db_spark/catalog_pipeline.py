@@ -2223,3 +2223,76 @@ def text_bpe_token_counts(spark, sf_dir):
     from time_series_db_spark.pipeline import bpe
 
     return bpe.bpe_token_counts(load_table(spark, sf_dir, "documents"), _BPE_N)
+
+
+# ---------------------------------------------------------------------------
+# round-7 additions: hard-negative mining + KL domain scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_hard_negatives",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+    q AS (SELECT vec_id, v, label FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.label AS query_label, c.label AS neighbor_label,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM q JOIN e c
+        ON c.vec_id <> q.vec_id AND c.label <> q.label
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM scored
+    )
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine,
+           query_label::BIGINT AS query_label,
+           neighbor_label::BIGINT AS neighbor_label
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (pipeline/ann.py:hard_negatives): for every
+    50th vector as anchor, the 5 most-cosine-similar vectors with a
+    DIFFERENT label — the near-miss impostors contrastive training
+    wants; the label inequality lives in the join condition so
+    same-label pairs never materialize."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.hard_negatives(embs, queries, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        quant(F.col("cosine")).alias("cosine"),
+        F.col("query_label").cast("long").alias("query_label"),
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+    )
+
+
+@register(
+    "text_kl_divergence",
+    f"""WITH tok AS (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, unnest({_TOKS}) AS t FROM documents)
+      WHERE t <> ''),
+    kdc AS (SELECT doc_id, t, count(*)::DOUBLE AS c FROM tok GROUP BY 1, 2),
+    kdl AS (SELECT doc_id, sum(c) AS l FROM kdc GROUP BY 1),
+    kcc AS (SELECT t, sum(c) AS cc FROM kdc GROUP BY 1),
+    ktt AS (SELECT sum(cc) AS tot FROM kcc)
+    SELECT d.doc_id,
+           {sql_quant('sum((d.c / l.l) * ln((d.c / l.l) / (c.cc / t.tot)))')}
+             AS kl
+    FROM kdc d
+    JOIN kdl l USING (doc_id)
+    JOIN kcc c USING (t)
+    CROSS JOIN ktt t
+    GROUP BY 1""",
+)
+def text_kl_divergence(spark, sf_dir):
+    """Per-document KL divergence from the corpus unigram distribution
+    (pipeline/text.py:kl_divergence) — the off-distribution signal
+    data-selection thresholds on; integer-exact counts in, one
+    quantized log-sum out."""
+    return text.kl_divergence(_docs(spark, sf_dir)).select(
+        "doc_id", quant(F.col("kl")).alias("kl")
+    )

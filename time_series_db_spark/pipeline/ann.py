@@ -1246,3 +1246,61 @@ def ivfpq_topk(
         .filter(F.col("rank") <= topk)
         .select("query_id", "neighbor_id", "rank", "l2_dist")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the batch-mining
+    step of SimCLR/SBERT-style pipelines): for each anchor, the ``k``
+    MOST-similar corpus vectors whose ``label_col`` DIFFERS — the
+    near-miss impostors that make the strongest training negatives.
+    Output: (query_id, neighbor_id, rank, cosine, query_label,
+    neighbor_label); ties break on neighbor id.
+
+    Same 100 TB shape as :func:`cosine_topk`: anchors broadcast, the
+    corpus scan is embarrassingly parallel (rebalanced across cores),
+    and the top-k is a partial WindowGroupLimit cut — the label
+    inequality is applied IN the join condition, so same-label pairs
+    never materialize."""
+    spark = corpus.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+        F.col(label_col).alias("neighbor_label"),
+    ).repartition(n_parts)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("__qv"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    scored = c.join(
+        q,
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "query_label",
+        "neighbor_label",
+        cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", "cosine",
+            "query_label", "neighbor_label",
+        )
+    )

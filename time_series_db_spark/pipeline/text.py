@@ -652,3 +652,55 @@ def pmi_bigrams(
             ).alias("pmi"),
         )
     )
+
+
+def kl_divergence(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document KL divergence of the doc's unigram distribution from
+    the corpus unigram distribution — the "how unusual is this
+    document" signal data-selection pipelines threshold on (high KL =
+    off-distribution boilerplate/noise, near-zero KL = corpus-typical):
+    ``KL(doc ‖ corpus) = Σ_t p_doc(t) · ln(p_doc(t) / p_corpus(t))``.
+    Every doc token exists in the corpus distribution by construction,
+    so no smoothing is needed and KL ≥ 0 exactly.  Output:
+    ``(id_col, kl)``.
+
+    100 TB shape: (doc, token) counts are ONE partial-aggregated
+    shuffle; the corpus distribution is the vocab-bounded token-count
+    table joined back BROADCAST (Zipf keeps it tiny relative to any
+    corpus) with the 1-row total; doc lengths ride a window over the
+    already-grouped counts — no second corpus scan.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(textprep.tokens(F.col(text_col))).alias("__t"),
+    ).filter(F.col("__t") != "")
+    dc = toks.groupBy(id_col, "__t").agg(
+        F.count(F.lit(1)).cast("double").alias("__c")
+    )
+    from time_series_db_spark.cache import persist_tracked
+
+    dc = persist_tracked(dc)
+    cc = dc.groupBy("__t").agg(F.sum("__c").alias("__cc"))
+    total = cc.agg(F.sum("__cc").alias("__tot"))
+    from pyspark.sql import Window
+
+    dl = F.sum("__c").over(Window.partitionBy(id_col))
+    return (
+        dc.withColumn("__l", dl)
+        .join(F.broadcast(cc), "__t")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                (F.col("__c") / F.col("__l"))
+                * F.log(
+                    (F.col("__c") / F.col("__l"))
+                    / (F.col("__cc") / F.col("__tot"))
+                )
+            ).alias("kl")
+        )
+    )
