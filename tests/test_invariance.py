@@ -109,6 +109,9 @@ HEADLINE_QUERIES = [
     # round-7: iterative trainer — per-round argmax pair collects must
     # be partitioning-invariant or the whole merge chain diverges
     "text_bpe_merges",
+    # round-7: cross-label top-k cut and log-sum scoring
+    "ann_hard_negatives",
+    "text_kl_divergence",
 ]
 
 

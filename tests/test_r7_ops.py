@@ -340,6 +340,87 @@ def test_decimate_lttb_single_bucket_and_validation(spark):
 
 
 # ---------------------------------------------------------------------------
+# best-fit-decreasing bin packing
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+def _bfd_replay(items, budget):
+    """Exact replay of pack_bins_bfd's per-shard greedy: longest-first
+    (id-ascending ties), best-fit open bin, oversized singletons."""
+    order = sorted(items, key=lambda t: (-t[1], t[0]))
+    bins, assign = [], {}
+    for did, n in order:
+        if n > budget:
+            bins.append(-1)
+            assign[did] = len(bins) - 1
+            continue
+        best, best_rem = -1, budget + 1
+        for b, rem in enumerate(bins):
+            if n <= rem < best_rem:
+                best, best_rem = b, rem
+        if best < 0:
+            bins.append(budget - n)
+            assign[did] = len(bins) - 1
+        else:
+            bins[best] -= n
+            assign[did] = best
+    return assign
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lens=st.lists(st.integers(min_value=1, max_value=40),
+                  min_size=1, max_size=50),
+)
+def test_pack_bins_bfd_matches_replay_and_invariants(spark, lens):
+    from time_series_db_spark.pipeline.pack import pack_bins_bfd
+
+    budget = 32
+    docs = spark.createDataFrame(
+        [(i, "w " * n) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    rows = pack_bins_bfd(docs, budget=budget, n_shards=2).collect()
+    assert len(rows) == len(lens)
+    # invariants: no non-oversized bin exceeds budget; fill is the sum
+    # of its members; every doc appears once
+    by_bin = {}
+    for r in rows:
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for members in by_bin.values():
+        fill = sum(m["n_tokens"] for m in members)
+        assert all(m["bin_fill"] == fill for m in members)
+        if not any(m["oversized"] for m in members):
+            assert fill <= budget
+        else:
+            assert len(members) == 1  # oversized bins are singletons
+    # per-shard assignment equals the exact greedy replay
+    for shard in {r["shard"] for r in rows}:
+        items = [(r["doc_id"], r["n_tokens"]) for r in rows
+                 if r["shard"] == shard]
+        expect = _bfd_replay(items, budget)
+        got = {r["doc_id"]: r["bin_id"] for r in rows if r["shard"] == shard}
+        assert got == expect
+
+
+def test_pack_bins_bfd_validates(spark):
+    from time_series_db_spark.pipeline.pack import pack_bins_bfd
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="budget"):
+        pack_bins_bfd(docs, budget=0)
+    with pytest.raises(ValueError, match="n_shards"):
+        pack_bins_bfd(docs, n_shards=0)
+
+
+# ---------------------------------------------------------------------------
 # hard-negative mining + KL domain scoring
 # ---------------------------------------------------------------------------
 
@@ -565,9 +646,6 @@ def test_bpe_token_counts_match_replay(spark):
         expect[i] = n
     assert out == expect
 
-
-from hypothesis import HealthCheck, given, settings
-from hypothesis import strategies as st
 
 _bpe_texts = st.lists(
     st.lists(

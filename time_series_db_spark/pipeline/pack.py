@@ -284,3 +284,86 @@ def sample_weighted(
         "weight",
         F.row_number().over(rank_w).cast("long").alias("sample_rank"),
     )
+
+
+def pack_bins_bfd(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = DEFAULT_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Best-fit-decreasing bin packing — the padding-efficiency
+    alternative to :func:`pack_sequences`: documents are whole units
+    (never split across blocks); within each hash shard, docs are taken
+    longest-first and each goes into the open bin with the LEAST
+    remaining capacity that still fits (new bin otherwise).  Documents
+    longer than ``budget`` get a singleton oversized bin (flagged).
+    BFD's padding waste is near-optimal for Zipf-ish length mixes where
+    first-fit leaves stranded gaps.
+
+    Output: ``(id_col, shard, bin_id, n_tokens, bin_fill, oversized)``
+    — ``bin_fill`` is the bin's total tokens (repeated on each member),
+    so ``budget − bin_fill`` is its padding.
+
+    The greedy loop is inherently sequential, so it runs per shard in
+    ONE Arrow ``applyInPandas`` pass — the same bounded-sequential-unit
+    shape as the stateful streaming ops; shards are hash-balanced, so
+    skew is bounded by a shard's token mass, never the corpus.  There
+    is deliberately NO SQL oracle (a greedy recurrence has no
+    reasonable relational replay); correctness is pinned by an exact
+    Python-replay property test plus packing invariants
+    (tests/test_r7_ops.py).
+    """
+    if budget <= 0:
+        raise ValueError("pack budget must be a positive token count")
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    import pandas as pd
+
+    norm = textprep.normalize(F.col(text_col))
+    toks = F.size(F.split(norm, " ")).cast("long")
+    base = df.select(
+        F.col(id_col),
+        (textprep.hash64(F.col(id_col).cast("string"), "packshard")
+         % F.lit(n_shards)).cast("int").alias("shard"),
+        toks.alias("n_tokens"),
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []      # remaining capacity per open bin
+        assign: list[int] = []
+        oversized: list[bool] = []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if n > budget:
+                bins.append(-1)   # closed singleton, nothing else fits
+                assign.append(len(bins) - 1)
+                oversized.append(True)
+                continue
+            best, best_rem = -1, budget + 1
+            for b, rem in enumerate(bins):
+                if n <= rem < best_rem:
+                    best, best_rem = b, rem
+            if best < 0:
+                bins.append(budget - n)
+                assign.append(len(bins) - 1)
+            else:
+                bins[best] -= n
+                assign.append(best)
+            oversized.append(False)
+        pdf["bin_id"] = pd.Series(assign, dtype="int64")
+        pdf["oversized"] = pd.Series(oversized, dtype="bool")
+        fill = pdf.groupby("bin_id")["n_tokens"].transform("sum")
+        pdf["bin_fill"] = fill.astype("int64")
+        return pdf[[id_col, "shard", "bin_id", "n_tokens",
+                    "bin_fill", "oversized"]]
+
+    schema = (
+        f"{id_col} long, shard int, bin_id long, n_tokens long, "
+        f"bin_fill long, oversized boolean"
+    )
+    return base.groupBy("shard").applyInPandas(_pack, schema)
