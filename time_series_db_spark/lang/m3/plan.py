@@ -917,6 +917,24 @@ def _parse_bool_strict(s: str, name: str) -> bool:
 
 
 def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
+    """Typed error boundary: every branch below coerces argument
+    strings with float()/int()/indexing; malformed or missing args must
+    surface as :class:`M3PlanError` (the reference's REST layer returns
+    a structured 400 for these — found by the r7 grammar fuzz, where
+    ``topK x`` escaped as a raw ValueError and ``scale`` with no factor
+    as an IndexError)."""
+    try:
+        return _create_plan_node(fn)
+    except M3PlanError:
+        raise
+    except (ValueError, IndexError, KeyError, TypeError) as e:
+        raise M3PlanError(
+            f"invalid arguments for {fn.name}: "
+            f"{_values(fn)!r} ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
     name = fn.name
     args = _values(fn)
 
