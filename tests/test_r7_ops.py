@@ -95,6 +95,23 @@ def test_fold_scalar_pow_inside_comparison():
     assert _fold("(0 ^ -1) > bool 1") == 1.0
 
 
+def test_prom_missing_function_args_fail_typed(spark):
+    """Missing scalar arguments must raise the typed parse error
+    (Prometheus bad_data), never a raw IndexError — the r7 fuzz caught
+    clamp_max(v) escaping with one."""
+    from time_series_db_spark.lang.prom.ast import PromParseError
+    from time_series_db_spark.lang.prom.builder import execute
+    from time_series_db_spark.sources import EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+    for q in ("clamp_max(error)", "clamp_min(error)", "clamp(error)",
+              "holt_winters(error[3h])", "label_replace(error)"):
+        with pytest.raises(PromParseError):
+            execute(q, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 3_600_000,
+                    3_600_000)
+
+
 # ---------------------------------------------------------------------------
 # parse_query JSON AST: zero-valued params survive
 # ---------------------------------------------------------------------------

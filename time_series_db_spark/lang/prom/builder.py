@@ -654,6 +654,25 @@ def _pin_to_grid(sf: SeriesFrame, te: int, ctx: BuildContext) -> SeriesFrame:
 
 
 def _apply_function(node: A.FunctionCallNode, ctx: BuildContext) -> SeriesFrame:
+    """Typed error boundary: branches below index ``node.scalars`` /
+    ``node.str_args`` for function arguments; a missing argument must
+    surface as :class:`PromParseError` (Prometheus returns bad_data),
+    never a raw IndexError — the r7 fuzz caught ``clamp_max(v)``
+    escaping exactly that way."""
+    try:
+        return _apply_function_inner(node, ctx)
+    except (A.PromParseError, PromUnsupportedError):
+        raise
+    except (IndexError, KeyError, TypeError, ValueError) as e:
+        raise A.PromParseError(
+            f"invalid arguments for {node.name}() "
+            f"({type(e).__name__}: {e})"
+        ) from e
+
+
+def _apply_function_inner(
+    node: A.FunctionCallNode, ctx: BuildContext
+) -> SeriesFrame:
     name = node.name
 
     if name in _RANGE_FNS:
