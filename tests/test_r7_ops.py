@@ -137,6 +137,44 @@ def test_parse_query_zero_number_literal_kept():
 
 
 # ---------------------------------------------------------------------------
+# wire parsers never crash on arbitrary input
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck as _HC, given as _given, settings as _settings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+_wire_lines = _st.lists(
+    _st.text(
+        alphabet=_st.sampled_from(list('ab{}=," ;\\\n0123456789.eE+-_#i')),
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@_settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[_HC.function_scoped_fixture],
+)
+@_given(lines=_wire_lines)
+def test_wire_parsers_never_crash_on_garbage(spark, lines):
+    """Malformed lines DROP — no parser may throw executor-side on any
+    byte soup (the contract the streaming legs rely on; an ANSI
+    element_at escape here once killed a whole micro-batch)."""
+    from time_series_db_spark.sources.exposition import parse_exposition
+    from time_series_db_spark.sources.graphite import parse_graphite
+    from time_series_db_spark.sources.lineprotocol import parse_line_protocol
+
+    df = spark.createDataFrame(
+        [(ln.replace("\n", " "),) for ln in lines], "line string"
+    )
+    for parser in (parse_exposition, parse_line_protocol, parse_graphite):
+        parser(df).collect()  # must not raise
+
+
+# ---------------------------------------------------------------------------
 # graphite: non-finite values are unrepresentable, not silently lost
 # ---------------------------------------------------------------------------
 
