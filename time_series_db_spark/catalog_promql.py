@@ -397,41 +397,78 @@ _HW_W = 12 * 3600 * 1000
 _HW_FRAME = (
     f"{_W} RANGE BETWEEN {_HW_W - DEFAULT_STEP_MS} PRECEDING AND CURRENT ROW"
 )
-#: the level/trend recurrence as a DuckDB list_reduce fold: seed
-#: (level=x0, trend=x1−x0) rides as the first element of a uniform
-#: {lv,tr,v} struct list (2-arg list_reduce requires acc type = element
-#: type), then each remaining sample applies the smoothing update —
-#: mirrors the Spark-side Catalyst `aggregate` in windows.holt_winters.
-_HW_FOLD = """
-CASE WHEN len(l) < 2 THEN 'NaN'::DOUBLE ELSE
-struct_extract(list_reduce(
-  list_prepend(
-    {'lv': l[1]::DOUBLE, 'tr': (l[2]-l[1])::DOUBLE, 'v': 0.0::DOUBLE},
-    list_transform(l[2:], u -> {'lv': 0.0::DOUBLE, 'tr': 0.0::DOUBLE, 'v': u::DOUBLE})
-  ),
-  (acc, x) -> {
-    'lv': 0.3*x.v + 0.7*(acc.lv + acc.tr),
-    'tr': 0.1*((0.3*x.v + 0.7*(acc.lv + acc.tr)) - acc.lv) + 0.9*acc.tr,
-    'v': 0.0::DOUBLE
-  }
-), 'lv') END"""
+#: the level/trend recurrence UNROLLED as a chain of scalar CTEs —
+#: NOT list_reduce: DuckDB 1.0's lambda fold with a struct accumulator
+#: returned run-order-dependent values on identical inputs under the
+#: parity harness (three different outputs for one 4-sample window;
+#: caught by the r7 sf0.1 parity sweep).  The window holds at most
+#: window/step samples, so the unroll is bounded and every step is a
+#: plain deterministic scalar expression.  The complements are written
+#: as (1.0 − factor), not decimal literals: Spark's fold computes
+#: (1.0D − 0.3D) = 0.7000000000000001, one ulp off literal 0.7 — a
+#: difference the recurrence amplifies past the 1e-4 quantization.
+_HW_STEPS = _HW_W // DEFAULT_STEP_MS  # max samples per trailing window
+
+
+def _sql_hw_unrolled(n_steps: int) -> str:
+    """CTE chain hwf1..hwf{n}: seed (lv=l[1], tr=l[2]−l[1]), then each
+    step i applies the smoothing update with x=l[i] when the window has
+    that many samples (mirrors Spark's fold over slice(win, 2, size),
+    which re-processes the second sample — both engines, by design)."""
+    sql = """,
+    hwf1 AS (
+      SELECT *, l[1]::DOUBLE AS lv, (l[2] - l[1])::DOUBLE AS tr
+      FROM wins)"""
+    for i in range(2, n_steps + 1):
+        sql += f""",
+    hwf{i} AS (
+      SELECT * EXCLUDE (lv, tr),
+        CASE WHEN len(l) >= {i}
+             THEN 0.3::DOUBLE * l[{i}]::DOUBLE
+                  + (1.0::DOUBLE - 0.3::DOUBLE) * (lv + tr)
+             ELSE lv END AS lv,
+        CASE WHEN len(l) >= {i}
+             THEN 0.1::DOUBLE * ((0.3::DOUBLE * l[{i}]::DOUBLE
+                  + (1.0::DOUBLE - 0.3::DOUBLE) * (lv + tr)) - lv)
+                  + (1.0::DOUBLE - 0.1::DOUBLE) * tr
+             ELSE tr END AS tr
+      FROM hwf{i - 1})"""
+    return sql
+
+
+_HW_FOLD = "CASE WHEN len(l) < 2 THEN 'NaN'::DOUBLE ELSE lv END"
 
 
 @register(
     "promql_holt_winters",
     f"""{PRELUDE},
+    hwsrc AS (SELECT * FROM samples WHERE name = 'purchase'),
     wins AS (
-      SELECT {SQL_LBLS}, ts, list(value) OVER ({_HW_FRAME}) AS l
-      FROM (SELECT * FROM samples WHERE name = 'purchase'))
-    SELECT {SQL_LBLS}, ts, {sql_quant(_HW_FOLD)} AS value FROM wins""",
+      -- NOT a windowed list(): DuckDB's windowed list aggregate gave
+      -- run-order-dependent results under thread contention (caught by
+      -- the r7 sf0.1 parity sweep; an order-SENSITIVE fold consumes
+      -- this list, unlike the median/max windows elsewhere).  A
+      -- self-join + grouped list(... ORDER BY ts) is fully specified.
+      SELECT s.name, s."user", s.region, s.shard, s.ts,
+             list(w.value ORDER BY w.ts) AS l
+      FROM hwsrc s
+      JOIN hwsrc w
+        ON w."user" = s."user" AND w.region = s.region
+       AND w.shard = s.shard
+       AND w.ts BETWEEN s.ts - {_HW_W - DEFAULT_STEP_MS} AND s.ts
+      GROUP BY 1, 2, 3, 4, 5)
+    {_sql_hw_unrolled(_HW_STEPS)}
+    SELECT {SQL_LBLS}, ts, {sql_quant(_HW_FOLD)} AS value
+    FROM hwf{_HW_STEPS}""",
 )
 def promql_holt_winters(spark, sf_dir):
     """holt_winters(v[12h], 0.3, 0.1): double exponential smoothing —
-    FunctionType.HOLT_WINTERS. Oracle expresses the sequential level/trend
-    recurrence as a DuckDB ``list_reduce`` fold over the trailing-window
-    sample list; value correctness is additionally pinned by the golden
-    test (tests/test_promql_golden.py) against a Python-computed
-    reference."""
+    FunctionType.HOLT_WINTERS. Oracle replays the sequential level/trend
+    recurrence UNROLLED as scalar CTE steps over an ordered grouped
+    window list (see _sql_hw_unrolled for why neither windowed list()
+    nor list_reduce is trustworthy here); value correctness is
+    additionally pinned by the golden test (tests/test_promql_golden.py)
+    against a Python-computed reference."""
     sf = run_promql(spark, sf_dir, "holt_winters(purchase[12h], 0.3, 0.1)")
     return _flat(sf, LABEL_KEYS)
 
