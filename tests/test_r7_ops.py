@@ -1,7 +1,11 @@
-"""Round-7 fixes: advisor findings (exposition label-less lines, PromQL
+"""Round-7 tests: advisor fixes (exposition label-less lines, PromQL
 scalar power semantics, parse_query zero-param fields, graphite
-non-finite values, PQ LUT density) plus the verdict's guard rails
-(flat-ADC query-count bound, asof tiebreak type validation)."""
+non-finite values, PQ LUT density), the verdict's guard rails
+(flat-ADC query-count bound, asof tiebreak type validation, service
+query limits), and the round's new operators — bloom decontamination,
+BPE training (exact-replay property), LTTB decimation, seasonal
+decomposition, BFD bin packing, hard-negative mining, KL scoring, the
+wire-format streaming legs, and the never-crash wire-parser fuzz."""
 
 from __future__ import annotations
 
@@ -154,7 +158,7 @@ _wire_lines = _st.lists(
 
 
 @_settings(
-    max_examples=15,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[_HC.function_scoped_fixture],
 )

@@ -142,17 +142,21 @@ def parse_exposition(lines: DataFrame, column: str = "line") -> DataFrame:
     # data model and must drop like any other malformed line, not crash
     # the whole scan
     base = base.where(F.size(F.array_distinct(all_keys)) == F.size(all_keys))
+    # the value token is deliberately loose (\S+, to admit the NaN/±Inf
+    # spellings), so the numeric cast must be try_cast: under ANSI a
+    # hard cast on a malformed value ('_ ;') kills the whole scan
+    # instead of dropping the line (caught by the wire-parser fuzz)
     value = (
         F.when(F.col("__val") == "NaN", F.lit(float("nan")))
         .when(F.col("__val") == "+Inf", F.lit(float("inf")))
         .when(F.col("__val") == "-Inf", F.lit(float("-inf")))
-        .otherwise(F.col("__val").cast("double"))
+        .otherwise(F.col("__val").try_cast("double"))
     )
     out = base.select(
         labels.alias("labels"),
         F.when(F.col("__ts") != "", F.col("__ts").cast("long")).alias("ts"),
         value.alias("value"),
-    )
+    ).where(F.col("value").isNotNull())
     return out.select(
         series_key_expr(F.col("labels")).alias("series_key"),
         "labels",
