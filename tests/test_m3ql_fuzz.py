@@ -70,6 +70,11 @@ def test_parse_plan_fails_typed_or_succeeds(query):
         "fetch name:error | decimate 0",          # non-positive bucket
         "fetch name:error | seasonalAdjust 1h 1d",  # bucket > season
         "fetch name:error | scale",               # missing factor
+        "fetch name:error | topK Inf",            # int(float(Inf)) overflow
+        "fetch name:error | head Inf",
+        "fetch name:error | union avg 0.0",       # non-pipeline union args
+        "fetch name:error | union x",             # union arity
+        "fetch name:error | multiBurnRate minmax (fetch name:x) 2.5",
     ],
 )
 def test_known_bad_args_fail_typed(query):

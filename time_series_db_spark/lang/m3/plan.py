@@ -927,7 +927,7 @@ def create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         return _create_plan_node(fn)
     except M3PlanError:
         raise
-    except (ValueError, IndexError, KeyError, TypeError) as e:
+    except (ValueError, IndexError, KeyError, TypeError, OverflowError) as e:
         raise M3PlanError(
             f"invalid arguments for {fn.name}: "
             f"{_values(fn)!r} ({type(e).__name__}: {e})"
@@ -1596,10 +1596,23 @@ def _finalize(plan: PlanNode) -> PlanNode:
 
 
 def build_plan(root: ast.RootNode) -> PlanNode:
-    """M3ASTConverter.buildPlan — AST root → finalized logical plan."""
+    """M3ASTConverter.buildPlan — AST root → finalized logical plan.
+
+    Outer typed-error boundary (in addition to create_plan_node's):
+    conversion paths OUTSIDE the per-function dispatch — binary-stage
+    composition, macro/burn-rate expansion — coerce arguments too, and
+    the grammar fuzz found `int(float('Inf'))` escaping as
+    OverflowError and a burn-rate arg as raw ValueError."""
     if len(root.children) != 1:
         raise M3PlanError("AST root must have exactly one child")
     pipeline = root.children[0]
     if not isinstance(pipeline, ast.PipelineNode):
         raise M3PlanError("AST root child must be a pipeline")
-    return _finalize(_convert(pipeline))
+    try:
+        return _finalize(_convert(pipeline))
+    except M3PlanError:
+        raise
+    except (ValueError, IndexError, KeyError, TypeError, OverflowError) as e:
+        raise M3PlanError(
+            f"invalid query arguments ({type(e).__name__}: {e})"
+        ) from e

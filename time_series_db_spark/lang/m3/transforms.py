@@ -11,6 +11,7 @@ already-expanded pipelines.
 
 from __future__ import annotations
 
+from time_series_db_spark.lang.m3.parser import M3ParseError
 from time_series_db_spark.lang.m3.ast import (
     FunctionNode,
     GroupNode,
@@ -90,12 +91,12 @@ class UnionFunction(Transformation):
 
     def transform(self, node: Node) -> list[Node]:
         if len(node.children) < 2:
-            raise ValueError(
+            raise M3ParseError(
                 f"union function requires at least 2 arguments, got {len(node.children)}"
             )
         for i, child in enumerate(node.children):
             if not isinstance(child, GroupNode):
-                raise ValueError(
+                raise M3ParseError(
                     f"union function expects argument {i + 1} of type Pipeline "
                     f"(parenthesized expression)"
                 )
@@ -162,11 +163,11 @@ class ValueInterpolation(Transformation):
             elif c == "}":
                 depth -= 1
                 if depth < 0:
-                    raise ValueError(
+                    raise M3ParseError(
                         f"Mismatched braces: unopened closing brace at position {i}"
                     )
         if depth > 0:
-            raise ValueError(f"Mismatched braces: {depth} unclosed opening brace(s)")
+            raise M3ParseError(f"Mismatched braces: {depth} unclosed opening brace(s)")
         return found
 
     def transform(self, node: Node) -> list[Node]:
