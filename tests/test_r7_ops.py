@@ -110,10 +110,44 @@ def test_prom_missing_function_args_fail_typed(spark):
 
     src = EventsSource(spark, "/root/testdata/sf0.001")
     for q in ("clamp_max(error)", "clamp_min(error)", "clamp(error)",
-              "holt_winters(error[3h])", "label_replace(error)"):
+              "holt_winters(error[3h])", "label_replace(error)",
+              # r7 fuzz round 2: aggregation-param coercion escapes
+              "topk(Inf, error)", "limitk(-1, error)",
+              "limit_ratio(Inf, error)",
+              "holt_winters(error[3h], NaN, 0.1)",
+              "holt_winters(error[3h], 0.3, 2)"):
         with pytest.raises(PromParseError):
             execute(q, src, EVENTS_MIN_TS, EVENTS_MIN_TS + 3_600_000,
                     3_600_000)
+
+
+def test_prom_out_of_range_quantiles_follow_prometheus(spark):
+    """φ outside [0,1] is a VALID query in Prometheus: quantile family
+    returns NaN/−Inf/+Inf instead of erroring — Spark's percentile
+    would reject it at analysis time, and a non-finite φ interpolated
+    into SQL text crashed as an unresolved column (r7 fuzz)."""
+    import math
+
+    from time_series_db_spark.lang.prom.builder import execute
+    from time_series_db_spark.sources import EVENTS_MIN_TS
+    from time_series_db_spark.sources.m3source import EventsSource
+
+    src = EventsSource(spark, "/root/testdata/sf0.001")
+
+    def vals(q):
+        sf = execute(q, src, EVENTS_MIN_TS,
+                     EVENTS_MIN_TS + 5 * 3_600_000, 3_600_000)
+        return [r["value"] for r in sf.df.collect()]
+
+    assert all(v == float("-inf") for v in vals("quantile(-1, error)"))
+    assert all(v == float("inf") for v in vals("quantile(2, error)"))
+    assert all(math.isnan(v) for v in vals("quantile(NaN, error)"))
+    assert all(
+        v == float("inf") for v in vals("quantile_over_time(Inf, error[3h])")
+    )
+    # non-finite histogram_fraction bounds must not crash analysis
+    execute("histogram_fraction(NaN, 2, view)", src, EVENTS_MIN_TS,
+            EVENTS_MIN_TS + 3_600_000, 3_600_000).df.count()
 
 
 # ---------------------------------------------------------------------------

@@ -911,11 +911,25 @@ def execute(
     query: str, source, start: int, end: int, step: int, profiler=None
 ) -> SeriesFrame:
     """Parse → build → truncate: the PromQL query_range lifecycle
-    (RestPromQLAction → PromOSTranslator → execution)."""
+    (RestPromQLAction → PromOSTranslator → execution).
+
+    Outer typed-error boundary (in addition to _apply_function's):
+    aggregation params and binary composition coerce arguments outside
+    the function dispatch — the r7 fuzz found ``topk(Inf, v)`` escaping
+    as OverflowError and limitk/limit_ratio validation as bare
+    ValueError.  Anything non-typed becomes PromParseError (Prometheus
+    bad_data), never a stack trace at the service boundary."""
     from time_series_db_spark.lang.prom.parser import parse
 
     ctx = BuildContext(source, start, end, step, profiler=profiler)
-    sf = build_frame(parse(query), ctx)
+    try:
+        sf = build_frame(parse(query), ctx)
+    except (A.PromParseError, PromUnsupportedError):
+        raise
+    except (ValueError, IndexError, KeyError, TypeError, OverflowError) as e:
+        raise A.PromParseError(
+            f"invalid query arguments ({type(e).__name__}: {e})"
+        ) from e
     out = windows.truncate(sf, start, end)
     if profiler is not None:
         out = profiler.record("truncate", out)

@@ -629,9 +629,28 @@ def quantile(
     sf: SeriesFrame, q: float, keys: list[str] = (), without: bool = False
 ) -> SeriesFrame:
     """PromQL quantile(φ, v): exact φ-quantile (linear interpolation)
-    across the series values at each ts."""
+    across the series values at each ts.
+
+    Out-of-range φ follows Prometheus (quantile() in promql/quantile.go):
+    φ < 0 → −Inf for every group, φ > 1 → +Inf, NaN → NaN — valid
+    queries with warning semantics, never an error (Spark's percentile
+    would throw VALUE_OUT_OF_RANGE; found by the r7 PromQL fuzz)."""
+    import math
+
+    qf = float(q)
+    if math.isnan(qf) or qf < 0.0 or qf > 1.0:
+        const = (
+            float("nan") if math.isnan(qf)
+            else float("-inf") if qf < 0.0
+            else float("inf")
+        )
+        # keep the grouped shape: aggregate the groups, emit the constant
+        return _grouped(
+            sf, list(keys),
+            F.max(F.lit(const)).cast("double"), without=without,
+        )
     return _grouped(
-        sf, list(keys), F.expr(f"percentile(value, {float(q)})"), without=without
+        sf, list(keys), F.expr(f"percentile(value, {qf})"), without=without
     )
 
 
@@ -757,13 +776,27 @@ def histogram_quantile(sf: SeriesFrame, q: float) -> SeriesFrame:
     bucket array, then a pure-SQL fold — no UDF, partial aggregation keeps
     the shuffle at group granularity.
     """
+    import math
+
+    qf = float(q)
+    if math.isnan(qf) or qf < 0.0 or qf > 1.0:
+        # Prometheus bucketQuantile checks φ BEFORE the histogram: NaN →
+        # NaN, φ<0 → −Inf, φ>1 → +Inf (never an error; interpolating a
+        # non-finite φ into the SQL fold would render an unresolvable
+        # `infD` token instead — found by the r7 PromQL fuzz)
+        vexpr = F.lit(
+            float("nan") if math.isnan(qf)
+            else float("-inf") if qf < 0.0 else float("inf")
+        ).cast("double")
+    else:
+        vexpr = _bucket_quantile_expr(qf).cast("double")
     base = _le_bucket_base(sf)
     out = base.select(
         F.col("__gkey").alias("series_key"),
         F.col("labels"),
         F.lit(None).cast("string").alias("alias"),
         F.col("ts"),
-        _bucket_quantile_expr(float(q)).cast("double").alias("value"),
+        vexpr.alias("value"),
     ).select(*SAMPLE_COLS)
     return sf.with_df(out)
 
@@ -815,7 +848,15 @@ def prom_histogram_percentile(
 
 
 def _fmt_bound(x: float) -> str:
-    """Render a CDF evaluation point as a Spark/DuckDB double literal."""
+    """Render a CDF evaluation point as a Spark/DuckDB double literal
+    (repr of a non-finite float would emit an unresolvable `nanD`/`infD`
+    token — the r7 fuzz found histogram_fraction(NaN, …) crashing
+    analysis that way; NaN bounds propagate NaN through the CDF
+    arithmetic, the Prometheus result)."""
+    import math
+
+    if math.isnan(x):
+        return "CAST('NaN' AS DOUBLE)"
     if x == float("inf"):
         return "double('Infinity')"
     if x == float("-inf"):

@@ -525,10 +525,24 @@ def over_time(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
 
 def quantile_over_time(sf: SeriesFrame, q: float, window_ms: int) -> SeriesFrame:
     """PromQL quantile_over_time(φ, v[w]) — exact φ-quantile with linear
-    interpolation over the trailing window (FunctionType.QUANTILE_OVER_TIME)."""
+    interpolation over the trailing window (FunctionType.QUANTILE_OVER_TIME).
+
+    Out-of-range φ follows Prometheus's quantile(): NaN → NaN, φ<0 →
+    −Inf, φ>1 → +Inf per sample (Spark's percentile would reject the
+    value at analysis time; a non-finite φ would not even parse)."""
+    import math
+
+    qf = float(q)
+    if math.isnan(qf) or qf < 0.0 or qf > 1.0:
+        const = (
+            float("nan") if math.isnan(qf)
+            else float("-inf") if qf < 0.0 else float("inf")
+        )
+        df = sf.df.withColumn("value", F.lit(const).cast("double"))
+        return sf.with_df(df.select(*SAMPLE_COLS))
     w = _range_frame(sf, window_ms)
     df = sf.df.withColumn(
-        "value", F.expr(f"percentile(value, {float(q)})").over(w)
+        "value", F.expr(f"percentile(value, {qf})").over(w)
     )
     return sf.with_df(df.select(*SAMPLE_COLS))
 
@@ -707,13 +721,24 @@ def holt_winters(
     still JVM-side codegen, no Python UDF, and the shuffle profile is
     identical to any other window function (one sort per series
     partition)."""
+    import math
+
+    s, t = float(sf_factor), float(tf_factor)
+    # Prometheus funcDoubleExponentialSmoothing: factors must lie in
+    # (0, 1) exclusive — reject instead of interpolating a non-finite
+    # float into the fold's SQL text (an `infD`/`nanD` token would fail
+    # analysis as an unresolved column; found by the r7 PromQL fuzz)
+    if not (0.0 < s < 1.0) or not (0.0 < t < 1.0):
+        raise ValueError(
+            f"holt_winters smoothing/trend factors must be in (0, 1), "
+            f"got sf={s}, tf={t}"
+        )
     w = _range_frame(sf, window_ms)
     df = sf.df.withColumn(
         "__win", F.collect_list(F.struct(F.col("ts"), F.col("value"))).over(w)
     )
     # fold state: (level, trend, idx); seed from the first two samples as
     # in Prometheus's implementation (s0=x0, b0=x1-x0)
-    s, t = float(sf_factor), float(tf_factor)
     fold = F.expr(
         f"""
         CASE WHEN size(__win) < 2 THEN CAST('NaN' AS DOUBLE) ELSE
