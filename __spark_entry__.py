@@ -35,14 +35,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names that already have a driver-green CORRECTNESS row (union of the
-# r1–r6 runs: 242 green rows).  `embedding_pq_codes` — the single r6 red,
-# a harness-schema failure (un-hashable ARRAY column), reshaped to scalar
-# rows this round — is kept OUT of this set so the driver re-checks it
-# first.  The driver's per-round run covers a prefix of the dict, so order
-# the not-yet-verified entries first; previously-green entries follow,
-# least-recently-checked first (see _last_checked), so the window's spare
-# slots continuously re-certify the oldest greens.
+# r1–r7 runs: 258 green rows).  `mm_image_ahash` — the single r7 red, an
+# oracle HUGEINT-typing bug (Spark values replay-verified correct; oracle
+# cast fixed this round) — is kept OUT of this set so the driver re-checks
+# it first.  The driver's per-round run covers a prefix of the dict, so
+# order the not-yet-verified entries first; previously-green entries
+# follow, least-recently-checked first (see _last_checked), so the
+# window's spare slots continuously re-certify the oldest greens.
 _DRIVER_VERIFIED = frozenset({
+    'embedding_pq_codes', 'm3_decimate_lttb', 'decontaminate_bloom',
+    'text_bpe_merges', 'ann_hard_negatives', 'tpch_q2_min_cost_supplier',
+    'm3ql_seasonal_adjust', 'm3_seasonal_residual',
+    'text_bpe_token_counts', 'tpch_q11_important_stock',
+    'm3ql_decimate_lttb', 'm3_seasonal_anomalies', 'text_kl_divergence',
+    'tpch_q12_late_priority', 'tpch_q16_supplier_cnt',
+    'tpch_q20_excess_suppliers',
     'm3_exposition_roundtrip', 'chunk_documents', 'dedup_cross_corpus',
     'pack_sequences', 'pipeline_curate', 'text_compressibility',
     'embedding_pca', 'search_bm25', 'sample_importance_dsir',
@@ -177,11 +184,11 @@ def _ordered(mapping: dict) -> dict:
         for fam in list(buckets):
             if buckets[fam]:
                 interleaved.append(buckets[fam].pop(0))
-    # Pin the one previously-red entry (reshaped this round) to row 1 so
-    # its re-check cannot fall out of a capped window.
-    if "embedding_pq_codes" in interleaved:
-        interleaved.remove("embedding_pq_codes")
-        interleaved.insert(0, "embedding_pq_codes")
+    # Pin the one previously-red entry (oracle cast fixed this round) to
+    # row 1 so its re-check cannot fall out of a capped window.
+    if "mm_image_ahash" in interleaved:
+        interleaved.remove("mm_image_ahash")
+        interleaved.insert(0, "mm_image_ahash")
     last = _last_checked()
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     verified = sorted(

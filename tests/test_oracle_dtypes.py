@@ -1,0 +1,51 @@
+"""Lossless-dtype sweep over every registered DuckDB oracle.
+
+The driver fetches oracle results through pandas; some DuckDB logical
+types degrade on that conversion and silently red the value-hash while
+rows/schema still pass:
+
+- ``HUGEINT``/``UHUGEINT`` -> float64 (DuckDB ``sum(BIGINT)`` widens to
+  HUGEINT; bit-packed 2^63-magnitude hashes lose low bits).  Burned
+  three entries in round 5 and ``mm_image_ahash`` in round 7.
+- ``DECIMAL(p>18)`` -> object/float (loses exactness past 18 digits).
+
+This sweep runs every oracle at sf0.001 (DuckDB only — no Spark, so it
+is cheap) and asserts no output column carries a lossy logical type.
+Any new oracle that reintroduces the class fails registration here, at
+authoring time, instead of redding a driver round.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+#: DuckDB logical types whose pandas fetch is lossy for int64-magnitude
+#: or high-precision values.  Keep in sync with the docstring above.
+_LOSSY = re.compile(r"^(U?HUGEINT)$")
+_DECIMAL = re.compile(r"^DECIMAL\((\d+),\s*(\d+)\)$")
+
+
+def _oracle_names():
+    from time_series_db_spark.catalog import ORACLES
+
+    return sorted(ORACLES)
+
+
+@pytest.mark.parametrize("name", _oracle_names())
+def test_oracle_fetches_lossless(name, duck):
+    from time_series_db_spark.catalog import ORACLES
+
+    rel = duck.sql(ORACLES[name])
+    bad = []
+    for col, typ in zip(rel.columns, rel.types):
+        t = str(typ)
+        m = _DECIMAL.match(t)
+        if _LOSSY.match(t) or (m and int(m.group(1)) > 18):
+            bad.append((col, t))
+    assert not bad, (
+        f"{name}: oracle column(s) {bad} fetch lossily through pandas "
+        f"(HUGEINT->float64 / wide DECIMAL). Cast in the oracle SQL, "
+        f"e.g. sum(...)::BIGINT — see tests/test_oracle_dtypes.py."
+    )

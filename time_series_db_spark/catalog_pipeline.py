@@ -564,9 +564,9 @@ def mm_decode_image_meta(spark, sf_dir):
     "mm_image_ahash",
     """WITH ah0 AS (
       SELECT doc_id, k,
-             ord(substr(text, ((k * strlen(text)) // 64) + 1, 1)) AS L
+             ord(substr(text, ((k * length(text)) // 64) + 1, 1)) AS L
       FROM documents, generate_series(0, 63) t(k)
-      WHERE strlen(text) > 0),
+      WHERE length(text) > 0),
     ahm AS (SELECT doc_id, sum(L) / 64.0 AS mu FROM ah0 GROUP BY 1),
     ahb AS (
       SELECT a.doc_id,
@@ -579,7 +579,8 @@ def mm_decode_image_meta(spark, sf_dir):
     ahh AS (
       SELECT doc_id AS media_id,
              (lo + CASE WHEN hi = 1
-                        THEN -9223372036854775807 - 1 ELSE 0 END) AS ahash
+                        THEN -9223372036854775807 - 1 ELSE 0 END)::BIGINT
+               AS ahash
       FROM ahb)
     SELECT media_id, ahash,
            count(*) OVER (PARTITION BY ahash)::BIGINT AS n_dupes
