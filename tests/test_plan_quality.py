@@ -737,3 +737,51 @@ def test_sample_weighted_partial_topn(spark, sf_dir):
     plan = _plan(QUERIES["sample_weighted"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "EvalPython" not in plan
+
+
+def _analyzed_hints(df) -> int:
+    """Broadcast HINTS in the analyzed plan — what the guard controls.
+    (At test scale Catalyst may still auto-broadcast an unhinted table
+    by size, so the physical join kind is not the observable.)"""
+    return df._jdf.queryExecution().analyzed().toString().count(
+        "ResolvedHint"
+    )
+
+
+def test_kl_divergence_guards_vocab_broadcast(spark, sf_dir, monkeypatch):
+    """The corpus unigram table is DATA-dependent (billions of distinct
+    tokens at web scale — Zipf must not be trusted to bound a
+    broadcast): the hint must come from the bounded size probe, and
+    above MAX_BROADCAST_TOKEN_ROWS the scoring join falls back
+    unhinted while the 1-row total keeps broadcasting."""
+    from time_series_db_spark.pipeline import text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    default = _analyzed_hints(text.kl_divergence(docs))
+    monkeypatch.setattr(text, "MAX_BROADCAST_TOKEN_ROWS", 1)
+    guarded = _analyzed_hints(text.kl_divergence(docs))
+    # one fewer broadcast hint: the unigram join is left unhinted
+    assert guarded == default - 1
+    # explicit override beats the probe
+    forced = _analyzed_hints(text.kl_divergence(docs, broadcast_vocab=True))
+    assert forced == default
+
+
+def test_bpe_token_counts_guards_word_table_broadcast(
+    spark, sf_dir, monkeypatch
+):
+    """Same class as kl_divergence: the trained word-type table is
+    data-dependent, so its broadcast hint must be probe-gated."""
+    from time_series_db_spark.pipeline import bpe, text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    default = _analyzed_hints(bpe.bpe_token_counts(docs, n_merges=2))
+    monkeypatch.setattr(text, "MAX_BROADCAST_TOKEN_ROWS", 1)
+    guarded = _analyzed_hints(bpe.bpe_token_counts(docs, n_merges=2))
+    assert guarded == default - 1
+    forced = _analyzed_hints(
+        bpe.bpe_token_counts(docs, n_merges=2, broadcast_vocab=True)
+    )
+    assert forced == default

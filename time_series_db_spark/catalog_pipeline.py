@@ -2271,6 +2271,58 @@ def ann_hard_negatives(spark, sf_dir):
 
 
 @register(
+    "ann_hard_negatives_ivf",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+    cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+    assign AS (
+      SELECT e.vec_id, e.v, e.label, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cosine('e.v', 'c.cv')} DESC, c.cid
+             ) AS pr
+      FROM e CROSS JOIN cents c),
+    cells AS (SELECT vec_id, v, label, cid AS cell FROM assign
+              WHERE pr = 1),
+    qcells AS (
+      SELECT vec_id, v, label, cid AS cell FROM assign
+      WHERE pr <= 2 AND vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.label AS query_label, c.label AS neighbor_label,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM qcells q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        AND c.label <> q.label),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM cand)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine,
+           query_label::BIGINT AS query_label,
+           neighbor_label::BIGINT AS neighbor_label
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_hard_negatives_ivf(spark, sf_dir):
+    """Celled hard-negative mining (pipeline/ann.py:hard_negatives_ivf)
+    — the scale path past MAX_HN_ANCHORS: IVF coarse quantizer
+    (nlist=16, nprobe=2) restricts each anchor's candidate scan to its
+    probed cells; the label inequality lives in the cell join so
+    same-label pairs never materialize.  Anchor count scales the
+    anchor side only — no anchor broadcast anywhere."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.hard_negatives_ivf(embs, queries, k=5, nlist=16, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        quant(F.col("cosine")).alias("cosine"),
+        F.col("query_label").cast("long").alias("query_label"),
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+    )
+
+
+@register(
     "text_kl_divergence",
     f"""WITH tok AS (
       SELECT doc_id, t FROM (

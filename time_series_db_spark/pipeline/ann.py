@@ -167,6 +167,7 @@ def ivf_assign(
     centroids: DataFrame,
     nprobe: int = 1,
     id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by cosine.
 
@@ -174,12 +175,15 @@ def ivf_assign(
     so assignment is a map-side cross join: corpus never shuffles beyond
     an initial rebalance across cores (the interpreted per-(vector,
     centroid) cosine otherwise serializes on a compact scan's 1-2
-    splits). Output: (id, __v, __cell, __probe_rank).
+    splits). Output: (id, __v, *carry_cols, __cell, __probe_rank) —
+    ``carry_cols`` ride along untouched (e.g. a label column for
+    :func:`hard_negatives_ivf`).
     """
     n_parts = vectors.sparkSession.sparkContext.defaultParallelism
     scored = vectors.repartition(n_parts).crossJoin(F.broadcast(centroids)).select(
         id_col,
         "__v",
+        *carry_cols,
         F.col("__cid").alias("__cell"),
         cosine_expr(F.col("__v"), F.col("__centroid")).alias("__ccos"),
     )
@@ -187,7 +191,7 @@ def ivf_assign(
     return (
         scored.withColumn("__probe_rank", F.row_number().over(w))
         .filter(F.col("__probe_rank") <= nprobe)
-        .select(id_col, "__v", "__cell", "__probe_rank")
+        .select(id_col, "__v", *carry_cols, "__cell", "__probe_rank")
     )
 
 
@@ -1248,6 +1252,15 @@ def ivfpq_topk(
     )
 
 
+#: the flat hard-negative miner broadcasts the FULL anchor set into an
+#: inequality-condition BroadcastNestedLoopJoin — O(corpus × anchors)
+#: scored rows plus a per-anchor broadcast cost, the same flat-exact
+#: shape as :data:`MAX_ADC_QUERIES` gates for ADC.  Beyond this many
+#: anchors, :func:`hard_negatives_ivf` (celled candidate scan) is the
+#: right shape.
+MAX_HN_ANCHORS = 10_000
+
+
 def hard_negatives(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1255,6 +1268,7 @@ def hard_negatives(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_queries: int | None = MAX_HN_ANCHORS,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training (the batch-mining
     step of SimCLR/SBERT-style pipelines): for each anchor, the ``k``
@@ -1267,7 +1281,21 @@ def hard_negatives(
     corpus scan is embarrassingly parallel (rebalanced across cores),
     and the top-k is a partial WindowGroupLimit cut — the label
     inequality is applied IN the join condition, so same-label pairs
-    never materialize."""
+    never materialize.  The anchor set is bounded by ``max_queries``
+    (default :data:`MAX_HN_ANCHORS`) — a large anchor set silently
+    turns the broadcast into gigabytes; use :func:`hard_negatives_ivf`
+    there instead."""
+    if max_queries is not None:
+        # bounded probe: LIMIT max+1 caps the work regardless of size
+        nq = queries.limit(max_queries + 1).count()
+        if nq > max_queries:
+            raise ValueError(
+                f"hard_negatives is a flat O(corpus × anchors) scan "
+                f"with the full anchor set broadcast; the anchor set "
+                f"exceeds max_queries={max_queries}. Use "
+                f"hard_negatives_ivf (celled scan) for large anchor "
+                f"sets, or pass max_queries explicitly to override."
+            )
     spark = corpus.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     c = corpus.select(
@@ -1292,6 +1320,93 @@ def hard_negatives(
         "query_label",
         "neighbor_label",
         cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", "cosine",
+            "query_label", "neighbor_label",
+        )
+    )
+
+
+def hard_negatives_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Celled hard-negative mining — the scale path past
+    :data:`MAX_HN_ANCHORS`: IVF coarse quantizer (deterministic centroid
+    subset, same index as :func:`ivf_topk`) restricts each anchor's
+    candidate scan to its ``nprobe`` nearest cells, with the label
+    inequality applied IN the cell join so same-label pairs never
+    materialize.  Output matches :func:`hard_negatives`:
+    (query_id, neighbor_id, rank, cosine, query_label, neighbor_label).
+
+    100 TB shape: centroids broadcast (nlist rows); corpus and anchors
+    each assign map-side then shuffle ONCE on ``__cell`` — candidate
+    fan-in per cell is ~N/nlist, so anchor count scales the anchor side
+    only, never a broadcast.  Approximate like any IVF search: a hard
+    negative in an unprobed cell is missed; raise ``nprobe`` for
+    recall.
+    """
+    cents = F.broadcast(
+        corpus.filter(F.col(id_col) < nlist).select(
+            F.col(id_col).alias("__cid"),
+            _as_double(F.col(vec_col)).alias("__centroid"),
+        )
+    )
+    vecs = corpus.select(
+        id_col,
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.col(label_col).alias("__lbl"),
+    )
+    cells = ivf_assign(
+        vecs, cents, nprobe=1, id_col=id_col, carry_cols=("__lbl",)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("__v").alias("__cv"),
+        F.col("__lbl").alias("neighbor_label"),
+        "__cell",
+    )
+    qvecs = queries.select(
+        id_col,
+        _as_double(F.col(vec_col)).alias("__v"),
+        F.col(label_col).alias("__lbl"),
+    )
+    qcells = ivf_assign(
+        qvecs, cents, nprobe=nprobe, id_col=id_col, carry_cols=("__lbl",)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__v").alias("__qv"),
+        F.col("__lbl").alias("query_label"),
+        "__cell",
+    )
+    scored = (
+        cells.join(
+            qcells,
+            (cells["__cell"] == qcells["__cell"])
+            & (F.col("query_id") != F.col("neighbor_id"))
+            & (F.col("query_label") != F.col("neighbor_label")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "query_label",
+            "neighbor_label",
+            cosine_expr(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        # a neighbor can appear via several probed cells — dedup before rank
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

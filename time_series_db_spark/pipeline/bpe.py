@@ -71,6 +71,16 @@ def _pair_counts(wf: DataFrame) -> DataFrame:
     )
 
 
+#: merge rounds between lineage truncations of the word table.  Each
+#: merge stacks one ``F.replace`` onto the ``__seq`` projection; without
+#: truncation a realistic 32k-merge vocabulary would build a 32k-deep
+#: expression tree that the analyzer cannot process.  Checkpointing
+#: every K rounds (the ``cc_survivors`` pattern, pipeline/dedup.py)
+#: keeps plan depth ≤ K regardless of ``n_merges`` — the word table is
+#: vocabulary-bounded, so the materialization is metadata-sized.
+_CHECKPOINT_EVERY = 16
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int = 10,
@@ -82,7 +92,8 @@ def bpe_train(
     ``(rank, left, right, freq)`` (the model; tiny), ``word_table`` the
     final ``(__w, __f, __seq)`` frame with every merge applied (feeds
     :func:`bpe_token_counts`).  Stops early if the corpus runs out of
-    pairs.
+    pairs.  Plan depth stays bounded at any ``n_merges``: the word
+    table is localCheckpoint'ed every ``_CHECKPOINT_EVERY`` rounds.
     """
     if n_merges <= 0:
         raise ValueError("n_merges must be positive")
@@ -111,6 +122,8 @@ def bpe_train(
                 F.lit(f" {left}{right} "),
             ),
         )
+        if (rank + 1) % _CHECKPOINT_EVERY == 0:
+            wf = wf.localCheckpoint(eager=True)
     return merges, wf
 
 
@@ -131,26 +144,43 @@ def bpe_token_counts(
     n_merges: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Per-document token count under the trained BPE vocabulary:
     ``(id_col, n_tokens)``.
 
-    100 TB shape: the trained word table (vocabulary-bounded) broadcasts
-    and each document's count is the sum of its words' cached symbol
-    counts — one corpus scan, one broadcast join, partial-aggregated
-    sum; the corpus text is never re-segmented per merge."""
+    100 TB shape: each document's count is the sum of its words' cached
+    symbol counts — one corpus scan, one join against the trained word
+    table, partial-aggregated sum; the corpus text is never
+    re-segmented per merge.  The word-type table broadcasts ONLY when a
+    bounded probe proves it ≤ ``MAX_BROADCAST_TOKEN_ROWS``
+    (``broadcast_vocab=None``, the default): at web scale the
+    distinct-word space is not Zipf-bounded (IDs, URLs, typos), and an
+    unconditional hint would ship a multi-GB table to every executor.
+    Above the bound the join is unhinted — shuffle join, or
+    AQE-promoted broadcast if runtime stats fit."""
+    from time_series_db_spark.pipeline.text import (
+        _broadcast_if_bounded,
+    )
+
     _, wf = bpe_train(docs, n_merges, text_col)
     per_word = wf.select(
         "__w",
         F.size(F.split(F.trim(F.col("__seq")), " ")).cast("long").alias("__n"),
     )
+    if broadcast_vocab is None:
+        per_word_j = _broadcast_if_bounded(per_word, "bpe_word_types")
+    else:
+        per_word_j = (
+            F.broadcast(per_word) if broadcast_vocab else per_word
+        )
     return (
         docs.select(
             F.col(id_col),
             F.explode(textprep.tokens(F.col(text_col))).alias("__w"),
         )
         .filter(F.col("__w") != "")
-        .join(F.broadcast(per_word), "__w")
+        .join(per_word_j, "__w")
         .groupBy(id_col)
         .agg(F.sum("__n").cast("long").alias("n_tokens"))
     )

@@ -415,6 +415,31 @@ def vocab_count(
 #: The unigram/context tables stay broadcast at any V (O(V) rows).
 MAX_BROADCAST_VOCAB = 2048
 
+#: row bound above which a DATA-DEPENDENT token/word-type table stops
+#: being broadcast-hinted (kl_divergence's corpus unigram table,
+#: bpe_token_counts' word-type table).  Unlike ``MAX_BROADCAST_VOCAB``
+#: there is no knob that bounds these — at web scale the distinct-token
+#: space (typos, IDs, URLs) is billions of rows, so the hint is decided
+#: by a bounded existence probe (``limit(N+1).count()``, memoized via
+#: ``probe_memo``) instead of assumed from Zipf.  1M rows of
+#: (token, count) ≈ tens of MB serialized — the practical ceiling for
+#: shipping a table to every executor.  Above it the join is left
+#: unhinted: AQE promotes it back to broadcast at runtime iff the actual
+#: bytes fit ``autoBroadcastJoinThreshold``.
+MAX_BROADCAST_TOKEN_ROWS = 1_000_000
+
+
+def _broadcast_if_bounded(df: DataFrame, kind: str):
+    """Broadcast-hint ``df`` only when a bounded probe proves its row
+    count ≤ ``MAX_BROADCAST_TOKEN_ROWS``; otherwise return it unhinted
+    (shuffle join, or AQE-promoted broadcast if runtime stats fit)."""
+    from time_series_db_spark.cache import probe_memo
+
+    n = probe_memo(
+        df, kind, lambda: df.limit(MAX_BROADCAST_TOKEN_ROWS + 1).count()
+    )
+    return F.broadcast(df) if n <= MAX_BROADCAST_TOKEN_ROWS else df
+
 
 def lm_perplexity(
     df: DataFrame,
@@ -658,6 +683,7 @@ def kl_divergence(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool | None = None,
 ) -> DataFrame:
     """Per-document KL divergence of the doc's unigram distribution from
     the corpus unigram distribution — the "how unusual is this
@@ -669,10 +695,14 @@ def kl_divergence(
     ``(id_col, kl)``.
 
     100 TB shape: (doc, token) counts are ONE partial-aggregated
-    shuffle; the corpus distribution is the vocab-bounded token-count
-    table joined back BROADCAST (Zipf keeps it tiny relative to any
-    corpus) with the 1-row total; doc lengths ride a window over the
-    already-grouped counts — no second corpus scan.
+    shuffle; the corpus distribution is the distinct-token count table
+    joined back with the 1-row total broadcast; doc lengths ride a
+    window over the already-grouped counts — no second corpus scan.
+    The token table broadcasts ONLY when a bounded probe proves it ≤
+    ``MAX_BROADCAST_TOKEN_ROWS`` (``broadcast_vocab=None``, the
+    default) — at web scale the distinct-token space is billions of
+    rows and Zipf alone must not be trusted to bound a broadcast; pass
+    ``broadcast_vocab=True/False`` to override.
     """
     toks = docs.select(
         F.col(id_col),
@@ -686,12 +716,16 @@ def kl_divergence(
     dc = persist_tracked(dc)
     cc = dc.groupBy("__t").agg(F.sum("__c").alias("__cc"))
     total = cc.agg(F.sum("__cc").alias("__tot"))
+    if broadcast_vocab is None:
+        cc_j = _broadcast_if_bounded(cc, "kl_vocab_rows")
+    else:
+        cc_j = F.broadcast(cc) if broadcast_vocab else cc
     from pyspark.sql import Window
 
     dl = F.sum("__c").over(Window.partitionBy(id_col))
     return (
         dc.withColumn("__l", dl)
-        .join(F.broadcast(cc), "__t")
+        .join(cc_j, "__t")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
