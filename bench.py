@@ -82,12 +82,14 @@ _RULE_GROUP = [
 ]
 
 
-def _extra_benches(spark, tmp_root: str):
+def _extra_benches(spark, tmp_root: str, sf_dir: str | None = None):
     """Streaming heavyweights that WRITE stores instead of returning a
     DataFrame (backfill_rules over a rule group, cascade_rollup): the
     shared input stores are built once (setup, untimed — the protocol
     times the operator, not fixture construction); each timed run
-    appends into a fresh output dir so runs stay comparable."""
+    appends into a fresh output dir so runs stay comparable.
+    ``sf_dir`` defaults to the bench scale; scripts/scale_check.py
+    passes its 1×/10× dirs to certify the scaling exponents."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -97,8 +99,10 @@ def _extra_benches(spark, tmp_root: str):
     from time_series_db_spark.streaming.ingest import DEFAULT_BLOCK_MS
     from time_series_db_spark.streaming.rules import backfill_rules
 
+    if sf_dir is None:
+        sf_dir = SF_DIR
     store = os.path.join(tmp_root, "metrics")
-    base = fetch_events(spark, SF_DIR).df.select(
+    base = fetch_events(spark, sf_dir).df.select(
         "series_key", "labels", "ts", "value"
     ).withColumn("block", F.col("ts") - F.col("ts") % F.lit(DEFAULT_BLOCK_MS))
     base.repartition(F.col("block")).write.mode("overwrite").partitionBy(

@@ -60,6 +60,12 @@ QUERIES = [
     "tpch_q2_min_cost_supplier",  # pair-table rank window (r7)
 ]
 
+#: store-writing heavyweights (bench.py _extra_benches): the #1 and #4
+#: costs in BENCH_r07 — their "one scan per rule group" / "fold from
+#: fine tiers, never re-scan raw" claims get the same 10× certification
+#: as the catalog queries (r8)
+EXTRA_QUERIES = ["rules_group_backfill", "cascade_rollup"]
+
 
 def build(spark) -> None:
     from pyspark.sql import functions as F
@@ -137,18 +143,47 @@ def main() -> None:
         return round(statistics.median(once() for _ in range(3)), 4)
 
     import math
+    import tempfile
 
-    out = {}
-    for name in QUERIES:
-        t1 = run(name, BASE)
-        t10 = run(name, WORK)
-        out[name] = {
+    def entry(t1: float, t10: float) -> dict:
+        return {
             "t_1x": t1,
             "t_10x": t10,
             "ratio": round(t10 / t1, 2),
             # time ∝ N^e  ⇒  e = log(t10/t1) / log(COPIES)
             "exponent": round(math.log(t10 / t1) / math.log(COPIES), 2),
         }
+
+    out = {}
+    for name in QUERIES:
+        out[name] = entry(run(name, BASE), run(name, WORK))
+        print(name, out[name], flush=True)
+
+    # store-writing extras: build each scale's input stores (untimed
+    # setup), then time the operator exactly as bench.py does
+    import bench as bench_mod
+
+    def run_extras(sf_dir: str) -> dict[str, float]:
+        res = {}
+        with tempfile.TemporaryDirectory(prefix="tsdb_scale_") as tmp:
+            for name, action in bench_mod._extra_benches(
+                spark, tmp, sf_dir=sf_dir
+            ).items():
+
+                def once(action=action) -> float:
+                    t0 = time.perf_counter()
+                    action()
+                    return time.perf_counter() - t0
+
+                once()  # warm-up
+                res[name] = round(
+                    statistics.median(once() for _ in range(3)), 4
+                )
+        return res
+
+    e1, e10 = run_extras(BASE), run_extras(WORK)
+    for name in EXTRA_QUERIES:
+        out[name] = entry(e1[name], e10[name])
         print(name, out[name], flush=True)
     line = json.dumps({"copies": COPIES, "queries": out})
     print(line)
