@@ -785,3 +785,51 @@ def test_bpe_token_counts_guards_word_table_broadcast(
         bpe.bpe_token_counts(docs, n_merges=2, broadcast_vocab=True)
     )
     assert forced == default
+
+
+def test_changepoints_single_series_exchange(spark, sf_dir):
+    """The CUSUM closed form must stay a stacked-window plan: every
+    window layer (full-frame moments, running prefix sums, running
+    mins) shares ONE series_key exchange — a fold/collect or join
+    formulation here would not survive 100 TB."""
+    from time_series_db_spark.catalog import QUERIES
+
+    df = QUERIES["m3_changepoints"](spark, sf_dir)
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # fetch-grid dedup + ONE series exchange; nothing else
+    assert plan.count("Exchange") <= 2
+
+
+def test_decontaminate_overlap_broadcasts_eval(spark, sf_dir):
+    """The graded-overlap variant keeps the decontamination shape: eval
+    hashes broadcast; the only aggregates run on collision-filtered
+    rows + the per-doc totals."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["decontaminate_overlap"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_bpe_encode_no_python_no_cartesian(spark, sf_dir):
+    """Encoding is pure Catalyst: word-table join + window offset +
+    posexplode — no Python eval, no quadratic join."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_bpe_encode"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_recall_joins_topk_tables_only(spark, sf_dir):
+    """recall@k must aggregate the two already-cut top-k tables — the
+    metric itself adds no corpus-sized work (the searches inside it are
+    the existing gated plans)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["ann_lsh_recall"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -105,3 +105,137 @@ def test_hard_negatives_ivf_labels_differ(spark):
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def _cusum_replay(vals, threshold=5.0, slack=0.5):
+    """Exact Python replay of the textbook two-sided CUSUM recurrence
+    (the sequential form the closed-form window formulation must
+    equal): S± reset-free detection statistics, flags vs threshold·σ."""
+    import math
+
+    finite = [v for v in vals if not math.isnan(v)]
+    n = len(finite)
+    mu = sum(finite) / n
+    sd = math.sqrt(sum((v - mu) ** 2 for v in finite) / n)
+    k = slack * sd
+    sp = sn = 0.0
+    flags = []
+    for v in vals:
+        if not math.isnan(v):
+            sp = max(0.0, sp + (v - mu - k))
+            sn = max(0.0, sn + (mu - k - v))
+        flags.append(
+            1.0 if sd > 0 and (sp > threshold * sd or sn > threshold * sd)
+            else 0.0
+        )
+    return flags
+
+
+def _series_df(spark, vals, name="cp"):
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+    from pyspark.sql import functions as F
+
+    rows = [(i * 1000, float(v)) for i, v in enumerate(vals)]
+    df = (
+        spark.createDataFrame(rows, "ts long, value double")
+        .withColumn("labels", F.create_map(F.lit("name"), F.lit(name)))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    return SeriesFrame(
+        df=df, step=1000, min_ts=0, max_ts=len(vals) * 1000
+    )
+
+
+def test_cusum_closed_form_matches_recurrence(spark):
+    """The window closed form S = P − min(0, running-min P) must equal
+    the sequential max(0, ...) recurrence sample-for-sample — on a
+    series with a genuine injected level shift."""
+    from time_series_db_spark.operators import windows
+
+    vals = [10.0 + (i % 5) * 0.1 for i in range(60)]
+    vals += [11.2 + (i % 5) * 0.1 for i in range(60)]  # +shift tail
+    sf = _series_df(spark, vals)
+    out = windows.cusum_changepoints(sf, threshold=3.0, slack=0.5)
+    got = [
+        r["value"]
+        for r in out.df.orderBy("ts").select("value").collect()
+    ]
+    want = _cusum_replay(vals, threshold=3.0, slack=0.5)
+    assert got == want
+    assert 1.0 in got  # the shift IS detected
+
+
+def test_cusum_catches_shift_zscore_misses(spark):
+    """The documented reason changepoints exists next to anomalies: a
+    small persistent level shift never exceeds a 3σ z-score on any
+    single sample, but its cumulative evidence trips CUSUM."""
+    from time_series_db_spark.operators import windows
+
+    base = [10.0 + (i % 7) * 0.05 for i in range(100)]
+    shifted = [10.6 + (i % 7) * 0.05 for i in range(100)]
+    sf = _series_df(spark, base + shifted)
+    z = windows.anomalies(sf, threshold=3.0)
+    c = windows.cusum_changepoints(sf, threshold=3.0, slack=0.5)
+    zflags = {r["value"] for r in z.df.select("value").collect()}
+    cflags = [r["value"] for r in c.df.orderBy("ts").select("value").collect()]
+    assert zflags == {0.0}          # z-score: silent
+    assert 1.0 in cflags            # CUSUM: detected
+    # (with the query-window global mean, the retrospective two-sided
+    # statistic may flag either regime — both diverge from it; the
+    # operator's claim is shift DETECTION, localization is the caller's
+    # post-step)
+    # control: the same detector on a shift-free series stays silent
+    calm = windows.cusum_changepoints(
+        _series_df(spark, base), threshold=3.0, slack=0.5
+    )
+    assert {r["value"] for r in calm.df.select("value").collect()} == {0.0}
+
+
+def test_recall_at_k_counts_silent_misses(spark):
+    """Queries the approximate index dropped entirely must still score
+    (recall 0), and hit counting must be per-(query, neighbor)."""
+    from time_series_db_spark.pipeline import ann
+
+    exact = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1), (2, 21, 2)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 11, 1), (1, 99, 2)],  # query 2 missing entirely
+        "query_id long, neighbor_id long, rank long",
+    )
+    out = {
+        r["query_id"]: (r["n_exact"], r["n_hit"], r["recall"])
+        for r in ann.recall_at_k(approx, exact, k=2).collect()
+    }
+    assert out[1] == (2, 1, 0.5)
+    assert out[2] == (2, 0, 0.0)
+
+
+def test_bpe_encode_reassembles_words(spark):
+    """Per-document, concatenating the encoded subword tokens in pos
+    order must reproduce exactly the document's normalized words in
+    order — tokenization may split, never drop, reorder, or invent."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.pipeline import bpe, textprep
+
+    texts = ["low lower lowest", "newest new low", "abc cab abc abc"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    enc = bpe.bpe_encode(docs, n_merges=4)
+    got = {}
+    for r in enc.orderBy("doc_id", "pos").collect():
+        got.setdefault(r["doc_id"], []).append((r["pos"], r["token"]))
+    words = {
+        r["doc_id"]: [w for w in r["toks"] if w]
+        for r in docs.select(
+            "doc_id", textprep.tokens(F.col("text")).alias("toks")
+        ).collect()
+    }
+    for did, toks in got.items():
+        assert [p for p, _ in toks] == list(range(len(toks)))  # dense pos
+        assert "".join(t for _, t in toks) == "".join(words[did])

@@ -898,6 +898,62 @@ def m3_seasonal_anomalies(spark, sf_dir):
     )
 
 
+_CUSUM_FIN = "CASE WHEN NOT isnan(value) THEN value END"
+
+
+def sql_cusum_ctes(
+    threshold: float, slack: float = 0.5, where: str = "TRUE"
+) -> str:
+    """The CUSUM closed-form replay as a CTE chain (exact-decimal
+    prefix sums, running mins, two-sided flags) — shared by the
+    operator entry and the language-path entry."""
+    return f"""
+    cst AS (
+      SELECT {SQL_LBLS}, ts, value,
+             CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER fw
+                  AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS mu,
+             stddev_pop({_CUSUM_FIN}) OVER fw AS sd,
+             CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER rw
+                  AS DOUBLE) AS c,
+             count({_CUSUM_FIN}) OVER rw::DOUBLE AS n
+      FROM samples
+      WHERE {where}
+      WINDOW fw AS (PARTITION BY {SQL_LBLS}),
+             rw AS ({_W} ROWS UNBOUNDED PRECEDING)),
+    cps AS (
+      SELECT *, c - n * (mu + {slack} * sd) AS p,
+                n * (mu - {slack} * sd) - c AS m
+      FROM cst),
+    crn AS (
+      SELECT *,
+             p - least(0.0::DOUBLE, min(p) OVER rw) AS spos,
+             m - least(0.0::DOUBLE, min(m) OVER rw) AS sneg
+      FROM cps
+      WINDOW rw AS ({_W} ROWS UNBOUNDED PRECEDING))
+    SELECT {SQL_LBLS}, ts,
+           (CASE WHEN sd > 0
+                 AND (spos > {threshold} * sd OR sneg > {threshold} * sd)
+                 THEN 1.0 ELSE 0.0 END)::DOUBLE AS value
+    FROM crn"""
+
+
+@register(
+    "m3_changepoints",
+    f"{PRELUDE},{sql_cusum_ctes(3.0)}",
+)
+def m3_changepoints(spark, sf_dir):
+    """CUSUM mean-shift changepoint flags (operators/windows.py:
+    cusum_changepoints, Page 1954): cumulative-evidence detection of
+    persistent level shifts that per-sample z-scores never trip on.
+    The sequential CUSUM recurrence runs in closed form
+    ``S⁺ = P − min(0, running-min P)`` — two running-frame window
+    passes over ONE per-series sort, exact-decimal prefix sums pinning
+    the statistic across engines."""
+    return _out(
+        windows.cusum_changepoints(_fetch(spark, sf_dir), threshold=3.0)
+    )
+
+
 @register(
     "m3_per_second_rate",
     f"""{PRELUDE},

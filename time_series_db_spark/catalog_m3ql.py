@@ -600,6 +600,23 @@ def m3ql_seasonal_adjust(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
+from time_series_db_spark.catalog import sql_cusum_ctes as _sql_cusum  # noqa: E402
+
+
+@register(
+    "m3ql_changepoints",
+    f"{PRELUDE},"
+    + _sql_cusum(3.0, where="name = 'view'"),
+)
+def m3ql_changepoints(spark, sf_dir):
+    """changepoints 3 through the full language path (parser → plan →
+    builder → operators/windows.py:cusum_changepoints): two-sided
+    CUSUM mean-shift flags in closed form — the level-shift detector
+    companion to `anomalies` in the M3QL function family."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | changepoints 3")
+    return _flat(sf, LABEL_KEYS)
+
+
 from time_series_db_spark.catalog import sql_lttb_ctes as _sql_lttb  # noqa: E402
 
 

@@ -384,6 +384,57 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+@register(
+    "ann_lsh_recall",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          {_sql_bucket('embedding::DOUBLE[]')} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id % 50 = 0),
+    ex_r AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine('q.v', 'c.v')} DESC, c.vec_id
+             ) AS rank
+      FROM q JOIN e c ON c.vec_id <> q.vec_id),
+    ex AS (SELECT query_id, neighbor_id FROM ex_r WHERE rank <= 5),
+    ap_r AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_sql_cosine('q.v', 'c.v')} DESC, c.vec_id
+             ) AS rank
+      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id),
+    ap AS (SELECT query_id, neighbor_id FROM ap_r WHERE rank <= 5)
+    SELECT ex.query_id,
+           count(*)::BIGINT AS n_exact,
+           sum(CASE WHEN ap.neighbor_id IS NOT NULL
+                    THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+           {sql_quant('sum(CASE WHEN ap.neighbor_id IS NOT NULL '
+                      'THEN 1.0 ELSE 0.0 END) / count(*)')} AS recall
+    FROM ex LEFT JOIN ap
+      ON ap.query_id = ex.query_id AND ap.neighbor_id = ex.neighbor_id
+    GROUP BY 1""",
+)
+def ann_lsh_recall(spark, sf_dir):
+    """ANN quality certification as a first-class operator
+    (pipeline/ann.py:recall_at_k): per-query recall@5 of the
+    LSH-bucketed search against the brute-force baseline — the
+    silent-miss metric an index deployment monitors.  Both inputs are
+    already-cut top-k tables, so the metric is two key-partitioned
+    equi-joins over queries×k rows; the corpus is touched only by the
+    searches themselves."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    exact = ann.cosine_topk(embs, queries, k=5)
+    approx = ann.lsh_bucketed_topk(embs, queries, k=5)
+    out = ann.recall_at_k(approx, exact, k=5)
+    return out.select(
+        "query_id", "n_exact", "n_hit",
+        quant(F.col("recall")).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1028,6 +1079,39 @@ def decontaminate_ngram(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 20 != 0)
     evals = docs.filter(F.col("doc_id") % 20 == 0)
     return decontam.decontaminate(corpus, evals, n=8, min_hits=1)
+
+
+@register(
+    "decontaminate_overlap",
+    f"""WITH corpus AS (SELECT doc_id, {_DECON_SH} AS g FROM documents WHERE doc_id % 20 <> 0),
+    evals  AS (SELECT {_DECON_SH} AS g FROM documents WHERE doc_id % 20 = 0),
+    eh AS (SELECT DISTINCT {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT unnest(g) AS gram FROM evals)),
+    ch AS (SELECT doc_id, {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT doc_id, unnest(g) AS gram FROM corpus)),
+    hits AS (SELECT doc_id, count(DISTINCT gh) AS n FROM ch JOIN eh USING (gh) GROUP BY 1)
+    SELECT c.doc_id, len(c.g)::BIGINT AS n_grams,
+           coalesce(h.n, 0)::BIGINT AS n_collisions,
+           {sql_quant('coalesce(h.n, 0)::DOUBLE / len(c.g)')} AS overlap
+    FROM corpus c LEFT JOIN hits h USING (doc_id)""",
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Continuous contamination scoring
+    (pipeline/decontam.py:overlap_score): per corpus document the
+    fraction of its distinct 8-word-grams found anywhere in the eval
+    split — the graded leakage signal a binary min_hits flag hides.
+    Same broadcast-eval / collisions-only-shuffle shape as the flag
+    variant."""
+    from time_series_db_spark.pipeline import decontam
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    out = decontam.overlap_score(corpus, evals, n=8)
+    return out.select(
+        "doc_id", "n_grams", "n_collisions",
+        quant(F.col("overlap")).alias("overlap"),
+    )
 
 
 @register(
@@ -2224,6 +2308,45 @@ def text_bpe_token_counts(spark, sf_dir):
     from time_series_db_spark.pipeline import bpe
 
     return bpe.bpe_token_counts(load_table(spark, sf_dir, "documents"), _BPE_N)
+
+
+@register(
+    "text_bpe_encode",
+    f"""WITH {_BPE_CTES},
+    enc_pw AS (
+      SELECT __w, string_split(trim(seq), ' ') AS syms FROM bs{_BPE_N}),
+    enc_dw AS (
+      SELECT doc_id,
+             unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS wpos
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    enc_j AS (
+      SELECT d.doc_id, d.wpos, p.syms, len(p.syms) AS n
+      FROM enc_dw d JOIN enc_pw p ON p.__w = d.w
+      WHERE d.w <> ''),
+    enc_b AS (
+      SELECT doc_id, wpos, syms,
+             coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY wpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base
+      FROM enc_j)
+    SELECT doc_id,
+           (base + unnest(generate_series(1, len(syms))) - 1)::BIGINT
+             AS pos,
+           unnest(syms) AS token
+    FROM enc_b""",
+)
+def text_bpe_encode(spark, sf_dir):
+    """BPE tokenization — the apply step (pipeline/bpe.py:bpe_encode):
+    each document becomes its ordered subword-token stream under the
+    10-merge trained vocabulary, (doc_id, pos, token).  One corpus
+    scan; the trained word table joins back probe-gated broadcast; the
+    global position is a running sum over WORD rows (per-doc bounded
+    window), and the subword explode is zero-shuffle — the corpus is
+    segmented exactly once."""
+    from time_series_db_spark.pipeline import bpe
+
+    return bpe.bpe_encode(load_table(spark, sf_dir, "documents"), _BPE_N)
 
 
 # ---------------------------------------------------------------------------

@@ -458,6 +458,8 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         )
     if isinstance(node, P.AnomaliesNode):
         return windows.anomalies(sf, node.threshold)
+    if isinstance(node, P.ChangepointsNode):
+        return windows.cusum_changepoints(sf, node.threshold, node.slack)
     if isinstance(node, P.SeasonalAdjustNode):
         return windows.seasonal_adjust(
             sf, node.season_ms, node.bucket_ms, node.output

@@ -682,6 +682,22 @@ class AnomaliesNode(PlanNode):
         return f"ANOMALIES(threshold={self.threshold})"
 
 
+class ChangepointsNode(PlanNode):
+    """Beyond the reference: two-sided CUSUM mean-shift flags (Page
+    1954) — cumulative-evidence detection of persistent level shifts
+    the per-sample z-score of ``anomalies`` never trips on."""
+
+    def __init__(self, threshold: float = 5.0, slack: float = 0.5):
+        super().__init__()
+        self.threshold = threshold
+        self.slack = slack
+
+    def explain(self) -> str:
+        return (
+            f"CHANGEPOINTS(threshold={self.threshold}, slack={self.slack})"
+        )
+
+
 class DecimateNode(PlanNode):
     """Beyond the reference: chart-rendering downsample — min-max pair
     or parallel-LTTB selection per series-bucket."""
@@ -1172,6 +1188,19 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         if len(args) > 1:
             raise M3PlanError("anomalies expects at most one threshold")
         return AnomaliesNode(float(args[0]) if args else 3.0)
+    if name == "changepoints":
+        if len(args) > 2:
+            raise M3PlanError("changepoints expects: [threshold [slack]]")
+        try:
+            threshold = float(args[0]) if len(args) >= 1 else 5.0
+            slack = float(args[1]) if len(args) >= 2 else 0.5
+        except ValueError as e:
+            raise M3PlanError(f"changepoints arguments must be numeric: {e}")
+        if threshold <= 0 or slack < 0:
+            raise M3PlanError(
+                "changepoints needs threshold > 0 and slack >= 0"
+            )
+        return ChangepointsNode(threshold, slack)
     if name == "decimate":
         if not 1 <= len(args) <= 2:
             raise M3PlanError("decimate expects: bucket [minmax|lttb]")

@@ -1055,3 +1055,68 @@ def decimate(sf: SeriesFrame, bucket_ms: int) -> SeriesFrame:
         )
     )
     return sf.with_df(out.select(*SAMPLE_COLS))
+
+
+def cusum_changepoints(
+    sf: SeriesFrame, threshold: float = 5.0, slack: float = 0.5
+) -> SeriesFrame:
+    """Two-sided CUSUM mean-shift detection (Page 1954, the classic
+    SPC changepoint statistic): flags samples where the cumulative
+    evidence of an up- or down-shift against the series' query-window
+    mean exceeds ``threshold`` standard deviations, with ``slack``
+    standard deviations of per-sample allowance (κ).  Complements
+    :func:`anomalies`: a z-score catches single outliers, CUSUM
+    catches small persistent level shifts a z-score never trips on.
+    Output: 1.0 where the detection statistic is above threshold, else
+    0.0 (NaN samples and zero-variance series flag 0.0).
+
+    The textbook recurrence ``S⁺_t = max(0, S⁺_{t−1} + x_t − μ − κ)``
+    is a sequential fold; this uses its closed form
+    ``S⁺_t = P_t − min(0, min_{j≤t} P_j)`` with
+    ``P_t = Σ_{i≤t} x_i − n_t·(μ + κ)`` (and mirrored ``S⁻``), so the
+    whole statistic is TWO running-frame window passes over ONE
+    per-series sort — no fold, no collect, no join.  Prefix sums are
+    exact (DECIMAL), so both engines compute identical doubles and the
+    flag is differentially pinned.
+    """
+    wfull = _series_window(ordered=False).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wrun = _series_window(ordered=True).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    v = F.col("value")
+    finite = F.when(~F.isnan(v), v)
+    base = sf.df.select(
+        "*",
+        (
+            F.sum(finite.cast("decimal(27,6)")).over(wfull).cast("double")
+            / F.count(finite).over(wfull)
+        ).alias("__mu"),
+        F.expr(
+            "stddev_pop(CASE WHEN NOT isnan(value) THEN value END)"
+        ).over(wfull).alias("__sd"),
+        F.sum(finite.cast("decimal(27,6)")).over(wrun).cast("double")
+        .alias("__c"),
+        F.count(finite).over(wrun).cast("double").alias("__n"),
+    )
+    k = F.lit(float(slack))
+    scored = base.select(
+        "*",
+        (F.col("__c") - F.col("__n") * (F.col("__mu") + k * F.col("__sd")))
+        .alias("__p"),
+        (F.col("__n") * (F.col("__mu") - k * F.col("__sd")) - F.col("__c"))
+        .alias("__m"),
+    )
+    spos = F.col("__p") - F.least(F.lit(0.0), F.min("__p").over(wrun))
+    sneg = F.col("__m") - F.least(F.lit(0.0), F.min("__m").over(wrun))
+    h = F.lit(float(threshold)) * F.col("__sd")
+    flag = (
+        F.when(
+            (F.col("__sd") > 0) & ((spos > h) | (sneg > h)),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    df = scored.withColumn("value", flag).select(*SAMPLE_COLS)
+    return sf.with_df(df)

@@ -1419,3 +1419,48 @@ def hard_negatives_ivf(
             "query_label", "neighbor_label",
         )
     )
+
+
+def recall_at_k(
+    approx: DataFrame, exact: DataFrame, k: int = 5
+) -> DataFrame:
+    """Per-query recall@k of an approximate ANN result against the
+    exact baseline — the quality metric every ANN deployment monitors
+    (and the quantitative form of the unit-test recall gates):
+    ``|approx ∩ exact| / |exact|`` over each query's top-k sets.
+    Inputs are any two search outputs with (query_id, neighbor_id,
+    rank) columns; output (query_id, n_exact, n_hit, recall).
+    Queries the approximate index returns nothing for still appear
+    (n_hit 0) — silent misses are the point of the metric.
+
+    100 TB shape: both inputs are already-cut top-k tables (queries×k
+    rows — metadata-sized next to any corpus), so this is two
+    key-partitioned equi-joins and one partial-aggregated groupBy;
+    nothing here touches the corpus."""
+    a = approx.filter(F.col("rank") <= k).select(
+        "query_id", F.col("neighbor_id").alias("__an")
+    )
+    e = exact.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id"
+    )
+    joined = e.join(
+        a,
+        (a["query_id"] == e["query_id"])
+        & (F.col("__an") == F.col("neighbor_id")),
+        "left",
+    ).select(e["query_id"], "neighbor_id", "__an")
+    return (
+        joined.groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.sum(
+                F.when(F.col("__an").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            (F.col("n_hit") / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -184,3 +184,68 @@ def bpe_token_counts(
         .groupBy(id_col)
         .agg(F.sum("__n").cast("long").alias("n_tokens"))
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """Tokenize each document under the trained BPE vocabulary — the
+    APPLY step that turns a corpus into model-ready token streams:
+    ``(id_col, pos, token)``, ``pos`` the 0-based position of the
+    subword token within the document's stream (word order preserved;
+    symbols within a word in sequence order).
+
+    100 TB shape: one corpus scan exploded to (doc, word-position)
+    rows; the trained word table joins back (broadcast iff the bounded
+    probe proves it fits — same guard as :func:`bpe_token_counts`);
+    the global position is a running sum over WORD rows (one bounded
+    per-doc window over words, not subword tokens) and the final
+    subword explode is zero-shuffle.  The corpus text is segmented
+    exactly once — per-merge re-segmentation never happens.
+    """
+    from pyspark.sql import Window
+
+    from time_series_db_spark.pipeline.text import _broadcast_if_bounded
+
+    _, wf = bpe_train(docs, n_merges, text_col)
+    per_word = wf.select(
+        "__w", F.split(F.trim(F.col("__seq")), " ").alias("__syms")
+    )
+    if broadcast_vocab is None:
+        per_word_j = _broadcast_if_bounded(per_word, "bpe_word_types")
+    else:
+        per_word_j = (
+            F.broadcast(per_word) if broadcast_vocab else per_word
+        )
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(textprep.tokens(F.col(text_col))).alias(
+                "__wpos", "__w"
+            ),
+        )
+        .filter(F.col("__w") != "")
+        .join(per_word_j, "__w")
+        .withColumn("__n", F.size("__syms"))
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__wpos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    based = words.withColumn(
+        "__base", F.coalesce(F.sum("__n").over(w), F.lit(0))
+    )
+    return based.select(
+        id_col,
+        F.col("__base"),
+        F.posexplode("__syms").alias("__spos", "token"),
+    ).select(
+        id_col,
+        (F.col("__base") + F.col("__spos")).cast("long").alias("pos"),
+        "token",
+    )

@@ -226,3 +226,61 @@ def bloom_decontaminate(
             ),
         )
     )
+
+
+def overlap_score(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Continuous contamination scoring — the graded companion to
+    :func:`decontaminate`'s binary flag: per corpus document, the
+    FRACTION of its distinct word n-grams that appear anywhere in
+    ``eval_set`` (``overlap`` ∈ [0, 1]).  Pipelines threshold this
+    (e.g. drop > 0.8, audit 0.2–0.8) instead of dropping on a single
+    collision; it is also the signal for near-verbatim eval leakage
+    that a min_hits cutoff hides.  Output: ``(id_col, n_grams,
+    n_collisions, overlap)`` — one row per corpus document.
+
+    Same 100 TB shape as :func:`decontaminate`: eval hashes broadcast,
+    corpus grams explode map-side, only collisions shuffle; the per-doc
+    gram total rides the same scan (``size`` on the already-built
+    shingle array — no second tokenization).
+    """
+    if n <= 0:
+        raise ValueError("n-gram length must be positive")
+    g = corpus.select(
+        F.col(id_col),
+        ngram_hash_set(F.col(text_col), n, hash_fn).alias("__ghs"),
+    )
+    totals = g.select(
+        id_col, F.size("__ghs").cast("long").alias("n_grams")
+    )
+    eval_h = (
+        eval_set.select(
+            F.explode(ngram_hash_set(F.col(text_col), n, hash_fn)).alias("__gh")
+        )
+        .distinct()
+    )
+    hits = (
+        g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
+        .join(F.broadcast(eval_h), on="__gh", how="inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_collisions"))
+    )
+    return (
+        totals.join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_collisions"), F.lit(0)).cast("long")
+            .alias("n_collisions"),
+            (
+                F.coalesce(F.col("n_collisions"), F.lit(0))
+                / F.col("n_grams")
+            ).alias("overlap"),
+        )
+    )
