@@ -112,6 +112,15 @@ HEADLINE_QUERIES = [
     # round-7: cross-label top-k cut and log-sum scoring
     "ann_hard_negatives",
     "text_kl_divergence",
+    # round-8: running-window CUSUM statistic, subword stream positions,
+    # celled cross-label cut, recall aggregation, graded overlap
+    "m3_changepoints",
+    "text_bpe_encode",
+    "ann_hard_negatives_ivf",
+    "ann_lsh_recall",
+    "decontaminate_overlap",
+    "text_source_stats",
+    "embedding_matryoshka",
 ]
 
 

@@ -385,6 +385,40 @@ def ann_lsh_topk(spark, sf_dir):
 
 
 @register(
+    "embedding_matryoshka",
+    f"""WITH me AS (
+      SELECT vec_id, (embedding::DOUBLE[])[1:8] AS p,
+             embedding::DOUBLE[] AS v
+      FROM embeddings),
+    mn AS (
+      SELECT vec_id, p, {_sql_dot('p', 'p')} AS pe, {_sql_dot('v', 'v')} AS fe
+      FROM me),
+    mu AS (
+      SELECT vec_id,
+             unnest(generate_series(0, len(p) - 1)) AS dim,
+             unnest(p) AS x, pe, fe
+      FROM mn)
+    SELECT vec_id, dim::BIGINT AS dim,
+           {sql_quant('x / nullif(sqrt(pe), 0.0)')} AS value,
+           {sql_quant('coalesce(pe / nullif(fe, 0.0), 0.0)')} AS energy
+    FROM mu""",
+)
+def embedding_matryoshka(spark, sf_dir):
+    """Matryoshka prefix truncation
+    (pipeline/ann.py:matryoshka_truncate, Kusupati et al. 2022): first
+    8 dims kept and L2-renormalized — the cheap-index representation
+    for MRL-trained embeddings — plus the retained-energy diagnostic
+    ‖prefix‖²/‖full‖².  Pure per-row arithmetic on one scan, exploded
+    to scalar rows for the differential."""
+    out = ann.matryoshka_truncate(_embs(spark, sf_dir), dims_keep=8)
+    return out.select(
+        "vec_id", "dim",
+        quant(F.col("value")).alias("value"),
+        quant(F.col("energy")).alias("energy"),
+    )
+
+
+@register(
     "ann_lsh_recall",
     f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
                           {_sql_bucket('embedding::DOUBLE[]')} AS bucket
@@ -465,6 +499,46 @@ def text_langid(spark, sf_dir):
 
 
 _SQL_EN_STOP = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+
+@register(
+    "text_source_stats",
+    f"""WITH feats AS (
+      SELECT doc_id, source,
+             {_NORM} AS norm,
+             len({_TOKS})::DOUBLE AS n_tokens,
+             len(list_distinct({_TOKS}))::DOUBLE AS n_uniq,
+             len(list_filter({_TOKS}, tok -> tok IN ({_SQL_EN_STOP})))::DOUBLE AS stop
+      FROM documents),
+    scored AS (
+      SELECT source, norm, n_tokens,
+             {sql_quant(
+                 'least(n_tokens / 100.0, 1.0) * 0.4 + (n_uniq / n_tokens) * 0.4 '
+                 '+ least((stop / n_tokens) * 5.0, 1.0) * 0.2'
+             )} AS q
+      FROM feats)
+    SELECT source,
+           count(*)::BIGINT AS n_docs,
+           (count(*) - count(DISTINCT norm))::BIGINT AS n_dupes,
+           sum(n_tokens::BIGINT)::BIGINT AS total_tokens,
+           {sql_quant(
+               'CAST(sum(CAST(q AS DECIMAL(27,9))) AS DOUBLE) / count(*)'
+           )} AS mean_quality
+    FROM scored GROUP BY 1""",
+)
+def text_source_stats(spark, sf_dir):
+    """Per-source corpus audit (pipeline/text.py:source_stats) — the
+    curation dashboard run before mixing: per source the doc count,
+    within-source exact-duplicate count, token volume, and mean quality
+    score.  Quality features are map-side expressions on the ONE corpus
+    scan (the source rides quality_score's keep_cols — no join back);
+    the audit is a single partial-aggregated groupBy; exact-decimal
+    mean over quantized per-doc scores keeps it engine-portable."""
+    out = text.source_stats(_docs(spark, sf_dir))
+    return out.select(
+        "source", "n_docs", "n_dupes", "total_tokens",
+        quant(F.col("mean_quality")).alias("mean_quality"),
+    )
+
 
 @register(
     "text_quality",

@@ -1464,3 +1464,54 @@ def recall_at_k(
             (F.col("n_hit") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+def matryoshka_truncate(
+    vectors: DataFrame,
+    dims_keep: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka prefix truncation + L2 renormalization (Kusupati et
+    al. 2022, "Matryoshka Representation Learning"): keep the first
+    ``dims_keep`` dimensions of each embedding and rescale to unit L2 —
+    the standard cheap-index trick for MRL-trained embedding columns
+    (search the short prefix, re-rank with the full vector).  Output is
+    exploded scalar rows ``(id, dim, value, energy)`` — ``energy`` the
+    retained fraction ``‖prefix‖²/‖full‖²`` (the per-vector quality
+    diagnostic); zero-prefix vectors yield NULL values and energy 0.
+
+    100 TB shape: pure per-row column arithmetic on one corpus scan —
+    no shuffle, no UDF; the explode multiplies rows by the (small)
+    kept dimensionality only.
+    """
+    if dims_keep <= 0:
+        raise ValueError("dims_keep must be positive")
+    v = _as_double(F.col(vec_col))
+    pre = F.slice(v, 1, int(dims_keep))
+
+    def dot(a):
+        return F.aggregate(
+            F.zip_with(a, a, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    base = vectors.select(
+        F.col(id_col),
+        pre.alias("__pre"),
+        F.sqrt(dot(pre)).alias("__pn"),
+        dot(pre).alias("__pe"),
+        dot(v).alias("__fe"),
+    )
+    return base.select(
+        F.col(id_col),
+        F.col("__pn"),
+        F.try_divide(F.col("__pe"), F.col("__fe")).alias("__energy"),
+        F.posexplode("__pre").alias("dim", "__x"),
+    ).select(
+        id_col,
+        F.col("dim").cast("long").alias("dim"),
+        F.try_divide(F.col("__x"), F.col("__pn")).alias("value"),
+        F.coalesce(F.col("__energy"), F.lit(0.0)).alias("energy"),
+    )

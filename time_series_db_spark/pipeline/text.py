@@ -60,18 +60,23 @@ def lang_id(
 
 
 def quality_score(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Heuristic quality features + composite score per document.
 
     Features mirror the standard training-data filters (Gopher/C4-style):
     length, mean word length, type-token ratio, stopword ratio,
-    non-alphanumeric ratio.
+    non-alphanumeric ratio.  ``keep_cols`` ride along untouched (e.g. a
+    source column for :func:`source_stats` — avoids a join back).
     """
     tok = textprep.tokens(F.col(text_col))
     en_stop = LANG_MARKERS["en"]
     feats = df.select(
         F.col(id_col),
+        *keep_cols,
         F.length(textprep.normalize(F.col(text_col))).cast("double").alias("n_chars"),
         F.size(tok).cast("double").alias("n_tokens"),
         F.size(F.array_distinct(tok)).cast("double").alias("n_uniq"),
@@ -82,6 +87,7 @@ def quality_score(
     )
     return feats.select(
         F.col(id_col),
+        *keep_cols,
         F.col("n_chars"),
         F.col("n_tokens"),
         ((F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens")).alias(
@@ -736,5 +742,50 @@ def kl_divergence(
                     / (F.col("__cc") / F.col("__tot"))
                 )
             ).alias("kl")
+        )
+    )
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source corpus audit — the curation dashboard every web-scale
+    pipeline runs before mixing: for each ``source_col`` (domain, crawl,
+    subcorpus) the document count, exact-duplicate count (docs minus
+    distinct normalized texts WITHIN the source), token volume, and
+    mean quality score.  Output: ``(source, n_docs, n_dupes,
+    total_tokens, mean_quality)``.
+
+    100 TB shape: quality features are map-side row expressions riding
+    the ONE corpus scan (``keep_cols`` threads the source through
+    :func:`quality_score` — no join back); the whole audit is a single
+    partial-aggregated groupBy on the source key.  Mean quality sums
+    exact decimals over per-doc QUANTIZED scores so the audit is
+    engine-portable; dedup counting is ``count_distinct`` on the
+    normalized text (per-source, map-side partial).
+    """
+    pre = docs.select(
+        F.col(id_col),
+        F.col(source_col).alias("__src"),
+        F.col(text_col),
+        textprep.normalize(F.col(text_col)).alias("__norm"),
+    )
+    base = quality_score(pre, id_col, text_col, keep_cols=("__src", "__norm"))
+    qq = F.floor(F.col("quality") * 10000.0 + F.lit(0.5)) / F.lit(10000)
+    return (
+        base.groupBy(F.col("__src").alias("source"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.count(F.lit(1)) - F.count_distinct("__norm"))
+            .cast("long").alias("n_dupes"),
+            F.sum(F.col("n_tokens").cast("long")).cast("long")
+            .alias("total_tokens"),
+            (
+                F.sum(qq.cast("decimal(27,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_quality"),
         )
     )
