@@ -121,6 +121,7 @@ HEADLINE_QUERIES = [
     "decontaminate_overlap",
     "text_source_stats",
     "embedding_matryoshka",
+    "search_hybrid_rerank",
 ]
 
 

@@ -833,3 +833,15 @@ def test_lsh_recall_joins_topk_tables_only(spark, sf_dir):
     plan = _plan(QUERIES["ann_lsh_recall"](spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rerank_broadcasts_shortlist(spark, sf_dir):
+    """Stage 2 of the hybrid stack must touch only the BM25 shortlist:
+    shortlist ids broadcast into the embeddings scan, centroid a 1-row
+    broadcast — no corpus-sized dense join, no Python."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["search_hybrid_rerank"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan  # both stage cuts
+    assert "BroadcastHashJoin" in plan      # shortlist × embeddings
+    assert "EvalPython" not in plan

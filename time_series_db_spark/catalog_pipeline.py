@@ -1687,9 +1687,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@register(
-    "search_bm25",
-    f"""WITH base AS (
+def _sql_bm25_ctes() -> str:
+    """Okapi BM25 scoring replay up to a global ``ranked`` CTE —
+    shared by the plain retrieval entry and the hybrid PRF rerank."""
+    return f"""base AS (
       SELECT doc_id,
              len(list_filter(string_split({_NORM}, ' '), t -> t <> ''))::DOUBLE
                AS dl,
@@ -1717,7 +1718,12 @@ _BM25_B = 0.75
     ranked AS (
       SELECT doc_id, score,
              row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank
-      FROM scored)
+      FROM scored)"""
+
+
+@register(
+    "search_bm25",
+    f"""WITH {_sql_bm25_ctes()}
     SELECT doc_id, {sql_quant('score')} AS score, rank
     FROM ranked WHERE rank <= 10""",
 )
@@ -1734,6 +1740,58 @@ def search_bm25(spark, sf_dir):
     )
     return out.select(
         "doc_id", quant(F.col("score")).alias("score"), "rank"
+    )
+
+
+@register(
+    "search_hybrid_rerank",
+    f"""WITH {_sql_bm25_ctes()},
+    short AS (SELECT doc_id, score, rank FROM ranked WHERE rank <= 20),
+    semb AS (
+      SELECT s.doc_id, s.score, s.rank, e.embedding::DOUBLE[] AS v
+      FROM short s JOIN embeddings e ON e.vec_id = s.doc_id),
+    sdim AS (
+      SELECT t.dim, CAST(sum(CAST(t.x AS DECIMAL(27,9))) AS DOUBLE)
+               / count(*) AS m
+      FROM (SELECT unnest(v) AS x,
+                   unnest(generate_series(1, len(v))) AS dim
+            FROM semb WHERE rank <= 3) t
+      GROUP BY 1),
+    cent AS (SELECT list(m ORDER BY dim) AS q FROM sdim),
+    rer AS (
+      SELECT s.doc_id, s.score AS bm25_score,
+             {_sql_cosine('c.q', 's.v')} AS cosine
+      FROM semb s CROSS JOIN cent c),
+    rr AS (
+      SELECT doc_id, bm25_score, cosine,
+             row_number() OVER (ORDER BY cosine DESC, doc_id)::BIGINT
+               AS rank
+      FROM rer)
+    SELECT doc_id, {sql_quant('bm25_score')} AS bm25_score,
+           {sql_quant('cosine')} AS cosine, rank
+    FROM rr WHERE rank <= 5""",
+)
+def search_hybrid_rerank(spark, sf_dir):
+    """Two-stage hybrid retrieval
+    (pipeline/retrieval.py:bm25_prf_rerank) — the lexical-then-dense
+    RAG stack: BM25 shortlists 20 documents, the dense query vector is
+    the exact-decimal centroid of the top-3 hits' embeddings
+    (Rocchio-style pseudo-relevance feedback), and the shortlist
+    reranks by cosine.  Stage 2 touches only the shortlist: its ids
+    broadcast into the embeddings scan, the centroid is a one-row
+    broadcast — the corpus is never rescanned densely."""
+    from time_series_db_spark.pipeline import retrieval
+
+    out = retrieval.bm25_prf_rerank(
+        _docs(spark, sf_dir), _embs(spark, sf_dir),
+        " ".join(_BM25_TERMS), k=5, n_short=20, n_seed=3,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    return out.select(
+        "doc_id",
+        quant(F.col("bm25_score")).alias("bm25_score"),
+        quant(F.col("cosine")).alias("cosine"),
+        "rank",
     )
 
 

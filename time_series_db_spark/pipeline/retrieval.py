@@ -235,3 +235,88 @@ def sample_temperature(
     return pack.sample_mixture(
         df, weights, budget, strata_col=strata_col, id_col=id_col
     )
+
+
+def bm25_prf_rerank(
+    docs: DataFrame,
+    embs: DataFrame,
+    query: str,
+    k: int = 5,
+    n_short: int = 20,
+    n_seed: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage hybrid retrieval — the lexical-then-dense stack every
+    RAG deployment runs: BM25 shortlists ``n_short`` documents, a dense
+    query vector is formed as the exact-decimal centroid of the top
+    ``n_seed`` hits' embeddings (Rocchio-style pseudo-relevance
+    feedback — no query encoder needed at audit time), and the
+    shortlist reranks by cosine to that centroid.  Output:
+    ``(id_col, bm25_score, cosine, rank)``, rank 1..k by cosine (ties
+    on id).  Shortlist documents without an embedding row drop out
+    before rerank (they cannot be scored).
+
+    100 TB shape: stage 1 is :func:`bm25_topk`'s
+    postings-filtered-before-shuffle plan with a TakeOrdered cut; stage
+    2 touches ONLY the ≤n_short shortlist — its embedding join
+    broadcasts the shortlist ids against the embeddings scan, the
+    centroid is a dim-keyed exact aggregate of ≤n_seed rows, and the
+    rerank is a broadcast of one centroid row.  The corpus is never
+    rescanned densely.
+    """
+    from time_series_db_spark.pipeline.dedup import cosine_expr
+
+    if n_seed <= 0 or n_seed > n_short or k > n_short:
+        raise ValueError("need 0 < n_seed <= n_short and k <= n_short")
+    short = bm25_topk(
+        docs, query, k=n_short, k1=k1, b=b,
+        id_col=id_col, text_col=text_col,
+    )
+    e = embs.select(
+        F.col(vec_id_col).alias(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
+    )
+    se = e.join(
+        F.broadcast(short.withColumnRenamed("rank", "__brank")), id_col
+    )
+    seed_dims = (
+        se.filter(F.col("__brank") <= n_seed)
+        .select(F.posexplode("__v").alias("__dim", "__x"))
+        .groupBy("__dim")
+        .agg(
+            (
+                F.sum(F.col("__x").cast("decimal(27,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__m")
+        )
+    )
+    centroid = (
+        seed_dims.groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__dim", "__m"))).alias("__pm")
+        )
+        .select(
+            F.transform("__pm", lambda s: s.getField("__m")).alias("__q")
+        )
+    )
+    rer = se.crossJoin(F.broadcast(centroid)).select(
+        F.col(id_col),
+        F.col("score").alias("bm25_score"),
+        cosine_expr(F.col("__q"), F.col("__v")).alias("cosine"),
+    )
+    w = Window.orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        rer.orderBy(F.desc("cosine"), F.col(id_col))
+        .limit(int(k))
+        .select(
+            id_col,
+            "bm25_score",
+            "cosine",
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )
