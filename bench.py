@@ -67,6 +67,10 @@ BENCH_QUERIES = [
     "text_bpe_merges",         # iterative driver-loop trainer (r7)
     "decontaminate_bloom",     # bitmap-prefilter decontamination (r7)
     "tpch_q2_min_cost_supplier",  # pair-table rank window (r7)
+    "m3_changepoints",         # running-window CUSUM closed form (r8)
+    "text_bpe_encode",         # tokenizer apply — subword stream (r8)
+    "search_hybrid_rerank",    # BM25 shortlist + PRF dense rerank (r8)
+    "text_source_stats",       # per-source curation audit groupBy (r8)
 ]
 
 

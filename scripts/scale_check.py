@@ -58,6 +58,9 @@ QUERIES = [
     "text_bpe_merges",         # iterative driver-loop trainer (r7)
     "decontaminate_bloom",     # bitmap prefilter + exact confirm (r7)
     "tpch_q2_min_cost_supplier",  # pair-table rank window (r7)
+    "m3_changepoints",         # stacked running windows, one exchange (r8)
+    "text_bpe_encode",         # word-table join + row-multiplying explode (r8)
+    "text_source_stats",       # full-scan per-source partial agg (r8)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

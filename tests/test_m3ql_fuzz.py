@@ -22,6 +22,7 @@ _STAGES = [
     "showTags", "mapKey", "tagSub", "fallbackSeries", "sort",
     "nonNegativeDerivative", "aliasSub", "nPercentile", "constantLine",
     "anomalies", "decimate", "seasonalAdjust", "showAnomalyThresholds",
+    "changepoints",
     "timestamp", "toHistogram", "aliasByDistinctTags", "asBurnRate",
     "sum", "avg", "min", "max", "count", "multiply", "range",
 ]
@@ -69,6 +70,9 @@ def test_parse_plan_fails_typed_or_succeeds(query):
         "fetch name:error | summarize 1h bogus",  # unknown agg fn
         "fetch name:error | decimate 0",          # non-positive bucket
         "fetch name:error | seasonalAdjust 1h 1d",  # bucket > season
+        "fetch name:error | changepoints 0",         # non-positive threshold
+        "fetch name:error | changepoints 3 -1",      # negative slack
+        "fetch name:error | changepoints 3 1 x",     # arity
         "fetch name:error | scale",               # missing factor
         "fetch name:error | topK Inf",            # int(float(Inf)) overflow
         "fetch name:error | head Inf",
