@@ -22,7 +22,7 @@ _STAGES = [
     "showTags", "mapKey", "tagSub", "fallbackSeries", "sort",
     "nonNegativeDerivative", "aliasSub", "nPercentile", "constantLine",
     "anomalies", "decimate", "seasonalAdjust", "showAnomalyThresholds",
-    "changepoints",
+    "changepoints", "interpolate", "ewma",
     "timestamp", "toHistogram", "aliasByDistinctTags", "asBurnRate",
     "sum", "avg", "min", "max", "count", "multiply", "range",
 ]
@@ -73,6 +73,11 @@ def test_parse_plan_fails_typed_or_succeeds(query):
         "fetch name:error | changepoints 0",         # non-positive threshold
         "fetch name:error | changepoints 3 -1",      # negative slack
         "fetch name:error | changepoints 3 1 x",     # arity
+        "fetch name:error | interpolate 0",          # non-positive limit
+        "fetch name:error | interpolate 2 3",        # arity
+        "fetch name:error | ewma",                   # missing window
+        "fetch name:error | ewma 0",                 # non-positive window
+        "fetch name:error | ewma 10 1.5",            # alpha out of range
         "fetch name:error | scale",               # missing factor
         "fetch name:error | topK Inf",            # int(float(Inf)) overflow
         "fetch name:error | head Inf",

@@ -845,3 +845,43 @@ def test_hybrid_rerank_broadcasts_shortlist(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan  # both stage cuts
     assert "BroadcastHashJoin" in plan      # shortlist × embeddings
     assert "EvalPython" not in plan
+
+
+def test_interpolate_stays_window_shaped(spark, sf_dir):
+    """Linear gap fill must stay the join-free densify + two ordered
+    frames: fetch-grid dedup, pack, series sort — and NOTHING python,
+    nothing cartesian (a grid×samples join formulation would shuffle
+    the dense frame twice more)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m3_interpolate"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_ewma_single_series_exchange_no_python(spark, sf_dir):
+    """The EWMA fold must run entirely in JVM codegen over ONE bounded
+    collect_list frame: fetch dedup + one series exchange, no Arrow
+    fallback, no join — the recurrence lives in aggregate(), not in a
+    python UDF."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m3_ewma"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_correlate_target_broadcasts_the_one_series(spark, sf_dir):
+    """One-vs-all correlation must broadcast the single target series
+    into a ts hash join — the corpus pays one scan and one grouped
+    aggregate; a shuffle join or anything pairwise would not survive
+    100 TB."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m3_correlate_target"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

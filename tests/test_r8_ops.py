@@ -239,3 +239,133 @@ def test_bpe_encode_reassembles_words(spark):
     for did, toks in got.items():
         assert [p for p, _ in toks] == list(range(len(toks)))  # dense pos
         assert "".join(t for _, t in toks) == "".join(words[did])
+
+
+# ---------------------------------------------------------------------------
+# interpolate / ewma / correlate_target (r8 additions)
+# ---------------------------------------------------------------------------
+
+
+def _sparse_series_df(spark, points, name="ip", step=1000, n=None):
+    """SeriesFrame from {index: value} with gaps at the missing indices."""
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+    from pyspark.sql import functions as F
+
+    rows = [(i * step, float(v)) for i, v in points.items()]
+    df = (
+        spark.createDataFrame(rows, "ts long, value double")
+        .withColumn("labels", F.create_map(F.lit("name"), F.lit(name)))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    size = n if n is not None else max(points) + 1
+    return SeriesFrame(df=df, step=step, min_ts=0, max_ts=size * step)
+
+
+def test_interpolate_fills_interior_gaps_linearly(spark):
+    """Interior gaps draw the straight line between present neighbors;
+    leading/trailing gaps have no second endpoint and stay absent."""
+    from time_series_db_spark.operators import windows
+
+    sf = _sparse_series_df(spark, {1: 10.0, 4: 16.0, 6: 20.0}, n=8)
+    out = {
+        r["ts"] // 1000: r["value"]
+        for r in windows.interpolate(sf).df.collect()
+    }
+    assert out == {1: 10.0, 2: 12.0, 3: 14.0, 4: 16.0, 5: 18.0, 6: 20.0}
+
+
+def test_interpolate_limit_bounds_gap_runs(spark):
+    """A gap run longer than ``limit`` steps stays a gap — papering a
+    long outage over with a ramp is exactly what limit exists to stop."""
+    from time_series_db_spark.operators import windows
+
+    sf = _sparse_series_df(spark, {1: 10.0, 4: 16.0, 6: 20.0}, n=8)
+    out = {
+        r["ts"] // 1000: r["value"]
+        for r in windows.interpolate(sf, limit=1).df.collect()
+    }
+    assert out == {1: 10.0, 4: 16.0, 5: 18.0, 6: 20.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        windows.interpolate(sf, limit=0)
+
+
+def test_ewma_matches_sequential_recurrence(spark):
+    """The collect_list + left-fold formulation must equal the plain
+    Python recurrence bit-for-bit: seed = oldest window sample, then
+    s = (1-a)*s + a*x ascending."""
+    import random
+
+    from time_series_db_spark.operators import windows
+
+    rng = random.Random(11)
+    vals = [rng.uniform(-50, 50) for _ in range(64)]
+    sf = _sparse_series_df(spark, dict(enumerate(vals)))
+    n = 10
+    a = 2.0 / (n + 1.0)
+    got = [
+        r["value"] for r in windows.ewma(sf, n).df.orderBy("ts").collect()
+    ]
+    want = []
+    for t in range(len(vals)):
+        wnd = vals[max(0, t - n + 1): t + 1]
+        s = wnd[0]
+        for x in wnd[1:]:
+            s = (1.0 - a) * s + a * x
+        want.append(s)
+    assert got == want  # bit-exact, no tolerance
+
+
+def test_ewma_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from time_series_db_spark.operators import windows
+
+    sf = _sparse_series_df(spark, {0: 1.0})
+    with _pytest.raises(ValueError):
+        windows.ewma(sf, 0)
+    with _pytest.raises(ValueError):
+        windows.ewma(sf, 5, alpha=1.5)
+
+
+def test_correlate_target_ranks_comovement(spark):
+    """Perfectly correlated, anti-correlated, and constant companion
+    series against a target: corr +1 / −1 / dropped (undefined), and
+    the target correlates with itself at exactly 1."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+    from time_series_db_spark.operators import stats as stats_ops
+
+    rows = []
+    for i in range(20):
+        x = float(i % 7) + 0.5 * (i % 3)
+        rows += [
+            (i * 1000, "t", x),
+            (i * 1000, "pos", 3.0 * x + 2.0),
+            (i * 1000, "neg", -2.0 * x + 1.0),
+            (i * 1000, "flat", 5.0),
+        ]
+    df = (
+        spark.createDataFrame(rows, "ts long, name string, value double")
+        .withColumn("labels", F.create_map(F.lit("name"), F.col("name")))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    sf = SeriesFrame(df=df, step=1000, min_ts=0, max_ts=20_000)
+    out = {
+        r["labels"]["name"]: (round(r["corr"], 9), r["n_points"])
+        for r in stats_ops.correlate_target(sf, {"name": "t"}).collect()
+    }
+    assert out["t"] == (1.0, 20)
+    assert out["pos"] == (1.0, 20)
+    assert out["neg"] == (-1.0, 20)
+    assert "flat" not in out  # zero variance: correlation undefined, drops
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stats_ops.correlate_target(sf, {})

@@ -954,6 +954,173 @@ def m3_changepoints(spark, sf_dir):
     )
 
 
+def sql_interpolate_ctes(limit: int | None = None, where: str = "TRUE") -> str:
+    """Linear gap-fill replay over the dense grid (own filtered dense
+    expansion so the language-path entry can scope the fetch): nearest
+    present sample strictly before / strictly after via IGNORE NULLS
+    frames, then the straight-line fill as a pure row expression —
+    operand order mirrors operators/windows.py:interpolate exactly so
+    both engines compute identical doubles."""
+    lim = (
+        "TRUE"
+        if limit is None
+        else f"(nts - pts) / {DEFAULT_STEP_MS} - 1 <= {int(limit)}"
+    )
+    return f"""
+    isrc AS (SELECT * FROM samples WHERE {where}),
+    igrid AS (
+      SELECT gs AS ts
+      FROM generate_series({EVENTS_MIN_TS}, {_GRID_MAX}, {DEFAULT_STEP_MS}) t(gs)),
+    isids AS (SELECT DISTINCT {SQL_LBLS} FROM isrc),
+    idense AS (
+      SELECT s.name, s."user", s.region, s.shard, g.ts, v.value
+      FROM isids s CROSS JOIN igrid g
+      LEFT JOIN isrc v
+        ON v.name = s.name AND v."user" = s."user" AND v.region = s.region
+       AND v.shard = s.shard AND v.ts = g.ts),
+    inb AS (
+      SELECT {SQL_LBLS}, ts, value,
+        last_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+          OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pts,
+        last_value(value IGNORE NULLS)
+          OVER ({_W} ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        first_value(CASE WHEN value IS NOT NULL THEN ts END IGNORE NULLS)
+          OVER ({_W} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nts,
+        first_value(value IGNORE NULLS)
+          OVER ({_W} ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv
+      FROM idense)
+    SELECT {SQL_LBLS}, ts,
+      {sql_quant("CASE WHEN value IS NOT NULL THEN value "
+                 "ELSE pv + (nv - pv) * ((ts - pts) / (nts - pts)) END")} AS value
+    FROM inb
+    WHERE value IS NOT NULL
+       OR (pts IS NOT NULL AND nts IS NOT NULL AND ({lim}))"""
+
+
+@register(
+    "m3_interpolate",
+    f"{PRELUDE},{sql_interpolate_ctes(limit=3)}",
+)
+def m3_interpolate(spark, sf_dir):
+    """Linear gap interpolation (operators/windows.py:interpolate, the
+    Graphite-universe interpolate()): interior grid gaps ≤ 3 steps fill
+    by connecting the neighboring present samples with a straight
+    line; longer outages and edge gaps stay absent.  One pack shuffle
+    plus two ordered frames over the same series sort."""
+    return _out(windows.interpolate(_fetch(spark, sf_dir), limit=3))
+
+
+#: EWMA constants — Python-computed doubles repr-injected into the SQL
+#: (NOT decimal literals: 1.0−2/11 computed differs from a parsed
+#: literal by an ulp, and the recurrence amplifies ulps — the
+#: holt_winters lesson, catalog_promql.py:400).
+_EWMA_N = 10
+_EWMA_A = 2.0 / (_EWMA_N + 1.0)
+
+
+def sql_ewma_ctes(
+    n: int = _EWMA_N, alpha: float | None = None, where: str = "TRUE"
+) -> str:
+    """Trailing-window EWMA recurrence replay: self-join + grouped
+    ``list(value ORDER BY ts)`` (DuckDB's windowed list() has no
+    intra-frame order guarantee) and the fold UNROLLED as scalar CTE
+    steps (list_reduce proved run-order-dependent under the parity
+    harness — catalog_promql.py:400)."""
+    a = 2.0 / (n + 1.0) if alpha is None else float(alpha)
+    c1, c2 = repr(1.0 - a), repr(a)
+    sql = f""",
+    esrc AS (
+      SELECT *, row_number() OVER ({_W}) AS rn
+      FROM samples WHERE {where}),
+    ewins AS (
+      SELECT s.name, s."user", s.region, s.shard, s.ts,
+             list(w.value ORDER BY w.ts) AS l
+      FROM esrc s
+      JOIN esrc w
+        ON w.name = s.name AND w."user" = s."user"
+       AND w.region = s.region AND w.shard = s.shard
+       AND w.rn BETWEEN s.rn - {n - 1} AND s.rn
+      GROUP BY 1, 2, 3, 4, 5),
+    ef1 AS (SELECT *, l[1]::DOUBLE AS s FROM ewins)"""
+    for i in range(2, n + 1):
+        sql += f""",
+    ef{i} AS (
+      SELECT * EXCLUDE (s),
+        CASE WHEN len(l) >= {i}
+             THEN {c1}::DOUBLE * s + {c2}::DOUBLE * l[{i}]::DOUBLE
+             ELSE s END AS s
+      FROM ef{i - 1})"""
+    sql += f"""
+    SELECT {SQL_LBLS}, ts, {sql_quant('s')} AS value
+    FROM ef{n}"""
+    return sql
+
+
+@register(
+    "m3_ewma",
+    f"{PRELUDE}{sql_ewma_ctes()}",
+)
+def m3_ewma(spark, sf_dir):
+    """Exponentially-weighted moving average over a trailing 10-sample
+    window (operators/windows.py:ewma, the Graphite-universe
+    exponentialMovingAverage with a deterministic bounded warm-up):
+    the s ← (1−α)s + αx recurrence seeded from the window's oldest
+    sample, α = 2/(n+1), folded left-to-right entirely in JVM codegen
+    over one bounded collect_list frame — no Arrow, no join."""
+    return _out(windows.ewma(_fetch(spark, sf_dir), n=_EWMA_N))
+
+
+#: correlation runs on an 8× coarser grid: co-movement is a trend
+#: question, and the coarse buckets make series actually share
+#: timestamps at every SF (at the native step the sparse sample streams
+#: barely overlap and min_points filters everything away)
+_CORR_STEP = 8 * DEFAULT_STEP_MS
+_CORR_PRELUDE = "WITH " + oracle_samples_cte(step=_CORR_STEP)
+
+
+@register(
+    "m3_correlate_target",
+    f"""{_CORR_PRELUDE},
+    ctgt AS (
+      SELECT ts, value AS tv FROM samples
+      WHERE name = 'click' AND "user" = '0'),
+    cj AS (
+      SELECT s.*, t.tv
+      FROM samples s JOIN ctgt t USING (ts)
+      WHERE NOT isnan(s.value) AND NOT isnan(t.tv)),
+    cagg AS (
+      SELECT {SQL_LBLS},
+             CASE WHEN stddev_pop(value) * stddev_pop(tv) > 0
+                  THEN covar_pop(value, tv)
+                       / (stddev_pop(value) * stddev_pop(tv))
+             END AS c,
+             count(*) AS n_points
+      FROM cj GROUP BY 1, 2, 3, 4)
+    SELECT {SQL_LBLS}, {sql_quant('c')} AS corr, n_points
+    FROM cagg
+    WHERE n_points >= 3 AND c IS NOT NULL AND NOT isnan(c)""",
+)
+def m3_correlate_target(spark, sf_dir):
+    """One-vs-all Pearson correlation against the click/user-0 series
+    (operators/stats.py:correlate_target): the "what moves with this
+    metric" blast-radius ranking.  The target's label predicate pushes
+    into the scan; ONE series broadcasts into a ts hash join against
+    the full frame; one partial-aggregated groupBy — nothing pairwise,
+    the shape that survives 100 TB (an all-pairs matrix deliberately
+    is not this operator)."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    out = stats_ops.correlate_target(
+        _fetch(spark, sf_dir, step=_CORR_STEP),
+        {"name": "click", "user": "0"},
+    )
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        quant(F.col("corr")).alias("corr"),
+        F.col("n_points"),
+    )
+
+
 @register(
     "m3_per_second_rate",
     f"""{PRELUDE},

@@ -617,6 +617,40 @@ def m3ql_changepoints(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
+from time_series_db_spark.catalog import (  # noqa: E402
+    sql_ewma_ctes as _sql_ewma,
+    sql_interpolate_ctes as _sql_interp,
+)
+
+
+@register(
+    "m3ql_interpolate",
+    f"{PRELUDE},"
+    + _sql_interp(limit=3, where="name = 'view'"),
+)
+def m3ql_interpolate(spark, sf_dir):
+    """interpolate 3 through the full language path: linear interior-gap
+    fill bounded to 3-step runs — the chart-renderer densifier next to
+    keepLastValue (step fill) and transformNull (constant fill) in the
+    M3QL function family."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:view | interpolate 3")
+    return _flat(sf, LABEL_KEYS)
+
+
+@register(
+    "m3ql_ewma",
+    f"{PRELUDE}"
+    + _sql_ewma(where="name = 'purchase'"),
+)
+def m3ql_ewma(spark, sf_dir):
+    """ewma 10 through the full language path: trailing-window
+    exponential smoothing, the lag-free alternative to `moving avg`
+    for dashboards — recurrence replayed by the oracle as unrolled
+    scalar CTE steps over an ordered grouped window list."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:purchase | ewma 10")
+    return _flat(sf, LABEL_KEYS)
+
+
 from time_series_db_spark.catalog import sql_lttb_ctes as _sql_lttb  # noqa: E402
 
 

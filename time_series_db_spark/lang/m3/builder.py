@@ -460,6 +460,10 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return windows.anomalies(sf, node.threshold)
     if isinstance(node, P.ChangepointsNode):
         return windows.cusum_changepoints(sf, node.threshold, node.slack)
+    if isinstance(node, P.InterpolateNode):
+        return windows.interpolate(sf, node.limit)
+    if isinstance(node, P.EwmaNode):
+        return windows.ewma(sf, node.n, node.alpha)
     if isinstance(node, P.SeasonalAdjustNode):
         return windows.seasonal_adjust(
             sf, node.season_ms, node.bucket_ms, node.output

@@ -733,6 +733,33 @@ class SeasonalAdjustNode(PlanNode):
         )
 
 
+class InterpolateNode(PlanNode):
+    """Beyond the reference: linear interior-gap fill over the query
+    grid (the Graphite-universe interpolate()), optionally bounded to
+    gap runs of at most ``limit`` steps."""
+
+    def __init__(self, limit: int | None = None):
+        super().__init__()
+        self.limit = limit
+
+    def explain(self) -> str:
+        return f"INTERPOLATE(limit={self.limit})"
+
+
+class EwmaNode(PlanNode):
+    """Beyond the reference: exponentially-weighted moving average over
+    a trailing n-sample window (the Graphite-universe
+    exponentialMovingAverage with a deterministic bounded warm-up)."""
+
+    def __init__(self, n: int, alpha: float | None = None):
+        super().__init__()
+        self.n = n
+        self.alpha = alpha
+
+    def explain(self) -> str:
+        return f"EWMA(n={self.n}, alpha={self.alpha})"
+
+
 class AliasSubNode(PlanNode):
     """Beyond the reference (Constants.java:45): regex substitution on the
     display alias."""
@@ -1201,6 +1228,31 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
                 "changepoints needs threshold > 0 and slack >= 0"
             )
         return ChangepointsNode(threshold, slack)
+    if name == "interpolate":
+        if len(args) > 1:
+            raise M3PlanError("interpolate expects: [limit]")
+        limit = None
+        if args:
+            try:
+                limit = int(args[0])
+            except ValueError as e:
+                raise M3PlanError(f"interpolate limit must be an integer: {e}")
+            if limit <= 0:
+                raise M3PlanError("interpolate limit must be > 0 steps")
+        return InterpolateNode(limit)
+    if name == "ewma":
+        if not 1 <= len(args) <= 2:
+            raise M3PlanError("ewma expects: n [alpha]")
+        try:
+            n = int(args[0])
+            alpha = float(args[1]) if len(args) == 2 else None
+        except ValueError as e:
+            raise M3PlanError(f"ewma arguments must be numeric: {e}")
+        if n <= 0:
+            raise M3PlanError("ewma window must be > 0 samples")
+        if alpha is not None and not 0.0 < alpha <= 1.0:
+            raise M3PlanError("ewma alpha must be in (0, 1]")
+        return EwmaNode(n, alpha)
     if name == "decimate":
         if not 1 <= len(args) <= 2:
             raise M3PlanError("decimate expects: bucket [minmax|lttb]")

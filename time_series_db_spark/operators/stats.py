@@ -97,3 +97,69 @@ def value_stats(sf: SeriesFrame) -> DataFrame:
         F.max(finite).alias("max_value"),
         F.avg(finite).alias("avg_value"),
     )
+
+
+def correlate_target(
+    sf: SeriesFrame,
+    target: dict[str, str],
+    min_points: int = 3,
+) -> DataFrame:
+    """One-vs-all Pearson correlation against a target series — the
+    "what moves with this metric" fleet-diagnosis query (the classic
+    companion to anomaly detection: detect a shift on one series, then
+    rank every other series by co-movement to find the blast radius).
+
+    ``target`` selects exactly one series by label equality; every
+    series in ``sf`` (the target included, corr = 1) is correlated with
+    it over their shared timestamps.  Returns one row per series with
+    ≥ ``min_points`` overlapping finite samples and defined correlation
+    (zero-variance series drop — correlation is undefined, not zero):
+    ``(series_key, labels, corr, n_points)``, strongest |corr| not
+    pre-sorted — callers rank.
+
+    Scale shape: the target is ONE series (≤ grid-length rows) pulled
+    off the same scan with its label predicate pushed down; it
+    broadcasts into a hash join on ``ts`` against the full frame — the
+    corpus pays one scan and one partial-aggregated groupBy on
+    series_key, nothing pairwise, no second pass.  An all-pairs
+    correlation matrix is deliberately NOT this operator (that is
+    O(S²) and needs its own celled design); one-vs-all is the shape
+    that survives 100 TB.
+    """
+    if not target:
+        raise ValueError("correlate_target needs at least one label matcher")
+    from time_series_db_spark.model import labels_from_key_expr
+
+    pred = None
+    for k, v in target.items():
+        c = F.col("labels")[k] == F.lit(v)
+        pred = c if pred is None else pred & c
+    tgt = sf.df.filter(pred).select(
+        F.col("ts").alias("__tts"), F.col("value").alias("__tv")
+    )
+    finite = (
+        ~F.isnan("value") & ~F.isnan("__tv")
+    )
+    out = (
+        sf.df.join(F.broadcast(tgt), F.col("ts") == F.col("__tts"))
+        .filter(finite)
+        .groupBy("series_key")
+        .agg(
+            # Pearson from the stable co-moments, not F.corr: under ANSI
+            # mode Corr raises DIVIDE_BY_ZERO on a zero-variance series,
+            # and "constant series drops" is this operator's contract
+            F.try_divide(
+                F.covar_pop("value", "__tv"),
+                F.stddev_pop("value") * F.stddev_pop("__tv"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .filter(
+            (F.col("n_points") >= F.lit(int(min_points)))
+            & F.col("corr").isNotNull()
+            & ~F.isnan("corr")
+        )
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .select("series_key", "labels", "corr", "n_points")
+    )
+    return out

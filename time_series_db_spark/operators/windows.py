@@ -1120,3 +1120,103 @@ def cusum_changepoints(
     )
     df = scored.withColumn("value", flag).select(*SAMPLE_COLS)
     return sf.with_df(df)
+
+
+def interpolate(sf: SeriesFrame, limit: int | None = None) -> SeriesFrame:
+    """Linear gap interpolation over the query grid (the Graphite-universe
+    ``interpolate()``): interior gaps are filled by connecting the nearest
+    present samples on either side with a straight line; leading and
+    trailing gaps stay absent (there is no second endpoint to draw to).
+    ``limit`` optionally bounds the fillable gap run in grid steps — a
+    longer outage stays a gap instead of papering over with a long ramp.
+
+    Complements the existing densifiers: :func:`transform_null` fills with
+    a constant, :func:`keep_last_value` step-fills forward; this draws the
+    line a chart renderer (or a downstream rate) actually wants.
+
+    Plan shape: the join-free dense grid (one pack shuffle) plus two
+    ordered frames over the SAME series sort (last present sample strictly
+    before, first present sample strictly after) — Catalyst shares the
+    exchange, and the fill itself is a pure row expression, so the whole
+    stage is exactly as expensive as one densify.  NaN samples are
+    *present* values, not gaps: they stay and may propagate into fills,
+    matching the engine-wide NaN-flows-through discipline.
+    """
+    if limit is not None and limit <= 0:
+        raise ValueError("interpolate limit must be a positive step count")
+    w = _series_window()
+    present = F.when(
+        F.col("value").isNotNull(), F.struct(F.col("ts"), F.col("value"))
+    )
+    prev = F.last(present, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = F.first(present, ignorenulls=True).over(
+        w.rowsBetween(1, Window.unboundedFollowing)
+    )
+    d = (
+        _densified(sf)
+        .withColumn("__pv", prev)
+        .withColumn("__nx", nxt)
+    )
+    span = F.col("__nx.ts") - F.col("__pv.ts")
+    gap_ok = (
+        F.lit(True)
+        if limit is None
+        else (span / F.lit(sf.step) - F.lit(1)) <= F.lit(int(limit))
+    )
+    fill = F.col("__pv.value") + (
+        F.col("__nx.value") - F.col("__pv.value")
+    ) * ((F.col("ts") - F.col("__pv.ts")) / span)
+    df = (
+        d.withColumn(
+            "value",
+            F.when(F.col("value").isNotNull(), F.col("value")).when(
+                F.col("__pv").isNotNull() & F.col("__nx").isNotNull() & gap_ok,
+                fill,
+            ),
+        )
+        .filter(F.col("value").isNotNull())
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
+
+
+def ewma(sf: SeriesFrame, n: int, alpha: float | None = None) -> SeriesFrame:
+    """Exponentially-weighted moving average over a trailing ``n``-sample
+    window (the Graphite-universe ``exponentialMovingAverage`` with a
+    deterministic bounded warm-up): within each window the classic
+    recurrence ``s ← (1−α)·s + α·x`` runs seeded from the window's oldest
+    sample, ``α = 2/(n+1)`` unless given.  Bounding the recurrence to the
+    trailing window makes the statistic a pure sliding-frame expression —
+    at ``n`` = 10 the truncated tail carries weight ``(1−α)⁹ ≈ 0.16`` of
+    the seed, and the seed absorbs it exactly, so the window IS the
+    operator's contract, not an approximation of an unbounded one.
+
+    Plan shape: ONE per-series sort; ``collect_list`` over the bounded
+    frame (≤ n doubles per row, constant memory) and a left-to-right
+    ``aggregate`` fold entirely in JVM codegen — no Arrow, no join, no
+    second exchange.  The fold's fixed operation order (seed = oldest,
+    then ``(1−α)·acc + α·x`` ascending) is what pins the result
+    bit-for-bit across engines: an order-free weighted sum would float
+    differently everywhere.  NaN samples poison their window's fold (NaN
+    flows through, engine-wide discipline).
+    """
+    if n <= 0:
+        raise ValueError("ewma window must be a positive sample count")
+    a = 2.0 / (n + 1.0) if alpha is None else float(alpha)
+    if not 0.0 < a <= 1.0:
+        raise ValueError("ewma alpha must be in (0, 1]")
+    w = _series_window().rowsBetween(-(n - 1), Window.currentRow)
+    arr = F.collect_list("value").over(w)
+    d = sf.df.withColumn("__arr", arr)
+    rest = F.slice(
+        F.col("__arr"), 2, F.greatest(F.size("__arr") - 1, F.lit(0))
+    )
+    folded = F.aggregate(
+        rest,
+        F.element_at(F.col("__arr"), 1),
+        lambda acc, x: F.lit(1.0 - a) * acc + F.lit(a) * x,
+    )
+    df = d.withColumn("value", folded).select(*SAMPLE_COLS)
+    return sf.with_df(df)
