@@ -885,3 +885,16 @@ def test_correlate_target_broadcasts_the_one_series(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_tfidf_terms_windowgrouplimit_no_python(spark, sf_dir):
+    """The per-doc top-k must be a WindowGroupLimit over the already
+    tf-collapsed rows (never a global sort of the corpus), the df
+    table probe-gated broadcast, the corpus total a 1-row broadcast —
+    and nothing python, nothing cartesian beyond that 1-row total."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["text_tfidf_terms"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "EvalPython" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total

@@ -369,3 +369,32 @@ def test_correlate_target_ranks_comovement(spark):
 
     with _pytest.raises(ValueError):
         stats_ops.correlate_target(sf, {})
+
+
+def test_tfidf_terms_ranks_distinctive_words(spark):
+    """A word unique to one doc must outscore corpus-wide words there;
+    rank is dense 1..k per doc with term tiebreaks."""
+    from time_series_db_spark.pipeline import text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common common common zebra zebra quark"),
+            (1, "common common plasma plasma plasma"),
+            (2, "common filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {}
+    for r in text.tfidf_terms(docs, k=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["rank"], r["term"]))
+    for d in out:
+        out[d].sort()
+    # distinctive terms (df=1) beat equal-or-lower-tf 'common' (df=3 →
+    # idf floor); doc 0's common keeps rank 2 on raw tf=3 > quark's 1.69
+    assert out[0] == [(1, "zebra"), (2, "common")]
+    assert out[1] == [(1, "plasma"), (2, "common")]
+    assert out[2] == [(1, "filler"), (2, "common")]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        text.tfidf_terms(docs, k=0)

@@ -1429,6 +1429,44 @@ def text_vocab_count(spark, sf_dir):
 
 
 @register(
+    "text_tfidf_terms",
+    f"""WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS term
+      FROM documents),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+      WHERE term <> '' GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+    nd AS (SELECT count(*)::BIGINT AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             tf.tf::DOUBLE
+               * (ln((nd.n + 1)::DOUBLE / (dfq.df + 1)::DOUBLE)
+                  + 1.0::DOUBLE) AS score
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+    ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term
+             )::BIGINT AS rank
+      FROM scored)
+    SELECT doc_id, term, tf, {sql_quant('score')} AS score, rank
+    FROM ranked WHERE rank <= 3""",
+)
+def text_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 TF-IDF keywords (pipeline/text.py:
+    tfidf_terms, the sklearn smoothed-idf formulation): document
+    routing / cluster labeling / retrieval seeding.  One corpus scan,
+    partial-aggregated tf and df tables, probe-gated df broadcast,
+    1-row corpus total, per-doc WindowGroupLimit cut.  Equal (tf, df)
+    pairs score bit-identically on both engines, so the term tiebreak
+    pins rank order without pinning ln itself."""
+    out = text.tfidf_terms(_docs(spark, sf_dir), k=3)
+    return out.select(
+        "doc_id", "term", "tf", quant(F.col("score")).alias("score"), "rank"
+    )
+
+
+@register(
     "embedding_quantize",
     """WITH dv AS (
       -- cast elements to DOUBLE first: the sf0.01 parquet stores

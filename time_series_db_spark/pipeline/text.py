@@ -447,6 +447,75 @@ def _broadcast_if_bounded(df: DataFrame, kind: str):
     return F.broadcast(df) if n <= MAX_BROADCAST_TOKEN_ROWS else df
 
 
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keyword terms — the classic
+    document-characterization pass (routing docs to domain buckets,
+    labeling dedup clusters, seeding retrieval indexes).  Score is
+    ``tf · (ln((N+1)/(df+1)) + 1)`` (smoothed idf, sklearn's
+    formulation); ties break on the term for determinism — equal
+    ``(tf, df)`` pairs produce bit-identical scores on every engine, so
+    rank order is differentially pinned without pinning ``ln`` itself.
+
+    Returns ``(id, term, tf, score, rank)``, rank 1..k per document.
+
+    Scale shape: ONE corpus scan explodes to (doc, token); both count
+    tables partial-aggregate before their shuffles; the corpus size is
+    a 1-row broadcast total; the document-frequency table joins back
+    probe-gated (``MAX_BROADCAST_TOKEN_ROWS`` — at web scale distinct
+    tokens are billions of rows, so the hint must be earned, not
+    assumed); the top-k is a per-doc WindowGroupLimit over the already
+    tf-collapsed rows, never a global sort.
+    """
+    if k <= 0:
+        raise ValueError("tfidf_terms needs k > 0")
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.explode(textprep.tokens(F.col(text_col))).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = toks.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    scored = (
+        tf.join(_broadcast_if_bounded(dfreq, "tfidf_dfreq"), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("__n") + F.lit(1)).cast("double")
+                    / (F.col("df") + F.lit(1)).cast("double")
+                )
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= F.lit(int(k)))
+        .select(id_col, "term", "tf", "score", "rank")
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",
