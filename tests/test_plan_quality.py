@@ -898,3 +898,16 @@ def test_tfidf_terms_windowgrouplimit_no_python(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "EvalPython" not in plan
     assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row total
+
+
+def test_source_drift_no_python_no_cartesian(spark, sf_dir):
+    """Drift must stay two partial-aggregated reductions over one
+    exploded equi-join: the corpus centroid re-aggregates the
+    per-source sums (no second scan), the dim-sized centroid table
+    broadcasts, and nothing touches python."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["embedding_source_drift"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -398,3 +398,54 @@ def test_tfidf_terms_ranks_distinctive_words(spark):
 
     with _pytest.raises(ValueError):
         text.tfidf_terms(docs, k=0)
+
+
+def test_source_drift_centroid_geometry(spark):
+    """Two orthogonal sources: each centroid sits at 45° to the corpus
+    mean (cos = 1/√2) and √0.5 away from it; counts per source ride
+    the same aggregation."""
+    import math
+
+    from time_series_db_spark.pipeline import ann
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b"), (3, "b")],
+        "doc_id long, source string",
+    )
+    out = {
+        r["group"]: r
+        for r in ann.source_drift(emb, docs, dim=2).collect()
+    }
+    for g in ("a", "b"):
+        assert out[g]["n_docs"] == 2
+        assert abs(out[g]["cos_to_corpus"] - 1 / math.sqrt(2)) < 1e-12
+        assert abs(out[g]["l2_to_corpus"] - math.sqrt(0.5)) < 1e-12
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark):
+    """1/|cluster| weighting: a 3-doc chain weighs 1/3 each (total mass
+    1 — same expected contribution as one unique doc); unpaired docs
+    weigh 1."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(5)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r["doc_id"]: (r["cluster_size"], r["weight"])
+        for r in dedup.soft_dedup_weights(docs, pairs).collect()
+    }
+    assert out == {
+        0: (1, 1.0),
+        1: (3, 1.0 / 3.0),
+        2: (3, 1.0 / 3.0),
+        3: (3, 1.0 / 3.0),
+        4: (1, 1.0),
+    }

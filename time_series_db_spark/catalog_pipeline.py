@@ -2642,3 +2642,85 @@ def text_kl_divergence(spark, sf_dir):
     return text.kl_divergence(_docs(spark, sf_dir)).select(
         "doc_id", quant(F.col("kl")).alias("kl")
     )
+
+
+@register(
+    "embedding_source_drift",
+    f"""WITH dv AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      FROM embeddings),
+    ex AS (
+      SELECT e.vec_id, d.i::BIGINT AS dim, e.v[d.i + 1] AS x
+      FROM dv e CROSS JOIN range(64) d(i)),
+    js AS (
+      SELECT s.source, ex.dim, ex.x
+      FROM ex JOIN documents s ON ex.vec_id = s.doc_id),
+    per AS (
+      SELECT source, dim, sum(x) AS s, count(*)::BIGINT AS n
+      FROM js GROUP BY 1, 2),
+    corpus AS (SELECT dim, sum(s) AS cs, sum(n) AS cn FROM per GROUP BY 1),
+    m AS (
+      SELECT p.source, p.n, p.s / p.n AS ms, c.cs / c.cn AS mc
+      FROM per p JOIN corpus c USING (dim)),
+    agg AS (
+      SELECT source, max(n)::BIGINT AS n_docs,
+             sum(ms * mc) AS dot, sum(ms * ms) AS ss, sum(mc * mc) AS sc,
+             sum((ms - mc) * (ms - mc)) AS d2
+      FROM m GROUP BY 1)
+    SELECT source, n_docs,
+           {sql_quant('dot / (sqrt(ss) * sqrt(sc))')} AS cos_to_corpus,
+           {sql_quant('sqrt(d2)')} AS l2_to_corpus
+    FROM agg""",
+)
+def embedding_source_drift(spark, sf_dir):
+    """Per-source embedding-centroid drift vs the corpus centroid
+    (pipeline/ann.py:source_drift): the distribution-shift monitor run
+    before mixing a new source in.  One exploded equi-join + one
+    partial-aggregated groupBy(source, dim); the corpus centroid
+    re-aggregates the per-source sums (no second scan); the final
+    reduction joins the dim-sized centroid broadcast."""
+    out = ann.source_drift(
+        _embs(spark, sf_dir), _docs(spark, sf_dir), dim=64
+    )
+    return out.select(
+        F.col("group").alias("source"),
+        "n_docs",
+        quant(F.col("cos_to_corpus")).alias("cos_to_corpus"),
+        quant(F.col("l2_to_corpus")).alias("l2_to_corpus"),
+    )
+
+
+@register(
+    "dedup_soft_weights",
+    f"""WITH RECURSIVE pairs AS (SELECT * FROM ({_PAIRS_SQL})),
+    nodes AS (SELECT DISTINCT id FROM
+      (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+    sizes AS (SELECT comp, count(*)::BIGINT AS csize FROM comp GROUP BY 1),
+    docw AS (
+      SELECT c.id AS doc_id, s.csize FROM comp c JOIN sizes s USING (comp))
+    SELECT d.doc_id,
+           coalesce(w.csize, 1)::BIGINT AS cluster_size,
+           {sql_quant('1.0::DOUBLE / coalesce(w.csize, 1)::DOUBLE')} AS weight
+    FROM documents d LEFT JOIN docw w ON d.doc_id = w.doc_id""",
+)
+def dedup_soft_weights(spark, sf_dir):
+    """Soft dedup (pipeline/dedup.py:soft_dedup_weights): every doc
+    weighted 1/|near-dup cluster| instead of dropped — cluster mass
+    stays constant under duplication, the downweighting alternative to
+    hard survivor selection.  MinHash pairs → connected components
+    (pair graph only) → one metadata-sized left join back onto the
+    corpus; the oracle resolves the same components with a recursive
+    CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.soft_dedup_weights(docs, pairs).select(
+        "doc_id", "cluster_size", quant(F.col("weight")).alias("weight")
+    )

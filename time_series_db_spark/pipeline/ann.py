@@ -1515,3 +1515,76 @@ def matryoshka_truncate(
         F.try_divide(F.col("__x"), F.col("__pn")).alias("value"),
         F.coalesce(F.col("__energy"), F.lit(0.0)).alias("energy"),
     )
+
+
+def source_drift(
+    emb: DataFrame,
+    docs: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    doc_id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group embedding-distribution drift against the corpus: the
+    centroid of each ``group_col`` slice compared to the global
+    centroid by cosine and L2 — the distribution-shift monitor a
+    training-data pipeline runs when a new crawl snapshot or source
+    lands (a source whose centroid swings away from the corpus is the
+    first thing to audit before mixing it in).
+
+    Returns one row per group: ``(group, n_docs, cos_to_corpus,
+    l2_to_corpus)``.
+
+    Scale shape: embeddings explode to (id, dim, x) and equi-join the
+    two-column (id, group) projection of ``docs`` — co-partitioned
+    hash join, no broadcast assumption on either 100 TB side; ONE
+    partial-aggregated groupBy(group, dim) collapses the corpus to
+    groups×dim rows; the corpus centroid re-aggregates THOSE sums
+    (never a second scan); the final per-group reduction runs over
+    groups×dim rows with the dim-indexed corpus centroid broadcast
+    (dim rows — metadata-sized by construction).
+    """
+    ex = emb.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "__x"
+        ),
+    )
+    src = docs.select(
+        F.col(doc_id_col).alias("__id"), F.col(group_col).alias("group")
+    )
+    per = (
+        ex.join(src, "__id")
+        .groupBy("group", "dim")
+        .agg(
+            F.sum("__x").alias("__s"),
+            F.count(F.lit(1)).cast("long").alias("__n"),
+        )
+    )
+    corpus = per.groupBy("dim").agg(
+        F.sum("__s").alias("__cs"), F.sum("__n").alias("__cn")
+    )
+    m = per.join(F.broadcast(corpus), "dim").select(
+        "group",
+        "__n",
+        (F.col("__s") / F.col("__n")).alias("__ms"),
+        (F.col("__cs") / F.col("__cn")).alias("__mc"),
+    )
+    agg = m.groupBy("group").agg(
+        F.max("__n").cast("long").alias("n_docs"),
+        F.sum(F.col("__ms") * F.col("__mc")).alias("__dot"),
+        F.sum(F.col("__ms") * F.col("__ms")).alias("__ss"),
+        F.sum(F.col("__mc") * F.col("__mc")).alias("__sc"),
+        F.sum(
+            (F.col("__ms") - F.col("__mc"))
+            * (F.col("__ms") - F.col("__mc"))
+        ).alias("__d2"),
+    )
+    return agg.select(
+        "group",
+        "n_docs",
+        F.try_divide(
+            F.col("__dot"), F.sqrt("__ss") * F.sqrt("__sc")
+        ).alias("cos_to_corpus"),
+        F.sqrt("__d2").alias("l2_to_corpus"),
+    )

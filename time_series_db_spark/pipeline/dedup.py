@@ -854,3 +854,48 @@ def exact_substring_dedup(
             " ",
         ).alias("text_clean"),
     )
+
+
+def soft_dedup_weights(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Soft deduplication: instead of dropping near-duplicates, assign
+    every document the sampling weight ``1 / |its near-dup cluster|``
+    (unpaired docs weigh 1) — cluster mass stays constant under
+    duplication, so a document crawled 40 times contributes the same
+    expected tokens as one crawled once.  This is the down-weighting
+    alternative to :func:`dedup_survivors` when hard removal is too
+    blunt (the duplicates may carry distinct metadata, or the sampler
+    downstream wants the choice).
+
+    Returns ``docs`` ids with ``(cluster_size, weight)``.
+
+    Scale shape: components resolve over the PAIR graph only (near-dup
+    pairs are a vanishing fraction of a 100 TB corpus); cluster sizes
+    are one groupBy over the component labels; the corpus pays one
+    left join against that metadata-sized table — broadcast when it
+    fits, AQE otherwise, never a corpus self-join.
+    """
+    cc = connected_components(pairs, max_iters=20)
+    sizes = cc.groupBy("comp").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    doc_sizes = cc.join(sizes, "comp").select(
+        F.col("id").alias(id_col), "cluster_size"
+    )
+    return (
+        docs.select(id_col)
+        .join(doc_sizes, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+            (
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1)).cast("double")
+            ).alias("weight"),
+        )
+    )
