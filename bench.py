@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "m3_changepoints",         # running-window CUSUM closed form (r8)
     "text_bpe_encode",         # tokenizer apply — subword stream (r8)
     "search_hybrid_rerank",    # BM25 shortlist + PRF dense rerank (r8)
+    "text_tfidf_terms",        # per-doc keyword extraction (r8)
+    "m3_correlate_target",     # one-vs-all series correlation (r8)
     "text_source_stats",       # per-source curation audit groupBy (r8)
 ]
 

@@ -61,6 +61,12 @@ QUERIES = [
     "m3_changepoints",         # stacked running windows, one exchange (r8)
     "text_bpe_encode",         # word-table join + row-multiplying explode (r8)
     "text_source_stats",       # full-scan per-source partial agg (r8)
+    "text_tfidf_terms",        # tf/df partial aggs + WindowGroupLimit (r8)
+    "embedding_source_drift",  # exploded equi-join + two reductions (r8)
+    "dedup_soft_weights",      # pair-graph CC + metadata-sized join (r8)
+    "m3_interpolate",          # dense-grid pack + two ordered frames (r8)
+    "m3_ewma",                 # bounded collect_list codegen fold (r8)
+    "m3_correlate_target",     # broadcast one series, grouped corr (r8)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4
