@@ -163,8 +163,15 @@ def main() -> None:
             "exponent": round(math.log(t10 / t1) / math.log(COPIES), 2),
         }
 
+    # optional subset (comma-separated names) — iterate on one op's
+    # certification without re-running the whole sweep
+    only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
+    selected = [
+        n for n in QUERIES if only is None or n in only.split(",")
+    ]
+
     out = {}
-    for name in QUERIES:
+    for name in selected:
         out[name] = entry(run(name, BASE), run(name, WORK))
         print(name, out[name], flush=True)
 
@@ -190,9 +197,13 @@ def main() -> None:
                 )
         return res
 
-    e1, e10 = run_extras(BASE), run_extras(WORK)
-    for name in EXTRA_QUERIES:
-        out[name] = entry(e1[name], e10[name])
+    extras = [
+        n for n in EXTRA_QUERIES if only is None or n in only.split(",")
+    ]
+    if extras:
+        e1, e10 = run_extras(BASE), run_extras(WORK)
+        for name in extras:
+            out[name] = entry(e1[name], e10[name])
         print(name, out[name], flush=True)
     line = json.dumps({"copies": COPIES, "queries": out})
     print(line)

@@ -911,3 +911,19 @@ def test_source_drift_no_python_no_cartesian(spark, sf_dir):
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fleet_outliers_one_corpus_aggregate(spark, sf_dir):
+    """The fleet sweep must collapse the corpus in ONE grouped
+    aggregate: the fleet-sized mean table is persisted and every
+    downstream stage (median, MAD, scoring) reads the InMemory scan,
+    never re-aggregating the corpus.  The only joins are the two 1-row
+    stat broadcasts (the printed tree nests the cached plan, so the
+    med broadcast appears once more inside it — 3 printed, 2 real)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m3_fleet_outliers"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan  # fleet table computed once
+    assert plan.count("BroadcastNestedLoopJoin") <= 3

@@ -449,3 +449,64 @@ def test_soft_dedup_weights_conserve_cluster_mass(spark):
         3: (3, 1.0 / 3.0),
         4: (1, 1.0),
     }
+
+
+def test_rrf_fuse_merges_and_ranks(spark):
+    """RRF: doc in both lists outranks single-list docs; missing-list
+    docs still score with their one term; params validated."""
+    from time_series_db_spark.pipeline import retrieval
+
+    lex = spark.createDataFrame(
+        [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+    )
+    den = spark.createDataFrame(
+        [(11, 1), (99, 2)], "doc_id long, rank long"
+    )
+    out = {
+        r["doc_id"]: (r["rank"], r["n_lists"], r["rrf_score"])
+        for r in retrieval.rrf_fuse([lex, den], k=4).collect()
+    }
+    assert out[11][0] == 1 and out[11][1] == 2        # in both → top
+    assert out[11][2] == 1.0 / 62 + 1.0 / 61
+    assert out[10] == (2, 1, 1.0 / 61)                # bm25-only
+    assert out[99][1] == 1                            # dense-only
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval.rrf_fuse([], k=4)
+    with _pytest.raises(ValueError):
+        retrieval.rrf_fuse([lex], k=0)
+
+
+def test_fleet_outlier_scores_mad_geometry(spark):
+    """A fleet of near-identical series plus one hot series: the hot
+    one scores ≫ 3 robust-z, the pack stays near 0, and the score is
+    signed (a cold series scores negative)."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+    from time_series_db_spark.operators import stats as stats_ops
+
+    rows = []
+    for s in range(9):
+        for t in range(10):
+            rows.append((t * 1000, f"s{s}", 10.0 + s * 0.1))
+    for t in range(10):
+        rows.append((t * 1000, "hot", 50.0))
+        rows.append((t * 1000, "cold", -30.0))
+    df = (
+        spark.createDataFrame(rows, "ts long, name string, value double")
+        .withColumn("labels", F.create_map(F.lit("name"), F.col("name")))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    sf = SeriesFrame(df=df, step=1000, min_ts=0, max_ts=10_000)
+    out = {
+        r["labels"]["name"]: r["robust_z"]
+        for r in stats_ops.fleet_outlier_scores(sf).collect()
+    }
+    assert out["hot"] > 3.0
+    assert out["cold"] < -3.0
+    for s in range(9):
+        assert abs(out[f"s{s}"]) < 3.0

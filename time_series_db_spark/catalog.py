@@ -1121,6 +1121,46 @@ def m3_correlate_target(spark, sf_dir):
     )
 
 
+_FLEET_FIN = "CASE WHEN NOT isnan(value) THEN value END"
+
+
+@register(
+    "m3_fleet_outliers",
+    f"""{PRELUDE},
+    fper AS (
+      SELECT {SQL_LBLS},
+             CAST(sum(CAST({_FLEET_FIN} AS DECIMAL(27,6))) AS DOUBLE)
+               / count({_FLEET_FIN}) AS m
+      FROM samples GROUP BY 1, 2, 3, 4),
+    fmed AS (SELECT quantile_cont(m, 0.5) AS med FROM fper),
+    fdev AS (SELECT p.*, med FROM fper p CROSS JOIN fmed),
+    fmad AS (SELECT quantile_cont(abs(m - med), 0.5) AS mad FROM fdev)
+    SELECT {SQL_LBLS}, {sql_quant('m')} AS mean,
+           {sql_quant(
+               'CASE WHEN mad > 0 '
+               'THEN (m - med) / (1.4826::DOUBLE * mad) END'
+           )} AS robust_z
+    FROM fdev CROSS JOIN fmad""",
+)
+def m3_fleet_outliers(spark, sf_dir):
+    """Fleet-level robust outlier scores (operators/stats.py:
+    fleet_outlier_scores): every series' window mean scored against
+    the fleet median in MAD units — the which-host-is-misbehaving
+    sweep, median/MAD so the outliers cannot mask the baseline.  ONE
+    partial-aggregated groupBy collapses the corpus to fleet-sized
+    rows; median and MAD are two one-row exact percentiles broadcast
+    back.  Scores, not flags: a 0/1 flag would be knife-edge-unstable
+    at the threshold, ranking is the caller's step."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    out = stats_ops.fleet_outlier_scores(_fetch(spark, sf_dir))
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        quant(F.col("mean")).alias("mean"),
+        quant(F.col("robust_z")).alias("robust_z"),
+    )
+
+
 @register(
     "m3_per_second_rate",
     f"""{PRELUDE},

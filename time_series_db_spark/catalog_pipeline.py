@@ -2724,3 +2724,52 @@ def dedup_soft_weights(spark, sf_dir):
     return dedup.soft_dedup_weights(docs, pairs).select(
         "doc_id", "cluster_size", quant(F.col("weight")).alias("weight")
     )
+
+
+#: the registered lexical and hybrid-dense query texts double as the
+#: ranked-list sources for the fusion oracle (same nested-WITH reuse as
+#: _PAIRS_SQL above)
+_LEX_SQL = ORACLES["search_bm25"]
+_DEN_SQL = ORACLES["search_hybrid_rerank"]
+
+
+@register(
+    "search_rrf",
+    f"""WITH lex AS (SELECT doc_id, rank FROM ({_LEX_SQL})),
+    den AS (SELECT doc_id, rank FROM ({_DEN_SQL})),
+    uni AS (
+      SELECT doc_id, 1.0::DOUBLE / (60 + rank)::DOUBLE AS rr FROM lex
+      UNION ALL
+      SELECT doc_id, 1.0::DOUBLE / (60 + rank)::DOUBLE FROM den),
+    fused AS (
+      SELECT doc_id, sum(rr) AS s, count(*)::BIGINT AS n_lists
+      FROM uni GROUP BY 1),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY s DESC, doc_id)::BIGINT AS rank
+      FROM fused)
+    SELECT doc_id, {sql_quant('s')} AS rrf_score, n_lists, rank
+    FROM ranked WHERE rank <= 5""",
+)
+def search_rrf(spark, sf_dir):
+    """Reciprocal-rank fusion (pipeline/retrieval.py:rrf_fuse, Cormack
+    2009) of the lexical BM25 top-10 and the dense PRF-reranked top-5 —
+    the score-free hybrid-search merge that needs no calibration
+    between ranker score scales.  Fusion touches ONLY the already-cut
+    top-k tables (metadata-sized by construction); with two lists the
+    per-doc sum is a commutative two-term add, so fused scores are
+    bit-identical across engines and the id tiebreak pins rank order."""
+    from time_series_db_spark.pipeline import retrieval
+
+    docs = _docs(spark, sf_dir)
+    lex = retrieval.bm25_topk(
+        docs, " ".join(_BM25_TERMS), k=10, k1=_BM25_K1, b=_BM25_B
+    )
+    den = retrieval.bm25_prf_rerank(
+        docs, _embs(spark, sf_dir), " ".join(_BM25_TERMS),
+        k=5, n_short=20, n_seed=3, k1=_BM25_K1, b=_BM25_B,
+    )
+    out = retrieval.rrf_fuse([lex, den], k=5)
+    return out.select(
+        "doc_id", quant(F.col("rrf_score")).alias("rrf_score"),
+        "n_lists", "rank",
+    )

@@ -163,3 +163,57 @@ def correlate_target(
         .select("series_key", "labels", "corr", "n_points")
     )
     return out
+
+
+def fleet_outlier_scores(sf: SeriesFrame) -> DataFrame:
+    """Fleet-level robust outlier scores: each series' window mean
+    scored against the fleet's median by MAD units —
+    ``robust_z = (mean − median) / (1.4826 · MAD)`` — the
+    which-host-is-misbehaving sweep run across thousands of series
+    where a per-sample z-score (:func:`~..windows.anomalies`) answers
+    a different question (which SAMPLE is off within one series).
+    Median/MAD instead of mean/σ so the outliers themselves cannot
+    mask the baseline.  Returns every series with ``(series_key,
+    labels, mean, robust_z)`` — callers rank or threshold; emitting a
+    0/1 flag here would make the output knife-edge-unstable at the
+    threshold, so deliberately not this operator's job.  A zero-MAD
+    fleet (all means identical) yields NULL scores.
+
+    Scale shape: ONE partial-aggregated groupBy(series) collapses the
+    corpus to fleet-sized rows (exact-decimal sums pin the means
+    across engines); the median and the MAD are two one-row exact
+    percentiles over THOSE rows, broadcast back — the corpus is
+    scanned once, and everything after the first aggregate is
+    fleet-metadata-sized.
+    """
+    from time_series_db_spark.cache import persist_tracked
+    from time_series_db_spark.model import labels_from_key_expr
+
+    finite = F.when(~F.isnan("value"), F.col("value"))
+    # fleet-sized and referenced three times (median, MAD, scoring) —
+    # persist so the corpus groupBy runs exactly once
+    per = persist_tracked(
+        sf.df.groupBy("series_key").agg(
+            (
+                F.sum(finite.cast("decimal(27,6)")).cast("double")
+                / F.count(finite)
+            ).alias("mean")
+        )
+    )
+    med = per.agg(F.expr("percentile(mean, 0.5)").alias("__med"))
+    dev = per.crossJoin(F.broadcast(med))
+    mad = dev.agg(
+        F.expr("percentile(abs(mean - __med), 0.5)").alias("__mad")
+    )
+    scored = dev.crossJoin(F.broadcast(mad)).select(
+        "series_key",
+        "mean",
+        F.when(
+            F.col("__mad") > 0,
+            (F.col("mean") - F.col("__med"))
+            / (F.lit(1.4826) * F.col("__mad")),
+        ).alias("robust_z"),
+    )
+    return scored.withColumn(
+        "labels", labels_from_key_expr(F.col("series_key"))
+    ).select("series_key", "labels", "mean", "robust_z")

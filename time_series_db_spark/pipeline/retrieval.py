@@ -320,3 +320,57 @@ def bm25_prf_rerank(
             F.row_number().over(w).cast("long").alias("rank"),
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 5,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    ``score(d) = Σ_lists 1/(k0 + rank_list(d))`` over the lists that
+    contain ``d`` — the standard score-free way to merge a lexical and
+    a dense ranking (or any heterogeneous rankers) without calibrating
+    their score scales against each other.  ``k0 = 60`` is the
+    paper's constant.  Returns top-``k`` ``(id, rrf_score, n_lists,
+    rank)``; ties break on the id.
+
+    Scale shape: the inputs are ALREADY-CUT top-k tables (metadata
+    sized by construction — fusion never touches the corpus); a union
+    + one partial-aggregated groupBy(id) computes the fused scores and
+    a TakeOrdered cut re-ranks.  With two lists the per-doc sum is a
+    commutative two-term add, so fused scores are bit-identical across
+    engines and the id tiebreak pins rank order differentially.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k <= 0 or k0 <= 0:
+        raise ValueError("rrf_fuse needs k > 0 and k0 > 0")
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    parts = [
+        r.select(
+            F.col(id_col),
+            (
+                F.lit(1.0)
+                / (F.lit(int(k0)) + F.col(rank_col)).cast("double")
+            ).alias("__rr"),
+        )
+        for r in rankings
+    ]
+    allr = reduce(lambda a, b: a.unionByName(b), parts)
+    fused = allr.groupBy(id_col).agg(
+        F.sum("__rr").alias("rrf_score"),
+        F.count(F.lit(1)).cast("long").alias("n_lists"),
+    )
+    cut = fused.orderBy(
+        F.desc("rrf_score"), F.asc(id_col)
+    ).limit(int(k))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return cut.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "rrf_score", "n_lists", "rank")
