@@ -847,17 +847,20 @@ def test_hybrid_rerank_broadcasts_shortlist(spark, sf_dir):
     assert "EvalPython" not in plan
 
 
-def test_interpolate_stays_window_shaped(spark, sf_dir):
-    """Linear gap fill must stay the join-free densify + two ordered
-    frames: fetch-grid dedup, pack, series sort — and NOTHING python,
-    nothing cartesian (a grid×samples join formulation would shuffle
-    the dense frame twice more)."""
+def test_interpolate_stays_sparse_generator(spark, sf_dir):
+    """Linear gap fill must stay the SPARSE gap-run generator: one
+    lead() over the series sort + sequence/inline generation of the
+    interior points — fetch dedup and the series sort are the only
+    exchanges, and the dense series×grid frame must never materialize
+    (the dense-scan formulation cost 17 s at sf0.1 where this takes
+    ~1 s for the same 110k rows)."""
     from time_series_db_spark.catalog import QUERIES
 
     plan = _plan(QUERIES["m3_interpolate"](spark, sf_dir))
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange") <= 3
+    assert "Generate" in plan  # the sequence/inline gap generator
+    assert plan.count("Exchange") <= 2
 
 
 def test_ewma_single_series_exchange_no_python(spark, sf_dir):
