@@ -67,6 +67,7 @@ QUERIES = [
     "m3_interpolate",          # dense-grid pack + two ordered frames (r8)
     "m3_ewma",                 # bounded collect_list codegen fold (r8)
     "m3_correlate_target",     # broadcast one series, grouped corr (r8)
+    "m3_fleet_outliers",       # one persisted corpus agg + 1-row stats (r8)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -122,6 +122,17 @@ HEADLINE_QUERIES = [
     "text_source_stats",
     "embedding_matryoshka",
     "search_hybrid_rerank",
+    # round-8 second wave: gap-run generation, windowed recurrence fold,
+    # broadcast-target correlation, tf-idf rank cut, centroid drift,
+    # CC-size weighting, rank fusion, fleet median/MAD scoring
+    "m3_interpolate",
+    "m3_ewma",
+    "m3_correlate_target",
+    "text_tfidf_terms",
+    "embedding_source_drift",
+    "dedup_soft_weights",
+    "search_rrf",
+    "m3_fleet_outliers",
 ]
 
 
