@@ -510,3 +510,55 @@ def test_fleet_outlier_scores_mad_geometry(spark):
     assert out["cold"] < -3.0
     for s in range(9):
         assert abs(out[f"s{s}"]) < 3.0
+
+
+def test_correlate_target_rejects_loose_matcher(spark):
+    """A matcher selecting >1 series must refuse up front: the join
+    would silently multi-match every timestamp and corrupt the
+    moments, and the broadcast would no longer be one-series-bounded."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+    from time_series_db_spark.operators import stats as stats_ops
+
+    rows = [
+        (t * 1000, n, float(t)) for t in range(5) for n in ("a", "b")
+    ]
+    df = (
+        spark.createDataFrame(rows, "ts long, name string, value double")
+        .withColumn(
+            "labels",
+            F.create_map(
+                F.lit("kind"), F.lit("x"), F.lit("name"), F.col("name")
+            ),
+        )
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    sf = SeriesFrame(df=df, step=1000, min_ts=0, max_ts=5000)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="selects 2 series"):
+        stats_ops.correlate_target(sf, {"kind": "x"})
+    with _pytest.raises(ValueError, match="selects 0 series"):
+        stats_ops.correlate_target(sf, {"name": "zzz"})
+
+
+def test_ewma_window_cap(spark):
+    """An unbounded window knob multiplies per-row memory by n — the
+    operator and the language path must both refuse past the cap,
+    typed per layer."""
+    import pytest as _pytest
+
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan
+    from time_series_db_spark.operators import windows
+
+    sf = _sparse_series_df(spark, {0: 1.0})
+    with _pytest.raises(ValueError, match="MAX_EWMA_WINDOW"):
+        windows.ewma(sf, windows.MAX_EWMA_WINDOW + 1)
+    with _pytest.raises(M3PlanError):
+        build_plan(
+            parse(f"fetch name:x | ewma {windows.MAX_EWMA_WINDOW + 1}")
+        )

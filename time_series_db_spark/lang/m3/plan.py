@@ -1248,8 +1248,12 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
             alpha = float(args[1]) if len(args) == 2 else None
         except ValueError as e:
             raise M3PlanError(f"ewma arguments must be numeric: {e}")
-        if n <= 0:
-            raise M3PlanError("ewma window must be > 0 samples")
+        from time_series_db_spark.operators.windows import MAX_EWMA_WINDOW
+
+        if not 0 < n <= MAX_EWMA_WINDOW:
+            raise M3PlanError(
+                f"ewma window must be in 1..{MAX_EWMA_WINDOW} samples"
+            )
         if alpha is not None and not 0.0 < alpha <= 1.0:
             raise M3PlanError("ewma alpha must be in (0, 1]")
         return EwmaNode(n, alpha)

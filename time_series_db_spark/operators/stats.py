@@ -128,13 +128,29 @@ def correlate_target(
     """
     if not target:
         raise ValueError("correlate_target needs at least one label matcher")
+    from time_series_db_spark.cache import probe_memo
     from time_series_db_spark.model import labels_from_key_expr
 
     pred = None
     for k, v in target.items():
         c = F.col("labels")[k] == F.lit(v)
         pred = c if pred is None else pred & c
-    tgt = sf.df.filter(pred).select(
+    matched = sf.df.filter(pred)
+    # a loose matcher (>1 series) would silently multi-match every ts in
+    # the join and corrupt the moments — and broadcast an unbounded
+    # data-dependent table.  A 2-row distinct probe (memoized) enforces
+    # the one-series contract before anything shuffles.
+    n_tgt = probe_memo(
+        matched,
+        "correlate_target",
+        lambda: matched.select("series_key").distinct().limit(2).count(),
+    )
+    if n_tgt != 1:
+        raise ValueError(
+            f"correlate_target matcher {target} selects {n_tgt} series; "
+            "it must select exactly one (tighten the label matcher)"
+        )
+    tgt = matched.select(
         F.col("ts").alias("__tts"), F.col("value").alias("__tv")
     )
     finite = (

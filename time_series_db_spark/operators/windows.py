@@ -1187,6 +1187,13 @@ def interpolate(sf: SeriesFrame, limit: int | None = None) -> SeriesFrame:
     return sf.with_df(df)
 
 
+#: per-row window arrays multiply the frame's memory by n — bound the
+#: knob (service query-limit discipline).  4096 is generous: the
+#: truncated tail weight (1−α)⁴⁰⁹⁵ underflows double precision for any
+#: α ≥ the default 2/(n+1), so a larger window cannot change the output.
+MAX_EWMA_WINDOW = 4096
+
+
 def ewma(sf: SeriesFrame, n: int, alpha: float | None = None) -> SeriesFrame:
     """Exponentially-weighted moving average over a trailing ``n``-sample
     window (the Graphite-universe ``exponentialMovingAverage`` with a
@@ -1209,6 +1216,14 @@ def ewma(sf: SeriesFrame, n: int, alpha: float | None = None) -> SeriesFrame:
     """
     if n <= 0:
         raise ValueError("ewma window must be a positive sample count")
+    if n > MAX_EWMA_WINDOW:
+        raise ValueError(
+            f"ewma window {n} exceeds MAX_EWMA_WINDOW ({MAX_EWMA_WINDOW}): "
+            "every row materializes its n-sample window as an array, so an "
+            "unbounded n multiplies the frame's memory by n — at "
+            f"(1−α)^{MAX_EWMA_WINDOW} the truncated tail is already below "
+            "double precision for any α ≥ 2/(n+1)"
+        )
     a = 2.0 / (n + 1.0) if alpha is None else float(alpha)
     if not 0.0 < a <= 1.0:
         raise ValueError("ewma alpha must be in (0, 1]")
