@@ -562,3 +562,33 @@ def test_ewma_window_cap(spark):
         build_plan(
             parse(f"fetch name:x | ewma {windows.MAX_EWMA_WINDOW + 1}")
         )
+
+
+def test_mmr_rerank_diversifies(spark):
+    """A near-duplicate of the top hit must lose its rank-2 slot to a
+    diverse document — the defining MMR behavior a plain relevance
+    sort cannot produce."""
+    from time_series_db_spark.pipeline import retrieval
+
+    short = spark.createDataFrame(
+        [(0, 1.0), (1, 0.95), (2, 0.9), (3, 0.5)],
+        "doc_id long, rel double",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # duplicate of doc 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = retrieval.mmr_rerank(short, embs, k=3, lam=0.5).collect()
+    picks = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert picks == [0, 2, 3]   # near-dup doc 1 displaced
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        retrieval.mmr_rerank(short, embs, k=0)
+    with _pytest.raises(ValueError):
+        retrieval.mmr_rerank(short, embs, k=2, lam=1.5)

@@ -2773,3 +2773,83 @@ def search_rrf(spark, sf_dir):
         "doc_id", quant(F.col("rrf_score")).alias("rrf_score"),
         "n_lists", "rank",
     )
+
+
+def _sql_mmr(k: int = 5, n_short: int = 10, lam: float = 0.5) -> str:
+    """The greedy MMR selection UNROLLED as one scalar CTE per round
+    (each round's argmax depends on everything selected so far — the
+    holt_winters unroll lesson applied to a selection loop).  All
+    iterated CTEs are MATERIALIZED: the selection rounds reference each
+    other combinatorially and DuckDB inlines CTEs by default."""
+    inv = 1.0 - lam
+    sql = f""",
+    m_cand AS MATERIALIZED (
+      SELECT doc_id, score FROM ranked WHERE rank <= {n_short}),
+    m_mx AS (SELECT max(score) AS mx FROM m_cand),
+    m_rel AS MATERIALIZED (
+      SELECT doc_id, score / mx AS rel FROM m_cand CROSS JOIN m_mx),
+    m_vec AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id, list_transform(e.embedding, x -> x::DOUBLE) AS v
+      FROM embeddings e JOIN m_cand c ON e.vec_id = c.doc_id),
+    m_sim AS MATERIALIZED (
+      SELECT a.doc_id AS ia, b.doc_id AS ib, {_sql_cosine('a.v', 'b.v')} AS s
+      FROM m_vec a JOIN m_vec b ON a.doc_id <> b.doc_id),
+    m_s1 AS MATERIALIZED (
+      SELECT doc_id, rel, ({lam}::DOUBLE * rel - 0.0::DOUBLE) AS sc
+      FROM m_rel ORDER BY sc DESC, doc_id LIMIT 1)"""
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT doc_id FROM m_s{j}" for j in range(1, i)
+        )
+        sql += f""",
+    m_p{i} AS MATERIALIZED ({prev}),
+    m_s{i} AS MATERIALIZED (
+      SELECT doc_id, rel, sc FROM (
+        SELECT r.doc_id, r.rel,
+               {lam}::DOUBLE * r.rel - {inv}::DOUBLE * coalesce(
+                 max(CASE WHEN s.ib IN (SELECT doc_id FROM m_p{i})
+                          THEN s.s END), 0.0::DOUBLE) AS sc
+        FROM m_rel r LEFT JOIN m_sim s ON s.ia = r.doc_id
+        WHERE r.doc_id NOT IN (SELECT doc_id FROM m_p{i})
+        GROUP BY r.doc_id, r.rel)
+      ORDER BY sc DESC, doc_id LIMIT 1)"""
+    picks = " UNION ALL ".join(
+        f"SELECT doc_id, rel, sc, {i}::BIGINT AS rank FROM m_s{i}"
+        for i in range(1, k + 1)
+    )
+    sql += f"""
+    SELECT doc_id, {sql_quant('rel')} AS rel,
+           {sql_quant('sc')} AS mmr_score, rank
+    FROM ({picks})"""
+    return sql
+
+
+@register(
+    "search_mmr",
+    f"WITH {_sql_bm25_ctes()}{_sql_mmr()}",
+)
+def search_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance diversified rerank
+    (pipeline/retrieval.py:mmr_rerank, Carbonell 1998) over the BM25
+    top-10 (relevance max-normalized): greedy
+    argmax λ·rel − (1−λ)·max-sim-to-selected, λ=0.5 — near-duplicate
+    hits stop crowding the RAG context window.  The shortlist is
+    metadata-sized by construction; pairwise sims persist once; each
+    round is one distributed argmax + 1-row collect (the BPE
+    coordinator shape).  Oracle unrolls the greedy as scalar CTE
+    steps."""
+    from time_series_db_spark.pipeline import retrieval
+
+    lex = retrieval.bm25_topk(
+        _docs(spark, sf_dir), " ".join(_BM25_TERMS), k=10,
+        k1=_BM25_K1, b=_BM25_B,
+    )
+    mx = lex.agg(F.max("score").alias("__mx"))
+    short = lex.crossJoin(F.broadcast(mx)).select(
+        "doc_id", (F.col("score") / F.col("__mx")).alias("rel")
+    )
+    out = retrieval.mmr_rerank(short, _embs(spark, sf_dir), k=5, lam=0.5)
+    return out.select(
+        "doc_id", quant(F.col("rel")).alias("rel"),
+        quant(F.col("mmr_score")).alias("mmr_score"), "rank",
+    )

@@ -374,3 +374,84 @@ def rrf_fuse(
     return cut.withColumn(
         "rank", F.row_number().over(w).cast("long")
     ).select(id_col, "rrf_score", "n_lists", "rank")
+
+
+def mmr_rerank(
+    shortlist: DataFrame,
+    embs: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    id_col: str = "doc_id",
+    rel_col: str = "rel",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998):
+    diversified top-``k`` selection over a retrieval shortlist —
+    greedily pick ``argmax λ·rel(d) − (1−λ)·max_{s∈selected} sim(d,s)``
+    so near-duplicate hits stop crowding out coverage (the RAG
+    context-window packing step after retrieval).  ``sim`` is embedding
+    cosine; round 1's selected set is empty, so its score is ``λ·rel``.
+    Returns ``(id, rel, mmr_score, rank)``, rank 1..k, ties on the id.
+
+    Scale shape: the shortlist is metadata-sized BY CONSTRUCTION (a
+    prior top-n cut), so the pairwise sim table is n_short² tiny rows
+    (persisted once) and each greedy round is ONE distributed argmax
+    with a 1-row collect — the BPE-trainer coordinator shape, k
+    sequential rounds.  Nothing here ever touches the corpus; the
+    shortlist ids broadcast into the embeddings scan exactly once.
+    """
+    if k <= 0 or not 0.0 <= lam <= 1.0:
+        raise ValueError("mmr_rerank needs k > 0 and 0 <= lam <= 1")
+    from time_series_db_spark.cache import persist_tracked
+    from time_series_db_spark.pipeline.dedup import cosine_expr
+
+    cand = shortlist.select(
+        F.col(id_col).alias("__id"), F.col(rel_col).alias("__rel")
+    )
+    vecs = embs.select(
+        F.col(vec_id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).join(F.broadcast(cand.select("__id")), "__id")
+    base = persist_tracked(cand.join(vecs, "__id", "left"))
+    a, b = base.alias("a"), base.alias("b")
+    sims = persist_tracked(
+        a.join(b, F.col("a.__id") != F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("__ia"),
+            F.col("b.__id").alias("__ib"),
+            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("__s"),
+        )
+    )
+    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
+    selected: list = []
+    rows = []
+    for rank in range(1, int(k) + 1):
+        pool = base.filter(~F.col("__id").isin(selected) if selected else F.lit(True))
+        if selected:
+            ms = (
+                sims.filter(F.col("__ib").isin(selected))
+                .groupBy("__ia")
+                .agg(F.max("__s").alias("__ms"))
+            )
+            pool = pool.join(ms, pool["__id"] == ms["__ia"], "left")
+        score = lam_c * F.col("__rel") - (
+            inv_c * F.coalesce(F.col("__ms"), F.lit(0.0))
+            if selected
+            else F.lit(0.0)
+        )
+        top = (
+            pool.select("__id", "__rel", score.alias("__score"))
+            .orderBy(F.desc("__score"), F.asc("__id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        r = top[0]
+        selected.append(r["__id"])
+        rows.append((r["__id"], r["__rel"], r["__score"], rank))
+    spark = shortlist.sparkSession
+    return spark.createDataFrame(
+        rows, f"{id_col} long, rel double, mmr_score double, rank long"
+    )
