@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "search_hybrid_rerank",    # BM25 shortlist + PRF dense rerank (r8)
     "text_tfidf_terms",        # per-doc keyword extraction (r8)
     "m3_correlate_target",     # one-vs-all series correlation (r8)
+    "m3_interpolate",          # sparse gap-run generator (r8 rewrite)
+    "m3_ewma",                 # bounded collect_list codegen fold (r8)
     "text_source_stats",       # per-source curation audit groupBy (r8)
 ]
 

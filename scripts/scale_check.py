@@ -64,10 +64,11 @@ QUERIES = [
     "text_tfidf_terms",        # tf/df partial aggs + WindowGroupLimit (r8)
     "embedding_source_drift",  # exploded equi-join + two reductions (r8)
     "dedup_soft_weights",      # pair-graph CC + metadata-sized join (r8)
-    "m3_interpolate",          # dense-grid pack + two ordered frames (r8)
+    "m3_interpolate",          # sparse gap-run generator (r8 rewrite)
     "m3_ewma",                 # bounded collect_list codegen fold (r8)
     "m3_correlate_target",     # broadcast one series, grouped corr (r8)
     "m3_fleet_outliers",       # one persisted corpus agg + 1-row stats (r8)
+    "m3_autocorrelation",      # bounded lag scatter + two partial aggs (r8)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

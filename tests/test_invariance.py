@@ -133,6 +133,8 @@ HEADLINE_QUERIES = [
     "dedup_soft_weights",
     "search_rrf",
     "m3_fleet_outliers",
+    "search_mmr",
+    "m3_autocorrelation",
 ]
 
 

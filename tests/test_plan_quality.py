@@ -930,3 +930,18 @@ def test_fleet_outliers_one_corpus_aggregate(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" in plan  # fleet table computed once
     assert plan.count("BroadcastNestedLoopJoin") <= 3
+
+
+def test_autocorrelation_no_window_sort_no_python(spark, sf_dir):
+    """ACF must stay the scatter-join shape: two partial aggs + one
+    equi-join back on (series, ts) — NO per-series window sort (the
+    naive L-lag window formulation sorts every series L times), no
+    python, no cartesian (the lag scatter is a generator, not a
+    join)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    plan = _plan(QUERIES["m3_autocorrelation"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowExec" not in plan and "RunningWindow" not in plan
+    assert "Generate" in plan  # the posexplode lag scatter

@@ -592,3 +592,34 @@ def test_mmr_rerank_diversifies(spark):
         retrieval.mmr_rerank(short, embs, k=0)
     with _pytest.raises(ValueError):
         retrieval.mmr_rerank(short, embs, k=2, lam=1.5)
+
+
+def test_autocorrelation_finds_the_period(spark):
+    """A pure period-7 signal must put its ACF maximum at lag 7 (≈1.0,
+    the dominant-peak contract seasonalAdjust's season detection relies
+    on); a constant series yields NULL acf; the lag knob is bounded."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    vals = [float((i % 7) * (1 + (i % 7))) for i in range(70)]
+    sf = _series_df(spark, vals, name="per")
+    out = {
+        r["lag"]: r["acf"]
+        for r in stats_ops.autocorrelation(sf, max_lag=10).collect()
+    }
+    # biased estimator: a perfect period-7 signal scores (n−7)/n at
+    # lag 7 (63/70 = 0.9) — the taper that keeps long-lag noise down
+    assert abs(out[7] - (70 - 7) / 70) < 1e-9
+    assert max(out, key=lambda l: out[l]) == 7
+    assert all(out[l] < out[7] for l in out if l != 7)
+
+    flat = stats_ops.autocorrelation(
+        _series_df(spark, [5.0] * 30, name="flat"), max_lag=3
+    ).collect()
+    assert flat and all(r["acf"] is None for r in flat)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="MAX_ACF_LAG|1\\.\\."):
+        stats_ops.autocorrelation(sf, max_lag=0)
+    with _pytest.raises(ValueError):
+        stats_ops.autocorrelation(sf, max_lag=stats_ops.MAX_ACF_LAG + 1)

@@ -1121,6 +1121,62 @@ def m3_correlate_target(spark, sf_dir):
     )
 
 
+_ACF_L = 24
+_ACF_MU = "(m.sx / m.n)"
+
+
+@register(
+    "m3_autocorrelation",
+    f"""{PRELUDE},
+    asrc AS (
+      SELECT {SQL_LBLS}, ts, value FROM samples WHERE NOT isnan(value)),
+    amom AS (
+      SELECT {SQL_LBLS}, sum(value) AS sx, count(*)::DOUBLE AS n,
+             sum(value * value) AS sxx
+      FROM asrc GROUP BY 1, 2, 3, 4),
+    apair AS (
+      SELECT a.name, a."user", a.region, a.shard, g.l::BIGINT AS lag,
+             a.value AS xa, b.value AS xb
+      FROM asrc a
+      CROSS JOIN generate_series(1, {_ACF_L}) g(l)
+      JOIN asrc b
+        ON b.name = a.name AND b."user" = a."user"
+       AND b.region = a.region AND b.shard = a.shard
+       AND b.ts = a.ts + g.l * {DEFAULT_STEP_MS}),
+    apl AS (
+      SELECT name, "user", region, shard, lag,
+             sum(xa * xb) AS sxy, sum(xa) AS sxa, sum(xb) AS sxb,
+             count(*)::DOUBLE AS np
+      FROM apair GROUP BY 1, 2, 3, 4, 5)
+    SELECT p.name, p."user", p.region, p.shard, p.lag,
+           p.np::BIGINT AS n_pairs,
+           {sql_quant(
+               f'CASE WHEN m.sxx - m.n * {_ACF_MU} * {_ACF_MU} > 0 '
+               f'THEN (p.sxy - {_ACF_MU} * (p.sxa + p.sxb) '
+               f'      + p.np * {_ACF_MU} * {_ACF_MU}) '
+               f'     / (m.sxx - m.n * {_ACF_MU} * {_ACF_MU}) END'
+           )} AS acf
+    FROM apl p JOIN amom m USING (name, "user", region, shard)""",
+)
+def m3_autocorrelation(spark, sf_dir):
+    """Per-series sample autocorrelation at lags 1..24
+    (operators/stats.py:autocorrelation): the periodicity detector
+    that feeds seasonalAdjust's season parameter — the dominant ACF
+    peak IS the season.  No window sort: per-series raw moments in one
+    partial agg, a bounded lag scatter equi-joined back on
+    (series, ts), pair sums in a second partial agg; the centering
+    folds into the moment algebra so the corpus is scanned once."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    out = stats_ops.autocorrelation(_fetch(spark, sf_dir), max_lag=_ACF_L)
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        "lag",
+        "n_pairs",
+        quant(F.col("acf")).alias("acf"),
+    )
+
+
 _FLEET_FIN = "CASE WHEN NOT isnan(value) THEN value END"
 
 

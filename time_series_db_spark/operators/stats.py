@@ -233,3 +233,90 @@ def fleet_outlier_scores(sf: SeriesFrame) -> DataFrame:
     return scored.withColumn(
         "labels", labels_from_key_expr(F.col("series_key"))
     ).select("series_key", "labels", "mean", "robust_z")
+
+
+#: the lag scatter multiplies the frame by max_lag — bound the knob
+#: (service query-limit discipline; 512 lags at the default step is a
+#: 3-week periodicity search, past any dashboard's need)
+MAX_ACF_LAG = 512
+
+
+def autocorrelation(sf: SeriesFrame, max_lag: int = 48) -> DataFrame:
+    """Per-series sample autocorrelation at grid lags 1..``max_lag`` —
+    the periodicity detector that feeds ``seasonalAdjust``'s season
+    parameter (the dominant ACF peak IS the season) and flags
+    mean-reverting vs trending behavior.  Standard biased estimator:
+    ``acf(l) = Σ(xₜ−μ)(xₜ₊ₗ−μ) / Σ(xₜ−μ)²`` over pairs where both
+    samples are present at exactly ``l`` grid steps apart (absent
+    samples contribute no pair — the engine-wide missing-by-absence
+    discipline).  Returns ``(series_key, labels, lag, n_pairs, acf)``;
+    zero-variance series yield NULL acf.
+
+    Scale shape: NO window sort at all — per-series raw moments are one
+    partial-aggregated groupBy; each sample scatters its ``max_lag``
+    target timestamps (bounded row multiplication, the
+    keep_last_value-scatter shape) into an equi-join back on
+    (series, ts); pair sums collapse in a second partial agg keyed
+    (series, lag); the numerator algebra
+    ``Σxy − μ(Σxₐ+Σxᵦ) + nμ²`` folds the centering into the moments so
+    the corpus is never re-scanned to subtract means.
+    """
+    L = int(max_lag)
+    if not 1 <= L <= MAX_ACF_LAG:
+        raise ValueError(
+            f"autocorrelation max_lag must be in 1..{MAX_ACF_LAG}: the "
+            "lag scatter multiplies the frame's rows by max_lag"
+        )
+    from time_series_db_spark.model import labels_from_key_expr
+
+    step = F.lit(sf.step)
+    src = sf.df.filter(~F.isnan("value")).select(
+        "series_key", "ts", "value"
+    )
+    mom = src.groupBy("series_key").agg(
+        F.sum("value").alias("__sx"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.sum(F.col("value") * F.col("value")).alias("__sxx"),
+    )
+    scattered = src.select(
+        "series_key",
+        F.col("value").alias("__xa"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(L)),
+                lambda l: F.col("ts") + l.cast("long") * step,
+            )
+        ).alias("__pos", "__tts"),
+    ).select(
+        "series_key", "__xa", (F.col("__pos") + 1).cast("long").alias("lag"),
+        "__tts",
+    )
+    pairs = scattered.join(
+        src.select(
+            "series_key", F.col("ts").alias("__tts"),
+            F.col("value").alias("__xb"),
+        ),
+        ["series_key", "__tts"],
+    )
+    pl = pairs.groupBy("series_key", "lag").agg(
+        F.sum(F.col("__xa") * F.col("__xb")).alias("__sxy"),
+        F.sum("__xa").alias("__sxa"),
+        F.sum("__xb").alias("__sxb"),
+        F.count(F.lit(1)).cast("double").alias("__np"),
+    )
+    mu = F.col("__sx") / F.col("__n")
+    denom = F.col("__sxx") - F.col("__n") * mu * mu
+    num = (
+        F.col("__sxy")
+        - mu * (F.col("__sxa") + F.col("__sxb"))
+        + F.col("__np") * mu * mu
+    )
+    out = pl.join(mom, "series_key").select(
+        "series_key",
+        "lag",
+        F.col("__np").cast("long").alias("n_pairs"),
+        F.when(denom > 0, num / denom).alias("acf"),
+    )
+    return out.withColumn(
+        "labels", labels_from_key_expr(F.col("series_key"))
+    ).select("series_key", "labels", "lag", "n_pairs", "acf")
