@@ -135,6 +135,7 @@ HEADLINE_QUERIES = [
     "m3_fleet_outliers",
     "search_mmr",
     "m3_autocorrelation",
+    "text_bpe_fertility",
 ]
 
 

@@ -623,3 +623,34 @@ def test_autocorrelation_finds_the_period(spark):
         stats_ops.autocorrelation(sf, max_lag=0)
     with _pytest.raises(ValueError):
         stats_ops.autocorrelation(sf, max_lag=stats_ops.MAX_ACF_LAG + 1)
+
+
+def test_bpe_fertility_exact_ratio_of_sums(spark):
+    """Fertility must be Σsubwords / Σwords per language (NOT an
+    average of per-doc ratios — short docs would dominate), verified
+    against an exact Python replay of the trained segmentation."""
+    from time_series_db_spark.pipeline import bpe
+
+    texts = ["low lower lowest", "newest new low", "lowest newest lower"]
+    langs = ["en", "en", "de"]
+    docs = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(zip(texts, langs))],
+        "doc_id long, text string, lang string",
+    )
+    n = 4
+    out = {
+        r["lang"]: (r["n_docs"], r["n_words"], r["n_subwords"],
+                    r["fertility"])
+        for r in bpe.bpe_fertility(docs, n_merges=n).collect()
+    }
+    _, eseqs = _bpe_replay(texts, n)
+    seg = {w: len(s.split()) for w, s in eseqs.items()}
+    import collections
+    want = collections.defaultdict(lambda: [0, 0, 0])
+    for i, (t, l) in enumerate(zip(texts, langs)):
+        ws = t.split()
+        want[l][0] += 1
+        want[l][1] += len(ws)
+        want[l][2] += sum(seg[w] for w in ws)
+    for l, (nd, nw, ns) in want.items():
+        assert out[l] == (nd, nw, ns, ns / nw)

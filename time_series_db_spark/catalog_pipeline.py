@@ -2853,3 +2853,38 @@ def search_mmr(spark, sf_dir):
         "doc_id", quant(F.col("rel")).alias("rel"),
         quant(F.col("mmr_score")).alias("mmr_score"), "rank",
     )
+
+
+@register(
+    "text_bpe_fertility",
+    f"""WITH {_BPE_CTES},
+    fer_pw AS (
+      SELECT __w, len(string_split(trim(seq), ' '))::BIGINT AS n
+      FROM bs{_BPE_N}),
+    fer_dw AS (
+      SELECT doc_id, unnest(toks) AS w
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+    fer_doc AS (
+      SELECT d.doc_id, count(*)::BIGINT AS nw, sum(p.n)::BIGINT AS ns
+      FROM fer_dw d JOIN fer_pw p ON p.__w = d.w
+      WHERE d.w <> '' GROUP BY 1)
+    SELECT lang, count(*)::BIGINT AS n_docs,
+           sum(nw)::BIGINT AS n_words, sum(ns)::BIGINT AS n_subwords,
+           {sql_quant('sum(ns)::DOUBLE / sum(nw)::DOUBLE')} AS fertility
+    FROM fer_doc f JOIN documents USING (doc_id)
+    GROUP BY 1""",
+)
+def text_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (pipeline/bpe.py:bpe_fertility):
+    subword tokens per whitespace word under the 10-merge trained
+    vocabulary — the standard multilingual tokenizer-quality metric; a
+    2× fertility language pays 2× the sequence length for the same
+    content.  Exact ratio of integer sums (short docs cannot dominate);
+    one corpus scan, probe-gated word-table join, two partial aggs."""
+    from time_series_db_spark.pipeline import bpe
+
+    out = bpe.bpe_fertility(load_table(spark, sf_dir, "documents"), _BPE_N)
+    return out.select(
+        "lang", "n_docs", "n_words", "n_subwords",
+        quant(F.col("fertility")).alias("fertility"),
+    )

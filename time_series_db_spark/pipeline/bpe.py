@@ -249,3 +249,60 @@ def bpe_encode(
         (F.col("__base") + F.col("__spos")).cast("long").alias("pos"),
         "token",
     )
+
+
+def bpe_fertility(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language: subword tokens emitted per
+    whitespace word under the trained BPE vocabulary — THE standard
+    multilingual tokenizer-quality metric (a language whose fertility
+    is 2× another's pays 2× the sequence length for the same content,
+    which skews both training cost and effective context).  Returns
+    ``(lang, n_docs, n_words, n_subwords, fertility)`` with fertility
+    the exact ratio of integer sums (never an average of per-doc
+    ratios — short docs would dominate).
+
+    100 TB shape: identical to :func:`bpe_encode` minus the position
+    machinery — one corpus scan exploded to word rows, the trained
+    word table joined back probe-gated, then two partial-aggregated
+    groupBys (doc, then lang); counts are integers so the ratio is
+    engine-exact.
+    """
+    from time_series_db_spark.pipeline.text import _broadcast_if_bounded
+
+    _, wf = bpe_train(docs, n_merges, text_col)
+    per_word = wf.select(
+        "__w",
+        F.size(F.split(F.trim(F.col("__seq")), " ")).alias("__n"),
+    )
+    words = (
+        docs.select(
+            F.col(id_col),
+            F.explode(textprep.tokens(F.col(text_col))).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+        .join(_broadcast_if_bounded(per_word, "bpe_word_types"), "__w")
+    )
+    per_doc = words.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__nw"),
+        F.sum("__n").cast("long").alias("__ns"),
+    )
+    return (
+        per_doc.join(docs.select(id_col, lang_col), id_col)
+        .groupBy(lang_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nw").cast("long").alias("n_words"),
+            F.sum("__ns").cast("long").alias("n_subwords"),
+        )
+        .withColumn(
+            "fertility",
+            F.col("n_subwords").cast("double")
+            / F.col("n_words").cast("double"),
+        )
+    )
