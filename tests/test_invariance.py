@@ -136,6 +136,7 @@ HEADLINE_QUERIES = [
     "search_mmr",
     "m3_autocorrelation",
     "text_bpe_fertility",
+    "m3_moving_percentile",
 ]
 
 

@@ -22,7 +22,7 @@ _STAGES = [
     "showTags", "mapKey", "tagSub", "fallbackSeries", "sort",
     "nonNegativeDerivative", "aliasSub", "nPercentile", "constantLine",
     "anomalies", "decimate", "seasonalAdjust", "showAnomalyThresholds",
-    "changepoints", "interpolate", "ewma",
+    "changepoints", "interpolate", "ewma", "movingPercentile",
     "timestamp", "toHistogram", "aliasByDistinctTags", "asBurnRate",
     "sum", "avg", "min", "max", "count", "multiply", "range",
 ]
@@ -78,6 +78,9 @@ def test_parse_plan_fails_typed_or_succeeds(query):
         "fetch name:error | ewma",                   # missing window
         "fetch name:error | ewma 0",                 # non-positive window
         "fetch name:error | ewma 10 1.5",            # alpha out of range
+        "fetch name:error | movingPercentile 3h",    # missing percentile
+        "fetch name:error | movingPercentile 3h 101",  # out of range
+        "fetch name:error | movingPercentile 3h x",  # non-numeric
         "fetch name:error | scale",               # missing factor
         "fetch name:error | topK Inf",            # int(float(Inf)) overflow
         "fetch name:error | head Inf",

@@ -654,3 +654,34 @@ def test_bpe_fertility_exact_ratio_of_sums(spark):
         want[l][2] += sum(seg[w] for w in ws)
     for l, (nd, nw, ns) in want.items():
         assert out[l] == (nd, nw, ns, ns / nw)
+
+
+def test_moving_percentile_boundary_identities(spark):
+    """p=0 must equal moving min, p=100 moving max, p=50 moving median —
+    the three existing formulations pin the new arbitrary-φ path at its
+    boundaries; the language path (`movingPercentile 3h 95`) must build
+    the same operator with the widened-scan truncation applied."""
+    from time_series_db_spark.operators import windows
+
+    vals = [float((i * 37) % 23) for i in range(40)]
+    sf = _series_df(spark, vals)
+
+    def rows(out):
+        return sorted(
+            (r["ts"], round(r["value"], 9)) for r in out.df.collect()
+        )
+
+    w = 5000
+    assert rows(windows.moving_percentile(sf, w, 0.0)) == rows(
+        windows.moving(sf, w, "min")
+    )
+    assert rows(windows.moving_percentile(sf, w, 100.0)) == rows(
+        windows.moving(sf, w, "max")
+    )
+    assert rows(windows.moving_percentile(sf, w, 50.0)) == rows(
+        windows.moving(sf, w, "median")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        windows.moving_percentile(sf, w, 101.0)

@@ -754,6 +754,21 @@ def m3_moving_median(spark, sf_dir):
 
 
 @register(
+    "m3_moving_percentile", _moving_oracle("quantile_cont(value, 0.95)")
+)
+def m3_moving_percentile(spark, sf_dir):
+    """Trailing-window p95 (operators/windows.py:moving_percentile,
+    M3QL fn `movingPercentile 3h 95`): the latency-dashboard staple —
+    the arbitrary-φ generalization of `moving … median`, reusing its
+    scatter/dense dual formulation and window contract unchanged."""
+    return _out(
+        windows.moving_percentile(
+            _fetch(spark, sf_dir), 3 * DEFAULT_STEP_MS, 95.0
+        )
+    )
+
+
+@register(
     "m3_summarize",
     f"""{PRELUDE}
     SELECT {SQL_LBLS}, ts - (ts % 86400000) AS ts, {sql_quant('sum(value)')} AS value

@@ -144,6 +144,8 @@ def _lookback_ms(node: P.PlanNode, step: int) -> int:
     """Scan-window buffer this node needs from its inputs."""
     if isinstance(node, P.MovingNode):
         return _window_ms(node.window, step)
+    if isinstance(node, P.MovingPercentileNode):
+        return _window_ms(node.window, step)
     if isinstance(node, P.PerSecondRateNode):
         return P.parse_duration_ms(node.interval) + step  # +1 step for the lag
     if isinstance(node, P.BurnRateNode):
@@ -373,6 +375,10 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
 
     if isinstance(node, P.MovingNode):
         return windows.moving(sf, _window_ms(node.window, ctx.step), node.agg.lower())
+    if isinstance(node, P.MovingPercentileNode):
+        return windows.moving_percentile(
+            sf, _window_ms(node.window, ctx.step), node.p
+        )
     if isinstance(node, P.SummarizeNode):
         fn = node.fn.lower()
         if fn.startswith("p") and fn[1:].replace(".", "", 1).isdigit():
@@ -546,6 +552,7 @@ def execute(
             n,
             (
                 P.MovingNode,
+                P.MovingPercentileNode,
                 P.PerSecondRateNode,
                 P.BurnRateNode,
                 P.MultiBurnRateNode,

@@ -291,6 +291,19 @@ class MovingNode(PlanNode):
         return f"MOVING({self.window}, {self.agg})"
 
 
+class MovingPercentileNode(PlanNode):
+    """Beyond the reference: trailing-window exact percentile — the
+    arbitrary-φ generalization of ``moving … median`` (p95 latency)."""
+
+    def __init__(self, window: str, p: float):
+        super().__init__()
+        self.window = window
+        self.p = p
+
+    def explain(self) -> str:
+        return f"MOVING_PERCENTILE({self.window}, {self.p})"
+
+
 class SummarizeNode(PlanNode):
     def __init__(self, interval: str, fn: str, align_to_from: bool):
         super().__init__()
@@ -1049,6 +1062,20 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
         return MovingNode(args[0], agg)
     if name in MOVING_FN_AGG:
         return MovingNode(args[0], MOVING_FN_AGG[name])
+    if name == "movingPercentile":
+        if len(args) != 2:
+            raise M3PlanError("movingPercentile expects: window percentile")
+        try:
+            p = float(args[1])
+        except ValueError as e:
+            raise M3PlanError(
+                f"movingPercentile percentile must be numeric: {e}"
+            )
+        if not 0.0 <= p <= 100.0:
+            raise M3PlanError(
+                "movingPercentile percentile must be in [0, 100]"
+            )
+        return MovingPercentileNode(args[0], p)
     if name == "summarize":
         if not 1 <= len(args) <= 3:
             raise M3PlanError("summarize expects 1-3 arguments")

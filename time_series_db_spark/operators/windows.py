@@ -241,6 +241,12 @@ _MOVING_FNS = {"sum", "avg", "min", "max", "median"}
 #: one sorted pass over the dense grid — switch formulations
 MOVING_SCATTER_MAX_K = 64
 
+def _moving_agg(fn):
+    """Aggregate factory: a _MOVING_FNS key or a caller-supplied
+    zero-arg factory (moving_percentile's parameterized percentile)."""
+    return fn if callable(fn) else _MOVING_AGGS[fn]
+
+
 _MOVING_AGGS = {
     "sum": lambda: F.sum("value"),
     "avg": lambda: F.avg("value"),
@@ -284,11 +290,36 @@ def moving(sf: SeriesFrame, window_ms: int, fn: str = "avg") -> SeriesFrame:
     return _moving_scatter(sf, k, fn)
 
 
+def moving_percentile(
+    sf: SeriesFrame, window_ms: int, p: float
+) -> SeriesFrame:
+    """Trailing-window exact percentile per series — the p95/p99
+    latency dashboard staple (``movingPercentile 3h 95``), the
+    arbitrary-φ generalization of ``moving … median``.  Same window
+    contract as :func:`moving`: the value at grid point t aggregates
+    the slots strictly before t ([t−w, t)), emitted wherever the
+    window holds ≥1 present sample.  Exact linear-interpolated
+    percentile (``percentile``, not approx) — both physical
+    formulations (scatter for small k, dense trailing frame for wide
+    windows) reuse the moving() dispatch unchanged.
+    """
+    if not 0.0 <= float(p) <= 100.0:
+        raise ValueError("movingPercentile needs percentile in [0, 100]")
+    frac = float(p) / 100.0
+    agg = lambda: F.expr(f"percentile(value, {frac!r})")
+    k = int(window_ms) // sf.step
+    if k == 0:
+        raise ValueError("windowSize should not be smaller than stepSize")
+    if k > MOVING_SCATTER_MAX_K:
+        return _moving_dense(sf, int(window_ms), agg)
+    return _moving_scatter(sf, k, agg)
+
+
 def _moving_dense(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
     w = _series_window().rangeBetween(-window_ms, -sf.step)
     df = (
         _densified(sf)
-        .withColumn("__mv", _MOVING_AGGS[fn]().over(w))
+        .withColumn("__mv", _moving_agg(fn)().over(w))
         .withColumn("__mc", F.count("value").over(w))
         .filter(F.col("__mc") > 0)
         .withColumn("value", F.col("__mv"))
@@ -312,7 +343,7 @@ def _moving_scatter(sf: SeriesFrame, k: int, fn: str) -> SeriesFrame:
     )
     df = (
         contrib.groupBy("series_key", "alias", "__t")
-        .agg(_MOVING_AGGS[fn]().alias("value"))
+        .agg(_moving_agg(fn)().alias("value"))
         .select(
             F.col("series_key"),
             labels_from_key_expr(F.col("series_key")).alias("labels"),
