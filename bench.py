@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "m3_correlate_target",     # one-vs-all series correlation (r8)
     "m3_interpolate",          # sparse gap-run generator (r8 rewrite)
     "m3_ewma",                 # bounded collect_list codegen fold (r8)
+    "m3_moving_percentile",    # trailing p95, scatter/dense dual (r8)
+    "m3_autocorrelation",      # lag scatter + two partial aggs (r8)
+    "m3_fleet_outliers",       # persisted corpus agg + 1-row stats (r8)
     "text_source_stats",       # per-source curation audit groupBy (r8)
 ]
 

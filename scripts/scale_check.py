@@ -69,6 +69,7 @@ QUERIES = [
     "m3_correlate_target",     # broadcast one series, grouped corr (r8)
     "m3_fleet_outliers",       # one persisted corpus agg + 1-row stats (r8)
     "m3_autocorrelation",      # bounded lag scatter + two partial aggs (r8)
+    "m3_moving_percentile",    # trailing p95, scatter/dense dual (r8)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4
