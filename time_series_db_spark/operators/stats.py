@@ -267,11 +267,16 @@ def autocorrelation(sf: SeriesFrame, max_lag: int = 48) -> DataFrame:
             f"autocorrelation max_lag must be in 1..{MAX_ACF_LAG}: the "
             "lag scatter multiplies the frame's rows by max_lag"
         )
+    from time_series_db_spark.cache import persist_tracked
     from time_series_db_spark.model import labels_from_key_expr
 
     step = F.lit(sf.step)
-    src = sf.df.filter(~F.isnan("value")).select(
-        "series_key", "ts", "value"
+    # referenced three times (moments, the scatter side, the join-back
+    # side) — persist so the upstream fetch aggregation runs exactly once
+    src = persist_tracked(
+        sf.df.filter(~F.isnan("value")).select(
+            "series_key", "ts", "value"
+        )
     )
     mom = src.groupBy("series_key").agg(
         F.sum("value").alias("__sx"),
