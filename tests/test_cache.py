@@ -3,7 +3,20 @@ same-query warm reuse (round-4 leak fix + round-5 scoping)."""
 
 from __future__ import annotations
 
+import pytest
+
 from time_series_db_spark import cache
+
+
+@pytest.fixture(autouse=True)
+def _clean_registry(spark):
+    """These tests count tracked frames exactly — a persist left behind
+    by a previously-run test FILE (e.g. plan_quality's last gate, which
+    releases before each of ITS tests but not after its last) would
+    inflate the counts. Order-independence is the point of the sweep."""
+    cache.release_all()
+    yield
+    cache.release_all()
 
 
 def _is_cached(df) -> bool:
