@@ -35,14 +35,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Names that already have a driver-green CORRECTNESS row (union of the
-# r1–r7 runs: 258 green rows).  `mm_image_ahash` — the single r7 red, an
-# oracle HUGEINT-typing bug (Spark values replay-verified correct; oracle
-# cast fixed this round) — is kept OUT of this set so the driver re-checks
-# it first.  The driver's per-round run covers a prefix of the dict, so
-# order the not-yet-verified entries first; previously-green entries
-# follow, least-recently-checked first (see _last_checked), so the
-# window's spare slots continuously re-certify the oldest greens.
+# r1–r8 runs: all 282 catalog entries green as of r8 — the first
+# all-green round).  The driver's per-round run covers a prefix of the
+# dict, so order the not-yet-verified (new-this-round) entries first;
+# previously-green entries follow, least-recently-checked first (see
+# _last_checked), so the window's spare slots continuously re-certify
+# the oldest greens.
 _DRIVER_VERIFIED = frozenset({
+    # r8 window (50/50 green, CORRECTNESS_r08.json)
+    'mm_image_ahash', 'm3_moving_percentile', 'embedding_matryoshka',
+    'ann_lsh_recall', 'text_source_stats', 'decontaminate_overlap',
+    'search_hybrid_rerank', 'dedup_soft_weights', 'm3ql_changepoints',
+    'm3_changepoints', 'embedding_source_drift', 'ann_hard_negatives_ivf',
+    'text_tfidf_terms', 'search_rrf', 'm3ql_interpolate', 'm3_interpolate',
+    'text_bpe_encode', 'search_mmr', 'm3ql_ewma', 'm3_ewma',
+    'text_bpe_fertility', 'm3_correlate_target', 'm3_autocorrelation',
+    'm3_fleet_outliers',
+    # r1–r7 union
     'embedding_pq_codes', 'm3_decimate_lttb', 'decontaminate_bloom',
     'text_bpe_merges', 'ann_hard_negatives', 'tpch_q2_min_cost_supplier',
     'm3ql_seasonal_adjust', 'm3_seasonal_residual',
@@ -184,11 +193,6 @@ def _ordered(mapping: dict) -> dict:
         for fam in list(buckets):
             if buckets[fam]:
                 interleaved.append(buckets[fam].pop(0))
-    # Pin the one previously-red entry (oracle cast fixed this round) to
-    # row 1 so its re-check cannot fall out of a capped window.
-    if "mm_image_ahash" in interleaved:
-        interleaved.remove("mm_image_ahash")
-        interleaved.insert(0, "mm_image_ahash")
     last = _last_checked()
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     verified = sorted(
