@@ -2392,15 +2392,17 @@ def sample_weighted(spark, sf_dir):
 # BPE vocabulary induction (pipeline/bpe.py) — unrolled-merge oracles
 # ---------------------------------------------------------------------------
 
-def _sql_bpe_ctes(n_merges: int) -> str:
+def _sql_bpe_ctes(n_merges: int, where: str = "") -> str:
     """CTE chain replaying bpe.bpe_train: word-frequency table, spaced
     initial symbol sequences, then each merge round unrolled (pair
     counts via list comprehension, argmax by (count DESC, pair ASC),
     literal-replace rewrite with the round's one-row scalars) — the
-    same unrolling pattern as the PQ Lloyd oracle."""
+    same unrolling pattern as the PQ Lloyd oracle.  ``where`` scopes
+    the training corpus (the fit/apply cross-corpus entry trains on a
+    document subset)."""
     sql = f"""wfreq AS MATERIALIZED (
       SELECT w AS __w, count(*)::BIGINT AS __f
-      FROM (SELECT unnest({_TOKS}) AS w FROM documents)
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents{where})
       WHERE w <> '' GROUP BY 1),
     bs0 AS MATERIALIZED (
       SELECT __w, __f,
@@ -2517,6 +2519,94 @@ def text_bpe_encode(spark, sf_dir):
     from time_series_db_spark.pipeline import bpe
 
     return bpe.bpe_encode(load_table(spark, sf_dir, "documents"), _BPE_N)
+
+
+def _sql_bpe_apply_ctes(n_merges: int) -> str:
+    """CTE chain replaying bpe.bpe_apply on corpus ``xdocs`` under the
+    model trained by the preceding ``_sql_bpe_ctes`` chain: distinct
+    apply-corpus words split into seen (joined against the trained
+    word table ``bs{n}``) and OOV (``NOT EXISTS``), the OOV words then
+    replaying every merge round's literal replace with the ``bm{t}``
+    one-row scalars — the same replay the trainer used, so seen words
+    would segment identically on either path."""
+    n = n_merges
+    sql = f"""xw AS MATERIALIZED (
+      SELECT DISTINCT w AS __w
+      FROM (SELECT unnest({_TOKS}) AS w FROM xdocs)
+      WHERE w <> ''),
+    xseen AS (
+      SELECT x.__w, s.seq FROM xw x JOIN bs{n} s ON s.__w = x.__w),
+    xo0 AS MATERIALIZED (
+      SELECT __w,
+             ' ' || trim(regexp_replace(__w, '(.)', '\\1 ', 'g')) || ' '
+               AS seq
+      FROM xw x
+      WHERE NOT EXISTS (SELECT 1 FROM bs{n} s WHERE s.__w = x.__w))"""
+    for t in range(n_merges):
+        sql += f""",
+    xo{t + 1} AS MATERIALIZED (
+      SELECT __w,
+             replace(seq,
+                     ' ' || (SELECT left_sym FROM bm{t}) || ' '
+                         || (SELECT right_sym FROM bm{t}) || ' ',
+                     ' ' || (SELECT left_sym FROM bm{t})
+                         || (SELECT right_sym FROM bm{t}) || ' ') AS seq
+      FROM xo{t})"""
+    sql += f""",
+    xpw AS (
+      SELECT __w, string_split(trim(seq), ' ') AS syms FROM xseen
+      UNION ALL
+      SELECT __w, string_split(trim(seq), ' ') AS syms FROM xo{n})"""
+    return sql
+
+
+@register(
+    "text_bpe_encode_xcorpus",
+    f"""WITH {_sql_bpe_ctes(_BPE_N, " WHERE doc_id % 2 = 0")},
+    xdocs AS (
+      SELECT doc_id, text || ' ' || source AS text
+      FROM documents WHERE doc_id % 2 = 1),
+    {_sql_bpe_apply_ctes(_BPE_N)},
+    xdw AS (
+      SELECT doc_id,
+             unnest(toks) AS w,
+             unnest(generate_series(1, len(toks))) AS wpos
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM xdocs)),
+    xj AS (
+      SELECT d.doc_id, d.wpos, p.syms, len(p.syms) AS n
+      FROM xdw d JOIN xpw p ON p.__w = d.w
+      WHERE d.w <> ''),
+    xb AS (
+      SELECT doc_id, wpos, syms,
+             coalesce(sum(n) OVER (PARTITION BY doc_id ORDER BY wpos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS base
+      FROM xj)
+    SELECT doc_id,
+           (base + unnest(generate_series(1, len(syms))) - 1)::BIGINT
+             AS pos,
+           unnest(syms) AS token
+    FROM xb""",
+)
+def text_bpe_encode_xcorpus(spark, sf_dir):
+    """Cross-corpus BPE encode — the fit/apply deployment shape
+    (pipeline/bpe.py:bpe_train + bpe_apply): the vocabulary trains
+    ONCE on the even-doc_id half of the corpus, then encodes the odd
+    half with the document's source tag appended to its text, WITHOUT
+    retraining.  The source tags (src0..src19) never occur in the
+    training text, so they are genuine OOV words taking the
+    merge-replay path, while the shared base vocabulary takes the
+    trained-word-table join — both halves of bpe_apply exercised and
+    hash-checked.  One bpe_train job set total (tests assert no
+    retrain happens inside the encode)."""
+    from time_series_db_spark.pipeline import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = bpe.bpe_train(docs.filter(F.col("doc_id") % 2 == 0), _BPE_N)
+    apply_docs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.concat_ws(" ", "text", "source").alias("text")
+    )
+    return bpe.bpe_encode(apply_docs, model=model)
 
 
 # ---------------------------------------------------------------------------

@@ -127,6 +127,78 @@ def bpe_train(
     return merges, wf
 
 
+#: a trained BPE model: the ordered merge list plus the trained word
+#: table — exactly what :func:`bpe_train` returns.
+BpeModel = tuple[list[tuple[int, str, str, int]], DataFrame]
+
+
+def bpe_segment_words(words: DataFrame, merges) -> DataFrame:
+    """Segment a ``(__w, ...)`` word table under a trained merge list —
+    the replay path for words the training corpus never saw (OOV).
+    Replays each merge in rank order as the same literal space-bounded
+    replace the trainer used, so a word that DID occur in training
+    segments identically by determinism (training is itself this replay
+    applied to the training words).  Adds a ``__seq`` column; plan
+    depth stays bounded via the trainer's checkpoint cadence."""
+    seq = words.withColumn("__seq", _initial_seq())
+    for i, (_rank, left, right, _freq) in enumerate(merges):
+        seq = seq.withColumn(
+            "__seq",
+            F.replace(
+                F.col("__seq"),
+                F.lit(f" {left} {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        )
+        if (i + 1) % _CHECKPOINT_EVERY == 0:
+            seq = seq.localCheckpoint(eager=True)
+    return seq
+
+
+def bpe_apply(
+    model: BpeModel, docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Segment ``docs``' distinct words under a PRE-TRAINED model — the
+    fit/apply split (train ONCE on corpus A, apply to corpus B and
+    every later batch without retraining; the ``pca_fit`` /
+    ``pca_transform`` shape from pipeline/ann.py).  Words seen in
+    training reuse the trained word table's cached segmentation (one
+    join, no recompute); out-of-vocabulary words replay the merge list
+    (:func:`bpe_segment_words`) — deterministic, so a seen word would
+    segment identically on either path.  Returns ``(__w, __seq)``.
+
+    100 TB shape: the apply corpus collapses to its distinct-word table
+    first (one partial-aggregated shuffle, same reduction the trainer
+    makes), so the merge replay runs over word TYPES, never corpus
+    rows; the trained table joins once.  No ``bpe_train`` is invoked.
+    """
+    merges, word_table = model
+    words = (
+        docs.select(F.explode(textprep.tokens(F.col(text_col))).alias("__w"))
+        .filter(F.col("__w") != "")
+        .distinct()
+    )
+    trained = word_table.select("__w", "__seq")
+    seen = words.join(trained, "__w")
+    oov = words.join(trained.select("__w"), "__w", "left_anti")
+    return seen.unionByName(bpe_segment_words(oov, merges))
+
+
+def _word_seqs(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str,
+    model: BpeModel | None,
+) -> DataFrame:
+    """``(__w, __seq)`` for ``docs``' words: trains on ``docs`` when
+    ``model`` is None (the legacy self-trained shape), else pure apply
+    of the given model — no retraining."""
+    if model is None:
+        _, wf = bpe_train(docs, n_merges, text_col)
+        return wf.select("__w", "__seq")
+    return bpe_apply(model, docs, text_col)
+
+
 def bpe_merges(
     docs: DataFrame, n_merges: int = 10, text_col: str = "text"
 ) -> DataFrame:
@@ -145,9 +217,15 @@ def bpe_token_counts(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool | None = None,
+    model: BpeModel | None = None,
 ) -> DataFrame:
     """Per-document token count under the trained BPE vocabulary:
     ``(id_col, n_tokens)``.
+
+    ``model``: a pre-trained :func:`bpe_train` result — when given, the
+    vocabulary is NOT retrained on ``docs`` (fit/apply split; OOV words
+    replay the merge list via :func:`bpe_apply`); ``n_merges`` is then
+    ignored.
 
     100 TB shape: each document's count is the sum of its words' cached
     symbol counts — one corpus scan, one join against the trained word
@@ -163,7 +241,7 @@ def bpe_token_counts(
         _broadcast_if_bounded,
     )
 
-    _, wf = bpe_train(docs, n_merges, text_col)
+    wf = _word_seqs(docs, n_merges, text_col, model)
     per_word = wf.select(
         "__w",
         F.size(F.split(F.trim(F.col("__seq")), " ")).cast("long").alias("__n"),
@@ -192,12 +270,19 @@ def bpe_encode(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_vocab: bool | None = None,
+    model: BpeModel | None = None,
 ) -> DataFrame:
     """Tokenize each document under the trained BPE vocabulary — the
     APPLY step that turns a corpus into model-ready token streams:
     ``(id_col, pos, token)``, ``pos`` the 0-based position of the
     subword token within the document's stream (word order preserved;
     symbols within a word in sequence order).
+
+    ``model``: a pre-trained :func:`bpe_train` result — when given, the
+    vocabulary is NOT retrained on ``docs`` (the deployment shape:
+    train once on corpus A, encode corpus B and every later batch
+    under the frozen vocabulary; OOV words replay the merge list via
+    :func:`bpe_apply`); ``n_merges`` is then ignored.
 
     100 TB shape: one corpus scan exploded to (doc, word-position)
     rows; the trained word table joins back (broadcast iff the bounded
@@ -211,7 +296,7 @@ def bpe_encode(
 
     from time_series_db_spark.pipeline.text import _broadcast_if_bounded
 
-    _, wf = bpe_train(docs, n_merges, text_col)
+    wf = _word_seqs(docs, n_merges, text_col, model)
     per_word = wf.select(
         "__w", F.split(F.trim(F.col("__seq")), " ").alias("__syms")
     )
@@ -257,6 +342,7 @@ def bpe_fertility(
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
+    model: BpeModel | None = None,
 ) -> DataFrame:
     """Tokenizer fertility per language: subword tokens emitted per
     whitespace word under the trained BPE vocabulary — THE standard
@@ -267,6 +353,11 @@ def bpe_fertility(
     the exact ratio of integer sums (never an average of per-doc
     ratios — short docs would dominate).
 
+    ``model``: a pre-trained :func:`bpe_train` result — when given, the
+    vocabulary is NOT retrained on ``docs`` (fertility of a FROZEN
+    tokenizer on a new corpus, the evaluation shape); ``n_merges`` is
+    then ignored.
+
     100 TB shape: identical to :func:`bpe_encode` minus the position
     machinery — one corpus scan exploded to word rows, the trained
     word table joined back probe-gated, then two partial-aggregated
@@ -275,7 +366,7 @@ def bpe_fertility(
     """
     from time_series_db_spark.pipeline.text import _broadcast_if_bounded
 
-    _, wf = bpe_train(docs, n_merges, text_col)
+    wf = _word_seqs(docs, n_merges, text_col, model)
     per_word = wf.select(
         "__w",
         F.size(F.split(F.trim(F.col("__seq")), " ")).alias("__n"),
