@@ -133,3 +133,77 @@ def test_bpe_fertility_with_model(spark):
     # stays 'a b' (2)], ba -> 'b a' (2) => 5 subwords / 3 words
     assert (r["n_words"], r["n_subwords"]) == (3, 5)
     assert r["fertility"] == pytest.approx(5 / 3)
+
+
+# ---------------------------------------------------------------------------
+# MMR shortlist guard (pipeline/retrieval.py: MAX_MMR_SHORTLIST)
+# ---------------------------------------------------------------------------
+
+def _mmr_fixture(spark):
+    short = spark.createDataFrame(
+        [(i, 1.0 - 0.1 * i) for i in range(6)], "doc_id long, rel double"
+    )
+    embs = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    return short, embs
+
+
+def test_mmr_rerank_refuses_oversized_shortlist(spark):
+    """The n² sims self-join needs a metadata-sized shortlist; past
+    MAX_MMR_SHORTLIST it must refuse with a pointer at the top-n cut
+    (same contract as ann.hard_negatives / MAX_HN_ANCHORS)."""
+    from time_series_db_spark.pipeline import retrieval
+
+    short, embs = _mmr_fixture(spark)
+    with pytest.raises(ValueError, match="max_shortlist"):
+        retrieval.mmr_rerank(short, embs, k=2, max_shortlist=3)
+    # explicit opt-out still works
+    out = retrieval.mmr_rerank(short, embs, k=2, max_shortlist=None)
+    assert len(out.collect()) == 2
+
+
+def test_mmr_rerank_string_ids_and_rel_col_name(spark):
+    """Output schema derives the id type from the shortlist (string doc
+    ids must work) and keeps the caller's rel_col name."""
+    from time_series_db_spark.pipeline import retrieval
+
+    short = spark.createDataFrame(
+        [("a", 1.0), ("b", 0.9), ("c", 0.8)],
+        "doc_id string, relevance double",
+    )
+    embs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.01]), ("c", [0.0, 1.0])],
+        "vec_id string, embedding array<double>",
+    )
+    out = retrieval.mmr_rerank(short, embs, k=2, rel_col="relevance")
+    assert out.columns == ["doc_id", "relevance", "mmr_score", "rank"]
+    rows = {r["rank"]: r["doc_id"] for r in out.collect()}
+    # rank 1: best rel ('a'); rank 2: 'c' (diversified away from near-dup 'b')
+    assert rows == {1: "a", 2: "c"}
+
+
+# ---------------------------------------------------------------------------
+# overlap_score eval-broadcast probe gate (pipeline/decontam.py)
+# ---------------------------------------------------------------------------
+
+def test_overlap_score_guards_eval_broadcast(spark, monkeypatch):
+    """The eval gram set is data-dependent (a mega-benchmark union is
+    not metadata-sized): the broadcast hint must come from the bounded
+    probe, falling back unhinted above MAX_BROADCAST_TOKEN_ROWS."""
+    from tests.test_plan_quality import _analyzed_hints
+    from time_series_db_spark.pipeline import decontam, text
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4) for i in range(4)],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    default = _analyzed_hints(decontam.overlap_score(corpus, eval_set, n=4))
+    monkeypatch.setattr(text, "MAX_BROADCAST_TOKEN_ROWS", 0)
+    guarded = _analyzed_hints(decontam.overlap_score(corpus, eval_set, n=4))
+    assert guarded == default - 1

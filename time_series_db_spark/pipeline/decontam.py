@@ -245,13 +245,19 @@ def overlap_score(
     that a min_hits cutoff hides.  Output: ``(id_col, n_grams,
     n_collisions, overlap)`` — one row per corpus document.
 
-    Same 100 TB shape as :func:`decontaminate`: eval hashes broadcast,
-    corpus grams explode map-side, only collisions shuffle; the per-doc
-    gram total rides the same scan (``size`` on the already-built
-    shingle array — no second tokenization).
+    Same 100 TB shape as :func:`decontaminate`: eval hashes broadcast —
+    but only after a bounded probe proves the gram set fits
+    (``text._broadcast_if_bounded``): eval SUITES are metadata-sized,
+    yet a caller pointing this at a mega-benchmark union would
+    otherwise ship gigabytes to every executor (use
+    :func:`decontaminate_bloom`'s fixed-size bitmap there).  Corpus
+    grams explode map-side, only collisions shuffle; the per-doc gram
+    total rides the same scan (``size`` on the already-built shingle
+    array — no second tokenization).
     """
     if n <= 0:
         raise ValueError("n-gram length must be positive")
+    from time_series_db_spark.pipeline.text import _broadcast_if_bounded
     g = corpus.select(
         F.col(id_col),
         ngram_hash_set(F.col(text_col), n, hash_fn).alias("__ghs"),
@@ -267,7 +273,8 @@ def overlap_score(
     )
     hits = (
         g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
-        .join(F.broadcast(eval_h), on="__gh", how="inner")
+        .join(_broadcast_if_bounded(eval_h, "overlap_eval_grams"), on="__gh",
+              how="inner")
         .groupBy(id_col)
         .agg(F.count_distinct("__gh").alias("n_collisions"))
     )

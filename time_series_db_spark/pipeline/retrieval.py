@@ -376,6 +376,15 @@ def rrf_fuse(
     ).select(id_col, "rrf_score", "n_lists", "rank")
 
 
+#: max shortlist rows for :func:`mmr_rerank` — the pairwise sim table
+#: is n_short² rows and every greedy round is a sequential 1-row
+#: collect, so a 100k-row "shortlist" would be 10¹⁰ sim rows plus 100k
+#: coordinator rounds.  MMR is a POST-retrieval diversifier: cut a
+#: top-n first (bm25_topk / cosine_topk / rrf_fuse) and rerank THAT.
+#: Same bounded-probe discipline as ann.MAX_HN_ANCHORS.
+MAX_MMR_SHORTLIST = 2_000
+
+
 def mmr_rerank(
     shortlist: DataFrame,
     embs: DataFrame,
@@ -385,6 +394,7 @@ def mmr_rerank(
     rel_col: str = "rel",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_shortlist: int | None = MAX_MMR_SHORTLIST,
 ) -> DataFrame:
     """Maximal Marginal Relevance (Carbonell & Goldstein 1998):
     diversified top-``k`` selection over a retrieval shortlist —
@@ -394,20 +404,37 @@ def mmr_rerank(
     cosine; round 1's selected set is empty, so its score is ``λ·rel``.
     Returns ``(id, rel, mmr_score, rank)``, rank 1..k, ties on the id.
 
-    Scale shape: the shortlist is metadata-sized BY CONSTRUCTION (a
-    prior top-n cut), so the pairwise sim table is n_short² tiny rows
-    (persisted once) and each greedy round is ONE distributed argmax
-    with a 1-row collect — the BPE-trainer coordinator shape, k
-    sequential rounds.  Nothing here ever touches the corpus; the
-    shortlist ids broadcast into the embeddings scan exactly once.
+    Scale shape: the shortlist must be metadata-sized (a prior top-n
+    cut) — the pairwise sim table is n_short² rows (persisted once)
+    and each greedy round is ONE distributed argmax with a 1-row
+    collect — the BPE-trainer coordinator shape, k sequential rounds.
+    A bounded probe ENFORCES the contract (``max_shortlist``, default
+    :data:`MAX_MMR_SHORTLIST`): nothing stops a caller passing a raw
+    corpus otherwise, and that is a silent n² blow-up.  Nothing here
+    ever touches the corpus; the shortlist ids broadcast into the
+    embeddings scan exactly once.
     """
     if k <= 0 or not 0.0 <= lam <= 1.0:
         raise ValueError("mmr_rerank needs k > 0 and 0 <= lam <= 1")
+    if max_shortlist is not None:
+        # bounded probe: LIMIT max+1 caps the probe's work regardless
+        # of the input's true size
+        n_short = shortlist.limit(max_shortlist + 1).count()
+        if n_short > max_shortlist:
+            raise ValueError(
+                f"mmr_rerank builds an n_shortlist² pairwise-similarity "
+                f"table and runs one coordinator round per selection; "
+                f"the shortlist exceeds max_shortlist={max_shortlist}. "
+                f"Cut a top-n first (bm25_topk / ann.cosine_topk / "
+                f"rrf_fuse), or pass max_shortlist explicitly to "
+                f"override."
+            )
     from time_series_db_spark.cache import persist_tracked
     from time_series_db_spark.pipeline.dedup import cosine_expr
 
     cand = shortlist.select(
-        F.col(id_col).alias("__id"), F.col(rel_col).alias("__rel")
+        F.col(id_col).alias("__id"),
+        F.col(rel_col).cast("double").alias("__rel"),
     )
     vecs = embs.select(
         F.col(vec_id_col).alias("__id"),
@@ -452,6 +479,21 @@ def mmr_rerank(
         selected.append(r["__id"])
         rows.append((r["__id"], r["__rel"], r["__score"], rank))
     spark = shortlist.sparkSession
-    return spark.createDataFrame(
-        rows, f"{id_col} long, rel double, mmr_score double, rank long"
+    # id field keeps the shortlist's own id type (string doc ids work);
+    # the rel column keeps the caller's rel_col name
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
     )
+
+    schema = StructType(
+        [
+            StructField(id_col, shortlist.schema[id_col].dataType),
+            StructField(rel_col, DoubleType()),
+            StructField("mmr_score", DoubleType()),
+            StructField("rank", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
