@@ -78,6 +78,8 @@ BENCH_QUERIES = [
     "m3_autocorrelation",      # lag scatter + two partial aggs (r8)
     "m3_fleet_outliers",       # persisted corpus agg + 1-row stats (r8)
     "text_source_stats",       # per-source curation audit groupBy (r8)
+    "m3_correlate_matrix",     # celled all-pairs correlation matrix (r9)
+    "text_bpe_encode_xcorpus", # BPE fit/apply cross-corpus encode (r9)
 ]
 
 

@@ -70,6 +70,11 @@ QUERIES = [
     "m3_fleet_outliers",       # one persisted corpus agg + 1-row stats (r8)
     "m3_autocorrelation",      # bounded lag scatter + two partial aggs (r8)
     "m3_moving_percentile",    # trailing p95, scatter/dense dual (r8)
+    "search_hybrid_rerank",    # BM25 scan + shortlist-broadcast stages (r9)
+    "m3_correlate_matrix",     # banded sketch + stop-band cap — the
+                               # quadratic-risk one: candidates must stay
+                               # ~flat as the fleet grows 10× (r9)
+    "text_bpe_encode_xcorpus", # fit/apply split — train half, encode half (r9)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -207,3 +207,139 @@ def test_overlap_score_guards_eval_broadcast(spark, monkeypatch):
     monkeypatch.setattr(text, "MAX_BROADCAST_TOKEN_ROWS", 0)
     guarded = _analyzed_hints(decontam.overlap_score(corpus, eval_set, n=4))
     assert guarded == default - 1
+
+
+# ---------------------------------------------------------------------------
+# celled all-pairs correlation matrix (operators/stats.py:correlate_matrix)
+# ---------------------------------------------------------------------------
+
+def _fleet(spark, groups, step=1000):
+    """SeriesFrame with one series per (group-label, values) entry."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+
+    rows = []
+    n = 0
+    for uid, vals in groups:
+        rows += [(uid, i * step, float(v)) for i, v in enumerate(vals)]
+        n = max(n, len(vals))
+    df = (
+        spark.createDataFrame(rows, "uid string, ts long, value double")
+        .withColumn(
+            "labels",
+            F.create_map(
+                F.lit("name"), F.lit("m"), F.lit("user"), F.col("uid")
+            ),
+        )
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    return SeriesFrame(df=df, step=step, min_ts=0, max_ts=n * step)
+
+
+#: a zig-zag trend with a clearly asymmetric up/down pattern (not
+#: periodic at the band width, so unrelated sketches don't collide)
+_TREND = [1, 3, 7, 6, 4, 9, 12, 11, 8, 5, 10, 14, 13, 9, 6, 2,
+          4, 8, 12, 15, 11, 7, 3, 1, 5, 9, 13, 16, 12, 8, 4, 2]
+
+
+def test_correlate_matrix_finds_planted_clusters(spark):
+    """Dense series sharing a trend (scaled/shifted per member — still
+    Pearson 1) must all pair up; the sign-inverted series must pair
+    NEGATIVELY with them (the u↔d inverted-band match); an unrelated
+    zig-zag stays out at the |corr| threshold."""
+    from time_series_db_spark.operators import stats as st
+
+    groups = [
+        (f"c{i}", [(1 + 0.2 * i) * v + 5 * i for v in _TREND])
+        for i in range(4)
+    ]
+    groups.append(("anti", [100.0 - 2 * v for v in _TREND]))
+    groups.append(("odd", [(7 * (i * i % 13)) % 17 for i in range(32)]))
+    out = st.correlate_matrix(
+        _fleet(spark, groups),
+        coarse_ms=2000,
+        band_symbols=4,
+        max_bucket=16,
+        min_points=5,
+        min_abs_corr=0.9,
+    ).collect()
+
+    def uid(key):
+        return dict(p.split(":", 1) for p in key.split(","))["user"]
+
+    pairs = {(uid(r["key_a"]), uid(r["key_b"])): r["corr"] for r in out}
+    cluster = [f"c{i}" for i in range(4)]
+    for i in range(4):
+        for j in range(i + 1, 4):
+            key = tuple(sorted((cluster[i], cluster[j])))
+            assert key in pairs and pairs[key] == pytest.approx(1.0), key
+    for i in range(4):
+        key = tuple(sorted((cluster[i], "anti")))
+        assert key in pairs and pairs[key] == pytest.approx(-1.0), key
+    assert not any("odd" in k for k in pairs)
+
+
+def test_correlate_matrix_stop_band_prunes_fleet_wide_pattern(spark):
+    """A pattern shared by MORE than max_bucket series is uninformative
+    (the fleet-wide diurnal wave): its collision buckets must prune, so
+    no pairs emit — raising the cap restores them."""
+    from time_series_db_spark.operators import stats as st
+
+    groups = [(f"w{i}", [v + i for v in _TREND]) for i in range(12)]
+    sf = _fleet(spark, groups)
+    pruned = st.correlate_matrix(
+        sf, coarse_ms=2000, band_symbols=4, max_bucket=8,
+        min_points=5, min_abs_corr=0.9,
+    ).collect()
+    assert pruned == []
+    kept = st.correlate_matrix(
+        sf, coarse_ms=2000, band_symbols=4, max_bucket=16,
+        min_points=5, min_abs_corr=0.9,
+    ).collect()
+    assert len(kept) == 12 * 11 // 2
+
+
+def test_correlate_matrix_gap_fill_sketches_sparse_series(spark):
+    """Series sampled at DIFFERENT sparse offsets of the same trend
+    must still become candidates: the keep-last fill gives both a
+    contiguous sketch even though their raw buckets barely align."""
+    from time_series_db_spark.operators import stats as st
+
+    dense = [float(v) for v in _TREND]
+    # two sparse views of the trend at disjoint-ish sample positions,
+    # but still >= 5 shared timestamps for the exact stage
+    s1 = [(i, v) for i, v in enumerate(dense) if i % 3 != 1]
+    s2 = [(i, v) for i, v in enumerate(dense) if i % 3 != 2]
+    rows = {
+        "s1": {i: 2 * v + 1 for i, v in s1},
+        "s2": {i: 5 * v - 3 for i, v in s2},
+    }
+    groups = []
+    for uid, d in rows.items():
+        vals = [d.get(i, float("nan")) for i in range(32)]
+        groups.append((uid, vals))
+    out = st.correlate_matrix(
+        _fleet(spark, groups),
+        coarse_ms=2000,
+        band_symbols=4,
+        max_bucket=16,
+        min_points=5,
+        min_abs_corr=0.9,
+    ).collect()
+    assert len(out) == 1 and out[0]["corr"] == pytest.approx(1.0)
+
+
+def test_correlate_matrix_plan_has_no_cross_product(spark, sf_dir):
+    """The celled matrix must never degenerate into a corpus cross
+    product: candidate joins are equi joins on (band, signature), the
+    exact stage equi-joins on key/(key, ts)."""
+    from time_series_db_spark.catalog import QUERIES
+
+    df = QUERIES["m3_correlate_matrix"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

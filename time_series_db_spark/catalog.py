@@ -1136,6 +1136,105 @@ def m3_correlate_target(spark, sf_dir):
     )
 
 
+#: correlate_matrix sketch config: coarse buckets of 4 grid steps,
+#: 4-symbol bands, stop-band cap 32 (candidates measured 31.6k→41.3k
+#: across a 10× fleet on the bench corpus — the cap is what keeps the
+#: celled path sub-quadratic on noise-heavy fleets)
+_CMX_COARSE = 4 * _CORR_STEP
+_CMX_R = 4
+_CMX_BANDW = _CMX_COARSE * _CMX_R
+_CMX_CAP = 32
+
+
+@register(
+    "m3_correlate_matrix",
+    f"""{_CORR_PRELUDE},
+    cmk AS MATERIALIZED (
+      SELECT 'name:' || name || ',region:' || region || ',shard:' || shard
+               || ',user:' || "user" AS key, ts, value
+      FROM samples WHERE NOT isnan(value)),
+    cmb AS MATERIALIZED (
+      SELECT key, ts - ts % {_CMX_COARSE} AS b,
+             sum(value::DECIMAL(27,6)) AS s, count(*)::BIGINT AS n
+      FROM cmk GROUP BY 1, 2),
+    cmg AS (
+      SELECT key,
+             unnest(generate_series(min(b), max(b), {_CMX_COARSE})) AS b
+      FROM cmb GROUP BY key),
+    cmf AS (
+      SELECT g.key, g.b,
+             last_value(x.s IGNORE NULLS) OVER w AS cs,
+             last_value(x.n IGNORE NULLS) OVER w AS cn
+      FROM cmg g LEFT JOIN cmb x ON x.key = g.key AND x.b = g.b
+      WINDOW w AS (PARTITION BY g.key ORDER BY g.b)),
+    cmd AS (
+      SELECT key, b - {_CMX_COARSE} AS p,
+             cs * lag(cn) OVER w2 AS lhs,
+             lag(cs) OVER w2 * cn AS rhs
+      FROM cmf
+      WINDOW w2 AS (PARTITION BY key ORDER BY b)),
+    cms AS (
+      SELECT key, p,
+             CASE WHEN lhs > rhs THEN 'u' WHEN lhs < rhs THEN 'd'
+                  ELSE 'f' END AS sym
+      FROM cmd WHERE rhs IS NOT NULL),
+    cmgr AS (
+      SELECT key, (p - p % {_CMX_BANDW}) // {_CMX_BANDW} AS band,
+             string_agg(sym, '' ORDER BY p) AS sig
+      FROM cms GROUP BY 1, 2),
+    cmok AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT key, band, sig,
+               count(*) OVER (PARTITION BY band, sig) AS cnt
+        FROM cmgr WHERE length(sig) = {_CMX_R})
+      WHERE cnt <= {_CMX_CAP}),
+    cmc AS MATERIALIZED (
+      SELECT DISTINCT a.key AS ka, b.key AS kb
+      FROM cmok a JOIN cmok b
+        ON b.band = a.band AND a.key < b.key
+       AND (b.sig = a.sig OR b.sig = translate(a.sig, 'ud', 'du'))),
+    cmp2 AS (
+      SELECT c.ka, c.kb,
+             CASE WHEN stddev_pop(x.value) * stddev_pop(y.value) > 0
+                  THEN covar_pop(x.value, y.value)
+                       / (stddev_pop(x.value) * stddev_pop(y.value))
+             END AS c2,
+             count(*)::BIGINT AS n_points
+      FROM cmc c
+      JOIN cmk x ON x.key = c.ka
+      JOIN cmk y ON y.key = c.kb AND y.ts = x.ts
+      GROUP BY 1, 2)
+    SELECT ka AS key_a, kb AS key_b, {sql_quant('c2')} AS corr, n_points
+    FROM cmp2
+    WHERE n_points >= 5 AND c2 IS NOT NULL AND NOT isnan(c2)
+      AND abs(c2) >= 0.7""",
+)
+def m3_correlate_matrix(spark, sf_dir):
+    """Celled all-pairs correlation matrix (operators/stats.py:
+    correlate_matrix): the "which series co-move" fleet clustering the
+    one-vs-all operator defers.  Candidates come from a banded
+    up/down/flat trend sketch over keep-last-filled coarse buckets
+    (exact decimal sign tests, u↔d inverted bands for
+    anti-correlation, stop-band cap pruning fleet-wide patterns);
+    exact Pearson runs on candidates ONLY — the S² all-pairs path
+    exists only in tests.  Both candidate joins are equi hash joins on
+    (band, signature); every sketch stage shares one series_key
+    exchange."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    out = stats_ops.correlate_matrix(
+        _fetch(spark, sf_dir, step=_CORR_STEP),
+        coarse_ms=_CMX_COARSE,
+        band_symbols=_CMX_R,
+        max_bucket=_CMX_CAP,
+        min_points=5,
+        min_abs_corr=0.7,
+    )
+    return out.select(
+        "key_a", "key_b", quant(F.col("corr")).alias("corr"), "n_points"
+    )
+
+
 _ACF_L = 24
 _ACF_MU = "(m.sx / m.n)"
 

