@@ -332,6 +332,90 @@ def test_correlate_matrix_gap_fill_sketches_sparse_series(spark):
     assert len(out) == 1 and out[0]["corr"] == pytest.approx(1.0)
 
 
+# ---------------------------------------------------------------------------
+# seasonalAdjust auto (stats.detect_season + windows.seasonal_adjust_auto)
+# ---------------------------------------------------------------------------
+
+def test_detect_season_recovers_planted_period(spark):
+    """A fleet of sinusoids with a planted 6-step period (different
+    amplitudes/offsets/phases per series) must vote season = 6·step —
+    exactly, not a multiple (the biased ACF estimator decays with lag,
+    so lag 6 strictly beats 12/18/24)."""
+    import math
+
+    from time_series_db_spark.operators import stats as st
+
+    groups = []
+    for s in range(5):
+        vals = [
+            (3 + s) * math.sin(2 * math.pi * (i + s) / 6) + 10 * s
+            for i in range(64)
+        ]
+        groups.append((f"p{s}", vals))
+    sf = _fleet(spark, groups)
+    assert st.detect_season(sf, max_lag=24) == 6 * 1000
+
+
+def test_detect_season_fleet_majority_vote(spark):
+    """Three 4-period series outvote two 6-period series."""
+    import math
+
+    from time_series_db_spark.operators import stats as st
+
+    groups = [
+        (f"a{s}", [math.sin(2 * math.pi * i / 4) + s for i in range(64)])
+        for s in range(3)
+    ] + [
+        (f"b{s}", [math.sin(2 * math.pi * i / 6) + s for i in range(64)])
+        for s in range(2)
+    ]
+    assert st.detect_season(_fleet(spark, groups), max_lag=24) == 4 * 1000
+
+
+def test_detect_season_constant_fleet_raises(spark):
+    from time_series_db_spark.operators import stats as st
+
+    groups = [("c", [5.0] * 32)]
+    with pytest.raises(ValueError, match="no series"):
+        st.detect_season(_fleet(spark, groups), max_lag=8)
+
+
+def test_seasonal_adjust_auto_zeroes_exact_periodicity(spark):
+    """On an exactly periodic frame the auto residual is ~0 at every
+    sample, and output='seasonal' reproduces the input."""
+    import math
+
+    from time_series_db_spark.operators import windows as win
+
+    vals = [7 * math.sin(2 * math.pi * i / 8) + 3 for i in range(64)]
+    sf = _fleet(spark, [("w", vals)])
+    res = win.seasonal_adjust_auto(sf, max_lag=24).df.collect()
+    # profile means carry DECIMAL(27,6) precision, so "zero" is ~1e-6
+    assert res and all(abs(r["value"]) < 1e-5 for r in res)
+    seas = {
+        r["ts"]: r["value"]
+        for r in win.seasonal_adjust_auto(
+            sf, max_lag=24, output="seasonal"
+        ).df.collect()
+    }
+    for i, v in enumerate(vals):
+        assert seas[i * 1000] == pytest.approx(v)
+
+
+def test_m3ql_seasonal_adjust_auto_parses_and_explains():
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan
+
+    plan = build_plan(parse("fetch name:x | seasonalAdjust auto"))
+    assert "season=auto" in plan.dump()
+    plan = build_plan(parse("fetch name:x | seasonalAdjust auto seasonal"))
+    assert "output=seasonal" in plan.dump()
+    with pytest.raises(M3PlanError):
+        build_plan(parse("fetch name:x | seasonalAdjust auto 1h residual"))
+    with pytest.raises(M3PlanError):
+        build_plan(parse("fetch name:x | seasonalAdjust auto bogus"))
+
+
 def test_correlate_matrix_plan_has_no_cross_product(spark, sf_dir):
     """The celled matrix must never degenerate into a corpus cross
     product: candidate joins are equi joins on (band, signature), the

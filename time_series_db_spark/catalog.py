@@ -1238,11 +1238,16 @@ def m3_correlate_matrix(spark, sf_dir):
 _ACF_L = 24
 _ACF_MU = "(m.sx / m.n)"
 
+#: shared ACF CTE chain (moments + bounded lag scatter + pair sums) —
+#: used by m3_autocorrelation and the seasonalAdjust-auto replay
+_ACF_EXPR = (
+    f'CASE WHEN m.sxx - m.n * {_ACF_MU} * {_ACF_MU} > 0 '
+    f'THEN (p.sxy - {_ACF_MU} * (p.sxa + p.sxb) '
+    f'      + p.np * {_ACF_MU} * {_ACF_MU}) '
+    f'     / (m.sxx - m.n * {_ACF_MU} * {_ACF_MU}) END'
+)
 
-@register(
-    "m3_autocorrelation",
-    f"""{PRELUDE},
-    asrc AS (
+_ACF_CTES = f"""asrc AS (
       SELECT {SQL_LBLS}, ts, value FROM samples WHERE NOT isnan(value)),
     amom AS (
       SELECT {SQL_LBLS}, sum(value) AS sx, count(*)::DOUBLE AS n,
@@ -1261,15 +1266,16 @@ _ACF_MU = "(m.sx / m.n)"
       SELECT name, "user", region, shard, lag,
              sum(xa * xb) AS sxy, sum(xa) AS sxa, sum(xb) AS sxb,
              count(*)::DOUBLE AS np
-      FROM apair GROUP BY 1, 2, 3, 4, 5)
+      FROM apair GROUP BY 1, 2, 3, 4, 5)"""
+
+
+@register(
+    "m3_autocorrelation",
+    f"""{PRELUDE},
+    {_ACF_CTES}
     SELECT p.name, p."user", p.region, p.shard, p.lag,
            p.np::BIGINT AS n_pairs,
-           {sql_quant(
-               f'CASE WHEN m.sxx - m.n * {_ACF_MU} * {_ACF_MU} > 0 '
-               f'THEN (p.sxy - {_ACF_MU} * (p.sxa + p.sxb) '
-               f'      + p.np * {_ACF_MU} * {_ACF_MU}) '
-               f'     / (m.sxx - m.n * {_ACF_MU} * {_ACF_MU}) END'
-           )} AS acf
+           {sql_quant(_ACF_EXPR)} AS acf
     FROM apl p JOIN amom m USING (name, "user", region, shard)""",
 )
 def m3_autocorrelation(spark, sf_dir):
@@ -1288,6 +1294,54 @@ def m3_autocorrelation(spark, sf_dir):
         "lag",
         "n_pairs",
         quant(F.col("acf")).alias("acf"),
+    )
+
+
+@register(
+    "m3_seasonal_auto",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    aacf AS (
+      SELECT p.name, p."user", p.region, p.shard, p.lag,
+             {sql_quant(_ACF_EXPR)} AS qa
+      FROM apl p JOIN amom m USING (name, "user", region, shard)
+      WHERE p.lag >= 2),
+    abest AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY name, "user", region, shard
+            ORDER BY qa DESC, lag ASC) AS rn
+        FROM aacf WHERE qa IS NOT NULL AND NOT isnan(qa))
+      WHERE rn = 1),
+    avote AS MATERIALIZED (
+      SELECT lag FROM (SELECT lag, count(*) AS c FROM abest GROUP BY 1)
+      ORDER BY c DESC, lag ASC LIMIT 1),
+    aph AS (
+      SELECT {SQL_LBLS}, ts, value,
+             (ts % ((SELECT lag FROM avote) * {DEFAULT_STEP_MS}))
+               - (ts % {DEFAULT_STEP_MS}) AS ph
+      FROM samples),
+    asm AS (
+      SELECT {SQL_LBLS}, ts, value,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               / count(value) OVER w AS sm
+      FROM aph
+      WINDOW w AS (PARTITION BY {SQL_LBLS}, ph))
+    SELECT {SQL_LBLS}, ts, {sql_quant('value - sm')} AS value
+    FROM asm""",
+)
+def m3_seasonal_auto(spark, sf_dir):
+    """seasonalAdjust auto (operators/windows.py:seasonal_adjust_auto
+    + operators/stats.py:detect_season): the season comes from the
+    frame's OWN autocorrelation — per-series dominant ACF peak on the
+    1e-4-quantized grid (so the argmax cannot flip on summation-order
+    ulps; ties to the smaller lag), fleet-majority vote, then the
+    seasonal-naive residual at that season with the grid step as the
+    profile bucket.  The oracle replays the whole detection chain;
+    the planted-period recovery proof lives in tests (mockFetch
+    periodic → detected season == the generator's period)."""
+    return _out(
+        windows.seasonal_adjust_auto(_fetch(spark, sf_dir), max_lag=_ACF_L)
     )
 
 

@@ -802,6 +802,38 @@ def m3ql_mock_fetch_periodic(spark, sf_dir):
     return _flat(sf, ["name"])
 
 
+@register(
+    "m3ql_seasonal_auto",
+    f"""WITH mw AS (
+      SELECT 'wave' AS name, gs AS ts,
+             10.0 * sin(2 * pi() * (gs - {EVENTS_MIN_TS}) / 21600000.0)
+               AS value
+      FROM {_GRID_SQL}),
+    mph AS (
+      SELECT name, ts, value,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               / count(value) OVER w AS sm
+      FROM mw
+      WINDOW w AS (PARTITION BY name,
+                   (ts % 21600000) - (ts % {DEFAULT_STEP_MS})))
+    SELECT name, ts, {sql_quant('value - sm')} AS value FROM mph""",
+)
+def m3ql_seasonal_auto(spark, sf_dir):
+    """mockFetchPeriodic 10 6h | seasonalAdjust auto — the auto-season
+    loop closed (operators/stats.py:detect_season feeding
+    windows.seasonal_adjust_auto): the season comes from the frame's
+    own ACF-peak vote, and on the periodic generator it must recover
+    the PLANTED 6h period (tests pin detect_season == 6h exactly; the
+    oracle replays the residual at the planted season, so a
+    non-multiple detection would hash-mismatch)."""
+    sf = run_m3ql(
+        spark,
+        sf_dir,
+        "mockFetchPeriodic 10 6h name:wave | seasonalAdjust auto",
+    )
+    return _flat(sf, ["name"])
+
+
 _BR_RATE = """
   SELECT region, ts,
          (CASE WHEN value < pv THEN value ELSE value - pv END)

@@ -471,6 +471,8 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
     if isinstance(node, P.EwmaNode):
         return windows.ewma(sf, node.n, node.alpha)
     if isinstance(node, P.SeasonalAdjustNode):
+        if node.season_ms is None:
+            return windows.seasonal_adjust_auto(sf, output=node.output)
         return windows.seasonal_adjust(
             sf, node.season_ms, node.bucket_ms, node.output
         )

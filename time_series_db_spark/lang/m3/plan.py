@@ -726,12 +726,15 @@ class DecimateNode(PlanNode):
 
 class SeasonalAdjustNode(PlanNode):
     """Beyond the reference: seasonal-naive decomposition — value minus
-    the series' same-phase-of-season mean (default diurnal profile)."""
+    the series' same-phase-of-season mean (default diurnal profile).
+    ``season_ms=None`` is auto mode: the season comes from the frame's
+    own ACF-peak majority vote (stats.detect_season) and the profile
+    bucket is the grid step."""
 
     def __init__(
         self,
-        season_ms: int = 86_400_000,
-        bucket_ms: int = 3_600_000,
+        season_ms: int | None = 86_400_000,
+        bucket_ms: int | None = 3_600_000,
         output: str = "residual",
     ):
         super().__init__()
@@ -740,8 +743,9 @@ class SeasonalAdjustNode(PlanNode):
         self.output = output
 
     def explain(self) -> str:
+        season = "auto" if self.season_ms is None else self.season_ms
         return (
-            f"SEASONAL_ADJUST(season={self.season_ms}, "
+            f"SEASONAL_ADJUST(season={season}, "
             f"bucket={self.bucket_ms}, output={self.output})"
         )
 
@@ -1294,8 +1298,23 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
     if name == "seasonalAdjust":
         if len(args) > 3:
             raise M3PlanError(
-                "seasonalAdjust expects: [season [bucket [residual|seasonal]]]"
+                "seasonalAdjust expects: [season|auto [bucket "
+                "[residual|seasonal]]]"
             )
+        if args and args[0] == "auto":
+            # auto mode: season from the frame's own ACF peak vote;
+            # profile bucket is the grid step (always divides the
+            # detected season), so only the output selector remains
+            if len(args) > 2:
+                raise M3PlanError(
+                    "seasonalAdjust auto expects: auto [residual|seasonal]"
+                )
+            output = args[1] if len(args) == 2 else "residual"
+            if output not in ("residual", "seasonal"):
+                raise M3PlanError(
+                    "seasonalAdjust output must be residual|seasonal"
+                )
+            return SeasonalAdjustNode(None, None, output)
         season = parse_duration_ms(args[0]) if len(args) >= 1 else 86_400_000
         bucket = parse_duration_ms(args[1]) if len(args) >= 2 else 3_600_000
         output = args[2] if len(args) >= 3 else "residual"

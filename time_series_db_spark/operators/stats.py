@@ -520,3 +520,54 @@ def autocorrelation(sf: SeriesFrame, max_lag: int = 48) -> DataFrame:
     return out.withColumn(
         "labels", labels_from_key_expr(F.col("series_key"))
     ).select("series_key", "labels", "lag", "n_pairs", "acf")
+
+
+def detect_season(
+    sf: SeriesFrame, max_lag: int = 48, min_lag: int = 2
+) -> int:
+    """Dominant seasonality of the frame, in ms — the auto-season
+    detector that closes the loop :func:`autocorrelation` documents
+    ("the dominant ACF peak IS the season"): per series, the lag with
+    the highest ACF (lags < ``min_lag`` excluded — lag 1 reflects
+    smoothness, not periodicity); fleet-wide, the majority vote over
+    those per-series peaks.  Feeds ``seasonal_adjust(season=auto)``.
+
+    Determinism: acf values quantize to the engine-portable 1e-4 grid
+    BEFORE the per-series argmax (the same quantization the
+    differential gate hashes), so the selected lag cannot flip on
+    summation-order ulps; ties break on the smaller lag, the vote on
+    (count DESC, lag ASC).  Everything after the ACF table is
+    fleet-metadata-sized; the vote is ONE 1-row collect — the declared
+    coordinator boundary (the k-means/BPE shape).
+    """
+    if min_lag < 1 or max_lag < min_lag:
+        raise ValueError("detect_season needs 1 <= min_lag <= max_lag")
+    from pyspark.sql import Window
+
+    acf = autocorrelation(sf, max_lag).filter(
+        (F.col("lag") >= F.lit(int(min_lag)))
+        & F.col("acf").isNotNull()
+        & ~F.isnan("acf")
+    )
+    qa = F.floor(F.col("acf") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    w = Window.partitionBy("series_key").orderBy(
+        F.desc("__qa"), F.asc("lag")
+    )
+    best = (
+        acf.withColumn("__qa", qa)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    top = (
+        best.groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.desc("__c"), F.asc("lag"))
+        .limit(1)
+        .collect()
+    )
+    if not top:
+        raise ValueError(
+            "detect_season: no series has a defined ACF peak "
+            "(constant or too-sparse frame)"
+        )
+    return int(top[0]["lag"]) * int(sf.step)

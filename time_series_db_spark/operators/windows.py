@@ -911,6 +911,32 @@ def seasonal_adjust(
     return sf.with_df(df)
 
 
+def seasonal_adjust_auto(
+    sf: SeriesFrame,
+    bucket_ms: int | None = None,
+    max_lag: int = 48,
+    min_lag: int = 2,
+    output: str = "residual",
+) -> SeriesFrame:
+    """``seasonalAdjust auto``: detect the dominant season from the
+    frame's own autocorrelation (``stats.detect_season`` — per-series
+    ACF peak, fleet-majority vote), then run :func:`seasonal_adjust`
+    with it.  The profile bucket defaults to the grid step, which
+    always divides the detected season (season = lag · step), so auto
+    mode never hits the bucket-divides-season contract error.
+
+    Same scale shape as the two pieces: one bounded ACF scatter with a
+    1-row vote collect, then one (series, phase) window aggregate —
+    the corpus is scanned twice total (detect + adjust), never
+    pairwise."""
+    from time_series_db_spark.operators import stats as _stats
+
+    season_ms = _stats.detect_season(sf, max_lag=max_lag, min_lag=min_lag)
+    return seasonal_adjust(
+        sf, season_ms, bucket_ms if bucket_ms else sf.step, output
+    )
+
+
 def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     """showAnomalyThresholds — reference known-but-unimplemented
     (lang/m3/common/Constants.java:70); the companion surface of
