@@ -416,6 +416,62 @@ def test_m3ql_seasonal_adjust_auto_parses_and_explains():
         build_plan(parse("fetch name:x | seasonalAdjust auto bogus"))
 
 
+# ---------------------------------------------------------------------------
+# ADVICE r8 follow-ups: moving_percentile dense path, source_drift dim
+# ---------------------------------------------------------------------------
+
+def test_moving_percentile_dense_path_matches_scatter(spark, monkeypatch):
+    """The wide-window dense formulation (k > MOVING_SCATTER_MAX_K →
+    range-frame percentile over the densified grid) must agree with
+    the scatter path sample-for-sample on the same data — previously
+    only the scatter path had coverage."""
+    from time_series_db_spark.operators import windows as win
+
+    vals = [float((i * 7) % 13) for i in range(40)]
+    vals[5] = float("nan")
+    groups = [("a", vals), ("b", [v * 2 + 1 for v in vals])]
+    sf = _fleet(spark, groups)
+
+    def run():
+        out = win.moving_percentile(sf, window_ms=5000, p=95.0)
+        return sorted(
+            (r["series_key"], r["ts"], r["value"]) for r in out.df.collect()
+        )
+
+    scatter = run()
+    monkeypatch.setattr(win, "MOVING_SCATTER_MAX_K", 1)
+    dense = run()
+    assert len(scatter) > 0
+    assert [(k, t) for k, t, _ in scatter] == [(k, t) for k, t, _ in dense]
+    for (_, _, a), (_, _, b) in zip(scatter, dense):
+        assert a == pytest.approx(b, nan_ok=True)
+
+
+def test_source_drift_dim_restricts_to_prefix(spark):
+    """dim must actually slice the embedding (the Matryoshka-prefix
+    drift check): with dim=1 only the first component matters, so a
+    group differing from the corpus ONLY in component 2 shows zero L2
+    drift at dim=1 and nonzero at dim=2."""
+    from time_series_db_spark.pipeline import ann
+
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [1.0, 4.0]), (3, [1.0, 4.0])],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [(0, "s1"), (1, "s1"), (2, "s2"), (3, "s2")],
+        "doc_id long, source string",
+    )
+    d1 = {r["group"]: r["l2_to_corpus"]
+          for r in ann.source_drift(embs, docs, dim=1).collect()}
+    assert d1["s1"] == pytest.approx(0.0) and d1["s2"] == pytest.approx(0.0)
+    d2 = {r["group"]: r["l2_to_corpus"]
+          for r in ann.source_drift(embs, docs, dim=2).collect()}
+    assert d2["s1"] == pytest.approx(2.0) and d2["s2"] == pytest.approx(2.0)
+    with pytest.raises(ValueError, match="dim"):
+        ann.source_drift(embs, docs, dim=0)
+
+
 def test_correlate_matrix_plan_has_no_cross_product(spark, sf_dir):
     """The celled matrix must never degenerate into a corpus cross
     product: candidate joins are equi joins on (band, signature), the

@@ -927,7 +927,9 @@ def sql_cusum_ctes(
       SELECT {SQL_LBLS}, ts, value,
              CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER fw
                   AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS mu,
-             stddev_pop({_CUSUM_FIN}) OVER fw AS sd,
+             CAST(sum(CAST(({_CUSUM_FIN}) * ({_CUSUM_FIN})
+                           AS DECIMAL(27,6))) OVER fw
+                  AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS ex2,
              CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER rw
                   AS DOUBLE) AS c,
              count({_CUSUM_FIN}) OVER rw::DOUBLE AS n
@@ -935,10 +937,13 @@ def sql_cusum_ctes(
       WHERE {where}
       WINDOW fw AS (PARTITION BY {SQL_LBLS}),
              rw AS ({_W} ROWS UNBOUNDED PRECEDING)),
+    csd AS (
+      SELECT *, sqrt(greatest(ex2 - mu * mu, 0.0::DOUBLE)) AS sd
+      FROM cst),
     cps AS (
       SELECT *, c - n * (mu + {slack} * sd) AS p,
                 n * (mu - {slack} * sd) - c AS m
-      FROM cst),
+      FROM csd),
     crn AS (
       SELECT *,
              p - least(0.0::DOUBLE, min(p) OVER rw) AS spos,

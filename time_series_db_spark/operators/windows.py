@@ -1125,16 +1125,23 @@ def cusum_changepoints(
     :func:`anomalies`: a z-score catches single outliers, CUSUM
     catches small persistent level shifts a z-score never trips on.
     Output: 1.0 where the detection statistic is above threshold, else
-    0.0 (NaN samples and zero-variance series flag 0.0).
+    0.0.  NaN samples add no evidence but INHERIT the running
+    detection state (the accumulated statistic is unchanged from the
+    previous finite sample, so a NaN row inside an active alarm still
+    reports 1.0 — an outage mid-shift does not silence the alarm);
+    zero-variance series flag 0.0.
 
     The textbook recurrence ``S⁺_t = max(0, S⁺_{t−1} + x_t − μ − κ)``
     is a sequential fold; this uses its closed form
     ``S⁺_t = P_t − min(0, min_{j≤t} P_j)`` with
     ``P_t = Σ_{i≤t} x_i − n_t·(μ + κ)`` (and mirrored ``S⁻``), so the
     whole statistic is TWO running-frame window passes over ONE
-    per-series sort — no fold, no collect, no join.  Prefix sums are
-    exact (DECIMAL), so both engines compute identical doubles and the
-    flag is differentially pinned.
+    per-series sort — no fold, no collect, no join.  Differential
+    pinning covers EVERY operand of the flag comparison: prefix sums
+    are exact (DECIMAL), and σ comes from the exact decimal moments
+    (``√(Σx²/n − μ²)``, squares quantized at DECIMAL(27,6)) instead of
+    a float ``stddev_pop`` whose summation order differs between
+    engines — so threshold-edge flags cannot flip on ulps.
     """
     wfull = _series_window(ordered=False).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1144,15 +1151,21 @@ def cusum_changepoints(
     )
     v = F.col("value")
     finite = F.when(~F.isnan(v), v)
+    mu = (
+        F.sum(finite.cast("decimal(27,6)")).over(wfull).cast("double")
+        / F.count(finite).over(wfull)
+    )
+    # σ from the exact decimal moments so both engines see identical
+    # operands (a float stddev_pop's summation order is not pinned)
+    ex2 = (
+        F.sum((finite * finite).cast("decimal(27,6)")).over(wfull)
+        .cast("double")
+        / F.count(finite).over(wfull)
+    )
     base = sf.df.select(
         "*",
-        (
-            F.sum(finite.cast("decimal(27,6)")).over(wfull).cast("double")
-            / F.count(finite).over(wfull)
-        ).alias("__mu"),
-        F.expr(
-            "stddev_pop(CASE WHEN NOT isnan(value) THEN value END)"
-        ).over(wfull).alias("__sd"),
+        mu.alias("__mu"),
+        F.sqrt(F.greatest(ex2 - mu * mu, F.lit(0.0))).alias("__sd"),
         F.sum(finite.cast("decimal(27,6)")).over(wrun).cast("double")
         .alias("__c"),
         F.count(finite).over(wrun).cast("double").alias("__n"),

@@ -1533,7 +1533,10 @@ def source_drift(
     first thing to audit before mixing it in).
 
     Returns one row per group: ``(group, n_docs, cos_to_corpus,
-    l2_to_corpus)``.
+    l2_to_corpus)``.  ``dim`` restricts the comparison to the first
+    ``dim`` components (the Matryoshka-prefix drift check — pass the
+    full width for whole-vector drift); components past ``dim`` are
+    sliced off BEFORE the explode, so a prefix check also pays less.
 
     Scale shape: embeddings explode to (id, dim, x) and equi-join the
     two-column (id, group) projection of ``docs`` — co-partitioned
@@ -1544,11 +1547,13 @@ def source_drift(
     groups×dim rows with the dim-indexed corpus centroid broadcast
     (dim rows — metadata-sized by construction).
     """
+    if dim <= 0:
+        raise ValueError("source_drift needs dim > 0")
     ex = emb.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(F.col("embedding").cast("array<double>")).alias(
-            "dim", "__x"
-        ),
+        F.posexplode(
+            F.slice(F.col("embedding").cast("array<double>"), 1, int(dim))
+        ).alias("dim", "__x"),
     )
     src = docs.select(
         F.col(doc_id_col).alias("__id"), F.col(group_col).alias("group")
