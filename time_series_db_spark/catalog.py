@@ -1350,6 +1350,38 @@ def m3_seasonal_auto(spark, sf_dir):
     )
 
 
+@register(
+    "m3_season_votes",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    aacf AS (
+      SELECT p.name, p."user", p.region, p.shard, p.lag,
+             {sql_quant(_ACF_EXPR)} AS qa
+      FROM apl p JOIN amom m USING (name, "user", region, shard)
+      WHERE p.lag >= 2)
+    SELECT name, "user", region, shard, lag, qa AS acf FROM (
+      SELECT *, row_number() OVER (
+          PARTITION BY name, "user", region, shard
+          ORDER BY qa DESC, lag ASC) AS rn
+      FROM aacf WHERE qa IS NOT NULL AND NOT isnan(qa))
+    WHERE rn = 1""",
+)
+def m3_season_votes(spark, sf_dir):
+    """Per-series season votes (operators/stats.py:season_votes): each
+    series' dominant quantized-ACF lag — the election behind
+    seasonalAdjust auto, exposed as its own inspection surface (a host
+    disagreeing with the fleet's season is itself a diagnostic).
+    Fleet-metadata-sized; one bounded ACF scatter + a rank-1 window."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    out = stats_ops.season_votes(_fetch(spark, sf_dir), max_lag=_ACF_L)
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        "lag",
+        quant(F.col("acf")).alias("acf"),
+    )
+
+
 _FLEET_FIN = "CASE WHEN NOT isnan(value) THEN value END"
 
 

@@ -540,26 +540,9 @@ def detect_season(
     fleet-metadata-sized; the vote is ONE 1-row collect — the declared
     coordinator boundary (the k-means/BPE shape).
     """
-    if min_lag < 1 or max_lag < min_lag:
-        raise ValueError("detect_season needs 1 <= min_lag <= max_lag")
-    from pyspark.sql import Window
-
-    acf = autocorrelation(sf, max_lag).filter(
-        (F.col("lag") >= F.lit(int(min_lag)))
-        & F.col("acf").isNotNull()
-        & ~F.isnan("acf")
-    )
-    qa = F.floor(F.col("acf") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
-    w = Window.partitionBy("series_key").orderBy(
-        F.desc("__qa"), F.asc("lag")
-    )
-    best = (
-        acf.withColumn("__qa", qa)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-    )
     top = (
-        best.groupBy("lag")
+        season_votes(sf, max_lag, min_lag)
+        .groupBy("lag")
         .agg(F.count(F.lit(1)).alias("__c"))
         .orderBy(F.desc("__c"), F.asc("lag"))
         .limit(1)
@@ -571,3 +554,36 @@ def detect_season(
             "(constant or too-sparse frame)"
         )
     return int(top[0]["lag"]) * int(sf.step)
+
+
+def season_votes(
+    sf: SeriesFrame, max_lag: int = 48, min_lag: int = 2
+) -> DataFrame:
+    """Each series' vote in :func:`detect_season`'s election: the lag
+    of its dominant ACF peak on the 1e-4-quantized grid (ties to the
+    smaller lag).  Returns ``(series_key, labels, lag, acf)`` — one
+    row per series with a defined peak; the fleet-level inspection
+    surface behind ``seasonalAdjust auto`` (which hosts disagree with
+    the fleet's season is itself a diagnostic).
+
+    Fleet-metadata-sized output; one bounded ACF scatter + a
+    per-series rank-1 window over fleet×lags rows."""
+    if min_lag < 1 or max_lag < min_lag:
+        raise ValueError("season_votes needs 1 <= min_lag <= max_lag")
+    from pyspark.sql import Window
+
+    acf = autocorrelation(sf, max_lag).filter(
+        (F.col("lag") >= F.lit(int(min_lag)))
+        & F.col("acf").isNotNull()
+        & ~F.isnan("acf")
+    )
+    qa = F.floor(F.col("acf") * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+    w = Window.partitionBy("series_key").orderBy(
+        F.desc("__qa"), F.asc("lag")
+    )
+    return (
+        acf.withColumn("__qa", qa)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("series_key", "labels", "lag", F.col("__qa").alias("acf"))
+    )
