@@ -75,6 +75,7 @@ QUERIES = [
                                # quadratic-risk one: candidates must stay
                                # ~flat as the fleet grows 10× (r9)
     "text_bpe_encode_xcorpus", # fit/apply split — train half, encode half (r9)
+    "decontaminate_eval_side", # corpus scan filtered by broadcast eval grams (r9)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -417,6 +417,52 @@ def test_m3ql_seasonal_adjust_auto_parses_and_explains():
 
 
 # ---------------------------------------------------------------------------
+# frozen-tokenizer OOV rate + eval-side contamination
+# ---------------------------------------------------------------------------
+
+def test_bpe_oov_rate_counts_unseen_word_tokens(spark):
+    from time_series_db_spark.pipeline import bpe
+
+    train = spark.createDataFrame(
+        [(0, "aa bb cc")], "doc_id long, text string"
+    )
+    model = bpe.bpe_train(train, n_merges=1)
+    # aa/bb seen; zz/yy unseen; zz repeats -> counted per TOKEN not type
+    apply_docs = spark.createDataFrame(
+        [(1, "aa zz bb zz yy", "en"), (2, "cc cc", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["group"]: r for r in bpe.bpe_oov_rate(apply_docs, model).collect()}
+    assert (rows["en"]["n_words"], rows["en"]["n_oov"]) == (5, 3)
+    assert rows["en"]["oov_rate"] == pytest.approx(0.6)
+    assert (rows["fr"]["n_words"], rows["fr"]["n_oov"]) == (2, 0)
+    assert rows["fr"]["oov_rate"] == 0.0
+
+
+def test_eval_overlap_is_the_transpose_of_overlap_score(spark):
+    """A gram shared between corpus and eval must count in BOTH
+    directions; eval items with no corpus overlap report 0."""
+    from time_series_db_spark.pipeline import decontam
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "one two three four")],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "five six seven eight")],
+        "doc_id long, text string",
+    )
+    ev = {r["doc_id"]: r for r in
+          decontam.eval_overlap(corpus, evals, n=4).collect()}
+    assert (ev[10]["n_grams"], ev[10]["n_hits"]) == (1, 1)
+    assert ev[10]["hit_rate"] == 1.0
+    assert (ev[11]["n_hits"], ev[11]["hit_rate"]) == (0, 0.0)
+    co = {r["doc_id"]: r for r in
+          decontam.overlap_score(corpus, evals, n=4).collect()}
+    assert co[0]["n_collisions"] == 1 and co[1]["n_collisions"] == 0
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r8 follow-ups: moving_percentile dense path, source_drift dim
 # ---------------------------------------------------------------------------
 

@@ -1189,6 +1189,47 @@ def decontaminate_overlap(spark, sf_dir):
 
 
 @register(
+    "decontaminate_eval_side",
+    f"""WITH corpus AS (SELECT {_DECON_SH} AS g FROM documents WHERE doc_id % 20 <> 0),
+    evals AS (SELECT doc_id, {_DECON_SH} AS g FROM documents WHERE doc_id % 20 = 0),
+    eh AS (SELECT DISTINCT {sql_hash64('gram', 'decontam')} AS gh
+           FROM (SELECT unnest(g) AS gram FROM evals)),
+    coll AS (SELECT DISTINCT gh FROM (
+      SELECT {sql_hash64('gram', 'decontam')} AS gh
+      FROM (SELECT unnest(g) AS gram FROM corpus)) c
+      WHERE EXISTS (SELECT 1 FROM eh WHERE eh.gh = c.gh)),
+    evh AS (SELECT doc_id, {sql_hash64('gram', 'decontam')} AS gh
+            FROM (SELECT doc_id, unnest(g) AS gram FROM evals)),
+    hits AS (SELECT doc_id, count(DISTINCT gh) AS n
+             FROM evh JOIN coll USING (gh) GROUP BY 1)
+    SELECT e.doc_id, len(e.g)::BIGINT AS n_grams,
+           coalesce(h.n, 0)::BIGINT AS n_hits,
+           {sql_quant('coalesce(h.n, 0)::DOUBLE / len(e.g)')} AS hit_rate
+    FROM evals e LEFT JOIN hits h USING (doc_id)""",
+)
+def decontaminate_eval_side(spark, sf_dir):
+    """Eval-side contamination view (pipeline/decontam.py:
+    eval_overlap) — the transpose of decontaminate_overlap: per EVAL
+    item, the fraction of its distinct 8-word-grams found anywhere in
+    the training corpus, i.e. which benchmark numbers are already
+    compromised (the corpus-side view only says which training docs to
+    drop).  The corpus scans once, filtered map-side by the
+    probe-gated broadcast eval grams; collided hashes are bounded by
+    the eval gram universe, so everything after the scan is
+    metadata-sized."""
+    from time_series_db_spark.pipeline import decontam
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 20 != 0)
+    evals = docs.filter(F.col("doc_id") % 20 == 0)
+    out = decontam.eval_overlap(corpus, evals, n=8)
+    return out.select(
+        "doc_id", "n_grams", "n_hits",
+        quant(F.col("hit_rate")).alias("hit_rate"),
+    )
+
+
+@register(
     "decontaminate_bloom",
     f"""WITH corpus AS (SELECT doc_id, {_DECON_SH} AS g FROM documents WHERE doc_id % 20 <> 0),
     evals  AS (SELECT {_DECON_SH} AS g FROM documents WHERE doc_id % 20 = 0),
@@ -2607,6 +2648,47 @@ def text_bpe_encode_xcorpus(spark, sf_dir):
         "doc_id", F.concat_ws(" ", "text", "source").alias("text")
     )
     return bpe.bpe_encode(apply_docs, model=model)
+
+
+@register(
+    "text_bpe_oov_xcorpus",
+    f"""WITH twords AS MATERIALIZED (
+      SELECT DISTINCT w AS __w
+      FROM (SELECT unnest({_TOKS}) AS w FROM documents WHERE doc_id % 2 = 0)
+      WHERE w <> ''),
+    oxd AS (
+      SELECT lang, text || ' ' || source AS text
+      FROM documents WHERE doc_id % 2 = 1),
+    oxw AS (
+      SELECT lang, w
+      FROM (SELECT lang, unnest({_TOKS}) AS w FROM oxd)
+      WHERE w <> ''),
+    oxj AS (
+      SELECT x.lang, t.__w AS seen
+      FROM oxw x LEFT JOIN twords t ON t.__w = x.w)
+    SELECT lang AS "group", count(*)::BIGINT AS n_words,
+           count(*) FILTER (WHERE seen IS NULL)::BIGINT AS n_oov,
+           (count(*) FILTER (WHERE seen IS NULL))::DOUBLE
+             / count(*)::DOUBLE AS oov_rate
+    FROM oxj GROUP BY 1""",
+)
+def text_bpe_oov_xcorpus(spark, sf_dir):
+    """Frozen-tokenizer OOV rate per language
+    (pipeline/bpe.py:bpe_oov_rate): the coverage check before
+    committing a vocabulary trained on corpus A to corpus B — here the
+    even-doc-trained vocabulary measured on the odd half with source
+    tags appended, so every language shows a nonzero OOV floor (the
+    src* tags) over an otherwise covered base vocabulary.  One scan,
+    probe-gated word-table left join, one partial agg; merges never
+    replay (only the word SET matters for coverage)."""
+    from time_series_db_spark.pipeline import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = bpe.bpe_train(docs.filter(F.col("doc_id") % 2 == 0), _BPE_N)
+    apply_docs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "lang", F.concat_ws(" ", "text", "source").alias("text")
+    )
+    return bpe.bpe_oov_rate(apply_docs, model)
 
 
 # ---------------------------------------------------------------------------

@@ -184,6 +184,51 @@ def bpe_apply(
     return seen.unionByName(bpe_segment_words(oov, merges))
 
 
+def bpe_oov_rate(
+    docs: DataFrame,
+    model: BpeModel,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Out-of-vocabulary rate of a FROZEN tokenizer on a new corpus,
+    per ``group_col``: the fraction of word tokens the training corpus
+    never saw — the coverage check run (alongside
+    :func:`bpe_fertility`) before committing a trained vocabulary to a
+    new data source or language mix.  OOV words still tokenize (the
+    merge replay in :func:`bpe_apply` handles them), but their
+    segmentation degrades toward characters, so a rising OOV rate is
+    the early warning.  Returns ``(group, n_words, n_oov, oov_rate)``
+    with the rate an exact ratio of integer counts.
+
+    100 TB shape: one corpus scan exploded to word tokens, left-joined
+    against the trained word-TYPE table (probe-gated broadcast — the
+    same guard as every word-table join here), one partial-aggregated
+    groupBy.  Only the word set matters, so the merge list is never
+    replayed."""
+    from time_series_db_spark.pipeline.text import _broadcast_if_bounded
+
+    _, word_table = model
+    trained = word_table.select("__w").withColumn("__seen", F.lit(1))
+    words = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(textprep.tokens(F.col(text_col))).alias("__w"),
+    ).filter(F.col("__w") != "")
+    return (
+        words.join(
+            _broadcast_if_bounded(trained, "bpe_word_types"), "__w", "left"
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.count_if(F.col("__seen").isNull()).cast("long").alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate",
+            F.col("n_oov").cast("double") / F.col("n_words").cast("double"),
+        )
+    )
+
+
 def _word_seqs(
     docs: DataFrame,
     n_merges: int,

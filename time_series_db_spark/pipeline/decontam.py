@@ -291,3 +291,71 @@ def overlap_score(
             ).alias("overlap"),
         )
     )
+
+
+def eval_overlap(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The EVAL-SIDE view of contamination — the transpose of
+    :func:`overlap_score`: per eval item, the fraction of ITS distinct
+    word n-grams that appear anywhere in the training corpus.  This is
+    the question a benchmark owner asks ("which of my test items leak
+    into the training set, and how badly?") where overlap_score
+    answers the curator's ("which training docs should I drop?") —
+    both directions are needed: dropping contaminated TRAINING docs
+    cleans the corpus, but only the eval-side view tells you which
+    BENCHMARK numbers were already compromised.  Output: one row per
+    eval item, ``(id_col, n_grams, n_hits, hit_rate)``.
+
+    100 TB shape: the corpus is scanned ONCE, its exploded grams
+    filtered map-side by the (probe-gated) broadcast eval gram set —
+    only collisions survive, and the distinct set of collided hashes
+    is bounded by the EVAL gram universe, so everything after the scan
+    is metadata-sized; per-item totals ride the eval-side shingle
+    arrays.  Never the reverse join (a corpus gram set can be
+    billions of rows and broadcasts nowhere)."""
+    if n <= 0:
+        raise ValueError("n-gram length must be positive")
+    from time_series_db_spark.pipeline.text import _broadcast_if_bounded
+
+    g = eval_set.select(
+        F.col(id_col),
+        ngram_hash_set(F.col(text_col), n, hash_fn).alias("__ghs"),
+    )
+    totals = g.select(
+        id_col, F.size("__ghs").cast("long").alias("n_grams")
+    )
+    eval_h = g.select(F.explode("__ghs").alias("__gh")).distinct()
+    collided = (
+        corpus.select(
+            F.explode(
+                ngram_hash_set(F.col(text_col), n, hash_fn)
+            ).alias("__gh")
+        )
+        .join(_broadcast_if_bounded(eval_h, "eval_grams"), "__gh")
+        .select("__gh")
+        .distinct()
+    )
+    hits = (
+        g.select(F.col(id_col), F.explode("__ghs").alias("__gh"))
+        .join(collided, "__gh")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__gh").alias("n_hits"))
+    )
+    return (
+        totals.join(hits, on=id_col, how="left")
+        .select(
+            F.col(id_col),
+            "n_grams",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+            .alias("n_hits"),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams")
+            ).alias("hit_rate"),
+        )
+    )
