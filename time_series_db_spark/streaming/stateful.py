@@ -105,3 +105,114 @@ def streaming_per_second_rate(samples: DataFrame) -> DataFrame:
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+CUSUM_OUTPUT_SCHEMA = StructType([
+    StructField("series_key", StringType()),
+    StructField("ts", LongType()),
+    StructField("flag", DoubleType()),
+    StructField("score", DoubleType()),
+])
+
+#: Welford moments (n, mean, m2) + the two one-sided CUSUM statistics
+_CUSUM_STATE_SCHEMA = StructType([
+    StructField("n", LongType()),
+    StructField("mean", DoubleType()),
+    StructField("m2", DoubleType()),
+    StructField("sp", DoubleType()),
+    StructField("sn", DoubleType()),
+])
+
+
+def _make_cusum_fn(warmup: int, threshold: float, slack: float):
+    import math
+
+    def _cusum_fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            n, mean, m2, sp, sn = state.get
+        else:
+            n, mean, m2, sp, sn = 0, 0.0, 0.0, 0.0, 0.0
+        out_ts, out_flag, out_score = [], [], []
+        for pdf in pdfs:
+            for ts, x in sorted(zip(pdf["ts"], pdf["value"])):
+                ts, x = int(ts), float(x)
+                if n < warmup:
+                    # calibration phase: fold finite samples into the
+                    # Welford moments, emit no-alarm rows
+                    if not math.isnan(x):
+                        n += 1
+                        delta = x - mean
+                        mean += delta / n
+                        m2 += delta * (x - mean)
+                    out_ts.append(ts)
+                    out_flag.append(0.0)
+                    out_score.append(0.0)
+                    continue
+                sd = math.sqrt(m2 / n) if n else 0.0
+                if sd > 0 and not math.isnan(x):
+                    k = slack * sd
+                    sp = max(0.0, sp + (x - mean - k))
+                    sn = max(0.0, sn + (mean - k - x))
+                # NaN samples inherit the running statistics — an
+                # outage mid-shift does not silence the alarm (the
+                # batch operator's documented contract)
+                score = max(sp, sn) / sd if sd > 0 else 0.0
+                out_ts.append(ts)
+                out_flag.append(1.0 if score > threshold else 0.0)
+                out_score.append(score)
+        state.update((n, mean, m2, sp, sn))
+        if out_ts:
+            yield pd.DataFrame(
+                {
+                    "series_key": [key[0]] * len(out_ts),
+                    "ts": pd.Series(out_ts, dtype="int64"),
+                    "flag": pd.Series(out_flag, dtype="float64"),
+                    "score": pd.Series(out_score, dtype="float64"),
+                }
+            )
+
+    return _cusum_fn
+
+
+def streaming_cusum(
+    samples: DataFrame,
+    warmup: int = 32,
+    threshold: float = 5.0,
+    slack: float = 0.5,
+) -> DataFrame:
+    """Continuous two-sided CUSUM mean-shift monitoring — the streaming
+    leg of ``operators.windows.cusum_changepoints``.  A batch query has
+    a full window to take μ/σ from; a stream does not, so this follows
+    the SPC run-chart model: each series' first ``warmup`` finite
+    samples CALIBRATE the reference (Welford fold in the state store),
+    after which μ/σ freeze and every sample updates the two one-sided
+    statistics ``S⁺/S⁻`` against the frozen reference — state
+    ``(n, mean, m2, S⁺, S⁻)`` persists across micro-batches, so a
+    shift straddling a batch boundary accumulates seamlessly.
+    Recalibration is a restart with a fresh checkpoint (the streaming
+    analog of re-running the batch op over a new window).  Emits
+    ``(series_key, ts, flag, score)`` per sample: ``score`` =
+    ``max(S⁺, S⁻)/σ`` (alarm magnitude in σ units), ``flag`` = 1.0
+    where score > threshold; calibration rows emit 0.  NaN samples
+    inherit the running statistics — an outage mid-shift does not
+    silence the alarm (the batch operator's contract).
+
+    Scale shape: identical to :func:`streaming_per_second_rate` —
+    state partitioned by series_key, one Arrow round-trip per updated
+    group per micro-batch, state size O(1) per series.
+    """
+    if warmup < 2:
+        raise ValueError("streaming_cusum needs warmup >= 2")
+    return (
+        samples.select("series_key", "ts", "value")
+        .groupBy("series_key")
+        .applyInPandasWithState(
+            _make_cusum_fn(int(warmup), float(threshold), float(slack)),
+            CUSUM_OUTPUT_SCHEMA,
+            _CUSUM_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
