@@ -30,7 +30,8 @@ _STAGES = [
 _ARGS = st.sampled_from(
     ["", "1", "0", "-3", "2.5", "1h", "10m", "2d", "region", "name",
      "avg", "sum", "last", "lttb", "minmax", "residual", "bogus",
-     "'quoted'", "*", "a=b", "!x", "99", "0.5", "1e3"]
+     "'quoted'", "*", "a=b", "!x", "99", "0.5", "1e3", "auto",
+     "seasonal"]
 )
 
 
@@ -70,6 +71,8 @@ def test_parse_plan_fails_typed_or_succeeds(query):
         "fetch name:error | summarize 1h bogus",  # unknown agg fn
         "fetch name:error | decimate 0",          # non-positive bucket
         "fetch name:error | seasonalAdjust 1h 1d",  # bucket > season
+        "fetch name:error | seasonalAdjust auto 1h residual",  # auto arity
+        "fetch name:error | seasonalAdjust auto bogus",  # bad auto output
         "fetch name:error | changepoints 0",         # non-positive threshold
         "fetch name:error | changepoints 3 -1",      # negative slack
         "fetch name:error | changepoints 3 1 x",     # arity

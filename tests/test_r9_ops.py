@@ -417,6 +417,61 @@ def test_m3ql_seasonal_adjust_auto_parses_and_explains():
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe split (pipeline/dedup.py:leakage_safe_split)
+# ---------------------------------------------------------------------------
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """A connected near-dup chain (1-2, 2-3) plus a separate pair (7-8)
+    must each land entirely in ONE split; every doc is assigned."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    rows = {r["doc_id"]: r for r in
+            dedup.leakage_safe_split(docs, pairs).collect()}
+    assert set(rows) == set(range(10))
+    assert len({rows[i]["split"] for i in (1, 2, 3)}) == 1
+    assert len({rows[i]["cluster_id"] for i in (1, 2, 3)}) == 1
+    assert rows[7]["split"] == rows[8]["split"]
+    # unpaired docs are their own cluster
+    assert rows[0]["cluster_id"] == 0 and rows[5]["cluster_id"] == 5
+
+
+def test_leakage_safe_split_deterministic_and_proportioned(spark):
+    """Same inputs → identical assignment; bucket fractions land near
+    the requested 80/10/10 over enough singleton clusters."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    a = sorted(tuple(r) for r in dedup.leakage_safe_split(docs, pairs).collect())
+    b = sorted(tuple(r) for r in dedup.leakage_safe_split(docs, pairs).collect())
+    assert a == b
+    from collections import Counter
+    frac = Counter(split for _, _, split in a)
+    assert 0.74 < frac["train"] / 1000 < 0.86
+    assert 0.06 < frac["val"] / 1000 < 0.14
+    assert 0.06 < frac["test"] / 1000 < 0.14
+
+
+def test_leakage_safe_split_validates_weights(spark):
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="sum to 1"):
+        dedup.leakage_safe_split(docs, pairs, weights={"train": 0.5})
+    with pytest.raises(ValueError, match="non-negative"):
+        dedup.leakage_safe_split(
+            docs, pairs, weights={"train": 1.2, "test": -0.2}
+        )
+
+
+# ---------------------------------------------------------------------------
 # streaming CUSUM (streaming/stateful.py:streaming_cusum)
 # ---------------------------------------------------------------------------
 

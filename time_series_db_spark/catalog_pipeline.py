@@ -2898,6 +2898,48 @@ def dedup_soft_weights(spark, sf_dir):
     )
 
 
+@register(
+    "split_leakage_safe",
+    f"""WITH RECURSIVE pairs AS (SELECT * FROM ({_PAIRS_SQL})),
+    nodes AS (SELECT DISTINCT id FROM
+      (SELECT id_a AS id FROM pairs UNION SELECT id_b FROM pairs)),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT id, id AS root FROM nodes
+      UNION
+      SELECT e.b AS id, r.root FROM reach r JOIN edges e ON e.a = r.id
+    ),
+    comp AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+    cl AS (
+      SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    bkt AS (
+      SELECT doc_id, cluster_id,
+             {sql_hash64("CAST(cluster_id AS VARCHAR)", 'split')} % 10000
+               AS b
+      FROM cl)
+    SELECT doc_id, cluster_id,
+           CASE WHEN b < 8000 THEN 'train'
+                WHEN b < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM bkt""",
+)
+def split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split
+    (pipeline/dedup.py:leakage_safe_split): near-dup CLUSTERS are the
+    unit of assignment, so a near-duplicate of a training document can
+    never sit in the test set — the eval contamination a naive per-doc
+    hash split manufactures by construction.  MinHash pairs →
+    connected components → integer hash buckets (80/10/10, thresholds
+    compared as integers so the boundary cannot drift between
+    engines); the oracle resolves the same components with a recursive
+    CTE and replays the same md5 bucketing."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.leakage_safe_split(docs, pairs)
+
+
 #: the registered lexical and hybrid-dense query texts double as the
 #: ranked-list sources for the fusion oracle (same nested-WITH reuse as
 #: _PAIRS_SQL above)

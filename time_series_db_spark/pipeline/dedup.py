@@ -899,3 +899,70 @@ def soft_dedup_weights(
             ).alias("weight"),
         )
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    seed: int | str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment where near-duplicate
+    CLUSTERS never straddle splits — the leakage-safe version of the
+    naive per-document hash split.  A near-dup of a training document
+    sitting in the test set is eval contamination the per-doc split
+    manufactures by construction; here the unit of assignment is the
+    connected component of the near-dup pair graph (unpaired documents
+    are their own unit), so duplicates travel together.  Returns
+    ``(id_col, cluster_id, split)`` for every document.
+
+    Assignment is pure hashing, no randomness: ``hash64(cluster_id) mod
+    10000`` lands in integer buckets sized by ``weights`` (quantized to
+    1e-4 — thresholds compare as INTEGERS so the boundary cannot drift
+    between engines), which makes splits reproducible across runs,
+    engines, and corpus growth (a new document joins a split without
+    moving old ones — unless it pairs into an existing cluster, which
+    is exactly the leakage case that SHOULD move it).
+
+    Scale shape: the :func:`soft_dedup_weights` shape — components over
+    the pair graph only, the corpus pays one left join against the
+    metadata-sized component table; the hash and bucketing are pure
+    row expressions.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not weights or any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative and non-empty")
+    cuts = []
+    acc = 0
+    for name, w in weights.items():
+        acc += round(float(w) * 10000)
+        cuts.append((name, acc))
+    if cuts[-1][1] != 10000:
+        raise ValueError(
+            f"weights must sum to 1 (got {cuts[-1][1] / 10000})"
+        )
+    cc = connected_components(pairs, max_iters=20)
+    assigned = docs.select(id_col).join(
+        cc.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    cluster = F.coalesce(F.col("comp"), F.col(id_col))
+    bucket = F.pmod(
+        textprep.hash64(cluster.cast("string"), seed), F.lit(10000)
+    )
+    expr = None
+    for name, cut in cuts[:-1]:
+        cond = bucket < F.lit(int(cut))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(cuts[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return assigned.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        expr.alias("split"),
+    )
