@@ -472,6 +472,26 @@ def test_leakage_safe_split_validates_weights(spark):
 
 
 # ---------------------------------------------------------------------------
+# corpus snapshot diff (pipeline/dedup.py:corpus_diff)
+# ---------------------------------------------------------------------------
+
+def test_corpus_diff_statuses(spark):
+    from time_series_db_spark.pipeline import dedup
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"]
+           for r in dedup.corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+# ---------------------------------------------------------------------------
 # streaming CUSUM (streaming/stateful.py:streaming_cusum)
 # ---------------------------------------------------------------------------
 

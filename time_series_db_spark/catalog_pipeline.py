@@ -2899,6 +2899,44 @@ def dedup_soft_weights(spark, sf_dir):
 
 
 @register(
+    "corpus_diff",
+    f"""WITH oldv AS (
+      SELECT doc_id, {sql_hash64('text', 'snap')} AS ho
+      FROM documents WHERE doc_id % 7 <> 0),
+    newv AS (
+      SELECT doc_id,
+             {sql_hash64(
+                 "CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END",
+                 'snap')} AS hn
+      FROM documents WHERE doc_id % 11 <> 0)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.ho IS NULL THEN 'added'
+                WHEN n.hn IS NULL THEN 'removed'
+                WHEN o.ho <> n.hn THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM oldv o FULL OUTER JOIN newv n ON n.doc_id = o.doc_id""",
+)
+def corpus_diff(spark, sf_dir):
+    """Snapshot diff (pipeline/dedup.py:corpus_diff): the
+    incremental-crawl audit — per doc id, added / removed / changed /
+    unchanged between two corpus versions (simulated here: the old
+    snapshot drops doc_id%7==0, the new drops doc_id%11==0 and edits
+    doc_id%5==0), deciding what downstream stages actually reprocess.
+    Each snapshot collapses to (id, content-hash) on its own scan; ONE
+    full-outer equi-join on id, no broadcast assumption on either
+    corpus-sized side."""
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.corpus_diff(old, new)
+
+
+@register(
     "split_leakage_safe",
     f"""WITH RECURSIVE pairs AS (SELECT * FROM ({_PAIRS_SQL})),
     nodes AS (SELECT DISTINCT id FROM

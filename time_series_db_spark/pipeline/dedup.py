@@ -901,6 +901,47 @@ def soft_dedup_weights(
     )
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot bookkeeping between two corpus versions: per document
+    id, whether it was ``added`` (only in the new snapshot),
+    ``removed`` (only in the old), ``changed`` (present in both with
+    different content), or ``unchanged`` — the incremental-crawl audit
+    that decides what downstream stages (dedup, embedding, indexing)
+    actually need to reprocess.  Content identity is the md5-based
+    64-bit hash of the RAW text (not normalized — whitespace edits ARE
+    changes for reprocessing purposes).  Returns ``(id_col, status)``.
+
+    100 TB shape: each snapshot collapses to (id, content-hash) on its
+    own scan, then ONE full-outer equi-join on id — no broadcast
+    assumption on either side (both snapshots are corpus-sized); the
+    status is a pure row expression over null-ness and hash equality.
+    Near-duplicate (rather than exact) cross-snapshot matching is
+    :func:`cross_corpus_dedup`'s job.
+    """
+    oh = old.select(
+        F.col(id_col),
+        textprep.hash64(F.col(text_col), "snap").alias("__ho"),
+    )
+    nh = new.select(
+        F.col(id_col),
+        textprep.hash64(F.col(text_col), "snap").alias("__hn"),
+    )
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return oh.join(nh, id_col, "full_outer").select(
+        F.col(id_col), status.alias("status")
+    )
+
+
 def leakage_safe_split(
     docs: DataFrame,
     pairs: DataFrame,
