@@ -402,6 +402,32 @@ def test_seasonal_adjust_auto_zeroes_exact_periodicity(spark):
         assert seas[i * 1000] == pytest.approx(v)
 
 
+def test_seasonal_adjust_auto_per_series_mixed_fleet(spark):
+    """A mixed fleet (period-4 and period-6 series) zeroes out under
+    per_series=True — each at its OWN season — while the fleet-vote
+    mode necessarily leaves the minority series' residual nonzero."""
+    import math
+
+    from time_series_db_spark.operators import windows as win
+
+    groups = [
+        (f"a{s}", [5 * math.sin(2 * math.pi * i / 4) + s for i in range(48)])
+        for s in range(3)
+    ] + [
+        ("b0", [7 * math.sin(2 * math.pi * i / 6) + 9 for i in range(48)]),
+    ]
+    sf = _fleet(spark, groups)
+    per = win.seasonal_adjust_auto(sf, max_lag=24, per_series=True)
+    assert all(abs(r["value"]) < 1e-5 for r in per.df.collect())
+    voted = win.seasonal_adjust_auto(sf, max_lag=24)  # majority = 4
+    b_res = [
+        r["value"]
+        for r in voted.df.collect()
+        if r["labels"]["user"] == "b0"
+    ]
+    assert max(abs(v) for v in b_res) > 1.0  # minority series mis-adjusted
+
+
 def test_m3ql_seasonal_adjust_auto_parses_and_explains():
     from time_series_db_spark.lang.m3.parser import parse
     from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan

@@ -1382,6 +1382,59 @@ def m3_season_votes(spark, sf_dir):
     )
 
 
+@register(
+    "m3_seasonal_auto_series",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    aacf AS (
+      SELECT p.name, p."user", p.region, p.shard, p.lag,
+             {sql_quant(_ACF_EXPR)} AS qa
+      FROM apl p JOIN amom m USING (name, "user", region, shard)
+      WHERE p.lag >= 2),
+    avt AS (
+      SELECT name, "user", region, shard,
+             lag * {DEFAULT_STEP_MS} AS season
+      FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY name, "user", region, shard
+            ORDER BY qa DESC, lag ASC) AS rn
+        FROM aacf WHERE qa IS NOT NULL AND NOT isnan(qa))
+      WHERE rn = 1),
+    aj AS (
+      SELECT s.name, s."user", s.region, s.shard, s.ts, s.value,
+             v.season
+      FROM samples s
+      LEFT JOIN avt v USING (name, "user", region, shard)),
+    aph AS (
+      SELECT *, CASE WHEN season IS NOT NULL
+                     THEN (ts % season) - (ts % {DEFAULT_STEP_MS})
+                     ELSE 0 END AS ph
+      FROM aj),
+    asm AS (
+      SELECT {SQL_LBLS}, ts, value,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               / count(value) OVER w AS sm
+      FROM aph
+      WINDOW w AS (PARTITION BY {SQL_LBLS}, ph))
+    SELECT {SQL_LBLS}, ts, {sql_quant('value - sm')} AS value
+    FROM asm""",
+)
+def m3_seasonal_auto_series(spark, sf_dir):
+    """Per-series auto-season residual (windows.seasonal_adjust_auto
+    with per_series=True): each series adjusts at ITS OWN dominant ACF
+    peak — a mixed fleet (daily-cycle hosts next to hourly batch jobs)
+    has no single right season, so the fleet-majority vote of
+    m3_seasonal_auto is wrong for the minority.  The season_votes
+    table joins back (fleet-metadata-sized) and the phase key becomes
+    a column expression, so the whole fleet still pays ONE
+    (series, phase) window pass; peak-less series degrade to the
+    series-mean residual."""
+    out = windows.seasonal_adjust_auto(
+        _fetch(spark, sf_dir), max_lag=_ACF_L, per_series=True
+    )
+    return _out(out)
+
+
 _FLEET_FIN = "CASE WHEN NOT isnan(value) THEN value END"
 
 

@@ -917,6 +917,7 @@ def seasonal_adjust_auto(
     max_lag: int = 48,
     min_lag: int = 2,
     output: str = "residual",
+    per_series: bool = False,
 ) -> SeriesFrame:
     """``seasonalAdjust auto``: detect the dominant season from the
     frame's own autocorrelation (``stats.detect_season`` — per-series
@@ -925,16 +926,53 @@ def seasonal_adjust_auto(
     always divides the detected season (season = lag · step), so auto
     mode never hits the bucket-divides-season contract error.
 
-    Same scale shape as the two pieces: one bounded ACF scatter with a
-    1-row vote collect, then one (series, phase) window aggregate —
-    the corpus is scanned twice total (detect + adjust), never
-    pairwise."""
+    ``per_series=True`` adjusts EACH series at ITS OWN detected season
+    (a mixed fleet — hosts on daily cycles next to hourly batch jobs —
+    has no single right season): the ``stats.season_votes`` table
+    joins back and the phase key becomes a column expression
+    ``ts % (lag·step) − ts % step``, so the whole fleet still pays ONE
+    (series, phase) window pass; series with no defined ACF peak
+    (constant/too-sparse) pass through unadjusted (their phase key is
+    the constant 0 and the profile mean is the series mean — for
+    ``output="seasonal"`` that is the mean itself, for residual the
+    centered series; a defensible degenerate).
+
+    Same scale shape as the two pieces: one bounded ACF scatter (with
+    either a 1-row vote collect or a fleet-metadata-sized join back),
+    then one (series, phase) window aggregate — the corpus is scanned
+    twice total (detect + adjust), never pairwise."""
+    if not per_series:
+        from time_series_db_spark.operators import stats as _stats
+
+        season_ms = _stats.detect_season(
+            sf, max_lag=max_lag, min_lag=min_lag
+        )
+        return seasonal_adjust(
+            sf, season_ms, bucket_ms if bucket_ms else sf.step, output
+        )
+    if output not in ("residual", "seasonal"):
+        raise ValueError(f"output must be residual|seasonal, got {output!r}")
     from time_series_db_spark.operators import stats as _stats
 
-    season_ms = _stats.detect_season(sf, max_lag=max_lag, min_lag=min_lag)
-    return seasonal_adjust(
-        sf, season_ms, bucket_ms if bucket_ms else sf.step, output
+    step = int(bucket_ms) if bucket_ms else int(sf.step)
+    votes = _stats.season_votes(sf, max_lag=max_lag, min_lag=min_lag).select(
+        "series_key",
+        (F.col("lag") * F.lit(int(sf.step))).alias("__season"),
     )
+    joined = sf.df.join(votes, "series_key", "left")
+    phase = F.when(
+        F.col("__season").isNotNull(),
+        (F.col("ts") % F.col("__season")) - (F.col("ts") % F.lit(step)),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("series_key", phase)
+    finite = F.when(~F.isnan("value"), F.col("value"))
+    seasonal = (
+        F.sum(finite.cast("decimal(27,6)")).over(w).cast("double")
+        / F.count(finite).over(w)
+    )
+    v = F.col("value") - seasonal if output == "residual" else seasonal
+    df = joined.withColumn("value", v).select(*SAMPLE_COLS)
+    return sf.with_df(df)
 
 
 def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
