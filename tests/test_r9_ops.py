@@ -729,3 +729,41 @@ def test_correlate_matrix_plan_has_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["split_leakage_safe", "decontaminate_eval_side", "corpus_diff",
+     "m3_seasonal_auto_series", "text_bpe_oov_xcorpus"],
+)
+def test_r9_entry_plans_stay_equi_join(name, spark, sf_dir):
+    """None of the round's join-shaped entries may plan a cross
+    product or a per-row Python path — CC, hash-split, snapshot diff,
+    vote join-back, and OOV left join are all equi joins."""
+    from time_series_db_spark.catalog import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+    assert "EvalPython" not in plan, name
+
+
+def test_eval_overlap_guards_eval_broadcast(spark, monkeypatch):
+    """Same contract as overlap_score: the eval gram set must EARN its
+    broadcast hint through the bounded probe."""
+    from tests.test_plan_quality import _analyzed_hints
+    from time_series_db_spark.pipeline import decontam, text
+
+    corpus = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * 4) for i in range(4)],
+        "doc_id long, text string",
+    )
+    eval_set = spark.createDataFrame(
+        [(0, "alpha beta gamma delta alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    default = _analyzed_hints(decontam.eval_overlap(corpus, eval_set, n=4))
+    monkeypatch.setattr(text, "MAX_BROADCAST_TOKEN_ROWS", 0)
+    guarded = _analyzed_hints(decontam.eval_overlap(corpus, eval_set, n=4))
+    assert guarded == default - 1

@@ -315,7 +315,7 @@ def moving_percentile(
     return _moving_scatter(sf, k, agg)
 
 
-def _moving_dense(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
+def _moving_dense(sf: SeriesFrame, window_ms: int, fn) -> SeriesFrame:
     w = _series_window().rangeBetween(-window_ms, -sf.step)
     df = (
         _densified(sf)
@@ -328,7 +328,7 @@ def _moving_dense(sf: SeriesFrame, window_ms: int, fn: str) -> SeriesFrame:
     return sf.with_df(df)
 
 
-def _moving_scatter(sf: SeriesFrame, k: int, fn: str) -> SeriesFrame:
+def _moving_scatter(sf: SeriesFrame, k: int, fn) -> SeriesFrame:
     step = sf.step
     targets = F.explode(
         F.sequence(
