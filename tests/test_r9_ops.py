@@ -436,10 +436,19 @@ def test_m3ql_seasonal_adjust_auto_parses_and_explains():
     assert "season=auto" in plan.dump()
     plan = build_plan(parse("fetch name:x | seasonalAdjust auto seasonal"))
     assert "output=seasonal" in plan.dump()
+    plan = build_plan(
+        parse("fetch name:x | seasonalAdjust auto perSeries seasonal")
+    )
+    assert "season=auto-per-series" in plan.dump()
+    assert "output=seasonal" in plan.dump()
     with pytest.raises(M3PlanError):
         build_plan(parse("fetch name:x | seasonalAdjust auto 1h residual"))
     with pytest.raises(M3PlanError):
         build_plan(parse("fetch name:x | seasonalAdjust auto bogus"))
+    with pytest.raises(M3PlanError):
+        build_plan(
+            parse("fetch name:x | seasonalAdjust auto perSeries 1h x")
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -472,7 +472,9 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return windows.ewma(sf, node.n, node.alpha)
     if isinstance(node, P.SeasonalAdjustNode):
         if node.season_ms is None:
-            return windows.seasonal_adjust_auto(sf, output=node.output)
+            return windows.seasonal_adjust_auto(
+                sf, output=node.output, per_series=node.per_series
+            )
         return windows.seasonal_adjust(
             sf, node.season_ms, node.bucket_ms, node.output
         )

@@ -736,14 +736,18 @@ class SeasonalAdjustNode(PlanNode):
         season_ms: int | None = 86_400_000,
         bucket_ms: int | None = 3_600_000,
         output: str = "residual",
+        per_series: bool = False,
     ):
         super().__init__()
         self.season_ms = season_ms
         self.bucket_ms = bucket_ms
         self.output = output
+        self.per_series = per_series
 
     def explain(self) -> str:
         season = "auto" if self.season_ms is None else self.season_ms
+        if self.per_series:
+            season = "auto-per-series"
         return (
             f"SEASONAL_ADJUST(season={season}, "
             f"bucket={self.bucket_ms}, output={self.output})"
@@ -1302,19 +1306,26 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
                 "[residual|seasonal]]]"
             )
         if args and args[0] == "auto":
-            # auto mode: season from the frame's own ACF peak vote;
-            # profile bucket is the grid step (always divides the
-            # detected season), so only the output selector remains
-            if len(args) > 2:
+            # auto mode: season from the frame's own ACF peaks
+            # (fleet-majority vote, or each series' own peak with
+            # `perSeries`); profile bucket is the grid step (always
+            # divides the detected season), so only the output
+            # selector remains
+            rest = list(args[1:])
+            per_series = bool(rest) and rest[0] == "perSeries"
+            if per_series:
+                rest = rest[1:]
+            if len(rest) > 1:
                 raise M3PlanError(
-                    "seasonalAdjust auto expects: auto [residual|seasonal]"
+                    "seasonalAdjust auto expects: auto [perSeries] "
+                    "[residual|seasonal]"
                 )
-            output = args[1] if len(args) == 2 else "residual"
+            output = rest[0] if rest else "residual"
             if output not in ("residual", "seasonal"):
                 raise M3PlanError(
                     "seasonalAdjust output must be residual|seasonal"
                 )
-            return SeasonalAdjustNode(None, None, output)
+            return SeasonalAdjustNode(None, None, output, per_series)
         season = parse_duration_ms(args[0]) if len(args) >= 1 else 86_400_000
         bucket = parse_duration_ms(args[1]) if len(args) >= 2 else 3_600_000
         output = args[2] if len(args) >= 3 else "residual"
