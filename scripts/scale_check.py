@@ -76,6 +76,10 @@ QUERIES = [
                                # ~flat as the fleet grows 10× (r9)
     "text_bpe_encode_xcorpus", # fit/apply split — train half, encode half (r9)
     "decontaminate_eval_side", # corpus scan filtered by broadcast eval grams (r9)
+    "m3_seasonal_auto",        # ACF detect + one phase window (r9)
+    "m3_seasonal_auto_series", # votes join-back + column phase key (r9)
+    "split_leakage_safe",      # CC over pairs + hash bucketing (r9)
+    "corpus_diff",             # two snapshot scans + full-outer join (r9)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4
