@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "text_source_stats",       # per-source curation audit groupBy (r8)
     "m3_correlate_matrix",     # celled all-pairs correlation matrix (r9)
     "text_bpe_encode_xcorpus", # BPE fit/apply cross-corpus encode (r9)
+    "m3_seasonal_auto",        # ACF season detect + phase window (r9)
+    "split_leakage_safe",      # near-dup-cluster train/test split (r9)
 ]
 
 
