@@ -451,6 +451,23 @@ def test_m3ql_seasonal_adjust_auto_parses_and_explains():
         )
 
 
+def test_cusum_survives_extreme_magnitudes(spark):
+    """The exact-decimal σ must not ANSI-overflow on large samples:
+    squares of 1e12-magnitude values exceed DECIMAL(27,6) but fit
+    (38,6); the shift is still detected."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows as win
+
+    vals = [1e12 + (i % 5) * 1e8 for i in range(70)]
+    vals += [1.1e12 + (i % 5) * 1e8 for i in range(10)]
+    sf = _series_df(spark, vals)
+    out = win.cusum_changepoints(sf, threshold=3.0).df.collect()
+    assert len(out) == 80
+    flags = [r["value"] for r in sorted(out, key=lambda r: r["ts"])]
+    assert set(flags) <= {0.0, 1.0}  # no overflow null/NaN leaked
+    assert 1.0 in flags[70:]  # the late shift is detected
+
+
 # ---------------------------------------------------------------------------
 # leakage-safe split (pipeline/dedup.py:leakage_safe_split)
 # ---------------------------------------------------------------------------

@@ -928,7 +928,7 @@ def sql_cusum_ctes(
              CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER fw
                   AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS mu,
              CAST(sum(CAST(({_CUSUM_FIN}) * ({_CUSUM_FIN})
-                           AS DECIMAL(27,6))) OVER fw
+                           AS DECIMAL(38,6))) OVER fw
                   AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS ex2,
              CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER rw
                   AS DOUBLE) AS c,

@@ -1194,9 +1194,11 @@ def cusum_changepoints(
         / F.count(finite).over(wfull)
     )
     # σ from the exact decimal moments so both engines see identical
-    # operands (a float stddev_pop's summation order is not pinned)
+    # operands (a float stddev_pop's summation order is not pinned);
+    # squares take the widest decimal (38,6) — (27,6) would overflow
+    # ANSI mode at |value| > ~3e10 where the values themselves don't
     ex2 = (
-        F.sum((finite * finite).cast("decimal(27,6)")).over(wfull)
+        F.sum((finite * finite).cast("decimal(38,6)")).over(wfull)
         .cast("double")
         / F.count(finite).over(wfull)
     )
