@@ -744,6 +744,61 @@ def test_source_drift_dim_restricts_to_prefix(spark):
         ann.source_drift(embs, docs, dim=0)
 
 
+def test_correlate_matrix_values_match_brute_force_on_emitted_pairs(spark):
+    """Soundness of the exact stage: every pair the celled path emits
+    must carry EXACTLY the corr/n_points the quadratic all-pairs
+    reference computes for it, and the emitted set must be a subset of
+    the reference's threshold set (candidates only prune, never
+    invent)."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.operators import stats as st
+
+    # pseudo-random fleet with some genuine co-movement mixed in
+    groups = []
+    for s in range(8):
+        base = [((i * (s + 3) + s * s) % 17) - 8.0 for i in range(32)]
+        groups.append((f"r{s}", base))
+    groups += [(f"c{j}", [2.0 * v + j for v in _TREND]) for j in range(3)]
+    sf = _fleet(spark, groups)
+
+    out = st.correlate_matrix(
+        sf, coarse_ms=2000, band_symbols=4, max_bucket=16,
+        min_points=5, min_abs_corr=0.3,
+    ).collect()
+    assert out, "fixture must produce at least the planted cluster"
+
+    fin = sf.df.filter(~F.isnan("value")).select("series_key", "ts", "value")
+    a = fin.select(
+        F.col("series_key").alias("ka"), "ts", F.col("value").alias("va")
+    )
+    b = fin.select(
+        F.col("series_key").alias("kb"), "ts", F.col("value").alias("vb")
+    )
+    brute = {
+        (r["ka"], r["kb"]): (r["c"], r["n"])
+        for r in (
+            a.join(b, ["ts"])
+            .filter(F.col("ka") < F.col("kb"))
+            .groupBy("ka", "kb")
+            .agg(
+                F.try_divide(
+                    F.covar_pop("va", "vb"),
+                    F.stddev_pop("va") * F.stddev_pop("vb"),
+                ).alias("c"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+    }
+    for r in out:
+        key = (r["key_a"], r["key_b"])
+        assert key in brute, key
+        c, n = brute[key]
+        assert r["n_points"] == n and r["corr"] == pytest.approx(c), key
+        assert abs(c) >= 0.3
+
+
 def test_correlate_matrix_plan_has_no_cross_product(spark, sf_dir):
     """The celled matrix must never degenerate into a corpus cross
     product: candidate joins are equi joins on (band, signature), the
