@@ -632,6 +632,58 @@ def test_streaming_cusum_detects_shift_across_batches(spark, tmp_path):
     assert all(f == 0.0 for f, _ in want[: len(base)])
 
 
+def test_streaming_cusum_nan_inherits_running_state(spark, tmp_path):
+    """A NaN sample mid-alarm must keep reporting the alarm (the batch
+    operator's documented contract) and must not consume calibration
+    slots during warmup."""
+    import json
+    import math
+
+    from time_series_db_spark.streaming import streaming_cusum
+
+    vals = [10.0, 10.2, 9.8, 10.1, float("nan"), 9.9, 10.0, 10.2, 9.8]
+    vals += [10.9, 10.8, float("nan"), 10.9, 10.8]
+    warmup, threshold, slack = 8, 3.0, 0.5
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [("s|1", 1000 * i, v) for i, v in enumerate(vals)]
+    (src / "b.json").write_text(
+        "\n".join(
+            json.dumps(dict(zip(("series_key", "ts", "value"), r)))
+            for r in rows
+        )
+    )
+    stream = spark.readStream.schema(
+        "series_key string, ts long, value double"
+    ).json(str(src))
+    q = (
+        streaming_cusum(stream, warmup=warmup, threshold=threshold,
+                        slack=slack)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.ts: (r.flag, r.score)
+           for r in spark.read.parquet(out_dir).collect()}
+    want = _stream_cusum_replay(vals, warmup, threshold, slack)
+    assert len(got) == len(vals)
+    for i, (flag, score) in enumerate(want):
+        assert got[1000 * i][0] == flag, f"sample {i}"
+        assert got[1000 * i][1] == pytest.approx(score), f"sample {i}"
+    # warmup consumed 8 FINITE samples (the NaN at index 4 didn't count),
+    # so monitoring starts at index 9; the alarm rides through the NaN
+    # at index 11 once the shift has accumulated
+    idx_nan2 = 11
+    assert got[1000 * idx_nan2] == got[1000 * (idx_nan2 + 1)] or (
+        got[1000 * idx_nan2][1] <= got[1000 * (idx_nan2 + 1)][1]
+    )
+
+
 def test_streaming_cusum_rejects_tiny_warmup(spark):
     from time_series_db_spark.streaming import streaming_cusum
 
