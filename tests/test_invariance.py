@@ -137,6 +137,19 @@ HEADLINE_QUERIES = [
     "m3_autocorrelation",
     "text_bpe_fertility",
     "m3_moving_percentile",
+    # round-9: banded-sketch candidate generation + exact pair moments,
+    # quantized ACF argmax + majority vote (both the fleet and the
+    # per-series legs), frozen-model cross-corpus encode/OOV, CC-based
+    # hash split, snapshot diff, eval-side collision counting
+    "m3_correlate_matrix",
+    "m3_seasonal_auto",
+    "m3_seasonal_auto_series",
+    "m3_season_votes",
+    "text_bpe_encode_xcorpus",
+    "text_bpe_oov_xcorpus",
+    "split_leakage_safe",
+    "corpus_diff",
+    "decontaminate_eval_side",
 ]
 
 
