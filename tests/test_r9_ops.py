@@ -523,6 +523,86 @@ def test_leakage_safe_split_validates_weights(spark):
         )
 
 
+def test_leakage_safe_split_property_random_graphs(spark):
+    """Property over random pair graphs: every connected component
+    lands in exactly one split, every doc is assigned exactly once,
+    and cluster ids equal the component minimum — checked against a
+    pure-Python union-find reference on seeded random graphs."""
+    import random
+
+    from time_series_db_spark.pipeline import dedup
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(25)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        docs = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        rows = {r["doc_id"]: r for r in
+                dedup.leakage_safe_split(docs, pairs).collect()}
+        # union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in range(n):
+            comp.setdefault(find(i), []).append(i)
+        assert set(rows) == set(range(n)), seed
+        for members in comp.values():
+            mn = min(members)
+            assert {rows[m]["cluster_id"] for m in members} == {mn}, seed
+            assert len({rows[m]["split"] for m in members}) == 1, seed
+
+
+def test_corpus_diff_property_random_edit_scripts(spark):
+    """Property over random edit scripts: statuses must match the
+    ground-truth edit applied (drop / edit / insert / keep)."""
+    import random
+
+    from time_series_db_spark.pipeline import dedup
+
+    for seed in (3, 41):
+        rng = random.Random(seed)
+        n = 50
+        base = {i: f"doc {i} body {rng.randrange(1000)}" for i in range(n)}
+        expect = {}
+        new = {}
+        for i, text in base.items():
+            action = rng.choice(["keep", "keep", "edit", "drop"])
+            if action == "drop":
+                expect[i] = "removed"
+            elif action == "edit":
+                new[i] = text + " edited"
+                expect[i] = "changed"
+            else:
+                new[i] = text
+                expect[i] = "unchanged"
+        for j in range(n, n + 5):
+            new[j] = f"brand new {j}"
+            expect[j] = "added"
+        old_df = spark.createDataFrame(
+            list(base.items()), "doc_id long, text string"
+        )
+        new_df = spark.createDataFrame(
+            list(new.items()), "doc_id long, text string"
+        )
+        got = {r["doc_id"]: r["status"]
+               for r in dedup.corpus_diff(old_df, new_df).collect()}
+        assert got == expect, seed
+
+
 # ---------------------------------------------------------------------------
 # corpus snapshot diff (pipeline/dedup.py:corpus_diff)
 # ---------------------------------------------------------------------------
