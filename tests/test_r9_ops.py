@@ -607,6 +607,35 @@ def test_corpus_diff_property_random_edit_scripts(spark):
 # corpus snapshot diff (pipeline/dedup.py:corpus_diff)
 # ---------------------------------------------------------------------------
 
+def test_distribution_psi_detects_planted_shift(spark):
+    """Identical distributions score near zero; a shifted distribution
+    scores far above the 0.25 'shifted' threshold; terms localize the
+    movement (mass leaves low buckets, arrives in high ones)."""
+    from time_series_db_spark.pipeline import text as t
+
+    old = spark.createDataFrame(
+        [(float(i % 100),) for i in range(1000)], "v double"
+    )
+    same = spark.createDataFrame(
+        [(float((i + 7) % 100),) for i in range(1000)], "v double"
+    )
+    psi_same = sum(
+        r["psi_term"] for r in t.distribution_psi(old, same, "v").collect()
+    )
+    assert psi_same < 0.01
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 50.0,) for i in range(1000)], "v double"
+    )
+    rows = t.distribution_psi(old, shifted, "v").collect()
+    assert len(rows) == 10
+    assert sum(r["psi_term"] for r in rows) > 0.25
+    by_bucket = {r["bucket"]: r for r in rows}
+    assert by_bucket[0]["p_new"] < by_bucket[0]["p_old"]  # mass left low
+    assert by_bucket[9]["p_new"] > by_bucket[9]["p_old"]  # arrived high
+    with pytest.raises(ValueError, match="n_buckets"):
+        t.distribution_psi(old, shifted, "v", n_buckets=1)
+
+
 def test_corpus_diff_statuses(spark):
     from time_series_db_spark.pipeline import dedup
 

@@ -541,6 +541,69 @@ def text_source_stats(spark, sf_dir):
 
 
 @register(
+    "text_snapshot_psi",
+    f"""WITH pold AS (
+      SELECT n_chars::DOUBLE AS v FROM documents WHERE lang = 'en'),
+    pnew AS (
+      SELECT n_chars::DOUBLE AS v FROM documents WHERE lang <> 'en'),
+    pb AS MATERIALIZED (
+      SELECT [floor(x * 10000.0 + 0.5) / 10000.0
+              for x in quantile_cont(v, [{', '.join(
+                  str(i / 10) for i in range(1, 10))}])] AS bounds
+      FROM pold),
+    cold AS (
+      SELECT len(list_filter((SELECT bounds FROM pb), b -> b <= v))::BIGINT
+               AS bucket, count(*)::BIGINT AS n_old
+      FROM pold GROUP BY 1),
+    cnew AS (
+      SELECT len(list_filter((SELECT bounds FROM pb), b -> b <= v))::BIGINT
+               AS bucket, count(*)::BIGINT AS n_new
+      FROM pnew GROUP BY 1),
+    grid AS (SELECT gs::BIGINT AS bucket FROM generate_series(0, 9) t(gs)),
+    cj AS (
+      SELECT g.bucket, coalesce(o.n_old, 0)::BIGINT AS n_old,
+             coalesce(n.n_new, 0)::BIGINT AS n_new
+      FROM grid g LEFT JOIN cold o USING (bucket)
+      LEFT JOIN cnew n USING (bucket)),
+    tots AS (SELECT sum(n_old) AS t_o, sum(n_new) AS t_n FROM cj),
+    shares AS (
+      SELECT bucket, n_old, n_new,
+             (n_old + 0.5) / (t_o + 5.0) AS p_old,
+             (n_new + 0.5) / (t_n + 5.0) AS p_new
+      FROM cj CROSS JOIN tots)
+    SELECT bucket, n_old, n_new,
+           {sql_quant('p_old')} AS p_old,
+           {sql_quant('p_new')} AS p_new,
+           {sql_quant('(p_new - p_old) * ln(p_new / p_old)')} AS psi_term
+    FROM shares""",
+)
+def text_snapshot_psi(spark, sf_dir):
+    """Population Stability Index (pipeline/text.py:distribution_psi):
+    the standard distribution-drift monitor, here over doc length
+    between the English slice (reference) and the non-English slice —
+    the cross-slice length-profile check run before mixing.  Buckets
+    are the reference slice's decile bins with boundaries quantized to
+    the 1e-4 grid BEFORE bucketing (a boundary one ulp apart between
+    engines would flip bucket counts discretely); shares are
+    Laplace-smoothed so empty buckets cannot ln(0); per-bucket terms
+    localize WHERE the distribution moved.  One percentile aggregate
+    (1-row broadcast) + one scan and partial-agg groupBy per
+    snapshot."""
+    docs = _docs(spark, sf_dir)
+    out = text.distribution_psi(
+        docs.filter(F.col("lang") == "en"),
+        docs.filter(F.col("lang") != "en"),
+        "n_chars",
+    )
+    return out.select(
+        "bucket", "n_old", "n_new",
+        quant(F.col("p_old")).alias("p_old"),
+        quant(F.col("p_new")).alias("p_new"),
+        quant(F.col("psi_term")).alias("psi_term"),
+    )
+
+
+@register(
     "text_quality",
     f"""WITH feats AS (
       SELECT doc_id,

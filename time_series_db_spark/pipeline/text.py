@@ -865,3 +865,101 @@ def source_stats(
             ).alias("mean_quality"),
         )
     )
+
+
+def distribution_psi(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two corpus snapshots over a
+    numeric column — THE standard distribution-drift monitor (credit
+    scoring's PSI applied to data pipelines: run it on doc length,
+    quality score, or token count when a new crawl lands; PSI < 0.1 is
+    stable, 0.1–0.25 drifting, > 0.25 shifted).  Buckets are the OLD
+    snapshot's ``n_buckets``-quantile bins (the reference
+    distribution), shares are Laplace-smoothed ``(c + 0.5) /
+    (N + 0.5·B)`` so an empty bucket cannot produce ``ln 0``.  Returns
+    one row per bucket: ``(bucket, n_old, n_new, p_old, p_new,
+    psi_term)`` with ``psi_term = (p_new − p_old)·ln(p_new/p_old)`` —
+    callers sum for the index, and the per-bucket terms localize WHERE
+    the distribution moved.
+
+    Differential pinning: bucket boundaries come from the old
+    snapshot's interpolated percentiles and are quantized to the 1e-4
+    grid BEFORE any comparison (the detect_season argmax discipline) —
+    a boundary that differs by an ulp between engines would otherwise
+    flip bucket counts discretely.  Values are bucketed by
+    ``count(quantized boundaries ≤ value)``.
+
+    100 TB shape: boundaries are ONE percentile aggregate over the old
+    snapshot (a 1-row array, broadcast); each snapshot then pays one
+    scan with a pure row expression bucket assignment and one
+    partial-aggregated groupBy(bucket); everything downstream is
+    ``n_buckets`` rows.
+    """
+    if n_buckets < 2:
+        raise ValueError("distribution_psi needs n_buckets >= 2")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = old.agg(
+        F.expr(
+            f"percentile({value_col}, "
+            f"array({', '.join(map(str, fracs))}))"
+        ).alias("__b")
+    ).select(
+        F.transform(
+            "__b",
+            lambda b: F.floor(b * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0),
+        ).alias("__bounds")
+    )
+
+    def bucketed(df: DataFrame, cname: str) -> DataFrame:
+        b = df.crossJoin(F.broadcast(bounds)).select(
+            F.filter(
+                F.col("__bounds"),
+                lambda x: x <= F.col(value_col).cast("double"),
+            ).alias("__le")
+        )
+        return (
+            b.select(F.size("__le").cast("long").alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias(cname))
+        )
+
+    base = old.sparkSession.range(0, n_buckets).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    co = bucketed(old, "n_old")
+    cn = bucketed(new, "n_new")
+    joined = (
+        base.join(co, "bucket", "left")
+        .join(cn, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("__to"), F.sum("n_new").alias("__tn")
+    )
+    smooth = F.lit(0.5)
+    denom_pad = F.lit(0.5 * n_buckets)
+    out = joined.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        ((F.col("n_old") + smooth) / (F.col("__to") + denom_pad)).alias(
+            "p_old"
+        ),
+        ((F.col("n_new") + smooth) / (F.col("__tn") + denom_pad)).alias(
+            "p_new"
+        ),
+    )
+    return out.withColumn(
+        "psi_term",
+        (F.col("p_new") - F.col("p_old"))
+        * F.log(F.col("p_new") / F.col("p_old")),
+    )
