@@ -150,6 +150,7 @@ HEADLINE_QUERIES = [
     "split_leakage_safe",
     "corpus_diff",
     "decontaminate_eval_side",
+    "text_snapshot_psi",
 ]
 
 
