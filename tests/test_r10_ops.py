@@ -1,0 +1,58 @@
+"""Round-10 operator tests: advisory fixes (CUSUM σ cancellation,
+streaming chunk order, leakage-split weight quantization,
+correlate_matrix threshold quantization) and the round's new ops."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# CUSUM σ: anchored decimal deviations (operators/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_large_mean_small_spread(spark):
+    """The r9 raw-moment σ (√(Σx²/n − μ²)) cancels catastrophically at
+    values ~1e9 with σ under ~25 — variance fell below the double
+    epsilon of μ², clamped to 0, and the shift flags silently
+    vanished.  The anchored form must detect the planted +30 shift and
+    still equal the sequential recurrence sample-for-sample."""
+    from tests.test_r8_ops import _cusum_replay, _series_df
+    from time_series_db_spark.operators import windows
+
+    vals = [1e9 + (i % 5) * 2.0 for i in range(70)]
+    vals += [1e9 + 30.0 + (i % 5) * 2.0 for i in range(20)]
+    sf = _series_df(spark, vals)
+    out = windows.cusum_changepoints(sf, threshold=3.0, slack=0.5)
+    got = [
+        r["value"] for r in out.df.orderBy("ts").select("value").collect()
+    ]
+    want = _cusum_replay(vals, threshold=3.0, slack=0.5)
+    assert got == want
+    assert 1.0 in got[70:]  # the shift IS detected
+
+
+def test_cusum_tiny_magnitude_series(spark):
+    """The r9 form also zeroed tiny-magnitude series: squares below
+    5e-7 quantized to 0 at DECIMAL(…,6), so σ = 0 silenced every flag.
+    Deviations quantize at 1e-12, keeping signal down to σ ≈ 1e-6."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    base = [1e-4 + (i % 5) * 1e-5 for i in range(70)]
+    shifted = [3e-4 + (i % 5) * 1e-5 for i in range(20)]
+    out = windows.cusum_changepoints(
+        _series_df(spark, base + shifted), threshold=3.0, slack=0.5
+    )
+    flags = [
+        r["value"] for r in out.df.orderBy("ts").select("value").collect()
+    ]
+    assert set(flags) <= {0.0, 1.0}
+    assert 1.0 in flags[70:]  # shift detected despite ~1e-5 spread
+    # control: the shift-free series stays silent
+    calm = windows.cusum_changepoints(
+        _series_df(spark, base), threshold=3.0, slack=0.5
+    )
+    assert {r["value"] for r in calm.df.select("value").collect()} == {0.0}

@@ -921,15 +921,17 @@ def sql_cusum_ctes(
 ) -> str:
     """The CUSUM closed-form replay as a CTE chain (exact-decimal
     prefix sums, running mins, two-sided flags) — shared by the
-    operator entry and the language-path entry."""
+    operator entry and the language-path entry.  σ mirrors the
+    operator's anchored form: exact-decimal squared DEVIATIONS from
+    the engine-identical mean (√(Σ(x−μ)²/n), squares at
+    DECIMAL(38,12)), not raw moments — the √(Σx²/n − μ²) form cancels
+    catastrophically for large-mean/small-spread series."""
+    dev = "CASE WHEN NOT isnan(value) THEN value - mu END"
     return f"""
     cst AS (
       SELECT {SQL_LBLS}, ts, value,
              CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER fw
                   AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS mu,
-             CAST(sum(CAST(({_CUSUM_FIN}) * ({_CUSUM_FIN})
-                           AS DECIMAL(38,6))) OVER fw
-                  AS DOUBLE) / count({_CUSUM_FIN}) OVER fw AS ex2,
              CAST(sum(CAST({_CUSUM_FIN} AS DECIMAL(27,6))) OVER rw
                   AS DOUBLE) AS c,
              count({_CUSUM_FIN}) OVER rw::DOUBLE AS n
@@ -938,8 +940,12 @@ def sql_cusum_ctes(
       WINDOW fw AS (PARTITION BY {SQL_LBLS}),
              rw AS ({_W} ROWS UNBOUNDED PRECEDING)),
     csd AS (
-      SELECT *, sqrt(greatest(ex2 - mu * mu, 0.0::DOUBLE)) AS sd
-      FROM cst),
+      SELECT *, sqrt(
+        CAST(sum(CAST(({dev}) * ({dev}) AS DECIMAL(38,12))) OVER fw
+             AS DOUBLE)
+        / count({dev}) OVER fw) AS sd
+      FROM cst
+      WINDOW fw AS (PARTITION BY {SQL_LBLS})),
     cps AS (
       SELECT *, c - n * (mu + {slack} * sd) AS p,
                 n * (mu - {slack} * sd) - c AS m

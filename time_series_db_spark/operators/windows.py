@@ -1176,10 +1176,20 @@ def cusum_changepoints(
     whole statistic is TWO running-frame window passes over ONE
     per-series sort — no fold, no collect, no join.  Differential
     pinning covers EVERY operand of the flag comparison: prefix sums
-    are exact (DECIMAL), and σ comes from the exact decimal moments
-    (``√(Σx²/n − μ²)``, squares quantized at DECIMAL(27,6)) instead of
-    a float ``stddev_pop`` whose summation order differs between
-    engines — so threshold-edge flags cannot flip on ulps.
+    are exact (DECIMAL), and σ comes from summed exact-decimal SQUARED
+    DEVIATIONS against the (engine-identical) mean —
+    ``√(Σ(x−μ)²/n)``, each square quantized at DECIMAL(38,12) — not
+    from ``√(Σx²/n − μ²)``.  The raw-moment form cancels
+    catastrophically for large-mean/small-spread series (values ~1e9
+    with σ under ~25: the variance falls below the double epsilon of
+    μ², clamps to 0, and every flag silently vanishes) and its
+    6-decimal square quantization zeroes tiny-magnitude series;
+    centering on μ first means the decimal grid applies to the SPREAD
+    (signal down to σ ≈ 1e-6, single squares up to 1e26 before ANSI
+    overflow — a cap on |x−μ|, not on |x|), and the summation order
+    stays pinned because the addends are exact decimals.  μ itself is
+    engine-identical (exact decimal sum → one double cast → one
+    division), so both engines square identical deviations.
     """
     wfull = _series_window(ordered=False).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -1193,23 +1203,19 @@ def cusum_changepoints(
         F.sum(finite.cast("decimal(27,6)")).over(wfull).cast("double")
         / F.count(finite).over(wfull)
     )
-    # σ from the exact decimal moments so both engines see identical
-    # operands (a float stddev_pop's summation order is not pinned);
-    # squares take the widest decimal (38,6) — (27,6) would overflow
-    # ANSI mode at |value| > ~3e10 where the values themselves don't
-    ex2 = (
-        F.sum((finite * finite).cast("decimal(38,6)")).over(wfull)
-        .cast("double")
-        / F.count(finite).over(wfull)
-    )
-    base = sf.df.select(
+    first = sf.df.select(
         "*",
         mu.alias("__mu"),
-        F.sqrt(F.greatest(ex2 - mu * mu, F.lit(0.0))).alias("__sd"),
         F.sum(finite.cast("decimal(27,6)")).over(wrun).cast("double")
         .alias("__c"),
         F.count(finite).over(wrun).cast("double").alias("__n"),
     )
+    dev = F.when(~F.isnan(v), v - F.col("__mu"))
+    var = (
+        F.sum((dev * dev).cast("decimal(38,12)")).over(wfull).cast("double")
+        / F.count(dev).over(wfull)
+    )
+    base = first.select("*", F.sqrt(var).alias("__sd"))
     k = F.lit(float(slack))
     scored = base.select(
         "*",
