@@ -135,8 +135,16 @@ def _make_cusum_fn(warmup: int, threshold: float, slack: float):
         else:
             n, mean, m2, sp, sn = 0, 0.0, 0.0, 0.0, 0.0
         out_ts, out_flag, out_score = [], [], []
-        for pdf in pdfs:
-            for ts, x in sorted(zip(pdf["ts"], pdf["value"])):
+        # applyInPandasWithState may split one group's micro-batch
+        # across several Arrow chunks: concatenate FIRST, then sort
+        # once by ts — sorting per chunk would feed the order-sensitive
+        # warmup fold and S+/S- recurrence out of time order whenever a
+        # later chunk carries earlier samples.  One group's micro-batch
+        # is bounded, so materializing it is safe.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for ts, x in sorted(zip(batch["ts"], batch["value"])):
                 ts, x = int(ts), float(x)
                 if n < warmup:
                     # calibration phase: fold finite samples into the
