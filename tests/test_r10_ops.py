@@ -117,3 +117,30 @@ def test_streaming_cusum_chunk_split_preserves_ts_order():
     assert any(f == 1.0 for _, f, _s in whole)  # the shift is detected
     # and an empty-chunk iterator must still keep state / emit nothing
     assert _run_cusum_fn([[[]]]) == []
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split: cumulative weight quantization (pipeline/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_safe_split_accepts_third_weights(spark):
+    """Per-weight rounding rejected valid weights like {1/3,1/3,1/3}
+    (independent roundings sum to 9999); cumulative-cut quantization
+    must accept them and assign every document to one of the splits."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    thirds = {"a": 1 / 3, "b": 1 / 3, "c": 1 / 3}
+    out = dedup.leakage_safe_split(docs, pairs, weights=thirds).collect()
+    assert len(out) == 60
+    splits = {r["split"] for r in out}
+    assert splits <= {"a", "b", "c"} and len(splits) > 1
+    # default weights keep their historical cut points (8000/9000/10000)
+    dflt = dedup.leakage_safe_split(docs, pairs).collect()
+    assert {r["split"] for r in dflt} <= {"train", "val", "test"}
+    with pytest.raises(ValueError, match="sum to 1"):
+        dedup.leakage_safe_split(docs, pairs, weights={"a": 0.5, "b": 0.4})

@@ -975,15 +975,19 @@ def leakage_safe_split(
         weights = {"train": 0.8, "val": 0.1, "test": 0.1}
     if not weights or any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative and non-empty")
+    total = sum(float(w) for w in weights.values())
+    if abs(total - 1.0) > 1e-4:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    # quantize CUMULATIVE sums, not per-weight: rounding each weight
+    # independently rejects valid inputs like {1/3, 1/3, 1/3} (whose
+    # per-weight roundings sum to 9999); cumulative cuts always end at
+    # 10000 once the tolerance check above passes
     cuts = []
-    acc = 0
+    acc = 0.0
     for name, w in weights.items():
-        acc += round(float(w) * 10000)
-        cuts.append((name, acc))
-    if cuts[-1][1] != 10000:
-        raise ValueError(
-            f"weights must sum to 1 (got {cuts[-1][1] / 10000})"
-        )
+        acc += float(w)
+        cuts.append((name, round(acc * 10000)))
+    cuts[-1] = (cuts[-1][0], 10000)
     cc = connected_components(pairs, max_iters=20)
     assigned = docs.select(id_col).join(
         cc.withColumnRenamed("id", id_col), id_col, "left"
