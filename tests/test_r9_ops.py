@@ -952,12 +952,17 @@ def test_correlate_matrix_values_match_brute_force_on_emitted_pairs(spark):
             .collect()
         )
     }
+    import math
+
     for r in out:
         key = (r["key_a"], r["key_b"])
         assert key in brute, key
         c, n = brute[key]
-        assert r["n_points"] == n and r["corr"] == pytest.approx(c), key
-        assert abs(c) >= 0.3
+        # the operator reports (and thresholds on) the 1e-4-quantized
+        # corr so the cut cannot flip on engine ulps
+        qc = math.floor(c * 10000.0 + 0.5) / 10000.0
+        assert r["n_points"] == n and r["corr"] == qc, key
+        assert abs(qc) >= 0.3
 
 
 def test_correlate_matrix_plan_has_no_cross_product(spark, sf_dir):

@@ -1214,11 +1214,13 @@ _CMX_CAP = 32
       FROM cmc c
       JOIN cmk x ON x.key = c.ka
       JOIN cmk y ON y.key = c.kb AND y.ts = x.ts
-      GROUP BY 1, 2)
-    SELECT ka AS key_a, kb AS key_b, {sql_quant('c2')} AS corr, n_points
-    FROM cmp2
+      GROUP BY 1, 2),
+    cmq AS (
+      SELECT ka, kb, {sql_quant('c2')} AS cq, c2, n_points FROM cmp2)
+    SELECT ka AS key_a, kb AS key_b, cq AS corr, n_points
+    FROM cmq
     WHERE n_points >= 5 AND c2 IS NOT NULL AND NOT isnan(c2)
-      AND abs(c2) >= 0.7""",
+      AND abs(cq) >= 0.7""",
 )
 def m3_correlate_matrix(spark, sf_dir):
     """Celled all-pairs correlation matrix (operators/stats.py:

@@ -228,8 +228,12 @@ def correlate_matrix(
     stable co-moments over SHARED raw timestamps only (``try_divide``
     — zero-variance pairs drop, the :func:`correlate_target`
     contract), ``n_points ≥ min_points`` and ``|corr| ≥
-    min_abs_corr``.  Returns ``(key_a, key_b, labels_a, labels_b,
-    corr, n_points)`` with ``key_a < key_b`` canonically.
+    min_abs_corr`` — with ``corr`` quantized to the engine-portable
+    1e-4 grid BEFORE the threshold compare (a pair within an ulp of
+    the cut would otherwise be included by one engine and excluded by
+    the other, flipping the differential row set).  Returns ``(key_a,
+    key_b, labels_a, labels_b, corr, n_points)`` with ``corr`` on the
+    1e-4 grid and ``key_a < key_b`` canonically.
 
     Scale shape: the corpus is scanned once into a fleet×buckets
     partial aggregate; the gap-fill sequence explode is fleet×(span/
@@ -358,6 +362,14 @@ def correlate_matrix(
                 F.stddev_pop("__va") * F.stddev_pop("__vb"),
             ).alias("corr"),
             F.count(F.lit(1)).alias("n_points"),
+        )
+        # 1e-4 quantization (catalog.quant's grid — |corr| ≤ 1, so the
+        # NaN/1e12 guards are vacuous) BEFORE the threshold filter:
+        # both engines compare the same grid value, never a raw float
+        .withColumn(
+            "corr",
+            F.floor(F.col("corr") * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0),
         )
         .filter(
             (F.col("n_points") >= F.lit(int(min_points)))
