@@ -42,6 +42,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # _last_checked), so the window's spare slots continuously re-certify
 # the oldest greens.
 _DRIVER_VERIFIED = frozenset({
+    # r9 window additions (50/50 green, CORRECTNESS_r09.json)
+    'm3_correlate_matrix', 'text_snapshot_psi', 'decontaminate_eval_side',
+    'corpus_diff', 'split_leakage_safe', 'm3ql_seasonal_auto',
+    'm3_seasonal_auto', 'text_bpe_encode_xcorpus', 'm3_season_votes',
+    'text_bpe_oov_xcorpus', 'm3_seasonal_auto_series',
     # r8 window (50/50 green, CORRECTNESS_r08.json)
     'mm_image_ahash', 'm3_moving_percentile', 'embedding_matryoshka',
     'ann_lsh_recall', 'text_source_stats', 'decontaminate_overlap',

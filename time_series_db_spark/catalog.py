@@ -673,7 +673,9 @@ def m3_transform_null(spark, sf_dir):
 @register(
     "m3_is_non_null",
     f"""{PRELUDE}{DENSE_CTES}
-    SELECT {SQL_LBLS}, ts, CASE WHEN value IS NULL THEN 0.0 ELSE 1.0 END AS value FROM dense""",
+    SELECT {SQL_LBLS}, ts,
+           (CASE WHEN value IS NULL THEN 0.0 ELSE 1.0 END)::DOUBLE AS value
+    FROM dense""",
 )
 def m3_is_non_null(spark, sf_dir):
     return _out(windows.is_non_null(_fetch(spark, sf_dir)))
