@@ -144,3 +144,71 @@ def test_leakage_safe_split_accepts_third_weights(spark):
     assert {r["split"] for r in dflt} <= {"train", "val", "test"}
     with pytest.raises(ValueError, match="sum to 1"):
         dedup.leakage_safe_split(docs, pairs, weights={"a": 0.5, "b": 0.4})
+
+
+# ---------------------------------------------------------------------------
+# MinHash fit/apply split (pipeline/dedup.py:minhash_fit)
+# ---------------------------------------------------------------------------
+
+_XC_TEXTS = [
+    (0, "the quick brown fox jumps over the lazy dog tonight"),
+    (1, "pack my box with five dozen fresh liquor jugs today"),
+    (2, "sphinx of black quartz judge my vow sphinx of quartz"),
+    # one appended word: 8 of 9 word-3-shingles shared, J = 8/9 >= 0.8
+    (3, "the quick brown fox jumps over the lazy dog tonight again"),
+    (4, "pack my box with five dozen fresh liquor jugs  today"),  # ~dup of 1
+    (5, "completely unrelated sentence about training data decks"),
+]
+
+
+def test_cross_corpus_dedup_model_matches_inline_fit(spark):
+    """Dedup against a pre-built minhash_fit table must flag EXACTLY
+    the rows the inline reference= path flags — the split changes
+    which side pays the signature scan, not the output."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(_XC_TEXTS, "doc_id long, text string")
+    ref = docs.filter("doc_id < 3")
+    inc = docs.filter("doc_id >= 3")
+    inline = sorted(
+        tuple(r) for r in dedup.cross_corpus_dedup(inc, ref, threshold=0.8)
+        .collect()
+    )
+    model = dedup.minhash_fit(ref)
+    split = sorted(
+        tuple(r)
+        for r in dedup.cross_corpus_dedup(inc, model=model, threshold=0.8)
+        .collect()
+    )
+    assert inline == split
+    assert inline, "fixture must flag the planted near-dups"
+    flagged = {r[0] for r in inline}
+    assert flagged == {3, 4}  # 5 has no reference near-dup
+
+
+def test_cross_corpus_dedup_model_never_recomputes_reference(
+    spark, monkeypatch
+):
+    """The model= path must compute signatures for the INCOMING side
+    only — the reference scan happened once, at fit time."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(_XC_TEXTS, "doc_id long, text string")
+    model = dedup.minhash_fit(docs.filter("doc_id < 3"))
+
+    calls = []
+    real = dedup.minhash_signatures
+
+    def counting(df, *a, **kw):
+        calls.append(df)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", counting)
+    inc = docs.filter("doc_id >= 3")
+    out = dedup.cross_corpus_dedup(inc, model=model, threshold=0.8).collect()
+    assert len(calls) == 1, "model= path must hash the incoming side only"
+    assert out
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.cross_corpus_dedup(inc)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.cross_corpus_dedup(inc, docs, model=model)

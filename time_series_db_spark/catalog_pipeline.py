@@ -192,6 +192,48 @@ def dedup_cross_corpus(spark, sf_dir):
     )
 
 
+@register(
+    "dedup_xcorpus_prebuilt",
+    f"""WITH {_sql_minhash_sig_cte()},
+    refb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+    inb AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS doc_id, r.doc_id AS ref_id
+      FROM inb i JOIN refb r ON i.band = r.band AND i.bucket = r.bucket),
+    verified AS (
+      SELECT c.doc_id, c.ref_id,
+             len(list_intersect(si.shingles, sr.shingles)) * 1.0
+               / (len(si.shingles) + len(sr.shingles)
+                  - len(list_intersect(si.shingles, sr.shingles))) AS jaccard
+      FROM cand c
+      JOIN sig si ON si.doc_id = c.doc_id
+      JOIN sig sr ON sr.doc_id = c.ref_id),
+    hits AS (SELECT * FROM verified WHERE jaccard >= 0.8)
+    SELECT doc_id, min(ref_id) AS ref_id,
+           {sql_quant('min_by(jaccard, ref_id)')} AS jaccard,
+           count(*)::BIGINT AS n_matches
+    FROM hits GROUP BY doc_id""",
+)
+def dedup_xcorpus_prebuilt(spark, sf_dir):
+    """The fit/apply split of incremental-crawl dedup
+    (pipeline/dedup.py:minhash_fit + cross_corpus_dedup(model=…)): the
+    reference corpus' signature table is built ONCE (at 100 TB: written
+    to parquet) and the snapshot dedups against it via ``model=`` —
+    cross_corpus_dedup never re-computes the reference signatures (the
+    bpe_train/bpe_apply shape; no-recompute pinned by monkeypatch
+    test).  The oracle replays the same math on the %4 corpus split —
+    the split changes which side pays the signature scan, not the
+    flagged rows."""
+    docs = _docs(spark, sf_dir)
+    model = dedup.minhash_fit(docs.filter(F.col("doc_id") % 4 == 0))
+    inc = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.cross_corpus_dedup(inc, model=model, threshold=0.8)
+    return out.select(
+        "doc_id", "ref_id", quant(F.col("jaccard")).alias("jaccard"),
+        "n_matches",
+    )
+
+
 def _sql_simhash_cte() -> str:
     bits = dedup.SIMHASH_BITS
     votes = ",\n      ".join(

@@ -246,9 +246,38 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_fit(
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Fit step of the cross-corpus dedup fit/apply split: the
+    reference corpus' MinHash model table ``(id, shingles, sig)`` —
+    exactly what :func:`cross_corpus_dedup` needs from the reference
+    side, materialized ONCE so every later snapshot dedups against it
+    without re-scanning the reference corpus (the ``bpe_train`` /
+    ``bpe_apply`` and ``pca_fit`` / ``pca_transform`` shape).
+
+    At 100 TB the model table is the artifact you persist: write it to
+    parquet partitioned however the store is bucketed (it is a
+    fraction of the corpus — integer arrays, no text), read it back
+    per crawl snapshot, and pass it as ``cross_corpus_dedup(model=…)``.
+    Keep ``num_perms`` / ``shingle_k`` / ``hash_fn`` identical between
+    fit and apply — signatures from different configurations never
+    collide correctly, and nothing can detect the mismatch at apply
+    time.
+    """
+    return minhash_signatures(
+        reference, id_col, text_col, num_perms, shingle_k, hash_fn
+    )
+
+
 def cross_corpus_dedup(
     incoming: DataFrame,
-    reference: DataFrame,
+    reference: DataFrame | None = None,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -256,6 +285,7 @@ def cross_corpus_dedup(
     num_bands: int = NUM_BANDS,
     shingle_k: int = 3,
     hash_fn: str = "md5",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-crawl dedup: flag ``incoming`` documents that
     near-duplicate a document already in the ``reference`` corpus — the
@@ -276,17 +306,31 @@ def cross_corpus_dedup(
     verify touches candidates only, and the per-doc witness is one hash
     aggregation. Unlike the self-join path there is no id ordering
     constraint — the two id spaces are independent.
+    Pass ``model=`` (a :func:`minhash_fit` table, typically read back
+    from parquet) instead of ``reference`` to dedup against a
+    PRE-BUILT reference model without recomputing its signatures —
+    the per-snapshot incremental-crawl path.  The model must have been
+    fit with the same ``num_perms`` / ``shingle_k`` / ``hash_fn``.
     """
     from time_series_db_spark.cache import persist_tracked
 
+    if (reference is None) == (model is None):
+        raise ValueError(
+            "pass exactly one of reference= (fit inline) or model= "
+            "(a pre-built minhash_fit table)"
+        )
     sigs_in = persist_tracked(
         minhash_signatures(
             incoming, id_col, text_col, num_perms, shingle_k, hash_fn
         )
     )
-    sigs_ref = persist_tracked(
-        minhash_signatures(
-            reference, id_col, text_col, num_perms, shingle_k, hash_fn
+    sigs_ref = (
+        model
+        if model is not None
+        else persist_tracked(
+            minhash_signatures(
+                reference, id_col, text_col, num_perms, shingle_k, hash_fn
+            )
         )
     )
 
