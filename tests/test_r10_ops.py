@@ -212,3 +212,63 @@ def test_cross_corpus_dedup_model_never_recomputes_reference(
         dedup.cross_corpus_dedup(inc)
     with pytest.raises(ValueError, match="exactly one"):
         dedup.cross_corpus_dedup(inc, docs, model=model)
+
+
+# ---------------------------------------------------------------------------
+# xxhash64 production hash path parity (pipeline/textprep.py:hash64)
+# ---------------------------------------------------------------------------
+
+_HASH_CORPUS = _XC_TEXTS + [
+    (6, "sphinx of black quartz judge my vow sphinx of quartz again"),
+    (7, "a totally different document about sequence packing budgets"),
+    (8, "a totally different document about sequence packing budgets"),
+]
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_minhash_dedup_recall_parity_across_hash_fns(spark, hash_fn):
+    """The production hash path (xxhash64, JVM-native) must flag the
+    SAME planted near-dup pairs as the oracle-portable md5 path — the
+    LSH math is hash-agnostic, and the exact-Jaccard verify counts set
+    intersections whose size does not depend on the hash values."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(_HASH_CORPUS, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.8, hash_fn=hash_fn
+        ).collect()
+    }
+    # planted: 3 appends one word to 0, 6 appends one word to 2,
+    # 7 == 8 exactly; 1 vs 4 differ only in collapsed whitespace
+    assert pairs == {(0, 3), (2, 6), (7, 8), (1, 4)}, hash_fn
+
+
+@pytest.mark.parametrize("hash_fn", ["md5", "xxhash64"])
+def test_decontaminate_flag_parity_across_hash_fns(spark, hash_fn):
+    """Benchmark decontamination flags the same documents under either
+    hash: membership of an 8-gram in the eval set is a string-set fact
+    the hash only encodes."""
+    from time_series_db_spark.pipeline import decontam
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (1, "one two three four five six seven eight nine ten eleven"),
+            (2, "nothing here overlaps the held out benchmark suite at all"),
+        ],
+        "doc_id long, text string",
+    )
+    evals = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon zeta eta theta iota"),
+         (101, "two three four five six seven eight nine")],
+        "doc_id long, text string",
+    )
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in decontam.decontaminate(
+            corpus, evals, n=8, min_hits=1, hash_fn=hash_fn
+        ).collect()
+    }
+    assert flags == {0: True, 1: True, 2: False}, hash_fn
