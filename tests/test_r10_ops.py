@@ -272,3 +272,58 @@ def test_decontaminate_flag_parity_across_hash_fns(spark, hash_fn):
         ).collect()
     }
     assert flags == {0: True, 1: True, 2: False}, hash_fn
+
+
+# ---------------------------------------------------------------------------
+# categorical PSI (pipeline/text.py:categorical_psi)
+# ---------------------------------------------------------------------------
+
+
+def test_categorical_psi_flags_planted_mixture_shift(spark):
+    """A planted language-mixture shift (en 80→40%, zh 0→40%) must
+    dominate the per-category terms; a stable category contributes a
+    near-zero term; the vanished/appeared categories still get rows."""
+    import math
+
+    from time_series_db_spark.pipeline import text
+
+    old = spark.createDataFrame(
+        [(i, "en" if i < 80 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    new = spark.createDataFrame(
+        [(i, "en" if i < 40 else ("zh" if i < 80 else "de"))
+         for i in range(100)],
+        "doc_id long, lang string",
+    )
+    rows = {r["category"]: r for r in
+            text.categorical_psi(old, new, "lang").collect()}
+    assert set(rows) == {"en", "de", "zh"}
+    # exact smoothed-share replay: B = 3 categories, N = 100 each side
+    def share(c):
+        return (c + 0.5) / (100 + 1.5)
+
+    for cat, n_old, n_new in [("en", 80, 40), ("de", 20, 20), ("zh", 0, 40)]:
+        r = rows[cat]
+        assert (r["n_old"], r["n_new"]) == (n_old, n_new)
+        po, pn = share(n_old), share(n_new)
+        assert r["p_old"] == pytest.approx(po) and r["p_new"] == pytest.approx(pn)
+        assert r["psi_term"] == pytest.approx((pn - po) * math.log(pn / po))
+    assert rows["zh"]["psi_term"] > 0.5          # appeared: big term
+    assert abs(rows["de"]["psi_term"]) < 1e-6    # stable: ~zero
+    total = sum(r["psi_term"] for r in rows.values())
+    assert total > 0.25  # "shifted" by the standard PSI rubric
+
+
+def test_categorical_psi_null_category_is_its_own_bucket(spark):
+    from time_series_db_spark.pipeline import text
+
+    old = spark.createDataFrame(
+        [(1, "en"), (2, None)], "doc_id long, lang string"
+    )
+    new = spark.createDataFrame(
+        [(3, None), (4, None)], "doc_id long, lang string"
+    )
+    rows = {r["category"]: (r["n_old"], r["n_new"])
+            for r in text.categorical_psi(old, new, "lang").collect()}
+    assert rows == {"en": (1, 0), "<null>": (1, 2)}

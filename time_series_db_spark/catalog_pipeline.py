@@ -646,6 +646,57 @@ def text_snapshot_psi(spark, sf_dir):
 
 
 @register(
+    "text_categorical_psi",
+    f"""WITH co AS (
+      SELECT coalesce(lang, '<null>') AS category, count(*)::BIGINT AS n_old
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+    cn AS (
+      SELECT coalesce(lang, '<null>') AS category, count(*)::BIGINT AS n_new
+      FROM documents WHERE doc_id % 2 <> 0 GROUP BY 1),
+    cj AS (
+      SELECT coalesce(o.category, n.category) AS category,
+             coalesce(o.n_old, 0)::BIGINT AS n_old,
+             coalesce(n.n_new, 0)::BIGINT AS n_new
+      FROM co o FULL OUTER JOIN cn n ON o.category = n.category),
+    tots AS (
+      SELECT sum(n_old) AS t_o, sum(n_new) AS t_n, count(*) AS b FROM cj),
+    shares AS (
+      SELECT category, n_old, n_new,
+             (n_old + 0.5) / (t_o + 0.5 * b) AS p_old,
+             (n_new + 0.5) / (t_n + 0.5 * b) AS p_new
+      FROM cj CROSS JOIN tots)
+    SELECT category, n_old, n_new,
+           {sql_quant('p_old')} AS p_old,
+           {sql_quant('p_new')} AS p_new,
+           {sql_quant('(p_new - p_old) * ln(p_new / p_old)')} AS psi_term
+    FROM shares""",
+)
+def text_categorical_psi(spark, sf_dir):
+    """Categorical PSI (pipeline/text.py:categorical_psi): language
+    shares of the even-id snapshot vs the odd-id snapshot — the
+    mixture-drift monitor run when a new crawl lands.  Buckets are the
+    union of both snapshots' category values (appearing/vanishing
+    categories still produce rows), shares Laplace-smoothed with the
+    union category count, per-category psi_term localizing WHICH share
+    moved.  All operands are integer counts until the single share
+    division, so no boundary quantization is needed.  Two
+    partial-aggregated category scans + a metadata-sized full-outer
+    join."""
+    docs = _docs(spark, sf_dir)
+    out = text.categorical_psi(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 != 0),
+        "lang",
+    )
+    return out.select(
+        "category", "n_old", "n_new",
+        quant(F.col("p_old")).alias("p_old"),
+        quant(F.col("p_new")).alias("p_new"),
+        quant(F.col("psi_term")).alias("psi_term"),
+    )
+
+
+@register(
     "text_quality",
     f"""WITH feats AS (
       SELECT doc_id,

@@ -963,3 +963,75 @@ def distribution_psi(
         (F.col("p_new") - F.col("p_old"))
         * F.log(F.col("p_new") / F.col("p_old")),
     )
+
+
+def categorical_psi(
+    old: DataFrame,
+    new: DataFrame,
+    cat_col: str,
+) -> DataFrame:
+    """:func:`distribution_psi` for CATEGORICAL columns — the monitor
+    run over language / source / domain shares when a new crawl lands.
+    The buckets are the column's values themselves (the union of both
+    snapshots' categories, so a category that appears or vanishes
+    still produces a row with one side at zero), shares are
+    Laplace-smoothed ``(c + 0.5) / (N + 0.5·B)`` with ``B`` the union
+    category count — an absent category cannot produce ``ln 0``, and
+    a brand-new one shows up as a large positive ``psi_term`` instead
+    of an error.  Returns one row per category: ``(category, n_old,
+    n_new, p_old, p_new, psi_term)`` — callers sum ``psi_term`` for
+    the index; the per-category terms localize WHICH share moved.
+    NULL categories count under the ``<null>`` sentinel (a new crawl
+    suddenly missing metadata is exactly the drift to surface).
+
+    Differential pinning: every operand is an integer count until the
+    single share division, so both engines compute identical doubles —
+    no quantile boundaries to quantize (the numeric version's only
+    engine-sensitive step).
+
+    100 TB shape: each snapshot pays ONE partial-aggregated
+    groupBy(category) scan collapsing to category-cardinality rows;
+    the full-outer join and the 1-row totals broadcast are
+    metadata-sized.
+    """
+    cat = F.coalesce(F.col(cat_col).cast("string"), F.lit("<null>"))
+
+    def counted(df: DataFrame, cname: str) -> DataFrame:
+        return (
+            df.select(cat.alias("category"))
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).cast("long").alias(cname))
+        )
+
+    joined = (
+        counted(old, "n_old")
+        .join(counted(new, "n_new"), "category", "full_outer")
+        .select(
+            "category",
+            F.coalesce("n_old", F.lit(0)).cast("long").alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("n_old").alias("__to"),
+        F.sum("n_new").alias("__tn"),
+        F.count(F.lit(1)).cast("long").alias("__b"),
+    )
+    out = joined.crossJoin(F.broadcast(tot)).select(
+        "category",
+        "n_old",
+        "n_new",
+        (
+            (F.col("n_old") + F.lit(0.5))
+            / (F.col("__to") + F.lit(0.5) * F.col("__b"))
+        ).alias("p_old"),
+        (
+            (F.col("n_new") + F.lit(0.5))
+            / (F.col("__tn") + F.lit(0.5) * F.col("__b"))
+        ).alias("p_new"),
+    )
+    return out.withColumn(
+        "psi_term",
+        (F.col("p_new") - F.col("p_old"))
+        * F.log(F.col("p_new") / F.col("p_old")),
+    )
