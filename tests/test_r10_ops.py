@@ -315,6 +315,93 @@ def test_categorical_psi_flags_planted_mixture_shift(spark):
     assert total > 0.25  # "shifted" by the standard PSI rubric
 
 
+def test_seasonal_decompose_textbook_on_planted_series(spark):
+    """Const + seasonal pattern: interior trend == the constant
+    exactly, seasonal == the planted pattern, residual ~ 0; edge rows
+    (short centered window) carry NULL trend/residual.  Both parities
+    of P take their textbook MA (P odd: plain P-MA; P even: 2xP MA)."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    for p, pat in [(4, [3.0, -1.0, -2.0, 0.0]), (3, [2.0, -1.0, -1.0])]:
+        vals = [10.0 + pat[i % p] for i in range(24)]
+        sf = _series_df(spark, vals)
+        out = windows.seasonal_decompose(sf, season_ms=p * 1000).collect()
+        assert len(out) == 24
+        interior = [r for r in out if r["trend"] is not None]
+        assert len(interior) == 24 - 2 * (p // 2)  # p//2 steps lost per edge
+        for r in interior:
+            assert r["trend"] == pytest.approx(10.0, abs=1e-5)
+            assert r["seasonal"] == pytest.approx(
+                pat[(r["ts"] // 1000) % p], abs=2e-5
+            )
+            assert r["residual"] == pytest.approx(0.0, abs=2e-5)
+            # reconstruction identity on the interior
+            assert r["trend"] + r["seasonal"] + r["residual"] == (
+                pytest.approx(r["value"], abs=5e-5)
+            )
+        for r in out:
+            assert (r["trend"] is None) == (r["residual"] is None)
+
+
+def test_seasonal_decompose_agrees_with_seasonal_adjust_on_flat_trend(
+    spark, sf_dir
+):
+    """The M3QL golden the decomposition must honor: on a flat-trend
+    periodic fixture (mockFetchPeriodic — pure sine), `seasonalAdjust
+    auto`'s residual and the classical decomposition's residual are
+    the same thing (both ~0, equal within the decimal-profile
+    tolerance) on every interior sample, at the SAME auto-detected
+    season."""
+    from time_series_db_spark.catalog_m3ql import run_m3ql
+    from time_series_db_spark.operators import windows
+
+    sa = {
+        r["ts"]: r["value"]
+        for r in run_m3ql(
+            spark, sf_dir,
+            "mockFetchPeriodic 10 6h name:wave | seasonalAdjust auto",
+        ).df.collect()
+    }
+    mock = run_m3ql(spark, sf_dir, "mockFetchPeriodic 10 6h name:wave")
+    dec = windows.seasonal_decompose(mock).collect()
+    assert sa and dec
+    interior = [r for r in dec if r["residual"] is not None]
+    assert interior, "fixture must have interior samples"
+    for r in interior:
+        assert r["ts"] in sa
+        assert r["residual"] == pytest.approx(sa[r["ts"]], abs=5e-5), r["ts"]
+    # the detected season is the planted 6h: the seasonal profile
+    # repeats with period 6h across the interior
+    prof = {}
+    for r in interior:
+        prof.setdefault(r["ts"] % 21_600_000, set()).add(
+            round(r["seasonal"], 4)
+        )
+    assert prof and all(len(v) == 1 for v in prof.values())
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_xcorpus_prebuilt", "text_categorical_psi",
+     "m3_seasonal_decompose"],
+)
+def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
+    """None of the round's entries may plan a cross product (beyond
+    broadcast 1-row totals) or a per-row Python path: the prebuilt
+    dedup joins on (band, bucket), categorical PSI full-outer-joins on
+    category, the decomposition is pure windows, and incremental
+    curate joins on doc_id."""
+    from time_series_db_spark.catalog import QUERIES
+
+    df = QUERIES[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    if name != "text_categorical_psi":  # its only BNLJ is the 1-row
+        assert "BroadcastNestedLoopJoin" not in plan  # totals broadcast
+
+
 def test_categorical_psi_null_category_is_its_own_bucket(spark):
     from time_series_db_spark.pipeline import text
 

@@ -1312,11 +1312,9 @@ def m3_autocorrelation(spark, sf_dir):
     )
 
 
-@register(
-    "m3_seasonal_auto",
-    f"""{PRELUDE},
-    {_ACF_CTES},
-    aacf AS (
+#: the seasonalAdjust-auto detection replay (per-series quantized-ACF
+#: argmax, fleet-majority vote) — shared by every auto-season oracle
+_AVOTE_CTES = f"""aacf AS (
       SELECT p.name, p."user", p.region, p.shard, p.lag,
              {sql_quant(_ACF_EXPR)} AS qa
       FROM apl p JOIN amom m USING (name, "user", region, shard)
@@ -1330,7 +1328,14 @@ def m3_autocorrelation(spark, sf_dir):
       WHERE rn = 1),
     avote AS MATERIALIZED (
       SELECT lag FROM (SELECT lag, count(*) AS c FROM abest GROUP BY 1)
-      ORDER BY c DESC, lag ASC LIMIT 1),
+      ORDER BY c DESC, lag ASC LIMIT 1)"""
+
+
+@register(
+    "m3_seasonal_auto",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    {_AVOTE_CTES},
     aph AS (
       SELECT {SQL_LBLS}, ts, value,
              (ts % ((SELECT lag FROM avote) * {DEFAULT_STEP_MS}))
@@ -1357,6 +1362,81 @@ def m3_seasonal_auto(spark, sf_dir):
     periodic → detected season == the generator's period)."""
     return _out(
         windows.seasonal_adjust_auto(_fetch(spark, sf_dir), max_lag=_ACF_L)
+    )
+
+
+@register(
+    "m3_seasonal_decompose",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    {_AVOTE_CTES},
+    dcfg AS MATERIALIZED (
+      SELECT lag, lag * {DEFAULT_STEP_MS} AS season,
+             (lag // 2) * {DEFAULT_STEP_MS} AS h1,
+             (lag - lag // 2 - 1) * {DEFAULT_STEP_MS} AS h2
+      FROM avote),
+    dsrc AS MATERIALIZED (SELECT {SQL_LBLS}, ts, value FROM samples),
+    dtr AS (
+      SELECT s.name, s."user", s.region, s.shard, s.ts, s.value,
+             sum(CASE WHEN NOT isnan(w.value)
+                       AND w.ts BETWEEN s.ts - c.h1 AND s.ts + c.h2
+                      THEN CAST(w.value AS DECIMAL(27,6)) END)
+             + sum(CASE WHEN NOT isnan(w.value)
+                         AND w.ts BETWEEN s.ts - c.h2 AND s.ts + c.h1
+                        THEN CAST(w.value AS DECIMAL(27,6)) END) AS s2,
+             count(CASE WHEN NOT isnan(w.value)
+                         AND w.ts BETWEEN s.ts - c.h1 AND s.ts + c.h2
+                        THEN 1 END)
+             + count(CASE WHEN NOT isnan(w.value)
+                           AND w.ts BETWEEN s.ts - c.h2 AND s.ts + c.h1
+                          THEN 1 END) AS n2
+      FROM dsrc s
+      CROSS JOIN dcfg c
+      JOIN dsrc w
+        ON w.name = s.name AND w."user" = s."user"
+       AND w.region = s.region AND w.shard = s.shard
+       AND w.ts BETWEEN s.ts - c.h1 AND s.ts + c.h1
+      GROUP BY 1, 2, 3, 4, 5, 6),
+    dtd AS (
+      SELECT *, CASE WHEN n2 = 2 * (SELECT lag FROM dcfg)
+                     THEN CAST(s2 AS DOUBLE) / n2 END AS trend
+      FROM dtr),
+    dph AS (
+      SELECT *,
+             CASE WHEN NOT isnan(value) THEN value - trend END AS detr,
+             (ts % (SELECT season FROM dcfg))
+               - (ts % {DEFAULT_STEP_MS}) AS ph
+      FROM dtd),
+    dsn AS (
+      SELECT *, CAST(sum(CAST(detr AS DECIMAL(27,6))) OVER w AS DOUBLE)
+                  / count(detr) OVER w AS seasonal
+      FROM dph
+      WINDOW w AS (PARTITION BY name, "user", region, shard, ph))
+    SELECT name, "user", region, shard, ts,
+           {sql_quant('value')} AS value,
+           {sql_quant('trend')} AS trend,
+           {sql_quant('seasonal')} AS seasonal,
+           {sql_quant('detr - seasonal')} AS residual
+    FROM dsn""",
+)
+def m3_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition at the auto-detected season
+    (operators/windows.py:seasonal_decompose + stats.detect_season):
+    the full trend/seasonal/residual triple — parity-uniform centered
+    MA trend (two offset P-point windows summed, textbook-NULL where
+    the 2P-sample window is incomplete), phase profile of the
+    DETRENDED interior, residual as the leftover.  The oracle replays
+    the whole chain: the ACF vote, the trend as a per-series range
+    self-join (SQL frame bounds cannot be data-dependent), and the
+    same exact-decimal means."""
+    out = windows.seasonal_decompose(_fetch(spark, sf_dir), max_lag=_ACF_L)
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        "ts",
+        quant(F.col("value")).alias("value"),
+        quant(F.col("trend")).alias("trend"),
+        quant(F.col("seasonal")).alias("seasonal"),
+        quant(F.col("residual")).alias("residual"),
     )
 
 

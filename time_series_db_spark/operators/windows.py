@@ -975,6 +975,114 @@ def seasonal_adjust_auto(
     return sf.with_df(df)
 
 
+def seasonal_decompose(
+    sf: SeriesFrame,
+    season_ms: int | None = None,
+    bucket_ms: int | None = None,
+    max_lag: int = 48,
+    min_lag: int = 2,
+) -> "DataFrame":
+    """Textbook classical additive decomposition — the full
+    trend/seasonal/residual triple :func:`seasonal_adjust` declines to
+    emit (it returns residual-OR-seasonal against the RAW phase
+    profile).  ``season_ms=None`` composes with
+    ``stats.detect_season``'s auto mode exactly like
+    :func:`seasonal_adjust_auto`.
+
+    Classical recipe (public semantics — Brockwell & Davis §1.5 /
+    every intro forecasting text):
+
+    1. ``trend``: centered moving average over ONE season.  Both
+       parities of ``P = season/step`` use the same formulation — the
+       two offset P-point windows ``[t−h₁, t+h₂]`` and ``[t−h₂, t+h₁]``
+       (``h₁ = ⌊P/2⌋·step``, ``h₂ = season − h₁ − step``), trend =
+       ``(Σ_A + Σ_B) / (n_A + n_B)`` — which reduces to the plain
+       P-MA when P is odd (the windows coincide) and to the textbook
+       2×P MA when P is even and the windows are full.  Trend is NULL
+       unless the combined windows hold exactly 2P finite samples (the
+       textbook NaN-edge contract; a gap mid-window also voids it) —
+       partial-window trends would leak edge phases into the profile.
+    2. ``seasonal``: per-(series, phase) mean of the DETRENDED
+       interior (phase = ``ts % season − ts % bucket``; vs the raw
+       profile ``seasonal_adjust`` averages).  Detrending first is
+       what makes the profile trend-free; no re-centering pass is
+       applied since the detrended input is already zero-mean up to
+       edge effects.
+    3. ``residual = (value − trend) − seasonal`` — NULL where the
+       trend is undefined (edges/gaps) and for NaN samples (a NaN
+       value contributes nothing to either mean, and its own trend
+       window is short of 2P finite samples by construction, so the
+       whole triple degrades to NULL there).
+
+    Returns a DataFrame ``(series_key, labels, alias, ts, value,
+    trend, seasonal, residual)`` — three columns wide, so not a
+    SeriesFrame; slice one component back into a pipeline if needed.
+
+    Determinism: every mean is an exact-decimal sum over a pinned
+    operand set divided by an exact count (trend denominator is the
+    constant 2P), detrended values are identical doubles in both
+    engines, and the profile quantizes its addends at DECIMAL(27,6) —
+    the established engine-portable discipline.
+
+    Scale shape: the trend's two range frames, the (series, phase)
+    profile window, and the final row expressions all share ONE
+    series_key exchange; auto mode adds detect_season's bounded ACF
+    scatter (one more corpus scan).  No join, no collect beyond
+    detect_season's 1-row vote.
+    """
+    if season_ms is None:
+        from time_series_db_spark.operators import stats as _stats
+
+        season_ms = _stats.detect_season(sf, max_lag=max_lag, min_lag=min_lag)
+    season = int(season_ms)
+    step = int(sf.step)
+    bucket = int(bucket_ms) if bucket_ms else step
+    if season <= 0 or season % step or season % bucket:
+        raise ValueError(
+            "season must be a positive multiple of the grid step and "
+            f"the profile bucket (season={season}, step={step}, "
+            f"bucket={bucket})"
+        )
+    p = season // step
+    if p < 2:
+        raise ValueError("season must span at least 2 grid steps")
+    h1 = (p // 2) * step
+    h2 = season - h1 - step
+    wa = _series_window(ordered=True).rangeBetween(-h1, h2)
+    wb = _series_window(ordered=True).rangeBetween(-h2, h1)
+    v = F.col("value")
+    finite = F.when(~F.isnan(v), v)
+    fin_dec = finite.cast("decimal(27,6)")
+    base = sf.df.select(
+        "*",
+        (F.sum(fin_dec).over(wa) + F.sum(fin_dec).over(wb)).alias("__s2"),
+        (F.count(finite).over(wa) + F.count(finite).over(wb)).alias("__n2"),
+    )
+    trend = F.when(
+        F.col("__n2") == F.lit(2 * p),
+        F.col("__s2").cast("double") / F.col("__n2"),
+    )
+    base = base.select("*", trend.alias("__trend"))
+    detr = F.when(~F.isnan(v), v - F.col("__trend"))
+    phase = (F.col("ts") % F.lit(season)) - (F.col("ts") % F.lit(bucket))
+    wp = Window.partitionBy("series_key", phase)
+    seasonal = (
+        F.sum(detr.cast("decimal(27,6)")).over(wp).cast("double")
+        / F.count(detr).over(wp)
+    )
+    out = base.select(
+        "series_key",
+        "labels",
+        "alias",
+        "ts",
+        "value",
+        F.col("__trend").alias("trend"),
+        seasonal.alias("seasonal"),
+        (detr - seasonal).alias("residual"),
+    )
+    return out
+
+
 def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     """showAnomalyThresholds — reference known-but-unimplemented
     (lang/m3/common/Constants.java:70); the companion surface of
