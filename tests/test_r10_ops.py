@@ -384,7 +384,7 @@ def test_seasonal_decompose_agrees_with_seasonal_adjust_on_flat_trend(
 @pytest.mark.parametrize(
     "name",
     ["dedup_xcorpus_prebuilt", "text_categorical_psi",
-     "m3_seasonal_decompose"],
+     "m3_seasonal_decompose", "pipeline_curate_incremental"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -414,3 +414,75 @@ def test_categorical_psi_null_category_is_its_own_bucket(spark):
     rows = {r["category"]: (r["n_old"], r["n_new"])
             for r in text.categorical_psi(old, new, "lang").collect()}
     assert rows == {"en": (1, 0), "<null>": (1, 2)}
+
+
+# ---------------------------------------------------------------------------
+# incremental curation (pipeline/curate.py)
+# ---------------------------------------------------------------------------
+
+_SNAP_OLD = [
+    (0, "the quick brown fox jumps over the lazy dog and then rests"),
+    (1, "pack my box with five dozen fresh liquor jugs for the party"),
+    (2, "this document will be removed from the next snapshot version"),
+    (3, "an old stale draft of the fourth document before its rewrite"),
+    (4, "the quick brown fox jumps over the lazy dog and then rests"),
+]
+_SNAP_NEW = [
+    (0, "the quick brown fox jumps over the lazy dog and then rests"),
+    (1, "pack my box with five dozen fresh liquor jugs for the party"),
+    # 2 removed
+    (3, "the rewritten fourth document with a fresh body of real text"),
+    (4, "the quick brown fox jumps over the lazy dog and then rests"),
+    (5, "a brand new fifth document that only the new snapshot holds"),
+]
+
+
+def test_curate_incremental_equals_full_rerun(spark):
+    """On a planted snapshot pair with an added, a changed, a removed
+    and an exact-duplicate document, the incremental path (fresh
+    features for the delta + carried features for unchanged) must
+    produce EXACTLY the full rerun's packing table."""
+    from time_series_db_spark.pipeline import curate
+
+    old = spark.createDataFrame(_SNAP_OLD, "doc_id long, text string")
+    new = spark.createDataFrame(_SNAP_NEW, "doc_id long, text string")
+    full = sorted(
+        tuple(r)
+        for r in curate.curate_from_features(
+            curate.curate_features(new)
+        ).collect()
+    )
+    inc = sorted(
+        tuple(r)
+        for r in curate.curate_incremental(
+            old, new, curate.curate_features(old)
+        ).collect()
+    )
+    assert inc == full
+    ids = {r[0] for r in inc}
+    assert 2 not in ids          # removed doc is gone
+    assert 4 not in ids          # exact dup of 0: min-id survivor wins
+    assert {0, 1, 3, 5} >= ids and 5 in ids and 3 in ids
+
+
+def test_curate_incremental_scans_text_only_for_delta(spark, monkeypatch):
+    """The incremental path's ONLY text scan is the added+changed
+    slice: curate_features must be invoked once, on exactly those
+    documents (carried features come from the stored table)."""
+    from time_series_db_spark.pipeline import curate
+
+    old = spark.createDataFrame(_SNAP_OLD, "doc_id long, text string")
+    new = spark.createDataFrame(_SNAP_NEW, "doc_id long, text string")
+    stored = curate.curate_features(old)
+
+    seen = []
+    real = curate.curate_features
+
+    def counting(docs, *a, **kw):
+        seen.append(sorted(r["doc_id"] for r in docs.select("doc_id").collect()))
+        return real(docs, *a, **kw)
+
+    monkeypatch.setattr(curate, "curate_features", counting)
+    out = curate.curate_incremental(old, new, stored).collect()
+    assert seen == [[3, 5]]  # changed + added ONLY, one invocation
+    assert out

@@ -1226,9 +1226,11 @@ def sessionize_events(spark, sf_dir):
     return sessionize(load_table(spark, sf_dir, "events"))
 
 
-@register(
-    "pipeline_curate",
-    f"""WITH feats AS (
+#: the full curation funnel replay (quality >= 0.55 -> min-id exact-dedup
+#: survivor -> 256-token/16-shard packing) — the oracle for BOTH the
+#: full-rerun entry and the incremental entry (whose equality with the
+#: full rerun is exactly the property being pinned)
+_CURATE_FULL_SQL = f"""WITH feats AS (
       SELECT doc_id, text,
              len({_TOKS})::DOUBLE AS n_tokens,
              len(list_distinct({_TOKS}))::DOUBLE AS n_uniq,
@@ -1255,7 +1257,12 @@ def sessionize_events(spark, sf_dir):
       FROM base)
     SELECT doc_id, shard, (start_offset // 256)::BIGINT AS pack_id,
            start_offset::BIGINT AS start_offset, n_tokens
-    FROM packed""",
+    FROM packed"""
+
+
+@register(
+    "pipeline_curate",
+    _CURATE_FULL_SQL,
 )
 def pipeline_curate(spark, sf_dir):
     """The composed curation pipeline a training run actually executes:
@@ -1276,6 +1283,33 @@ def pipeline_curate(spark, sf_dir):
     surv = dedup.exact_dedup(kept).select("doc_id")
     final = kept.join(surv, "doc_id")
     return pack.pack_sequences(final, budget=256, n_shards=16)
+
+
+@register(
+    "pipeline_curate_incremental",
+    _CURATE_FULL_SQL,
+)
+def pipeline_curate_incremental(spark, sf_dir):
+    """Incremental reprocessing (pipeline/curate.py:curate_incremental):
+    curate the new snapshot reading text ONLY for the corpus_diff delta
+    — a synthetic previous snapshot drops every 13th document (those
+    become "added") and carries a stale text for every 9th (those
+    become "changed"); unchanged docs reuse the previous run's
+    curate_features table.  The ORACLE is the FULL RERUN over the new
+    snapshot (byte-identical to pipeline_curate's), so the driver's
+    hash match IS the incremental == full-rerun equality proof."""
+    from time_series_db_spark.pipeline import curate
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(F.col("text"), F.lit(" STALEv1")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    stored = curate.curate_features(old)
+    return curate.curate_incremental(old, docs, stored)
 
 
 # ---------------------------------------------------------------------------

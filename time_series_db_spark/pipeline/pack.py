@@ -44,12 +44,33 @@ def pack_sequences(
     ``start_offset`` is the document's first-token position within its
     shard's stream, ``pack_id`` the block index within the shard.
     """
+    norm = textprep.normalize(F.col(text_col))
+    toks = F.size(F.split(norm, " ")).cast("long")
+    return pack_from_counts(
+        df.select(F.col(id_col), toks.alias("n_tokens")),
+        budget=budget,
+        n_shards=n_shards,
+        id_col=id_col,
+    )
+
+
+def pack_from_counts(
+    df: DataFrame,
+    budget: int = 512,
+    n_shards: int = DEFAULT_SHARDS,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """:func:`pack_sequences` over a PRE-COMPUTED token-count table
+    ``(id, n_tokens)`` — the text-free tail the incremental curation
+    path runs when the counts were extracted in an earlier pass (the
+    packing layout depends only on ids and counts, never on the text
+    itself).  Same output contract and the identical expression tree,
+    so packing from stored counts equals packing from the text."""
     if budget <= 0:
         raise ValueError("pack budget must be a positive token count")
     if n_shards <= 0:
         raise ValueError("n_shards must be positive")
-    norm = textprep.normalize(F.col(text_col))
-    toks = F.size(F.split(norm, " ")).cast("long")
     # md5-based hash64: engine-portable (the DuckDB oracle computes the
     # identical shard), non-negative, uniform; production runs off the
     # differential gate can swap fn="xxhash64" (textprep.hash64 contract)
@@ -58,7 +79,9 @@ def pack_sequences(
         % F.lit(int(n_shards))
     ).cast("int")
     base = df.select(
-        F.col(id_col), shard.alias("shard"), toks.alias("n_tokens")
+        F.col(id_col),
+        shard.alias("shard"),
+        F.col(tokens_col).cast("long").alias("n_tokens"),
     )
     w = (
         Window.partitionBy("shard")
