@@ -151,6 +151,13 @@ HEADLINE_QUERIES = [
     "corpus_diff",
     "decontaminate_eval_side",
     "text_snapshot_psi",
+    # round-10: centered-MA edge gating + detrended phase profile,
+    # category-union bucketing, prebuilt-model band join, and the
+    # carried-features union feeding the min-id survivor cut
+    "m3_seasonal_decompose",
+    "text_categorical_psi",
+    "dedup_xcorpus_prebuilt",
+    "pipeline_curate_incremental",
 ]
 
 

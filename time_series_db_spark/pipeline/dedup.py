@@ -324,13 +324,14 @@ def cross_corpus_dedup(
             incoming, id_col, text_col, num_perms, shingle_k, hash_fn
         )
     )
-    sigs_ref = (
+    # the model table is referenced three times (band explode + two
+    # verify joins) — persist it whether it arrived as a live plan or a
+    # parquet scan, exactly like the inline-fit side
+    sigs_ref = persist_tracked(
         model
         if model is not None
-        else persist_tracked(
-            minhash_signatures(
-                reference, id_col, text_col, num_perms, shingle_k, hash_fn
-            )
+        else minhash_signatures(
+            reference, id_col, text_col, num_perms, shingle_k, hash_fn
         )
     )
 
