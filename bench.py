@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "text_bpe_encode_xcorpus", # BPE fit/apply cross-corpus encode (r9)
     "m3_seasonal_auto",        # ACF season detect + phase window (r9)
     "split_leakage_safe",      # near-dup-cluster train/test split (r9)
+    "m3_seasonal_decompose",   # classical trend/seasonal/residual (r10)
+    "dedup_xcorpus_prebuilt",  # fit/apply dedup vs pre-built model (r10)
+    "pipeline_curate_incremental",  # delta-only curation funnel (r10)
 ]
 
 

@@ -80,6 +80,9 @@ QUERIES = [
     "m3_seasonal_auto_series", # votes join-back + column phase key (r9)
     "split_leakage_safe",      # CC over pairs + hash bucketing (r9)
     "corpus_diff",             # two snapshot scans + full-outer join (r9)
+    "m3_seasonal_decompose",   # two range MAs + phase window (r10)
+    "dedup_xcorpus_prebuilt",  # fit/apply band join vs pre-built model (r10)
+    "pipeline_curate_incremental",  # delta text scan + metadata tail (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4
