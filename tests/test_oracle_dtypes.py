@@ -49,3 +49,17 @@ def test_oracle_fetches_lossless(name, duck):
         f"(HUGEINT->float64 / wide DECIMAL). Cast in the oracle SQL, "
         f"e.g. sum(...)::BIGINT — see tests/test_oracle_dtypes.py."
     )
+    # NO DECIMAL output columns at all, lossy or not: the Spark side
+    # emits DOUBLE, and a bare SQL literal (1.0 binds DECIMAL(2,1))
+    # makes the oracle's column type diverge — invisible to the
+    # driver's pandas fetch but a real engine-type mismatch (r10 found
+    # m3_is_non_null and promql_absent this way). Always ::DOUBLE.
+    decs = [
+        (c, str(ty)) for c, ty in zip(rel.columns, rel.types)
+        if _DECIMAL.match(str(ty))
+    ]
+    assert not decs, (
+        f"{name}: oracle column(s) {decs} are DECIMAL-typed — a bare "
+        f"SQL literal is binding DECIMAL where Spark emits DOUBLE; "
+        f"cast it (1.0::DOUBLE)."
+    )

@@ -214,6 +214,33 @@ def test_cross_corpus_dedup_model_never_recomputes_reference(
         dedup.cross_corpus_dedup(inc, docs, model=model)
 
 
+def test_minhash_fit_survives_parquet_roundtrip(spark, tmp_path):
+    """The documented 100 TB flow: minhash_fit's table is WRITTEN to
+    parquet and read back per snapshot — the round-tripped model must
+    flag exactly what the live plan flags (integer arrays survive the
+    parquet round trip losslessly)."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(_XC_TEXTS, "doc_id long, text string")
+    ref = docs.filter("doc_id < 3")
+    inc = docs.filter("doc_id >= 3")
+    live = dedup.minhash_fit(ref)
+    path = str(tmp_path / "minhash_model")
+    live.write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    out_live = sorted(
+        tuple(r)
+        for r in dedup.cross_corpus_dedup(inc, model=live, threshold=0.8)
+        .collect()
+    )
+    out_stored = sorted(
+        tuple(r)
+        for r in dedup.cross_corpus_dedup(inc, model=stored, threshold=0.8)
+        .collect()
+    )
+    assert out_live == out_stored and out_live
+
+
 # ---------------------------------------------------------------------------
 # xxhash64 production hash path parity (pipeline/textprep.py:hash64)
 # ---------------------------------------------------------------------------

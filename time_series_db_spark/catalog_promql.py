@@ -475,7 +475,8 @@ def promql_holt_winters(spark, sf_dir):
 
 @register(
     "promql_absent",
-    f"""SELECT 'nosuch' AS name, 'r9' AS region, gs AS ts, 1.0 AS value
+    f"""SELECT 'nosuch' AS name, 'r9' AS region, gs AS ts,
+           1.0::DOUBLE AS value
     FROM generate_series({EVENTS_MIN_TS}, {EVENTS_MAX_TS - DEFAULT_STEP_MS},
                          {DEFAULT_STEP_MS}) t(gs)""",
 )
