@@ -21,7 +21,8 @@ _STAGES = [
     "percentileOfSeries", "histogramPercentile", "alias", "aliasByTags",
     "showTags", "mapKey", "tagSub", "fallbackSeries", "sort",
     "nonNegativeDerivative", "aliasSub", "nPercentile", "constantLine",
-    "anomalies", "decimate", "seasonalAdjust", "showAnomalyThresholds",
+    "anomalies", "decimate", "seasonalAdjust", "seasonalDecompose",
+    "showAnomalyThresholds",
     "changepoints", "interpolate", "ewma", "movingPercentile",
     "timestamp", "toHistogram", "aliasByDistinctTags", "asBurnRate",
     "sum", "avg", "min", "max", "count", "multiply", "range",

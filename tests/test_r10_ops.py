@@ -429,6 +429,46 @@ def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan  # totals broadcast
 
 
+def test_seasonal_decompose_m3ql_stage(spark, sf_dir):
+    """`seasonalDecompose [auto|season [bucket]] [component]` through
+    the full language path: the sliced component equals the operator's
+    column with undefined rows ABSENT (the engine-wide null contract),
+    and malformed forms raise plan errors."""
+    from time_series_db_spark.catalog_m3ql import run_m3ql
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan
+    from time_series_db_spark.operators import windows
+    from time_series_db_spark.sources import fetch_events
+
+    plan = build_plan(parse("fetch name:x | seasonalDecompose auto trend"))
+    assert "SEASONAL_DECOMPOSE(season=auto" in plan.dump()
+    assert "component=trend" in plan.dump()
+    for bad in [
+        "fetch name:x | seasonalDecompose auto 1h residual",
+        "fetch name:x | seasonalDecompose 1h 1d",
+        "fetch name:x | seasonalDecompose bogus",
+        "fetch name:x | seasonalDecompose 1d 1h extra residual",
+    ]:
+        with pytest.raises(M3PlanError):
+            build_plan(parse(bad))
+
+    dec = windows.seasonal_decompose(
+        fetch_events(spark, sf_dir), max_lag=48
+    ).collect()
+    for comp in ("trend", "residual"):
+        got = sorted(
+            (r["series_key"], r["ts"], round(r["value"], 9))
+            for r in run_m3ql(
+                spark, sf_dir, f"fetch name:* | seasonalDecompose auto {comp}"
+            ).df.collect()
+        )
+        want = sorted(
+            (r["series_key"], r["ts"], round(r[comp], 9))
+            for r in dec if r[comp] is not None
+        )
+        assert got == want and got, comp
+
+
 def test_categorical_psi_null_category_is_its_own_bucket(spark):
     from time_series_db_spark.pipeline import text
 

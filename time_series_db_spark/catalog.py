@@ -1262,7 +1262,11 @@ _ACF_EXPR = (
     f'     / (m.sxx - m.n * {_ACF_MU} * {_ACF_MU}) END'
 )
 
-_ACF_CTES = f"""asrc AS (
+def sql_acf_ctes(max_lag: int = _ACF_L) -> str:
+    """The per-series ACF replay chain (moments + bounded lag scatter +
+    pair sums), parameterized on the lag bound — operator entries pin
+    ``_ACF_L``; the m3ql language path replays the engine default."""
+    return f"""asrc AS (
       SELECT {SQL_LBLS}, ts, value FROM samples WHERE NOT isnan(value)),
     amom AS (
       SELECT {SQL_LBLS}, sum(value) AS sx, count(*)::DOUBLE AS n,
@@ -1272,7 +1276,7 @@ _ACF_CTES = f"""asrc AS (
       SELECT a.name, a."user", a.region, a.shard, g.l::BIGINT AS lag,
              a.value AS xa, b.value AS xb
       FROM asrc a
-      CROSS JOIN generate_series(1, {_ACF_L}) g(l)
+      CROSS JOIN generate_series(1, {max_lag}) g(l)
       JOIN asrc b
         ON b.name = a.name AND b."user" = a."user"
        AND b.region = a.region AND b.shard = a.shard
@@ -1282,6 +1286,9 @@ _ACF_CTES = f"""asrc AS (
              sum(xa * xb) AS sxy, sum(xa) AS sxa, sum(xb) AS sxb,
              count(*)::DOUBLE AS np
       FROM apair GROUP BY 1, 2, 3, 4, 5)"""
+
+
+_ACF_CTES = sql_acf_ctes()
 
 
 @register(
@@ -1365,19 +1372,24 @@ def m3_seasonal_auto(spark, sf_dir):
     )
 
 
-@register(
-    "m3_seasonal_decompose",
-    f"""{PRELUDE},
-    {_ACF_CTES},
-    {_AVOTE_CTES},
-    dcfg AS MATERIALIZED (
+#: the classical-decomposition replay chain (consumes the `avote` CTE):
+#: parity-uniform centered-MA trend as a range self-join (SQL frame
+#: bounds cannot be data-dependent), detrended phase profile, residual
+#: — shared by the operator entry and the m3ql language-path entry
+SQL_SDC_CTES = f"""dcfg AS MATERIALIZED (
       SELECT lag, lag * {DEFAULT_STEP_MS} AS season,
              (lag // 2) * {DEFAULT_STEP_MS} AS h1,
              (lag - lag // 2 - 1) * {DEFAULT_STEP_MS} AS h2
       FROM avote),
-    dsrc AS MATERIALIZED (SELECT {SQL_LBLS}, ts, value FROM samples),
+    dsrc AS MATERIALIZED (
+      SELECT {SQL_LBLS}, ts, value,
+             min(CASE WHEN NOT isnan(value) THEN ts END) OVER dw AS fts,
+             max(CASE WHEN NOT isnan(value) THEN ts END) OVER dw AS lts
+      FROM samples
+      WINDOW dw AS (PARTITION BY {SQL_LBLS})),
     dtr AS (
       SELECT s.name, s."user", s.region, s.shard, s.ts, s.value,
+             min(s.fts) AS fts, min(s.lts) AS lts,
              sum(CASE WHEN NOT isnan(w.value)
                        AND w.ts BETWEEN s.ts - c.h1 AND s.ts + c.h2
                       THEN CAST(w.value AS DECIMAL(27,6)) END)
@@ -1398,7 +1410,9 @@ def m3_seasonal_auto(spark, sf_dir):
        AND w.ts BETWEEN s.ts - c.h1 AND s.ts + c.h1
       GROUP BY 1, 2, 3, 4, 5, 6),
     dtd AS (
-      SELECT *, CASE WHEN n2 = 2 * (SELECT lag FROM dcfg)
+      SELECT *, CASE WHEN ts - (SELECT h1 FROM dcfg) >= fts
+                      AND ts + (SELECT h1 FROM dcfg) <= lts
+                      AND n2 > 0
                      THEN CAST(s2 AS DOUBLE) / n2 END AS trend
       FROM dtr),
     dph AS (
@@ -1411,7 +1425,15 @@ def m3_seasonal_auto(spark, sf_dir):
       SELECT *, CAST(sum(CAST(detr AS DECIMAL(27,6))) OVER w AS DOUBLE)
                   / count(detr) OVER w AS seasonal
       FROM dph
-      WINDOW w AS (PARTITION BY name, "user", region, shard, ph))
+      WINDOW w AS (PARTITION BY name, "user", region, shard, ph))"""
+
+
+@register(
+    "m3_seasonal_decompose",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    {_AVOTE_CTES},
+    {SQL_SDC_CTES}
     SELECT name, "user", region, shard, ts,
            {sql_quant('value')} AS value,
            {sql_quant('trend')} AS trend,

@@ -600,6 +600,39 @@ def m3ql_seasonal_adjust(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
+from time_series_db_spark.catalog import (  # noqa: E402
+    _AVOTE_CTES as _SD_AVOTE,
+    SQL_SDC_CTES as _SD_CHAIN,
+    sql_acf_ctes as _sql_acf,
+)
+
+
+@register(
+    "m3ql_seasonal_decompose",
+    f"""{PRELUDE},
+    {_sql_acf(48)},
+    {_SD_AVOTE},
+    {_SD_CHAIN}
+    SELECT name, "user", region, shard, ts,
+           {sql_quant('detr - seasonal')} AS value
+    FROM dsn
+    WHERE detr IS NOT NULL AND seasonal IS NOT NULL""",
+)
+def m3ql_seasonal_decompose(spark, sf_dir):
+    """seasonalDecompose auto residual through the full language path
+    (operators/windows.py:seasonal_decompose sliced back into the
+    pipeline): classical additive decomposition at the ACF-voted
+    season, one component re-entering as the series value; rows whose
+    component is undefined (textbook trend edges, empty phases) become
+    ABSENT samples per the engine-wide null contract.  The oracle
+    shares the operator entry's full replay chain and keeps only the
+    defined residual rows."""
+    sf = run_m3ql(
+        spark, sf_dir, "fetch name:* | seasonalDecompose auto residual"
+    )
+    return _flat(sf, LABEL_KEYS)
+
+
 from time_series_db_spark.catalog import sql_cusum_ctes as _sql_cusum  # noqa: E402
 
 

@@ -478,6 +478,23 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
         return windows.seasonal_adjust(
             sf, node.season_ms, node.bucket_ms, node.output
         )
+    if isinstance(node, P.SeasonalDecomposeNode):
+        from pyspark.sql import functions as F
+
+        out = windows.seasonal_decompose(
+            sf, node.season_ms, node.bucket_ms
+        )
+        # slice ONE component back into the series pipeline; rows where
+        # the component is undefined (textbook trend edges, empty
+        # phases) become ABSENT samples, the engine-wide null contract
+        df = (
+            out.filter(F.col(node.component).isNotNull())
+            .select(
+                "series_key", "labels", "alias", "ts",
+                F.col(node.component).alias("value"),
+            )
+        )
+        return sf.with_df(df)
     if isinstance(node, P.DecimateNode):
         fn = (
             windows.decimate

@@ -754,6 +754,32 @@ class SeasonalAdjustNode(PlanNode):
         )
 
 
+class SeasonalDecomposeNode(PlanNode):
+    """Beyond the reference: textbook classical additive decomposition
+    (windows.seasonal_decompose) sliced back into the pipeline as ONE
+    component series — ``trend`` (centered-MA, absent at the textbook
+    edges), ``seasonal`` (detrended phase profile), or ``residual``.
+    ``season_ms=None`` is auto mode (ACF-peak majority vote)."""
+
+    def __init__(
+        self,
+        season_ms: int | None = None,
+        bucket_ms: int | None = None,
+        component: str = "residual",
+    ):
+        super().__init__()
+        self.season_ms = season_ms
+        self.bucket_ms = bucket_ms
+        self.component = component
+
+    def explain(self) -> str:
+        season = "auto" if self.season_ms is None else self.season_ms
+        return (
+            f"SEASONAL_DECOMPOSE(season={season}, "
+            f"bucket={self.bucket_ms}, component={self.component})"
+        )
+
+
 class InterpolateNode(PlanNode):
     """Beyond the reference: linear interior-gap fill over the query
     grid (the Graphite-universe interpolate()), optionally bounded to
@@ -1338,6 +1364,32 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
                 "seasonalAdjust bucket must divide the season"
             )
         return SeasonalAdjustNode(season, bucket, output)
+    if name == "seasonalDecompose":
+        # seasonalDecompose [auto|season [bucket]] [trend|seasonal|residual]
+        rest = list(args)
+        component = "residual"
+        if rest and rest[-1] in ("trend", "seasonal", "residual"):
+            component = rest.pop()
+        if len(rest) > 2:
+            raise M3PlanError(
+                "seasonalDecompose expects: [auto|season [bucket]] "
+                "[trend|seasonal|residual]"
+            )
+        if not rest or rest[0] == "auto":
+            if len(rest) > 1:
+                raise M3PlanError(
+                    "seasonalDecompose auto takes no bucket (the grid "
+                    "step always divides the detected season)"
+                )
+            return SeasonalDecomposeNode(None, None, component)
+        season = parse_duration_ms(rest[0])
+        bucket = parse_duration_ms(rest[1]) if len(rest) == 2 else None
+        if season <= 0 or (bucket is not None and
+                           (bucket <= 0 or season % bucket)):
+            raise M3PlanError(
+                "seasonalDecompose bucket must divide the season"
+            )
+        return SeasonalDecomposeNode(season, bucket, component)
     if name == "showAnomalyThresholds":
         if len(args) > 1:
             raise M3PlanError(

@@ -998,10 +998,14 @@ def seasonal_decompose(
        (``h₁ = ⌊P/2⌋·step``, ``h₂ = season − h₁ − step``), trend =
        ``(Σ_A + Σ_B) / (n_A + n_B)`` — which reduces to the plain
        P-MA when P is odd (the windows coincide) and to the textbook
-       2×P MA when P is even and the windows are full.  Trend is NULL
-       unless the combined windows hold exactly 2P finite samples (the
-       textbook NaN-edge contract; a gap mid-window also voids it) —
-       partial-window trends would leak edge phases into the profile.
+       2×P MA when P is even and the grid is dense.  Trend is NULL
+       where the ``±h₁`` window pokes past the series' finite-sample
+       extent (the textbook NaN-edge contract: a truncated edge window
+       would leak boundary phases into the profile); INTERIOR gaps and
+       NaNs are simply absent samples the mean skips — the engine-wide
+       null discipline, and what keeps the decomposition value-bearing
+       on sparse series where a dense-count gate would void every
+       window.
     2. ``seasonal``: per-(series, phase) mean of the DETRENDED
        interior (phase = ``ts % season − ts % bucket``; vs the raw
        profile ``seasonal_adjust`` averages).  Detrending first is
@@ -1009,20 +1013,19 @@ def seasonal_decompose(
        applied since the detrended input is already zero-mean up to
        edge effects.
     3. ``residual = (value − trend) − seasonal`` — NULL where the
-       trend is undefined (edges/gaps) and for NaN samples (a NaN
-       value contributes nothing to either mean, and its own trend
-       window is short of 2P finite samples by construction, so the
-       whole triple degrades to NULL there).
+       trend is undefined (edges) and for NaN samples (a NaN value
+       contributes nothing to either mean and has no detrended value,
+       so its residual degrades to NULL).
 
     Returns a DataFrame ``(series_key, labels, alias, ts, value,
     trend, seasonal, residual)`` — three columns wide, so not a
     SeriesFrame; slice one component back into a pipeline if needed.
 
     Determinism: every mean is an exact-decimal sum over a pinned
-    operand set divided by an exact count (trend denominator is the
-    constant 2P), detrended values are identical doubles in both
-    engines, and the profile quantizes its addends at DECIMAL(27,6) —
-    the established engine-portable discipline.
+    operand set divided by an exact integer count, the edge gate
+    compares integer timestamps, detrended values are identical
+    doubles in both engines, and the profile quantizes its addends at
+    DECIMAL(27,6) — the established engine-portable discipline.
 
     Scale shape: the trend's two range frames, the (series, phase)
     profile window, and the final row expressions all share ONE
@@ -1050,16 +1053,24 @@ def seasonal_decompose(
     h2 = season - h1 - step
     wa = _series_window(ordered=True).rangeBetween(-h1, h2)
     wb = _series_window(ordered=True).rangeBetween(-h2, h1)
+    wfull = _series_window(ordered=False).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     v = F.col("value")
     finite = F.when(~F.isnan(v), v)
     fin_dec = finite.cast("decimal(27,6)")
+    fin_ts = F.when(~F.isnan(v), F.col("ts"))
     base = sf.df.select(
         "*",
         (F.sum(fin_dec).over(wa) + F.sum(fin_dec).over(wb)).alias("__s2"),
         (F.count(finite).over(wa) + F.count(finite).over(wb)).alias("__n2"),
+        F.min(fin_ts).over(wfull).alias("__fts"),
+        F.max(fin_ts).over(wfull).alias("__lts"),
     )
     trend = F.when(
-        F.col("__n2") == F.lit(2 * p),
+        (F.col("ts") - F.lit(h1) >= F.col("__fts"))
+        & (F.col("ts") + F.lit(h1) <= F.col("__lts"))
+        & (F.col("__n2") > 0),
         F.col("__s2").cast("double") / F.col("__n2"),
     )
     base = base.select("*", trend.alias("__trend"))
