@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "m3_seasonal_decompose",   # classical trend/seasonal/residual (r10)
     "dedup_xcorpus_prebuilt",  # fit/apply dedup vs pre-built model (r10)
     "pipeline_curate_incremental",  # delta-only curation funnel (r10)
+    "m3_lead_lag",             # best-aligned lag vs target series (r10)
 ]
 
 

@@ -83,6 +83,7 @@ QUERIES = [
     "m3_seasonal_decompose",   # two range MAs + phase window (r10)
     "dedup_xcorpus_prebuilt",  # fit/apply band join vs pre-built model (r10)
     "pipeline_curate_incremental",  # delta text scan + metadata tail (r10)
+    "m3_lead_lag",             # ±L-shifted target broadcast join (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -158,6 +158,8 @@ HEADLINE_QUERIES = [
     "text_categorical_psi",
     "dedup_xcorpus_prebuilt",
     "pipeline_curate_incremental",
+    # round-10: per-lag grouped corr → quantized argmax over lags
+    "m3_lead_lag",
 ]
 
 

@@ -408,10 +408,89 @@ def test_seasonal_decompose_agrees_with_seasonal_adjust_on_flat_trend(
     assert prof and all(len(v) == 1 for v in prof.values())
 
 
+def _ll_fleet(spark, groups, step=1000):
+    """SeriesFrame with one series per (user-label, values) entry."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+
+    rows = []
+    n = 0
+    for uid, vals in groups:
+        rows += [(uid, i * step, float(v)) for i, v in enumerate(vals)]
+        n = max(n, len(vals))
+    df = (
+        spark.createDataFrame(rows, "uid string, ts long, value double")
+        .withColumn(
+            "labels",
+            F.create_map(
+                F.lit("name"), F.lit("m"), F.lit("user"), F.col("uid")
+            ),
+        )
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", series_key_expr())
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    return SeriesFrame(df=df, step=step, min_ts=0, max_ts=n * step)
+
+
+#: aperiodic zig-zag: autocorrelation at every non-zero lag is well
+#: below 1, so a shifted copy's best alignment is unambiguous
+_LL_G = [1.0, 3.0, 7.0, 2.0, 9.0, 4.0, 11.0, 5.0, 13.0, 6.0, 15.0,
+         8.0, 12.0, 3.0, 10.0, 1.0, 14.0, 7.0, 16.0, 2.0, 8.0, 5.0,
+         11.0, 9.0]
+
+
+def test_lead_lag_recovers_planted_lags(spark):
+    from time_series_db_spark.operators.stats import lead_lag_target
+
+    follower = [0.5, 0.5] + _LL_G[:-2]   # f(t) = g(t - 2·step)
+    leader = _LL_G[1:] + [0.5]           # l(t) = g(t + 1·step)
+    sf = _ll_fleet(
+        spark,
+        [("tgt", _LL_G), ("follow", follower), ("lead", leader)],
+    )
+    out = lead_lag_target(
+        sf, {"user": "tgt"}, max_lag=3, min_abs_corr=0.9
+    )
+    got = {r["labels"]["user"]: r for r in out.collect()}
+    assert got["tgt"]["lag_buckets"] == 0
+    assert got["tgt"]["corr"] == pytest.approx(1.0)
+    assert got["follow"]["lag_buckets"] == 2
+    assert got["follow"]["lag_ms"] == 2000
+    assert got["follow"]["corr"] == pytest.approx(1.0)
+    assert got["lead"]["lag_buckets"] == -1
+    assert got["lead"]["corr"] == pytest.approx(1.0)
+
+
+def test_lead_lag_tie_prefers_zero_lag(spark):
+    """A period-4 target correlates 1.0 with itself at lags −4/0/+4;
+    the quantized tie must break to the no-lag explanation."""
+    from time_series_db_spark.operators.stats import lead_lag_target
+
+    wave = [1.0, 5.0, 2.0, 8.0] * 6
+    sf = _ll_fleet(spark, [("tgt", wave)])
+    out = lead_lag_target(sf, {"user": "tgt"}, max_lag=4).collect()
+    assert len(out) == 1
+    assert out[0]["lag_buckets"] == 0
+    assert out[0]["corr"] == pytest.approx(1.0)
+
+
+def test_lead_lag_requires_unique_target(spark):
+    from time_series_db_spark.operators.stats import lead_lag_target
+
+    sf = _ll_fleet(spark, [("a", _LL_G), ("b", _LL_G)])
+    with pytest.raises(ValueError, match="selects 2 series"):
+        lead_lag_target(sf, {"name": "m"}).collect()
+    with pytest.raises(ValueError, match="max_lag"):
+        lead_lag_target(sf, {"user": "a"}, max_lag=0)
+
+
 @pytest.mark.parametrize(
     "name",
     ["dedup_xcorpus_prebuilt", "text_categorical_psi",
-     "m3_seasonal_decompose", "pipeline_curate_incremental"],
+     "m3_seasonal_decompose", "pipeline_curate_incremental",
+     "m3_lead_lag"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond

@@ -1149,6 +1149,71 @@ def m3_correlate_target(spark, sf_dir):
     )
 
 
+#: lead-lag probe half-width, in coarse-grid buckets
+_LL_MAXLAG = 4
+
+
+@register(
+    "m3_lead_lag",
+    f"""{_CORR_PRELUDE},
+    lltgt AS (
+      SELECT ts, value AS tv FROM samples
+      WHERE name = 'click' AND "user" = '0'),
+    llsh AS (
+      SELECT l.lag, t.ts + l.lag * {_CORR_STEP} AS jts, t.tv
+      FROM lltgt t
+      CROSS JOIN (SELECT unnest(generate_series(
+        -{_LL_MAXLAG}, {_LL_MAXLAG})) AS lag) l),
+    llagg AS (
+      SELECT {SQL_LBLS}, g.lag,
+             CASE WHEN stddev_pop(s.value) * stddev_pop(g.tv) > 0
+                  THEN covar_pop(s.value, g.tv)
+                       / (stddev_pop(s.value) * stddev_pop(g.tv))
+             END AS c,
+             count(*) AS n_points
+      FROM samples s JOIN llsh g ON s.ts = g.jts
+      WHERE NOT isnan(s.value) AND NOT isnan(g.tv)
+      GROUP BY 1, 2, 3, 4, 5),
+    llq AS (
+      SELECT {SQL_LBLS}, lag, n_points,
+             floor(c * 10000.0 + 0.5) / 10000.0 AS corr
+      FROM llagg
+      WHERE n_points >= 3 AND c IS NOT NULL AND NOT isnan(c)),
+    llrk AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY {SQL_LBLS}
+        ORDER BY abs(corr) DESC, abs(lag) ASC, lag ASC) AS rk
+      FROM llq)
+    SELECT {SQL_LBLS}, lag AS lag_buckets,
+           lag * {_CORR_STEP} AS lag_ms, corr, n_points
+    FROM llrk WHERE rk = 1 AND abs(corr) >= 0.25""",
+)
+def m3_lead_lag(spark, sf_dir):
+    """Lead-lag detection vs the click/user-0 series
+    (operators/stats.py:lead_lag_target): correlate every fleet series
+    with the target at bucket lags in ±4 and keep the best-aligned lag
+    — the "who moves FIRST" causal-order hint.  The 2·4+1 shifted
+    copies of the ONE target series stay a bounded broadcast; the
+    corpus pays one scan + one partial-aggregated groupBy on
+    (series_key, lag); corr is 1e-4-quantized BEFORE both the argmax
+    and the threshold so neither can flip between engines."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    out = stats_ops.lead_lag_target(
+        _fetch(spark, sf_dir, step=_CORR_STEP),
+        {"name": "click", "user": "0"},
+        max_lag=_LL_MAXLAG,
+        min_abs_corr=0.25,
+    )
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in LABEL_KEYS],
+        "lag_buckets",
+        "lag_ms",
+        F.col("corr"),
+        F.col("n_points"),
+    )
+
+
 #: correlate_matrix sketch config: coarse buckets of 4 grid steps,
 #: 4-symbol bands, stop-band cap 32 (candidates measured 31.6k→41.3k
 #: across a 10× fleet on the bench corpus — the cap is what keeps the

@@ -388,6 +388,118 @@ def correlate_matrix(
     )
 
 
+def lead_lag_target(
+    sf: SeriesFrame,
+    target: dict[str, str],
+    max_lag: int = 6,
+    min_points: int = 3,
+    min_abs_corr: float = 0.0,
+) -> DataFrame:
+    """Lead-lag detection against a target series: for every series in
+    the fleet, Pearson correlation with the target at every bucket lag
+    in ``[-max_lag, max_lag]``, keeping the best-aligned lag — the
+    "what moves with this metric, and who moves FIRST" diagnosis that
+    turns correlate_target's blast-radius ranking into a causal-order
+    hint (upstream services shift before their dependents).
+
+    Convention: row ``(series, lag)`` correlates ``s(t)`` with
+    ``g(t - lag·step)`` — ``lag_buckets > 0`` means the target's
+    movement shows up in the series ``lag`` buckets LATER (the target
+    leads); ``< 0`` means the series leads the target.  ``lag_ms``
+    is the same offset in epoch-milliseconds.
+
+    Winner selection is engine-portable by construction: ``corr`` is
+    quantized to the 1e-4 grid BEFORE both the argmax compare and the
+    ``min_abs_corr`` threshold (a raw-float compare can flip between
+    engines within an ulp — the correlate_matrix lesson), and ties
+    break deterministically on (|lag| asc, lag asc), preferring the
+    no-lag explanation over an offset one.
+
+    Scale shape: the target is ONE series (≤ grid-length rows, the
+    exactly-one contract probe-enforced); its ``2·max_lag+1`` shifted
+    copies are STILL a bounded frame and broadcast into a hash join on
+    ``ts`` — the corpus pays one scan and one partial-aggregated
+    groupBy on (series_key, lag) whose row count is the fleet's sample
+    count × a small constant; the per-series argmax is a second
+    metadata-sized partial agg.  Nothing pairwise, no second scan.
+    """
+    if not target:
+        raise ValueError("lead_lag_target needs at least one label matcher")
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1 (got {max_lag})")
+    from pyspark.sql import Window
+
+    from time_series_db_spark.cache import probe_memo
+    from time_series_db_spark.model import labels_from_key_expr
+
+    pred = None
+    for k, v in target.items():
+        c = F.col("labels")[k] == F.lit(v)
+        pred = c if pred is None else pred & c
+    matched = sf.df.filter(pred)
+    n_tgt = probe_memo(
+        matched,
+        "lead_lag_target",
+        lambda: matched.select("series_key").distinct().limit(2).count(),
+    )
+    if n_tgt != 1:
+        raise ValueError(
+            f"lead_lag_target matcher {target} selects {n_tgt} series; "
+            "it must select exactly one (tighten the label matcher)"
+        )
+    step = int(sf.step)
+    # (2·max_lag+1) shifted copies of the one target series: the copy
+    # tagged ``lag`` carries g(t) at join key t + lag·step, so joining
+    # fleet ts == key pairs s(t) with g(t - lag·step)
+    tgt = matched.select(
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("__lag"),
+        (F.col("ts") + F.col("__lag") * F.lit(step)).alias("__tts"),
+        F.col("value").alias("__tv"),
+    )
+    per_lag = (
+        sf.df.join(F.broadcast(tgt), F.col("ts") == F.col("__tts"))
+        .filter(~F.isnan("value") & ~F.isnan("__tv"))
+        .groupBy("series_key", "__lag")
+        .agg(
+            F.try_divide(
+                F.covar_pop("value", "__tv"),
+                F.stddev_pop("value") * F.stddev_pop("__tv"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        # quantize BEFORE argmax + threshold (|corr| ≤ 1 → guards vacuous)
+        .withColumn(
+            "corr",
+            F.floor(F.col("corr") * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0),
+        )
+        .filter(
+            (F.col("n_points") >= F.lit(int(min_points)))
+            & F.col("corr").isNotNull()
+            & ~F.isnan("corr")
+        )
+    )
+    w = Window.partitionBy("series_key").orderBy(
+        F.abs("corr").desc(), F.abs("__lag").asc(), F.col("__lag").asc()
+    )
+    return (
+        per_lag.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .filter(F.abs("corr") >= F.lit(float(min_abs_corr)))
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .select(
+            "series_key",
+            "labels",
+            F.col("__lag").alias("lag_buckets"),
+            (F.col("__lag") * F.lit(step)).alias("lag_ms"),
+            "corr",
+            "n_points",
+        )
+    )
+
+
 def fleet_outlier_scores(sf: SeriesFrame) -> DataFrame:
     """Fleet-level robust outlier scores: each series' window mean
     scored against the fleet's median by MAD units —
