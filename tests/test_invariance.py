@@ -158,8 +158,10 @@ HEADLINE_QUERIES = [
     "text_categorical_psi",
     "dedup_xcorpus_prebuilt",
     "pipeline_curate_incremental",
-    # round-10: per-lag grouped corr → quantized argmax over lags
+    # round-10: per-lag grouped corr → quantized argmax over lags;
+    # GD-trained linear probe scoring the held-out half
     "m3_lead_lag",
+    "text_quality_classifier",
 ]
 
 

@@ -490,7 +490,7 @@ def test_lead_lag_requires_unique_target(spark):
     "name",
     ["dedup_xcorpus_prebuilt", "text_categorical_psi",
      "m3_seasonal_decompose", "pipeline_curate_incremental",
-     "m3_lead_lag"],
+     "m3_lead_lag", "text_quality_classifier"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -632,3 +632,112 @@ def test_curate_incremental_scans_text_only_for_delta(spark, monkeypatch):
     out = curate.curate_incremental(old, new, stored).collect()
     assert seen == [[3, 5]]  # changed + added ONLY, one invocation
     assert out
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fit/apply)
+# ---------------------------------------------------------------------------
+
+def _cls_docs(spark, n=80, seed_tok=("alpha", "beta", "gamma")):
+    """Synthetic corpus: even-indexed docs are 'good' (carry the seed
+    tokens), odd ones are filler from a disjoint vocabulary."""
+    rows = []
+    filler = ["noise", "junk", "crawl", "spam", "boiler", "plate"]
+    for i in range(n):
+        if i % 2 == 0:
+            words = list(seed_tok) * 3 + [filler[i % 3]]
+        else:
+            words = [filler[(i + j) % len(filler)] for j in range(9)]
+        rows.append((i, " ".join(words), 1 if i % 2 == 0 else 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, y int")
+
+
+def test_classifier_learns_planted_separation(spark):
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _cls_docs(spark)
+    train = docs.filter("doc_id < 40")
+    test = docs.filter("doc_id >= 40")
+    # token-concentrated fixture: ||x||^2 ~ 19 at scale 8, so the
+    # corpus default lr 0.5 exceeds the 2/lambda_max stability bound
+    model = classifier.classifier_fit(train, iters=8, n_buckets=64, lr=0.05)
+    out = {
+        r["doc_id"]: r
+        for r in classifier.classifier_score(
+            test, model, n_buckets=64
+        ).collect()
+    }
+    truth = {r["doc_id"]: r["y"] for r in test.collect()}
+    acc = sum(
+        1 for i, r in out.items() if r["pred"] == truth[i]
+    ) / len(out)
+    assert acc == 1.0
+    # scores actually separate (not a knife-edge threshold win)
+    good = [r["score"] for i, r in out.items() if truth[i] == 1]
+    bad = [r["score"] for i, r in out.items() if truth[i] == 0]
+    assert min(good) > max(bad) + 0.2
+
+
+def test_classifier_model_survives_parquet_roundtrip(spark, tmp_path):
+    """The model table is the persisted artifact: scoring under the
+    parquet round-tripped weights must be row-identical."""
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _cls_docs(spark, n=40)
+    model = classifier.classifier_fit(docs, iters=4, n_buckets=64, lr=0.05)
+    path = str(tmp_path / "qcls_model")
+    model.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    a = sorted(
+        map(repr, classifier.classifier_score(
+            docs, model, n_buckets=64
+        ).collect())
+    )
+    b = sorted(
+        map(repr, classifier.classifier_score(
+            docs, reloaded, n_buckets=64
+        ).collect())
+    )
+    assert a == b
+
+
+def test_classifier_empty_doc_still_scores(spark):
+    """The intercept row guarantees coverage: a document with no
+    tokens gets the prior score, not a dropped row."""
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _cls_docs(spark, n=20)
+    model = classifier.classifier_fit(docs, iters=4, n_buckets=64, lr=0.05)
+    empty = spark.createDataFrame(
+        [(999, "   ")], "doc_id long, text string"
+    )
+    out = classifier.classifier_score(empty, model, n_buckets=64).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 999
+
+
+def test_classifier_xxhash64_path_matches_md5_accuracy(spark):
+    """The production hash changes bucket assignments but not
+    learnability: both paths must fully separate the planted corpus."""
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _cls_docs(spark, n=40)
+    for fn in ("md5", "xxhash64"):
+        model = classifier.classifier_fit(
+            docs, iters=8, n_buckets=64, lr=0.05, hash_fn=fn
+        )
+        out = classifier.classifier_score(
+            docs, model, n_buckets=64, hash_fn=fn
+        ).collect()
+        truth = {r["doc_id"]: r["y"] for r in docs.collect()}
+        acc = sum(1 for r in out if r["pred"] == truth[r["doc_id"]]) / len(out)
+        assert acc == 1.0, fn
+
+
+def test_classifier_guards(spark):
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _cls_docs(spark, n=10)
+    with pytest.raises(ValueError, match="iters"):
+        classifier.classifier_fit(docs, iters=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        classifier.classifier_fit(docs.filter("doc_id < 0"))

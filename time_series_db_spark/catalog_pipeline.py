@@ -3330,3 +3330,125 @@ def text_bpe_fertility(spark, sf_dir):
         "lang", "n_docs", "n_words", "n_subwords",
         quant(F.col("fertility")).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (fit/apply, r10)
+# ---------------------------------------------------------------------------
+
+#: classifier config: 256 hash buckets + intercept, 10 GD rounds, lr 0.5,
+#: features scaled x8 (see classifier.hashed_features on conditioning)
+_CLS_K = 256
+_CLS_T = 10
+_CLS_LR = "0.5"
+
+#: the teacher ruleset's stopword list (text.LANG_MARKERS['en']) and the
+#: integer-exact keep threshold: ratio >= 0.16 as 25*hits >= 4*tokens
+_CLS_STOP = "'the','and','of','to','a','in','is','row','table','value'"
+
+
+def _cls_feat_ctes(tag: str, src: str) -> str:
+    """CTE block computing ``{tag}feat(doc_id, bucket, xi)`` — the
+    hashed L1-normalized features in 1e-6 integer units plus the
+    intercept row — over the docs CTE ``{src}``."""
+    return f"""
+    {tag}tok AS (
+      SELECT doc_id, unnest(list_filter({_TOKS}, t -> t <> '')) AS tok
+      FROM {src}),
+    {tag}cnt AS (
+      SELECT doc_id, {sql_hash64('tok', 'qcls')} % {_CLS_K} AS bucket,
+             count(*) AS cnt
+      FROM {tag}tok GROUP BY 1, 2),
+    {tag}n AS (SELECT doc_id, count(*) AS n_tok FROM {tag}tok GROUP BY 1),
+    {tag}feat AS MATERIALIZED (
+      SELECT c.doc_id, c.bucket,
+             floor(c.cnt / n.n_tok * 8.0 * 1e6 + 0.5)::BIGINT AS xi
+      FROM {tag}cnt c JOIN {tag}n n USING (doc_id)
+      UNION ALL
+      SELECT doc_id, (-1)::BIGINT, 1000000::BIGINT FROM {src})"""
+
+
+def _cls_gd_ctes() -> str:
+    """Unrolled full-batch GD: ``w{_CLS_T}(bucket, w)`` from
+    ``trfeat``/``trlab``/``ntr``.  Every sum runs over scaled
+    integers (HUGEINT — exact, order-free); the per-scalar float math
+    mirrors classifier_fit's driver fold expression-for-expression."""
+    parts = [
+        """
+    wb AS (SELECT DISTINCT bucket FROM trfeat),
+    w0 AS MATERIALIZED (SELECT bucket, 0::BIGINT AS w FROM wb)"""
+    ]
+    for t in range(1, _CLS_T + 1):
+        parts.append(f"""
+    p{t} AS (
+      SELECT f.doc_id,
+             CAST(SUM(CAST(w.w AS HUGEINT) * f.xi) AS DOUBLE)/1e15 AS pred
+      FROM trfeat f JOIN w{t - 1} w USING (bucket) GROUP BY 1),
+    r{t} AS (
+      SELECT p.doc_id, floor((p.pred - l.y) * 1e6 + 0.5)::BIGINT AS r
+      FROM p{t} p JOIN trlab l USING (doc_id)),
+    g{t} AS (
+      SELECT f.bucket, SUM(CAST(r.r AS HUGEINT) * f.xi) AS gs
+      FROM trfeat f JOIN r{t} r USING (doc_id) GROUP BY 1),
+    w{t} AS MATERIALIZED (
+      SELECT w.bucket,
+             CAST(floor((CAST(w.w AS DOUBLE)/1e9
+                         - {_CLS_LR} * (CAST(COALESCE(g.gs, 0) AS DOUBLE)/1e12)
+                           / (SELECT n FROM ntr)) * 1e9 + 0.5)
+                  AS BIGINT) AS w
+      FROM w{t - 1} w LEFT JOIN g{t} g USING (bucket))""")
+    return ",".join(parts)
+
+
+@register(
+    "text_quality_classifier",
+    f"""WITH tr AS MATERIALIZED (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+    ntr AS (SELECT count(*) AS n FROM tr),{_cls_feat_ctes('tr', 'tr')},
+    trlab AS (
+      SELECT doc_id,
+             CASE WHEN 25 * sum(CASE WHEN tok IN ({_CLS_STOP})
+                                     THEN 1 ELSE 0 END)
+                       >= 4 * count(*)
+                  THEN 1 ELSE 0 END AS y
+      FROM trtok GROUP BY 1),
+    {_cls_gd_ctes()},
+    sc AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 2 = 1),{_cls_feat_ctes('sc', 'sc')},
+    ssum AS (
+      SELECT f.doc_id, SUM(CAST(w.w AS HUGEINT) * f.xi) AS s
+      FROM scfeat f JOIN w{_CLS_T} w USING (bucket) GROUP BY 1)
+    SELECT doc_id,
+           floor(CAST(s AS DOUBLE)/1e15 * 1e4 + 0.5)/1e4 AS score,
+           CASE WHEN floor(CAST(s AS DOUBLE)/1e15 * 1e4 + 0.5)/1e4 >= 0.5
+                THEN 1 ELSE 0 END AS pred
+    FROM ssum""",
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style linear quality scorer, fit/apply split
+    (pipeline/classifier.py): train a least-squares probe over hashed
+    L1-normalized token counts on the EVEN half of the corpus (label:
+    the rule-based quality teacher — stopword ratio >= 0.16 as an
+    integer-exact compare; distilling an expensive ruleset into a fast
+    linear scorer is exactly how production pipelines deploy one),
+    score the held-out ODD half under the frozen ≤257-row model.  GD
+    sums run over scaled integers (order-free, engine-exact); the
+    oracle replays all {_CLS_T} training rounds as unrolled CTEs.  The
+    apply path is the 100 TB shape: broadcast the fixed-size weight
+    table, one scan, one partial aggregate."""
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _docs(spark, sf_dir)
+    nz = F.filter(textprep.tokens(F.col("text")), lambda t: t != "")
+    stops = [w.strip("'") for w in _CLS_STOP.split(",")]
+    y = (
+        F.lit(25) * F.size(F.filter(nz, lambda t: t.isin(*stops)))
+        >= F.lit(4) * F.size(nz)
+    ).cast("int")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn("y", y)
+    model = classifier.classifier_fit(
+        train, label_col="y", n_buckets=_CLS_K, iters=_CLS_T, lr=0.5
+    )
+    return classifier.classifier_score(
+        docs.filter(F.col("doc_id") % 2 == 1), model, n_buckets=_CLS_K
+    )

@@ -1,0 +1,238 @@
+"""Linear quality classifier over hashed n-gram features (fit/apply).
+
+The standard curation scorer of large-scale LLM data pipelines is a
+cheap linear text classifier (fastText-style) trained to separate
+"looks like the reference corpus" from the crawl, then run over every
+candidate document — the reference's analog is its per-document quality
+scoring hooks (SURVEY.md §2.4).  This module implements the Spark-first
+version as a least-squares linear probe over hashed bag-of-token
+features, trained by full-batch gradient descent:
+
+- **Features** (:func:`hashed_features`): L1-normalized token counts
+  hashed into ``n_buckets`` buckets plus an always-on intercept bucket
+  ``-1`` — the fastText feature pipeline, minus the embedding lookup.
+- **Fit** (:func:`classifier_fit`): ``iters`` rounds of full-batch GD
+  on squared loss.  Each round is ONE distributed pass (a bounded
+  broadcast join with the current weights, a per-document prediction
+  aggregate, a per-bucket gradient aggregate); the weight update is a
+  ``n_buckets+1``-row driver fold — the same bounded-coordinator shape
+  as ``bpe_train``'s per-round argmax.
+- **Apply** (:func:`classifier_score`): broadcast the fixed-size weight
+  table, one scan, one partial aggregate — the 100 TB path; the model
+  is the artifact you persist (integer weights, parquet-friendly).
+
+Engine-portable by construction (the DuckDB differential replays the
+exact training): ALL sums run over scaled-integer terms (features in
+1e-6 units, residuals in 1e-6, weights in 1e-9), so no aggregate
+depends on float summation order; the only float math is per-scalar
+(casts, one division, the update expression), which IEEE 754 rounds
+identically in both engines; squared loss keeps the whole fit free of
+transcendentals (no sigmoid — ``exp`` is not ulp-portable across
+libms).  Scores quantize to the 1e-4 grid BEFORE the keep/drop
+threshold compare.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from time_series_db_spark.pipeline.textprep import hash64, tokens
+
+#: hash seed namespacing classifier buckets away from dedup/simhash
+_SEED = "qcls"
+
+
+def hashed_features(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    hash_fn: str = "md5",
+    feature_scale: float = 8.0,
+) -> DataFrame:
+    """``(__id, __bucket, __xi)``: L1-normalized hashed token counts ×
+    ``feature_scale`` in 1e-6 integer units, plus the intercept row
+    ``(__bucket=-1, __xi=1e6)`` every document gets (so empty documents
+    still score).
+
+    ``feature_scale`` conditions the GD problem: unscaled L1 counts are
+    O(1/doc_len) while the intercept is 1.0, a ~2500:1 curvature ratio
+    that stalls plain gradient descent for thousands of rounds; ×8
+    brings the directions within one decade (measured: holdout accuracy
+    0.50 → 0.87 at 10 rounds on the bench corpus).  Keep it a small
+    power of two so the float product is exact.
+
+    pmod keeps buckets non-negative under the signed ``xxhash64``
+    production hash; the md5 oracle hash is already non-negative.
+    """
+    tok = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens(F.col(text_col))).alias("__tok"),
+        )
+        .filter(F.col("__tok") != "")
+    )
+    cnt = tok.groupBy(
+        "__id",
+        F.pmod(hash64(F.col("__tok"), _SEED, hash_fn), F.lit(n_buckets))
+        .alias("__bucket"),
+    ).agg(F.count(F.lit(1)).alias("__cnt"))
+    ntok = tok.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    xi = cnt.join(ntok, "__id").select(
+        "__id",
+        "__bucket",
+        F.floor(
+            F.col("__cnt") / F.col("__n") * F.lit(float(feature_scale))
+            * F.lit(1e6)
+            + F.lit(0.5)
+        ).alias("__xi"),
+    )
+    intercept = docs.select(
+        F.col(id_col).alias("__id"),
+        F.lit(-1).cast("long").alias("__bucket"),
+        F.lit(1_000_000).cast("long").alias("__xi"),
+    )
+    return xi.unionByName(intercept)
+
+
+def classifier_fit(
+    docs: DataFrame,
+    label_col: str = "y",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    iters: int = 6,
+    lr: float = 0.5,
+    hash_fn: str = "md5",
+    feature_scale: float = 8.0,
+) -> DataFrame:
+    """Train the linear probe; returns the model table ``(bucket,
+    w_nano)`` — integer weights in 1e-9 units, ≤ ``n_buckets + 1``
+    rows, the parquet-persistable artifact :func:`classifier_score`
+    broadcasts.
+
+    ``label_col`` must hold 0/1 integers.  ``lr`` defaults to 0.5,
+    inside the stability bound for L1-normalized features (spectral
+    norm of the Gram matrix ≤ 1 + intercept).  Each GD round: predict
+    (exact integer dot products summed as DECIMAL — order-free),
+    residual quantized to 1e-6, per-bucket gradient (exact integer
+    sum), driver-side update quantized to 1e-9.  At 100 TB each round
+    is one pass over the persisted feature table; the collect is the
+    bounded ``n_buckets+1``-row coordinator step, declared like
+    ``bpe_train``'s argmax.
+    """
+    if iters <= 0:
+        raise ValueError("iters must be positive")
+    from time_series_db_spark.cache import persist_tracked
+
+    spark = docs.sparkSession
+    ft = persist_tracked(
+        hashed_features(
+            docs, id_col, text_col, n_buckets, hash_fn, feature_scale
+        ).join(
+            docs.select(
+                F.col(id_col).alias("__id"),
+                F.col(label_col).cast("long").alias("__y"),
+            ),
+            "__id",
+        )
+    )
+    n = docs.count()
+    if n == 0:
+        raise ValueError("classifier_fit needs a non-empty corpus")
+    buckets = sorted(
+        r[0] for r in ft.select("__bucket").distinct().collect()
+    )
+    w = {b: 0 for b in buckets}
+    for _ in range(iters):
+        wdf = spark.createDataFrame(
+            [(b, w[b]) for b in buckets], "bucket long, w_nano long"
+        )
+        pred = (
+            ft.join(F.broadcast(wdf), ft["__bucket"] == wdf["bucket"])
+            .groupBy("__id", "__y")
+            .agg(
+                F.sum(
+                    F.col("w_nano").cast("decimal(20,0)") * F.col("__xi")
+                ).alias("__s")
+            )
+        )
+        resid = pred.select(
+            "__id",
+            F.floor(
+                (F.col("__s").cast("double") / F.lit(1e15) - F.col("__y"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).alias("__r"),
+        )
+        grad = (
+            ft.join(resid, "__id")
+            .groupBy("__bucket")
+            .agg(
+                F.sum(
+                    F.col("__r").cast("decimal(20,0)") * F.col("__xi")
+                ).alias("__g")
+            )
+            .collect()
+        )
+        gmap = {r["__bucket"]: float(r["__g"]) for r in grad}
+        # mirror of the oracle's w_t CTE: identical expression shape so
+        # every IEEE rounding step matches
+        w = {
+            b: math.floor(
+                (w[b] / 1e9 - lr * (gmap.get(b, 0.0) / 1e12) / n) * 1e9
+                + 0.5
+            )
+            for b in buckets
+        }
+    return spark.createDataFrame(
+        [(b, w[b]) for b in buckets], "bucket long, w_nano long"
+    )
+
+
+def classifier_score(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+    feature_scale: float = 8.0,
+) -> DataFrame:
+    """Score documents under a trained model: ``(id_col, score, pred)``
+    with ``score`` on the 1e-4 grid and ``pred = 1`` iff the QUANTIZED
+    score clears ``threshold`` (both engines compare the same grid
+    value).  Buckets absent from the model contribute 0 (inner join).
+
+    One scan + one partial aggregate; the model is a fixed-size
+    (≤ ``n_buckets + 1`` rows) broadcast — the apply path never
+    touches the training corpus.  Keep ``n_buckets`` / ``hash_fn``
+    identical between fit and apply: a mismatch silently scores
+    garbage (the ``minhash_fit`` contract).
+    """
+    feats = hashed_features(
+        docs, id_col, text_col, n_buckets, hash_fn, feature_scale
+    )
+    raw = (
+        feats.join(F.broadcast(model), feats["__bucket"] == model["bucket"])
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.col("w_nano").cast("decimal(20,0)") * F.col("__xi")
+            ).alias("__s")
+        )
+    )
+    score = F.floor(
+        F.col("__s").cast("double") / F.lit(1e15) * F.lit(1e4) + F.lit(0.5)
+    ) / F.lit(1e4)
+    return raw.select(
+        F.col("__id").alias(id_col),
+        score.alias("score"),
+        F.when(score >= F.lit(float(threshold)), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("pred"),
+    )
