@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "dedup_xcorpus_prebuilt",  # fit/apply dedup vs pre-built model (r10)
     "pipeline_curate_incremental",  # delta-only curation funnel (r10)
     "m3_lead_lag",             # best-aligned lag vs target series (r10)
+    "dedup_boilerplate_spans", # corpus-wide template-span removal (r10)
 ]
 
 

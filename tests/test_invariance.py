@@ -162,6 +162,8 @@ HEADLINE_QUERIES = [
     # GD-trained linear probe scoring the held-out half
     "m3_lead_lag",
     "text_quality_classifier",
+    # round-10: distinct-doc prevalence count → flag join → reassembly
+    "dedup_boilerplate_spans",
 ]
 
 

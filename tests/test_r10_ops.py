@@ -490,7 +490,8 @@ def test_lead_lag_requires_unique_target(spark):
     "name",
     ["dedup_xcorpus_prebuilt", "text_categorical_psi",
      "m3_seasonal_decompose", "pipeline_curate_incremental",
-     "m3_lead_lag", "text_quality_classifier"],
+     "m3_lead_lag", "text_quality_classifier",
+     "dedup_boilerplate_spans"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -741,3 +742,87 @@ def test_classifier_guards(spark):
         classifier.classifier_fit(docs, iters=0)
     with pytest.raises(ValueError, match="non-empty"):
         classifier.classifier_fit(docs.filter("doc_id < 0"))
+
+
+# ---------------------------------------------------------------------------
+# boilerplate span removal (pipeline/dedup.py:boilerplate_span_removal)
+# ---------------------------------------------------------------------------
+
+
+def _boiler_docs(spark):
+    nav = "home about contact"  # 3-word template span shared corpus-wide
+    rows = [
+        (1, f"{nav} alpha beta gamma delta epsilon zeta"),
+        (2, f"{nav} one two three four five six"),
+        (3, f"{nav} red green blue cyan magenta yellow"),
+        (4, "unique text only here nothing shared at all"),
+        # within-doc repetition of a span NOT shared across docs
+        (5, "ping pong bat ping pong bat tail word x"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_boilerplate_spans_removed_from_all_docs(spark):
+    """A 3-word span present in ≥3 distinct documents is cut from EVERY
+    document — the first occurrence too (prevalence policy, not
+    first-wins); unshared text is untouched."""
+    from time_series_db_spark.pipeline import dedup
+
+    out = dedup.boilerplate_span_removal(
+        _boiler_docs(spark), span_words=3, min_docs=3
+    )
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert got[1]["text_clean"] == "alpha beta gamma delta epsilon zeta"
+    assert got[2]["text_clean"] == "one two three four five six"
+    assert got[3]["text_clean"] == "red green blue cyan magenta yellow"
+    for d in (1, 2, 3):
+        assert got[d]["n_removed"] == 1 and got[d]["n_spans"] == 3
+    assert got[4]["n_removed"] == 0
+    assert got[4]["text_clean"] == "unique text only here nothing shared at all"
+
+
+def test_boilerplate_within_doc_repetition_not_boilerplate(spark):
+    """Prevalence counts distinct DOCUMENTS: 'ping pong bat' twice in
+    one doc is repetition, not corpus boilerplate, and survives even at
+    min_docs=2."""
+    from time_series_db_spark.pipeline import dedup
+
+    out = dedup.boilerplate_span_removal(
+        _boiler_docs(spark), span_words=3, min_docs=2
+    )
+    row = {r["doc_id"]: r for r in out.collect()}[5]
+    assert row["n_removed"] == 0
+    assert row["text_clean"] == "ping pong bat ping pong bat tail word x"
+
+
+def test_boilerplate_fully_templated_doc_empties(spark):
+    """A document that is ONLY boilerplate reassembles to the empty
+    string (coalesce contract shared with the oracle)."""
+    from time_series_db_spark.pipeline import dedup
+
+    rows = [(i, "home about contact") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.boilerplate_span_removal(df, span_words=3, min_docs=3)
+    for r in out.collect():
+        assert r["text_clean"] == "" and r["n_removed"] == 1
+
+
+def test_boilerplate_hash_fn_parity(spark):
+    """The xxhash64 production path flags the same spans as the
+    oracle-portable md5 path."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = _boiler_docs(spark)
+    md5 = dedup.boilerplate_span_removal(docs, hash_fn="md5")
+    xx = dedup.boilerplate_span_removal(docs, hash_fn="xxhash64")
+    assert sorted(map(tuple, md5.collect())) == sorted(map(tuple, xx.collect()))
+
+
+def test_boilerplate_guards(spark):
+    from time_series_db_spark.pipeline import dedup
+
+    docs = _boiler_docs(spark)
+    with pytest.raises(ValueError, match="span_words"):
+        dedup.boilerplate_span_removal(docs, span_words=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        dedup.boilerplate_span_removal(docs, min_docs=1)

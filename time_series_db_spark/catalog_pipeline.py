@@ -1609,6 +1609,38 @@ def dedup_exact_substring(spark, sf_dir):
 
 
 @register(
+    "dedup_boilerplate_spans",
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    spans AS (
+      SELECT doc_id, CAST(t.i AS BIGINT) AS span_idx,
+             array_to_string(w[(t.i*3+1):((t.i+1)*3)], ' ') AS span
+      FROM toks CROSS JOIN UNNEST(range(0, CAST(ceil(len(w)/3.0) AS BIGINT))) AS t(i)
+    ),
+    prev AS (
+      SELECT span, count(DISTINCT doc_id)::BIGINT AS n_docs
+      FROM spans GROUP BY span
+    )
+    SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN p.n_docs >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           coalesce(string_agg(CASE WHEN p.n_docs < 3 THEN s.span END,
+                               ' ' ORDER BY s.span_idx), '') AS text_clean
+    FROM spans s JOIN prev p ON s.span = p.span
+    GROUP BY s.doc_id""",
+)
+def dedup_boilerplate_spans(spark, sf_dir):
+    """Boilerplate removal (pipeline/dedup.py:boilerplate_span_removal):
+    tumbling 3-word spans present in ≥3 distinct documents are template
+    text and cut from ALL documents — the MassiveText/RefinedWeb
+    line-dedup policy, the opposite keep-rule from
+    dedup_exact_substring's first-occurrence-wins.  The oracle counts
+    prevalence on the span STRING while Spark groups on its 64-bit
+    hash, so a hash collision surfaces as a differential mismatch."""
+    return dedup.boilerplate_span_removal(
+        _docs(spark, sf_dir), span_words=3, min_docs=3
+    )
+
+
+@register(
     "text_compressibility",
     f"""WITH toks AS (
       SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS token

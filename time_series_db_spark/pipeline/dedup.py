@@ -1056,3 +1056,91 @@ def leakage_safe_split(
         cluster.alias("cluster_id"),
         expr.alias("split"),
     )
+
+
+def boilerplate_span_removal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_words: int = 3,
+    min_docs: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-wide boilerplate removal: cut every tumbling
+    ``span_words``-word span that occurs in ``min_docs`` or more
+    DISTINCT documents — from ALL of them, first occurrence included.
+    This is the prevalence-threshold policy of MassiveText/RefinedWeb
+    line-dedup (Rae et al. 2021 §A1.2; Penedo et al. 2023 §4.2): a span
+    shared by many documents is template text (navigation bars, cookie
+    notices, license headers) that no document should keep, which is
+    the opposite keep-rule from :func:`exact_substring_dedup`'s
+    global-first-occurrence-wins.  The reference engine has no corpus
+    analytics tier; this extends its ingest-dedup idea
+    (TimeSeriesIdFieldMapper dedups series ids at write time) to
+    document content.
+
+    Spans are tumbling (non-overlapping), so a repeated region of
+    ≥ 2·span_words−1 words is guaranteed to contain a flagged span.
+    Prevalence counts distinct DOCUMENTS (a phrase repeated inside one
+    document is repetition, not boilerplate — :func:`text.repetition`
+    covers that).  Returns one row per document: ``(id, n_spans,
+    n_removed, text_clean)``.
+
+    Scale shape: span chunking is scan-side (split + slice, zero
+    shuffle).  Prevalence is distinct-(span, doc) then a count per span
+    hash — both partial-aggregation-friendly shuffles on the span hash,
+    so a nav bar repeated on a billion pages collapses map-side instead
+    of piling onto one reducer; the flag join back is an equi join on
+    the same hash (AQE-skew-splittable).  Reassembly shares the
+    ``id_col`` shuffle every per-doc stage uses.  ``hash_fn="md5"`` is
+    the oracle-portable default; pass ``"xxhash64"`` for the JVM-native
+    production path (the policy is hash-agnostic).
+    """
+    k = int(span_words)
+    if k <= 0:
+        raise ValueError(f"span_words must be positive, got {span_words}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    words = F.split(F.col(text_col), " ")
+    spans = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size("__w") / F.lit(float(k))).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice("__w", i * k + 1, k), " "),
+                )
+            ).alias("span_idx", "span"),
+        )
+        .withColumn("__h", textprep.hash64(F.col("span"), "span", fn=hash_fn))
+    )
+    prevalence = (
+        spans.select("__h", id_col)
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n_docs"))
+    )
+    flagged = spans.join(prevalence, "__h").withColumn(
+        "__keep", F.col("__n_docs") < F.lit(int(min_docs))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("span_idx", "span"))
+                    )
+                ),
+                lambda s: s["span"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
