@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "pipeline_curate_incremental",  # delta-only curation funnel (r10)
     "m3_lead_lag",             # best-aligned lag vs target series (r10)
     "dedup_boilerplate_spans", # corpus-wide template-span removal (r10)
+    "m3_forecast",             # seasonal-naive + drift forecast (r10)
 ]
 
 

@@ -164,6 +164,9 @@ HEADLINE_QUERIES = [
     "text_quality_classifier",
     # round-10: distinct-doc prevalence count → flag join → reassembly
     "dedup_boilerplate_spans",
+    # round-10: ACF vote → endpoint table → horizon grid → base join
+    "m3_forecast",
+    "m3ql_forecast",
 ]
 
 

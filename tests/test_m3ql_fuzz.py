@@ -22,6 +22,7 @@ _STAGES = [
     "showTags", "mapKey", "tagSub", "fallbackSeries", "sort",
     "nonNegativeDerivative", "aliasSub", "nPercentile", "constantLine",
     "anomalies", "decimate", "seasonalAdjust", "seasonalDecompose",
+    "forecast",
     "showAnomalyThresholds",
     "changepoints", "interpolate", "ewma", "movingPercentile",
     "timestamp", "toHistogram", "aliasByDistinctTags", "asBurnRate",
@@ -32,6 +33,7 @@ _ARGS = st.sampled_from(
     ["", "1", "0", "-3", "2.5", "1h", "10m", "2d", "region", "name",
      "avg", "sum", "last", "lttb", "minmax", "residual", "bogus",
      "'quoted'", "*", "a=b", "!x", "99", "0.5", "1e3", "auto",
+     "noDrift",
      "seasonal"]
 )
 

@@ -826,3 +826,127 @@ def test_boilerplate_guards(spark):
         dedup.boilerplate_span_removal(docs, span_words=0)
     with pytest.raises(ValueError, match="min_docs"):
         dedup.boilerplate_span_removal(docs, min_docs=1)
+
+
+# ---------------------------------------------------------------------------
+# seasonal-naive + drift forecast (operators/windows.py:forecast)
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_reproduces_periodic_plus_trend_exactly(spark):
+    """On a pure season+linear-trend series, SNAIVE+drift IS the true
+    continuation: base value one season back + one season of the exact
+    endpoint slope.  Check every horizon sample against the generator."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    # n ≡ 1 (mod P): first and last samples share a phase, so the
+    # endpoint drift IS the true slope (the textbook drift estimator is
+    # endpoint slope — any phase gap between the endpoints contaminates
+    # it with seasonal amplitude, by definition)
+    P, n, slope = 4, 25, 0.5
+    season_vals = [10.0, 20.0, 5.0, 15.0]
+    vals = [season_vals[i % P] + slope * i for i in range(n)]
+    sf = _series_df(spark, vals)
+    out = windows.forecast(sf, horizon=2 * P, season_ms=P * 1000)
+    got = {r["ts"]: r["value"] for r in out.df.collect()}
+    assert len(got) == 2 * P
+    for h in range(1, 2 * P + 1):
+        t = n - 1 + h
+        want = season_vals[t % P] + slope * t
+        assert got[(n - 1 + h) * 1000] == pytest.approx(want, abs=1e-9), h
+
+
+def test_forecast_naive_degenerate_and_no_drift(spark):
+    """season == step degrades to the plain naive forecast: with
+    drift=False every horizon sample IS the last value; with drift the
+    endpoint slope accrues linearly."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0]
+    sf = _series_df(spark, vals)
+    flat = windows.forecast(sf, horizon=3, season_ms=1000, drift=False)
+    assert [r["value"] for r in flat.df.orderBy("ts").collect()] == [5.0] * 3
+    trend = windows.forecast(sf, horizon=3, season_ms=1000, drift=True)
+    assert [r["value"] for r in trend.df.orderBy("ts").collect()] == [
+        6.0, 7.0, 8.0,
+    ]
+
+
+def test_forecast_null_contract(spark):
+    """A NaN base propagates NaN; an ABSENT base yields an absent
+    forecast row (never a NULL-valued row); drift endpoints use finite
+    samples only."""
+    import math
+
+    from pyspark.sql import functions as F
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    # last season is [4.0, NaN]; drop the ts=3000 sample → absent base
+    sf = _series_df(spark, [1.0, 2.0, 4.0, 9.0, float("nan")])
+    sf = sf.with_df(sf.df.filter(F.col("ts") != 3000))
+    out = windows.forecast(sf, horizon=2, season_ms=2000, drift=False)
+    rows = {r["ts"]: r["value"] for r in out.df.collect()}
+    # last finite sample is ts=4000 (NaN is NOT finite → lts=2000)...
+    # finite extent ends at ts=2000, so horizons are 3000 (base 1000)
+    # and 4000 (base 2000)
+    assert rows[3000] == 2.0 and rows[4000] == 4.0
+    # now keep the NaN INSIDE the horizon's base window
+    sf2 = _series_df(spark, [1.0, 2.0, float("nan"), 9.0])
+    out2 = windows.forecast(sf2, horizon=3, season_ms=3000, drift=False)
+    rows2 = {r["ts"]: r["value"] for r in out2.df.collect()}
+    assert rows2[4000] == 2.0
+    assert math.isnan(rows2[5000])  # NaN base propagates
+    assert rows2[6000] == 9.0
+
+
+def test_forecast_guards(spark):
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    sf = _series_df(spark, [1.0, 2.0, 3.0])
+    with pytest.raises(ValueError, match="horizon"):
+        windows.forecast(sf, horizon=0, season_ms=1000)
+    with pytest.raises(ValueError, match="multiple of the grid step"):
+        windows.forecast(sf, horizon=2, season_ms=1500)
+
+
+def test_forecast_m3ql_stage(spark, sf_dir):
+    """`forecast horizon [auto|season] [noDrift]` through the full
+    language path: the staged pipeline equals the operator call, and
+    malformed forms raise plan errors."""
+    from time_series_db_spark.catalog_m3ql import run_m3ql
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan
+    from time_series_db_spark.operators import windows
+    from time_series_db_spark.sources import fetch_events
+
+    plan = build_plan(parse("fetch name:x | forecast 8 auto noDrift"))
+    assert "FORECAST(horizon=8, season=auto, drift=False)" in plan.dump()
+    plan2 = build_plan(parse("fetch name:x | forecast 4 1d"))
+    assert "FORECAST(horizon=4, season=86400000, drift=True)" in plan2.dump()
+    for bad in [
+        "fetch name:x | forecast",
+        "fetch name:x | forecast zero",
+        "fetch name:x | forecast 0",
+        "fetch name:x | forecast 4 auto 1h",
+        "fetch name:x | forecast 4 auto extra noDrift",
+    ]:
+        with pytest.raises(M3PlanError):
+            build_plan(parse(bad))
+
+    got = sorted(
+        (r["series_key"], r["ts"], round(r["value"], 9))
+        for r in run_m3ql(
+            spark, sf_dir, "fetch name:* | forecast 6 auto"
+        ).df.collect()
+    )
+    want = sorted(
+        (r["series_key"], r["ts"], round(r["value"], 9))
+        for r in windows.forecast(
+            fetch_events(spark, sf_dir), horizon=6
+        ).df.collect()
+    )
+    assert got == want and got

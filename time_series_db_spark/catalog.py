@@ -1527,6 +1527,61 @@ def m3_seasonal_decompose(spark, sf_dir):
     )
 
 
+_FC_H = 8
+
+
+def sql_forecast_ctes(horizon: int) -> str:
+    """The seasonal-naive + drift replay (consumes the ``avote`` CTE):
+    per-series finite-endpoint table, bounded horizon grid with the
+    carried-gap drift, base-sample equi join — shared by the operator
+    entry and the m3ql language-path entry."""
+    return f"""fcfg AS MATERIALIZED (
+      SELECT lag, lag * {DEFAULT_STEP_MS} AS season FROM avote),
+    fagg AS (
+      SELECT {SQL_LBLS}, min(ts) AS fts, max(ts) AS lts,
+             arg_min(value, ts) AS vf, arg_max(value, ts) AS vl
+      FROM samples WHERE NOT isnan(value)
+      GROUP BY 1, 2, 3, 4),
+    fgrid AS (
+      SELECT a.name, a."user", a.region, a.shard,
+             a.lts + g.h * {DEFAULT_STEP_MS} AS tsf,
+             a.lts + g.h * {DEFAULT_STEP_MS}
+               - ((g.h + c.lag - 1) // c.lag) * c.season AS tsb,
+             CASE WHEN a.lts > a.fts
+                  THEN (a.vl - a.vf) / ((a.lts - a.fts) / {DEFAULT_STEP_MS})
+                  ELSE 0.0::DOUBLE END AS d
+      FROM fagg a
+      CROSS JOIN fcfg c
+      CROSS JOIN generate_series(1, {horizon}) g(h))
+    SELECT g.name, g."user", g.region, g.shard, g.tsf AS ts,
+           {sql_quant(f'b.value + ((g.tsf - g.tsb) / {DEFAULT_STEP_MS}) * g.d')} AS value
+    FROM fgrid g
+    JOIN samples b
+      ON b.name = g.name AND b."user" = g."user"
+     AND b.region = g.region AND b.shard = g.shard
+     AND b.ts = g.tsb"""
+
+
+@register(
+    "m3_forecast",
+    f"""{PRELUDE},
+    {_ACF_CTES},
+    {_AVOTE_CTES},
+    {sql_forecast_ctes(_FC_H)}""",
+)
+def m3_forecast(spark, sf_dir):
+    """Seasonal-naive + drift forecast at the auto-detected season
+    (operators/windows.py:forecast + stats.detect_season): 8 future
+    grid samples per series, each the most recent sample a whole number
+    of seasons back plus the endpoint drift accrued over the carried
+    gap — the SNAIVE/drift benchmark pair from Hyndman §5.2, extending
+    the reference's trend-only predict_linear.  The oracle replays the
+    ACF vote, the per-series endpoint table, the bounded horizon grid,
+    and the same base-sample equi join."""
+    sf = windows.forecast(_fetch(spark, sf_dir), horizon=_FC_H, max_lag=_ACF_L)
+    return _out(sf)
+
+
 @register(
     "m3_season_votes",
     f"""{PRELUDE},

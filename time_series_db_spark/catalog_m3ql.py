@@ -633,6 +633,27 @@ def m3ql_seasonal_decompose(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
+from time_series_db_spark.catalog import sql_forecast_ctes as _sql_fc  # noqa: E402
+
+
+@register(
+    "m3ql_forecast",
+    f"""{PRELUDE},
+    {_sql_acf(48)},
+    {_SD_AVOTE},
+    {_sql_fc(6)}""",
+)
+def m3ql_forecast(spark, sf_dir):
+    """forecast 6 auto through the full language path (parser → plan →
+    builder → operators/windows.py:forecast): seasonal-naive + drift
+    at the ACF-voted season — 6 future grid samples per series, each
+    the last sample a whole number of seasons back plus the endpoint
+    drift over the carried gap.  The oracle shares the operator
+    entry's replay chain at the language default lag bound."""
+    sf = run_m3ql(spark, sf_dir, "fetch name:* | forecast 6 auto")
+    return _flat(sf, LABEL_KEYS)
+
+
 from time_series_db_spark.catalog import sql_cusum_ctes as _sql_cusum  # noqa: E402
 
 

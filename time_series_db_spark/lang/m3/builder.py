@@ -495,6 +495,10 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
             )
         )
         return sf.with_df(df)
+    if isinstance(node, P.ForecastNode):
+        return windows.forecast(
+            sf, node.horizon, node.season_ms, drift=node.drift
+        )
     if isinstance(node, P.DecimateNode):
         fn = (
             windows.decimate

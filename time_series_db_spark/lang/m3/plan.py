@@ -780,6 +780,32 @@ class SeasonalDecomposeNode(PlanNode):
         )
 
 
+class ForecastNode(PlanNode):
+    """Beyond the reference: seasonal-naive + drift forecast
+    (windows.forecast) — ``horizon`` future grid samples per series
+    past its last finite sample; ``season_ms=None`` is auto mode
+    (ACF-peak majority vote), ``drift=False`` drops the endpoint-slope
+    term (pure SNAIVE)."""
+
+    def __init__(
+        self,
+        horizon: int,
+        season_ms: int | None = None,
+        drift: bool = True,
+    ):
+        super().__init__()
+        self.horizon = horizon
+        self.season_ms = season_ms
+        self.drift = drift
+
+    def explain(self) -> str:
+        season = "auto" if self.season_ms is None else self.season_ms
+        return (
+            f"FORECAST(horizon={self.horizon}, season={season}, "
+            f"drift={self.drift})"
+        )
+
+
 class InterpolateNode(PlanNode):
     """Beyond the reference: linear interior-gap fill over the query
     grid (the Graphite-universe interpolate()), optionally bounded to
@@ -1390,6 +1416,32 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
                 "seasonalDecompose bucket must divide the season"
             )
         return SeasonalDecomposeNode(season, bucket, component)
+    if name == "forecast":
+        # forecast <horizon> [auto|season] [noDrift]
+        rest = [str(a) for a in args]
+        usage = "forecast expects: horizon [auto|season] [noDrift]"
+        if not rest:
+            raise M3PlanError(usage)
+        try:
+            horizon = int(rest[0])
+        except ValueError:
+            raise M3PlanError("forecast horizon must be an integer "
+                              "sample count") from None
+        if horizon <= 0:
+            raise M3PlanError("forecast horizon must be positive")
+        rest = rest[1:]
+        use_drift = True
+        if rest and rest[-1] == "noDrift":
+            use_drift = False
+            rest.pop()
+        if len(rest) > 1:
+            raise M3PlanError(usage)
+        season = None
+        if rest and rest[0] != "auto":
+            season = parse_duration_ms(rest[0])
+            if season <= 0:
+                raise M3PlanError("forecast season must be positive")
+        return ForecastNode(horizon, season, use_drift)
     if name == "showAnomalyThresholds":
         if len(args) > 1:
             raise M3PlanError(

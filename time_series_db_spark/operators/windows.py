@@ -1094,6 +1094,127 @@ def seasonal_decompose(
     return out
 
 
+def forecast(
+    sf: SeriesFrame,
+    horizon: int = 12,
+    season_ms: int | None = None,
+    drift: bool = True,
+    max_lag: int = 48,
+    min_lag: int = 2,
+) -> SeriesFrame:
+    """Seasonal-naive forecast with optional drift — the capacity-planning
+    counterpart of :func:`seasonal_decompose` (public semantics: Hyndman &
+    Athanasopoulos, *Forecasting: Principles and Practice* §5.2's SNAIVE /
+    drift benchmark methods; the reference engine stops at PromQL's
+    ``predict_linear``, which is the trend-only special case).
+
+    Per series, emit ``horizon`` future grid samples past the series' LAST
+    finite sample: ``ŷ(T+h·step) = y(T+h·step − k·season) + gap·d`` where
+    ``k = ⌈h/P⌉`` (the most recent observed sample one whole number of
+    seasons back), ``gap = (forecast ts − base ts)/step`` and ``d`` is the
+    per-step drift ``(y_last − y_first) / ((ts_last − ts_first)/step)``
+    (0 when ``drift=False`` or the series has < 2 finite samples) — the
+    drift is accrued over the exact span the base value is carried across,
+    so a forecast one season out extends the endpoint trend by one season.
+    ``season_ms=None`` composes with ``stats.detect_season`` (the
+    fleet-vote ACF season, like :func:`seasonal_adjust_auto`);
+    ``season_ms=sf.step`` degrades to the plain naive/drift forecast.
+
+    Null discipline: a base sample that is ABSENT yields an absent
+    forecast row (never a NULL-valued row); a NaN base propagates NaN.
+    Endpoints for the drift use finite samples only.
+
+    Scale shape: one partial-aggregated groupBy(series) for the
+    endpoint/extent table (fleet-metadata-sized), a bounded ×horizon
+    explode of THAT table, then one equi join back against the samples on
+    (series, base ts) — the corpus is scanned twice at most (once if the
+    season is pinned), never windowed, never crossed.
+    """
+    from dataclasses import replace
+
+    h_n = int(horizon)
+    if h_n <= 0:
+        raise ValueError(f"horizon must be positive, got {horizon}")
+    if season_ms is None:
+        from time_series_db_spark.operators import stats as _stats
+
+        season_ms = _stats.detect_season(sf, max_lag=max_lag, min_lag=min_lag)
+    season = int(season_ms)
+    step = int(sf.step)
+    if season <= 0 or season % step:
+        raise ValueError(
+            f"season must be a positive multiple of the grid step "
+            f"(season={season}, step={step})"
+        )
+    p = season // step
+    v = F.col("value")
+    fin_v = F.when(~F.isnan(v), v)
+    fin_ts = F.when(~F.isnan(v), F.col("ts"))
+    agg = (
+        sf.df.groupBy("series_key", "alias")
+        .agg(
+            F.min(fin_ts).alias("__fts"),
+            F.max(fin_ts).alias("__lts"),
+            F.expr(
+                "min_by(CASE WHEN NOT isnan(value) THEN value END,"
+                " CASE WHEN NOT isnan(value) THEN ts END)"
+            ).alias("__vf"),
+            F.expr(
+                "max_by(CASE WHEN NOT isnan(value) THEN value END,"
+                " CASE WHEN NOT isnan(value) THEN ts END)"
+            ).alias("__vl"),
+        )
+        .filter(F.col("__lts").isNotNull())
+    )
+    d = (
+        F.when(
+            F.col("__lts") > F.col("__fts"),
+            (F.col("__vl") - F.col("__vf"))
+            / ((F.col("__lts") - F.col("__fts")) / F.lit(step)),
+        ).otherwise(F.lit(0.0))
+        if drift
+        else F.lit(0.0)
+    )
+    grid = agg.select(
+        "series_key",
+        "alias",
+        F.explode(F.sequence(F.lit(1), F.lit(h_n))).alias("__h"),
+        d.alias("__d"),
+        "__lts",
+    ).select(
+        "series_key",
+        "alias",
+        "__d",
+        (F.col("__lts") + F.col("__h") * F.lit(step)).alias("ts"),
+        (
+            F.col("__lts")
+            + F.col("__h") * F.lit(step)
+            - ((F.col("__h") + F.lit(p - 1)) / F.lit(p)).cast("long")
+            * F.lit(season)
+        ).alias("__tsb"),
+    )
+    base = sf.df.select(
+        F.col("series_key").alias("__bkey"),
+        F.col("ts").alias("__bts"),
+        v.alias("__base"),
+    )
+    df = (
+        grid.join(
+            base,
+            (F.col("series_key") == F.col("__bkey"))
+            & (F.col("__tsb") == F.col("__bts")),
+        )
+        .withColumn(
+            "value",
+            F.col("__base")
+            + ((F.col("ts") - F.col("__tsb")) / F.lit(step)) * F.col("__d"),
+        )
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .select(*SAMPLE_COLS)
+    )
+    return replace(sf, df=df, max_ts=sf.max_ts + h_n * step)
+
+
 def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     """showAnomalyThresholds — reference known-but-unimplemented
     (lang/m3/common/Constants.java:70); the companion surface of
