@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "m3_lead_lag",             # best-aligned lag vs target series (r10)
     "dedup_boilerplate_spans", # corpus-wide template-span removal (r10)
     "m3_forecast",             # seasonal-naive + drift forecast (r10)
+    "dedup_xcorpus_update",    # delta-only dedup-model maintenance (r10)
 ]
 
 

@@ -167,6 +167,8 @@ HEADLINE_QUERIES = [
     # round-10: ACF vote → endpoint table → horizon grid → base join
     "m3_forecast",
     "m3ql_forecast",
+    # round-10: delta-only signature refresh feeding the band join
+    "dedup_xcorpus_update",
 ]
 
 

@@ -491,7 +491,7 @@ def test_lead_lag_requires_unique_target(spark):
     ["dedup_xcorpus_prebuilt", "text_categorical_psi",
      "m3_seasonal_decompose", "pipeline_curate_incremental",
      "m3_lead_lag", "text_quality_classifier",
-     "dedup_boilerplate_spans"],
+     "dedup_boilerplate_spans", "dedup_xcorpus_update"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -950,3 +950,68 @@ def test_forecast_m3ql_stage(spark, sf_dir):
         ).df.collect()
     )
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# incremental model maintenance (pipeline/dedup.py:minhash_update)
+# ---------------------------------------------------------------------------
+
+
+def test_minhash_update_equals_refit(spark):
+    """update(fit(old), delta, removed) must equal fit(current) row for
+    row: changed docs REPLACE their signature rows, added docs join,
+    removed ids drop, unchanged rows pass through untouched."""
+    from time_series_db_spark.pipeline import dedup
+
+    old = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),
+            (1, "one two three four five six"),
+            (2, "to be removed from the corpus"),
+            (3, "stale text that will be rewritten"),
+        ],
+        "doc_id long, text string",
+    )
+    current = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon"),      # unchanged
+            (1, "one two three four five six"),          # unchanged
+            (3, "fresh text replacing the stale row"),   # changed
+            (4, "a brand new crawl document arrives"),   # added
+        ],
+        "doc_id long, text string",
+    )
+    delta = current.filter("doc_id >= 3")  # changed + added
+    removed = spark.createDataFrame([(2,)], "doc_id long")
+    updated = dedup.minhash_update(
+        dedup.minhash_fit(old), docs=delta, remove_ids=removed
+    )
+    refit = dedup.minhash_fit(current)
+    canon = lambda df: sorted(
+        (r["doc_id"], tuple(sorted(r["shingles"])), tuple(r["sig"]))
+        for r in df.collect()
+    )
+    assert canon(updated) == canon(refit)
+    assert len(canon(updated)) == 4
+
+
+def test_minhash_update_hashes_delta_only(spark, monkeypatch):
+    """The update must compute signatures for the DELTA docs only — the
+    model side moves integer arrays, never re-touching text."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = spark.createDataFrame(_XC_TEXTS, "doc_id long, text string")
+    model = dedup.minhash_fit(docs.filter("doc_id < 4"))
+    calls = []
+    real = dedup.minhash_signatures
+
+    def counting(df, *a, **kw):
+        calls.append(df)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", counting)
+    out = dedup.minhash_update(model, docs=docs.filter("doc_id >= 4"))
+    assert len(calls) == 1, "update must hash the delta only"
+    assert out.count() == 6
+    with pytest.raises(ValueError, match="neither"):
+        dedup.minhash_update(model)

@@ -214,6 +214,50 @@ def dedup_cross_corpus(spark, sf_dir):
            count(*)::BIGINT AS n_matches
     FROM hits GROUP BY doc_id""",
 )
+def _dedup_xcorpus_update_oracle() -> str:
+    return f"""WITH {_sql_minhash_sig_cte()},
+    refb AS (SELECT * FROM bands WHERE doc_id % 4 IN (0, 1)),
+    inb AS (SELECT * FROM bands WHERE doc_id % 4 IN (2, 3)),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS doc_id, r.doc_id AS ref_id
+      FROM inb i JOIN refb r ON i.band = r.band AND i.bucket = r.bucket),
+    verified AS (
+      SELECT c.doc_id, c.ref_id,
+             len(list_intersect(si.shingles, sr.shingles)) * 1.0
+               / (len(si.shingles) + len(sr.shingles)
+                  - len(list_intersect(si.shingles, sr.shingles))) AS jaccard
+      FROM cand c
+      JOIN sig si ON si.doc_id = c.doc_id
+      JOIN sig sr ON sr.doc_id = c.ref_id),
+    hits AS (SELECT * FROM verified WHERE jaccard >= 0.8)
+    SELECT doc_id, min(ref_id) AS ref_id,
+           {sql_quant('min_by(jaccard, ref_id)')} AS jaccard,
+           count(*)::BIGINT AS n_matches
+    FROM hits GROUP BY doc_id"""
+
+
+@register("dedup_xcorpus_update", _dedup_xcorpus_update_oracle())
+def dedup_xcorpus_update(spark, sf_dir):
+    """Incremental model maintenance (pipeline/dedup.py:minhash_update):
+    the accumulated corpus' minhash_fit model absorbs a crawl delta
+    (docs %4 = 1 join the %4 = 0 reference; signatures computed for the
+    DELTA only) and the next snapshot (%4 in 2,3) dedups against the
+    updated model.  The oracle refits the whole reference side from
+    scratch — the driver hash-match IS the update == refit equality
+    proof, the same construction pipeline_curate_incremental uses."""
+    docs = _docs(spark, sf_dir)
+    model = dedup.minhash_fit(docs.filter(F.col("doc_id") % 4 == 0))
+    model = dedup.minhash_update(
+        model, docs=docs.filter(F.col("doc_id") % 4 == 1)
+    )
+    inc = docs.filter(F.col("doc_id") % 4 >= 2)
+    out = dedup.cross_corpus_dedup(inc, model=model, threshold=0.8)
+    return out.select(
+        "doc_id", "ref_id", quant(F.col("jaccard")).alias("jaccard"),
+        "n_matches",
+    )
+
+
 def dedup_xcorpus_prebuilt(spark, sf_dir):
     """The fit/apply split of incremental-crawl dedup
     (pipeline/dedup.py:minhash_fit + cross_corpus_dedup(model=…)): the

@@ -275,6 +275,52 @@ def minhash_fit(
     )
 
 
+def minhash_update(
+    model: DataFrame,
+    docs: DataFrame | None = None,
+    remove_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perms: int = NUM_PERMS,
+    shingle_k: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Incremental maintenance of a :func:`minhash_fit` model — the step
+    a continuously-crawled store runs when :func:`corpus_diff` reports
+    what changed: signatures for ``docs`` (the added + changed
+    documents) REPLACE their ids' rows in ``model``, and ids in
+    ``remove_ids`` drop.  Invariant (tested): ``minhash_update(
+    minhash_fit(old), delta, removed) == minhash_fit(current)`` —
+    updating is exactly refitting, minus re-hashing the unchanged 99%.
+
+    The point at 100 TB: a refit pays text-scan + hash over the WHOLE
+    accumulated corpus every crawl; the update hashes only the crawl
+    delta and otherwise moves integer arrays — the model table never
+    touches text again.  Keep ``num_perms`` / ``shingle_k`` /
+    ``hash_fn`` identical to the fit (mismatched signatures cannot be
+    detected at apply time).
+
+    Scale shape: one signature pass over the delta's scan (codegen, no
+    shuffle), one id anti-join of the model against the delta-id table
+    and optionally one against ``remove_ids`` — both broadcastable when
+    the delta is crawl-sized, AQE equi joins otherwise; the union is
+    plan-level only.
+    """
+    if docs is None and remove_ids is None:
+        raise ValueError("pass docs= and/or remove_ids=; neither given")
+    out = model
+    if docs is not None:
+        fresh = minhash_signatures(
+            docs, id_col, text_col, num_perms, shingle_k, hash_fn
+        )
+        out = out.join(
+            docs.select(id_col), id_col, "left_anti"
+        ).unionByName(fresh)
+    if remove_ids is not None:
+        out = out.join(remove_ids.select(id_col), id_col, "left_anti")
+    return out
+
+
 def cross_corpus_dedup(
     incoming: DataFrame,
     reference: DataFrame | None = None,
