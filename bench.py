@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "dedup_boilerplate_spans", # corpus-wide template-span removal (r10)
     "m3_forecast",             # seasonal-naive + drift forecast (r10)
     "dedup_xcorpus_update",    # delta-only dedup-model maintenance (r10)
+    "text_classifier_calibration",  # keep/drop threshold sweep (r10)
 ]
 
 

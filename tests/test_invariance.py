@@ -169,6 +169,8 @@ HEADLINE_QUERIES = [
     "m3ql_forecast",
     # round-10: delta-only signature refresh feeding the band join
     "dedup_xcorpus_update",
+    # round-10: integer-grid threshold sweep over the scored holdout
+    "text_classifier_calibration",
 ]
 
 

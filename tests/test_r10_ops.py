@@ -491,7 +491,8 @@ def test_lead_lag_requires_unique_target(spark):
     ["dedup_xcorpus_prebuilt", "text_categorical_psi",
      "m3_seasonal_decompose", "pipeline_curate_incremental",
      "m3_lead_lag", "text_quality_classifier",
-     "dedup_boilerplate_spans", "dedup_xcorpus_update"],
+     "dedup_boilerplate_spans", "dedup_xcorpus_update",
+     "text_classifier_calibration"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1015,3 +1016,62 @@ def test_minhash_update_hashes_delta_only(spark, monkeypatch):
     assert out.count() == 6
     with pytest.raises(ValueError, match="neither"):
         dedup.minhash_update(model)
+
+
+# ---------------------------------------------------------------------------
+# threshold calibration (pipeline/classifier.py:classifier_calibration)
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_calibration_confusion_counts(spark):
+    """Planted scores/labels: exact confusion counts and derived
+    ratios at each cut; a threshold above every score keeps nothing
+    and its precision is NULL (undefined), not 0."""
+    from time_series_db_spark.pipeline import classifier
+
+    scored = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.4), (4, 0.1)],
+        "doc_id long, score double",
+    )
+    labeled = spark.createDataFrame(
+        [(1, 1), (2, 0), (3, 1), (4, 0)], "doc_id long, y int"
+    )
+    out = {
+        r["threshold"]: r
+        for r in classifier.classifier_calibration(
+            scored, labeled, [0.5, 0.95]
+        ).collect()
+    }
+    lo = out[0.5]
+    assert (lo["tp"], lo["fp"], lo["fn"], lo["tn"]) == (1, 1, 1, 1)
+    assert lo["precision"] == 0.5 and lo["recall"] == 0.5
+    assert lo["f1"] == 0.5 and lo["keep_rate"] == 0.5
+    hi = out[0.95]
+    assert hi["n_keep"] == 0 and hi["precision"] is None
+    assert hi["recall"] == 0.0 and hi["tn"] == 2
+
+
+def test_classifier_calibration_boundary_is_integer_exact(spark):
+    """A score exactly AT the cut is kept (≥ on the integer grid): the
+    1e-4 quantization means 0.5-vs-0.5 can never flip on a float ulp."""
+    from time_series_db_spark.pipeline import classifier
+
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.4999)], "doc_id long, score double"
+    )
+    labeled = spark.createDataFrame(
+        [(1, 1), (2, 1)], "doc_id long, y int"
+    )
+    row = classifier.classifier_calibration(scored, labeled, [0.5]).collect()[0]
+    assert row["n_keep"] == 1 and row["tp"] == 1 and row["fn"] == 1
+
+
+def test_classifier_calibration_guards(spark):
+    from time_series_db_spark.pipeline import classifier
+
+    scored = spark.createDataFrame([(1, 0.5)], "doc_id long, score double")
+    labeled = spark.createDataFrame([(1, 1)], "doc_id long, y int")
+    with pytest.raises(ValueError, match="non-empty"):
+        classifier.classifier_calibration(scored, labeled, [])
+    with pytest.raises(ValueError, match="collide"):
+        classifier.classifier_calibration(scored, labeled, [0.5, 0.50004])

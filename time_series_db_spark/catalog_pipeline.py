@@ -3476,9 +3476,9 @@ def _cls_gd_ctes() -> str:
     return ",".join(parts)
 
 
-@register(
-    "text_quality_classifier",
-    f"""WITH tr AS MATERIALIZED (
+#: the full train-on-even/score-odd replay (through the ``ssum`` raw
+#: scores CTE) — shared by the scorer entry and the calibration entry
+_CLS_CHAIN = f"""tr AS MATERIALIZED (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
     ntr AS (SELECT count(*) AS n FROM tr),{_cls_feat_ctes('tr', 'tr')},
     trlab AS (
@@ -3493,7 +3493,12 @@ def _cls_gd_ctes() -> str:
            WHERE doc_id % 2 = 1),{_cls_feat_ctes('sc', 'sc')},
     ssum AS (
       SELECT f.doc_id, SUM(CAST(w.w AS HUGEINT) * f.xi) AS s
-      FROM scfeat f JOIN w{_CLS_T} w USING (bucket) GROUP BY 1)
+      FROM scfeat f JOIN w{_CLS_T} w USING (bucket) GROUP BY 1)"""
+
+
+@register(
+    "text_quality_classifier",
+    f"""WITH {_CLS_CHAIN}
     SELECT doc_id,
            floor(CAST(s AS DOUBLE)/1e15 * 1e4 + 0.5)/1e4 AS score,
            CASE WHEN floor(CAST(s AS DOUBLE)/1e15 * 1e4 + 0.5)/1e4 >= 0.5
@@ -3527,4 +3532,76 @@ def text_quality_classifier(spark, sf_dir):
     )
     return classifier.classifier_score(
         docs.filter(F.col("doc_id") % 2 == 1), model, n_buckets=_CLS_K
+    )
+
+
+#: calibration sweep thresholds (1e-4 integer grid)
+_CAL_T4 = [2000, 3500, 5000, 6500, 8000]
+
+
+@register(
+    "text_classifier_calibration",
+    f"""WITH {_CLS_CHAIN},
+    sclab AS (
+      SELECT doc_id,
+             CASE WHEN 25 * sum(CASE WHEN tok IN ({_CLS_STOP})
+                                     THEN 1 ELSE 0 END)
+                       >= 4 * count(*)
+                  THEN 1 ELSE 0 END AS y
+      FROM sctok GROUP BY 1),
+    cgrid AS (
+      SELECT t.t4,
+             CASE WHEN floor(CAST(s.s AS DOUBLE)/1e15 * 1e4 + 0.5)
+                       >= t.t4 THEN 1 ELSE 0 END AS keep,
+             l.y
+      FROM ssum s
+      JOIN sclab l USING (doc_id)
+      CROSS JOIN (SELECT unnest([{", ".join(map(str, _CAL_T4))}]) AS t4) t),
+    cagg AS (
+      SELECT t4, count(*)::BIGINT AS n_docs, sum(keep)::BIGINT AS n_keep,
+             sum(keep * y)::BIGINT AS tp,
+             sum(keep * (1 - y))::BIGINT AS fp,
+             sum((1 - keep) * y)::BIGINT AS fn,
+             sum((1 - keep) * (1 - y))::BIGINT AS tn
+      FROM cgrid GROUP BY 1)
+    SELECT t4 / 10000.0 AS threshold, n_docs, n_keep, tp, fp, fn, tn,
+           {sql_quant('CASE WHEN tp + fp > 0 THEN tp / (tp + fp) END')} AS precision,
+           {sql_quant('CASE WHEN tp + fn > 0 THEN tp / (tp + fn) END')} AS recall,
+           {sql_quant('CASE WHEN 2*tp + fp + fn > 0 THEN 2*tp / (2*tp + fp + fn) END')} AS f1,
+           {sql_quant('n_keep / n_docs')} AS keep_rate
+    FROM cagg""",
+)
+def text_classifier_calibration(spark, sf_dir):
+    """Threshold calibration of the trained quality scorer
+    (pipeline/classifier.py:classifier_calibration): confusion counts
+    + precision/recall/F1/keep-rate of ``score ≥ t`` against the
+    teacher labels on the held-out half, at 5 candidate cuts — the
+    sweep run before committing a keep/drop threshold ("which cut
+    keeps 60% at ≥0.9 precision").  The comparison runs on the 1e-4
+    INTEGER grid so no threshold can split engines on a float ulp; the
+    oracle replays the full GD chain then the same grid aggregate."""
+    from time_series_db_spark.pipeline import classifier
+
+    docs = _docs(spark, sf_dir)
+    nz = F.filter(textprep.tokens(F.col("text")), lambda t: t != "")
+    stops = [w.strip("'") for w in _CLS_STOP.split(",")]
+    y = (
+        F.lit(25) * F.size(F.filter(nz, lambda t: t.isin(*stops)))
+        >= F.lit(4) * F.size(nz)
+    ).cast("int")
+    train = docs.filter(F.col("doc_id") % 2 == 0).withColumn("y", y)
+    model = classifier.classifier_fit(
+        train, label_col="y", n_buckets=_CLS_K, iters=_CLS_T, lr=0.5
+    )
+    held = docs.filter(F.col("doc_id") % 2 == 1)
+    scored = classifier.classifier_score(held, model, n_buckets=_CLS_K)
+    out = classifier.classifier_calibration(
+        scored, held.withColumn("y", y), [t / 10000 for t in _CAL_T4]
+    )
+    return out.select(
+        "threshold", "n_docs", "n_keep", "tp", "fp", "fn", "tn",
+        quant(F.col("precision")).alias("precision"),
+        quant(F.col("recall")).alias("recall"),
+        quant(F.col("f1")).alias("f1"),
+        quant(F.col("keep_rate")).alias("keep_rate"),
     )

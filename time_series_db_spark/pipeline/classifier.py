@@ -236,3 +236,78 @@ def classifier_score(
         .otherwise(F.lit(0))
         .alias("pred"),
     )
+
+
+def classifier_calibration(
+    scored: DataFrame,
+    labeled: DataFrame,
+    thresholds: list[float],
+    id_col: str = "doc_id",
+    label_col: str = "y",
+    score_col: str = "score",
+) -> DataFrame:
+    """Threshold calibration for a trained scorer: the sweep every
+    curation deployment runs before committing a keep/drop cut — for
+    each candidate threshold, the confusion counts of ``pred = score ≥
+    t`` against the true labels plus the derived precision / recall /
+    F1 / keep-rate.  Reading the whole table answers "which threshold
+    keeps 60% of the corpus at ≥ 0.9 precision", which a single
+    accuracy number cannot.
+
+    ``scored`` carries ``(id_col, score_col)`` with scores on the 1e-4
+    grid (:func:`classifier_score`'s contract); ``labeled`` carries
+    ``(id_col, label_col)`` 0/1 teacher labels.  The comparison runs on
+    the INTEGER grid (``floor(score·1e4 + 0.5) ≥ round(t·1e4)``) so a
+    threshold can never split engines on a float ulp.  Ratios with an
+    empty denominator are NULL (no kept docs → precision undefined).
+
+    Scale shape: ONE id equi-join of the two metadata-per-doc tables, a
+    constant ×|thresholds| row expansion from a literal array, one
+    partial-aggregated groupBy(threshold) — the corpus text is never
+    touched; everything after the join is |thresholds| rows.
+    """
+    if not thresholds:
+        raise ValueError("thresholds must be non-empty")
+    t_ints = [int(round(float(t) * 10000)) for t in thresholds]
+    if len(set(t_ints)) != len(t_ints):
+        raise ValueError("thresholds collide on the 1e-4 grid")
+    s4 = F.floor(F.col(score_col) * F.lit(10000.0) + F.lit(0.5)).cast("long")
+    joined = scored.select(F.col(id_col), s4.alias("__s4")).join(
+        labeled.select(
+            F.col(id_col), F.col(label_col).cast("long").alias("__y")
+        ),
+        id_col,
+    )
+    grid = joined.select(
+        "__s4",
+        "__y",
+        F.explode(F.array(*[F.lit(t) for t in t_ints])).alias("__t4"),
+    ).withColumn(
+        "__keep", (F.col("__s4") >= F.col("__t4")).cast("long")
+    )
+    agg = grid.groupBy("__t4").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__keep").cast("long").alias("n_keep"),
+        F.sum(F.col("__keep") * F.col("__y")).cast("long").alias("tp"),
+        F.sum(F.col("__keep") * (1 - F.col("__y"))).cast("long").alias("fp"),
+        F.sum((1 - F.col("__keep")) * F.col("__y")).cast("long").alias("fn"),
+        F.sum((1 - F.col("__keep")) * (1 - F.col("__y")))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        (F.col("__t4") / F.lit(10000.0)).alias("threshold"),
+        "n_docs",
+        "n_keep",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(tp + fp > 0, tp / (tp + fp)).alias("precision"),
+        F.when(tp + fn > 0, tp / (tp + fn)).alias("recall"),
+        F.when(
+            2 * tp + fp + fn > 0, 2 * tp / (2 * tp + fp + fn)
+        ).alias("f1"),
+        (F.col("n_keep") / F.col("n_docs")).alias("keep_rate"),
+    )
