@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "m3_forecast",             # seasonal-naive + drift forecast (r10)
     "dedup_xcorpus_update",    # delta-only dedup-model maintenance (r10)
     "text_classifier_calibration",  # keep/drop threshold sweep (r10)
+    "search_eval_metrics",     # recall/MRR/nDCG ranking evaluation (r10)
 ]
 
 

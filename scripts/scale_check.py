@@ -84,6 +84,10 @@ QUERIES = [
     "dedup_xcorpus_prebuilt",  # fit/apply band join vs pre-built model (r10)
     "pipeline_curate_incremental",  # delta text scan + metadata tail (r10)
     "m3_lead_lag",             # ±L-shifted target broadcast join (r10)
+    "dedup_boilerplate_spans", # prevalence count + flag join back (r10)
+    "m3_forecast",             # endpoint table + horizon base join (r10)
+    "dedup_xcorpus_update",    # delta-only signature refresh (r10)
+    "text_classifier_calibration",  # GD fit + integer threshold sweep (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

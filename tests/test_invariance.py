@@ -171,6 +171,8 @@ HEADLINE_QUERIES = [
     "dedup_xcorpus_update",
     # round-10: integer-grid threshold sweep over the scored holdout
     "text_classifier_calibration",
+    # round-10: judgment joins + integer DCG sums + bounded rank window
+    "search_eval_metrics",
 ]
 
 

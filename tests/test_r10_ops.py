@@ -492,7 +492,7 @@ def test_lead_lag_requires_unique_target(spark):
      "m3_seasonal_decompose", "pipeline_curate_incremental",
      "m3_lead_lag", "text_quality_classifier",
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
-     "text_classifier_calibration"],
+     "text_classifier_calibration", "search_eval_metrics"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -506,8 +506,11 @@ def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
-    if name != "text_categorical_psi":  # its only BNLJ is the 1-row
-        assert "BroadcastNestedLoopJoin" not in plan  # totals broadcast
+    # exempt BNLJs that are bounded by construction: categorical PSI's
+    # 1-row totals broadcast, and the ranking eval's brute-force scorer
+    # (ann.cosine_topk's documented query-broadcast flat baseline)
+    if name not in ("text_categorical_psi", "search_eval_metrics"):
+        assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_seasonal_decompose_m3ql_stage(spark, sf_dir):
@@ -1075,3 +1078,77 @@ def test_classifier_calibration_guards(spark):
         classifier.classifier_calibration(scored, labeled, [])
     with pytest.raises(ValueError, match="collide"):
         classifier.classifier_calibration(scored, labeled, [0.5, 0.50004])
+
+
+# ---------------------------------------------------------------------------
+# ranking-quality evaluation (pipeline/retrieval.py:retrieval_eval)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_hand_computed(spark):
+    """Graded judgments {A:3, B:2, C:1}, ranking [B, X, A], k=3:
+    recall 2/3, MRR 1 (first hit at rank 1), nDCG from exact integer
+    gain·discount sums with the driver-computed discount table."""
+    from time_series_db_spark.pipeline.retrieval import (
+        _ndcg_discounts_nano,
+        retrieval_eval,
+    )
+
+    ranked = spark.createDataFrame(
+        [("q", "B", 1), ("q", "X", 2), ("q", "A", 3)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "A", 3), ("q", "B", 2), ("q", "C", 1)],
+        "query_id string, neighbor_id string, rel int",
+    )
+    row = retrieval_eval(ranked, qrels, k=3).collect()[0]
+    d = _ndcg_discounts_nano(3)
+    dcg = 3 * d[0] + 7 * d[2]            # B at rank 1, A at rank 3
+    idcg = 7 * d[0] + 3 * d[1] + 1 * d[2]
+    assert row["n_rel"] == 3 and row["n_hits"] == 2
+    assert row["recall_k"] == pytest.approx(2 / 3)
+    assert row["mrr_k"] == 1.0
+    assert row["ndcg_k"] == pytest.approx(dcg / idcg)
+
+
+def test_retrieval_eval_misses_and_unjudged(spark):
+    """A judged query the retriever never surfaces still emits a row
+    (all zeros — silent misses are the point); a query with ranked
+    rows but no positive judgments is undefined and absent; judgments
+    below rel=1 never count as relevant."""
+    from time_series_db_spark.pipeline.retrieval import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q1", "X", 1), ("q2", "A", 1)],
+        "query_id string, neighbor_id string, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "A", 1), ("q1", "B", 1), ("q2", "A", 0), ("q3", "Z", 2)],
+        "query_id string, neighbor_id string, rel int",
+    )
+    rows = {r["query_id"]: r for r in retrieval_eval(ranked, qrels, k=2).collect()}
+    assert set(rows) == {"q1", "q3"}  # q2 has no positive judgments
+    q1 = rows["q1"]
+    assert q1["n_hits"] == 0 and q1["recall_k"] == 0.0
+    assert q1["mrr_k"] == 0.0 and q1["ndcg_k"] == 0.0
+    q3 = rows["q3"]  # judged, never ranked
+    assert q3["n_rel"] == 1 and q3["n_hits"] == 0 and q3["ndcg_k"] == 0.0
+    with pytest.raises(ValueError, match="k must be positive"):
+        retrieval_eval(ranked, qrels, k=0)
+
+
+def test_retrieval_eval_rank_cut_applies(spark):
+    """Hits past the k cut do not count toward any of the metrics."""
+    from time_series_db_spark.pipeline.retrieval import retrieval_eval
+
+    ranked = spark.createDataFrame(
+        [("q", "A", 5)], "query_id string, neighbor_id string, rank long"
+    )
+    qrels = spark.createDataFrame(
+        [("q", "A", 1)], "query_id string, neighbor_id string, rel int"
+    )
+    row = retrieval_eval(ranked, qrels, k=3).collect()[0]
+    assert row["n_hits"] == 0 and row["mrr_k"] == 0.0
+    row5 = retrieval_eval(ranked, qrels, k=5).collect()[0]
+    assert row5["n_hits"] == 1 and row5["mrr_k"] == pytest.approx(0.2)

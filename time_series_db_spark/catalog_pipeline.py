@@ -555,6 +555,97 @@ def ann_lsh_recall(spark, sf_dir):
     )
 
 
+def _eval_disc_sql(k: int) -> str:
+    """The shared driver-computed discount literals (see
+    retrieval._ndcg_discounts_nano) as a DuckDB list literal."""
+    from time_series_db_spark.pipeline.retrieval import _ndcg_discounts_nano
+
+    return "[" + ", ".join(f"{d}::BIGINT" for d in _ndcg_discounts_nano(k)) + "]"
+
+
+@register(
+    "search_eval_metrics",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+    q AS (SELECT vec_id, v, label FROM e WHERE vec_id % 50 = 0),
+    rk AS (
+      SELECT * FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {_sql_cosine('q.v', 'c.v')} DESC, c.vec_id
+               ) AS rank
+        FROM q JOIN e c ON c.vec_id <> q.vec_id)
+      WHERE rank <= 10),
+    qrels AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc,
+             CASE WHEN c.vec_id % 2 = q.vec_id % 2 THEN 2 ELSE 1 END AS rel
+      FROM q JOIN e c ON c.label = q.label AND c.vec_id <> q.vec_id),
+    disc AS (SELECT {_eval_disc_sql(10)} AS d),
+    ideal AS (
+      SELECT query_id,
+             sum(((2 ** rel)::BIGINT - 1)
+                 * (SELECT d FROM disc)[rn]) AS idcg
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY rel DESC, doc) AS rn
+            FROM qrels)
+      WHERE rn <= 10 GROUP BY 1),
+    base AS (SELECT query_id, count(*)::BIGINT AS n_rel
+             FROM qrels GROUP BY 1),
+    hits AS (
+      SELECT r.query_id, count(*)::BIGINT AS n_hits,
+             min(r.rank)::BIGINT AS first_rk,
+             sum(((2 ** g.rel)::BIGINT - 1)
+                 * (SELECT d FROM disc)[r.rank]) AS dcg
+      FROM rk r JOIN qrels g
+        ON g.query_id = r.query_id AND g.doc = r.doc
+      GROUP BY 1)
+    SELECT b.query_id, b.n_rel,
+           COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+           {sql_quant('COALESCE(h.n_hits, 0) / b.n_rel')} AS recall_k,
+           {sql_quant('COALESCE(1.0::DOUBLE / h.first_rk, 0.0::DOUBLE)')} AS mrr_k,
+           {sql_quant('COALESCE(h.dcg, 0) / i.idcg')} AS ndcg_k
+    FROM base b JOIN ideal i USING (query_id)
+    LEFT JOIN hits h USING (query_id)""",
+)
+def search_eval_metrics(spark, sf_dir):
+    """Ranking-quality evaluation
+    (pipeline/retrieval.py:retrieval_eval): recall@10 / MRR@10 /
+    nDCG@10 of the brute-force cosine retriever against label-derived
+    judgments (same-label vectors are relevant; same id parity grades
+    rel 2 vs 1, exercising the ideal-DCG ordering).  Gains are exact
+    integers and rank discounts are driver-computed 1e-9 integer
+    LITERALS shared by both engines — libm log2 never runs
+    engine-side, so DCG sums are order-free integer arithmetic."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    ranked = ann.cosine_topk(embs, queries, k=10)
+    c = embs.select(F.col("vec_id").alias("neighbor_id"),
+                    F.col("label").alias("__cl"))
+    qrels = (
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("__ql"))
+        .join(c, F.col("__cl") == F.col("__ql"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.when(
+                F.col("neighbor_id") % 2 == F.col("query_id") % 2, F.lit(2)
+            ).otherwise(F.lit(1)).alias("rel"),
+        )
+    )
+    from time_series_db_spark.pipeline.retrieval import retrieval_eval
+
+    out = retrieval_eval(ranked, qrels, k=10, query_col="query_id")
+    return out.select(
+        "query_id", "n_rel", "n_hits",
+        quant(F.col("recall_k")).alias("recall_k"),
+        quant(F.col("mrr_k")).alias("mrr_k"),
+        quant(F.col("ndcg_k")).alias("ndcg_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

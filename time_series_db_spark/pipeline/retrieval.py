@@ -497,3 +497,104 @@ def mmr_rerank(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def _ndcg_discounts_nano(k: int) -> list[int]:
+    """Rank discounts ``1/log2(rank+1)`` in 1e-9 integer units, computed
+    ONCE on the driver and injected as literals into both engines — the
+    libm ``log2`` is never evaluated engine-side, so a JVM-vs-DuckDB
+    ulp difference in the discount can never split the differential."""
+    return [round(1e9 / math.log2(i + 1)) for i in range(1, k + 1)]
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Ranking-quality evaluation of a search output against relevance
+    judgments — recall@k, MRR@k and nDCG@k per query, the standard
+    triple (Järvelin & Kekäläinen 2002 for nDCG; every TREC/BEIR
+    harness) run before committing a retriever to a RAG or
+    hard-negative-mining pipeline.  :func:`ann.recall_at_k` compares an
+    ANN index to the exact index; THIS compares a ranking to ground
+    truth.
+
+    ``ranked`` carries ``(query_col, doc_col, rank_col)`` with 1-based
+    ranks (any search output here: BM25, ANN, hybrid); ``qrels``
+    carries ``(query_col, doc_col, rel_col)`` integer gains ≥ 0
+    (binary judgments are ``rel = 1``).  Output, one row per JUDGED
+    query (a query with ranked rows but no positive judgments is
+    undefined under all three metrics and is absent): ``(query_col,
+    n_rel, n_hits, recall_k, mrr_k, ndcg_k)``.
+
+    Engine-exact by construction: gains are integers ``2^rel − 1``,
+    discounts are driver-computed 1e-9 integer literals, so DCG and
+    ideal DCG are exact integer sums (order-free) and every emitted
+    ratio is one division of two exact integers.
+
+    Scale shape: both inputs are judgment/top-k-sized (queries×k rows —
+    metadata next to any corpus); two equi-joins on (query, doc) and
+    (query), one bounded row_number window over the judgments, partial
+    aggregation everywhere; the corpus itself is never touched.
+    """
+    kk = int(k)
+    if kk <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    disc = _ndcg_discounts_nano(kk)
+    disc_arr = F.array(*[F.lit(d).cast("long") for d in disc])
+    gain = (F.pow(F.lit(2.0), F.col(rel_col)) - F.lit(1.0)).cast("long")
+
+    pos = qrels.filter(F.col(rel_col) > 0).select(
+        F.col(query_col), F.col(doc_col).alias("__doc"), F.col(rel_col)
+    )
+    # ideal DCG: judgments sorted by gain desc (doc id tiebreak for
+    # determinism), top-k, discount by ideal position
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col("__doc")
+    )
+    ideal = (
+        pos.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= kk)
+        .groupBy(query_col)
+        .agg(
+            F.sum(gain * F.element_at(disc_arr, F.col("__rn")))
+            .alias("__idcg_nano")
+        )
+    )
+    base = pos.groupBy(query_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = (
+        ranked.filter(F.col(rank_col) <= kk)
+        .select(
+            F.col(query_col),
+            F.col(doc_col).alias("__doc"),
+            F.col(rank_col).alias("__rk"),
+        )
+        .join(pos, [query_col, "__doc"])
+        .groupBy(query_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.min("__rk").cast("long").alias("__first"),
+            F.sum(gain * F.element_at(disc_arr, F.col("__rk").cast("int")))
+            .alias("__dcg_nano"),
+        )
+    )
+    out = base.join(ideal, query_col).join(hits, query_col, "left")
+    return out.select(
+        query_col,
+        "n_rel",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_rel")).alias(
+            "recall_k"
+        ),
+        F.coalesce(F.lit(1.0) / F.col("__first"), F.lit(0.0)).alias("mrr_k"),
+        (
+            F.coalesce(F.col("__dcg_nano"), F.lit(0)) / F.col("__idcg_nano")
+        ).alias("ndcg_k"),
+    )
