@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "dedup_xcorpus_update",    # delta-only dedup-model maintenance (r10)
     "text_classifier_calibration",  # keep/drop threshold sweep (r10)
     "search_eval_metrics",     # recall/MRR/nDCG ranking evaluation (r10)
+    "m3_rolling_corr",         # windowed integer-moment Pearson (r10)
 ]
 
 

@@ -173,6 +173,8 @@ HEADLINE_QUERIES = [
     "text_classifier_calibration",
     # round-10: judgment joins + integer DCG sums + bounded rank window
     "search_eval_metrics",
+    # round-10: exact integer windowed co-moments over the ts range frame
+    "m3_rolling_corr",
 ]
 
 

@@ -492,7 +492,8 @@ def test_lead_lag_requires_unique_target(spark):
      "m3_seasonal_decompose", "pipeline_curate_incremental",
      "m3_lead_lag", "text_quality_classifier",
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
-     "text_classifier_calibration", "search_eval_metrics"],
+     "text_classifier_calibration", "search_eval_metrics",
+     "m3_rolling_corr"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1152,3 +1153,74 @@ def test_retrieval_eval_rank_cut_applies(spark):
     assert row["n_hits"] == 0 and row["mrr_k"] == 0.0
     row5 = retrieval_eval(ranked, qrels, k=5).collect()[0]
     assert row5["n_hits"] == 1 and row5["mrr_k"] == pytest.approx(0.2)
+
+
+# ---------------------------------------------------------------------------
+# rolling correlation vs target (operators/stats.py:rolling_corr_target)
+# ---------------------------------------------------------------------------
+
+
+def _two_series_frame(spark, tgt_vals, fleet_vals, step=1000):
+    from time_series_db_spark.model import SeriesFrame, series_key_expr
+
+    rows = [(i * step, float(v), "tgt") for i, v in enumerate(tgt_vals)]
+    rows += [(i * step, float(v), "a") for i, v in enumerate(fleet_vals)]
+    df = (
+        spark.createDataFrame(rows, "ts long, value double, name string")
+        .withColumn("labels", F.create_map(F.lit("name"), F.col("name")))
+        .withColumn("alias", F.lit(None).cast("string"))
+        .withColumn("series_key", F.concat(F.lit("name:"), F.col("name")))
+        .select("series_key", "labels", "alias", "ts", "value")
+    )
+    n = max(len(tgt_vals), len(fleet_vals))
+    return SeriesFrame(df=df, step=step, min_ts=0, max_ts=n * step)
+
+
+def test_rolling_corr_detects_decoupling(spark):
+    """A series that tracks the target then flips to anti-tracking:
+    windows fully inside each regime read +1 / −1 — the decoupling the
+    global correlate_target number averages away."""
+    from time_series_db_spark.operators import stats
+
+    tgt = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    fleet = [1.0, 2.0, 3.0, 4.0, -5.0, -6.0, -7.0, -8.0]
+    sf = _two_series_frame(spark, tgt, fleet)
+    out = stats.rolling_corr_target(
+        sf, {"name": "tgt"}, window_buckets=3, min_points=3
+    )
+    got = {
+        (r["series_key"], r["ts"]): round(r["value"], 9)
+        for r in out.df.collect()
+    }
+    assert got[("name:a", 3000)] == 1.0   # window [1,2,3,4][t=1..3]: tracking
+    assert got[("name:a", 7000)] == -1.0  # window deep in the flipped regime
+    # the target against itself is identically 1 wherever defined
+    assert all(
+        v == 1.0 for (k, _), v in got.items() if k == "name:tgt"
+    )
+
+
+def test_rolling_corr_null_contract_and_guards(spark):
+    """Locally-constant windows (zero variance) and windows under
+    min_points are ABSENT rows; matcher and window guards raise."""
+    from time_series_db_spark.operators import stats
+
+    tgt = [1.0, 2.0, 3.0, 4.0, 5.0]
+    flat = [7.0, 7.0, 7.0, 7.0, 7.0]
+    sf = _two_series_frame(spark, tgt, flat)
+    out = stats.rolling_corr_target(
+        sf, {"name": "tgt"}, window_buckets=3, min_points=3
+    )
+    keys = {r["series_key"] for r in out.df.collect()}
+    assert "name:a" not in keys  # constant series: corr undefined
+    # min_points: first two samples have windows of size < 3
+    ts_tgt = sorted(
+        r["ts"] for r in out.df.filter("series_key = 'name:tgt'").collect()
+    )
+    assert ts_tgt == [2000, 3000, 4000]
+    with pytest.raises(ValueError, match="at least one label"):
+        stats.rolling_corr_target(sf, {}, window_buckets=3)
+    with pytest.raises(ValueError, match="window_buckets"):
+        stats.rolling_corr_target(sf, {"name": "tgt"}, window_buckets=1)
+    with pytest.raises(ValueError, match="selects 0 series"):
+        stats.rolling_corr_target(sf, {"name": "nope"}, window_buckets=3)

@@ -1214,6 +1214,72 @@ def m3_lead_lag(spark, sf_dir):
     )
 
 
+_RC_W = 6
+
+
+@register(
+    "m3_rolling_corr",
+    f"""{_CORR_PRELUDE},
+    rsrc AS (
+      SELECT name, region, ts,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value
+      FROM samples GROUP BY 1, 2, 3),
+    rctgt AS (
+      SELECT ts, value AS tv FROM rsrc
+      WHERE name = 'click' AND region = 'r0'),
+    rcj AS (
+      SELECT s.name, s.region, s.ts,
+             floor(s.value * 1e6 + 0.5)::BIGINT AS x,
+             floor(g.tv * 1e6 + 0.5)::BIGINT AS y
+      FROM rsrc s JOIN rctgt g ON s.ts = g.ts
+      WHERE NOT isnan(s.value) AND NOT isnan(g.tv)),
+    rcm AS (
+      SELECT name, region, ts,
+             count(*) OVER w AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x::HUGEINT * x) OVER w AS sxx,
+             sum(y::HUGEINT * y) OVER w AS syy,
+             sum(x::HUGEINT * y) OVER w AS sxy
+      FROM rcj
+      WINDOW w AS (PARTITION BY name, region ORDER BY ts
+                   RANGE BETWEEN {(_RC_W - 1) * _CORR_STEP} PRECEDING
+                   AND CURRENT ROW)),
+    rcc AS (
+      SELECT name, region, ts, n,
+             n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS vx,
+             n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS vy,
+             n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS cov
+      FROM rcm)
+    SELECT name, region, ts,
+           {sql_quant('cov / (sqrt(vx) * sqrt(vy))')} AS value
+    FROM rcc WHERE n >= 4 AND vx > 0 AND vy > 0""",
+)
+def m3_rolling_corr(spark, sf_dir):
+    """Rolling Pearson correlation of every (name, region) sum series
+    vs the click/r0 series over a trailing {_RC_W}-bucket window
+    (operators/stats.py:rolling_corr_target composed with
+    grouping.sum_): the when-did-it-decouple view of
+    correlate_target's global number.  Both series quantize to 1e-6
+    integers and the five windowed co-moments are EXACT integer sums
+    (DuckDB's segment-tree sliding aggregates reorder float summation,
+    so only integer moments are engine-portable); the Pearson
+    combination runs in double over exact moments with the identical
+    expression on both sides."""
+    from time_series_db_spark.operators import stats as stats_ops
+
+    sf = grouping.sum_(
+        _fetch(spark, sf_dir, step=_CORR_STEP), ["name", "region"],
+        exact=True,
+    )
+    out = stats_ops.rolling_corr_target(
+        sf,
+        {"name": "click", "region": "r0"},
+        window_buckets=_RC_W,
+        min_points=4,
+    )
+    return _out(out, ["name", "region"])
+
+
 #: correlate_matrix sketch config: coarse buckets of 4 grid steps,
 #: 4-symbol bands, stop-band cap 32 (candidates measured 31.6k→41.3k
 #: across a 10× fleet on the bench corpus — the cap is what keeps the

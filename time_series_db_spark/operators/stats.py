@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from time_series_db_spark.model import SeriesFrame
+from time_series_db_spark.model import SAMPLE_COLS, SeriesFrame
 
 
 def head_stats(sf: SeriesFrame) -> DataFrame:
@@ -386,6 +386,123 @@ def correlate_matrix(
             "n_points",
         )
     )
+
+
+def rolling_corr_target(
+    sf: SeriesFrame,
+    target: dict[str, str],
+    window_buckets: int = 12,
+    min_points: int = 3,
+) -> SeriesFrame:
+    """Rolling Pearson correlation against a target series: at every
+    sample, the correlation over the trailing ``window_buckets``-bucket
+    window of shared finite timestamps — :func:`correlate_target`
+    answers "what moved with this metric over the whole query window";
+    THIS answers "when did it start/stop moving with it" (a dependency
+    that decouples mid-incident shows as the rolling corr falling off a
+    cliff, which the global number averages away).
+
+    Engine-exact by construction: both series quantize to 1e-6 integer
+    units and the five windowed co-moments (Σx, Σy, Σx², Σy², Σxy) are
+    EXACT integer sums — DuckDB computes sliding aggregates with
+    segment trees, so float window sums genuinely change summation
+    order between engines; integer moments make the order irrelevant.
+    Pearson is scale-invariant, so the 1e-6 scaling cancels.  The
+    combination ``(n·Σxy − ΣxΣy) / √(n·Σx² − (Σx)²) √(n·Σy² − (Σy)²)``
+    runs in double over the exact moments with the identical
+    expression on both sides.
+
+    Samples with fewer than ``min_points`` shared finite points in the
+    window, or an undefined correlation (either side locally constant),
+    are ABSENT rows per the engine null contract.  Returns a
+    SeriesFrame whose ``value`` is the rolling correlation.
+
+    Scale shape: the one-series target (probe-enforced) broadcasts
+    into a hash join on ``ts``; the co-moments ride ONE
+    (series_key, ts-range) window — the same single series exchange
+    every sequential stage shares; nothing pairwise, no second scan.
+    """
+    if not target:
+        raise ValueError(
+            "rolling_corr_target needs at least one label matcher"
+        )
+    w_n = int(window_buckets)
+    if w_n < 2:
+        raise ValueError(f"window_buckets must be >= 2 (got {window_buckets})")
+    from pyspark.sql import Window
+
+    from time_series_db_spark.cache import probe_memo
+
+    pred = None
+    for k, v in target.items():
+        c = F.col("labels")[k] == F.lit(v)
+        pred = c if pred is None else pred & c
+    matched = sf.df.filter(pred)
+    n_tgt = probe_memo(
+        matched,
+        "rolling_corr_target",
+        lambda: matched.select("series_key").distinct().limit(2).count(),
+    )
+    if n_tgt != 1:
+        raise ValueError(
+            f"rolling_corr_target matcher {target} selects {n_tgt} series; "
+            "it must select exactly one (tighten the label matcher)"
+        )
+    step = int(sf.step)
+    tgt = matched.select(
+        F.col("ts").alias("__tts"), F.col("value").alias("__tv")
+    )
+    x6 = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    y6 = F.floor(F.col("__tv") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    joined = (
+        sf.df.join(F.broadcast(tgt), F.col("ts") == F.col("__tts"))
+        .filter(~F.isnan("value") & ~F.isnan("__tv"))
+        .select(
+            "series_key",
+            "labels",
+            "alias",
+            "ts",
+            x6.alias("__x"),
+            y6.alias("__y"),
+        )
+    )
+    w = (
+        Window.partitionBy("series_key")
+        .orderBy("ts")
+        .rangeBetween(-(w_n - 1) * step, 0)
+    )
+    xd = F.col("__x").cast("decimal(19,0)")
+    yd = F.col("__y").cast("decimal(19,0)")
+    mom = joined.select(
+        "series_key",
+        "labels",
+        "alias",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("__n"),
+        F.sum(xd).over(w).alias("__sx"),
+        F.sum(yd).over(w).alias("__sy"),
+        F.sum((xd * xd).cast("decimal(38,0)")).over(w).alias("__sxx"),
+        F.sum((yd * yd).cast("decimal(38,0)")).over(w).alias("__syy"),
+        F.sum((xd * yd).cast("decimal(38,0)")).over(w).alias("__sxy"),
+    )
+    n_d = F.col("__n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxx = F.col("__sxx").cast("double")
+    syy = F.col("__syy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    vx = n_d * sxx - sx * sx
+    vy = n_d * syy - sy * sy
+    corr = (n_d * sxy - sx * sy) / (F.sqrt(vx) * F.sqrt(vy))
+    df = (
+        mom.filter(
+            (F.col("__n") >= F.lit(int(min_points)))
+            & (vx > 0)
+            & (vy > 0)
+        )
+        .withColumn("value", corr)
+        .select(*SAMPLE_COLS)
+    )
+    return sf.with_df(df)
 
 
 def lead_lag_target(
