@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "text_classifier_calibration",  # keep/drop threshold sweep (r10)
     "search_eval_metrics",     # recall/MRR/nDCG ranking evaluation (r10)
     "m3_rolling_corr",         # windowed integer-moment Pearson (r10)
+    "mm_ahash_neardup",        # Hamming-banded perceptual near-dup (r10)
 ]
 
 

@@ -88,6 +88,9 @@ QUERIES = [
     "m3_forecast",             # endpoint table + horizon base join (r10)
     "dedup_xcorpus_update",    # delta-only signature refresh (r10)
     "text_classifier_calibration",  # GD fit + integer threshold sweep (r10)
+    "search_eval_metrics",     # judgment joins + integer DCG sums (r10)
+    "m3_rolling_corr",         # windowed integer co-moments (r10)
+    "mm_ahash_neardup",        # Hamming band keys + popcount verify (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -175,6 +175,8 @@ HEADLINE_QUERIES = [
     "search_eval_metrics",
     # round-10: exact integer windowed co-moments over the ts range frame
     "m3_rolling_corr",
+    # round-10: Hamming band keys + candidate join + popcount verify
+    "mm_ahash_neardup",
 ]
 
 

@@ -493,7 +493,7 @@ def test_lead_lag_requires_unique_target(spark):
      "m3_lead_lag", "text_quality_classifier",
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
      "text_classifier_calibration", "search_eval_metrics",
-     "m3_rolling_corr"],
+     "m3_rolling_corr", "mm_ahash_neardup"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1224,3 +1224,126 @@ def test_rolling_corr_null_contract_and_guards(spark):
         stats.rolling_corr_target(sf, {"name": "tgt"}, window_buckets=1)
     with pytest.raises(ValueError, match="selects 0 series"):
         stats.rolling_corr_target(sf, {"name": "nope"}, window_buckets=3)
+
+
+# ---------------------------------------------------------------------------
+# Hamming-banded aHash near-dup (pipeline/multimodal.py:ahash_neardup_pairs)
+# ---------------------------------------------------------------------------
+
+
+def test_ahash_neardup_matches_brute_force(spark):
+    """Pigeonhole completeness at the boundary: against a brute-force
+    O(n²) replay over deterministic pseudo-random 64-bit hashes, the
+    banded path must find EXACTLY the pairs with Hamming ≤ 7 — d =
+    num_bands − 1 is the guarantee's edge."""
+    from time_series_db_spark.pipeline import multimodal
+
+    # xorshift-ish deterministic hashes + planted near pairs
+    hs = []
+    x = 88172645463325252
+    for i in range(40):
+        x ^= (x << 13) & ((1 << 64) - 1)
+        x ^= x >> 7
+        x ^= (x << 17) & ((1 << 64) - 1)
+        hs.append(x & ((1 << 64) - 1))
+    hs.append(hs[0] ^ 0b1011)            # d=3 from #0
+    hs.append(hs[1] ^ ((1 << 63) | 1))   # d=2 from #1, sign bit flips
+    hs.append(hs[2] ^ 0x7F)              # d=7 from #2 (the boundary)
+    signed = [h - (1 << 64) if h >= (1 << 63) else h for h in hs]
+    brute = sorted(
+        (i, j, bin(hs[i] ^ hs[j]).count("1"))
+        for i in range(len(hs))
+        for j in range(i + 1, len(hs))
+        if bin(hs[i] ^ hs[j]).count("1") <= 7
+    )
+    df = spark.createDataFrame(
+        list(enumerate(signed)), "media_id long, ahash long"
+    )
+    got = sorted(
+        tuple(r)
+        for r in multimodal.ahash_neardup_pairs(
+            df, max_hamming=7, num_bands=8
+        ).collect()
+    )
+    assert got == brute
+    assert {(0, 40, 3), (1, 41, 2), (2, 42, 7)} <= set(brute)
+
+
+def test_ahash_neardup_null_and_guards(spark):
+    from time_series_db_spark.pipeline import multimodal
+
+    df = spark.createDataFrame(
+        [(0, 15), (1, 14), (2, None)], "media_id long, ahash long"
+    )
+    got = multimodal.ahash_neardup_pairs(df, max_hamming=1).collect()
+    assert [tuple(r) for r in got] == [(0, 1, 1)]  # NULL hash excluded
+    with pytest.raises(ValueError, match="divide 64"):
+        multimodal.ahash_neardup_pairs(df, num_bands=7)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        multimodal.ahash_neardup_pairs(df, max_hamming=8, num_bands=8)
+
+
+def test_catalog_registration_is_structurally_sound():
+    """Every registered query's FUNCTION NAME equals its registry key.
+    This pins the failure mode where a helper def slips between a
+    @register decorator and its intended function (the decorator
+    silently latches onto the helper, the real entry never registers,
+    and the driver calls a 0-arg helper as a query) — caught once in
+    r10 by bench, now structural."""
+    from time_series_db_spark.catalog import ORACLES, QUERIES
+
+    bad = [
+        (name, fn.__name__)
+        for name, fn in QUERIES.items()
+        if fn.__name__ != name
+    ]
+    assert not bad, f"registry key != function name: {bad}"
+    assert set(ORACLES) <= set(QUERIES)
+    for name, sql in ORACLES.items():
+        assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_ahash_neardup_stop_band_cap_semantics(spark):
+    """max_bucket drops HOT band values from candidate generation: a
+    pair sharing a cold band is still found even when all its other
+    shared bands are hot; a pair whose EVERY shared band is hot is the
+    documented miss.  Cap < 2 is rejected."""
+    from time_series_db_spark.pipeline import multimodal
+
+    # six hashes identical in bands 0-6 (every one of those seven band
+    # buckets has size 6 -> HOT at cap 4); band 7 distinguishes them
+    base = 0x11223344556677
+    b7 = [0x00, 0x03, 0x10, 0x2C, 0x47, 0x81]  # pairwise-distinct bytes
+    wrap = lambda h: h - (1 << 64) if h >= (1 << 63) else h
+    rows = [(i, wrap(base | (v << 56))) for i, v in enumerate(b7)]
+    df = spark.createDataFrame(rows, "media_id long, ahash long")
+    # (0, 1) differ only in 2 band-7 bits: genuine near-dups, but every
+    # band they AGREE on (0-6) is hot -> the documented capped miss
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.ahash_neardup_pairs(
+            df, max_hamming=7, num_bands=8, max_bucket=4
+        ).collect()
+    }
+    assert capped == set()
+    # uncapped keeps the unconditional pigeonhole guarantee
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.ahash_neardup_pairs(
+            df, max_hamming=7, num_bands=8
+        ).collect()
+    }
+    assert (0, 1) in full
+    # give 0 and 1 a shared band-7 value instead: that 2-hash bucket is
+    # COLD, so the pair survives the cap via its one cold shared band
+    rows2 = [(0, base), (1, base)] + rows[2:]
+    df2 = spark.createDataFrame(rows2, "media_id long, ahash long")
+    got2 = {
+        (r["id_a"], r["id_b"])
+        for r in multimodal.ahash_neardup_pairs(
+            df2, max_hamming=7, num_bands=8, max_bucket=4
+        ).collect()
+    }
+    assert (0, 1) in got2
+    with pytest.raises(ValueError, match="max_bucket"):
+        multimodal.ahash_neardup_pairs(df, max_bucket=1)

@@ -214,6 +214,27 @@ def dedup_cross_corpus(spark, sf_dir):
            count(*)::BIGINT AS n_matches
     FROM hits GROUP BY doc_id""",
 )
+def dedup_xcorpus_prebuilt(spark, sf_dir):
+    """The fit/apply split of incremental-crawl dedup
+    (pipeline/dedup.py:minhash_fit + cross_corpus_dedup(model=…)): the
+    reference corpus' signature table is built ONCE (at 100 TB: written
+    to parquet) and the snapshot dedups against it via ``model=`` —
+    cross_corpus_dedup never re-computes the reference signatures (the
+    bpe_train/bpe_apply shape; no-recompute pinned by monkeypatch
+    test).  The oracle replays the same math on the %4 corpus split —
+    the split changes which side pays the signature scan, not the
+    flagged rows."""
+    docs = _docs(spark, sf_dir)
+    model = dedup.minhash_fit(docs.filter(F.col("doc_id") % 4 == 0))
+    inc = docs.filter(F.col("doc_id") % 4 != 0)
+    out = dedup.cross_corpus_dedup(inc, model=model, threshold=0.8)
+    return out.select(
+        "doc_id", "ref_id", quant(F.col("jaccard")).alias("jaccard"),
+        "n_matches",
+    )
+
+
+
 def _dedup_xcorpus_update_oracle() -> str:
     return f"""WITH {_sql_minhash_sig_cte()},
     refb AS (SELECT * FROM bands WHERE doc_id % 4 IN (0, 1)),
@@ -251,26 +272,6 @@ def dedup_xcorpus_update(spark, sf_dir):
         model, docs=docs.filter(F.col("doc_id") % 4 == 1)
     )
     inc = docs.filter(F.col("doc_id") % 4 >= 2)
-    out = dedup.cross_corpus_dedup(inc, model=model, threshold=0.8)
-    return out.select(
-        "doc_id", "ref_id", quant(F.col("jaccard")).alias("jaccard"),
-        "n_matches",
-    )
-
-
-def dedup_xcorpus_prebuilt(spark, sf_dir):
-    """The fit/apply split of incremental-crawl dedup
-    (pipeline/dedup.py:minhash_fit + cross_corpus_dedup(model=…)): the
-    reference corpus' signature table is built ONCE (at 100 TB: written
-    to parquet) and the snapshot dedups against it via ``model=`` —
-    cross_corpus_dedup never re-computes the reference signatures (the
-    bpe_train/bpe_apply shape; no-recompute pinned by monkeypatch
-    test).  The oracle replays the same math on the %4 corpus split —
-    the split changes which side pays the signature scan, not the
-    flagged rows."""
-    docs = _docs(spark, sf_dir)
-    model = dedup.minhash_fit(docs.filter(F.col("doc_id") % 4 == 0))
-    inc = docs.filter(F.col("doc_id") % 4 != 0)
     out = dedup.cross_corpus_dedup(inc, model=model, threshold=0.8)
     return out.select(
         "doc_id", "ref_id", quant(F.col("jaccard")).alias("jaccard"),
@@ -976,9 +977,10 @@ def mm_decode_image_meta(spark, sf_dir):
     return multimodal.decode_image_meta(media)
 
 
-@register(
-    "mm_image_ahash",
-    """WITH ah0 AS (
+#: the stub-codec aHash replay (text → 64 cells → mean threshold →
+#: signed-int64 pack) — shared by the fingerprint entry and the
+#: Hamming-banded near-dup entry
+_AHASH_CTES = """ah0 AS (
       SELECT doc_id, k,
              ord(substr(text, ((k * length(text)) // 64) + 1, 1)) AS L
       FROM documents, generate_series(0, 63) t(k)
@@ -997,7 +999,12 @@ def mm_decode_image_meta(spark, sf_dir):
              (lo + CASE WHEN hi = 1
                         THEN -9223372036854775807 - 1 ELSE 0 END)::BIGINT
                AS ahash
-      FROM ahb)
+      FROM ahb)"""
+
+
+@register(
+    "mm_image_ahash",
+    f"""WITH {_AHASH_CTES}
     SELECT media_id, ahash,
            count(*) OVER (PARTITION BY ahash)::BIGINT AS n_dupes
     FROM ahh""",
@@ -1020,6 +1027,48 @@ def mm_image_ahash(spark, sf_dir):
         "ahash",
         F.count(F.lit(1)).over(_W.partitionBy("ahash")).cast("long")
         .alias("n_dupes"),
+    )
+
+
+@register(
+    "mm_ahash_neardup",
+    f"""WITH {_AHASH_CTES},
+    ahbd AS (
+      SELECT media_id, b.b AS band, (ahash >> (b.b * 8)) & 255 AS key
+      FROM ahh, generate_series(0, 7) b(b)),
+    ahok AS (
+      SELECT band, key FROM (
+        SELECT band, key, count(*) AS n FROM ahbd GROUP BY 1, 2)
+      WHERE n <= 32),
+    ahbf AS (SELECT d.* FROM ahbd d JOIN ahok USING (band, key)),
+    ahcand AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+      FROM ahbf a JOIN ahbf c
+        ON a.band = c.band AND a.key = c.key
+       AND a.media_id < c.media_id)
+    SELECT p.id_a, p.id_b,
+           bit_count(xor(x.ahash, y.ahash))::BIGINT AS hamming
+    FROM ahcand p
+    JOIN ahh x ON x.media_id = p.id_a
+    JOIN ahh y ON y.media_id = p.id_b
+    WHERE bit_count(xor(x.ahash, y.ahash)) <= 7""",
+)
+def mm_ahash_neardup(spark, sf_dir):
+    """Hamming-banded perceptual near-dup pairs
+    (pipeline/multimodal.py:ahash_neardup_pairs): images within
+    Hamming ≤ 7 of each other on the 64-bit aHash — a re-encoded or
+    resized copy lands a few bits away, never hash-equal, so this is
+    the second pass behind mm_image_ahash's exact dup counts.  8
+    eight-bit bands give the pigeonhole guarantee for d ≤ 7; the
+    stop-band cap 32 (the correlate_matrix discipline, replayed by the
+    oracle as the same integer count filter) keeps low-entropy band
+    bytes from going quadratic — measured 370M candidate pairs on the
+    10× synthetic corpus without it.  Shift and popcount semantics
+    are pinned identical on both engines — all-integer end to end."""
+    media = multimodal.documents_as_media(_docs(spark, sf_dir))
+    hashes = multimodal.image_ahash(media, decode_fn="fake")
+    return multimodal.ahash_neardup_pairs(
+        hashes, max_hamming=7, num_bands=8, max_bucket=32
     )
 
 
