@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "search_eval_metrics",     # recall/MRR/nDCG ranking evaluation (r10)
     "m3_rolling_corr",         # windowed integer-moment Pearson (r10)
     "mm_ahash_neardup",        # Hamming-banded perceptual near-dup (r10)
+    "ann_ivf_prebuilt",        # query probes vs pre-built IVF index (r10)
 ]
 
 

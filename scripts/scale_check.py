@@ -91,6 +91,7 @@ QUERIES = [
     "search_eval_metrics",     # judgment joins + integer DCG sums (r10)
     "m3_rolling_corr",         # windowed integer co-moments (r10)
     "mm_ahash_neardup",        # Hamming band keys + popcount verify (r10)
+    "ann_ivf_prebuilt",        # prebuilt-index probe path (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -177,6 +177,8 @@ HEADLINE_QUERIES = [
     "m3_rolling_corr",
     # round-10: Hamming band keys + candidate join + popcount verify
     "mm_ahash_neardup",
+    # round-10: query probes against the pre-built celled index
+    "ann_ivf_prebuilt",
 ]
 
 

@@ -493,7 +493,7 @@ def test_lead_lag_requires_unique_target(spark):
      "m3_lead_lag", "text_quality_classifier",
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
      "text_classifier_calibration", "search_eval_metrics",
-     "m3_rolling_corr", "mm_ahash_neardup"],
+     "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -510,7 +510,10 @@ def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     # exempt BNLJs that are bounded by construction: categorical PSI's
     # 1-row totals broadcast, and the ranking eval's brute-force scorer
     # (ann.cosine_topk's documented query-broadcast flat baseline)
-    if name not in ("text_categorical_psi", "search_eval_metrics"):
+    # (ann_ivf_prebuilt's BNLJ is kmeans' documented broadcast-centroid
+    # assignment of the BOUNDED query batch — nlist-row inner side)
+    if name not in ("text_categorical_psi", "search_eval_metrics",
+                    "ann_ivf_prebuilt"):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
@@ -1347,3 +1350,73 @@ def test_ahash_neardup_stop_band_cap_semantics(spark):
     assert (0, 1) in got2
     with pytest.raises(ValueError, match="max_bucket"):
         multimodal.ahash_neardup_pairs(df, max_bucket=1)
+
+
+# ---------------------------------------------------------------------------
+# IVF fit/apply split (pipeline/ann.py:ivf_fit)
+# ---------------------------------------------------------------------------
+
+
+def _toy_vectors(spark):
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11 - 5) / 5.0 for d in range(4)])
+        for i in range(30)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_model_matches_inline_fit(spark):
+    """Searching a pre-built ivf_fit index must return EXACTLY what the
+    inline corpus= path returns — the split changes which side pays the
+    training scan, not the result."""
+    from time_series_db_spark.pipeline import ann
+
+    vecs = _toy_vectors(spark)
+    queries = vecs.filter("vec_id % 10 = 0")
+    inline = sorted(
+        tuple(r)
+        for r in ann.ivf_kmeans_topk(
+            vecs, queries, k=3, nlist=4, nprobe=2, train_iters=2
+        ).collect()
+    )
+    model = ann.ivf_fit(vecs, nlist=4, train_iters=2)
+    split = sorted(
+        tuple(r)
+        for r in ann.ivf_kmeans_topk(
+            queries=queries, k=3, nprobe=2, model=model
+        ).collect()
+    )
+    assert inline == split and inline
+
+
+def test_ivf_model_never_retrains(spark, monkeypatch, tmp_path):
+    """The model= path must not run k-means or re-assign the corpus —
+    and the two model tables survive a parquet round trip (the
+    documented 100 TB flow: cells partitioned by cell)."""
+    from time_series_db_spark.pipeline import ann
+
+    vecs = _toy_vectors(spark)
+    queries = vecs.filter("vec_id % 10 = 0")
+    model = ann.ivf_fit(vecs, nlist=4, train_iters=2)
+    cdir, ldir = str(tmp_path / "cents"), str(tmp_path / "cells")
+    model["centroids"].write.mode("overwrite").parquet(cdir)
+    model["cells"].write.mode("overwrite").partitionBy("cell").parquet(ldir)
+    stored = {
+        "centroids": spark.read.parquet(cdir),
+        "cells": spark.read.parquet(ldir),
+    }
+    calls = []
+    monkeypatch.setattr(
+        ann, "kmeans_centroids",
+        lambda *a, **kw: calls.append(1) or (_ for _ in ()).throw(
+            AssertionError("model= path must not train")
+        ),
+    )
+    out = ann.ivf_kmeans_topk(
+        queries=queries, k=3, nprobe=2, model=stored
+    ).collect()
+    assert out and not calls
+    with pytest.raises(ValueError, match="exactly one"):
+        ann.ivf_kmeans_topk(vecs, queries, model=stored)
+    with pytest.raises(ValueError, match="exactly one"):
+        ann.ivf_kmeans_topk(queries=queries)

@@ -1211,9 +1211,10 @@ def _sql_kmeans_cents(nlist: int, iters: int, dims: int = 64) -> tuple[str, str]
 _KM_CTES, _KM_FINAL = _sql_kmeans_cents(nlist=16, iters=2)
 
 
-@register(
-    "ann_ivf_kmeans_topk",
-    f"""WITH e AS ({_SQL_E}),
+#: the trained-quantizer IVF replay — shared by the inline entry and
+#: the prebuilt-index entry (the fit/apply split changes which side
+#: pays the training scan, not the math, so the SQL is identical)
+_IVF_KM_SQL = f"""WITH e AS ({_SQL_E}),
     {_KM_CTES},
     assign AS (
       SELECT e.vec_id, e.v, c.cid,
@@ -1237,8 +1238,30 @@ _KM_CTES, _KM_FINAL = _sql_kmeans_cents(nlist=16, iters=2)
       ) AS rank FROM cand)
     SELECT query_id, neighbor_id, rank::BIGINT AS rank,
            {sql_quant('cosine')} AS cosine
-    FROM ranked WHERE rank <= 5""",
-)
+    FROM ranked WHERE rank <= 5"""
+
+
+@register("ann_ivf_prebuilt", _IVF_KM_SQL)
+def ann_ivf_prebuilt(spark, sf_dir):
+    """The fit/apply split of trained-quantizer IVF
+    (pipeline/ann.py:ivf_fit + ivf_kmeans_topk(model=…)): the coarse
+    quantizer is trained and the corpus cell-assigned ONCE (at 100 TB:
+    the cells table written to parquet partitioned by cell), and every
+    query batch probes the pre-built index — no k-means rounds, no
+    corpus re-assignment per call (the minhash_fit shape over the ANN
+    tier; no-retrain pinned by monkeypatch test).  The oracle is the
+    inline entry's SQL verbatim: the split changes which side pays the
+    training scan, not the result."""
+    embs = _embs(spark, sf_dir)
+    model = ann.ivf_fit(embs, nlist=16, train_iters=2)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.ivf_kmeans_topk(queries=queries, k=5, nprobe=2, model=model)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )
+
+
+@register("ann_ivf_kmeans_topk", _IVF_KM_SQL)
 def ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF-Flat with a TRAINED coarse quantizer: two deterministic Lloyd
     rounds (broadcast assign + exact-decimal mean update) before the

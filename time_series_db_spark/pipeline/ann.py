@@ -309,26 +309,99 @@ def kmeans_centroids(
     return cents
 
 
-def ivf_kmeans_topk(
+def ivf_fit(
     corpus: DataFrame,
-    queries: DataFrame,
+    nlist: int = 16,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Fit step of the IVF fit/apply split: train the coarse quantizer
+    and cell-assign the corpus ONCE, returning the two tables a real
+    IVF index persists — ``{"centroids": (cell, centroid),
+    "cells": (id_col, vector, cell)}`` — so every later query batch
+    probes the PRE-BUILT index instead of re-training k-means and
+    re-assigning the corpus per call (the ``minhash_fit`` /
+    ``bpe_train`` / ``classifier_fit`` shape, closing the fit/apply
+    family over the ANN tier).
+
+    At 100 TB the ``cells`` table IS the index artifact: write it to
+    parquet partitioned by ``cell`` so a query's nprobe cells prune to
+    a handful of partitions at scan time; ``centroids`` is
+    nlist-row metadata.  Keep ``nlist`` consistent between fit and
+    apply — mismatched centroids cannot be detected at query time.
+    """
+    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    cents = kmeans_centroids(
+        vecs, nlist=nlist, iters=train_iters, id_col=id_col
+    )
+    cells = ivf_assign(
+        vecs, F.broadcast(cents), nprobe=1, id_col=id_col
+    ).select(
+        F.col(id_col),
+        F.col("__v").alias("vector"),
+        F.col("__cell").cast("long").alias("cell"),
+    )
+    return {
+        "centroids": cents.select(
+            F.col("__cid").cast("long").alias("cell"),
+            F.col("__centroid").alias("centroid"),
+        ),
+        "cells": cells,
+    }
+
+
+def ivf_kmeans_topk(
+    corpus: DataFrame | None = None,
+    queries: DataFrame = None,
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 2,
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-Flat with TRAINED coarse quantizer: k-means centroids
     (deterministic Lloyd rounds) instead of the id-subset seed — the
     production IVF shape, balancing cell sizes so the per-cell candidate
-    fan-in stays uniform. Query path identical to :func:`ivf_topk`."""
-    vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
-    cents = F.broadcast(kmeans_centroids(vecs, nlist=nlist, iters=train_iters,
-                                         id_col=id_col))
-    cells = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("__v").alias("__cv"), "__cell"
-    )
+    fan-in stays uniform. Query path identical to :func:`ivf_topk`.
+
+    Pass ``model=`` (an :func:`ivf_fit` result, typically read back
+    from parquet) instead of ``corpus`` to search a PRE-BUILT index
+    without re-training the quantizer or re-assigning the corpus —
+    the per-query-batch incremental path."""
+    if (corpus is None) == (model is None):
+        raise ValueError(
+            "pass exactly one of corpus= (fit inline) or model= "
+            "(a pre-built ivf_fit index)"
+        )
+    if model is not None:
+        cents = F.broadcast(
+            model["centroids"].select(
+                F.col("cell").alias("__cid"),
+                F.col("centroid").alias("__centroid"),
+            )
+        )
+        cells = model["cells"].select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("vector").alias("__cv"),
+            F.col("cell").alias("__cell"),
+        )
+    else:
+        vecs = corpus.select(
+            id_col, _as_double(F.col(vec_col)).alias("__v")
+        )
+        cents = F.broadcast(
+            kmeans_centroids(
+                vecs, nlist=nlist, iters=train_iters, id_col=id_col
+            )
+        )
+        cells = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("__v").alias("__cv"),
+            "__cell",
+        )
     qvecs = queries.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
     qcells = ivf_assign(qvecs, cents, nprobe=nprobe, id_col=id_col).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "__cell"
