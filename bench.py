@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "m3_rolling_corr",         # windowed integer-moment Pearson (r10)
     "mm_ahash_neardup",        # Hamming-banded perceptual near-dup (r10)
     "ann_ivf_prebuilt",        # query probes vs pre-built IVF index (r10)
+    "text_ngram_novelty",      # corpus-relative diversity score (r10)
 ]
 
 

@@ -92,6 +92,7 @@ QUERIES = [
     "m3_rolling_corr",         # windowed integer co-moments (r10)
     "mm_ahash_neardup",        # Hamming band keys + popcount verify (r10)
     "ann_ivf_prebuilt",        # prebuilt-index probe path (r10)
+    "text_ngram_novelty",      # gram prevalence + flag join back (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

@@ -179,6 +179,8 @@ HEADLINE_QUERIES = [
     "mm_ahash_neardup",
     # round-10: query probes against the pre-built celled index
     "ann_ivf_prebuilt",
+    # round-10: gram prevalence count + flag join + per-doc ratio
+    "text_ngram_novelty",
 ]
 
 

@@ -493,7 +493,8 @@ def test_lead_lag_requires_unique_target(spark):
      "m3_lead_lag", "text_quality_classifier",
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
      "text_classifier_calibration", "search_eval_metrics",
-     "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt"],
+     "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt",
+     "text_ngram_novelty"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1420,3 +1421,37 @@ def test_ivf_model_never_retrains(spark, monkeypatch, tmp_path):
         ann.ivf_kmeans_topk(vecs, queries, model=stored)
     with pytest.raises(ValueError, match="exactly one"):
         ann.ivf_kmeans_topk(queries=queries)
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty (pipeline/text.py:ngram_novelty)
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_novelty_planted(spark):
+    """A fully-unique doc scores 1.0; a doc whose every 3-gram also
+    appears in another doc scores 0.0; a half-shared doc lands between;
+    within-doc repeats don't deflate novelty (grams are distinct per
+    doc before prevalence)."""
+    from time_series_db_spark.pipeline import text
+
+    shared = "alpha beta gamma delta"
+    rows = [
+        (1, shared),                                 # fully copied by 2
+        (2, shared),
+        (3, "completely original words nobody else uses"),
+        # first 4 words shared with 1/2 (two shared 3-grams), tail unique
+        (4, f"{shared} zeta eta theta"),
+        # within-doc repetition of its own unique phrase
+        (5, "solo trio quad solo trio quad"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.ngram_novelty(df, n=3).collect()}
+    assert got[1]["novelty"] == 0.0 and got[2]["novelty"] == 0.0
+    assert got[3]["novelty"] == 1.0
+    # doc 4: grams = 5 total, 2 shared with docs 1/2 -> 3/5 novel
+    assert got[4]["n_grams"] == 5 and got[4]["n_unique"] == 3
+    assert got[4]["novelty"] == pytest.approx(0.6)
+    assert got[5]["novelty"] == 1.0  # self-repeats are still its alone
+    with pytest.raises(ValueError, match="n must be positive"):
+        text.ngram_novelty(df, n=0)

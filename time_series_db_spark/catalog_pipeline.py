@@ -1340,6 +1340,36 @@ def text_repetition(spark, sf_dir):
     )
 
 
+@register(
+    "text_ngram_novelty",
+    f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, unnest({sql_word_shingles('t', 3)}) AS g FROM toks),
+    prev AS (SELECT g, count(*)::BIGINT AS n_docs FROM grams GROUP BY g)
+    SELECT x.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN p.n_docs = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           {sql_quant("sum(CASE WHEN p.n_docs = 1 THEN 1 ELSE 0 END) "
+                      "/ count(*)")} AS novelty
+    FROM grams x JOIN prev p ON p.g = x.g
+    GROUP BY x.doc_id""",
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Corpus-relative novelty (pipeline/text.py:ngram_novelty): the
+    fraction of each document's DISTINCT word 3-grams occurring in no
+    other document — the diversity signal completing the repetition
+    family (repetition = duplication inside a doc, boilerplate = text
+    shared by many docs, novelty = content that is the doc's alone),
+    the standard knob for diversity-weighted sampling.  Spark groups
+    on the gram hash, the oracle on the gram STRING — a collision
+    surfaces as a mismatch."""
+    out = text.ngram_novelty(_docs(spark, sf_dir), n=3)
+    return out.select(
+        "doc_id", "n_grams", "n_unique",
+        quant(F.col("novelty")).alias("novelty"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-batch construction (pipeline/pack.py): sequence packing +
 # deterministic stratified sampling — the assembly steps downstream of

@@ -1035,3 +1035,57 @@ def categorical_psi(
         (F.col("p_new") - F.col("p_old"))
         * F.log(F.col("p_new") / F.col("p_old")),
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Corpus-relative novelty score: per document, the fraction of its
+    DISTINCT word ``n``-grams that occur in no other document — the
+    diversity signal completing the repetition family
+    (:func:`repetition_stats` measures duplication INSIDE a document,
+    :func:`dedup.boilerplate_span_removal` cuts text shared by MANY
+    documents; this ranks documents by how much of their content is
+    theirs alone, the standard knob for diversity-weighted sampling and
+    near-template triage).  Returns ``(id, n_grams, n_unique,
+    novelty)`` with ``novelty = n_unique / n_grams`` — 1.0 is fully
+    novel, near-0 is assembled from corpus-common phrasing.
+
+    Scale shape: shingling is scan-side; prevalence is one
+    partial-aggregated groupBy on the gram hash over ALREADY-distinct
+    (doc, gram) rows (so a hot phrase combines map-side), the flag
+    join back is an AQE-skew-splittable equi join, and the per-doc
+    ratio is a second partial agg.  ``hash_fn="md5"`` stays
+    oracle-portable; the differential oracle counts on the gram STRING
+    so a hash collision surfaces as a mismatch.
+    """
+    k = int(n)
+    if k <= 0:
+        raise ValueError(f"n must be positive, got {n}")
+    grams = textprep.word_shingles(textprep.tokens(F.col(text_col)), k)
+    ex = df.select(F.col(id_col), F.explode(grams).alias("__g")).withColumn(
+        "__h", textprep.hash64(F.col("__g"), "nov", fn=hash_fn)
+    )
+    prev = ex.groupBy("__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_docs")
+    )
+    return (
+        ex.join(prev, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("__n_docs") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_unique",
+            (F.col("n_unique") / F.col("n_grams")).alias("novelty"),
+        )
+    )
