@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "mm_ahash_neardup",        # Hamming-banded perceptual near-dup (r10)
     "ann_ivf_prebuilt",        # query probes vs pre-built IVF index (r10)
     "text_ngram_novelty",      # corpus-relative diversity score (r10)
+    "m3_forecast_backtest",    # hold-out forecast evaluation (r10)
 ]
 
 

@@ -93,6 +93,7 @@ QUERIES = [
     "mm_ahash_neardup",        # Hamming band keys + popcount verify (r10)
     "ann_ivf_prebuilt",        # prebuilt-index probe path (r10)
     "text_ngram_novelty",      # gram prevalence + flag join back (r10)
+    "m3_forecast_backtest",    # hold-out cut + forecast + error sums (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

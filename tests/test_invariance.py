@@ -181,6 +181,8 @@ HEADLINE_QUERIES = [
     "ann_ivf_prebuilt",
     # round-10: gram prevalence count + flag join + per-doc ratio
     "text_ngram_novelty",
+    # round-10: hold-out cut + forecast chain + integer error sums
+    "m3_forecast_backtest",
 ]
 
 

@@ -494,7 +494,7 @@ def test_lead_lag_requires_unique_target(spark):
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
      "text_classifier_calibration", "search_eval_metrics",
      "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt",
-     "text_ngram_novelty"],
+     "text_ngram_novelty", "m3_forecast_backtest"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1455,3 +1455,49 @@ def test_ngram_novelty_planted(spark):
     assert got[5]["novelty"] == 1.0  # self-repeats are still its alone
     with pytest.raises(ValueError, match="n must be positive"):
         text.ngram_novelty(df, n=0)
+
+
+# ---------------------------------------------------------------------------
+# forecast backtest (operators/windows.py:forecast_backtest)
+# ---------------------------------------------------------------------------
+
+
+def test_forecast_backtest_scores_perfect_and_shifted(spark):
+    """On a pure season+trend series the SNAIVE+drift backtest scores
+    zero error; adding a constant +c to the HELD-OUT actuals makes
+    mae = c and bias = −c (prediction under actual)."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    P, slope = 4, 0.5
+    season_vals = [10.0, 20.0, 5.0, 15.0]
+    n = 29  # train prefix ends at index 24 ≡ 0 (mod 4): exact drift
+    vals = [season_vals[i % P] + slope * i for i in range(n)]
+    sf = _series_df(spark, vals)
+    row = windows.forecast_backtest(
+        sf, horizon=4, season_ms=P * 1000
+    ).collect()[0]
+    assert row["n_eval"] == 4
+    assert row["mae"] == 0.0 and row["bias"] == 0.0 and row["mape"] == 0.0
+
+    shifted = vals[:25] + [v + 2.0 for v in vals[25:]]
+    row2 = windows.forecast_backtest(
+        _series_df(spark, shifted), horizon=4, season_ms=P * 1000
+    ).collect()[0]
+    assert row2["mae"] == pytest.approx(2.0)
+    assert row2["bias"] == pytest.approx(-2.0)
+
+
+def test_forecast_backtest_mape_null_on_zero_actuals(spark):
+    """All-zero held-out actuals: MAPE is NULL (undefined), MAE is the
+    plain error magnitude; horizon guard raises."""
+    from tests.test_r8_ops import _series_df
+    from time_series_db_spark.operators import windows
+
+    vals = [3.0] * 8 + [0.0, 0.0]
+    row = windows.forecast_backtest(
+        _series_df(spark, vals), horizon=2, season_ms=1000, drift=False
+    ).collect()[0]
+    assert row["mape"] is None and row["mae"] == pytest.approx(3.0)
+    with pytest.raises(ValueError, match="horizon"):
+        windows.forecast_backtest(_series_df(spark, vals), horizon=0)

@@ -1280,6 +1280,87 @@ def m3_rolling_corr(spark, sf_dir):
     return _out(out, ["name", "region"])
 
 
+#: forecast backtest config: daily season on the hourly grid, hold out
+#: the last 12 buckets
+_FB_H = 12
+_FB_P = 24
+_FB_SEASON = _FB_P * DEFAULT_STEP_MS
+
+
+@register(
+    "m3_forecast_backtest",
+    f"""{PRELUDE},
+    bsrc AS (
+      SELECT name, region, ts,
+             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value
+      FROM samples GROUP BY 1, 2, 3),
+    blts AS (
+      SELECT name, region,
+             max(CASE WHEN NOT isnan(value) THEN ts END) AS full_lts
+      FROM bsrc GROUP BY 1, 2),
+    btr AS (
+      SELECT s.* FROM bsrc s
+      JOIN blts b USING (name, region)
+      WHERE s.ts <= b.full_lts - {_FB_H * DEFAULT_STEP_MS}),
+    bagg AS (
+      SELECT name, region, min(ts) AS fts, max(ts) AS lts,
+             arg_min(value, ts) AS vf, arg_max(value, ts) AS vl
+      FROM btr WHERE NOT isnan(value)
+      GROUP BY 1, 2),
+    bgrid AS (
+      SELECT a.name, a.region,
+             a.lts + g.h * {DEFAULT_STEP_MS} AS tsf,
+             a.lts + g.h * {DEFAULT_STEP_MS}
+               - ((g.h + {_FB_P - 1}) // {_FB_P}) * {_FB_SEASON} AS tsb,
+             CASE WHEN a.lts > a.fts
+                  THEN (a.vl - a.vf) / ((a.lts - a.fts) / {DEFAULT_STEP_MS})
+                  ELSE 0.0::DOUBLE END AS d
+      FROM bagg a CROSS JOIN generate_series(1, {_FB_H}) g(h)),
+    bpred AS (
+      SELECT g.name, g.region, g.tsf,
+             b.value + ((g.tsf - g.tsb) / {DEFAULT_STEP_MS}) * g.d AS pred
+      FROM bgrid g
+      JOIN btr b
+        ON b.name = g.name AND b.region = g.region AND b.ts = g.tsb),
+    bsc AS (
+      SELECT p.name, p.region,
+             floor(abs(p.pred - a.value) * 1e6 + 0.5)::HUGEINT AS ae,
+             floor((p.pred - a.value) * 1e6 + 0.5)::HUGEINT AS e,
+             CASE WHEN a.value <> 0
+                  THEN floor(abs(p.pred - a.value) / abs(a.value)
+                             * 1e6 + 0.5)::HUGEINT END AS ape
+      FROM bpred p
+      JOIN bsrc a
+        ON a.name = p.name AND a.region = p.region AND a.ts = p.tsf
+      WHERE NOT isnan(a.value) AND NOT isnan(p.pred))
+    SELECT name, region, count(*)::BIGINT AS n_eval,
+           {sql_quant('CAST(sum(ae) AS DOUBLE) / 1e6 / count(*)')} AS mae,
+           {sql_quant('CAST(sum(e) AS DOUBLE) / 1e6 / count(*)')} AS bias,
+           {sql_quant('CASE WHEN count(ape) > 0 THEN '
+                      'CAST(sum(ape) AS DOUBLE) / 1e6 / count(ape) END')}
+             AS mape
+    FROM bsc GROUP BY 1, 2""",
+)
+def m3_forecast_backtest(spark, sf_dir):
+    """Hold-out forecast evaluation
+    (operators/windows.py:forecast_backtest): hide each series' last
+    {_FB_H} buckets, forecast them with the daily-season SNAIVE+drift
+    over the (name, region) sum fleet, and score MAE / signed bias / MAPE against the hidden actuals —
+    the trust-the-forecast loop, mirroring classifier_calibration and
+    retrieval_eval for this round's forecaster.  Per-point error terms
+    quantize to 1e-6 integers BEFORE the per-series sums (order-free),
+    so every emitted mean is one division of exact integers."""
+    sf = grouping.sum_(_fetch(spark, sf_dir), ["name", "region"], exact=True)
+    out = windows.forecast_backtest(sf, horizon=_FB_H, season_ms=_FB_SEASON)
+    return out.select(
+        *[F.col("labels")[k].alias(k) for k in ["name", "region"]],
+        "n_eval",
+        quant(F.col("mae")).alias("mae"),
+        quant(F.col("bias")).alias("bias"),
+        quant(F.col("mape")).alias("mape"),
+    )
+
+
 #: correlate_matrix sketch config: coarse buckets of 4 grid steps,
 #: 4-symbol bands, stop-band cap 32 (candidates measured 31.6k→41.3k
 #: across a 10× fleet on the bench corpus — the cap is what keeps the

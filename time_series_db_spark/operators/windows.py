@@ -1215,6 +1215,92 @@ def forecast(
     return replace(sf, df=df, max_ts=sf.max_ts + h_n * step)
 
 
+def forecast_backtest(
+    sf: SeriesFrame,
+    horizon: int = 12,
+    season_ms: int | None = None,
+    drift: bool = True,
+    max_lag: int = 48,
+    min_lag: int = 2,
+) -> "DataFrame":
+    """Hold-out evaluation of :func:`forecast` — the loop every
+    capacity-planning deployment runs before trusting a forecast: per
+    series, hide the last ``horizon`` grid buckets, forecast them from
+    the remaining prefix, and score the predictions against the hidden
+    actuals.  Returns one row per series with ≥ 1 scored point:
+    ``(series_key, labels, n_eval, mae, bias, mape)`` — ``mae`` mean
+    absolute error, ``bias`` mean signed error (systematic over/under),
+    ``mape`` mean |err|/|actual| over nonzero actuals (NULL when every
+    actual is zero).  The evaluation counterpart the classifier got in
+    ``classifier_calibration`` and retrieval got in ``retrieval_eval``.
+
+    Determinism: predictions are engine-exact by :func:`forecast`'s
+    construction, so errors are identical doubles; each per-point error
+    term is quantized to 1e-6 integers BEFORE the per-series sum
+    (order-free), and every emitted mean is one division of exact
+    integers.  Scored points need a PRESENT finite actual and a
+    non-NaN prediction — absent stays absent.
+
+    Scale shape: one partial-aggregated groupBy(series) for the
+    cutoffs, the forecast's own two scans over the prefix, and one
+    (series, ts) equi join of the horizon-sized prediction table
+    against the actuals — nothing new beyond the forecast itself.
+    """
+    h_n = int(horizon)
+    if h_n <= 0:
+        raise ValueError(f"horizon must be positive, got {horizon}")
+    step = int(sf.step)
+    v = F.col("value")
+    fin_ts = F.when(~F.isnan(v), F.col("ts"))
+    cuts = sf.df.groupBy("series_key").agg(
+        (F.max(fin_ts) - F.lit(h_n * step)).alias("__cut")
+    )
+    train = sf.with_df(
+        sf.df.join(cuts, "series_key")
+        .filter(F.col("ts") <= F.col("__cut"))
+        .select(*SAMPLE_COLS)
+    )
+    preds = forecast(
+        train, h_n, season_ms, drift=drift, max_lag=max_lag, min_lag=min_lag
+    ).df.select(
+        "series_key", "ts", F.col("value").alias("__pred")
+    )
+    actuals = sf.df.filter(~F.isnan(v)).select(
+        "series_key", "ts", F.col("value").alias("__act")
+    )
+    err = F.col("__pred") - F.col("__act")
+    q6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("decimal(27,0)")
+    scored = (
+        preds.join(actuals, ["series_key", "ts"])
+        .filter(~F.isnan("__pred"))
+        .select(
+            "series_key",
+            q6(F.abs(err)).alias("__ae"),
+            q6(err).alias("__e"),
+            F.when(F.col("__act") != 0, q6(F.abs(err) / F.abs("__act")))
+            .alias("__ape"),
+        )
+    )
+    agg = scored.groupBy("series_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.sum("__ae").alias("__sae"),
+        F.sum("__e").alias("__se"),
+        F.count("__ape").cast("long").alias("__n_ape"),
+        F.sum("__ape").alias("__sape"),
+    )
+    return agg.select(
+        "series_key",
+        labels_from_key_expr(F.col("series_key")).alias("labels"),
+        "n_eval",
+        (F.col("__sae").cast("double") / 1e6 / F.col("n_eval")).alias("mae"),
+        (F.col("__se").cast("double") / 1e6 / F.col("n_eval")).alias("bias"),
+        F.when(
+            F.col("__n_ape") > 0,
+            F.col("__sape").cast("double") / 1e6 / F.col("__n_ape"),
+        ).alias("mape"),
+    )
+
+
 def show_anomaly_thresholds(sf: SeriesFrame, threshold: float = 3.0) -> SeriesFrame:
     """showAnomalyThresholds — reference known-but-unimplemented
     (lang/m3/common/Constants.java:70); the companion surface of
