@@ -1899,3 +1899,64 @@ def test_query_range_rejects_nonpositive_step(spark):
             )
         with pytest.raises(ValueError, match="step must be"):
             service.promql_query(src, "error", EVENTS_MIN_TS, step)
+
+
+def test_doc_ingest_dedups_across_batches(spark, tmp_path):
+    """Streaming incremental-crawl loop (streaming/docs.py): batch 1
+    seeds the store + model (in-batch near-dup dropped, min-id wins);
+    batch 2's near-dup of a batch-1 SURVIVOR is dropped via the
+    persisted model — the cross-batch memory is the whole point — while
+    its genuinely-new doc lands; the model grows by exactly the
+    survivors' signatures."""
+    import json
+
+    from time_series_db_spark.streaming.docs import (
+        read_corpus,
+        start_doc_ingest,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    store = str(tmp_path / "corpus")
+    model = str(tmp_path / "model")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_batch(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"doc_id": i, "text": t, "source": "crawl"})
+                for i, t in rows
+            )
+        )
+        q = start_doc_ingest(
+            spark, str(src), store, model, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "pack my box with five dozen fresh liquor jugs today"
+    run_batch("b1.json", [
+        (1, a),
+        (2, b),
+        (3, a + " again"),   # in-batch near-dup of 1 → dropped (min id)
+    ])
+    kept1 = {r["doc_id"] for r in read_corpus(spark, store).collect()}
+    assert kept1 == {1, 2}
+    n_model1 = spark.read.parquet(model).count()
+    assert n_model1 == 2
+
+    c = "completely unrelated sentence about training data decks"
+    run_batch("b2.json", [
+        (4, b + " again"),   # cross-BATCH near-dup of stored 2 → dropped
+        (5, c),              # genuinely new → kept
+    ])
+    kept2 = {r["doc_id"] for r in read_corpus(spark, store).collect()}
+    assert kept2 == {1, 2, 5}
+    assert spark.read.parquet(model).count() == 3
+    # the read path's ANY_WINS dedup absorbs a duplicate append
+    spark.createDataFrame(
+        [(5, c, "crawl")], "doc_id long, text string, source string"
+    ).write.mode("append").parquet(store)
+    assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {
+        1, 2, 5,
+    }

@@ -1,0 +1,123 @@
+"""Streaming incremental-crawl document ingest: the end-to-end loop the
+batch pieces of this round compose into — per micro-batch of crawled
+documents, drop near-duplicates of everything ALREADY KEPT (the
+persisted MinHash model), drop in-batch near-duplicates, append the
+survivors to the corpus store, and append THEIR signatures to the
+model so the next batch dedups against them.
+
+This is the continuously-crawled-store shape the batch operators
+document individually (`minhash_fit` / `cross_corpus_dedup(model=…)` /
+`minhash_update`), driven by Structured Streaming: ``foreachBatch``
+gives every micro-batch the full batch writer, and the model is
+APPEND-ONLY parquet of integer signature rows — no read-modify-write
+cycle, so a model read never races its own update.
+
+Exactly-once: a replayed epoch re-appends survivors and signatures.
+The model-side dedup is self-match-immune (a replayed document matching
+its own stored signature is filtered by id before the drop decision),
+and the store read path dedups by document id (ANY_WINS) — the same
+absorb-duplicates-on-read contract the metrics store carries
+(streaming/ingest.py:start_ingest_bucketed docstring).
+
+Reference tie-in: the reference's ingest-time series-id dedup
+(TimeSeriesIdFieldMapper) is the metrics analog of this content-level
+gate; the reference has no document tier — this extends its
+dedup-at-write idea to the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from time_series_db_spark.pipeline import dedup
+
+#: crawl drop schema: one JSON doc per line
+DOC_SCHEMA = "doc_id LONG, text STRING, source STRING"
+
+
+def _model_nonempty(spark: SparkSession, model_path: str) -> bool:
+    try:
+        return bool(spark.read.parquet(model_path).take(1))
+    except Exception:
+        return False
+
+
+def ingest_doc_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    store_path: str,
+    model_path: str,
+    threshold: float = 0.8,
+) -> None:
+    """One micro-batch of the incremental-crawl loop (shared by the
+    streaming commit and batch backfills):
+
+    1. drop batch docs near-duplicating the ACCUMULATED model
+       (``cross_corpus_dedup(model=…)`` — the reference side pays no
+       text scan; self-id matches are ignored so epoch replays cannot
+       drop a document against its own stored signature);
+    2. drop in-batch near-duplicates (min-id survivor);
+    3. append survivors to the corpus store and their signatures to
+       the model.
+
+    Per-batch cost scales with the BATCH (one signature pass over it,
+    one band equi-join against the model's band table, two appends) —
+    never with the accumulated corpus, which is the entire point.
+    """
+    from time_series_db_spark.cache import persist_tracked
+
+    batch = persist_tracked(batch)
+    if _model_nonempty(spark, model_path):
+        model = spark.read.parquet(model_path)
+        flags = dedup.cross_corpus_dedup(
+            batch, model=model, threshold=threshold
+        ).filter(F.col("ref_id") != F.col("doc_id"))
+        kept = batch.join(flags.select("doc_id"), "doc_id", "left_anti")
+    else:
+        kept = batch
+    pairs = dedup.minhash_dedup_pairs(kept, threshold=threshold)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = persist_tracked(kept.join(dropped, "doc_id", "left_anti"))
+    kept.write.mode("append").parquet(store_path)
+    dedup.minhash_fit(kept).write.mode("append").parquet(model_path)
+
+
+def read_corpus(spark: SparkSession, store_path: str) -> DataFrame:
+    """Store read path: ANY_WINS by document id — absorbs the
+    duplicate appends an epoch replay can produce (the store-side half
+    of the exactly-once contract)."""
+    docs = spark.read.parquet(store_path)
+    other = [c for c in docs.columns if c != "doc_id"]
+    return docs.groupBy("doc_id").agg(
+        *[F.min(c).alias(c) for c in other]
+    )
+
+
+def start_doc_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    store_path: str,
+    model_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.8,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Continuous crawl ingest: watch ``source_dir`` for JSON document
+    drops and run :func:`ingest_doc_batch` per micro-batch."""
+    raw = spark.readStream.schema(DOC_SCHEMA).json(source_dir)
+
+    def _commit(batch_df: DataFrame, epoch_id: int) -> None:
+        ingest_doc_batch(
+            spark, batch_df, store_path, model_path, threshold
+        )
+
+    writer = (
+        raw.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
