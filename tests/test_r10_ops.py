@@ -1501,3 +1501,21 @@ def test_forecast_backtest_mape_null_on_zero_actuals(spark):
     assert row["mape"] is None and row["mae"] == pytest.approx(3.0)
     with pytest.raises(ValueError, match="horizon"):
         windows.forecast_backtest(_series_df(spark, vals), horizon=0)
+
+
+def test_ngram_novelty_hash_fn_parity(spark):
+    """The xxhash64 production path scores identically to the
+    oracle-portable md5 path."""
+    from time_series_db_spark.pipeline import text
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "totally different words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    md5 = sorted(map(tuple, text.ngram_novelty(df, hash_fn="md5").collect()))
+    xx = sorted(
+        map(tuple, text.ngram_novelty(df, hash_fn="xxhash64").collect())
+    )
+    assert md5 == xx

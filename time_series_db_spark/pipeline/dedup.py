@@ -1147,6 +1147,10 @@ def boilerplate_span_removal(
         raise ValueError(f"span_words must be positive, got {span_words}")
     if min_docs < 2:
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    # spread the raw docs before the hash-heavy explode (the
+    # cosine_topk lesson: a compact parquet corpus arrives as 1-2
+    # splits; A/B-measured 1.17 s → 0.69 s at sf0.1, no-op at scale)
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     words = F.split(F.col(text_col), " ")
     spans = (
         df.select(F.col(id_col), words.alias("__w"))

@@ -1059,13 +1059,24 @@ def ngram_novelty(
     partial-aggregated groupBy on the gram hash over ALREADY-distinct
     (doc, gram) rows (so a hot phrase combines map-side), the flag
     join back is an AQE-skew-splittable equi join, and the per-doc
-    ratio is a second partial agg.  ``hash_fn="md5"`` stays
-    oracle-portable; the differential oracle counts on the gram STRING
-    so a hash collision surfaces as a mismatch.
+    ratio is a second partial agg.  Gram identity hashes the gram
+    STRING (A/B-measured: the MinHash-style per-token polynomial fold
+    is 2.5× SLOWER here — the nested higher-order fold falls out of
+    whole-stage codegen under the explode generator, while the
+    per-gram md5 stays codegen'd; minhash avoids that by never
+    exploding its shingles).  ``hash_fn="md5"`` stays oracle-portable;
+    the differential oracle counts on the gram STRING so a hash
+    collision surfaces as a mismatch.
     """
     k = int(n)
     if k <= 0:
         raise ValueError(f"n must be positive, got {n}")
+    # spread the raw docs before the hash-heavy explode: a compact
+    # parquet corpus arrives as 1-2 splits, serializing all gram
+    # hashing on one core (the cosine_topk lesson; A/B-measured 9.8 s
+    # → 1.1 s at sf0.1); at real scale the scan has many splits and
+    # this is a cheap no-op rebalance of raw text
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     grams = textprep.word_shingles(textprep.tokens(F.col(text_col)), k)
     ex = df.select(F.col(id_col), F.explode(grams).alias("__g")).withColumn(
         "__h", textprep.hash64(F.col("__g"), "nov", fn=hash_fn)
