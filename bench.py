@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ann_ivf_prebuilt",        # query probes vs pre-built IVF index (r10)
     "text_ngram_novelty",      # corpus-relative diversity score (r10)
     "m3_forecast_backtest",    # hold-out forecast evaluation (r10)
+    "sample_token_budget",     # bucketed-threshold token mixing (r10)
 ]
 
 

@@ -94,6 +94,7 @@ QUERIES = [
     "ann_ivf_prebuilt",        # prebuilt-index probe path (r10)
     "text_ngram_novelty",      # gram prevalence + flag join back (r10)
     "m3_forecast_backtest",    # hold-out cut + forecast + error sums (r10)
+    "sample_token_budget",     # boundary-bucket-only sort fill (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

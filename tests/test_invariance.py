@@ -183,6 +183,8 @@ HEADLINE_QUERIES = [
     "text_ngram_novelty",
     # round-10: hold-out cut + forecast chain + integer error sums
     "m3_forecast_backtest",
+    # round-10: priority-range bucket cumulative + boundary-only sort
+    "sample_token_budget",
 ]
 
 

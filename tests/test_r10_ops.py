@@ -494,7 +494,8 @@ def test_lead_lag_requires_unique_target(spark):
      "dedup_boilerplate_spans", "dedup_xcorpus_update",
      "text_classifier_calibration", "search_eval_metrics",
      "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt",
-     "text_ngram_novelty", "m3_forecast_backtest"],
+     "text_ngram_novelty", "m3_forecast_backtest",
+     "sample_token_budget"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1519,3 +1520,93 @@ def test_ngram_novelty_hash_fn_parity(spark):
         map(tuple, text.ngram_novelty(df, hash_fn="xxhash64").collect())
     )
     assert md5 == xx
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling (pipeline/pack.py:sample_token_budget)
+# ---------------------------------------------------------------------------
+
+
+def _budget_docs(spark):
+    rows = []
+    for i in range(40):
+        src = "a" if i % 2 == 0 else "b"
+        words = " ".join(f"w{j}" for j in range((i % 5) + 3))  # 3..7 toks
+        rows.append((i, words, src))
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_token_budget_matches_python_replay(spark):
+    """The kept set equals the sequential replay: take docs in md5(id)
+    order until the stratum's token budget would be exceeded (a doc is
+    kept only if it fits wholly — the greedy fill can skip a big doc
+    and still take a later small one? NO: the contract is prefix-fill,
+    the first non-fitting doc ENDS the stratum)."""
+    import hashlib
+
+    from time_series_db_spark.pipeline import pack
+
+    docs = _budget_docs(spark)
+    budgets = {"a": 40, "b": 25}
+    got = sorted(
+        (r["doc_id"], r["stratum"], r["n_tokens"])
+        for r in pack.sample_token_budget(docs, budgets).collect()
+    )
+
+    def prio(i):
+        return int(hashlib.md5(f"budget:{i}".encode()).hexdigest()[:15], 16)
+
+    want = []
+    for src in ("a", "b"):
+        pool = sorted(
+            (prio(i), i, (i % 5) + 3)
+            for i in range(40)
+            if ("a" if i % 2 == 0 else "b") == src
+        )
+        acc = 0
+        for _, i, nt in pool:
+            if acc + nt > budgets[src]:
+                break
+            acc += nt
+            want.append((i, src, nt))
+    assert got == sorted(want) and got
+    # budget semantics: kept token mass never exceeds the budget
+    mass = {}
+    for _, s, nt in got:
+        mass[s] = mass.get(s, 0) + nt
+    assert mass["a"] <= 40 and mass["b"] <= 25
+
+
+def test_token_budget_bucketing_is_pure_parallelism(spark):
+    """n_buckets must not change the result: the bucket-threshold path
+    (only the boundary bucket sorts) equals the full-sort degenerate
+    n_buckets=1 — bucketing is an optimization, not an approximation."""
+    from time_series_db_spark.pipeline import pack
+
+    docs = _budget_docs(spark)
+    budgets = {"a": 37, "b": 1}
+    runs = [
+        sorted(
+            map(tuple, pack.sample_token_budget(
+                docs, budgets, n_buckets=nb
+            ).collect())
+        )
+        for nb in (1, 8, 64)
+    ]
+    assert runs[0] == runs[1] == runs[2]
+    # b's budget of 1 token fits no 3-token doc: empty stratum, not error
+    assert not [r for r in runs[0] if r[1] == "b"]
+
+
+def test_token_budget_small_stratum_and_guards(spark):
+    from time_series_db_spark.pipeline import pack
+
+    docs = _budget_docs(spark)
+    out = pack.sample_token_budget(docs, {"a": 10**9}).collect()
+    assert len(out) == 20  # whole stratum fits; absent strata excluded
+    with pytest.raises(ValueError, match="non-empty"):
+        pack.sample_token_budget(docs, {})
+    with pytest.raises(ValueError, match="non-negative"):
+        pack.sample_token_budget(docs, {"a": -1})
+    with pytest.raises(ValueError, match="n_buckets"):
+        pack.sample_token_budget(docs, {"a": 5}, n_buckets=0)

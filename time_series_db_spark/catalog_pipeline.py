@@ -1686,6 +1686,67 @@ def decontaminate_bloom(spark, sf_dir):
     return decontam.bloom_decontaminate(corpus, evals, n=8, min_hits=1)
 
 
+_TB_W = (1 << 60) // 64
+
+
+@register(
+    "sample_token_budget",
+    f"""WITH bl(stratum, budget) AS (
+      VALUES ('src0', 600::BIGINT), ('src1', 400::BIGINT),
+             ('src2', 250::BIGINT)),
+    bt AS (
+      SELECT doc_id, source AS stratum,
+             len(list_filter({_TOKS}, t -> t <> ''))::BIGINT AS n_tokens,
+             {sql_hash64("CAST(doc_id AS VARCHAR)", "budget")} AS p
+      FROM documents),
+    bk AS (
+      SELECT t.*, b.budget, t.p // {_TB_W} AS bucket
+      FROM bt t JOIN bl b USING (stratum)),
+    bs AS (
+      SELECT stratum, budget, bucket, sum(n_tokens) AS btok
+      FROM bk GROUP BY 1, 2, 3),
+    bc AS (
+      SELECT *, sum(btok) OVER (
+        PARTITION BY stratum ORDER BY bucket) AS cum
+      FROM bs),
+    bf AS (
+      SELECT stratum, bucket, cum - btok AS prev,
+             cum <= budget AS fullb,
+             (cum - btok < budget AND cum > budget) AS boundary
+      FROM bc),
+    whole AS (
+      SELECT k.doc_id, k.stratum, k.n_tokens
+      FROM bk k JOIN bf f
+        ON f.stratum = k.stratum AND f.bucket = k.bucket AND f.fullb),
+    part AS (
+      SELECT doc_id, stratum, n_tokens FROM (
+        SELECT k.doc_id, k.stratum, k.n_tokens, f.prev, k.budget,
+               sum(k.n_tokens) OVER (
+                 PARTITION BY k.stratum ORDER BY k.p, k.doc_id) AS run
+        FROM bk k JOIN bf f
+          ON f.stratum = k.stratum AND f.bucket = k.bucket AND f.boundary)
+      WHERE prev + run <= budget)
+    SELECT * FROM whole UNION ALL SELECT * FROM part""",
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget mixing (pipeline/pack.py:sample_token_budget):
+    fill per-source TOKEN budgets in fixed md5(id) order — the mixing
+    step stated the way training runs state it ("600 tokens of src0,
+    400 of src1"), vs sample_mixture's document counts.  The bucketed
+    threshold makes it scale-exact: per-(stratum, priority-range-
+    bucket) token sums classify buckets as wholly-kept / boundary /
+    excluded, and ONLY the boundary bucket pays a per-document
+    cumulative sort (property-tested: n_buckets=1 == n_buckets=64,
+    pure parallelism); the oracle replays the identical bucket
+    arithmetic — all-integer end to end."""
+    from time_series_db_spark.pipeline import pack
+
+    out = pack.sample_token_budget(
+        _docs(spark, sf_dir), {"src0": 600, "src1": 400, "src2": 250}
+    )
+    return out.select("doc_id", "stratum", "n_tokens")
+
+
 @register(
     "sample_mixture",
     """WITH quotas(stratum, target_n) AS (
