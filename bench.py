@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "text_ngram_novelty",      # corpus-relative diversity score (r10)
     "m3_forecast_backtest",    # hold-out forecast evaluation (r10)
     "sample_token_budget",     # bucketed-threshold token mixing (r10)
+    "ann_ivf_update",          # frozen-centroid incremental add (r10)
 ]
 
 

@@ -95,6 +95,7 @@ QUERIES = [
     "text_ngram_novelty",      # gram prevalence + flag join back (r10)
     "m3_forecast_backtest",    # hold-out cut + forecast + error sums (r10)
     "sample_token_budget",     # boundary-bucket-only sort fill (r10)
+    "ann_ivf_update",          # delta-only frozen-centroid assign (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4

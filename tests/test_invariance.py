@@ -185,6 +185,8 @@ HEADLINE_QUERIES = [
     "m3_forecast_backtest",
     # round-10: priority-range bucket cumulative + boundary-only sort
     "sample_token_budget",
+    # round-10: frozen-centroid delta assignment feeding the cell join
+    "ann_ivf_update",
 ]
 
 

@@ -495,7 +495,7 @@ def test_lead_lag_requires_unique_target(spark):
      "text_classifier_calibration", "search_eval_metrics",
      "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt",
      "text_ngram_novelty", "m3_forecast_backtest",
-     "sample_token_budget"],
+     "sample_token_budget", "ann_ivf_update"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -515,7 +515,7 @@ def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     # (ann_ivf_prebuilt's BNLJ is kmeans' documented broadcast-centroid
     # assignment of the BOUNDED query batch — nlist-row inner side)
     if name not in ("text_categorical_psi", "search_eval_metrics",
-                    "ann_ivf_prebuilt"):
+                    "ann_ivf_prebuilt", "ann_ivf_update"):
         assert "BroadcastNestedLoopJoin" not in plan
 
 
@@ -1610,3 +1610,50 @@ def test_token_budget_small_stratum_and_guards(spark):
         pack.sample_token_budget(docs, {"a": -1})
     with pytest.raises(ValueError, match="n_buckets"):
         pack.sample_token_budget(docs, {"a": 5}, n_buckets=0)
+
+
+def test_ivf_update_equals_frozen_reassign(spark, monkeypatch):
+    """update(fit(A), B) must equal assigning A∪B under fit(A)'s
+    FROZEN centroids — centroids untouched, replaced ids win, and the
+    delta path never retrains."""
+    from time_series_db_spark.pipeline import ann
+
+    vecs = _toy_vectors(spark)
+    a = vecs.filter("vec_id % 2 = 0")
+    b = vecs.filter("vec_id % 2 = 1")
+    model = ann.ivf_fit(a, nlist=4, train_iters=2)
+    calls = []
+    real = ann.kmeans_centroids
+    monkeypatch.setattr(
+        ann, "kmeans_centroids",
+        lambda *ar, **kw: calls.append(1) or real(*ar, **kw),
+    )
+    upd = ann.ivf_update(model, b)
+    assert not calls, "ivf_update must never retrain"
+    canon = lambda df: sorted(
+        (r["vec_id"], tuple(r["vector"]), r["cell"]) for r in df.collect()
+    )
+    # expected: the union assigned under model's centroids
+    cents = model["centroids"].select(
+        F.col("cell").alias("__cid"), F.col("centroid").alias("__centroid")
+    )
+    expected = ann.ivf_assign(
+        vecs.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS __v"),
+        F.broadcast(cents), nprobe=1,
+    ).select(
+        "vec_id", F.col("__v").alias("vector"),
+        F.col("__cell").cast("long").alias("cell"),
+    )
+    assert canon(upd["cells"]) == canon(expected)
+    assert canon(upd["centroids"].selectExpr(
+        "cell AS vec_id", "centroid AS vector", "cell"
+    )) == canon(model["centroids"].selectExpr(
+        "cell AS vec_id", "centroid AS vector", "cell"
+    ))
+    # replacement: re-adding id 0 with a new vector replaces its row
+    moved = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    upd2 = ann.ivf_update(upd, moved)
+    rows0 = [r for r in upd2["cells"].collect() if r["vec_id"] == 0]
+    assert len(rows0) == 1 and rows0[0]["vector"] == [1.0, 0.0, 0.0, 0.0]

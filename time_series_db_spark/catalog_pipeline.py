@@ -1261,6 +1261,56 @@ def ann_ivf_prebuilt(spark, sf_dir):
     )
 
 
+@register(
+    "ann_ivf_update",
+    f"""WITH eall AS ({_SQL_E}),
+    e AS (SELECT * FROM eall WHERE vec_id % 2 = 0),
+    {_KM_CTES},
+    assign AS (
+      SELECT x.vec_id, x.v, c.cid,
+             row_number() OVER (
+               PARTITION BY x.vec_id
+               ORDER BY {_sql_cosine('x.v', 'c.centroid')} DESC, c.cid
+             ) AS pr
+      FROM eall x CROSS JOIN {_KM_FINAL} c),
+    cells AS (SELECT vec_id, v, cid AS cell FROM assign WHERE pr = 1),
+    qcells AS (
+      SELECT vec_id, v, cid AS cell FROM assign
+      WHERE pr <= 2 AND vec_id % 50 = 0),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cosine('q.v', 'c.v')} AS cosine
+      FROM qcells q JOIN cells c
+        ON c.cell = q.cell AND c.vec_id <> q.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM cand)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant('cosine')} AS cosine
+    FROM ranked WHERE rank <= 5""",
+)
+def ann_ivf_update(spark, sf_dir):
+    """Incremental index add (pipeline/ann.py:ivf_update): the
+    quantizer trains ONCE on the even half (the FROZEN-centroid FAISS
+    add() contract — retraining would move every stored vector's
+    cell), the odd half is assigned against those centroids and
+    appended, and the query batch searches the updated index.  The
+    oracle trains its Lloyd rounds on the even half and assigns the
+    FULL corpus under the frozen centroids — the update == re-assign
+    equality proof; no-retrain pinned by monkeypatch test."""
+    embs = _embs(spark, sf_dir)
+    model = ann.ivf_fit(
+        embs.filter(F.col("vec_id") % 2 == 0), nlist=16, train_iters=2
+    )
+    model = ann.ivf_update(model, embs.filter(F.col("vec_id") % 2 == 1))
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.ivf_kmeans_topk(queries=queries, k=5, nprobe=2, model=model)
+    return out.select(
+        "query_id", "neighbor_id", "rank", quant(F.col("cosine")).alias("cosine")
+    )
+
+
 @register("ann_ivf_kmeans_topk", _IVF_KM_SQL)
 def ann_ivf_kmeans_topk(spark, sf_dir):
     """IVF-Flat with a TRAINED coarse quantizer: two deterministic Lloyd

@@ -351,6 +351,47 @@ def ivf_fit(
     }
 
 
+def ivf_update(
+    model: dict[str, DataFrame],
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Incremental add to a pre-built :func:`ivf_fit` index — the FAISS
+    ``add()`` contract: the coarse quantizer stays FROZEN (re-training
+    would move every stored vector's cell and force a full re-assign),
+    new vectors are assigned to the EXISTING centroids and appended to
+    the cells table; an id already present is REPLACED (the
+    :func:`dedup.minhash_update` semantics).  Invariant (tested): the
+    updated cells equal assigning the union corpus under the original
+    centroids — updating is exactly re-assigning, minus re-scanning
+    the unchanged corpus.
+
+    Scale shape: one broadcast-centroid assignment pass over the DELTA
+    only, one id anti-join of the cells table against the delta ids;
+    the centroids table passes through untouched.  Periodic re-train
+    (quantizer drift as the corpus distribution moves) is a deliberate
+    separate :func:`ivf_fit` call — the monitor for WHEN is
+    ``embedding_source_drift``.
+    """
+    cents = F.broadcast(
+        model["centroids"].select(
+            F.col("cell").alias("__cid"),
+            F.col("centroid").alias("__centroid"),
+        )
+    )
+    vecs = vectors.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    fresh = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+        F.col(id_col),
+        F.col("__v").alias("vector"),
+        F.col("__cell").cast("long").alias("cell"),
+    )
+    cells = model["cells"].join(
+        vectors.select(id_col), id_col, "left_anti"
+    ).unionByName(fresh)
+    return {"centroids": model["centroids"], "cells": cells}
+
+
 def ivf_kmeans_topk(
     corpus: DataFrame | None = None,
     queries: DataFrame = None,
