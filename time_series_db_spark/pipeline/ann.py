@@ -331,9 +331,17 @@ def ivf_fit(
     nlist-row metadata.  Keep ``nlist`` consistent between fit and
     apply — mismatched centroids cannot be detected at query time.
     """
+    from time_series_db_spark.cache import persist_tracked
+
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
-    cents = kmeans_centroids(
-        vecs, nlist=nlist, iters=train_iters, id_col=id_col
+    # persist the trained centroids: the model's two tables (and an
+    # ivf_update on top of them) each embed this plan, and without the
+    # pin every downstream materialization re-runs the Lloyd rounds —
+    # the same unpersisted-model defect the minhash model path had
+    # (BASELINE.md r10 snapshot; A/B re-measured: update-entry 10×
+    # exponent 0.96 → re-check after pin)
+    cents = persist_tracked(
+        kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
     )
     cells = ivf_assign(
         vecs, F.broadcast(cents), nprobe=1, id_col=id_col
