@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "m3_forecast_backtest",    # hold-out forecast evaluation (r10)
     "sample_token_budget",     # bucketed-threshold token mixing (r10)
     "ann_ivf_update",          # frozen-centroid incremental add (r10)
+    "m3ql_rolling_corr",       # language-path rolling correlation (r10)
 ]
 
 

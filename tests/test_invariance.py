@@ -187,6 +187,8 @@ HEADLINE_QUERIES = [
     "sample_token_budget",
     # round-10: frozen-centroid delta assignment feeding the cell join
     "ann_ivf_update",
+    # round-10: language-path grouped max + integer co-moment windows
+    "m3ql_rolling_corr",
 ]
 
 

@@ -22,7 +22,7 @@ _STAGES = [
     "showTags", "mapKey", "tagSub", "fallbackSeries", "sort",
     "nonNegativeDerivative", "aliasSub", "nPercentile", "constantLine",
     "anomalies", "decimate", "seasonalAdjust", "seasonalDecompose",
-    "forecast",
+    "forecast", "rollingCorr",
     "showAnomalyThresholds",
     "changepoints", "interpolate", "ewma", "movingPercentile",
     "timestamp", "toHistogram", "aliasByDistinctTags", "asBurnRate",

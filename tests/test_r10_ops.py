@@ -1657,3 +1657,51 @@ def test_ivf_update_equals_frozen_reassign(spark, monkeypatch):
     upd2 = ann.ivf_update(upd, moved)
     rows0 = [r for r in upd2["cells"].collect() if r["vec_id"] == 0]
     assert len(rows0) == 1 and rows0[0]["vector"] == [1.0, 0.0, 0.0, 0.0]
+
+
+def test_rolling_corr_m3ql_stage(spark, sf_dir):
+    """`rollingCorr W "tag:value"... [minPoints]` through the full
+    language path equals the operator composition; malformed forms
+    raise plan errors."""
+    from time_series_db_spark.catalog_m3ql import run_m3ql
+    from time_series_db_spark.lang.m3.parser import parse
+    from time_series_db_spark.lang.m3.plan import M3PlanError, build_plan
+    from time_series_db_spark.operators import grouping, stats
+    from time_series_db_spark.sources import fetch_events
+
+    plan = build_plan(
+        parse('fetch name:x | rollingCorr 8 "name:y" "region:r1" 5')
+    )
+    assert (
+        "ROLLING_CORR(window=8, target=name:y,region:r1, min_points=5)"
+        in plan.dump()
+    )
+    for bad in [
+        "fetch name:x | rollingCorr",
+        "fetch name:x | rollingCorr 6",
+        "fetch name:x | rollingCorr 1 \"name:y\"",
+        "fetch name:x | rollingCorr six \"name:y\"",
+        "fetch name:x | rollingCorr 6 \"noseparator\"",
+    ]:
+        with pytest.raises(M3PlanError):
+            build_plan(parse(bad))
+
+    staged = sorted(
+        (r["series_key"], r["ts"], round(r["value"], 9))
+        for r in run_m3ql(
+            spark, sf_dir,
+            'fetch name:* | max name region | '
+            'rollingCorr 6 "name:click" "region:r0" 4',
+        ).df.collect()
+    )
+    direct = stats.rolling_corr_target(
+        grouping.max_(fetch_events(spark, sf_dir), ["name", "region"]),
+        {"name": "click", "region": "r0"},
+        window_buckets=6,
+        min_points=4,
+    )
+    want = sorted(
+        (r["series_key"], r["ts"], round(r["value"], 9))
+        for r in direct.df.collect()
+    )
+    assert staged == want and staged

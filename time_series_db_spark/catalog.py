@@ -1217,12 +1217,22 @@ def m3_lead_lag(spark, sf_dir):
 _RC_W = 6
 
 
-@register(
-    "m3_rolling_corr",
-    f"""{_CORR_PRELUDE},
-    rsrc AS (
-      SELECT name, region, ts,
-             CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS value
+def sql_rolling_corr_ctes(
+    step: int,
+    w: int,
+    min_points: int,
+    agg: str = "CAST(sum(CAST(value AS DECIMAL(27,6))) AS DOUBLE)",
+) -> str:
+    """The rolling-Pearson replay over a grouped (name, region) fleet
+    vs the click/r0 target (consumes the ``samples`` CTE): 1e-6
+    integer quantization, five exact-integer windowed co-moments,
+    double combination — shared by the operator entry (exact-decimal
+    sum) and the m3ql language-path entry (``max(value)``: the
+    language's grouped max is order-independent, so the float-sum
+    ordering hazard never reaches the 1e-6 quantizer),
+    parameterized on the grid step."""
+    return f"""rsrc AS (
+      SELECT name, region, ts, {agg} AS value
       FROM samples GROUP BY 1, 2, 3),
     rctgt AS (
       SELECT ts, value AS tv FROM rsrc
@@ -1242,7 +1252,7 @@ _RC_W = 6
              sum(x::HUGEINT * y) OVER w AS sxy
       FROM rcj
       WINDOW w AS (PARTITION BY name, region ORDER BY ts
-                   RANGE BETWEEN {(_RC_W - 1) * _CORR_STEP} PRECEDING
+                   RANGE BETWEEN {(w - 1) * step} PRECEDING
                    AND CURRENT ROW)),
     rcc AS (
       SELECT name, region, ts, n,
@@ -1252,7 +1262,13 @@ _RC_W = 6
       FROM rcm)
     SELECT name, region, ts,
            {sql_quant('cov / (sqrt(vx) * sqrt(vy))')} AS value
-    FROM rcc WHERE n >= 4 AND vx > 0 AND vy > 0""",
+    FROM rcc WHERE n >= {min_points} AND vx > 0 AND vy > 0"""
+
+
+@register(
+    "m3_rolling_corr",
+    f"""{_CORR_PRELUDE},
+    {sql_rolling_corr_ctes(_CORR_STEP, _RC_W, 4)}""",
 )
 def m3_rolling_corr(spark, sf_dir):
     """Rolling Pearson correlation of every (name, region) sum series

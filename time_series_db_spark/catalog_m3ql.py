@@ -633,7 +633,34 @@ def m3ql_seasonal_decompose(spark, sf_dir):
     return _flat(sf, LABEL_KEYS)
 
 
-from time_series_db_spark.catalog import sql_forecast_ctes as _sql_fc  # noqa: E402
+from time_series_db_spark.catalog import (  # noqa: E402
+    sql_forecast_ctes as _sql_fc,
+    sql_rolling_corr_ctes as _sql_rc,
+)
+from time_series_db_spark.sources import DEFAULT_STEP_MS as _STEP  # noqa: E402
+
+
+@register(
+    "m3ql_rolling_corr",
+    f"""{PRELUDE},
+    {_sql_rc(_STEP, 6, 4, agg="max(value)")}""",
+)
+def m3ql_rolling_corr(spark, sf_dir):
+    """rollingCorr 6 "name:click" "region:r0" 4 through the full
+    language path (parser → plan → builder →
+    operators/stats.py:rolling_corr_target), composed after the
+    language's own grouped max — max (not sum) because the language's
+    grouped sum is the float path whose summation order could flip the
+    1e-6 input quantizer between engines; max is order-independent, so
+    the staged pipeline stays exact end to end.  The oracle shares the
+    operator entry's exact-integer co-moment replay at the language
+    default grid step."""
+    sf = run_m3ql(
+        spark, sf_dir,
+        'fetch name:* | max name region | '
+        'rollingCorr 6 "name:click" "region:r0" 4',
+    )
+    return _flat(sf, ["name", "region"])
 
 
 @register(

@@ -495,6 +495,12 @@ def _apply(node: P.PlanNode, inputs: list[SeriesFrame], ctx: BuildContext) -> Se
             )
         )
         return sf.with_df(df)
+    if isinstance(node, P.RollingCorrNode):
+        from time_series_db_spark.operators import stats as _stats
+
+        return _stats.rolling_corr_target(
+            sf, node.target, node.window_buckets, node.min_points
+        )
     if isinstance(node, P.ForecastNode):
         return windows.forecast(
             sf, node.horizon, node.season_ms, drift=node.drift

@@ -806,6 +806,31 @@ class ForecastNode(PlanNode):
         )
 
 
+class RollingCorrNode(PlanNode):
+    """Beyond the reference: trailing-window Pearson correlation of
+    every series vs ONE label-matched target
+    (stats.rolling_corr_target) — the when-did-it-decouple view of the
+    global correlate number."""
+
+    def __init__(
+        self,
+        window_buckets: int,
+        target: dict[str, str],
+        min_points: int = 3,
+    ):
+        super().__init__()
+        self.window_buckets = window_buckets
+        self.target = target
+        self.min_points = min_points
+
+    def explain(self) -> str:
+        tgt = ",".join(f"{k}:{v}" for k, v in sorted(self.target.items()))
+        return (
+            f"ROLLING_CORR(window={self.window_buckets}, target={tgt}, "
+            f"min_points={self.min_points})"
+        )
+
+
 class InterpolateNode(PlanNode):
     """Beyond the reference: linear interior-gap fill over the query
     grid (the Graphite-universe interpolate()), optionally bounded to
@@ -1416,6 +1441,40 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
                 "seasonalDecompose bucket must divide the season"
             )
         return SeasonalDecomposeNode(season, bucket, component)
+    if name == "rollingCorr":
+        # rollingCorr <window> <tag:value>... [minPoints]
+        rest = [_strip_quotes(str(a)) for a in args]
+        usage = ("rollingCorr expects: window tag:value [tag:value ...] "
+                 "[minPoints]")
+        if len(rest) < 2:
+            raise M3PlanError(usage)
+        try:
+            window = int(rest[0])
+        except ValueError:
+            raise M3PlanError(
+                "rollingCorr window must be an integer bucket count"
+            ) from None
+        if window < 2:
+            raise M3PlanError("rollingCorr window must be >= 2")
+        rest = rest[1:]
+        min_points = 3
+        if rest and ":" not in rest[-1]:
+            try:
+                min_points = int(rest[-1])
+            except ValueError:
+                raise M3PlanError(usage) from None
+            rest = rest[:-1]
+        if not rest:
+            raise M3PlanError(usage)
+        target: dict[str, str] = {}
+        for m in rest:
+            tag, sep, value = m.partition(":")
+            if not sep or not tag.strip() or not value.strip():
+                raise M3PlanError(
+                    f"rollingCorr matcher must be tag:value, got {m!r}"
+                )
+            target[tag.strip()] = value.strip()
+        return RollingCorrNode(window, target, min_points)
     if name == "forecast":
         # forecast <horizon> [auto|season] [noDrift]
         rest = [str(a) for a in args]
