@@ -117,6 +117,18 @@ def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn):
         import functools
 
+        # fail at import, not at driver time: a helper def slipping
+        # between this decorator and its intended function silently
+        # unregisters the entry (seen once in r10, caught by bench)
+        if fn.__name__ != name:
+            raise TypeError(
+                f"@register({name!r}) applied to function "
+                f"{fn.__name__!r} — a stray def between the decorator "
+                "and its entry?"
+            )
+        if name in QUERIES:
+            raise TypeError(f"duplicate catalog entry {name!r}")
+
         @functools.wraps(fn)
         def wrapped(spark, sf_dir):
             from time_series_db_spark import cache
