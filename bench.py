@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "sample_token_budget",     # bucketed-threshold token mixing (r10)
     "ann_ivf_update",          # frozen-centroid incremental add (r10)
     "m3ql_rolling_corr",       # language-path rolling correlation (r10)
+    "events_funnel_latency",   # time-to-conversion distribution (r10)
 ]
 
 

@@ -189,6 +189,8 @@ HEADLINE_QUERIES = [
     "ann_ivf_update",
     # round-10: language-path grouped max + integer co-moment windows
     "m3ql_rolling_corr",
+    # round-10: funnel unpivot + exact interpolated quantiles
+    "events_funnel_latency",
 ]
 
 

@@ -495,7 +495,8 @@ def test_lead_lag_requires_unique_target(spark):
      "text_classifier_calibration", "search_eval_metrics",
      "m3_rolling_corr", "mm_ahash_neardup", "ann_ivf_prebuilt",
      "text_ngram_novelty", "m3_forecast_backtest",
-     "sample_token_budget", "ann_ivf_update"],
+     "sample_token_budget", "ann_ivf_update",
+     "events_funnel_latency"],
 )
 def test_r10_entry_plans_stay_equi_join(name, spark, sf_dir):
     """None of the round's entries may plan a cross product (beyond
@@ -1705,3 +1706,38 @@ def test_rolling_corr_m3ql_stage(spark, sf_dir):
         for r in direct.df.collect()
     )
     assert staged == want and staged
+
+
+# ---------------------------------------------------------------------------
+# funnel latency (operators/temporal.py:funnel_latency)
+# ---------------------------------------------------------------------------
+
+
+def test_funnel_latency_hand_computed(spark):
+    """Three users: two complete a→b (latencies 10 and 30 ms), one
+    breaks the chain.  p50 interpolates to 20, the mean is exact, the
+    end-to-end row only exists for >2 steps, and only transitions with
+    completions emit rows."""
+    from time_series_db_spark.operators.temporal import funnel_latency
+
+    rows = [
+        (1, "a", 100), (1, "b", 110),
+        (2, "a", 200), (2, "b", 230),
+        (3, "a", 300),                       # never reaches b
+        (1, "c", 150),                       # a->b->c completer
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    out = {
+        r["transition"]: r
+        for r in funnel_latency(ev, ["a", "b", "c"]).collect()
+    }
+    ab = out["a->b"]
+    assert ab["n_users"] == 2 and ab["mean_ms"] == 20.0
+    assert ab["p50_ms"] == 20.0 and ab["p90_ms"] == pytest.approx(28.0)
+    assert out["b->c"]["n_users"] == 1 and out["b->c"]["mean_ms"] == 40.0
+    assert out["a->c"]["n_users"] == 1 and out["a->c"]["mean_ms"] == 50.0
+    # two-step funnel: no separate end-to-end row
+    two = {r["transition"] for r in funnel_latency(ev, ["a", "b"]).collect()}
+    assert two == {"a->b"}
+    with pytest.raises(ValueError, match="quantiles"):
+        funnel_latency(ev, ["a", "b"], quantiles=(1.5,))

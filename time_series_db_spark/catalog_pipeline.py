@@ -2670,6 +2670,64 @@ def events_funnel(spark, sf_dir):
 
 
 @register(
+    "events_funnel_latency",
+    """WITH ev AS (
+      SELECT user_id AS u, event_type AS et, epoch_ms(ts) AS ts
+      FROM events),
+    su AS (SELECT u, min(ts) AS signup_ts FROM ev
+           WHERE et = 'signup' GROUP BY 1),
+    cl AS (SELECT ev.u, min(ev.ts) AS click_ts FROM ev
+           JOIN su ON ev.u = su.u AND ev.ts >= su.signup_ts
+           WHERE et = 'click' GROUP BY 1),
+    pu AS (SELECT ev.u, min(ev.ts) AS purchase_ts FROM ev
+           JOIN cl ON ev.u = cl.u AND ev.ts >= cl.click_ts
+           WHERE et = 'purchase' GROUP BY 1),
+    fu AS (SELECT su.u, su.signup_ts, cl.click_ts, pu.purchase_ts
+           FROM su LEFT JOIN cl ON su.u = cl.u
+           LEFT JOIN pu ON su.u = pu.u),
+    lat AS (
+      SELECT 'signup->click' AS transition,
+             click_ts - signup_ts AS l FROM fu WHERE click_ts IS NOT NULL
+      UNION ALL
+      SELECT 'click->purchase', purchase_ts - click_ts FROM fu
+      WHERE purchase_ts IS NOT NULL
+      UNION ALL
+      SELECT 'signup->purchase', purchase_ts - signup_ts FROM fu
+      WHERE purchase_ts IS NOT NULL)
+    SELECT transition, count(*)::BIGINT AS n_users,
+           {mean} AS mean_ms,
+           {p50} AS p50_ms,
+           {p90} AS p90_ms
+    FROM lat GROUP BY transition""".format(
+        mean=sql_quant("CAST(sum(l) AS DOUBLE) / count(*)"),
+        p50=sql_quant("quantile_cont(l, 0.5)"),
+        p90=sql_quant("quantile_cont(l, 0.9)"),
+    ),
+)
+def events_funnel_latency(spark, sf_dir):
+    """Time-to-conversion distribution
+    (operators/temporal.py:funnel_latency): per funnel transition
+    (signup→click, click→purchase, and end-to-end signup→purchase),
+    completing-user count, exact-integer mean latency and exact
+    interpolated p50/p90 — the question the per-user funnel table
+    answers only after one more aggregation.  Quantiles use the same
+    linear interpolation on both engines over integer millisecond
+    latencies (the summarize-percentile discipline)."""
+    from time_series_db_spark.operators.temporal import funnel_latency
+
+    out = funnel_latency(
+        _events_ms(spark, sf_dir), ["signup", "click", "purchase"],
+        quantiles=(0.5, 0.9),
+    )
+    return out.select(
+        "transition", "n_users",
+        quant(F.col("mean_ms")).alias("mean_ms"),
+        quant(F.col("p50_ms")).alias("p50_ms"),
+        quant(F.col("p90_ms")).alias("p90_ms"),
+    )
+
+
+@register(
     "text_pmi_bigrams",
     f"""WITH toks AS (SELECT {_TOKS} AS t FROM documents),
     u AS (SELECT unnest(t) AS w FROM toks),

@@ -287,6 +287,77 @@ def funnel(
     return cur.withColumn("steps_completed", completed.cast("long"))
 
 
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within_ms: int | None = None,
+) -> DataFrame:
+    """Time-to-conversion distribution on top of :func:`funnel` — the
+    question the per-user step table answers only after another
+    aggregation: per adjacent step transition (plus the end-to-end
+    first→last row when the funnel has > 2 steps), how many users
+    completed it and how long it took (exact interpolated quantiles +
+    exact-integer mean).  Output: ``(transition, n_users, mean_ms,
+    p<q>_ms …)``, one row per transition with at least one completing
+    user.
+
+    Quantiles are EXACT (``percentile`` / ``quantile_cont`` — the same
+    linear interpolation over the same integer millisecond latencies on
+    both engines, the established summarize-percentile discipline);
+    the mean is an exact integer sum over ms divided once.
+
+    Scale shape: the funnel's per-user table is persisted ONCE
+    (user-sized, not event-sized) and unpivoted map-side into
+    (transition, latency) rows — a constant ×|transitions| expansion —
+    then one partial-aggregated groupBy(transition) whose output is
+    |transitions| rows.
+    """
+    from time_series_db_spark.cache import persist_tracked
+
+    qs = [float(q) for q in quantiles]
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {quantiles}")
+    f = persist_tracked(
+        funnel(events, steps, user_col, ts_col, type_col, within_ms)
+    )
+    pairs = [(steps[i], steps[i + 1]) for i in range(len(steps) - 1)]
+    if len(steps) > 2:
+        pairs.append((steps[0], steps[-1]))
+    lat = f.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{a}->{b}").alias("transition"),
+                        (F.col(f"{b}_ts") - F.col(f"{a}_ts")).alias("__lat"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("__t")
+    ).select("__t.transition", "__t.__lat").filter(
+        F.col("__lat").isNotNull()
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (
+            F.sum(F.col("__lat").cast("decimal(27,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_ms"),
+    ]
+    for q in qs:
+        aggs.append(
+            F.expr(f"percentile(__lat, {q!r})").alias(
+                f"p{int(round(q * 100))}_ms"
+            )
+        )
+    return lat.groupBy("transition").agg(*aggs)
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",
