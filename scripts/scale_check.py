@@ -96,6 +96,8 @@ QUERIES = [
     "m3_forecast_backtest",    # hold-out cut + forecast + error sums (r10)
     "sample_token_budget",     # boundary-bucket-only sort fill (r10)
     "ann_ivf_update",          # delta-only frozen-centroid assign (r10)
+    "events_funnel_latency",   # funnel unpivot + quantile agg (r10)
+    "m3ql_rolling_corr",       # language-path rolling corr (r10)
 ]
 
 #: store-writing heavyweights (bench.py _extra_benches): the #1 and #4
