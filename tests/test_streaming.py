@@ -1960,3 +1960,45 @@ def test_doc_ingest_dedups_across_batches(spark, tmp_path):
     assert {r["doc_id"] for r in read_corpus(spark, store).collect()} == {
         1, 2, 5,
     }
+
+
+def test_doc_ingest_batch_hashes_text_once(spark, monkeypatch, tmp_path):
+    """The micro-batch hot path must compute MinHash signatures exactly
+    ONCE per batch — the model dedup, the in-batch dedup and the model
+    append all consume the same table (a 3× text-hash pass caught in
+    review); and the atomic-row store read never stitches columns from
+    two appends of the same id."""
+    from time_series_db_spark.pipeline import dedup
+    from time_series_db_spark.streaming.docs import (
+        ingest_doc_batch,
+        read_corpus,
+    )
+
+    calls = []
+    real = dedup.minhash_signatures
+
+    def counting(df, *a, **kw):
+        calls.append(1)
+        return real(df, *a, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_signatures", counting)
+    batch = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog", "a"),
+         (2, "pack my box with five dozen fresh liquor jugs", "a")],
+        "doc_id long, text string, source string",
+    )
+    store, model = str(tmp_path / "s"), str(tmp_path / "m")
+    ingest_doc_batch(spark, batch, store, model)
+    assert len(calls) == 1, "batch text must be hashed exactly once"
+    # frankenstein guard: same id appended twice with different content
+    spark.createDataFrame(
+        [(1, "zzz replacement text", "b")],
+        "doc_id long, text string, source string",
+    ).write.mode("append").parquet(store)
+    rows = {r["doc_id"]: r for r in read_corpus(spark, store).collect()}
+    r1 = rows[1]
+    legal = {
+        ("the quick brown fox jumps over the lazy dog", "a"),
+        ("zzz replacement text", "b"),
+    }
+    assert (r1["text"], r1["source"]) in legal  # a whole row, not a mix

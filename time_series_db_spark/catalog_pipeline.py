@@ -3844,12 +3844,20 @@ _CLS_CHAIN = f"""tr AS MATERIALIZED (
       SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
     ntr AS (SELECT count(*) AS n FROM tr),{_cls_feat_ctes('tr', 'tr')},
     trlab AS (
-      SELECT doc_id,
-             CASE WHEN 25 * sum(CASE WHEN tok IN ({_CLS_STOP})
-                                     THEN 1 ELSE 0 END)
-                       >= 4 * count(*)
+      -- LEFT JOIN from the doc table, not the token rows: an
+      -- empty/whitespace-only document has no trtok rows but Spark's
+      -- label expr gives 25*0 >= 4*0 -> y = 1 and the intercept
+      -- feature keeps it in every gradient, so the oracle must label
+      -- it identically (latent divergence, caught in review)
+      SELECT d.doc_id,
+             CASE WHEN 25 * COALESCE(h.hits, 0) >= 4 * COALESCE(h.n, 0)
                   THEN 1 ELSE 0 END AS y
-      FROM trtok GROUP BY 1),
+      FROM tr d LEFT JOIN (
+        SELECT doc_id,
+               sum(CASE WHEN tok IN ({_CLS_STOP})
+                        THEN 1 ELSE 0 END) AS hits,
+               count(*) AS n
+        FROM trtok GROUP BY 1) h USING (doc_id)),
     {_cls_gd_ctes()},
     sc AS (SELECT doc_id, text FROM documents
            WHERE doc_id % 2 = 1),{_cls_feat_ctes('sc', 'sc')},
@@ -3905,12 +3913,16 @@ _CAL_T4 = [2000, 3500, 5000, 6500, 8000]
     "text_classifier_calibration",
     f"""WITH {_CLS_CHAIN},
     sclab AS (
-      SELECT doc_id,
-             CASE WHEN 25 * sum(CASE WHEN tok IN ({_CLS_STOP})
-                                     THEN 1 ELSE 0 END)
-                       >= 4 * count(*)
+      -- doc-anchored like trlab: empty docs are y = 1 on both engines
+      SELECT d.doc_id,
+             CASE WHEN 25 * COALESCE(h.hits, 0) >= 4 * COALESCE(h.n, 0)
                   THEN 1 ELSE 0 END AS y
-      FROM sctok GROUP BY 1),
+      FROM sc d LEFT JOIN (
+        SELECT doc_id,
+               sum(CASE WHEN tok IN ({_CLS_STOP})
+                        THEN 1 ELSE 0 END) AS hits,
+               count(*) AS n
+        FROM sctok GROUP BY 1) h USING (doc_id)),
     cgrid AS (
       SELECT t.t4,
              CASE WHEN floor(CAST(s.s AS DOUBLE)/1e15 * 1e4 + 0.5)

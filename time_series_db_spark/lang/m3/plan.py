@@ -1435,8 +1435,9 @@ def _create_plan_node(fn: ast.FunctionNode) -> PlanNode:
             return SeasonalDecomposeNode(None, None, component)
         season = parse_duration_ms(rest[0])
         bucket = parse_duration_ms(rest[1]) if len(rest) == 2 else None
-        if season <= 0 or (bucket is not None and
-                           (bucket <= 0 or season % bucket)):
+        if season <= 0:
+            raise M3PlanError("seasonalDecompose season must be positive")
+        if bucket is not None and (bucket <= 0 or season % bucket):
             raise M3PlanError(
                 "seasonalDecompose bucket must divide the season"
             )

@@ -99,6 +99,35 @@ def value_stats(sf: SeriesFrame) -> DataFrame:
     )
 
 
+def _single_series_target(sf: SeriesFrame, target: dict[str, str], kind: str):
+    """Shared one-series target selection for the correlate family:
+    build the label-equality predicate, probe-enforce the exactly-one
+    contract (a loose matcher would silently multi-match every ts in
+    the join, corrupt the moments, AND broadcast an unbounded
+    data-dependent table — the 2-row memoized distinct probe catches it
+    before anything shuffles), and return the matched target frame."""
+    if not target:
+        raise ValueError(f"{kind} needs at least one label matcher")
+    from time_series_db_spark.cache import probe_memo
+
+    pred = None
+    for k, v in target.items():
+        c = F.col("labels")[k] == F.lit(v)
+        pred = c if pred is None else pred & c
+    matched = sf.df.filter(pred)
+    n_tgt = probe_memo(
+        matched,
+        kind,
+        lambda: matched.select("series_key").distinct().limit(2).count(),
+    )
+    if n_tgt != 1:
+        raise ValueError(
+            f"{kind} matcher {target} selects {n_tgt} series; "
+            "it must select exactly one (tighten the label matcher)"
+        )
+    return matched
+
+
 def correlate_target(
     sf: SeriesFrame,
     target: dict[str, str],
@@ -126,30 +155,9 @@ def correlate_target(
     O(S²) and needs its own celled design); one-vs-all is the shape
     that survives 100 TB.
     """
-    if not target:
-        raise ValueError("correlate_target needs at least one label matcher")
-    from time_series_db_spark.cache import probe_memo
     from time_series_db_spark.model import labels_from_key_expr
 
-    pred = None
-    for k, v in target.items():
-        c = F.col("labels")[k] == F.lit(v)
-        pred = c if pred is None else pred & c
-    matched = sf.df.filter(pred)
-    # a loose matcher (>1 series) would silently multi-match every ts in
-    # the join and corrupt the moments — and broadcast an unbounded
-    # data-dependent table.  A 2-row distinct probe (memoized) enforces
-    # the one-series contract before anything shuffles.
-    n_tgt = probe_memo(
-        matched,
-        "correlate_target",
-        lambda: matched.select("series_key").distinct().limit(2).count(),
-    )
-    if n_tgt != 1:
-        raise ValueError(
-            f"correlate_target matcher {target} selects {n_tgt} series; "
-            "it must select exactly one (tighten the label matcher)"
-        )
+    matched = _single_series_target(sf, target, "correlate_target")
     tgt = matched.select(
         F.col("ts").alias("__tts"), F.col("value").alias("__tv")
     )
@@ -422,32 +430,12 @@ def rolling_corr_target(
     (series_key, ts-range) window — the same single series exchange
     every sequential stage shares; nothing pairwise, no second scan.
     """
-    if not target:
-        raise ValueError(
-            "rolling_corr_target needs at least one label matcher"
-        )
     w_n = int(window_buckets)
     if w_n < 2:
         raise ValueError(f"window_buckets must be >= 2 (got {window_buckets})")
     from pyspark.sql import Window
 
-    from time_series_db_spark.cache import probe_memo
-
-    pred = None
-    for k, v in target.items():
-        c = F.col("labels")[k] == F.lit(v)
-        pred = c if pred is None else pred & c
-    matched = sf.df.filter(pred)
-    n_tgt = probe_memo(
-        matched,
-        "rolling_corr_target",
-        lambda: matched.select("series_key").distinct().limit(2).count(),
-    )
-    if n_tgt != 1:
-        raise ValueError(
-            f"rolling_corr_target matcher {target} selects {n_tgt} series; "
-            "it must select exactly one (tighten the label matcher)"
-        )
+    matched = _single_series_target(sf, target, "rolling_corr_target")
     step = int(sf.step)
     tgt = matched.select(
         F.col("ts").alias("__tts"), F.col("value").alias("__tv")
@@ -540,30 +528,13 @@ def lead_lag_target(
     count × a small constant; the per-series argmax is a second
     metadata-sized partial agg.  Nothing pairwise, no second scan.
     """
-    if not target:
-        raise ValueError("lead_lag_target needs at least one label matcher")
     if max_lag < 1:
         raise ValueError(f"max_lag must be >= 1 (got {max_lag})")
     from pyspark.sql import Window
 
-    from time_series_db_spark.cache import probe_memo
     from time_series_db_spark.model import labels_from_key_expr
 
-    pred = None
-    for k, v in target.items():
-        c = F.col("labels")[k] == F.lit(v)
-        pred = c if pred is None else pred & c
-    matched = sf.df.filter(pred)
-    n_tgt = probe_memo(
-        matched,
-        "lead_lag_target",
-        lambda: matched.select("series_key").distinct().limit(2).count(),
-    )
-    if n_tgt != 1:
-        raise ValueError(
-            f"lead_lag_target matcher {target} selects {n_tgt} series; "
-            "it must select exactly one (tighten the label matcher)"
-        )
+    matched = _single_series_target(sf, target, "lead_lag_target")
     step = int(sf.step)
     # (2·max_lag+1) shifted copies of the one target series: the copy
     # tagged ``lag`` carries g(t) at join key t + lag·step, so joining

@@ -310,20 +310,17 @@ def funnel_latency(
     both engines, the established summarize-percentile discipline);
     the mean is an exact integer sum over ms divided once.
 
-    Scale shape: the funnel's per-user table is persisted ONCE
-    (user-sized, not event-sized) and unpivoted map-side into
-    (transition, latency) rows — a constant ×|transitions| expansion —
-    then one partial-aggregated groupBy(transition) whose output is
+    Scale shape: the funnel's per-user table (user-sized, not
+    event-sized) unpivots map-side into (transition, latency) rows in
+    the SAME pass — a constant ×|transitions| expansion with a single
+    downstream consumer, so nothing needs persisting — then one
+    partial-aggregated groupBy(transition) whose output is
     |transitions| rows.
     """
-    from time_series_db_spark.cache import persist_tracked
-
     qs = [float(q) for q in quantiles]
     if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
         raise ValueError(f"quantiles must be in [0, 1], got {quantiles}")
-    f = persist_tracked(
-        funnel(events, steps, user_col, ts_col, type_col, within_ms)
-    )
+    f = funnel(events, steps, user_col, ts_col, type_col, within_ms)
     pairs = [(steps[i], steps[i + 1]) for i in range(len(steps) - 1)]
     if len(steps) > 2:
         pairs.append((steps[0], steps[-1]))

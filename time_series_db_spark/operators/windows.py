@@ -1148,7 +1148,6 @@ def forecast(
         )
     p = season // step
     v = F.col("value")
-    fin_v = F.when(~F.isnan(v), v)
     fin_ts = F.when(~F.isnan(v), F.col("ts"))
     agg = (
         sf.df.groupBy("series_key", "alias")

@@ -322,7 +322,7 @@ def minhash_update(
 
 
 def cross_corpus_dedup(
-    incoming: DataFrame,
+    incoming: DataFrame | None = None,
     reference: DataFrame | None = None,
     threshold: float = 0.8,
     id_col: str = "doc_id",
@@ -332,6 +332,7 @@ def cross_corpus_dedup(
     shingle_k: int = 3,
     hash_fn: str = "md5",
     model: DataFrame | None = None,
+    incoming_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental-crawl dedup: flag ``incoming`` documents that
     near-duplicate a document already in the ``reference`` corpus — the
@@ -357,6 +358,9 @@ def cross_corpus_dedup(
     PRE-BUILT reference model without recomputing its signatures —
     the per-snapshot incremental-crawl path.  The model must have been
     fit with the same ``num_perms`` / ``shingle_k`` / ``hash_fn``.
+    ``incoming_sigs=`` likewise substitutes a pre-computed signature
+    table for the incoming side (the streaming crawl loop hashes each
+    micro-batch ONCE and feeds the table to every stage).
     """
     from time_series_db_spark.cache import persist_tracked
 
@@ -365,8 +369,12 @@ def cross_corpus_dedup(
             "pass exactly one of reference= (fit inline) or model= "
             "(a pre-built minhash_fit table)"
         )
+    if incoming is None and incoming_sigs is None:
+        raise ValueError("pass incoming= docs or incoming_sigs=")
     sigs_in = persist_tracked(
-        minhash_signatures(
+        incoming_sigs
+        if incoming_sigs is not None
+        else minhash_signatures(
             incoming, id_col, text_col, num_perms, shingle_k, hash_fn
         )
     )
@@ -1125,8 +1133,15 @@ def boilerplate_span_removal(
     (TimeSeriesIdFieldMapper dedups series ids at write time) to
     document content.
 
-    Spans are tumbling (non-overlapping), so a repeated region of
-    ≥ 2·span_words−1 words is guaranteed to contain a flagged span.
+    Spans are tumbling (non-overlapping), so a template region of
+    ≥ 2·span_words−1 words occurring at the SAME word offset mod
+    ``span_words`` across documents is guaranteed to contain a shared
+    span; occurrences at different alignments (a variable-length
+    headline before the template) can straddle span boundaries
+    differently and escape — smaller ``span_words`` shrinks that
+    window, and alignment-free removal is exactly what the
+    shingle-based :func:`minhash_dedup_pairs` path provides at the
+    document level (honest limitation, caught in review).
     Prevalence counts distinct DOCUMENTS (a phrase repeated inside one
     document is repetition, not boilerplate — :func:`text.repetition`
     covers that).  Returns one row per document: ``(id, n_spans,

@@ -62,36 +62,54 @@ def ingest_doc_batch(
     3. append survivors to the corpus store and their signatures to
        the model.
 
-    Per-batch cost scales with the BATCH (one signature pass over it,
-    one band equi-join against the model's band table, two appends) —
-    never with the accumulated corpus, which is the entire point.
+    Per-batch cost scales with the BATCH — and the batch text is
+    hashed exactly ONCE: the signature table feeds the model-side
+    dedup, the in-batch dedup AND the model append (before this, each
+    of the three stages re-shingled and re-hashed the text — the
+    hot-path 3× caught in review).  Never touches the accumulated
+    corpus.
     """
     from time_series_db_spark.cache import persist_tracked
 
     batch = persist_tracked(batch)
+    sigs = persist_tracked(dedup.minhash_signatures(batch))
     if _model_nonempty(spark, model_path):
         model = spark.read.parquet(model_path)
         flags = dedup.cross_corpus_dedup(
-            batch, model=model, threshold=threshold
+            model=model, threshold=threshold, incoming_sigs=sigs
         ).filter(F.col("ref_id") != F.col("doc_id"))
         kept = batch.join(flags.select("doc_id"), "doc_id", "left_anti")
     else:
         kept = batch
-    pairs = dedup.minhash_dedup_pairs(kept, threshold=threshold)
-    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    # in-batch min-id survivor over the SAME signature table: a doc
+    # whose smallest near-dup id is below its own drops (self-matches
+    # anchor the min at the doc itself otherwise)
+    sigs_kept = sigs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    dropped = dedup.cross_corpus_dedup(
+        model=sigs_kept, threshold=threshold, incoming_sigs=sigs_kept
+    ).filter(F.col("ref_id") != F.col("doc_id")).select("doc_id")
     kept = persist_tracked(kept.join(dropped, "doc_id", "left_anti"))
     kept.write.mode("append").parquet(store_path)
-    dedup.minhash_fit(kept).write.mode("append").parquet(model_path)
+    sigs.join(kept.select("doc_id"), "doc_id", "left_semi").write.mode(
+        "append"
+    ).parquet(model_path)
 
 
 def read_corpus(spark: SparkSession, store_path: str) -> DataFrame:
     """Store read path: ANY_WINS by document id — absorbs the
     duplicate appends an epoch replay can produce (the store-side half
-    of the exactly-once contract)."""
+    of the exactly-once contract).  The winner is picked as ONE whole
+    row (min over a struct of the remaining columns — lexicographic,
+    deterministic): per-column mins would stitch a frankenstein row
+    from two different appends of the same id (re-crawled content that
+    no longer near-matches its own stored signature IS kept by design,
+    so same-id rows with different content are a legal store state)."""
     docs = spark.read.parquet(store_path)
     other = [c for c in docs.columns if c != "doc_id"]
-    return docs.groupBy("doc_id").agg(
-        *[F.min(c).alias(c) for c in other]
+    return (
+        docs.groupBy("doc_id")
+        .agg(F.min(F.struct(*other)).alias("__row"))
+        .select("doc_id", *[F.col(f"__row.{c}").alias(c) for c in other])
     )
 
 
