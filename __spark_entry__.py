@@ -42,6 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # _last_checked), so the window's spare slots continuously re-certify
 # the oldest greens.
 _DRIVER_VERIFIED = frozenset({
+    # r10 window additions (50/50 green, CORRECTNESS_r10.json)
+    'ann_ivf_prebuilt', 'ann_ivf_update', 'dedup_boilerplate_spans',
+    'dedup_xcorpus_prebuilt', 'dedup_xcorpus_update', 'events_funnel_latency',
+    'm3_forecast', 'm3_forecast_backtest', 'm3_lead_lag', 'm3_rolling_corr',
+    'm3_seasonal_decompose', 'm3ql_forecast', 'm3ql_rolling_corr',
+    'm3ql_seasonal_decompose', 'mm_ahash_neardup',
+    'pipeline_curate_incremental', 'sample_token_budget',
+    'search_eval_metrics', 'text_categorical_psi',
+    'text_classifier_calibration', 'text_ngram_novelty',
+    'text_quality_classifier',
     # r9 window additions (50/50 green, CORRECTNESS_r09.json)
     'm3_correlate_matrix', 'text_snapshot_psi', 'decontaminate_eval_side',
     'corpus_diff', 'split_leakage_safe', 'm3ql_seasonal_auto',

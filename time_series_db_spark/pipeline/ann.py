@@ -388,6 +388,11 @@ def ivf_update(
             F.col("centroid").alias("__centroid"),
         )
     )
+    # replays / re-crawled batches can carry the same id twice inside
+    # one delta; without this every copy survives the assignment pass
+    # and lands as a duplicate index row (the replace-by-id contract
+    # only guards against ids already in the STORED cells table)
+    vectors = vectors.dropDuplicates([id_col])
     vecs = vectors.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
     fresh = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
         F.col(id_col),
@@ -402,7 +407,7 @@ def ivf_update(
 
 def ivf_kmeans_topk(
     corpus: DataFrame | None = None,
-    queries: DataFrame = None,
+    queries: DataFrame | None = None,
     k: int = 5,
     nlist: int = 16,
     nprobe: int = 2,
@@ -425,7 +430,18 @@ def ivf_kmeans_topk(
             "pass exactly one of corpus= (fit inline) or model= "
             "(a pre-built ivf_fit index)"
         )
+    if queries is None:
+        raise ValueError("queries= is required (the vectors to search for)")
     if model is not None:
+        # the quantizer is already fitted: nlist/train_iters describe a
+        # FIT, and silently ignoring values that disagree with the index
+        # would misreport what was searched
+        if nlist != 16 or train_iters != 2:
+            raise ValueError(
+                "nlist/train_iters configure the quantizer fit and are "
+                "unused with model= (the index is already trained); "
+                "leave them at their defaults"
+            )
         cents = F.broadcast(
             model["centroids"].select(
                 F.col("cell").alias("__cid"),

@@ -310,6 +310,10 @@ def minhash_update(
         raise ValueError("pass docs= and/or remove_ids=; neither given")
     out = model
     if docs is not None:
+        # a replayed / re-crawled delta can carry the same id twice;
+        # dedup first or every copy's signature row survives the
+        # anti-join and lands as a duplicate model row
+        docs = docs.dropDuplicates([id_col])
         fresh = minhash_signatures(
             docs, id_col, text_col, num_perms, shingle_k, hash_fn
         )
@@ -1164,8 +1168,9 @@ def boilerplate_span_removal(
         raise ValueError(f"min_docs must be >= 2, got {min_docs}")
     # spread the raw docs before the hash-heavy explode (the
     # cosine_topk lesson: a compact parquet corpus arrives as 1-2
-    # splits; A/B-measured 1.17 s → 0.69 s at sf0.1, no-op at scale)
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # splits; A/B-measured 1.17 s → 0.69 s at sf0.1) — gated on the
+    # input split count so a well-split large scan skips the shuffle
+    df = textprep.rebalance_if_narrow(df)
     words = F.split(F.col(text_col), " ")
     spans = (
         df.select(F.col(id_col), words.alias("__w"))

@@ -1074,9 +1074,9 @@ def ngram_novelty(
     # spread the raw docs before the hash-heavy explode: a compact
     # parquet corpus arrives as 1-2 splits, serializing all gram
     # hashing on one core (the cosine_topk lesson; A/B-measured 9.8 s
-    # → 1.1 s at sf0.1); at real scale the scan has many splits and
-    # this is a cheap no-op rebalance of raw text
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # → 1.1 s at sf0.1); gated on the input split count so a
+    # well-split large scan skips the shuffle entirely
+    df = textprep.rebalance_if_narrow(df)
     grams = textprep.word_shingles(textprep.tokens(F.col(text_col)), k)
     ex = df.select(F.col(id_col), F.explode(grams).alias("__g")).withColumn(
         "__h", textprep.hash64(F.col("__g"), "nov", fn=hash_fn)

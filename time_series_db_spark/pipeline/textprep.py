@@ -10,8 +10,27 @@ the LSH math is hash-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def rebalance_if_narrow(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ``df`` to ``defaultParallelism`` ONLY
+    when it currently has fewer partitions than that.
+
+    Hash-heavy explode stages (n-gram novelty, boilerplate spans) die
+    on a compact local parquet corpus that arrives as 1–2 splits — all
+    hashing serializes on one core (A/B-measured 9.8 s → 1.1 s at
+    sf0.1).  But an unconditional ``repartition`` is a full shuffle of
+    the raw text, which at 100 TB adds an O(corpus) exchange in front
+    of a scan that was already well-split — so the rebalance is gated
+    on the actual input partition count and becomes a true no-op on
+    large multi-split scans.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
 
 #: large prime for rolling fingerprints (fits products in int64:
 #: acc < 1e9+7, acc*131 + h < 2^63)

@@ -38,10 +38,36 @@ DOC_SCHEMA = "doc_id LONG, text STRING, source STRING"
 
 
 def _model_nonempty(spark: SparkSession, model_path: str) -> bool:
+    """True when the accumulated model parquet exists and has rows.
+
+    Only a missing path (the first-ever batch, before anything was
+    appended) maps to False.  Every OTHER read failure — corrupt
+    footer, permission error, schema-inference failure — propagates:
+    treating those as "no model yet" would silently skip cross-batch
+    dedup and permanently append near-duplicates; failing the
+    micro-batch instead makes Structured Streaming replay the epoch
+    once the store is healthy again.
+    """
+    from pyspark.errors import AnalysisException
+
     try:
         return bool(spark.read.parquet(model_path).take(1))
-    except Exception:
-        return False
+    except AnalysisException as exc:
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(exc, probe, None)
+            if fn is not None:
+                try:
+                    cond = fn()
+                except Exception:  # noqa: BLE001 - probe only
+                    cond = None
+                if cond:
+                    break
+        if cond == "PATH_NOT_FOUND" or (
+            cond is None and "PATH_NOT_FOUND" in str(exc)
+        ):
+            return False
+        raise
 
 
 def ingest_doc_batch(
@@ -58,7 +84,15 @@ def ingest_doc_batch(
        (``cross_corpus_dedup(model=…)`` — the reference side pays no
        text scan; self-id matches are ignored so epoch replays cannot
        drop a document against its own stored signature);
-    2. drop in-batch near-duplicates (min-id survivor);
+    2. drop in-batch near-duplicates — survivors are resolved per
+       CONNECTED COMPONENT of the in-batch near-dup graph (min id over
+       the component), the same semantics as the batch
+       :func:`~time_series_db_spark.pipeline.dedup.dedup_survivors`
+       operator.  Note the inherent cluster-collapse property: in a
+       chain 1~2, 2~3 (1 not similar to 3) only doc 1 survives, so a
+       transitively-dropped doc may have no near-dup among the
+       survivors — one canonical doc per similarity cluster is the
+       contract, not pairwise-cover;
     3. append survivors to the corpus store and their signatures to
        the model.
 
@@ -81,14 +115,16 @@ def ingest_doc_batch(
         kept = batch.join(flags.select("doc_id"), "doc_id", "left_anti")
     else:
         kept = batch
-    # in-batch min-id survivor over the SAME signature table: a doc
-    # whose smallest near-dup id is below its own drops (self-matches
-    # anchor the min at the doc itself otherwise)
+    # in-batch survivors over the SAME signature table: verified
+    # near-dup pairs -> connected components -> keep the component-min
+    # id (identical to the batch dedup_survivors contract; a plain
+    # "drop if any smaller-id neighbor" rule keeps LOCAL minima, which
+    # diverges from the batch operator on chains like 1~3~2)
     sigs_kept = sigs.join(kept.select("doc_id"), "doc_id", "left_semi")
-    dropped = dedup.cross_corpus_dedup(
-        model=sigs_kept, threshold=threshold, incoming_sigs=sigs_kept
-    ).filter(F.col("ref_id") != F.col("doc_id")).select("doc_id")
-    kept = persist_tracked(kept.join(dropped, "doc_id", "left_anti"))
+    pairs = dedup.jaccard_verify(
+        dedup.lsh_candidate_pairs(sigs_kept), sigs_kept
+    ).filter(F.col("jaccard") >= F.lit(float(threshold)))
+    kept = persist_tracked(dedup.dedup_survivors(kept, pairs))
     kept.write.mode("append").parquet(store_path)
     sigs.join(kept.select("doc_id"), "doc_id", "left_semi").write.mode(
         "append"
