@@ -1,9 +1,26 @@
 """Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}. Protocol (BASELINE.md): one warm-up
-run discarded per query, median of N timed runs, noop sink (no collect —
-measures engine throughput, not driver materialization).
+"queries": {name: sec}, "sf": ..., "candidates": {name: n}}. Protocol
+(BASELINE.md): one warm-up run discarded per query, median of N timed
+runs, noop sink (no collect — measures engine throughput, not driver
+materialization).
+
+Beyond the fixed headline set, every run appends a ROTATING WINDOW of
+``SPARK_GRAFT_BENCH_WINDOW`` (default 60) additional catalog entries,
+ordered least-recently-benched first via the ``bench_baselines.json``
+ledger — so over a few rounds EVERY catalog entry gets a recorded perf
+baseline and a perf regression in a non-headline entry (a PromQL
+subquery, a TPC-H join, a wire-format parser) surfaces instead of
+staying invisible until it hits a driver bench.  Runs at the baseline
+scale (sf0.1) update the ledger: first measurement = the entry's own
+baseline (immutable); last measurement + run counter drive rotation.
+
+The ``candidates`` section counts the candidate-pair volume of the
+celled/banded operators (correlate_matrix, MinHash-LSH, aHash bands)
+and ASSERTS each stays under its budget — a banding change that
+silently re-opens the measured 370M-pair blowup fails the bench run
+(rc != 0) instead of a 10-minute wall.
 """
 
 from __future__ import annotations
@@ -18,6 +35,23 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+WINDOW = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOW", "60"))
+LEDGER_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_baselines.json"
+)
+#: ledger updates only happen at the baseline scale — a local sf0.01
+#: iteration must not pollute the sf0.1 baselines or the rotation order
+BASELINE_SF = "0.1"
+
+#: candidate-pair budgets for the celled operators at sf0.1 — ~10× the
+#: measured counts (BASELINE.md r11: correlate_matrix 31.6k, minhash
+#: 2.1k, ahash 171k), far under the 370M-pair blowup the stop-band cap
+#: prevents; breaching one fails the bench run
+CANDIDATE_BUDGETS = {
+    "m3_correlate_matrix": 500_000,
+    "dedup_minhash_lsh": 500_000,
+    "mm_ahash_neardup": 2_000_000,
+}
 
 #: one per operator category (SURVEY.md §6 protocol): scan+filter, grouped
 #: agg, window, densify, binary join, topK, percentile + pipeline ops
@@ -183,6 +217,91 @@ def _extra_benches(spark, tmp_root: str, sf_dir: str | None = None):
     }
 
 
+def _load_ledger() -> dict:
+    try:
+        with open(LEDGER_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {"seq": 0, "entries": {}}
+
+
+def _rotation_window(queries: dict) -> list[str]:
+    """The ``WINDOW`` catalog entries outside the headline set that are
+    least-recently benched (never-benched first, then oldest ledger
+    seq), in registration order within a tie."""
+    ledger = _load_ledger()["entries"]
+    headline = set(BENCH_QUERIES)
+    reg_idx = {n: i for i, n in enumerate(queries)}
+    pool = [n for n in queries if n not in headline]
+    pool.sort(key=lambda n: (ledger.get(n, {}).get("last_seq", -1), reg_idx[n]))
+    return pool[:WINDOW]
+
+
+def _update_ledger(timings: dict[str, float]) -> None:
+    """Record this run in ``bench_baselines.json``: the FIRST sf0.1
+    measurement of an entry is its immutable own-baseline; every run
+    refreshes last_sec/last_seq (the rotation key and the drift
+    signal)."""
+    data = _load_ledger()
+    data["seq"] = int(data.get("seq", 0)) + 1
+    seq = data["seq"]
+    entries = data.setdefault("entries", {})
+    for name, sec in timings.items():
+        e = entries.setdefault(
+            name, {"baseline_sec": sec, "baseline_seq": seq}
+        )
+        e["last_sec"] = sec
+        e["last_seq"] = seq
+    with open(LEDGER_PATH, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
+def _candidate_counts(spark) -> dict[str, int]:
+    """Candidate-pair counts of the celled operators, with budget
+    assertions (the stop-band-cap watch item): a banding change that
+    re-opens the quadratic path fails here, loudly and cheaply."""
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.catalog import (
+        _CMX_CAP,
+        _CMX_COARSE,
+        _CMX_R,
+        _CORR_STEP,
+        _fetch,
+    )
+    from time_series_db_spark.catalog_pipeline import _docs
+    from time_series_db_spark.operators import stats as stats_ops
+    from time_series_db_spark.pipeline import dedup, multimodal
+
+    counts: dict[str, int] = {}
+    counts["m3_correlate_matrix"] = stats_ops.correlate_matrix_candidates(
+        _fetch(spark, SF_DIR, step=_CORR_STEP),
+        coarse_ms=_CMX_COARSE,
+        band_symbols=_CMX_R,
+        max_bucket=_CMX_CAP,
+    ).count()
+    sigs = dedup.minhash_signatures(_docs(spark, SF_DIR))
+    counts["dedup_minhash_lsh"] = dedup.lsh_candidate_pairs(sigs).count()
+    hashes = multimodal.image_ahash(
+        multimodal.documents_as_media(_docs(spark, SF_DIR)), decode_fn="fake"
+    )
+    counts["mm_ahash_neardup"] = multimodal.ahash_neardup_pairs(
+        hashes, max_hamming=7, num_bands=8, max_bucket=32,
+        candidates_only=True,
+    ).count()
+    over = {
+        n: (c, CANDIDATE_BUDGETS[n])
+        for n, c in counts.items()
+        if c > CANDIDATE_BUDGETS[n]
+    }
+    assert not over, (
+        f"candidate-pair budget breached (banding/stop-band regression): "
+        f"{over}"
+    )
+    return counts
+
+
 def main() -> None:
     import tempfile
 
@@ -192,7 +311,8 @@ def main() -> None:
     spark = get_spark("tsdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    headline = [n for n in BENCH_QUERIES if n in QUERIES]
+    names = headline + _rotation_window(QUERIES)
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
@@ -219,6 +339,12 @@ def main() -> None:
                 statistics.median(run_action() for _ in range(RUNS)), 4
             )
 
+    candidates = _candidate_counts(spark)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    if sf == BASELINE_SF and not os.environ.get("SPARK_GRAFT_BENCH_NO_RECORD"):
+        _update_ledger(timings)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -227,7 +353,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "sf": sf,
+                "candidates": candidates,
             }
         )
     )

@@ -111,8 +111,10 @@ def build(spark) -> None:
     from pyspark.sql import functions as F
 
     os.makedirs(WORK, exist_ok=True)
-    # v2: embeddings now scale with COPIES too (PQ/IVF-PQ certification)
-    done = os.path.join(WORK, "_DONE_v2")
+    # v3: orders/lineitem scale with COPIES too (the full-catalog sweep
+    # includes the TPC-H family; fact tables grow, dimensions don't —
+    # the 100 TB shape)
+    done = os.path.join(WORK, "_DONE_v3")
     if os.path.exists(done):
         return
     ev = spark.read.parquet(f"{BASE}/events.parquet")
@@ -155,11 +157,25 @@ def build(spark) -> None:
         "label",
     )
     bige.write.mode("overwrite").parquet(f"{WORK}/embeddings.parquet")
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
+    for t in ("region", "nation", "customer", "supplier", "part"):
         spark.read.parquet(f"{BASE}/{t}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{WORK}/{t}.parquet")
+    # facts grow ×COPIES with shifted order keys (same customers /
+    # suppliers / parts — dimensions are the broadcast side at 100 TB)
+    orders = spark.read.parquet(f"{BASE}/orders.parquet")
+    key_shift = (orders.agg(F.max("o_orderkey")).first()[0] + 1)
+    bigo = orders.crossJoin(F.broadcast(copies)).select(
+        (F.col("o_orderkey") + F.col("__c") * key_shift).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    )
+    bigo.write.mode("overwrite").parquet(f"{WORK}/orders.parquet")
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    bigl = li.crossJoin(F.broadcast(copies)).select(
+        (F.col("l_orderkey") + F.col("__c") * key_shift).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    bigl.write.mode("overwrite").parquet(f"{WORK}/lineitem.parquet")
     open(done, "w").write("ok")
 
 
@@ -180,7 +196,8 @@ def main() -> None:
             return time.perf_counter() - t0
 
         once()  # warm-up
-        return round(statistics.median(once() for _ in range(3)), 4)
+        n = int(os.environ.get("SPARK_GRAFT_SCALE_RUNS", "3"))
+        return round(statistics.median(once() for _ in range(n)), 4)
 
     import math
     import tempfile
@@ -195,11 +212,16 @@ def main() -> None:
         }
 
     # optional subset (comma-separated names) — iterate on one op's
-    # certification without re-running the whole sweep
+    # certification without re-running the whole sweep; SCALE_ALL=1
+    # sweeps EVERY catalog entry (the full-catalog exponent audit:
+    # anything >0.9 that isn't a by-design corpus-proportional scan is
+    # the unpersisted-model signature that caught two r10 defects)
     only = os.environ.get("SPARK_GRAFT_SCALE_ONLY")
-    selected = [
-        n for n in QUERIES if only is None or n in only.split(",")
-    ]
+    if os.environ.get("SPARK_GRAFT_SCALE_ALL"):
+        pool = list(CAT)
+    else:
+        pool = list(QUERIES)
+    selected = [n for n in pool if only is None or n in only.split(",")]
 
     out = {}
     for name in selected:

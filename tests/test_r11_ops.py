@@ -115,6 +115,71 @@ def test_doc_ingest_inbatch_survivors_are_component_min(spark, tmp_path):
     assert batch_kept == kept
 
 
+def test_doc_ingest_per_batch_cost_is_model_size_invariant(spark, tmp_path):
+    """Throughput certification of the incremental-crawl claim
+    ("per-batch cost ∝ batch, never the accumulated corpus"): the same
+    batch ingested against a 10× larger accumulated model must not get
+    materially slower.  Measured off-harness (BASELINE.md r11): 2k
+    model rows 7.3 s vs 20k rows 6.1 s median — flat, because the
+    batch-sized band table is the small side of the candidate join and
+    the model is scanned, never shuffled.  The 2.5× bound leaves wide
+    slack over timing noise while still failing on anything resembling
+    O(model) join work per batch."""
+    import shutil
+    import statistics
+    import time
+
+    from pyspark.sql import functions as F
+
+    from time_series_db_spark.cache import release_all
+    from time_series_db_spark.pipeline import dedup
+    from time_series_db_spark.streaming.docs import ingest_doc_batch
+
+    def synth(n, start):
+        return spark.range(start, start + n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"w{j}_"),
+                        ((F.col("id") * F.lit(31 + j)) % F.lit(99991)).cast(
+                            "string"
+                        ),
+                    )
+                    for j in range(25)
+                ],
+            ).alias("text"),
+            F.lit("crawl").alias("source"),
+        )
+
+    batch = synth(100, 0)
+
+    def median_batch_time(model_rows, tag):
+        model_path = str(tmp_path / f"model_{tag}")
+        dedup.minhash_fit(synth(model_rows, 10_000_000)).write.parquet(
+            model_path
+        )
+        times = []
+        for i in range(3):
+            mp = str(tmp_path / f"model_{tag}_run{i}")
+            shutil.copytree(model_path, mp)
+            t0 = time.time()
+            ingest_doc_batch(
+                spark, batch, str(tmp_path / f"store_{tag}_{i}"), mp
+            )
+            times.append(time.time() - t0)
+            release_all()
+        return statistics.median(times[1:])  # first run absorbs JIT
+
+    t_small = median_batch_time(1000, "1x")
+    t_big = median_batch_time(10000, "10x")
+    assert t_big < t_small * 2.5, (
+        f"per-batch ingest cost grew with the accumulated model: "
+        f"{t_small:.2f}s @1k rows -> {t_big:.2f}s @10k rows"
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. duplicate ids inside one delta
 # ---------------------------------------------------------------------------

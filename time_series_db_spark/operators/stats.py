@@ -256,9 +256,75 @@ def correlate_matrix(
             "correlate_matrix needs coarse_ms > 0, band_symbols > 0, "
             "max_bucket > 1"
         )
-    from pyspark.sql import Window
-
     from time_series_db_spark.model import labels_from_key_expr
+
+    finite = sf.df.filter(~F.isnan("value")).select(
+        "series_key", "ts", "value"
+    )
+    cand = correlate_matrix_candidates(
+        sf, coarse_ms, band_symbols, max_bucket
+    )
+    av = finite.select(
+        F.col("series_key").alias("__ka"),
+        "ts",
+        F.col("value").alias("__va"),
+    )
+    bv = finite.select(
+        F.col("series_key").alias("__kb"),
+        "ts",
+        F.col("value").alias("__vb"),
+    )
+    return (
+        cand.join(av, "__ka")
+        .join(bv, ["__kb", "ts"])
+        .groupBy("__ka", "__kb")
+        .agg(
+            F.try_divide(
+                F.covar_pop("__va", "__vb"),
+                F.stddev_pop("__va") * F.stddev_pop("__vb"),
+            ).alias("corr"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        # 1e-4 quantization (catalog.quant's grid — |corr| ≤ 1, so the
+        # NaN/1e12 guards are vacuous) BEFORE the threshold filter:
+        # both engines compare the same grid value, never a raw float
+        .withColumn(
+            "corr",
+            F.floor(F.col("corr") * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0),
+        )
+        .filter(
+            (F.col("n_points") >= F.lit(int(min_points)))
+            & F.col("corr").isNotNull()
+            & ~F.isnan("corr")
+            & (F.abs("corr") >= F.lit(float(min_abs_corr)))
+        )
+        .select(
+            F.col("__ka").alias("key_a"),
+            F.col("__kb").alias("key_b"),
+            labels_from_key_expr(F.col("__ka")).alias("labels_a"),
+            labels_from_key_expr(F.col("__kb")).alias("labels_b"),
+            "corr",
+            "n_points",
+        )
+    )
+
+
+def correlate_matrix_candidates(
+    sf: SeriesFrame,
+    coarse_ms: int,
+    band_symbols: int = 4,
+    max_bucket: int = 32,
+) -> DataFrame:
+    """Candidate-pair stage of :func:`correlate_matrix`, exposed so the
+    bench can LOG AND BUDGET the candidate count: the stop-band cap is
+    the one thing standing between this operator and a quadratic
+    blowup on a skewed fleet (measured: 370M pairs without the cap on
+    the 10× corpus), so a banding change that silently re-opens it
+    must fail a budget assertion, not a 10-minute wall.  Returns
+    distinct ``(__ka, __kb)`` with ``__ka < __kb``.
+    """
+    from pyspark.sql import Window
 
     finite = sf.df.filter(~F.isnan("value")).select(
         "series_key", "ts", "value"
@@ -349,51 +415,7 @@ def correlate_matrix(
         & (F.col("__sig") == F.col("__sinv"))
         & ordered,
     ).select("__ka", "__kb")
-    cand = pos.union(neg).distinct()
-    av = finite.select(
-        F.col("series_key").alias("__ka"),
-        "ts",
-        F.col("value").alias("__va"),
-    )
-    bv = finite.select(
-        F.col("series_key").alias("__kb"),
-        "ts",
-        F.col("value").alias("__vb"),
-    )
-    return (
-        cand.join(av, "__ka")
-        .join(bv, ["__kb", "ts"])
-        .groupBy("__ka", "__kb")
-        .agg(
-            F.try_divide(
-                F.covar_pop("__va", "__vb"),
-                F.stddev_pop("__va") * F.stddev_pop("__vb"),
-            ).alias("corr"),
-            F.count(F.lit(1)).alias("n_points"),
-        )
-        # 1e-4 quantization (catalog.quant's grid — |corr| ≤ 1, so the
-        # NaN/1e12 guards are vacuous) BEFORE the threshold filter:
-        # both engines compare the same grid value, never a raw float
-        .withColumn(
-            "corr",
-            F.floor(F.col("corr") * F.lit(10000.0) + F.lit(0.5))
-            / F.lit(10000.0),
-        )
-        .filter(
-            (F.col("n_points") >= F.lit(int(min_points)))
-            & F.col("corr").isNotNull()
-            & ~F.isnan("corr")
-            & (F.abs("corr") >= F.lit(float(min_abs_corr)))
-        )
-        .select(
-            F.col("__ka").alias("key_a"),
-            F.col("__kb").alias("key_b"),
-            labels_from_key_expr(F.col("__ka")).alias("labels_a"),
-            labels_from_key_expr(F.col("__kb")).alias("labels_b"),
-            "corr",
-            "n_points",
-        )
-    )
+    return pos.union(neg).distinct()
 
 
 def rolling_corr_target(

@@ -669,6 +669,7 @@ def ahash_neardup_pairs(
     id_col: str = "media_id",
     hash_col: str = "ahash",
     max_bucket: int | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Near-duplicate image pairs by Hamming distance on the 64-bit
     aHash (:func:`image_ahash`) — the banded second pass behind the
@@ -755,6 +756,11 @@ def ahash_neardup_pairs(
         )
         .distinct()
     )
+    if candidates_only:
+        # pre-verify band candidates — exposed so the bench can budget
+        # the candidate count (the stop-band cap is what stands between
+        # this and the measured 370M-pair blowup)
+        return cands
     ha = h.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__ha"))
     hb = h.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__hb"))
     return (
