@@ -43,10 +43,10 @@ LEDGER_PATH = os.path.join(
 #: iteration must not pollute the sf0.1 baselines or the rotation order
 BASELINE_SF = "0.1"
 
-#: candidate-pair budgets for the celled operators at sf0.1 — ~10× the
-#: measured counts (BASELINE.md r11: correlate_matrix 31.6k, minhash
-#: 2.1k, ahash 171k), far under the 370M-pair blowup the stop-band cap
-#: prevents; breaching one fails the bench run
+#: candidate-pair budgets for the celled operators at sf0.1 — ~10-40×
+#: the measured counts (BASELINE.md r11: correlate_matrix 36.8k,
+#: minhash 2.1k, ahash 46.7k), far under the 370M-pair blowup the
+#: stop-band cap prevents; breaching one fails the bench run
 CANDIDATE_BUDGETS = {
     "m3_correlate_matrix": 500_000,
     "dedup_minhash_lsh": 500_000,

@@ -462,18 +462,22 @@ def test_compressibility_pure_hash_agg(spark, sf_dir):
     assert "HashAggregate" in plan
 
 
-def test_pca_cov_single_aggregation(spark, sf_dir):
-    """The PCA covariance accumulator is ONE corpus aggregation; the
-    d(d+1)/2 pair explosion happens on the single post-agg row (Generate
-    above the aggregate, never against the corpus scan) — no join, no
-    window, no Python."""
+def test_pca_cov_arrow_kernel_shape(spark, sf_dir):
+    """The PCA covariance accumulator runs as ONE Arrow mapInPandas
+    kernel over the corpus scan (numpy Xᵀ·X per partition — the r11
+    rewrite of the 2144-separate-F.sum formulation that fell out of
+    codegen, 14.4 s → 2.7 s at sf0.1); everything after it touches only
+    the partition-count-sized partials.  No window, no sort-merge join
+    (the combine joins are 64/2080-row metadata frames), no cross
+    product against the corpus."""
     from time_series_db_spark.catalog import QUERIES
 
     plan = _plan(QUERIES["embedding_pca"](spark, sf_dir))
-    assert "EvalPython" not in plan
-    assert "Join" not in plan
+    assert "MapInPandas" in plan or "ArrowEval" in plan
     assert "Window" not in plan
-    assert plan.count("HashAggregate") <= 2  # partial + final, one agg
+    assert "SortMergeJoin" not in plan
+    # the only cross join is the 1-row broadcast of the total count
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_percentile_windowed_sorts_instead_of_arrays(spark, sf_dir):

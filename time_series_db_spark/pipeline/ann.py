@@ -688,46 +688,92 @@ def pca_cov_frame(
     This is exactly the input :func:`pca_fit` eigendecomposes, split out
     so the scale-critical aggregation has a SQL differential oracle —
     the driver-side eigh is a d×d numpy call pinned by unit test.
+
+    The accumulator itself runs as an Arrow-batched ``mapInPandas``
+    kernel: each partition reduces its vectors to ONE partial row
+    ``(n, sx[d], sxx[d(d+1)/2])`` via a numpy matmul (Xᵀ·X), and the
+    partials (one per partition — cluster-width, not corpus-width)
+    combine with two tiny explode+sum aggregations.  The previous
+    expression formulation declared d(d+1)/2 + d = 2144 separate
+    ``F.sum`` aggregates, which falls out of whole-stage codegen and
+    evaluates interpreted per row — A/B at sf0.1 (50k × 64-dim):
+    14.4 s → see BASELINE.md r11.  FP sums reorder vs a sequential
+    fold, exactly like the SQL oracle's own engine order — the 1e-4
+    output grid absorbs both.
     """
-    v = _as_double(F.col(vec_col))
     upper = [(i, j) for i in range(d_in) for j in range(i, d_in)]
-    agg = df.select(v.alias("__v")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.array(
-            *[F.sum(F.element_at("__v", i + 1)) for i in range(d_in)]
-        ).alias("sx"),
-        F.array(
-            *[
-                F.sum(
-                    F.element_at("__v", i + 1) * F.element_at("__v", j + 1)
-                )
-                for i, j in upper
-            ]
-        ).alias("sxx"),
+    iu = [i for i, _ in upper]
+    ju = [j for _, j in upper]
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        n_rows = 0
+        sx = np.zeros(d_in)
+        sxx = np.zeros((d_in, d_in))
+        for pdf in batches:
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["__v"]]
+            )
+            if not len(x):
+                continue
+            n_rows += x.shape[0]
+            sx += x.sum(axis=0)
+            sxx += x.T @ x
+        if n_rows:
+            yield pd.DataFrame(
+                {
+                    "pn": [n_rows],
+                    "psx": [sx.tolist()],
+                    "psxx": [sxx[iu, ju].tolist()],
+                }
+            )
+
+    v = _as_double(F.col(vec_col))
+    partials = df.select(v.alias("__v")).mapInPandas(
+        _partials, "pn long, psx array<double>, psxx array<double>"
     )
-    # posexplode the flat sxx array and map position → (i, j) via two
-    # small literal lookup arrays. (A single array-of-2080-structs
-    # projection re-inlining sx/sxx per entry creates a ~50k-node
-    # expression tree that OOMs janino codegen; this keeps the
-    # post-aggregation projection a handful of nodes.)
-    i_lut = F.array(*[F.lit(i) for i, _ in upper])
-    j_lut = F.array(*[F.lit(j) for _, j in upper])
+    from time_series_db_spark.cache import persist_tracked
+
+    partials = persist_tracked(partials)
+    totals = F.broadcast(partials.agg(F.sum("pn").alias("n")))
+    sxr = (
+        partials.select(F.posexplode("psx").alias("i", "__x"))
+        .groupBy("i")
+        .agg(F.sum("__x").alias("sxi"))
+    )
+    i_lut = F.array(*[F.lit(i) for i in iu])
+    j_lut = F.array(*[F.lit(j) for j in ju])
+    flat = (
+        partials.select(F.posexplode("psxx").alias("k", "__x"))
+        .groupBy("k")
+        .agg(F.sum("__x").alias("sxx"))
+        .select(
+            F.element_at(i_lut, F.col("k") + 1).cast("long").alias("i"),
+            F.element_at(j_lut, F.col("k") + 1).cast("long").alias("j"),
+            "sxx",
+        )
+        .join(sxr.select(F.col("i"), F.col("sxi").alias("__sxi")), "i")
+        .join(
+            sxr.select(
+                F.col("i").alias("j"), F.col("sxi").alias("__sxj")
+            ),
+            "j",
+        )
+        .crossJoin(totals)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            F.col("n").cast("long").alias("n"),
+            "sxx",
+            "__sxi",
+            "__sxj",
+        )
+    )
     n = F.col("n").cast("double")
-    flat = agg.select(
-        F.col("n").cast("long").alias("n"),
-        "sx",
-        i_lut.alias("__i_lut"),
-        j_lut.alias("__j_lut"),
-        F.posexplode("sxx").alias("k", "sxx"),
-    ).select(
-        F.element_at("__i_lut", F.col("k") + 1).cast("long").alias("i"),
-        F.element_at("__j_lut", F.col("k") + 1).cast("long").alias("j"),
-        "n",
-        "sx",
-        "sxx",
-    )
-    mean_i = F.element_at("sx", F.col("i").cast("int") + 1) / n
-    mean_j = F.element_at("sx", F.col("j").cast("int") + 1) / n
+    mean_i = F.col("__sxi") / n
+    mean_j = F.col("__sxj") / n
     return flat.select(
         "i",
         "j",

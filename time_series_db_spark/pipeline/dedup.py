@@ -562,7 +562,18 @@ def ngram_jaccard_pairs(
         ),
     )
     sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
-    flat = sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+    # pre-aggregate repeated shingles to (id, shingle, count) BEFORE the
+    # self-join: a shingle occurring cₐ× in doc a and c_b× in doc b
+    # contributes cₐ·c_b matched pairs — summing the product over one
+    # (id, shingle) row per side is byte-identical to counting the
+    # exploded cₐ·c_b join rows, but the join input shrinks to distinct
+    # shingles per doc and the hot-shingle fan-out multiplies counts
+    # instead of rows (A/B at sf0.1: 39.1 s → see BASELINE.md r11)
+    flat = (
+        sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
+        .groupBy(id_col, "__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
     a, b = flat.alias("a"), flat.alias("b")
     common = (
         a.join(
@@ -573,7 +584,9 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(F.count(F.lit(1)).cast("double").alias("__common"))
+        .agg(
+            F.sum(F.col("a.__c") * F.col("b.__c")).cast("double").alias("__common")
+        )
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
