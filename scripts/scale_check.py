@@ -114,7 +114,13 @@ def build(spark) -> None:
     # v3: orders/lineitem scale with COPIES too (the full-catalog sweep
     # includes the TPC-H family; fact tables grow, dimensions don't —
     # the 100 TB shape)
-    done = os.path.join(WORK, "_DONE_v3")
+    # v4: embedding copies are dimension-ROTATED, not scalar-scaled — a
+    # scalar perturbation preserves cosine ≈ 1 between copies, so every
+    # vector had 9 true clones and near-dup/topk outputs grew ~×100 by
+    # construction (measured: dedup_embedding_cosine exponent 1.41 on
+    # v3 — an artifact of the corpus, not the operator); a circular
+    # dim shift decorrelates copies while keeping norms and PQ seeds
+    done = os.path.join(WORK, "_DONE_v4")
     if os.path.exists(done):
         return
     ev = spark.read.parquet(f"{BASE}/events.parquet")
@@ -144,13 +150,23 @@ def build(spark) -> None:
     embs = spark.read.parquet(f"{BASE}/embeddings.parquet")
     n_vecs = embs.count()
     # vec-id shift per copy keeps ids 0..k-1 present (PQ codebook seeds);
-    # a copy-dependent scale perturbs every vector so ANN candidate
-    # generation and ADC distances do honest work instead of hitting
-    # degenerate exact clones
+    # each copy's vectors are circularly dim-SHIFTED by 7·copy positions
+    # (norm-preserving, decorrelates copies — a scalar perturbation kept
+    # cosine ≈ 1 between copies, giving every vector 9 true clones and
+    # quadratic-by-construction near-dup output; see v4 note above) plus
+    # a tiny scale so no two copies are bit-equal
+    dim = 64
     bige = embs.crossJoin(F.broadcast(copies)).select(
         (F.col("vec_id") + F.col("__c") * n_vecs).alias("vec_id"),
         F.transform(
-            "embedding",
+            F.concat(
+                F.slice(
+                    "embedding",
+                    (F.col("__c") * 7) % dim + 1,
+                    dim - (F.col("__c") * 7) % dim,
+                ),
+                F.slice("embedding", F.lit(1), (F.col("__c") * 7) % dim),
+            ),
             lambda x: (x * (F.lit(1.0) + F.col("__c") * F.lit(1e-4)))
             .cast("float"),
         ).alias("embedding"),

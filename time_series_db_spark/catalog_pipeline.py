@@ -400,9 +400,15 @@ _EMB_SIG = " UNION ALL ".join(
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Embedding near-dup via banded hyperplane LSH (the scale path):
-    candidates restricted to pairs colliding in ≥1 of 6 four-plane bands,
-    exact cosine ≥ 0.45 on the candidate set."""
-    pairs = dedup.embedding_neardup_pairs(_embs(spark, sf_dir), threshold=0.45)
+    candidates restricted to pairs colliding in ≥1 of 6 bands, exact
+    cosine ≥ 0.45 on the candidate set.  ``planes_per_band="auto"``
+    holds bucket occupancy ~constant as the corpus grows (r11 exponent
+    fix); at the driver's sf0.01 gate auto resolves to exactly the
+    4-plane config the oracle replays, so the differential is
+    unchanged."""
+    pairs = dedup.embedding_neardup_pairs(
+        _embs(spark, sf_dir), threshold=0.45, planes_per_band="auto"
+    )
     return pairs.select("id_a", "id_b", quant(F.col("cosine")).alias("cosine"))
 
 

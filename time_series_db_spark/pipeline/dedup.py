@@ -646,7 +646,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucketed: bool = True,
-    planes_per_band: int = EMB_PLANES_PER_BAND,
+    planes_per_band: int | str = EMB_PLANES_PER_BAND,
     bands: int = EMB_BANDS,
 ) -> DataFrame:
     """Pairs (id_a, id_b, cosine) with cosine ≥ threshold.
@@ -661,6 +661,20 @@ def embedding_neardup_pairs(
     O(B · Σ bucket²) instead of O(n²). Cosine is then computed exactly on
     the deduplicated candidate set. Recall < 1 by design; ``bands`` is
     the recall knob, ``planes_per_band`` the selectivity knob.
+
+    ``planes_per_band="auto"`` scales the selectivity knob with the
+    corpus: ``max(4, ceil(log2(n / 32)))`` planes, holding expected
+    bucket occupancy ≈ 32 as the corpus grows.  A FIXED plane count has
+    only ``2^planes`` buckets per band, so occupancy — and therefore
+    candidate pairs, quadratically — grows with n: the r11 full-catalog
+    exponent sweep measured e = 1.15 (150 s at 10×) for the fixed
+    4-plane config vs a ~bounded candidate set under auto.  The trade
+    is the standard LSH one: more planes per band lowers per-band
+    collision probability for TRUE near-dups too, so recall at a fixed
+    ``bands`` falls as the corpus grows — raise ``bands`` to buy it
+    back, or use :func:`semantic_dedup` (celled k-means) for
+    directionally-clustered corpora where banding is inherently
+    unselective.
 
     ``bucketed=False`` is the exact all-pairs block join — the recall
     oracle for tests, quadratic by design.
@@ -683,6 +697,14 @@ def embedding_neardup_pairs(
 
     from time_series_db_spark.pipeline.ann import hyperplane_bucket
 
+    if planes_per_band == "auto":
+        import math
+
+        n = df.count()
+        planes_per_band = max(
+            EMB_PLANES_PER_BAND, math.ceil(math.log2(max(n, 2) / 32))
+        )
+    planes_per_band = int(planes_per_band)
     sig = df.select(
         F.col(id_col),
         F.explode(
