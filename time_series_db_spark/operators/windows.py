@@ -37,6 +37,35 @@ def _series_window(ordered: bool = True):
     return w.orderBy("ts") if ordered else w
 
 
+def _on_grid(sf: SeriesFrame):
+    """Predicate clipping samples to the query grid — the same clip the
+    dense formulation's grid-only emission applies."""
+    return (
+        (F.col("ts") >= F.lit(sf.min_ts))
+        & (F.col("ts") < F.lit(sf.max_ts))
+        & ((F.col("ts") - F.lit(sf.min_ts)) % F.lit(sf.step) == 0)
+    )
+
+
+def _grid_gaps(sf: SeriesFrame):
+    """The grid points each series is MISSING, as rows with NULL value —
+    the generated half of :func:`_densified` (one groupBy packing each
+    series' present timestamps, ``array_except`` against the grid)."""
+    return (
+        sf.df.groupBy("series_key", "alias")
+        .agg(F.collect_list(F.when(_on_grid(sf), F.col("ts"))).alias("__ts"))
+        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
+        .select(
+            "series_key", "labels", "alias",
+            F.explode(
+                F.array_except(sf.grid_col(), F.col("__ts"))
+            ).alias("ts"),
+        )
+        .withColumn("value", F.lit(None).cast("double"))
+        .select(*SAMPLE_COLS)
+    )
+
+
 def _densified(sf: SeriesFrame):
     """Dense frame with NULL marking the gaps (internal only — callers must
     either fill or re-drop the NULLs before returning).
@@ -57,26 +86,8 @@ def _densified(sf: SeriesFrame):
     contract; off-grid or out-of-window samples are clipped exactly as
     the map formulation's grid-only lookups clipped them.
     """
-    on_grid = (
-        (F.col("ts") >= F.lit(sf.min_ts))
-        & (F.col("ts") < F.lit(sf.max_ts))
-        & ((F.col("ts") - F.lit(sf.min_ts)) % F.lit(sf.step) == 0)
-    )
-    base = sf.df.filter(on_grid).select(*SAMPLE_COLS)
-    gaps = (
-        sf.df.groupBy("series_key", "alias")
-        .agg(F.collect_list(F.when(on_grid, F.col("ts"))).alias("__ts"))
-        .withColumn("labels", labels_from_key_expr(F.col("series_key")))
-        .select(
-            "series_key", "labels", "alias",
-            F.explode(
-                F.array_except(sf.grid_col(), F.col("__ts"))
-            ).alias("ts"),
-        )
-        .withColumn("value", F.lit(None).cast("double"))
-        .select(*SAMPLE_COLS)
-    )
-    return base.unionByName(gaps)
+    base = sf.df.filter(_on_grid(sf)).select(*SAMPLE_COLS)
+    return base.unionByName(_grid_gaps(sf))
 
 
 def transform_null(sf: SeriesFrame, constant: float = 0.0) -> SeriesFrame:
@@ -222,20 +233,33 @@ def changed(sf: SeriesFrame) -> SeriesFrame:
     """DENSE 0/1 over the grid — ChangedStage.java:71-110: every grid
     point emits; missing/NaN points emit 0; a present point emits 1 iff
     it differs from the last non-null, non-NaN value seen at ANY earlier
-    grid point (not just the immediately preceding sample)."""
+    grid point (not just the immediately preceding sample).
+
+    Computed SPARSE-first: "last valid value at any earlier grid point"
+    is exactly the last valid PRESENT sample (gaps carry no value), so
+    the ordered window runs over the samples (~density × grid rows),
+    and the inherently-dense output is the scored samples ∪ the gap
+    points as constant 0.0 — the r11 union-densify shape; the old dense
+    window sorted the full series×grid frame (5.4M rows at sf0.1)."""
     w = _series_window()
     valid = F.when(~F.isnan("value") & F.col("value").isNotNull(), F.col("value"))
     prev_real = F.last(valid, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    df = _densified(sf).withColumn(
-        "value",
-        F.when(F.col("value").isNull() | F.isnan("value"), 0.0)
-        .when(prev_real.isNull(), 0.0)
-        .when(F.col("value") != prev_real, 1.0)
-        .otherwise(0.0),
-    ).select(*SAMPLE_COLS)
-    return sf.with_df(df)
+    present = (
+        sf.df.filter(_on_grid(sf))
+        .withColumn("__prev", prev_real)
+        .withColumn(
+            "value",
+            F.when(F.col("value").isNull() | F.isnan("value"), 0.0)
+            .when(F.col("__prev").isNull(), 0.0)
+            .when(F.col("value") != F.col("__prev"), 1.0)
+            .otherwise(0.0),
+        )
+        .select(*SAMPLE_COLS)
+    )
+    gaps = _grid_gaps(sf).withColumn("value", F.lit(0.0)).select(*SAMPLE_COLS)
+    return sf.with_df(present.unionByName(gaps))
 
 
 _MOVING_FNS = {"sum", "avg", "min", "max", "median"}
@@ -426,19 +450,36 @@ def sustain(sf: SeriesFrame, duration_ms: int) -> SeriesFrame:
     ending at it spans ≥ duration — SustainStage.java:50 (javadoc :1-22;
     pairs with value filters for "above threshold for 5m").
 
-    Run length is computed on the dense grid: the last *absent* grid point
-    before each sample marks the run start.
+    Computed SPARSE: a run breaks wherever consecutive present samples
+    are more than one step apart (that gap grid point is the dense
+    formulation's "last absent point"), so segment ids come from one
+    cumulative sum over the samples and the run start is the segment's
+    first sample — never touching the series×grid dense frame (the
+    output is a SUBSET of the present samples, so densifying was pure
+    overhead; r11, part of the union-densify rewrite).
     """
-    w = _series_window().rowsBetween(Window.unboundedPreceding, 0)
-    dense = _densified(sf)
-    last_gap_ts = F.last(
-        F.when(F.col("value").isNull(), F.col("ts")), ignorenulls=True
-    ).over(w)
-    run_start = F.coalesce(last_gap_ts + sf.step, F.lit(sf.min_ts))
+    w = _series_window()
+    run_w = Window.partitionBy("series_key", "alias", "__seg")
+    gap_break = (
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") - F.lag("ts").over(w) > sf.step)
+    ).cast("int")
+    # NULL-valued rows are gaps in the dense formulation (they broke
+    # runs and never emitted) — dropping them first reproduces both:
+    # the ts jump across the dropped point exceeds one step, breaking
+    # the run, and the row itself is gone from the output
     df = (
-        dense.withColumn("__run_start", run_start)
+        sf.df.filter(_on_grid(sf))
         .filter(F.col("value").isNotNull())
-        .filter((F.col("ts") - F.col("__run_start") + sf.step) >= F.lit(int(duration_ms)))
+        .withColumn(
+            "__seg",
+            F.sum(gap_break).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("__run_start", F.min("ts").over(run_w))
+        .filter(
+            (F.col("ts") - F.col("__run_start") + sf.step)
+            >= F.lit(int(duration_ms))
+        )
         .select(*SAMPLE_COLS)
     )
     return sf.with_df(df)
