@@ -377,13 +377,35 @@ def _sql_bucket(v: str, num_planes: int = ann.NUM_PLANES, start_plane: int = 0) 
 
 
 #: per-band signature CTE mirroring dedup.embedding_neardup_pairs banding
-_EMB_SIG = " UNION ALL ".join(
-    f"SELECT vec_id, {b} AS band, "
-    + _sql_bucket("embedding::DOUBLE[]", dedup.EMB_PLANES_PER_BAND,
-                  b * dedup.EMB_PLANES_PER_BAND)
-    + " AS bucket FROM embeddings"
-    for b in range(dedup.EMB_BANDS)
-)
+#: corpus-parameterized band signatures (r12, ADVICE fix): the plane
+#: count per band is computed IN SQL with the same formula the Spark
+#: side's ``planes_per_band="auto"`` uses — ``greatest(4,
+#: ceil(log2(n/32)))`` — so the oracle replays the auto-scaled banding
+#: at ANY corpus size instead of silently diverging past 512 vectors.
+#: (log2 of the count ratio is float-exact at power-of-two boundaries,
+#: and both sides evaluate the identical double expression; parity is
+#: pinned by tests/test_r12_ops.py across plane counts.)  The per-plane
+#: term is masked by ``p < planes`` rather than unrolled, supporting up
+#: to 16 planes/band (occupancy-32 banding for ~2M vectors).
+_EMB_SIG = f"""
+  SELECT vec_id, band,
+         sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+  FROM (
+    SELECT qe.vec_id, bb.band, pp.p,
+      list_reduce(list_prepend(0::BIGINT,
+        [qe.q[i] * (((97*(bb.band*np.planes + pp.p) + 13*(i-1)) % 19) - 9)
+         for i in generate_series(1, len(qe.q))]), (acc,x) -> acc + x) AS dot
+    FROM (SELECT vec_id,
+                 [floor((embedding::DOUBLE[])[i]*1000 + 0.5)::BIGINT
+                  for i in generate_series(1, len(embedding::DOUBLE[]))] AS q
+          FROM embeddings) qe
+    CROSS JOIN (SELECT greatest(4, CAST(ceil(log2(count(*)/32.0)) AS BIGINT))
+                       AS planes FROM embeddings) np
+    CROSS JOIN generate_series(0, {dedup.EMB_BANDS - 1}) AS bb(band)
+    CROSS JOIN generate_series(0, 15) AS pp(p)
+    WHERE pp.p < np.planes
+  ) GROUP BY vec_id, band
+"""
 
 
 @register(
@@ -403,9 +425,10 @@ def dedup_embedding_cosine(spark, sf_dir):
     candidates restricted to pairs colliding in ≥1 of 6 bands, exact
     cosine ≥ 0.45 on the candidate set.  ``planes_per_band="auto"``
     holds bucket occupancy ~constant as the corpus grows (r11 exponent
-    fix); at the driver's sf0.01 gate auto resolves to exactly the
-    4-plane config the oracle replays, so the differential is
-    unchanged."""
+    fix); the oracle SQL computes the SAME ``greatest(4,
+    ceil(log2(n/32)))`` plane count from the corpus (r12 ADVICE fix),
+    so the differential contract holds at any scale — not just the
+    ≤512-vector range where auto collapses to the old fixed-4 config."""
     pairs = dedup.embedding_neardup_pairs(
         _embs(spark, sf_dir), threshold=0.45, planes_per_band="auto"
     )

@@ -39,10 +39,19 @@ def _series_window(ordered: bool = True):
 
 def _on_grid(sf: SeriesFrame):
     """Predicate clipping samples to the query grid — the same clip the
-    dense formulation's grid-only emission applies."""
+    dense formulation's grid-only emission applies.
+
+    The upper bound is the actual grid extent ``min_ts + grid_points *
+    step``, NOT ``max_ts``: when ``(max_ts - min_ts) % step != 0`` a
+    step-aligned sample can sit in ``[last_grid_point + step, max_ts)``
+    — it passes an ``< max_ts`` check yet is not a point of
+    ``grid_col()`` (``sequence(min_ts, max_ts - step, step)``), so the
+    sparse union formulations would emit a row the dense grid never
+    contained."""
+    grid_end = sf.min_ts + sf.grid_points * sf.step
     return (
         (F.col("ts") >= F.lit(sf.min_ts))
-        & (F.col("ts") < F.lit(sf.max_ts))
+        & (F.col("ts") < F.lit(grid_end))
         & ((F.col("ts") - F.lit(sf.min_ts)) % F.lit(sf.step) == 0)
     )
 
