@@ -159,6 +159,32 @@ _DRIVER_VERIFIED = frozenset({
 })
 
 
+#: Entries whose BACKING CODE changed after their most recent driver
+#: green — changed code must re-earn its green, so these jump the
+#: rotation queue ahead of everything else (r11 verdict item #1: the
+#: builder's own fresh-process certification is the right discipline,
+#: but the driver's differential is the binding signal).  Update this
+#: list every round to the entries touched that round; stale names are
+#: harmless (they just re-certify early).
+_RECERTIFY_FIRST = (
+    # r11-touched, judge-prescribed leads (VERDICT r11 next-round #1)
+    "embedding_pca",            # pca_cov_frame -> mapInPandas (r11)
+    "dedup_embedding_cosine",   # auto planes (r11) + r12 dynamic oracle
+    "decontaminate_overlap",    # gram-scan persist (r11)
+    "m3ql_sustained_above",     # sustain sparse rewrite (r11) + r12 _on_grid
+    # r12-touched (this round's ADVICE fixes)
+    "m3_changed",               # _on_grid grid-extent clip
+    "m3_transform_null",
+    "m3_is_non_null",
+    "m3_sustain",
+    "m3_keep_last_value",       # unbounded fill goes through _densified
+    "m3ql_keep_last_summarize",
+    "ann_ivf_update",           # deterministic intra-delta survivor
+    "dedup_xcorpus_update",     # deterministic intra-delta survivor
+    "ann_ivf_kmeans_topk",      # None-sentinel fit knobs
+)
+
+
 def _family(name: str) -> str:
     return name.split("_", 1)[0]
 
@@ -199,7 +225,11 @@ def _ordered(mapping: dict) -> dict:
     greens."""
     from time_series_db_spark.catalog import QUERIES
 
-    unverified = [n for n in QUERIES if n not in _DRIVER_VERIFIED]
+    recert = [n for n in _RECERTIFY_FIRST if n in QUERIES]
+    head = set(recert)
+    unverified = [
+        n for n in QUERIES if n not in _DRIVER_VERIFIED and n not in head
+    ]
     buckets: dict[str, list] = {}
     for n in unverified:
         buckets.setdefault(_family(n), []).append(n)
@@ -211,10 +241,10 @@ def _ordered(mapping: dict) -> dict:
     last = _last_checked()
     reg_idx = {n: i for i, n in enumerate(QUERIES)}
     verified = sorted(
-        (n for n in QUERIES if n in _DRIVER_VERIFIED),
+        (n for n in QUERIES if n in _DRIVER_VERIFIED and n not in head),
         key=lambda n: (last.get(n, 0), reg_idx[n]),
     )
-    names = interleaved + verified
+    names = recert + interleaved + verified
     return {n: mapping[n] for n in names if n in mapping}
 
 

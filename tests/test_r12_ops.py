@@ -105,6 +105,76 @@ def test_embedding_auto_planes_formula_matches_oracle_sql():
     con.close()
 
 
+def test_minhash_update_intra_delta_conflict_is_deterministic(spark):
+    """ADVICE r11 (dedup.py:316): one delta carrying the same id with
+    DIFFERENT payloads must store one deterministic signature — the
+    lexicographically-greatest text — not an arbitrary
+    partition-order-dependent pick."""
+    from time_series_db_spark.pipeline import dedup
+
+    base = spark.createDataFrame(
+        [(1, "old content here")], "doc_id long, text string"
+    )
+    model = dedup.minhash_fit(base)
+    delta = spark.createDataFrame(
+        [(2, "zzz revised crawl of doc two"),
+         (2, "aaa first crawl of doc two")],
+        "doc_id long, text string",
+    ).repartition(4)
+    out = dedup.minhash_update(model, docs=delta)
+    rows = out.filter(F.col("doc_id") == 2).collect()
+    assert len(rows) == 1
+    want = dedup.minhash_signatures(
+        spark.createDataFrame(
+            [(2, "zzz revised crawl of doc two")], "doc_id long, text string"
+        )
+    ).collect()[0]
+    assert rows[0].asDict() == want.asDict()
+
+
+def test_ivf_update_intra_delta_conflict_is_deterministic(spark):
+    """Same contract for the IVF index: the survivor is the
+    lexicographically-greatest vector."""
+    from time_series_db_spark.pipeline import ann
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    model = ann.ivf_fit(corpus, nlist=2, train_iters=1)
+    delta = spark.createDataFrame(
+        [(100, [9.0, 9.0]), (100, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    out = ann.ivf_update(model, delta)
+    rows = out["cells"].filter(F.col("vec_id") == 100).collect()
+    assert len(rows) == 1
+    assert rows[0]["vector"] == [9.0, 9.0]
+
+
+def test_ivf_kmeans_model_mode_rejects_only_explicit_fit_knobs(spark):
+    """ADVICE r11 (ann.py:439): the guard must not compare against
+    hardcoded default literals — omitted knobs pass, ANY explicitly
+    passed knob (even one matching the fit) is rejected."""
+    from time_series_db_spark.pipeline import ann
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(2)
+    model = ann.ivf_fit(corpus, nlist=2, train_iters=1)
+    # omitted -> fine
+    assert ann.ivf_kmeans_topk(queries=queries, model=model, k=2).count() > 0
+    # the OLD default literals are no longer a silent pass
+    with pytest.raises(ValueError, match="nlist"):
+        ann.ivf_kmeans_topk(queries=queries, model=model, nlist=16)
+    with pytest.raises(ValueError, match="train_iters"):
+        ann.ivf_kmeans_topk(queries=queries, model=model, train_iters=2)
+    # inline-fit path: omitted knobs resolve to the documented defaults
+    assert ann.ivf_kmeans_topk(corpus, queries, k=2).count() > 0
+
+
 def test_sustain_clips_to_actual_grid_extent(spark):
     from time_series_db_spark.operators.windows import sustain
 

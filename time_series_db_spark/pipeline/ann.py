@@ -391,8 +391,16 @@ def ivf_update(
     # replays / re-crawled batches can carry the same id twice inside
     # one delta; without this every copy survives the assignment pass
     # and lands as a duplicate index row (the replace-by-id contract
-    # only guards against ids already in the STORED cells table)
-    vectors = vectors.dropDuplicates([id_col])
+    # only guards against ids already in the STORED cells table).
+    # Survivor = lexicographically-greatest vector (arrays are
+    # orderable), NOT dropDuplicates: a delta carrying the same id with
+    # DIFFERENT payloads must index the same vector on every run
+    # (ADVICE r11).
+    vectors = (
+        vectors.select(id_col, _as_double(F.col(vec_col)).alias(vec_col))
+        .groupBy(id_col)
+        .agg(F.max(vec_col).alias(vec_col))
+    )
     vecs = vectors.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
     fresh = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
         F.col(id_col),
@@ -409,9 +417,9 @@ def ivf_kmeans_topk(
     corpus: DataFrame | None = None,
     queries: DataFrame | None = None,
     k: int = 5,
-    nlist: int = 16,
+    nlist: int | None = None,
     nprobe: int = 2,
-    train_iters: int = 2,
+    train_iters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     model: dict[str, DataFrame] | None = None,
@@ -435,12 +443,16 @@ def ivf_kmeans_topk(
     if model is not None:
         # the quantizer is already fitted: nlist/train_iters describe a
         # FIT, and silently ignoring values that disagree with the index
-        # would misreport what was searched
-        if nlist != 16 or train_iters != 2:
+        # would misreport what was searched.  None-sentinel defaults
+        # (ADVICE r11): only an EXPLICITLY passed value is rejected —
+        # a caller echoing the model's true fit params used to trip a
+        # literal-default comparison, and a default change would have
+        # silently broken the guard.
+        if nlist is not None or train_iters is not None:
             raise ValueError(
                 "nlist/train_iters configure the quantizer fit and are "
                 "unused with model= (the index is already trained); "
-                "leave them at their defaults"
+                "omit them"
             )
         cents = F.broadcast(
             model["centroids"].select(
@@ -459,7 +471,10 @@ def ivf_kmeans_topk(
         )
         cents = F.broadcast(
             kmeans_centroids(
-                vecs, nlist=nlist, iters=train_iters, id_col=id_col
+                vecs,
+                nlist=16 if nlist is None else nlist,
+                iters=2 if train_iters is None else train_iters,
+                id_col=id_col,
             )
         )
         cells = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(

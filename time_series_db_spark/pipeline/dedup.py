@@ -312,8 +312,12 @@ def minhash_update(
     if docs is not None:
         # a replayed / re-crawled delta can carry the same id twice;
         # dedup first or every copy's signature row survives the
-        # anti-join and lands as a duplicate model row
-        docs = docs.dropDuplicates([id_col])
+        # anti-join and lands as a duplicate model row.  The survivor
+        # is the lexicographically-greatest text (NOT dropDuplicates,
+        # whose pick is partition-order-dependent): a re-crawl carrying
+        # the same id with CHANGED content must yield the same stored
+        # signature on every run (ADVICE r11).
+        docs = docs.groupBy(id_col).agg(F.max(text_col).alias(text_col))
         fresh = minhash_signatures(
             docs, id_col, text_col, num_perms, shingle_k, hash_fn
         )
