@@ -36,6 +36,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 WINDOW = int(os.environ.get("SPARK_GRAFT_BENCH_WINDOW", "60"))
+#: comma-separated subset for DRIFT ADJUDICATION runs (BASELINE.md
+#: protocol: cross-round comparisons are only valid between
+#: fresh-process runs of the SAME query set — never mega-run ratios).
+#: When set: only these names run (headline or _extra_benches), no
+#: rotation window, no ledger update, no candidate counts.
+ONLY = [
+    n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+]
 LEDGER_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "bench_baselines.json"
 )
@@ -343,8 +351,11 @@ def main() -> None:
     spark = get_spark("tsdb-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    headline = [n for n in BENCH_QUERIES if n in QUERIES]
-    names = headline + _rotation_window(QUERIES)
+    if ONLY:
+        names = [n for n in ONLY if n in QUERIES]
+    else:
+        headline = [n for n in BENCH_QUERIES if n in QUERIES]
+        names = headline + _rotation_window(QUERIES)
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name]
@@ -358,8 +369,13 @@ def main() -> None:
         run()  # warm-up (JIT, parquet footer cache) — discarded
         timings[name] = round(statistics.median(run() for _ in range(RUNS)), 4)
 
+    extra_names = ("rules_group_backfill", "cascade_rollup")
+    want_extra = not ONLY or any(n in ONLY for n in extra_names)
     with tempfile.TemporaryDirectory(prefix="tsdb_bench_") as tmp_root:
-        for name, action in _extra_benches(spark, tmp_root).items():
+        extras = _extra_benches(spark, tmp_root) if want_extra else {}
+        for name, action in extras.items():
+            if ONLY and name not in ONLY:
+                continue
 
             def run_action(action=action) -> float:
                 t0 = time.perf_counter()
@@ -371,11 +387,15 @@ def main() -> None:
                 statistics.median(run_action() for _ in range(RUNS)), 4
             )
 
-    candidates = _candidate_counts(spark)
+    candidates = {} if ONLY else _candidate_counts(spark)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     alarms: list[str] = []
-    if sf == BASELINE_SF and not os.environ.get("SPARK_GRAFT_BENCH_NO_RECORD"):
+    if (
+        sf == BASELINE_SF
+        and not ONLY
+        and not os.environ.get("SPARK_GRAFT_BENCH_NO_RECORD")
+    ):
         alarms = _update_ledger(timings)
 
     total = round(sum(timings.values()), 4)

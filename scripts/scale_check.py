@@ -22,8 +22,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WORK = "/tmp/scale_check_sf1"
 COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+#: work dir is keyed by the copy count so a 100× build (the two-decade
+#: sweep, scripts/scale_twodecade.py) never collides with the standard
+#: 10× corpus; the legacy name is kept for COPIES=10 so the existing
+#: build is reused
+WORK = os.environ.get("SPARK_GRAFT_SCALE_WORK") or (
+    "/tmp/scale_check_sf1" if COPIES == 10 else f"/tmp/scale_check_x{COPIES}"
+)
 
 #: heavy queries whose scaling we certify (one per risk class)
 QUERIES = [

@@ -652,8 +652,14 @@ def embedding_neardup_pairs(
     bucketed: bool = True,
     planes_per_band: int | str = EMB_PLANES_PER_BAND,
     bands: int = EMB_BANDS,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Pairs (id_a, id_b, cosine) with cosine ≥ threshold.
+
+    ``candidates_only=True`` returns the deduped banded candidate set
+    (id_a, id_b) BEFORE the exact-cosine verify — the cost driver the
+    scale sweeps budget-check (same contract as
+    multimodal.ahash_neardup_pairs).
 
     ``bucketed=True`` (the scale path, and the registered catalog form):
     banded random-hyperplane LSH — each vector gets ``bands`` bucket ids
@@ -683,6 +689,8 @@ def embedding_neardup_pairs(
     ``bucketed=False`` is the exact all-pairs block join — the recall
     oracle for tests, quadratic by design.
     """
+    if candidates_only and not bucketed:
+        raise ValueError("candidates_only requires the bucketed path")
     vecs = df.select(
         F.col(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
@@ -739,6 +747,8 @@ def embedding_neardup_pairs(
         )
         .distinct()
     )
+    if candidates_only:
+        return cand
     va = vecs.select(F.col(id_col).alias("id_a"), F.col("__v").alias("__va"))
     vb = vecs.select(F.col(id_col).alias("id_b"), F.col("__v").alias("__vb"))
     return (
