@@ -110,7 +110,13 @@ def parse_exposition(lines: DataFrame, column: str = "line") -> DataFrame:
 
     Pure column expressions: regexp splits, ``map_from_arrays`` label
     assembly, spec unescaping — the 100 TB path is one text scan.
+    Input isolated behind a Generate barrier (sources/wire.py:
+    isolate_input) so an expensive upstream line expression is
+    evaluated once, not once per pushed-down guard (r12 A/B).
     """
+    from time_series_db_spark.sources.wire import isolate_input
+
+    lines = isolate_input(lines, column)
     c = F.col(column)
     base = (
         lines.where(~F.startswith(F.trim(c), F.lit("#")))

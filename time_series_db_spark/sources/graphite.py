@@ -105,7 +105,14 @@ def parse_graphite(lines: DataFrame, column: str = "line") -> DataFrame:
     labels, seconds → milliseconds. Comment (``#``) / blank / malformed
     lines drop; duplicated tag keys (or a tag named ``name``) are
     malformed and drop rather than crashing ``map_from_arrays`` under
-    the default ``mapKeyDedupPolicy=EXCEPTION``."""
+    the default ``mapKeyDedupPolicy=EXCEPTION``.
+
+    Input isolated behind a Generate barrier (sources/wire.py:
+    isolate_input) so an expensive upstream line expression is
+    evaluated once, not once per pushed-down guard (r12 A/B)."""
+    from time_series_db_spark.sources.wire import isolate_input
+
+    lines = isolate_input(lines, column)
     c = F.trim(F.col(column))
     base = (
         lines.where(~F.startswith(F.trim(F.col(column)), F.lit("#")))

@@ -112,7 +112,14 @@ def parse_line_protocol(lines: DataFrame, column: str = "line") -> DataFrame:
 
     Pure column expressions end-to-end; the spec's escaped delimiters
     are honored by splitting only on unescaped commas/spaces/equals.
+    The input column is isolated behind a Generate barrier first —
+    sources/wire.py:isolate_input (r12 A/B: 4.83 → 3.07 s on the
+    roundtrip, where predicate pushdown re-inlined the format
+    expression 9×; cost-neutral on a raw text scan).
     """
+    from time_series_db_spark.sources.wire import isolate_input
+
+    lines = isolate_input(lines, column)
     c = _park(F.trim(F.col(column)))
     base = (
         lines.where(~F.startswith(F.trim(F.col(column)), F.lit("#")))
