@@ -262,6 +262,55 @@ def test_wire_ingest_per_batch_cost_is_store_size_invariant(
     )
 
 
+def test_correlate_matrix_auto_band_symbols(spark, sf_dir):
+    """r12 two-decade fix: band_symbols='auto' holds bucket occupancy
+    as the fleet grows (the fixed 4-symbol config dropped EVERY bucket
+    at 750k series and returned an empty matrix).  At a small fleet
+    auto resolves to the default 4, so candidates match the fixed
+    config exactly; the guard accepts the sentinel."""
+    from time_series_db_spark.catalog import (
+        _CMX_CAP, _CMX_COARSE, _CORR_STEP, _fetch,
+    )
+    from time_series_db_spark.operators import stats as stats_ops
+
+    sf = _fetch(spark, sf_dir, step=_CORR_STEP)
+    fixed = stats_ops.correlate_matrix_candidates(
+        sf, coarse_ms=_CMX_COARSE, band_symbols=4, max_bucket=_CMX_CAP
+    )
+    auto = stats_ops.correlate_matrix_candidates(
+        sf, coarse_ms=_CMX_COARSE, band_symbols="auto", max_bucket=_CMX_CAP
+    )
+    got_f = {(r["__ka"], r["__kb"]) for r in fixed.collect()}
+    got_a = {(r["__ka"], r["__kb"]) for r in auto.collect()}
+    assert got_a == got_f
+    with pytest.raises(ValueError):
+        stats_ops.correlate_matrix(sf, coarse_ms=0, band_symbols="auto")
+
+
+def test_embedding_neardup_stop_band_cap(spark):
+    """r12 two-decade fix: max_bucket drops direction-cluster buckets
+    (where hyperplane LSH is uninformative) while isolated near-dup
+    pairs still surface — the same stop-band contract the ahash and
+    correlate banding already carry."""
+    from time_series_db_spark.pipeline import dedup
+
+    # 40 near-identical vectors (one direction cluster: same bucket in
+    # every band) + one isolated near-dup pair in another direction
+    cluster = [(i, [1.0, 0.01 * (i % 3), 0.0, 0.0]) for i in range(40)]
+    pair = [(100, [0.0, 0.0, 1.0, 0.02]), (101, [0.0, 0.0, 1.0, 0.021])]
+    df = spark.createDataFrame(
+        cluster + pair, "vec_id long, embedding array<double>"
+    )
+    capped = dedup.embedding_neardup_pairs(
+        df, threshold=0.9, max_bucket=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got), "cluster bucket must be dropped"
+    uncapped = dedup.embedding_neardup_pairs(df, threshold=0.9).collect()
+    assert len(uncapped) > len(capped), "uncapped keeps the cluster pairs"
+
+
 def test_sustain_clips_to_actual_grid_extent(spark):
     from time_series_db_spark.operators.windows import sustain
 

@@ -192,7 +192,7 @@ def correlate_target(
 def correlate_matrix(
     sf: SeriesFrame,
     coarse_ms: int,
-    band_symbols: int = 4,
+    band_symbols: int | str = 4,
     max_bucket: int = 32,
     min_points: int = 3,
     min_abs_corr: float = 0.0,
@@ -251,10 +251,14 @@ def correlate_matrix(
     product.  The quadratic all-pairs path exists only as the test
     oracle (the dedup discipline).
     """
-    if coarse_ms <= 0 or band_symbols <= 0 or max_bucket <= 1:
+    if (
+        coarse_ms <= 0
+        or (band_symbols != "auto" and int(band_symbols) <= 0)
+        or max_bucket <= 1
+    ):
         raise ValueError(
-            "correlate_matrix needs coarse_ms > 0, band_symbols > 0, "
-            "max_bucket > 1"
+            "correlate_matrix needs coarse_ms > 0, band_symbols > 0 "
+            "or 'auto', max_bucket > 1"
         )
     from time_series_db_spark.model import labels_from_key_expr
 
@@ -313,7 +317,7 @@ def correlate_matrix(
 def correlate_matrix_candidates(
     sf: SeriesFrame,
     coarse_ms: int,
-    band_symbols: int = 4,
+    band_symbols: int | str = 4,
     max_bucket: int = 32,
 ) -> DataFrame:
     """Candidate-pair stage of :func:`correlate_matrix`, exposed so the
@@ -323,12 +327,36 @@ def correlate_matrix_candidates(
     the 10× corpus), so a banding change that silently re-opens it
     must fail a budget assertion, not a 10-minute wall.  Returns
     distinct ``(__ka, __kb)`` with ``__ka < __kb``.
+
+    ``band_symbols="auto"`` (r12, the embedding auto-planes pattern)
+    scales the signature length with the FLEET: ``max(4,
+    ceil(log3(n_series / max_bucket)))`` symbols, holding expected
+    bucket occupancy ≈ ``max_bucket`` as the fleet grows.  A FIXED
+    length has only ``3^symbols`` buckets per time band, so occupancy
+    grows linearly with the fleet and eventually EVERY bucket exceeds
+    the stop-band cap — the r12 two-decade sweep measured exactly that
+    cliff: at 100× (750k series) the 4-symbol config dropped every
+    bucket and returned an EMPTY correlation matrix (candidates
+    36,779 → 0).  Longer signatures demand co-movement over more
+    steps, so per-band recall falls as the fleet grows — the standard
+    LSH trade; the many time bands are the recall knob.
     """
     from pyspark.sql import Window
 
     finite = sf.df.filter(~F.isnan("value")).select(
         "series_key", "ts", "value"
     )
+    if band_symbols == "auto":
+        import math
+
+        n_series = finite.select("series_key").distinct().count()
+        band_symbols = max(
+            4,
+            math.ceil(
+                math.log(max(n_series, 2) / max_bucket, 3)
+            ),
+        )
+    band_symbols = int(band_symbols)
     coarse = F.lit(int(coarse_ms))
     bk = (
         finite.withColumn("__b", F.col("ts") - F.col("ts") % coarse)

@@ -30,7 +30,7 @@ see :func:`minhash_signatures`).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from time_series_db_spark.pipeline import textprep
@@ -653,6 +653,7 @@ def embedding_neardup_pairs(
     planes_per_band: int | str = EMB_PLANES_PER_BAND,
     bands: int = EMB_BANDS,
     candidates_only: bool = False,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a, id_b, cosine) with cosine ≥ threshold.
 
@@ -660,6 +661,20 @@ def embedding_neardup_pairs(
     (id_a, id_b) BEFORE the exact-cosine verify — the cost driver the
     scale sweeps budget-check (same contract as
     multimodal.ahash_neardup_pairs).
+
+    ``max_bucket`` (r12, default None = uncapped) is the stop-band cap
+    the other banded operators already carry: buckets holding more than
+    ``max_bucket`` ids are dropped before the self-join.
+    ``planes_per_band="auto"`` holds AVERAGE occupancy, but a clustered
+    corpus concentrates directions into few buckets — the r12
+    two-decade sweep measured 152.6M candidates at 200k vectors (e ≈
+    1.43 in candidates) with auto planes alone, all of it from skewed
+    buckets.  A bucket denser than ``max_bucket`` is a direction
+    cluster, exactly where random-hyperplane LSH carries no
+    information; the documented tool for those corpora is
+    :func:`semantic_dedup` (celled k-means), and dropping such buckets
+    trades recall for a candidate bound the same way the ahash/
+    correlate stop-bands do.
 
     ``bucketed=True`` (the scale path, and the registered catalog form):
     banded random-hyperplane LSH — each vector gets ``bands`` bucket ids
@@ -733,6 +748,13 @@ def embedding_neardup_pairs(
             ])
         ).alias("__s"),
     ).select(id_col, F.col("__s.band").alias("band"), F.col("__s.bucket").alias("bucket"))
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bucket")
+        sig = (
+            sig.withColumn("__occ", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__occ") <= F.lit(int(max_bucket)))
+            .drop("__occ")
+        )
 
     cand = (
         sig.alias("a")
