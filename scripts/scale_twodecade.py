@@ -104,8 +104,11 @@ def build(spark) -> None:
     shifted_user = (
         F.col("user_id").cast("long") + F.col("__c") * F.lit(int(n_users))
     )
+    # ts is TIMESTAMP_NTZ in the raw parquet — hash it instead of doing
+    # integer arithmetic on it (deterministic within a Spark version,
+    # which is all a locally-built sweep corpus needs)
     noise = (
-        ((shifted_user * F.lit(2654435761) + F.col("ts")) % F.lit(997))
+        F.pmod(F.hash(shifted_user, F.col("ts")), F.lit(997))
         .cast("double") / F.lit(997.0)
         - F.lit(0.5)
     )
