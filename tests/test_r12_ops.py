@@ -311,6 +311,72 @@ def test_embedding_neardup_stop_band_cap(spark):
     assert len(uncapped) > len(capped), "uncapped keeps the cluster pairs"
 
 
+def test_ahash_wide_pigeonhole_exactness(spark):
+    """The 256-bit banded near-dup must find EVERY pair within
+    max_hamming < num_bands (pigeonhole over 16-bit bands), verified
+    against the brute-force popcount on a corpus with planted flips."""
+    import itertools
+    import random
+
+    from time_series_db_spark.pipeline import multimodal
+
+    rng = random.Random(7)
+    base = [rng.getrandbits(64) - (1 << 63) for _ in range(4)]
+
+    def flip(words, positions):
+        out = list(words)
+        for p in positions:
+            out[p // 64] ^= 1 << (p % 64)
+            # keep signed-int64 range for Spark's long
+            if out[p // 64] >= 1 << 63:
+                out[p // 64] -= 1 << 64
+        return out
+
+    rows = [(0, base)]
+    rows.append((1, flip(base, [3, 70, 200])))          # hamming 3
+    rows.append((2, flip(base, list(range(0, 30)))))    # hamming 30
+    rows.append((3, flip(base, [255])))                 # hamming 1
+    df = spark.createDataFrame(rows, "media_id long, ahash_words array<long>")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in multimodal.ahash_neardup_pairs_wide(
+            df, max_hamming=15, num_bands=16, bits=256
+        ).collect()
+    }
+
+    def ham(a, b):
+        return sum(
+            bin((x - y if False else x ^ y) & ((1 << 64) - 1)).count("1")
+            for x, y in zip(a, b)
+        )
+
+    want = {
+        (i, j): ham(rows[i][1], rows[j][1])
+        for i, j in itertools.combinations(range(4), 2)
+        if ham(rows[i][1], rows[j][1]) <= 15
+    }
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 3
+    assert (0, 3) in got and got[(0, 3)] == 1
+    assert (0, 2) not in got
+
+
+def test_ahash_wide_band_width_guards(spark):
+    from time_series_db_spark.pipeline import multimodal
+
+    df = spark.createDataFrame(
+        [(0, [0, 0, 0, 0])], "media_id long, ahash_words array<long>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        multimodal.ahash_neardup_pairs_wide(df, num_bands=3, bits=256)
+    with pytest.raises(ValueError, match="max_hamming"):
+        multimodal.ahash_neardup_pairs_wide(
+            df, max_hamming=16, num_bands=16, bits=256
+        )
+    with pytest.raises(ValueError, match="grid"):
+        multimodal.image_ahash_wide(df, grid=10)
+
+
 def test_sustain_clips_to_actual_grid_extent(spark):
     from time_series_db_spark.operators.windows import sustain
 

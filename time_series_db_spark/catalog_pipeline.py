@@ -1102,6 +1102,87 @@ def mm_ahash_neardup(spark, sf_dir):
 
 
 @register(
+    "mm_ahash_wide_neardup",
+    """WITH awc AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             substr(text, 1, length(text) - 1) || 'Z'
+      FROM documents WHERE doc_id % 20 = 0 AND length(text) > 1),
+    aw0 AS (
+      SELECT doc_id, k,
+             ord(substr(text, ((k * length(text)) // 256) + 1, 1)) AS L
+      FROM awc, generate_series(0, 255) t(k)
+      WHERE length(text) > 0),
+    awm AS (SELECT doc_id, sum(L) / 256.0 AS mu FROM aw0 GROUP BY 1),
+    aww AS (
+      SELECT a.doc_id, (a.k // 64) AS w,
+             sum(CASE WHEN a.k % 64 < 63 AND a.L > m.mu
+                      THEN (1::BIGINT << (a.k % 64)) ELSE 0 END) AS lo,
+             max(CASE WHEN a.k % 64 = 63 AND a.L > m.mu THEN 1 ELSE 0 END)
+               AS hi
+      FROM aw0 a JOIN awm m USING (doc_id)
+      GROUP BY 1, 2),
+    awh AS (
+      SELECT doc_id AS media_id, w,
+             (lo + CASE WHEN hi = 1
+                        THEN -9223372036854775807 - 1 ELSE 0 END)::BIGINT
+               AS word
+      FROM aww),
+    awbd AS (
+      SELECT h.media_id, b.b AS band,
+             (h.word >> ((b.b % 4) * 16)) & 65535 AS key
+      FROM awh h JOIN generate_series(0, 15) b(b) ON h.w = b.b // 4),
+    awcand AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b
+      FROM awbd a JOIN awbd c
+        ON a.band = c.band AND a.key = c.key
+       AND a.media_id < c.media_id)
+    SELECT p.id_a, p.id_b,
+           sum(bit_count(xor(x.word, y.word)))::BIGINT AS hamming
+    FROM awcand p
+    JOIN awh x ON x.media_id = p.id_a
+    JOIN awh y ON y.media_id = p.id_b AND y.w = x.w
+    GROUP BY 1, 2
+    HAVING sum(bit_count(xor(x.word, y.word))) <= 15""",
+)
+def mm_ahash_wide_neardup(spark, sf_dir):
+    """Wide-hash perceptual near-dup pairs
+    (pipeline/multimodal.py:image_ahash_wide + ahash_neardup_pairs_wide):
+    Hamming ≤ 15 on the 256-bit (16×16) aHash, sixteen 16-bit bands,
+    the same pigeonhole exactness as mm_ahash_neardup with NO
+    stop-band cap — the r12 two-decade sweep showed the 64-bit hash's
+    256-value band space forces cap-based recall collapse at ~500k
+    images (candidates FELL 0.4× while the corpus grew 100×); the
+    density scale knob is hash WIDTH, not banding (16-bit bands give
+    65k bucket values, 256× the space; 32-bit bands 4.3B for the
+    billion-image regime).  Near-dups are PLANTED (every 20th doc
+    reappears at id+1M with its last character replaced — the
+    "re-encoded copy" analog: under the position-ratio fake codec only
+    the tail cells flip, so the copy lands a few bits away, never
+    hash-equal), exactly the construction the dedup entries use.  The
+    oracle replays the planted corpus, the word packing (per-word sign
+    wrap), the 16-bit band keys (arithmetic shift + mask, pinned
+    identical on both engines) and the summed per-word XOR popcount."""
+    docs = _docs(spark, sf_dir)
+    planted = docs.filter(
+        (F.col("doc_id") % 20 == 0) & (F.length("text") > 1)
+    ).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(
+            F.expr("substring(text, 1, length(text) - 1)"), F.lit("Z")
+        ).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    corpus = docs.unionByName(planted)
+    media = multimodal.documents_as_media(corpus)
+    hashes = multimodal.image_ahash_wide(media, decode_fn="fake", grid=16)
+    return multimodal.ahash_neardup_pairs_wide(
+        hashes, max_hamming=15, num_bands=16, bits=256
+    )
+
+
+@register(
     "mm_sample_frames",
     """SELECT doc_id AS media_id,
            unnest(generate_series(0, least(greatest(strlen(text) // 64, 1), 8) - 1))::BIGINT AS frame_idx,

@@ -662,6 +662,182 @@ def image_ahash(
     )
 
 
+def image_ahash_wide(
+    media: DataFrame, decode_fn: str = "fake", grid: int = 16
+) -> DataFrame:
+    """Wide average-hash: ``grid×grid`` cells packed into
+    ``ceil(grid²/64)`` signed int64 words (row-major, word w holds bits
+    [64w, 64w+64); per-word sign wrap as :func:`_pack_ahash_bits`).
+    Output ``(media_id, ahash_words: array<long>)``.
+
+    This is the DENSITY scale knob the r12 two-decade sweep identified
+    (BASELINE.md): the 64-bit aHash has only 2^8 = 256 values per
+    8-bit band, so at ~500k images every band bucket exceeds any
+    stop-band cap and banded recall collapses (candidates FELL 0.4×
+    while the corpus grew 100×).  Bands cannot widen on a 64-bit hash
+    — the pigeonhole exactness contract ties the band count to the
+    Hamming radius — so the fix is a wider hash: 16×16 → 256 bits →
+    eight 32-bit bands, 4.3B bucket values per band, occupancy stays
+    trivial to ~billions of images at the SAME ``max_hamming < bands``
+    guarantee.  Cell semantics (fake codepoint stub / real PNG
+    luminance) are identical to :func:`image_ahash`, just at the finer
+    grid."""
+    if decode_fn not in ("fake", "real"):
+        raise ValueError(f"unknown decode_fn: {decode_fn}")
+    if grid <= 0 or grid * grid % 64:
+        raise ValueError("grid must be positive with grid*grid % 64 == 0")
+    cells_n = grid * grid
+    n_words = cells_n // 64
+
+    def _cells_fake(payload):
+        s = bytes(payload).decode("utf-8", errors="replace")
+        if not s:
+            return None
+        return [ord(s[(k * len(s)) // cells_n]) for k in range(cells_n)]
+
+    def _cells_real(payload):
+        px = decode_png_pixels(payload)
+        if px is None:
+            return None
+        if px.ndim == 2:
+            px = px[:, :, None]
+        lum = px.astype("float64").mean(axis=2)
+        h, w = lum.shape
+        return [
+            lum[(i * h) // grid, (j * w) // grid]
+            for i in range(grid)
+            for j in range(grid)
+        ]
+
+    cells_fn = _cells_fake if decode_fn == "fake" else _cells_real
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                cells = cells_fn(payload)
+                if cells is None:
+                    rows.append((mid, None))
+                    continue
+                mu = sum(cells) / float(cells_n)
+                bits = [c > mu for c in cells]
+                rows.append((
+                    mid,
+                    [
+                        _pack_ahash_bits(bits[64 * w:64 * (w + 1)])
+                        for w in range(n_words)
+                    ],
+                ))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash_words"])
+
+    return media.select("media_id", "content").mapInPandas(
+        _hash, "media_id long, ahash_words array<long>"
+    )
+
+
+def ahash_neardup_pairs_wide(
+    hashes: DataFrame,
+    max_hamming: int = 7,
+    num_bands: int = 8,
+    bits: int = 256,
+    id_col: str = "media_id",
+    hash_col: str = "ahash_words",
+    max_bucket: int | None = None,
+    candidates_only: bool = False,
+) -> DataFrame:
+    """:func:`ahash_neardup_pairs` over the wide word-array hash: the
+    ``bits`` bits split into ``num_bands`` equal bands (band width must
+    divide 64 so a band never straddles a word), same pigeonhole
+    exactness for ``max_hamming < num_bands``, Hamming verified as the
+    summed popcount of the per-word XORs.  With 32-bit bands the
+    bucket space is ~4.3B values per band — occupancy holds without
+    any stop-band cap to ~billions of images (the r12 density
+    finding); ``max_bucket`` stays available for degenerate payload
+    distributions."""
+    num_bands = int(num_bands)
+    bits = int(bits)
+    if bits % num_bands:
+        raise ValueError(f"num_bands must divide bits, got {num_bands}/{bits}")
+    width = bits // num_bands
+    if width > 64 or 64 % width:
+        raise ValueError(
+            f"band width must divide 64 (got {width} from "
+            f"bits={bits}, bands={num_bands})"
+        )
+    if not (0 <= int(max_hamming) < num_bands):
+        raise ValueError(
+            f"max_hamming must satisfy 0 <= d < num_bands (got "
+            f"d={max_hamming}, bands={num_bands})"
+        )
+    mask = F.lit((1 << width) - 1).cast("long")
+    h = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+
+    def _band_key(b: int):
+        word = (b * width) // 64
+        shift = (b * width) % 64
+        return F.shiftright(
+            F.element_at(F.col(hash_col), word + 1), shift
+        ).bitwiseAND(mask)
+
+    bands = h.select(
+        id_col,
+        F.posexplode(
+            F.array(*[_band_key(b) for b in range(num_bands)])
+        ).alias("band", "key"),
+    )
+    if max_bucket is not None:
+        if int(max_bucket) < 2:
+            raise ValueError(
+                f"max_bucket must be >= 2 to admit any pair, "
+                f"got {max_bucket}"
+            )
+        ok = (
+            bands.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= F.lit(int(max_bucket)))
+            .select("band", "key")
+        )
+        bands = bands.join(ok, ["band", "key"])
+    cands = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    if candidates_only:
+        return cands
+    ha = h.select(F.col(id_col).alias("id_a"), F.col(hash_col).alias("__wa"))
+    hb = h.select(F.col(id_col).alias("id_b"), F.col(hash_col).alias("__wb"))
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn(
+            "hamming",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__wa"),
+                    F.col("__wb"),
+                    lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .filter(F.col("hamming") <= F.lit(int(max_hamming)))
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ahash_neardup_pairs(
     hashes: DataFrame,
     max_hamming: int = 7,
