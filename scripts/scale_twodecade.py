@@ -221,6 +221,19 @@ def candidate_counts(spark, sf_dir: str) -> dict[str, int]:
         _embs(spark, sf_dir), planes_per_band="auto",
         max_bucket=EMB_MAX_BUCKET, candidates_only=True,
     ).count()
+    # the wide-hash answer to the 64-bit cap collapse (r12): 16-bit
+    # bands hold occupancy for real perceptual hashes; the cap stays
+    # for the STUB codec's text skew (the synthetic corpus shares long
+    # prefixes, so a few degenerate band values go dense — measured: a
+    # 512MB skew partition without the cap, 18 s with it)
+    wide = multimodal.image_ahash_wide(
+        multimodal.documents_as_media(_docs(spark, sf_dir)),
+        decode_fn="fake", grid=16,
+    )
+    counts["mm_ahash_wide_neardup"] = multimodal.ahash_neardup_pairs_wide(
+        wide, max_hamming=15, num_bands=16, bits=256, max_bucket=256,
+        candidates_only=True,
+    ).count()
     return counts
 
 
