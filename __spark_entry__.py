@@ -42,6 +42,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # _last_checked), so the window's spare slots continuously re-certify
 # the oldest greens.
 _DRIVER_VERIFIED = frozenset({
+    # r12 window addition (50/50 green, CORRECTNESS_r12.json)
+    'mm_ahash_wide_neardup',
     # r10 window additions (50/50 green, CORRECTNESS_r10.json)
     'ann_ivf_prebuilt', 'ann_ivf_update', 'dedup_boilerplate_spans',
     'dedup_xcorpus_prebuilt', 'dedup_xcorpus_update', 'events_funnel_latency',
@@ -167,21 +169,11 @@ _DRIVER_VERIFIED = frozenset({
 #: list every round to the entries touched that round; stale names are
 #: harmless (they just re-certify early).
 _RECERTIFY_FIRST = (
-    # r11-touched, judge-prescribed leads (VERDICT r11 next-round #1)
-    "embedding_pca",            # pca_cov_frame -> mapInPandas (r11)
-    "dedup_embedding_cosine",   # auto planes (r11) + r12 dynamic oracle
-    "decontaminate_overlap",    # gram-scan persist (r11)
-    "m3ql_sustained_above",     # sustain sparse rewrite (r11) + r12 _on_grid
-    # r12-touched (this round's ADVICE fixes)
-    "m3_changed",               # _on_grid grid-extent clip
-    "m3_transform_null",
-    "m3_is_non_null",
-    "m3_sustain",
-    "m3_keep_last_value",       # unbounded fill goes through _densified
-    "m3ql_keep_last_summarize",
-    "ann_ivf_update",           # deterministic intra-delta survivor
-    "dedup_xcorpus_update",     # deterministic intra-delta survivor
-    "ann_ivf_kmeans_topk",      # None-sentinel fit knobs
+    # r12-touched but last driver green predates the change (VERDICT r12
+    # next-round #1) — changed code must re-earn its driver green.
+    "m3_correlate_matrix",      # band_symbols="auto" (operators/stats.py)
+    "ann_ivf_prebuilt",         # None-sentinel knob guards (pipeline/ann.py)
+    "dedup_xcorpus_prebuilt",   # deterministic minhash survivor (dedup.py)
 )
 
 
