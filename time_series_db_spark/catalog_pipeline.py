@@ -386,7 +386,10 @@ def _sql_bucket(v: str, num_planes: int = ann.NUM_PLANES, start_plane: int = 0) 
 #: and both sides evaluate the identical double expression; parity is
 #: pinned by tests/test_r12_ops.py across plane counts.)  The per-plane
 #: term is masked by ``p < planes`` rather than unrolled, supporting up
-#: to 16 planes/band (occupancy-32 banding for ~2M vectors).
+#: to 16 planes/band (occupancy-32 banding for ~2M vectors); past that
+#: the np subquery raises via ``error()`` (r13, ADVICE fix) instead of
+#: silently dropping the top plane bits, so an over-cap corpus fails
+#: the differential loudly rather than diverging quietly.
 _EMB_SIG = f"""
   SELECT vec_id, band,
          sum(CASE WHEN dot > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
@@ -399,8 +402,15 @@ _EMB_SIG = f"""
                  [floor((embedding::DOUBLE[])[i]*1000 + 0.5)::BIGINT
                   for i in generate_series(1, len(embedding::DOUBLE[]))] AS q
           FROM embeddings) qe
-    CROSS JOIN (SELECT greatest(4, CAST(ceil(log2(count(*)/32.0)) AS BIGINT))
-                       AS planes FROM embeddings) np
+    CROSS JOIN (SELECT CASE WHEN planes > 16 THEN CAST(error(
+                         'embedding-LSH oracle: ' || planes ||
+                         ' planes/band exceeds the 16-plane unroll cap'
+                         || ' (corpus > ~2.1M vectors) - widen the'
+                         || ' generate_series in _EMB_SIG') AS BIGINT)
+                       ELSE planes END AS planes
+                FROM (SELECT greatest(4,
+                             CAST(ceil(log2(count(*)/32.0)) AS BIGINT))
+                      AS planes FROM embeddings)) np
     CROSS JOIN generate_series(0, {dedup.EMB_BANDS - 1}) AS bb(band)
     CROSS JOIN generate_series(0, 15) AS pp(p)
     WHERE pp.p < np.planes

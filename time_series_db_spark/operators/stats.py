@@ -340,6 +340,15 @@ def correlate_matrix_candidates(
     36,779 → 0).  Longer signatures demand co-movement over more
     steps, so per-band recall falls as the fleet grows — the standard
     LSH trade; the many time bands are the recall knob.
+
+    NOTE: ``band_symbols="auto"`` is EAGER — it runs a
+    ``distinct().count()`` Spark job over the fleet AT PLAN-BUILD TIME
+    (mirroring the embedding auto-planes pattern,
+    pipeline/dedup.embedding_neardup_pairs), so merely constructing
+    the plan scans the corpus once and the symbol count freezes to the
+    fleet as of that moment.  Callers that already know the fleet size
+    should pass the resolved integer instead and keep plan construction
+    lazy.
     """
     from pyspark.sql import Window
 

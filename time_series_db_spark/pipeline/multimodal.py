@@ -770,8 +770,27 @@ def ahash_neardup_pairs_wide(
             f"d={max_hamming}, bands={num_bands})"
         )
     mask = F.lit((1 << width) - 1).cast("long")
+    # a hash/bits mismatch (e.g. 64-bit image_ahash output passed with
+    # bits=256) must fail LOUDLY: element_at past the array end throws
+    # only under ANSI mode and with ANSI off yields NULL band keys that
+    # never join — silent recall loss voiding the pigeonhole guarantee
+    words = bits // 64
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col)
+        F.col(id_col),
+        F.when(F.size(F.col(hash_col)) == words, F.col(hash_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ahash_neardup_pairs_wide: {hash_col} must "
+                        f"hold bits/64 = {words} words (bits={bits}), "
+                        f"got size="
+                    ),
+                    F.size(F.col(hash_col)).cast("string"),
+                )
+            )
+        )
+        .alias(hash_col),
     )
 
     def _band_key(b: int):

@@ -27,5 +27,14 @@ def isolate_input(lines: DataFrame, column: str) -> DataFrame:
     """Pin ``column`` to ONE evaluation per row via a single-element
     ``explode`` (a ``Generate`` node — predicates cannot be pushed
     through it, so the parsers' guards evaluate a column REFERENCE, not
-    a re-inlined copy of whatever produced the line)."""
-    return lines.select(F.explode(F.array(F.col(column))).alias(column))
+    a re-inlined copy of whatever produced the line).
+
+    Every OTHER column of the input is carried through unchanged
+    (``Generate`` preserves its child's output), so callers may attach
+    metadata — file name, ingest timestamp — alongside the line column
+    without losing it; the barrier isolates only the line expression.
+    """
+    rest = [F.col(c) for c in lines.columns if c != column]
+    return lines.select(
+        F.explode(F.array(F.col(column))).alias(column), *rest
+    )
