@@ -66,3 +66,59 @@ def test_isolate_input_single_column_unchanged(spark):
     out = isolate_input(df, "line")
     assert out.columns == ["line"]
     assert sorted(r["line"] for r in out.collect()) == ["a", "b"]
+
+
+def _realpng_harness():
+    import importlib.util
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts",
+        "ahash_realpng.py",
+    )
+    spec = importlib.util.spec_from_file_location("ahash_realpng", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_ahash_wide_real_decoder_certification(spark):
+    """r13 verdict item #2 (BASELINE.md round-13 note): the wide hash
+    certified on the REAL stdlib PNG decode path, not the fake codec.
+    Smooth-field corpus with planted near-dup groups: every planted
+    pair within the radius must surface under the pinned stop-band
+    configs, and the re-encoded copy must hash identically."""
+    h = _realpng_harness()
+    from time_series_db_spark.pipeline import multimodal
+
+    rows, groups = h.build_corpus(400, seed=13)
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = multimodal.image_ahash_wide(media, decode_fn="real", grid=16)
+    hmap = {r["media_id"]: r["ahash_words"] for r in hashes.collect()}
+    assert len(hmap) == 400 and all(v is not None for v in hmap.values())
+
+    true_pairs = set()
+    for g in groups:
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                if h.hamming_words(hmap[g[i]], hmap[g[j]]) <= 15:
+                    true_pairs.add((g[i], g[j]))
+        # the re-encoded copy (same pixels, fresh deflate) is hash-equal
+        assert h.hamming_words(hmap[g[0]], hmap[g[1]]) == 0
+    assert true_pairs
+
+    hdf = spark.createDataFrame(
+        [(k, v) for k, v in hmap.items()],
+        "media_id long, ahash_words array<long>",
+    )
+    for cap, min_recall in ((64, 1.0), (16, 0.98)):
+        got = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in multimodal.ahash_neardup_pairs_wide(
+                hdf, max_hamming=15, num_bands=16, bits=256,
+                max_bucket=cap,
+            ).collect()
+        }
+        recall = len(true_pairs & got) / len(true_pairs)
+        assert recall >= min_recall, (cap, recall)
