@@ -254,6 +254,37 @@ DRIFT_ALARM_RATIO = 1.5
 #: sub-second entries are noise-dominated (JIT, page cache); require an
 #: absolute regression too before alarming
 DRIFT_ALARM_MIN_SEC = 0.5
+#: cap on the per-run session-inflation factor: the run-wide median
+#: last/baseline ratio models the uniform warm-JVM-vs-mega-run bias
+#: (r13 adjudication: the whole sub-second tail read 1.3x in the seq-6
+#: mega-run yet 0.98x in a code A/B at identical protocol), but a
+#: factor above this cap would mask a genuine run-wide regression, so
+#: it is clamped and always reported in the bench JSON
+SESSION_FACTOR_CAP = 1.5
+
+
+def _session_factor(timings: dict[str, float], entries: dict) -> float:
+    """Median last/baseline ratio of this run's already-baselined
+    entries — the per-run multiplicative session-shape bias.  Mega-run
+    baselines were recorded in deeply-warm JVMs; later, longer sessions
+    uniformly inflate sub-second entries ~1.2-1.4x with no code change
+    (BASELINE.md, round-13 adjudication).  Normalizing the drift alarm
+    by this factor makes it flag entries that drift relative to their
+    OWN RUN, which is the only signal that survives session shape."""
+    ratios = sorted(
+        sec / entries[name]["baseline_sec"]
+        for name, sec in timings.items()
+        if name in entries and entries[name].get("baseline_sec")
+    )
+    if not ratios:
+        return 1.0
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    return min(max(1.0, med), SESSION_FACTOR_CAP)
 
 
 def _update_ledger(timings: dict[str, float]) -> list[str]:
@@ -266,6 +297,8 @@ def _update_ledger(timings: dict[str, float]) -> list[str]:
     data["seq"] = int(data.get("seq", 0)) + 1
     seq = data["seq"]
     entries = data.setdefault("entries", {})
+    factor = _session_factor(timings, entries)
+    data["last_session_factor"] = round(factor, 3)
     alarms: list[str] = []
     for name, sec in timings.items():
         e = entries.setdefault(
@@ -275,12 +308,12 @@ def _update_ledger(timings: dict[str, float]) -> list[str]:
         e["last_seq"] = seq
         base = e["baseline_sec"]
         if (
-            sec > DRIFT_ALARM_RATIO * base
-            and sec - base > DRIFT_ALARM_MIN_SEC
+            sec > DRIFT_ALARM_RATIO * base * factor
+            and sec - base * factor > DRIFT_ALARM_MIN_SEC
         ):
             alarms.append(
                 f"{name}: {sec:.2f}s vs own-baseline {base:.2f}s "
-                f"({sec / base:.2f}x)"
+                f"({sec / base:.2f}x raw, session factor {factor:.2f})"
             )
     with open(LEDGER_PATH, "w") as f:
         json.dump(data, f, indent=1, sort_keys=True)

@@ -122,3 +122,31 @@ def test_ahash_wide_real_decoder_certification(spark):
         }
         recall = len(true_pairs & got) / len(true_pairs)
         assert recall >= min_recall, (cap, recall)
+
+
+def test_bench_session_factor_normalizes_uniform_inflation():
+    """r13 drift adjudication: a run-wide uniform inflation (warm-JVM
+    baselines vs long-session measurement) must NOT alarm, but an
+    entry drifting relative to its own run must."""
+    import bench
+
+    entries = {
+        f"q{i}": {"baseline_sec": 0.50} for i in range(9)
+    }
+    entries["hot"] = {"baseline_sec": 0.50}
+    # every entry reads 1.3x (session shape), one reads 2.6x (real)
+    timings = {f"q{i}": 0.65 for i in range(9)}
+    timings["hot"] = 1.30
+    factor = bench._session_factor(timings, entries)
+    assert 1.25 < factor < 1.35
+    # uniform 1.3x entries: 0.65 < 1.5 * 0.5 * factor -> no alarm
+    assert 0.65 < bench.DRIFT_ALARM_RATIO * 0.50 * factor
+    # the relative drifter still alarms
+    assert 1.30 > bench.DRIFT_ALARM_RATIO * 0.50 * factor
+    assert 1.30 - 0.50 * factor > bench.DRIFT_ALARM_MIN_SEC
+    # factor is clamped so a run-wide REAL regression can't hide
+    entries2 = {f"q{i}": {"baseline_sec": 0.50} for i in range(10)}
+    timings2 = {f"q{i}": 1.50 for i in range(10)}  # 3x across the board
+    assert bench._session_factor(timings2, entries2) == bench.SESSION_FACTOR_CAP
+    # unbaselined-only run (all first measurements) -> neutral factor
+    assert bench._session_factor({"new": 1.0}, {}) == 1.0
