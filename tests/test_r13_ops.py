@@ -150,3 +150,52 @@ def test_bench_session_factor_normalizes_uniform_inflation():
     assert bench._session_factor(timings2, entries2) == bench.SESSION_FACTOR_CAP
     # unbaselined-only run (all first measurements) -> neutral factor
     assert bench._session_factor({"new": 1.0}, {}) == 1.0
+
+
+def test_semantic_dedup_auto_nlist_matches_explicit(spark):
+    """r13 occupancy-knob audit: nlist='auto' resolves to
+    max(16, ceil(n / SEMANTIC_TARGET_CELL)) and, at small n (-> 16),
+    produces the identical survivor set as explicit nlist=16."""
+    import math
+
+    from time_series_db_spark.pipeline import dedup
+
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11 - 5) for j in range(4)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    auto = dedup.semantic_dedup(df, nlist="auto", train_iters=1, threshold=0.9)
+    explicit = dedup.semantic_dedup(df, nlist=16, train_iters=1, threshold=0.9)
+    assert sorted(r.vec_id for r in auto.collect()) == sorted(
+        r.vec_id for r in explicit.collect()
+    )
+    # the scaling arithmetic itself
+    assert max(16, math.ceil(60 / dedup.SEMANTIC_TARGET_CELL)) == 16
+    assert max(16, -(-200_000 // dedup.SEMANTIC_TARGET_CELL)) == 391
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        dedup.semantic_dedup(df, nlist="always")
+
+
+def test_simhash_stop_band_cap_drops_hot_bucket_keeps_pairs(spark):
+    """r13 occupancy-knob audit: max_bucket drops band values shared by
+    a boilerplate cluster while a small true near-dup pair survives."""
+    from time_series_db_spark.pipeline import dedup
+
+    boiler = [(i, "the quick brown fox jumps over the lazy dog") for i in range(40)]
+    pair = [
+        (100, "completely different content about spark shuffles and joins"),
+        (101, "completely different content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(boiler + pair, "doc_id long, text string")
+    capped = dedup.simhash_dedup_pairs(df, max_hamming=3, max_bucket=8)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got
+    assert not any(a < 40 and b < 40 for a, b in got)  # boilerplate capped away
+    uncapped = dedup.simhash_dedup_pairs(df, max_hamming=3)
+    assert any(
+        a < 40 and b < 40
+        for a, b in ((r.id_a, r.id_b) for r in uncapped.collect())
+    )
+    with pytest.raises(ValueError, match="max_bucket"):
+        dedup.simhash_dedup_pairs(df, max_bucket=1)

@@ -491,6 +491,7 @@ def simhash_dedup_pairs(
     text_col: str = "text",
     bits: int = SIMHASH_BITS,
     hash_fn: str = "md5",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with Hamming(simhash) ≤ max_hamming.
 
@@ -499,6 +500,21 @@ def simhash_dedup_pairs(
     need the verify-all fallback — with 3 bands over 48 bits a ≤3-bit
     difference still leaves ≥1 identical band whenever the flips don't
     spread across all three, the standard SimHash blocking trade-off).
+
+    Saturation arithmetic (r13 occupancy-knob audit): each band has a
+    FIXED 2^16 = 65,536-value key space, so even perfectly uniform
+    fingerprints reach mean occupancy n/65,536 — candidates grow ~n²/65k
+    per band once n clears ~65k docs, and real corpora are far from
+    uniform (template/boilerplate docs collapse onto shared majority-vote
+    patterns long before that).  ``max_bucket`` is the stop-band cap
+    (the ``correlate_matrix`` discipline): band values shared by more
+    than ``max_bucket`` docs are dropped before the self-join — a bucket
+    that hot is a boilerplate cluster, not near-dup evidence, and exact
+    dedup upstream owns identical text.  Recall caveat: a true pair
+    whose ONLY agreeing band is capped is lost; with d ≤ 2 pairs
+    agreeing on ≥ 1 of 3 bands by pigeonhole the redundancy is thin
+    (unlike the 16-band wide aHash), so leave ``max_bucket=None`` below
+    ~100k docs and budget-gate candidates above (bench.py counts them).
     """
     fps = simhash(df, id_col, text_col, bits, hash_fn)
     band_w = bits // 3
@@ -515,6 +531,17 @@ def simhash_dedup_pairs(
             )
         ).alias("band", "key"),
     )
+    if max_bucket is not None:
+        if int(max_bucket) < 2:
+            raise ValueError(
+                f"max_bucket must be >= 2 to admit any pair, got {max_bucket}"
+            )
+        w = Window.partitionBy("band", "key")
+        bands = (
+            bands.withColumn("__occ", F.count(F.lit(1)).over(w))
+            .filter(F.col("__occ") <= F.lit(int(max_bucket)))
+            .drop("__occ")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(
@@ -876,9 +903,16 @@ def dedup_survivors(
 # ---------------------------------------------------------------------------
 
 
+#: target mean cell size for ``semantic_dedup(nlist="auto")``: within-
+#: cell pair work is ~cell²/2, so a 512-vector cell costs ~131k dot
+#: products — large enough that Lloyd stays cheap relative to the scan,
+#: small enough that one cell's pair block always fits a task
+SEMANTIC_TARGET_CELL = 512
+
+
 def semantic_dedup(
     df: DataFrame,
-    nlist: int = 16,
+    nlist: int | str = "auto",
     train_iters: int = 2,
     threshold: float = 0.45,
     id_col: str = "vec_id",
@@ -899,12 +933,28 @@ def semantic_dedup(
     regime), never the all-pairs O(n²). Survivor rule: keep the minimum
     id of each similar group (deterministic; the paper keeps the item
     farthest from the centroid — same asymptotics, different tie-break).
+
+    ``nlist="auto"`` (the default, r13 occupancy-knob audit) IS that
+    regime made standing: ``max(16, ceil(n / SEMANTIC_TARGET_CELL))``
+    cells, so mean cell size — and with it the per-cell pair block —
+    stays ~constant as the corpus grows instead of the within-cell join
+    silently going quadratic at a fixed ``nlist`` (at 200k vectors a
+    fixed nlist=16 means 12.5k-vector cells → ~78M pairs per cell; the
+    same arithmetic that emptied ``correlate_matrix`` at 100×).  Note
+    the auto path runs an eager ``count()`` at plan-build time (one
+    metadata-cheap scan), mirroring ``band_symbols="auto"``; pass an
+    int to keep plan construction fully lazy.
     """
     from time_series_db_spark.pipeline import ann
 
     vecs = df.select(
         F.col(id_col), ann._as_double(F.col(vec_col)).alias("__v")
     )
+    if nlist == "auto":
+        n = vecs.count()
+        nlist = max(16, -(-n // SEMANTIC_TARGET_CELL))
+    elif not isinstance(nlist, int) or int(nlist) <= 0:
+        raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
     cents = F.broadcast(
         ann.kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
     )
