@@ -174,6 +174,15 @@ _RECERTIFY_FIRST = (
     "m3_correlate_matrix",      # band_symbols="auto" (operators/stats.py)
     "ann_ivf_prebuilt",         # None-sentinel knob guards (pipeline/ann.py)
     "dedup_xcorpus_prebuilt",   # deterministic minhash survivor (dedup.py)
+    # r13-touched: the advisory fixes + occupancy-knob conversions.
+    "dedup_embedding_cosine",   # oracle raises past 16-plane unroll (catalog_pipeline.py)
+    "mm_ahash_wide_neardup",    # hash word-count validation (multimodal.py)
+    "m3_line_protocol_roundtrip",  # isolate_input column carry-through (wire.py)
+    "m3_graphite_roundtrip",    # same barrier change
+    "m3_exposition_roundtrip",  # same barrier change
+    "dedup_semantic",           # nlist="auto" default + guard (dedup.py)
+    "dedup_simhash",            # max_bucket/candidates_only params (dedup.py)
+    "ann_hard_negatives_ivf",   # nlist="auto" + candidates_only (ann.py)
 )
 
 

@@ -59,6 +59,13 @@ CANDIDATE_BUDGETS = {
     "m3_correlate_matrix": 500_000,
     "dedup_minhash_lsh": 500_000,
     "mm_ahash_neardup": 2_000_000,
+    # r13 sweep additions (scripts/scale_r13_banded.py): measured sf0.1
+    # counts are 165,591 / 124,588 / 9,110 / 27,421 — deterministic per
+    # corpus, so a breach is a banding/auto-knob regression, not noise
+    "dedup_simhash": 300_000,
+    "dedup_semantic_cell_pairs": 250_000,
+    "ann_hard_negatives_ivf": 50_000,
+    "search_bm25_postings": 100_000,
 }
 
 #: one per operator category (SURVEY.md §6 protocol): scan+filter, grouped
@@ -356,6 +363,41 @@ def _candidate_counts(spark) -> dict[str, int]:
         hashes, max_hamming=7, num_bands=8, max_bucket=32,
         candidates_only=True,
     ).count()
+    # r13 sweep operators, each at its SCALE configuration
+    counts["dedup_simhash"] = dedup.simhash_dedup_pairs(
+        _docs(spark, SF_DIR), max_hamming=3, max_bucket=128,
+        candidates_only=True,
+    ).count()
+    from time_series_db_spark.catalog_pipeline import _embs
+    from time_series_db_spark.pipeline import ann
+
+    vecs = _embs(spark, SF_DIR).select(
+        F.col("vec_id"), ann._as_double(F.col("embedding")).alias("__v")
+    )
+    n_vecs = vecs.count()
+    nlist = max(16, -(-n_vecs // dedup.SEMANTIC_TARGET_CELL))
+    cents = F.broadcast(
+        ann.kmeans_centroids(vecs, nlist=nlist, iters=2, id_col="vec_id")
+    )
+    counts["dedup_semantic_cell_pairs"] = int(
+        ann.ivf_assign(vecs, cents, nprobe=1, id_col="vec_id")
+        .groupBy("__cell").agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2)).first()[0]
+    )
+    embs = _embs(spark, SF_DIR)
+    counts["ann_hard_negatives_ivf"] = ann.hard_negatives_ivf(
+        embs, embs.filter(F.col("vec_id") % 50 == 0),
+        k=5, nlist="auto", nprobe=2, candidates_only=True,
+    ).count()
+    from time_series_db_spark.catalog_pipeline import _BM25_TERMS
+    from time_series_db_spark.pipeline import textprep
+
+    counts["search_bm25_postings"] = (
+        _docs(spark, SF_DIR)
+        .select(F.explode(textprep.tokens(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(list(_BM25_TERMS)))
+        .count()
+    )
     # budgets are calibrated at BASELINE_SF — enforcing them at other
     # scales would false-trip (larger sf) or vacuously pass (smaller);
     # and the gate is a real exception, not an ``assert`` stripped

@@ -354,3 +354,58 @@ def test_streaming_sessionize_per_batch_cost_is_history_invariant(
         f"{t_small:.2f}s @2k rows -> {t_big:.2f}s @20k rows"
     )
     print(f"\nsessionize per-batch: {t_small:.2f}s @2k -> {t_big:.2f}s @20k")
+
+
+def test_hard_negatives_ivf_auto_nlist_matches_explicit(spark):
+    """r13 occupancy-knob audit: nlist='auto' resolves to 16 at small n
+    and produces the identical mined negatives; candidates_only returns
+    the pre-rank celled pairs (a superset of the ranked output)."""
+    from time_series_db_spark.pipeline import ann
+
+    rows = [
+        (i, [float((i * 5 + j * 2) % 13 - 6) for j in range(4)], i % 3)
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = df.filter(F.col("vec_id") % 10 == 0)
+    auto = ann.hard_negatives_ivf(df, anchors, k=3, nlist="auto", nprobe=2)
+    explicit = ann.hard_negatives_ivf(df, anchors, k=3, nlist=16, nprobe=2)
+    key = lambda r: (r.query_id, r.rank)
+    assert sorted(map(key, auto.collect())) == sorted(
+        map(key, explicit.collect())
+    )
+    cands = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.hard_negatives_ivf(
+            df, anchors, k=3, nlist=16, nprobe=2, candidates_only=True
+        ).collect()
+    }
+    ranked = {(r.query_id, r.neighbor_id) for r in explicit.collect()}
+    assert ranked <= cands and cands
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        ann.hard_negatives_ivf(df, anchors, nlist=-2)
+
+
+def test_simhash_candidates_only_superset_of_verified(spark):
+    """candidates_only (the sweep/budget hook) returns the banded pairs
+    before Hamming verification — a superset of the verified output."""
+    from time_series_db_spark.pipeline import dedup
+
+    docs = [
+        (i, f"doc {i} alpha beta gamma delta " + "shared tail " * 3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_dedup_pairs(
+            df, max_hamming=3, candidates_only=True
+        ).collect()
+    }
+    verified = {
+        (r.id_a, r.id_b)
+        for r in dedup.simhash_dedup_pairs(df, max_hamming=3).collect()
+    }
+    assert verified <= cands

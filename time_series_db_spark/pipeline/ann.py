@@ -1533,15 +1533,24 @@ def hard_negatives(
     )
 
 
+#: target mean cell size for ``hard_negatives_ivf(nlist="auto")`` —
+#: candidate volume is anchors × nprobe × cell, so holding cell size
+#: constant keeps the cell join linear in the anchor count even when
+#: anchors scale with the corpus (the r13 occupancy-knob audit: at a
+#: FIXED nlist=16 with anchors ∝ N the join is N²/(50·16/nprobe))
+HN_IVF_TARGET_CELL = 512
+
+
 def hard_negatives_ivf(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    nlist: int = 16,
+    nlist: int | str = 16,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Celled hard-negative mining — the scale path past
     :data:`MAX_HN_ANCHORS`: IVF coarse quantizer (deterministic centroid
@@ -1557,7 +1566,19 @@ def hard_negatives_ivf(
     only, never a broadcast.  Approximate like any IVF search: a hard
     negative in an unprobed cell is missed; raise ``nprobe`` for
     recall.
+
+    ``nlist="auto"`` scales the cell count with the corpus —
+    ``max(16, ceil(n / HN_IVF_TARGET_CELL))`` — so per-anchor candidate
+    volume stays ~constant instead of growing with N at a fixed cell
+    count (eager ``count()`` at plan-build, the ``band_symbols="auto"``
+    pattern).  ``candidates_only=True`` returns the distinct celled
+    candidate pairs before scoring/rank — the sweep/budget hook.
     """
+    if nlist == "auto":
+        n = corpus.count()
+        nlist = max(16, -(-n // HN_IVF_TARGET_CELL))
+    elif not isinstance(nlist, int) or int(nlist) <= 0:
+        raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
     cents = F.broadcast(
         corpus.filter(F.col(id_col) < nlist).select(
             F.col(id_col).alias("__cid"),
@@ -1607,6 +1628,8 @@ def hard_negatives_ivf(
         # a neighbor can appear via several probed cells — dedup before rank
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if candidates_only:
+        return scored.select("query_id", "neighbor_id")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )

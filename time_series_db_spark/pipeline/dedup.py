@@ -492,8 +492,13 @@ def simhash_dedup_pairs(
     bits: int = SIMHASH_BITS,
     hash_fn: str = "md5",
     max_bucket: int | None = None,
+    candidates_only: bool = False,
 ) -> DataFrame:
     """Pairs (id_a, id_b, hamming) with Hamming(simhash) ≤ max_hamming.
+
+    ``candidates_only=True`` returns the distinct banded candidate
+    pairs BEFORE Hamming verification — the sweep/budget observability
+    hook (the same contract as ``ahash_neardup_pairs``).
 
     Candidate generation joins on 16-bit fingerprint bands (pigeonhole:
     any pair within distance 2 shares an exact band; distance-3 pairs may
@@ -558,6 +563,8 @@ def simhash_dedup_pairs(
         )
         .distinct()
     )
+    if candidates_only:
+        return cands.select("id_a", "id_b")
     return (
         cands.withColumn(
             "hamming",
