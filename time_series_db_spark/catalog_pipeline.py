@@ -322,6 +322,39 @@ def dedup_simhash(spark, sf_dir):
 
 
 @register(
+    "dedup_simhash_capped",
+    f"""WITH {_sql_simhash_cte()},
+    occ AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+    kept AS (
+      SELECT b.doc_id, b.simhash, b.band, b.key
+      FROM bands b JOIN occ o ON b.band = o.band AND b.key = o.key
+      WHERE o.n <= 16),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS fa, b.simhash AS fb
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, bit_count(xor(fa, fb))::BIGINT AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 3""",
+)
+def dedup_simhash_capped(spark, sf_dir):
+    """The simhash scale path (r13 occupancy-knob audit): the same
+    48-bit fingerprint/banding with the ``max_bucket`` stop-band cap —
+    band values hotter than the cap are boilerplate clusters, not
+    near-dup evidence, and the uncapped self-join measured 2.44B pairs
+    with a 30k-doc hot bucket at 500k docs (scripts/
+    scale_r13_banded.json).  The gate entry pins cap=16, which BINDS at
+    this corpus (occupancy reaches 30 at sf0.01), so the differential
+    certifies the drop path, not a vacuous no-op; production uses 128
+    (above any true clique, below fleet-wide patterns).  The oracle
+    unrolls the identical occupancy filter ahead of the band join."""
+    return dedup.simhash_dedup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, max_bucket=16
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     f"""WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sh AS (SELECT doc_id, {sql_word_shingles('t', 2)} AS shingles FROM toks),
