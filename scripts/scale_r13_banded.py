@@ -66,11 +66,20 @@ def _cell_stats(spark, sf_dir: str) -> dict:
     )
     n = vecs.count()
     nlist = max(16, -(-n // dedup.SEMANTIC_TARGET_CELL))
+    # mirror semantic_dedup's dispatch: two-level Lloyd + assignment
+    # past the hierarchy threshold (r13)
+    hier = nlist >= ann.HIER_ASSIGN_MIN_NLIST
     cents = F.broadcast(
-        ann.kmeans_centroids(vecs, nlist=nlist, iters=2, id_col="vec_id")
+        ann.kmeans_centroids(
+            vecs, nlist=nlist, iters=2, id_col="vec_id", hierarchical=hier
+        )
+    )
+    assign = (
+        (lambda *a, **k: ann.ivf_assign_hier(*a, n_cents=nlist, **k))
+        if hier else ann.ivf_assign
     )
     occ = (
-        ann.ivf_assign(vecs, cents, nprobe=1, id_col="vec_id")
+        assign(vecs, cents, nprobe=1, id_col="vec_id")
         .groupBy("__cell")
         .agg(F.count(F.lit(1)).alias("n"))
     )

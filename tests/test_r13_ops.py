@@ -409,3 +409,100 @@ def test_simhash_candidates_only_superset_of_verified(spark):
         for r in dedup.simhash_dedup_pairs(df, max_hamming=3).collect()
     }
     assert verified <= cands
+
+
+def _hier_test_vectors(spark, n=600, dim=8, n_clusters=12):
+    # well-separated deterministic clusters: centroid c at 10*onehot
+    # pattern + small per-vector jitter
+    rows = []
+    for i in range(n):
+        c = i % n_clusters
+        base = [10.0 if (j % n_clusters) == c else 0.0 for j in range(dim)]
+        rows.append(
+            (i, [v + ((i * 31 + j * 7) % 5) * 0.01 for j, v in enumerate(base)])
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_assign_hier_full_probe_equals_exact(spark):
+    """super_probe >= n_super routes every super-cell, so the two-level
+    assignment must degenerate to EXACTLY the flat argmax."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from time_series_db_spark.pipeline import ann
+
+    df = _hier_test_vectors(spark)
+    vecs = df.select(
+        "vec_id", ann._as_double(F.col("embedding")).alias("__v")
+    )
+    cents = vecs.filter(F.col("vec_id") < 40).select(
+        F.col("vec_id").alias("__cid"), F.col("__v").alias("__centroid")
+    )
+    exact = {
+        r["vec_id"]: r["__cell"]
+        for r in ann.ivf_assign(vecs, cents, nprobe=1).collect()
+    }
+    hier = {
+        r["vec_id"]: r["__cell"]
+        for r in ann.ivf_assign_hier(
+            vecs, cents, nprobe=1, super_probe=40, n_cents=40
+        ).collect()
+    }
+    assert hier == exact
+
+
+def test_ivf_assign_hier_routes_clustered_data_exactly(spark):
+    """On well-separated clusters the default super_probe finds every
+    vector's true nearest centroid (the approximation only bites on
+    boundary vectors, which this corpus has none of)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from time_series_db_spark.pipeline import ann
+
+    df = _hier_test_vectors(spark)
+    vecs = df.select(
+        "vec_id", ann._as_double(F.col("embedding")).alias("__v")
+    )
+    cents = vecs.filter(F.col("vec_id") < 36).select(
+        F.col("vec_id").alias("__cid"), F.col("__v").alias("__centroid")
+    )
+    exact = {
+        r["vec_id"]: r["__cell"]
+        for r in ann.ivf_assign(vecs, cents, nprobe=1).collect()
+    }
+    hier = {
+        r["vec_id"]: r["__cell"]
+        for r in ann.ivf_assign_hier(
+            vecs, cents, nprobe=1, n_cents=36
+        ).collect()
+    }
+    assert len(hier) == len(exact)
+    agree = sum(1 for k in exact if hier[k] == exact[k])
+    assert agree / len(exact) >= 0.95, agree / len(exact)
+
+
+def test_semantic_dedup_hierarchical_path_partitions_fully(spark):
+    """Above HIER_ASSIGN_MIN_NLIST semantic_dedup runs the two-level
+    assignment end-to-end: deterministic, every vector lands in exactly
+    one cell, survivors ∪ dropped = corpus."""
+    from time_series_db_spark.pipeline import ann, dedup
+
+    df = _hier_test_vectors(spark, n=600)
+    nlist = ann.HIER_ASSIGN_MIN_NLIST
+    out1 = dedup.semantic_dedup(
+        df, nlist=nlist, train_iters=1, threshold=0.999
+    ).collect()
+    out2 = dedup.semantic_dedup(
+        df, nlist=nlist, train_iters=1, threshold=0.999
+    ).collect()
+    assert sorted((r.vec_id, r.cell) for r in out1) == sorted(
+        (r.vec_id, r.cell) for r in out2
+    )
+    # the synthetic clusters are near-duplicate by construction (0.01
+    # jitter on magnitude-10 directions), so SemDeDup collapses each
+    # (cell, cluster) group to its min-id survivor: at least one
+    # survivor per cluster, far fewer than the corpus
+    ids = [r.vec_id for r in out1]
+    assert len(ids) == len(set(ids)) and set(ids) <= set(range(600))
+    assert 12 <= len(ids) < 300
+    assert {i % 12 for i in ids} == set(range(12))  # every cluster survives

@@ -21,6 +21,8 @@ edge cases).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -195,6 +197,94 @@ def ivf_assign(
     )
 
 
+#: centroid count above which the auto-knob paths switch to two-level
+#: assignment: at nlist=256 the flat scan is 256 distance evals/vector
+#: vs ~80 hierarchical (16 supers + 4 probes x ~16) — below that the
+#: routing overhead isn't worth the exactness loss
+HIER_ASSIGN_MIN_NLIST = 256
+
+
+def ivf_assign_hier(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    carry_cols: tuple[str, ...] = (),
+    super_probe: int = 4,
+    n_cents: int | None = None,
+) -> DataFrame:
+    """Two-level (hierarchical) coarse assignment — the scale path of
+    :func:`ivf_assign` for LARGE centroid tables (the FAISS IMI /
+    two-level-quantizer discipline).
+
+    A corpus-scaled cell count (``nlist="auto"`` ∝ N, the r13
+    occupancy-knob regime) makes FLAT assignment the next quadratic
+    term: N × nlist = N²/target distance evals — at 200k vectors the
+    Lloyd pass already costs 78M evals/iter, overtaking the 51M-pair
+    within-cell join it enables.  Here the CENTROIDS are first
+    clustered into ⌈√nlist⌉ super-cells (deterministic mini-Lloyd over
+    the nlist-row centroid table — metadata-sized); each vector routes
+    to its ``super_probe`` nearest super-centroids map-side, then ranks
+    only those super-cells' centroids: ~√nlist·(1 + super_probe) evals
+    per vector instead of nlist — N^1.5-total under nlist ∝ N, the
+    same exponent FAISS accepts for its coarse level.
+
+    Approximate by design: a vector whose true nearest centroid lives
+    in an unrouted super-cell lands in its best ROUTED cell instead —
+    acceptable for the clustering-as-partition users (SemDeDup cells,
+    celled mining), where the partition is a heuristic to begin with;
+    exact-argmax users (the differential-oracle kmeans entries) keep
+    flat assignment.  ``super_probe >= ⌈√nlist⌉`` degenerates to exact
+    assignment (every super-cell routed — the equivalence test).
+    Deterministic end-to-end: min-id init, ties on cell id.
+
+    Output contract matches :func:`ivf_assign`:
+    (id, __v, *carry_cols, __cell, __probe_rank).
+    """
+    if n_cents is None:
+        # NOTE: counting a derived centroid table (a Lloyd chain) costs
+        # a full evaluation — callers that know nlist should pass it
+        n_cents = centroids.count()
+    n_super = max(2, math.isqrt(max(n_cents - 1, 1)) + 1)
+    cent_vecs = centroids.select(
+        F.col("__cid").alias("vec_id"), F.col("__centroid").alias("__v")
+    )
+    # mini-Lloyd over the centroid table (nlist rows — cheap at any N),
+    # then pin each centroid to its ONE super-cell
+    super_cents = kmeans_centroids(cent_vecs, nlist=n_super, iters=1)
+    cent_super = (
+        ivf_assign(cent_vecs, super_cents, nprobe=1)
+        .select(
+            F.col("vec_id").alias("__cid"),
+            F.col("__v").alias("__centroid"),
+            F.col("__cell").alias("__super"),
+        )
+    )
+    routed = ivf_assign(
+        vectors, super_cents, nprobe=min(int(super_probe), n_super),
+        id_col=id_col, carry_cols=carry_cols,
+    ).select(
+        id_col, "__v", *carry_cols, F.col("__cell").alias("__super")
+    )
+    scored = routed.join(F.broadcast(cent_super), "__super").select(
+        id_col,
+        "__v",
+        *carry_cols,
+        F.col("__cid").alias("__cell"),
+        cosine_expr(F.col("__v"), F.col("__centroid")).alias("__ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("__cell")
+    )
+    return (
+        # a centroid is reachable via exactly ONE super-cell, so no
+        # dedup is needed before the rank
+        scored.withColumn("__probe_rank", F.row_number().over(w))
+        .filter(F.col("__probe_rank") <= nprobe)
+        .select(id_col, "__v", *carry_cols, "__cell", "__probe_rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -263,6 +353,7 @@ def kmeans_centroids(
     nlist: int = 16,
     iters: int = 2,
     id_col: str = "vec_id",
+    hierarchical: bool = False,
 ) -> DataFrame:
     """Lloyd's k-means over (id, __v) vectors: deterministic init (the
     nlist lowest ids), then ``iters`` assign/update rounds.
@@ -274,13 +365,24 @@ def kmeans_centroids(
     so centroids are bit-identical under any partitioning AND across
     engines (the differential oracle unrolls the same rounds in SQL).
     Empty cells keep their previous centroid.
+
+    ``hierarchical=True`` (the corpus-scaled-nlist regime) routes each
+    Lloyd assignment through :func:`ivf_assign_hier` — ~√nlist evals
+    per vector instead of nlist, at the cost of approximate (still
+    deterministic) cluster membership.  Oracle-backed entries keep the
+    default flat assignment.
     """
     cents = vectors.filter(F.col(id_col) < nlist).select(
         F.col(id_col).cast("long").alias("__cid"),
         F.col("__v").alias("__centroid"),
     )
+    if hierarchical:
+        def assign(*a, **k):
+            return ivf_assign_hier(*a, n_cents=int(nlist), **k)
+    else:
+        assign = ivf_assign
     for _ in range(int(iters)):
-        assigned = ivf_assign(vectors, cents, nprobe=1, id_col=id_col)
+        assigned = assign(vectors, cents, nprobe=1, id_col=id_col)
         dim_means = (
             assigned.select("__cell", F.posexplode("__v").alias("__pos", "__val"))
             .groupBy("__cell", "__pos")
@@ -1579,6 +1681,13 @@ def hard_negatives_ivf(
         nlist = max(16, -(-n // HN_IVF_TARGET_CELL))
     elif not isinstance(nlist, int) or int(nlist) <= 0:
         raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
+    # past the hierarchy threshold, flat assignment is itself the
+    # quadratic term (N × nlist evals with nlist ∝ N) — route two-level
+    if nlist >= HIER_ASSIGN_MIN_NLIST:
+        def assign(*a, **k):
+            return ivf_assign_hier(*a, n_cents=int(nlist), **k)
+    else:
+        assign = ivf_assign
     cents = F.broadcast(
         corpus.filter(F.col(id_col) < nlist).select(
             F.col(id_col).alias("__cid"),
@@ -1590,7 +1699,7 @@ def hard_negatives_ivf(
         _as_double(F.col(vec_col)).alias("__v"),
         F.col(label_col).alias("__lbl"),
     )
-    cells = ivf_assign(
+    cells = assign(
         vecs, cents, nprobe=1, id_col=id_col, carry_cols=("__lbl",)
     ).select(
         F.col(id_col).alias("neighbor_id"),
@@ -1603,7 +1712,7 @@ def hard_negatives_ivf(
         _as_double(F.col(vec_col)).alias("__v"),
         F.col(label_col).alias("__lbl"),
     )
-    qcells = ivf_assign(
+    qcells = assign(
         qvecs, cents, nprobe=nprobe, id_col=id_col, carry_cols=("__lbl",)
     ).select(
         F.col(id_col).alias("query_id"),

@@ -962,8 +962,23 @@ def semantic_dedup(
         nlist = max(16, -(-n // SEMANTIC_TARGET_CELL))
     elif not isinstance(nlist, int) or int(nlist) <= 0:
         raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
+    # past the hierarchy threshold the FLAT Lloyd/assign scans are the
+    # next quadratic term (N × nlist evals, nlist ∝ N — r13 sweep: 78M
+    # evals/iter at 200k vectors, overtaking the 51M-pair cell join) —
+    # route both the training and the final assignment two-level
+    hier = nlist >= ann.HIER_ASSIGN_MIN_NLIST
+    if hier:
+        _nl = int(nlist)
+
+        def assign(*a, **k):
+            return ann.ivf_assign_hier(*a, n_cents=_nl, **k)
+    else:
+        assign = ann.ivf_assign
     cents = F.broadcast(
-        ann.kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
+        ann.kmeans_centroids(
+            vecs, nlist=nlist, iters=train_iters, id_col=id_col,
+            hierarchical=hier,
+        )
     )
     # normalize ONCE per vector so the quadratic within-cell pass is a
     # plain dot product — 3× fewer interpreted float ops per pair than
@@ -979,7 +994,7 @@ def semantic_dedup(
     # materialization instead of three recomputes (released at the next
     # query boundary, same policy as the binary matching chain)
     cells = persist_tracked(
-        ann.ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+        assign(vecs, cents, nprobe=1, id_col=id_col).select(
             F.col(id_col), F.col("__cell").alias("cell"), unit.alias("__u")
         )
     )
