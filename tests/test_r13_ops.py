@@ -506,3 +506,39 @@ def test_semantic_dedup_hierarchical_path_partitions_fully(spark):
     assert len(ids) == len(set(ids)) and set(ids) <= set(range(600))
     assert 12 <= len(ids) < 300
     assert {i % 12 for i in ids} == set(range(12))  # every cluster survives
+
+
+def test_ivf_fit_auto_nlist_and_hier_search_contract(spark):
+    """ivf_fit(nlist='auto') sizes the index for its corpus (16 floor
+    at small n, identical tables to explicit nlist=16), and
+    ivf_kmeans_topk on a LARGE prebuilt index routes queries two-level
+    while honoring the top-k contract."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from time_series_db_spark.pipeline import ann
+
+    df = _hier_test_vectors(spark, n=400)
+    auto = ann.ivf_fit(df, nlist="auto", train_iters=1)
+    explicit = ann.ivf_fit(df, nlist=16, train_iters=1)
+    assert sorted(
+        (r["vec_id"], r["cell"]) for r in auto["cells"].collect()
+    ) == sorted((r["vec_id"], r["cell"]) for r in explicit["cells"].collect())
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        ann.ivf_fit(df, nlist=0)
+
+    # large index: force the hierarchical fit+routing path end-to-end
+    big = ann.ivf_fit(
+        df, nlist=ann.HIER_ASSIGN_MIN_NLIST, train_iters=1
+    )
+    queries = df.filter(F.col("vec_id") % 40 == 0)
+    out = ann.ivf_kmeans_topk(queries=queries, k=3, nprobe=2, model=big)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {r.vec_id for r in queries.collect()}
+    for q, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+        # neighbors from the same tight cluster score ~1.0 cosine
+        assert max(r.cosine for r in rs) > 0.99

@@ -411,9 +411,16 @@ def kmeans_centroids(
     return cents
 
 
+#: target mean cell size for ``ivf_fit(nlist="auto")`` — per-query
+#: scan work is nprobe × cell, so a fixed cell size keeps query cost
+#: flat as the index grows (recall is then tuned with nprobe, the
+#: standard IVF operating point)
+IVF_TARGET_CELL = 512
+
+
 def ivf_fit(
     corpus: DataFrame,
-    nlist: int = 16,
+    nlist: int | str = 16,
     train_iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -432,10 +439,31 @@ def ivf_fit(
     a handful of partitions at scan time; ``centroids`` is
     nlist-row metadata.  Keep ``nlist`` consistent between fit and
     apply — mismatched centroids cannot be detected at query time.
+
+    ``nlist="auto"`` sizes the index for its corpus —
+    ``max(16, ceil(n / IVF_TARGET_CELL))`` cells, so per-query scan
+    work (nprobe × cell) stays flat as the corpus grows — and routes
+    the fit through the two-level assignment past
+    ``HIER_ASSIGN_MIN_NLIST`` (flat N × nlist training is quadratic
+    under nlist ∝ N; eager ``count()`` at fit time, which a fit step
+    pays anyway).
     """
     from time_series_db_spark.cache import persist_tracked
 
     vecs = corpus.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
+    if nlist == "auto":
+        n = vecs.count()
+        nlist = max(16, -(-n // IVF_TARGET_CELL))
+    elif not isinstance(nlist, int) or int(nlist) <= 0:
+        raise ValueError(f"nlist must be a positive int or 'auto', got {nlist!r}")
+    hier = nlist >= HIER_ASSIGN_MIN_NLIST
+    if hier:
+        _nl = int(nlist)
+
+        def assign(*a, **k):
+            return ivf_assign_hier(*a, n_cents=_nl, **k)
+    else:
+        assign = ivf_assign
     # persist the trained centroids: the model's two tables (and an
     # ivf_update on top of them) each embed this plan, and without the
     # pin every downstream materialization re-runs the Lloyd rounds —
@@ -443,9 +471,12 @@ def ivf_fit(
     # (BASELINE.md r10 snapshot; A/B re-measured: update-entry 10×
     # exponent 0.96 → re-check after pin)
     cents = persist_tracked(
-        kmeans_centroids(vecs, nlist=nlist, iters=train_iters, id_col=id_col)
+        kmeans_centroids(
+            vecs, nlist=nlist, iters=train_iters, id_col=id_col,
+            hierarchical=hier,
+        )
     )
-    cells = ivf_assign(
+    cells = assign(
         vecs, F.broadcast(cents), nprobe=1, id_col=id_col
     ).select(
         F.col(id_col),
@@ -567,25 +598,43 @@ def ivf_kmeans_topk(
             F.col("vector").alias("__cv"),
             F.col("cell").alias("__cell"),
         )
+        # the index's true cell count decides the query-routing shape;
+        # the centroid table is nlist-row metadata, so the count is free
+        n_cells = model["centroids"].count()
     else:
         vecs = corpus.select(
             id_col, _as_double(F.col(vec_col)).alias("__v")
         )
+        n_cells = 16 if nlist is None else nlist
+        if n_cells == "auto":
+            n_cells = max(16, -(-vecs.count() // IVF_TARGET_CELL))
+        hier_fit = n_cells >= HIER_ASSIGN_MIN_NLIST
         cents = F.broadcast(
             kmeans_centroids(
                 vecs,
-                nlist=16 if nlist is None else nlist,
+                nlist=n_cells,
                 iters=2 if train_iters is None else train_iters,
                 id_col=id_col,
+                hierarchical=hier_fit,
             )
         )
-        cells = ivf_assign(vecs, cents, nprobe=1, id_col=id_col).select(
+        corpus_assign = (
+            (lambda *a, **kw: ivf_assign_hier(*a, n_cents=n_cells, **kw))
+            if hier_fit else ivf_assign
+        )
+        cells = corpus_assign(vecs, cents, nprobe=1, id_col=id_col).select(
             F.col(id_col).alias("neighbor_id"),
             F.col("__v").alias("__cv"),
             "__cell",
         )
+    # query routing goes two-level past the same threshold — per-query
+    # eval cost ~√nlist instead of nlist against a large index
+    query_assign = (
+        (lambda *a, **kw: ivf_assign_hier(*a, n_cents=n_cells, **kw))
+        if n_cells >= HIER_ASSIGN_MIN_NLIST else ivf_assign
+    )
     qvecs = queries.select(id_col, _as_double(F.col(vec_col)).alias("__v"))
-    qcells = ivf_assign(qvecs, cents, nprobe=nprobe, id_col=id_col).select(
+    qcells = query_assign(qvecs, cents, nprobe=nprobe, id_col=id_col).select(
         F.col(id_col).alias("query_id"), F.col("__v").alias("__qv"), "__cell"
     )
     scored = (
