@@ -792,6 +792,14 @@ def ahash_neardup_pairs_wide(
         )
         .alias(hash_col),
     )
+    # the hash table feeds the band explode (both self-join legs), the
+    # occupancy cap, and the Hamming verify — and its upstream is the
+    # mapInPandas decode, which would re-run per consumer.  One tracked
+    # materialization (id + bits/64 longs per image): A/B at sf0.1
+    # measured 2.65 -> 1.24 s (released at the next query boundary).
+    from time_series_db_spark.cache import persist_tracked
+
+    h = persist_tracked(h)
 
     def _band_key(b: int):
         word = (b * width) // 64
@@ -913,6 +921,12 @@ def ahash_neardup_pairs(
     h = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col(id_col), F.col(hash_col)
     )
+    # same pin as the wide variant: the hash table's upstream is the
+    # mapInPandas decode, re-run for each of the band legs / cap /
+    # verify without it.  A/B at sf0.1: 1.48 -> 0.64 s.
+    from time_series_db_spark.cache import persist_tracked
+
+    h = persist_tracked(h)
     bands = h.select(
         id_col,
         F.posexplode(
