@@ -800,6 +800,14 @@ def embedding_neardup_pairs(
             .filter(F.col("__occ") <= F.lit(int(max_bucket)))
             .drop("__occ")
         )
+    # the signature table feeds both self-join legs (and the occupancy
+    # cap above) — without a pin each consumer re-folds the hyperplane
+    # sign products over the full embedding column.  A/B at sf0.1
+    # (auto planes, cap 128): 6.68 → 4.92 s, results byte-identical —
+    # the simhash/ahash band-table pin applied here (r13).
+    from time_series_db_spark.cache import persist_tracked
+
+    sig = persist_tracked(sig)
 
     cand = (
         sig.alias("a")
