@@ -1482,6 +1482,138 @@ def ann_ivf_kmeans_topk(spark, sf_dir):
 _KM64_CTES, _KM64_FINAL = _sql_kmeans_cents(nlist=64, iters=2)
 
 
+def _sql_kmeans_over(
+    src: str, nlist: int, iters: int, prefix: str, dims: int = 64
+) -> tuple[str, str]:
+    """Generalized Lloyd CTE chain over an arbitrary ``(vec_id, v)``
+    source CTE (``_sql_kmeans_cents`` is the ``src='e'`` special case,
+    kept verbatim so the long-green entries' SQL stays byte-stable).
+    Mirrors ann.kmeans_centroids: min-id init, exact-decimal dim sums,
+    one double divide, empty cells keep the previous centroid."""
+    p = prefix
+    sql = (
+        f"{p}c0 AS (SELECT vec_id::BIGINT AS cid, v AS centroid "
+        f"FROM {src} WHERE vec_id < {nlist})"
+    )
+    for t in range(iters):
+        sql += f""",
+    {p}a{t} AS (
+      SELECT s.vec_id, s.v, c.cid,
+             row_number() OVER (
+               PARTITION BY s.vec_id
+               ORDER BY {_sql_cosine("s.v", "c.centroid")} DESC, c.cid
+             ) AS rn
+      FROM {src} s CROSS JOIN {p}c{t} c),
+    {p}b{t} AS (SELECT vec_id, v, cid FROM {p}a{t} WHERE rn = 1),
+    {p}d{t} AS (
+      SELECT cid, i,
+             CAST(sum(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS m
+      FROM {p}b{t}, generate_series(1, {dims}) t(i)
+      GROUP BY cid, i),
+    {p}n{t} AS (SELECT cid, list(m ORDER BY i) AS centroid FROM {p}d{t} GROUP BY cid),
+    {p}c{t + 1} AS (
+      SELECT c.cid, COALESCE(n.centroid, c.centroid) AS centroid
+      FROM {p}c{t} c LEFT JOIN {p}n{t} n USING (cid))"""
+    return sql, f"{p}c{iters}"
+
+
+def _sql_hier_assign(
+    cents_cte: str, prefix: str, n_cents: int, super_probe: int = 4
+) -> tuple[str, str]:
+    """CTE chain unrolling ann.ivf_assign_hier(e, <cents>, nprobe=1):
+    mini-Lloyd (1 iter) clusters the centroid table into
+    ⌈√n_cents⌉ super-cells, each centroid pins to ONE super, each
+    vector routes to its ``super_probe`` nearest supers and ranks only
+    those supers' centroids.  Returns (sql, assigned_cte) where the
+    assigned CTE has (vec_id, v, cid)."""
+    import math as _math
+
+    n_super = max(2, _math.isqrt(max(n_cents - 1, 1)) + 1)
+    sp = min(int(super_probe), n_super)
+    p = prefix
+    cv = f"{p}cv"
+    km_sql, km_final = _sql_kmeans_over(cv, n_super, 1, f"{p}s")
+    sql = f"""{cv} AS (SELECT cid AS vec_id, centroid AS v FROM {cents_cte}),
+    {km_sql},
+    {p}cs AS (
+      SELECT vec_id AS cid, v AS centroid, scid AS super FROM (
+        SELECT c.vec_id, c.v, s.cid AS scid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY {_sql_cosine("c.v", "s.centroid")} DESC, s.cid
+               ) AS rn
+        FROM {cv} c CROSS JOIN {km_final} s) WHERE rn = 1),
+    {p}rt AS (
+      SELECT vec_id, v, scid AS super FROM (
+        SELECT e.vec_id, e.v, s.cid AS scid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cosine("e.v", "s.centroid")} DESC, s.cid
+               ) AS rn
+        FROM e CROSS JOIN {km_final} s) WHERE rn <= {sp}),
+    {p}asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT r.vec_id, r.v, cs.cid,
+               row_number() OVER (
+                 PARTITION BY r.vec_id
+                 ORDER BY {_sql_cosine("r.v", "cs.centroid")} DESC, cs.cid
+               ) AS rn
+        FROM {p}rt r JOIN {p}cs cs ON cs.super = r.super) WHERE rn = 1)"""
+    return sql, f"{p}asg"
+
+
+def _sql_semantic_hier(nlist: int, threshold: float) -> str:
+    """The full dedup_semantic chain with HIERARCHICAL training (1
+    Lloyd iter) and assignment — the oracle for the two-level path:
+    init → hier-assign #1 → mean update → hier-assign #2 → cells →
+    unit-dot prune (identical tail to the flat entry)."""
+    h1_sql, h1_asg = _sql_hier_assign("hc0", "h1", nlist)
+    h2_sql, h2_asg = _sql_hier_assign("hc1", "h2", nlist)
+    return f"""WITH e AS ({_SQL_E}),
+    hc0 AS (SELECT vec_id::BIGINT AS cid, v AS centroid
+            FROM e WHERE vec_id < {nlist}),
+    {h1_sql},
+    hd AS (
+      SELECT cid, i,
+             CAST(sum(CAST(v[i] AS DECIMAL(27,9))) AS DOUBLE) / count(*) AS m
+      FROM {h1_asg}, generate_series(1, 64) t(i)
+      GROUP BY cid, i),
+    hn AS (SELECT cid, list(m ORDER BY i) AS centroid FROM hd GROUP BY cid),
+    hc1 AS (
+      SELECT c.cid, COALESCE(n.centroid, c.centroid) AS centroid
+      FROM hc0 c LEFT JOIN hn n USING (cid)),
+    {h2_sql},
+    cells AS (SELECT vec_id, v, cid AS cell FROM {h2_asg}),
+    ucells AS (
+      SELECT vec_id, cell,
+             [v[i] / nullif(sqrt({_sql_dot("v", "v")}), 0.0)
+              for i in generate_series(1, len(v))] AS u
+      FROM cells),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM ucells a JOIN ucells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_sql_dot("a.u", "b.u")} >= {threshold})
+    SELECT c.vec_id, c.cell::BIGINT AS cell
+    FROM cells c
+    WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = c.vec_id)"""
+
+
+@register("dedup_semantic_hier", _sql_semantic_hier(nlist=256, threshold=0.45))
+def dedup_semantic_hier(spark, sf_dir):
+    """The two-level (hierarchical) SemDeDup path driver-certified at
+    gate scale: nlist=256 == ann.HIER_ASSIGN_MIN_NLIST forces
+    ivf_assign_hier through BOTH the Lloyd iteration and the final
+    assignment (mini-Lloyd super-cells over the centroid table, 4-super
+    routing, within-super rank — pipeline/ann.py:ivf_assign_hier), the
+    same code the 100× sweep runs under nlist="auto" (BASELINE.md r13
+    addendum: hard-negative mining 96.2 → 19.5 s on this path).  The
+    oracle unrolls the identical two-level chain — deterministic
+    because every rank tie-breaks on the cell id."""
+    return dedup.semantic_dedup(
+        _embs(spark, sf_dir), nlist=256, train_iters=1, threshold=0.45
+    )
+
+
 @register(
     "dedup_semantic",
     f"""WITH e AS ({_SQL_E}),
