@@ -1518,14 +1518,16 @@ def _sql_kmeans_over(
 
 
 def _sql_hier_assign(
-    cents_cte: str, prefix: str, n_cents: int, super_probe: int = 4
+    cents_cte: str, prefix: str, n_cents: int, super_probe: int = 4,
+    src: str = "e", nprobe: int = 1,
 ) -> tuple[str, str]:
-    """CTE chain unrolling ann.ivf_assign_hier(e, <cents>, nprobe=1):
+    """CTE chain unrolling ann.ivf_assign_hier(<src>, <cents>, nprobe):
     mini-Lloyd (1 iter) clusters the centroid table into
     ⌈√n_cents⌉ super-cells, each centroid pins to ONE super, each
     vector routes to its ``super_probe`` nearest supers and ranks only
     those supers' centroids.  Returns (sql, assigned_cte) where the
-    assigned CTE has (vec_id, v, cid)."""
+    assigned CTE has (vec_id, v, cid) — plus ``rn`` when nprobe > 1
+    (the probe rank)."""
     import math as _math
 
     n_super = max(2, _math.isqrt(max(n_cents - 1, 1)) + 1)
@@ -1545,20 +1547,20 @@ def _sql_hier_assign(
         FROM {cv} c CROSS JOIN {km_final} s) WHERE rn = 1),
     {p}rt AS (
       SELECT vec_id, v, scid AS super FROM (
-        SELECT e.vec_id, e.v, s.cid AS scid,
+        SELECT x.vec_id, x.v, s.cid AS scid,
                row_number() OVER (
-                 PARTITION BY e.vec_id
-                 ORDER BY {_sql_cosine("e.v", "s.centroid")} DESC, s.cid
+                 PARTITION BY x.vec_id
+                 ORDER BY {_sql_cosine("x.v", "s.centroid")} DESC, s.cid
                ) AS rn
-        FROM e CROSS JOIN {km_final} s) WHERE rn <= {sp}),
+        FROM {src} x CROSS JOIN {km_final} s) WHERE rn <= {sp}),
     {p}asg AS (
-      SELECT vec_id, v, cid FROM (
+      SELECT vec_id, v, cid, rn FROM (
         SELECT r.vec_id, r.v, cs.cid,
                row_number() OVER (
                  PARTITION BY r.vec_id
                  ORDER BY {_sql_cosine("r.v", "cs.centroid")} DESC, cs.cid
                ) AS rn
-        FROM {p}rt r JOIN {p}cs cs ON cs.super = r.super) WHERE rn = 1)"""
+        FROM {p}rt r JOIN {p}cs cs ON cs.super = r.super) WHERE rn <= {nprobe})"""
     return sql, f"{p}asg"
 
 
@@ -1596,6 +1598,64 @@ def _sql_semantic_hier(nlist: int, threshold: float) -> str:
     SELECT c.vec_id, c.cell::BIGINT AS cell
     FROM cells c
     WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.vec_id = c.vec_id)"""
+
+
+def _sql_hn_hier(nlist: int, k: int, nprobe: int) -> str:
+    """ann.hard_negatives_ivf at the hierarchical threshold: id-subset
+    centroids (no Lloyd on the cents themselves), two-level assignment
+    for BOTH the corpus (nprobe=1) and the anchors (nprobe=2), label
+    inequality in the cell join, probe-dedup, per-anchor rank."""
+    c_sql, c_asg = _sql_hier_assign("gc0", "g1", nlist, src="e", nprobe=1)
+    q_sql, q_asg = _sql_hier_assign("gc0", "g2", nlist, src="q", nprobe=nprobe)
+    return f"""WITH e AS ({_SQL_E}),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id % 50 = 0),
+    lbl AS (SELECT vec_id, label FROM embeddings),
+    gc0 AS (SELECT vec_id::BIGINT AS cid, v AS centroid
+            FROM e WHERE vec_id < {nlist}),
+    {c_sql},
+    {q_sql},
+    cells AS (
+      SELECT a.vec_id AS neighbor_id, a.v AS cv, a.cid AS cell, l.label AS nl
+      FROM {c_asg} a JOIN lbl l ON l.vec_id = a.vec_id),
+    qcells AS (
+      SELECT a.vec_id AS query_id, a.v AS qv, a.cid AS cell, l.label AS ql
+      FROM {q_asg} a JOIN lbl l ON l.vec_id = a.vec_id),
+    cand AS (
+      SELECT DISTINCT q.query_id, c.neighbor_id, q.ql, c.nl,
+             {_sql_cosine("q.qv", "c.cv")} AS cosine
+      FROM qcells q JOIN cells c
+        ON c.cell = q.cell
+       AND q.query_id <> c.neighbor_id
+       AND q.ql <> c.nl),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+      ) AS rank FROM cand)
+    SELECT query_id, neighbor_id, rank::BIGINT AS rank,
+           {sql_quant("cosine")} AS cosine,
+           ql::BIGINT AS query_label, nl::BIGINT AS neighbor_label
+    FROM ranked WHERE rank <= {k}"""
+
+
+@register("ann_hard_negatives_ivf_hier", _sql_hn_hier(nlist=256, k=5, nprobe=2))
+def ann_hard_negatives_ivf_hier(spark, sf_dir):
+    """Celled hard-negative mining on the two-level assignment path,
+    driver-certified at gate scale: nlist=256 == HIER_ASSIGN_MIN_NLIST
+    forces ivf_assign_hier for both the corpus (nprobe=1) and the
+    anchors (nprobe=2) — the configuration the 100× sweep measured at
+    19.5 s vs the flat path's 96.2 s (BASELINE.md r13 addendum).  The
+    oracle unrolls the two-level chain twice (shared id-subset
+    centroids, per-side routing) plus the label-inequality cell join,
+    probe-dedup, and per-anchor rank."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.filter(F.col("vec_id") % 50 == 0)
+    out = ann.hard_negatives_ivf(embs, queries, k=5, nlist=256, nprobe=2)
+    return out.select(
+        "query_id", "neighbor_id", "rank",
+        quant(F.col("cosine")).alias("cosine"),
+        F.col("query_label").cast("long").alias("query_label"),
+        F.col("neighbor_label").cast("long").alias("neighbor_label"),
+    )
 
 
 @register("dedup_semantic_hier", _sql_semantic_hier(nlist=256, threshold=0.45))
