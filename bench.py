@@ -474,16 +474,27 @@ def main() -> None:
         alarms = _update_ledger(timings)
 
     total = round(sum(timings.values()), 4)
+    # field order: the per-entry "queries" dict FIRST, the scalar
+    # summary (metric/value/unit/sf) LAST.  The driver captures only the
+    # tail of stdout; since the rotation window grew the dict past that
+    # tail (r10), a truncated line lost the headline total. With the
+    # scalars at the end of the line the tail always contains them (and
+    # the candidate gates), whatever the window size.  Same ONE JSON
+    # line, same keys, same timings — JSON objects are unordered.
     out = {
-        "metric": "headline_queries_total",
-        "value": total,
-        "unit": "sec",
         "queries": timings,
-        "sf": sf,
         "candidates": candidates,
     }
     if alarms:
         out["drift_alarms"] = alarms
+    out.update(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+        }
+    )
     print(json.dumps(out))
 
 

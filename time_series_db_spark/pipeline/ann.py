@@ -762,30 +762,49 @@ def quantize_embeddings(
     100 TB this runs at parquet-scan speed alongside the IVF assignment.
     Returns (id, scale, q [int array], recon_rmse).
     """
+    # staged projections: ``scale`` and ``q`` land in their own columns
+    # before anything references them per-element.  Higher-order-function
+    # lambdas are interpreted and RE-EVALUATE referenced expressions per
+    # element — inlining ``scale`` (itself an O(d) array fold) into the
+    # per-element quantize/error lambdas makes the row O(d²); as a
+    # projected column each lambda reference is a row-field lookup
+    # (r13 optimization, same family as textprep.bind_once).  Arithmetic
+    # unchanged — identical output.
     v = _as_double(F.col(vec_col))
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    scale = absmax / F.lit(127.0)
-    q = F.transform(
-        v,
-        lambda x: F.when(scale == 0.0, F.lit(0))
-        .otherwise(
-            F.greatest(
-                F.lit(-127),
-                F.least(F.lit(127), F.floor(x / scale + 0.5).cast("int")),
+    scaled = df.select(
+        F.col(id_col),
+        v.alias("__v"),
+        (F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    )
+    scale = F.col("scale")
+    quantized = scaled.select(
+        F.col(id_col),
+        "__v",
+        "scale",
+        F.transform(
+            "__v",
+            lambda x: F.when(scale == 0.0, F.lit(0))
+            .otherwise(
+                F.greatest(
+                    F.lit(-127),
+                    F.least(F.lit(127), F.floor(x / scale + 0.5).cast("int")),
+                )
             )
-        )
-        .cast("int"),
+            .cast("int"),
+        ).alias("q"),
     )
     err2 = F.aggregate(
-        F.zip_with(v, q, lambda x, qi: (x - qi * scale) * (x - qi * scale)),
+        F.zip_with("__v", "q", lambda x, qi: (x - qi * scale) * (x - qi * scale)),
         F.lit(0.0),
         lambda acc, e: acc + e,
     )
-    return df.select(
+    return quantized.select(
         F.col(id_col),
-        scale.alias("scale"),
-        q.alias("q"),
-        F.sqrt(err2 / F.size(v)).alias("recon_rmse"),
+        F.col("scale"),
+        F.col("q"),
+        F.sqrt(err2 / F.size("__v")).alias("recon_rmse"),
     )
 
 

@@ -54,16 +54,23 @@ def _initial_seq() -> F.Column:
 
 
 def _pair_counts(wf: DataFrame) -> DataFrame:
-    toks = F.split(F.trim(F.col("__seq")), " ")
-    pairs = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat(
-            F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
-        ),
-    )
-    guarded = F.when(F.size(toks) >= 2, pairs).otherwise(
-        F.array().cast("array<string>")
-    )
+    # bind the token split once per row (textprep.bind_once): ``__seq``
+    # carries the round's stacked replace chain, and an unbound lambda
+    # reference would re-run that chain + split per PAIR element —
+    # O(symbols²·merges) per word instead of O(symbols) (r13
+    # optimization, the interpreted-HOF re-evaluation family)
+    def body(toks: F.Column) -> F.Column:
+        pairs = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat(
+                F.element_at(toks, i + 1), F.lit(" "), F.element_at(toks, i + 2)
+            ),
+        )
+        return F.when(F.size(toks) >= 2, pairs).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    guarded = textprep.bind_once(F.split(F.trim(F.col("__seq")), " "), body)
     return (
         wf.select(F.col("__f"), F.explode(guarded).alias("__pair"))
         .groupBy("__pair")

@@ -4,7 +4,7 @@ evaluation/benchmark set on long word n-grams.
 The standard pretraining hygiene step (the GPT-3 appendix C / PaLM
 "contamination" methodology): a training document is contaminated when it
 shares at least ``min_hits`` distinct word n-grams with any benchmark
-document.  Collisions are computed on 60-bit n-gram hashes, so the eval
+document.  Collisions are computed on 64-bit n-gram hashes, so the eval
 side reduces to a small set of longs.
 
 100 TB shape: the benchmark set is tiny relative to the corpus (eval
@@ -13,9 +13,18 @@ distinct n-gram hashes BROADCAST; the corpus side explodes its n-grams
 map-side and the broadcast hash join filters them to the (rare) hits
 before any shuffle — the only shuffled rows are actual collisions, and
 the per-doc hit count is a partial aggregate on top.  Nothing quadratic,
-nothing driver-side.  The hash is the portable md5-based
-:func:`~time_series_db_spark.pipeline.textprep.hash64` so the DuckDB
-differential is exact; swap ``fn="xxhash64"`` in production.
+nothing driver-side.  The hash never reaches the OUTPUT (the report
+carries doc ids and distinct-collision counts, not hash values), so the
+default is the JVM-native ``xxhash64`` — identical results to the
+md5-based portable hash for any collision-free hash, ~10× cheaper per
+gram, no hex→int round-trip (r13 optimization, guide §4.1: cheaper
+expression choice inside codegen).  The DuckDB oracles keep the
+md5-based :func:`~time_series_db_spark.pipeline.textprep.hash64`
+rendering: both sides count distinct-gram collisions between the same
+two string sets, so the differential still pins exactness — and would
+surface an xxhash64 collision as a mismatch instead of hiding it.
+Pass ``hash_fn="md5"`` to reproduce the oracle's intermediate values
+bit-for-bit when debugging.
 """
 
 from __future__ import annotations
@@ -25,7 +34,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 from time_series_db_spark.pipeline import textprep
 
 
-def ngram_hash_set(text_col: Column, n: int, hash_fn: str = "md5") -> Column:
+def ngram_hash_set(text_col: Column, n: int, hash_fn: str = "xxhash64") -> Column:
     """Distinct hashed word n-grams of a text column (whole document as
     one gram when shorter than n tokens — same convention as the MinHash
     shingle set)."""
@@ -42,7 +51,7 @@ def decontaminate(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-corpus-document contamination report against ``eval_set``.
 
@@ -90,7 +99,7 @@ def bloom_decontaminate(
     min_hits: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
     m_bits: int | None = None,
     k_hashes: int = 4,
 ) -> DataFrame:
@@ -234,7 +243,7 @@ def overlap_score(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Continuous contamination scoring — the graded companion to
     :func:`decontaminate`'s binary flag: per corpus document, the
@@ -307,7 +316,7 @@ def eval_overlap(
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """The EVAL-SIDE view of contamination — the transpose of
     :func:`overlap_score`: per eval item, the fraction of ITS distinct

@@ -80,16 +80,25 @@ def shingle_hashes(token_hashes: Column, k: int = 3) -> Column:
     """Distinct k-gram shingle hashes (ARRAY<BIGINT>) from per-token
     hashes: each shingle hash is the polynomial fold of its k consecutive
     token hashes — no shingle string is ever materialized.  Documents
-    shorter than k tokens yield one whole-document shingle."""
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(token_hashes) - k),
-        lambda i: _poly_fold(F.slice(token_hashes, i + 1, k)),
-    )
-    return F.array_distinct(
-        F.when(F.size(token_hashes) >= k, ngrams).otherwise(
-            F.array(_poly_fold(token_hashes))
+    shorter than k tokens yield one whole-document shingle.
+
+    The token-hash array is bound once per row
+    (:func:`textprep.bind_once`): callers pass the raw
+    ``transform(tokens, md5…)`` expression, and without the binding
+    every shingle's ``slice`` would re-run the per-token hashing —
+    O(tokens·k) hash evaluations instead of O(tokens) (the interpreted
+    higher-order-function re-evaluation, r13 optimization)."""
+
+    def body(th: Column) -> Column:
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.size(th) - k),
+            lambda i: _poly_fold(F.slice(th, i + 1, k)),
         )
-    )
+        return F.array_distinct(
+            F.when(F.size(th) >= k, ngrams).otherwise(F.array(_poly_fold(th)))
+        )
+
+    return textprep.bind_once(token_hashes, body)
 
 
 def minhash_signatures(
@@ -598,50 +607,120 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     shingle_k: int = 2,
 ) -> DataFrame:
-    """Exact Jaccard over word k-gram sets via shingle equi-join.
+    """Exact Jaccard over word k-gram sets — prefix-filtered (AllPairs).
 
-    The join key is the shingle itself; common shingles drive the
-    pair-count aggregation. Exact but O(pairs-sharing-a-shingle) — use
-    MinHash at scale; this is the correctness baseline.
+    Output-identical to the naive shingle equi-join (the r1–r12
+    formulation), but the self-join runs on each document's PREFIX
+    only — the standard prefix-filtering principle (Chaudhuri et al.
+    ICDE'06 / Bayardo et al. WWW'07): order the shingle universe
+    rarest-first (one document-frequency aggregation), sort each
+    document's shingle set by that order, and keep the first
+    ``n − floor(t·n) + 1`` shingles.  J(A,B) ≥ t implies
+    |A∩B| ≥ ⌈t·max(|A|,|B|)⌉, and two sets overlapping that much must
+    collide inside these prefixes, so the candidate set is a provable
+    superset of the answer (``floor`` instead of the tight ``ceil``
+    keeps the prefix one longer — immune to float rounding of t·n).
+    Candidates then verify with an EXACT intersection on the full
+    per-document shingle-hash arrays, so the result is threshold-exact.
+    Shingles travel as xxhash64 codes (narrower shuffle, integer
+    equality) — the dedup_exact_substring convention: the DuckDB oracle
+    intersects the shingle STRINGS, so a hash collision would surface
+    as a differential mismatch, not hide.
+
+    Still the documented quadratic-worst-case exact baseline (MinHash
+    is the scale path), but the constant is the prefix fan-out, not the
+    full inverted-index fan-out: at sf0.1 the join emits 9.9M rows
+    instead of 36.5M and the (id_a, id_b, count) hash aggregation of
+    10.3M groups disappears entirely (A/B: 17.2 s → see
+    OPTIMIZATION_r13.md).
     """
+    from time_series_db_spark.cache import persist_tracked
+
+    t = float(threshold)
     sh = df.select(
         F.col(id_col),
         textprep.word_shingles(textprep.tokens(F.col(text_col)), shingle_k).alias(
             "__sh"
         ),
     )
-    sizes = sh.select(F.col(id_col), F.size("__sh").alias("__n"))
-    # pre-aggregate repeated shingles to (id, shingle, count) BEFORE the
-    # self-join: a shingle occurring cₐ× in doc a and c_b× in doc b
-    # contributes cₐ·c_b matched pairs — summing the product over one
-    # (id, shingle) row per side is byte-identical to counting the
-    # exploded cₐ·c_b join rows, but the join input shrinks to distinct
-    # shingles per doc and the hot-shingle fan-out multiplies counts
-    # instead of rows (A/B at sf0.1: 39.1 s → see BASELINE.md r11)
-    flat = (
-        sh.select(F.col(id_col), F.explode("__sh").alias("__s"))
-        .groupBy(id_col, "__s")
-        .agg(F.count(F.lit(1)).alias("__c"))
+    # shingles carried as their 64-bit hash from here on (the
+    # dedup_exact_substring convention: the oracle works on the STRING,
+    # Spark on its xxhash64 — a hash collision would surface as a
+    # differential mismatch, not hide).  The explode is (id, hash)-unique
+    # because documents' shingle arrays are array_distinct'd.
+    flat = sh.select(
+        F.col(id_col),
+        F.explode(
+            F.transform("__sh", lambda s: F.xxhash64(s))
+        ).alias("__h"),
     )
-    a, b = flat.alias("a"), flat.alias("b")
-    common = (
+    # document frequency per distinct shingle — a plain scalable hash
+    # aggregation (no global window); (dfc, hash) is the rarest-first
+    # total order the prefix filter sorts by
+    dfreq = flat.groupBy("__h").agg(F.count(F.lit(1)).alias("__dfc"))
+    # per-doc shingle-code array sorted rarest-first; persisted — it
+    # feeds the prefix explode AND both verify legs (the band-table-pin
+    # rule: the upstream is the tokenize + shingle + dfreq join, the
+    # expensive half of the operator)
+    codes = persist_tracked(
+        flat.join(dfreq, "__h")
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__dfc", "__h"))),
+                lambda s: s.getField("__h"),
+            ).alias("__codes")
+        )
+        .withColumn("__n", F.size("__codes"))
+    )
+    # prefix = first n − floor(t·n) + 1 codes (rarest shingles first)
+    prefix = codes.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.explode(
+            F.slice(
+                F.col("__codes"),
+                1,
+                (F.col("__n") - F.floor(F.lit(t) * F.col("__n")) + 1).cast("int"),
+            )
+        ).alias("__sid"),
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # length filter inside the join: J ≥ t forces t·max(na,nb) ≤ min(na,nb)
+    # (c ≤ min and c ≥ t·max); the small epsilon keeps the float bound a
+    # superset at exact-ratio boundaries
+    cand = (
         a.join(
             b,
-            (F.col("a.__s") == F.col("b.__s"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            (F.col("a.__sid") == F.col("b.__sid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.least(F.col("a.__n"), F.col("b.__n"))
+                + F.lit(1e-9)
+                >= F.lit(t) * F.greatest(F.col("a.__n"), F.col("b.__n"))
+            ),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
-        .agg(
-            F.sum(F.col("a.__c") * F.col("b.__c")).cast("double").alias("__common")
-        )
+        .distinct()
     )
-    na = sizes.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"))
-    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"))
-    return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
+    ca = codes.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__codes").alias("__ca"),
+        F.col("__n").alias("__na"),
+    )
+    cb = codes.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__codes").alias("__cb"),
+        F.col("__n").alias("__nb"),
+    )
+    verified = (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
+        .withColumn(
+            "__common", F.size(F.array_intersect("__ca", "__cb")).cast("double")
+        )
         .select(
             "id_a",
             "id_b",
@@ -649,8 +728,9 @@ def ngram_jaccard_pairs(
                 F.col("__common") / (F.col("__na") + F.col("__nb") - F.col("__common"))
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .filter(F.col("jaccard") >= F.lit(t))
     )
+    return verified
 
 
 # ---------------------------------------------------------------------------
@@ -1001,10 +1081,13 @@ def semantic_dedup(
     )
     # normalize ONCE per vector so the quadratic within-cell pass is a
     # plain dot product — 3× fewer interpreted float ops per pair than
-    # cosine (the pair count, Σ cell², dominates everything else here)
-    unit = F.transform(
-        F.col("__v"),
-        lambda x: F.try_divide(x, F.sqrt(_dot_fold(F.col("__v"), F.col("__v")))),
+    # cosine (the pair count, Σ cell², dominates everything else here).
+    # The norm is bound once per row (textprep.bind_once): an unbound
+    # lambda reference re-runs the O(d) dot fold per ELEMENT — O(d²)
+    # per vector (r13, the interpreted-HOF re-evaluation family).
+    unit = textprep.bind_once(
+        F.sqrt(_dot_fold(F.col("__v"), F.col("__v"))),
+        lambda nrm: F.transform(F.col("__v"), lambda x: F.try_divide(x, nrm)),
     )
     from time_series_db_spark.cache import persist_tracked
 

@@ -151,33 +151,33 @@ def repetition_stats(
     fraction taken by the single most frequent bigram. High values mark
     boilerplate/spam for training-data filtering.
 
-    Scale shape: one shingle explode + two hash aggregations keyed on
-    (doc, gram) then (doc) — combiner-friendly, no per-doc quadratic
-    array work. Documents with <2 tokens have no bigrams and are
-    omitted (nothing to measure).
+    Scale shape: ZERO shuffles — the whole statistic is per-row array
+    math.  :func:`textprep.word_shingles` returns an
+    ``array_distinct``-ed shingle array, so every (doc, gram)
+    multiplicity is exactly 1 by construction; the former
+    explode → groupBy(doc, gram) → groupBy(doc) pipeline (two full
+    exchanges of the gram strings) therefore reduced algebraically to
+    ``n_bigrams = size(grams)``, ``uniq = n_bigrams``,
+    ``top = 1`` — output-identical (differential-verified vs the
+    unchanged DuckDB oracle, which still runs the full two-aggregation
+    formulation over the same distinct shingle list), at parquet-scan
+    speed (r13 optimization: 4.1 s → see OPTIMIZATION_r13.md).
     """
     grams = textprep.word_shingles(
         textprep.tokens(F.col(text_col)), 2
     )
-    exploded = df.select(
-        F.col(id_col), F.explode(grams).alias("__g")
-    )
-    per_gram = exploded.groupBy(id_col, "__g").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    return (
-        per_gram.groupBy(id_col)
-        .agg(
-            F.sum("__c").cast("long").alias("n_bigrams"),
-            F.count(F.lit(1)).alias("__uniq"),
-            F.max("__c").alias("__top"),
-        )
-        .select(
-            id_col,
-            "n_bigrams",
-            (1.0 - F.col("__uniq") / F.col("n_bigrams")).alias("dup_bigram_frac"),
-            (F.col("__top") / F.col("n_bigrams")).alias("top_bigram_frac"),
-        )
+    # word_shingles is never empty (short docs yield the whole document
+    # as one shingle), so every document emits exactly one row — the
+    # same rows the explode formulation produced
+    return df.select(
+        F.col(id_col),
+        F.size(grams).cast("long").alias("n_bigrams"),
+    ).select(
+        id_col,
+        "n_bigrams",
+        # multiplicities are all 1 (array_distinct): distinct == total
+        (1.0 - F.col("n_bigrams") / F.col("n_bigrams")).alias("dup_bigram_frac"),
+        (F.lit(1) / F.col("n_bigrams")).alias("top_bigram_frac"),
     )
 
 

@@ -74,19 +74,47 @@ def tokens(col: Column) -> Column:
 SQL_TOKENS = "string_split(" + SQL_NORMALIZE + ", ' ')"
 
 
+def bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` exactly ONCE per row and hand the result to
+    ``body`` as a bound lambda variable.
+
+    Spark's higher-order functions (``transform``/``aggregate``/…) are
+    CodegenFallback: the lambda body is re-interpreted per element, and
+    any non-trivial expression it references — rather than a column or
+    lambda variable — is RE-EVALUATED per element.  A shingle transform
+    over ``split(regexp_replace(text, …))`` therefore re-tokenizes the
+    whole document once per shingle: O(tokens²) per row (measured 3.6 s
+    → 0.37 s at sf0.1 for the bigram shingle set, r13 optimization;
+    guide §4.1 — keep the per-row work linear before tuning anything
+    else).  Wrapping the operand as ``transform(array(col), x ->
+    body(x))[1]`` forces one evaluation: ``array(col)`` is the
+    transform's ARGUMENT (evaluated once), and every reference inside
+    ``body`` is a lambda-variable lookup.  Pure evaluation-order change
+    — results are bit-identical.
+    """
+    return F.element_at(F.transform(F.array(col), body), 1)
+
+
 def word_shingles(tok: Column, k: int = 3) -> Column:
     """Distinct word *k*-grams — the MinHash/Jaccard item set.
 
     ``sequence`` needs start <= stop, so short documents (< k tokens)
-    yield the whole document as a single shingle.
+    yield the whole document as a single shingle.  The token array is
+    bound once per row (:func:`bind_once`) — callers pass the raw
+    ``tokens(text)`` expression, and without the binding every shingle
+    slice would re-run the tokenizer.
     """
-    ngrams = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - k),
-        lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
-    )
-    return F.array_distinct(
-        F.when(F.size(tok) >= k, ngrams).otherwise(F.array(F.array_join(tok, " ")))
-    )
+
+    def body(t: Column) -> Column:
+        ngrams = F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        )
+        return F.array_distinct(
+            F.when(F.size(t) >= k, ngrams).otherwise(F.array(F.array_join(t, " ")))
+        )
+
+    return bind_once(tok, body)
 
 
 def sql_word_shingles(tok_expr: str, k: int = 3) -> str:
