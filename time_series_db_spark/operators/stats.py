@@ -430,29 +430,41 @@ def correlate_matrix_candidates(
         .withColumn("__cnt", F.count(F.lit(1)).over(wb))
         .filter(F.col("__cnt") <= F.lit(int(max_bucket)))
     )
+    # r13: pin the signature table and run ONE band join.  The sketch
+    # (two shuffles + two window passes) used to be rebuilt for both
+    # self-join legs of both the co-movement and the anti-correlation
+    # joins; the r9 A/B that measured the persist as slower predates the
+    # AQE coalesce-floor fix (session.py) and no longer holds — re-A/B'd
+    # this round: 4.7 s → 1.3 s at sf0.1, candidates byte-identical
+    # (36,779).  The b side explodes each signature into (signature,
+    # u↔d-inverted signature) so a single equi-join surfaces both the
+    # positive and negative candidates the two joins produced — the
+    # union∘distinct of the pair sets is unchanged.
+    from time_series_db_spark.cache import persist_tracked
+
+    sig = persist_tracked(sig)
     a = sig.select(
         F.col("series_key").alias("__ka"), "__band", "__sig"
     )
     b = sig.select(
         F.col("series_key").alias("__kb"),
         F.col("__band").alias("__bandb"),
-        F.col("__sig").alias("__sigb"),
-        F.translate(F.col("__sig"), "ud", "du").alias("__sinv"),
+        F.explode(
+            F.array(
+                F.col("__sig"), F.translate(F.col("__sig"), "ud", "du")
+            )
+        ).alias("__sigb"),
     )
-    ordered = F.col("__ka") < F.col("__kb")
-    pos = a.join(
-        b,
-        (F.col("__band") == F.col("__bandb"))
-        & (F.col("__sig") == F.col("__sigb"))
-        & ordered,
-    ).select("__ka", "__kb")
-    neg = a.join(
-        b,
-        (F.col("__band") == F.col("__bandb"))
-        & (F.col("__sig") == F.col("__sinv"))
-        & ordered,
-    ).select("__ka", "__kb")
-    return pos.union(neg).distinct()
+    return (
+        a.join(
+            b,
+            (F.col("__band") == F.col("__bandb"))
+            & (F.col("__sig") == F.col("__sigb"))
+            & (F.col("__ka") < F.col("__kb")),
+        )
+        .select("__ka", "__kb")
+        .distinct()
+    )
 
 
 def rolling_corr_target(
@@ -810,21 +822,38 @@ def detect_season(
     (count DESC, lag ASC).  Everything after the ACF table is
     fleet-metadata-sized; the vote is ONE 1-row collect — the declared
     coordinator boundary (the k-means/BPE shape).
+
+    The vote is memoized per (plan, knobs) under the active cache scope
+    (:func:`~time_series_db_spark.cache.probe_memo` — the binary-probe
+    discipline): every ``season=auto`` operator in the seasonal family
+    (adjust/decompose/forecast/backtest) re-derived the SAME election
+    from the SAME frame on every call, each paying a full ACF scatter
+    job (r13 A/B: 1–3.5 s per call at sf0.1); a probe result is a pure
+    function of the analyzed plan, so it shares exactly the cache's
+    staleness boundaries.
     """
-    top = (
-        season_votes(sf, max_lag, min_lag)
-        .groupBy("lag")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .orderBy(F.desc("__c"), F.asc("lag"))
-        .limit(1)
-        .collect()
-    )
-    if not top:
-        raise ValueError(
-            "detect_season: no series has a defined ACF peak "
-            "(constant or too-sparse frame)"
+
+    def compute() -> int:
+        top = (
+            season_votes(sf, max_lag, min_lag)
+            .groupBy("lag")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .orderBy(F.desc("__c"), F.asc("lag"))
+            .limit(1)
+            .collect()
         )
-    return int(top[0]["lag"]) * int(sf.step)
+        if not top:
+            raise ValueError(
+                "detect_season: no series has a defined ACF peak "
+                "(constant or too-sparse frame)"
+            )
+        return int(top[0]["lag"]) * int(sf.step)
+
+    from time_series_db_spark.cache import probe_memo
+
+    return probe_memo(
+        sf.df, f"detect_season:{int(max_lag)}:{int(min_lag)}:{sf.step}", compute
+    )
 
 
 def season_votes(

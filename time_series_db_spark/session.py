@@ -20,6 +20,18 @@ def get_spark(app_name: str = "time_series_db_spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE sizes post-shuffle partitions by SHUFFLE bytes and cannot
+        # see downstream fan-out: a kilobyte-scale aggregate feeding a
+        # grid/sequence explode (densify's packed-series table: ~0.8 MB
+        # shuffle -> 5.3M generated rows at sf0.1) gets coalesced to ONE
+        # partition and the explode serializes on one core.  Lowering
+        # the coalescer's floor keeps such stages at cluster parallelism
+        # (measured r13: transform_null 2.4->1.1 s, changed 3.1->1.2 s,
+        # unbounded keep_last_value 6.9->1.5 s).  Scale-safe: with
+        # parallelism-first coalescing (default on) this floor only
+        # matters when total shuffle bytes < parallelism x 1 MB — large
+        # shuffles are split by total/parallelism regardless.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -231,6 +231,14 @@ def cascade_rollup(
     # any-one-row — summing would double-count. (Streaming-sink tables
     # read via _spark_metadata can't even surface such duplicates; this
     # guards tables assembled by batch backfills/copies without a log.)
+    # One explicit series_key repartition serves BOTH aggregations
+    # (guide §2.4 — two operations keyed the same way share one
+    # exchange): hash clustering on series_key alone satisfies the
+    # (series_key, ts) dedup AND the (series_key, window) rollup, so
+    # neither groupBy inserts its own shuffle.
+    fine = fine.repartition(
+        spark.sparkContext.defaultParallelism, F.col("series_key")
+    )
     fine = fine.groupBy("series_key", "ts").agg(
         F.first("value_sum").alias("value_sum"),
         F.first("value_count").alias("value_count"),
@@ -259,10 +267,15 @@ def cascade_rollup(
         .withColumn(
             "block", F.col("ts") - F.col("ts") % F.lit(int(block_ms))
         )
-    ).persist()
-    try:
-        n = coarse.count()
-        write_blocks(coarse, coarse_path)
-    finally:
-        coarse.unpersist()
-    return n
+    )
+    # row count rides the write as an observed metric — one action over
+    # the plan instead of a count job + a write job over a persisted
+    # intermediate (r13; the backfill_rules Observation pattern). At
+    # 100 TB this removes a full extra pass (and the cache pressure of
+    # persisting the coarse tier) from every cascade step.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    coarse = coarse.observe(obs, F.count(F.lit(1)).alias("n"))
+    write_blocks(coarse, coarse_path)
+    return int(obs.get.get("n", 0) or 0)

@@ -551,16 +551,16 @@ def backfill_rules(
 ) -> dict[str, int]:
     """Backfill MANY recording rules over ONE scan of the metrics store —
     the M3-aggregator shape (a rule group shares the ingest stream, not
-    one pass per rule). The samples frame is persisted once; every
-    rule's filter+aggregate reads that materialization, and the union
-    writes in a single job. At 100 TB the store scan dominates a
-    backfill, so a 20-rule group costs ~1 scan instead of 20.
+    one pass per rule). The samples frame is persisted once and read
+    ONCE: each row explodes into a struct per rule it matches and a
+    single hash aggregation computes the whole group (r13 — previously
+    each rule ran its own filter+aggregate over the materialization).
+    At 100 TB the store scan dominates a backfill, so a 20-rule group
+    costs 1 scan + 1 shuffle instead of 20 of each.
 
     Rules must have distinct ``record`` names (the per-rule row counts
     are keyed by them). Returns {record: rows appended}.
     """
-    from functools import reduce
-
     from time_series_db_spark.cache import persist_tracked
     from time_series_db_spark.streaming.ingest import read_metrics
 
@@ -585,13 +585,69 @@ def backfill_rules(
         if union_pred is not None:
             samples = samples.filter(union_pred)
     samples = persist_tracked(samples)
-    frames = [
-        apply_rule_frame(samples, r, block_ms).withColumn(
-            "__record", F.lit(r["record"])
+    # ONE pass over the (pruned, persisted) samples for the WHOLE group
+    # (r13 optimization, guide §2.3 "aggregate before you shuffle" /
+    # §1.2 fewer passes): each sample row emits a struct per rule it
+    # matches — (record, output series key, window ts) — via one
+    # array_compact explode, and a single hash aggregation computes
+    # every RULE_AGGS statistic per (record, key, window); the rule's
+    # own aggregation is selected per record afterwards.  Replaces one
+    # filtered scan + shuffle + aggregate PER RULE (a 20-rule group paid
+    # 20 passes over the cached store) with exactly one of each;
+    # per-rule results are bit-identical — the group under (record,
+    # key, window) contains precisely the rows apply_rule_frame's
+    # per-rule filter selected, and the selected aggregate is the same
+    # function (pinned by test_backfill_rules_prefilter_matches_
+    # unfiltered, which compares against per-rule backfills).
+    lbl = F.col("labels")
+    branches = []
+    for r in compiled:
+        pred = F.lit(True)
+        for key, values in r["match"].items():
+            pred = pred & tag_filter_predicate(lbl[key], values)
+        for k in r["group_by"]:
+            pred = pred & lbl[k].isNotNull()
+        out_labels = F.map_from_arrays(
+            F.array(F.lit("name"), *[F.lit(k) for k in r["group_by"]]),
+            F.array(F.lit(r["record"]), *[lbl[k] for k in r["group_by"]]),
         )
-        for r in compiled
-    ]
-    out = reduce(lambda a, b: a.unionByName(b), frames)
+        wts = F.col("ts") - F.col("ts") % F.lit(r["resolution_ms"])
+        branches.append(
+            F.when(
+                pred,
+                F.struct(
+                    F.lit(r["record"]).alias("record"),
+                    series_key_expr(out_labels).alias("skey"),
+                    wts.alias("wts"),
+                ),
+            )
+        )
+    rows = samples.select(
+        F.explode(F.array_compact(F.array(*branches))).alias("__r"),
+        "ts",
+        "value",
+    )
+    aggd = rows.groupBy("__r.record", "__r.skey", "__r.wts").agg(
+        *[RULE_AGGS[a]().alias(f"__{a}") for a in RULE_AGGS]
+    )
+    value = None
+    for r in compiled:
+        picked = F.col(f"__{r['agg']}")
+        value = (
+            picked
+            if value is None
+            else F.when(F.col("record") == r["record"], picked).otherwise(value)
+        )
+    out = aggd.select(
+        F.col("skey").alias("series_key"),
+        labels_from_key_expr(F.col("skey")).alias("labels"),
+        F.col("wts").alias("ts"),
+        value.cast("double").alias("value"),
+        (
+            F.col("wts") - F.col("wts") % F.lit(int(block_ms))
+        ).alias("block"),
+        F.col("record").alias("__record"),
+    )
     # per-record row counts ride the WRITE pass as observed metrics —
     # one action over the union instead of a count job plus a write
     # job over a persisted intermediate
