@@ -183,6 +183,42 @@ _RECERTIFY_FIRST = (
     "dedup_semantic",           # nlist="auto" default + guard (dedup.py)
     "dedup_simhash",            # max_bucket/candidates_only params (dedup.py)
     "ann_hard_negatives_ivf",   # nlist="auto" + candidates_only (ann.py)
+    # r13 OPTIMIZATION round: every entry whose backing code changed in
+    # the perf work (OPTIMIZATION_r13.md) — all re-proven oracle-exact
+    # locally, but changed code must re-earn its driver green.
+    "dedup_ngram_jaccard",      # prefix-filter join (dedup.py)
+    "text_repetition",          # algebraic collapse (text.py)
+    "embedding_quantize",       # staged projections (ann.py)
+    "decontaminate_ngram",      # xxhash64 default (decontam.py)
+    "decontaminate_overlap",
+    "decontaminate_eval_side",
+    "decontaminate_bloom",
+    "pipeline_curate",          # decontam + minhash path changes
+    "pipeline_curate_full",
+    "pipeline_curate_incremental",
+    "dedup_minhash_lsh",        # shingle_hashes bind-once (dedup.py)
+    "dedup_xcorpus_update",
+    "dedup_cross_corpus",
+    "dedup_soft_weights",
+    "dedup_cluster_survivors",
+    "split_leakage_safe",
+    "corpus_diff",
+    "text_ngram_novelty",       # word_shingles bind-once (textprep.py)
+    "text_bpe_merges",          # _pair_counts bind-once (bpe.py)
+    "text_bpe_encode",
+    "text_bpe_encode_xcorpus",
+    "text_bpe_token_counts",
+    "text_bpe_fertility",
+    "text_bpe_oov_xcorpus",
+    "m3_seasonal_decompose",    # detect_season probe_memo (stats.py)
+    "m3_seasonal_auto",
+    "m3_seasonal_auto_series",
+    "m3_season_votes",
+    "m3_forecast",
+    "m3_forecast_backtest",
+    "m3ql_seasonal_decompose",
+    "m3ql_seasonal_auto",
+    "m3ql_forecast",
 )
 
 
