@@ -163,7 +163,33 @@ def synth_mock_series(
     # start + (n-1)*step inclusive ⇒ exclusive frame bound one step past),
     # so densifying stages (transformNull) fill the full value range
     max_ts = max(max_ts, min_ts + len(values) * step)
-    df = spark.createDataFrame(rows, "ts: long, value: double")
+    # literal plan (range + inline of a literal struct array), NOT
+    # createDataFrame: a createDataFrame frame is RDD-backed, so its
+    # semanticHash changes on every call — which defeated the
+    # probe-memo/persist rehydration discipline for every mock-fetch
+    # query (detect_season re-ran its ACF election per call, r14
+    # profiling: 10 jobs per re-run of m3ql_seasonal_auto).  A pure
+    # expression plan hashes identically across identical calls, and
+    # skips the per-call RDD materialization entirely.
+    # two single-call array LITERALS via SQL text (F.lit on a Python
+    # list, like a per-element F.struct build, costs one py4j round
+    # trip PER ELEMENT — seconds of driver time for the 720-point
+    # periodic mocks; one F.expr string is a single round trip)
+    def _d(v: float) -> str:
+        if v != v or v in (float("inf"), float("-inf")):
+            return f"double('{v}')"
+        return repr(v) + "D"
+
+    ts_sql = ",".join(f"{int(t)}L" for t, _ in rows)
+    v_sql = ",".join(_d(float(v)) for _, v in rows)
+    ts_arr = F.expr(f"array({ts_sql})").cast("array<bigint>")
+    v_arr = F.expr(f"array({v_sql})").cast("array<double>")
+    df = (
+        spark.range(1)
+        .select(F.posexplode(ts_arr).alias("__i", "ts"))
+        .withColumn("value", F.element_at(v_arr, F.col("__i") + 1))
+        .drop("__i")
+    )
     keys = sorted(tags)
     label_map = F.create_map(
         *[x for k in keys for x in (F.lit(k), F.lit(tags[k]))]

@@ -52,6 +52,34 @@ _TS_COLS = {
 }
 
 
+#: session → {parquet path: (raw reader DataFrame, dtypes)}.  The
+#: testdata tables are immutable fixtures read by every catalog entry;
+#: rebuilding the reader per query re-lists the directory, re-infers the
+#: schema (a driver-side parquet-footer job) and pays ~100 py4j round
+#: trips — pure per-query fixed cost at any scale (guide §1.2: fewer
+#: jobs per query).  The memo holds only the READER HANDLE (an immutable
+#: lazy plan) — never data or results: every action still computes from
+#: the parquet files.  Keyed weakly by session so a stopped session's
+#: handles are dropped with it.
+from weakref import WeakKeyDictionary
+
+_RAW_READERS: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
+def _read_testdata(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, dict[str, str]]:
+    per = _RAW_READERS.setdefault(spark, {})
+    hit = per.get(path)
+    if hit is None:
+        # TIMESTAMP(NANOS) columns are only readable as int64 under the
+        # legacy flag; set before the first read of each path
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        hit = per[path] = (df, dict(df.dtypes))
+    return hit
+
+
 def _date_ns(date: str) -> int:
     """'YYYY-MM-DD' → epoch nanos (UTC midnight)."""
     import datetime
@@ -86,9 +114,7 @@ def load_table(
     converted column instead wraps it in timestamp_micros(...) and pushes
     nothing (SURVEY.md §4.1 rows 2-3).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    dtypes = dict(df.dtypes)
+    df, dtypes = _read_testdata(spark, f"{sf_dir}/{name}.parquet")
     for c, (lo, hi) in (ts_range or {}).items():
         if dtypes.get(c) == "bigint":
             # TIMESTAMP(NANOS) read as raw int64 — filter before any
@@ -150,9 +176,8 @@ def _raw_samples(
     read as BIGINT nanos (legacy flag) and timestamp[us] read as
     TIMESTAMP_NTZ; both floor to epoch millis like DuckDB's epoch_ms.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(ev.dtypes).get("ts", "bigint")
+    ev, ev_dtypes = _read_testdata(spark, f"{sf_dir}/events.parquet")
+    ts_type = ev_dtypes.get("ts", "bigint")
     if ts_type == "bigint":
         rng = (F.col("ts") >= F.lit(min_ts * 1_000_000)) & (
             F.col("ts") < F.lit(max_ts * 1_000_000)
