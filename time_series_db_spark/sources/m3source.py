@@ -16,6 +16,7 @@ transform. Negated keys (``!k:v``) invert the whole key's predicate.
 from __future__ import annotations
 
 import re
+from weakref import WeakKeyDictionary
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -77,6 +78,17 @@ def regex_filter_predicate(
     return ~pred if inverted else pred
 
 
+#: session → {filter signature: SeriesFrame} — cross-QUERY fetch-frame
+#: memo for the language path.  The m3/prom builders already CSE
+#: identical fetches WITHIN one query; different catalog entries
+#: re-issue the same (filters, range, step) fetch and paid the full
+#: plan re-construction (~0.3 s of py4j per fetch).  A SeriesFrame is
+#: an immutable lazy plan — memoizing the handle changes no results and
+#: caches no data; it also keeps the plan's semanticHash stable, which
+#: is what the probe/persist rehydration discipline keys on.
+_SRC_FETCH_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 class EventsSource:
     """M3Source over the driver's ``events`` table (labels: name, user,
     region, shard — see sources/tables.py mapping)."""
@@ -101,20 +113,34 @@ class EventsSource:
         — fully-anchored RE2-style regexes (the reference converts them to
         Lucene wildcards, PromSourceBuilderVisitor.java:273-299; we keep
         real regex via rlike, anchored)."""
+        key = (
+            self.sf_dir,
+            repr(sorted(match.items())),
+            repr(sorted(inverse.items())),
+            repr(sorted((match_re or {}).items())),
+            repr(sorted((inverse_re or {}).items())),
+            min_ts,
+            max_ts,
+            step,
+        )
+        per = _SRC_FETCH_MEMO.setdefault(self.spark, {})
+        hit = per.get(key)
+        if hit is not None:
+            return hit
         where = None
-        for key, values in match.items():
-            p = tag_filter_predicate(F.col(key), values)
+        for k, values in match.items():
+            p = tag_filter_predicate(F.col(k), values)
             where = p if where is None else (where & p)
-        for key, values in inverse.items():
-            p = tag_filter_predicate(F.col(key), values, inverted=True)
+        for k, values in inverse.items():
+            p = tag_filter_predicate(F.col(k), values, inverted=True)
             where = p if where is None else (where & p)
-        for key, values in (match_re or {}).items():
-            p = regex_filter_predicate(F.col(key), values)
+        for k, values in (match_re or {}).items():
+            p = regex_filter_predicate(F.col(k), values)
             where = p if where is None else (where & p)
-        for key, values in (inverse_re or {}).items():
-            p = regex_filter_predicate(F.col(key), values, inverted=True)
+        for k, values in (inverse_re or {}).items():
+            p = regex_filter_predicate(F.col(k), values, inverted=True)
             where = p if where is None else (where & p)
-        return fetch_events(
+        sf = fetch_events(
             self.spark,
             self.sf_dir,
             step=step,
@@ -122,6 +148,8 @@ class EventsSource:
             max_ts=min(max_ts, EVENTS_MAX_TS),
             where=where,
         )
+        per[key] = sf
+        return sf
 
     def mock_fetch(
         self,

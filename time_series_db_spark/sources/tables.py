@@ -247,6 +247,17 @@ def fetch_series_identities(
     )
 
 
+#: session → {(sf_dir, step, bounds): SeriesFrame} — the plain (no label
+#: predicate) fetch frame per argument set.  A SeriesFrame is a frozen
+#: wrapper over an immutable lazy plan, so the handle is reusable across
+#: queries exactly like the reader handle above; rebuilding it per query
+#: cost ~100 py4j round trips of pure plan re-construction.  Entries
+#: with a ``where`` Column bypass the memo (Columns are not hashable
+#: keys); the language path memoizes those by filter signature in
+#: sources/m3source.py.
+_FETCH_MEMO: "WeakKeyDictionary[SparkSession, dict]" = WeakKeyDictionary()
+
+
 def fetch_events(
     spark: SparkSession,
     sf_dir: str,
@@ -260,6 +271,26 @@ def fetch_events(
     Scan → optional label predicate (pushed down) → grid alignment with
     deterministic LWW (max event_id per bucket) → SeriesFrame.
     """
+    if where is None:
+        per = _FETCH_MEMO.setdefault(spark, {})
+        key = (sf_dir, step, min_ts, max_ts)
+        hit = per.get(key)
+        if hit is None:
+            hit = per[key] = _fetch_events_build(
+                spark, sf_dir, step, min_ts, max_ts, None
+            )
+        return hit
+    return _fetch_events_build(spark, sf_dir, step, min_ts, max_ts, where)
+
+
+def _fetch_events_build(
+    spark: SparkSession,
+    sf_dir: str,
+    step: int,
+    min_ts: int,
+    max_ts: int,
+    where,
+) -> SeriesFrame:
     samples = _raw_samples(spark, sf_dir, min_ts, max_ts, where=where)
     grid_ts = (F.col("raw_ts") - (F.col("raw_ts") % F.lit(step))).alias("__grid")
     aligned = (
