@@ -442,11 +442,34 @@ def _bucket_pairs_base(sf: SeriesFrame, bucket_id: str, bucket_range: str):
     )
     drop = [bucket_id, bucket_range]
     glabels = F.map_filter(lbl, lambda k, _v: ~k.isin(*drop))
+    # Generate barrier (the sources/wire.py isolate_input pattern): the
+    # null-guard filter on __upper otherwise re-INLINES the whole
+    # duration-aware range parse — and the upstream label-map build it
+    # references — into every predicate Catalyst pushes toward the scan
+    # (r14 plan audit: the parse appeared ~30x in the pushed filter of
+    # m3ql_histogram_percentile).  Exploding a one-element struct array
+    # pins both derived columns to ONE evaluation per row; predicates
+    # cannot cross a Generate, so downstream sees references only.
+    packed = df.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    _bucket_upper_expr(lbl[bucket_range]).alias("u"),
+                    series_key_expr(glabels).alias("k"),
+                )
+            )
+        ).alias("__pk"),
+        "ts",
+        "value",
+    )
     base = (
-        df.withColumn("__upper", _bucket_upper_expr(lbl[bucket_range]))
+        packed.select(
+            F.col("__pk.u").alias("__upper"),
+            F.col("__pk.k").alias("__gkey"),
+            "ts",
+            "value",
+        )
         .filter(F.col("__upper").isNotNull())
-        .withColumn("__glabels", glabels)
-        .withColumn("__gkey", series_key_expr(F.col("__glabels")))
         .groupBy("__gkey", "ts")
         .agg(
             F.array_sort(

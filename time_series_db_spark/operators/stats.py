@@ -114,7 +114,16 @@ def _single_series_target(sf: SeriesFrame, target: dict[str, str], kind: str):
     for k, v in target.items():
         c = F.col("labels")[k] == F.lit(v)
         pred = c if pred is None else pred & c
-    matched = sf.df.filter(pred)
+    # Pin the matched target (ONE series after the probe check — a few
+    # hundred rows): without the pin the broadcast build re-executed the
+    # full upstream scan+aggregation chain on EVERY run (r14 plan audit
+    # of m3_rolling_corr: two complete parquet scans per action, the
+    # target-label predicate re-inlining the series-key decode into the
+    # scan filter).  With it, the probe materializes the tiny frame once
+    # and the broadcast reads the cache; released at the query boundary.
+    from time_series_db_spark.cache import persist_tracked
+
+    matched = persist_tracked(sf.df.filter(pred))
     n_tgt = probe_memo(
         matched,
         kind,

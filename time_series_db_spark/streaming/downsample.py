@@ -235,10 +235,13 @@ def cascade_rollup(
     # (guide §2.4 — two operations keyed the same way share one
     # exchange): hash clustering on series_key alone satisfies the
     # (series_key, ts) dedup AND the (series_key, window) rollup, so
-    # neither groupBy inserts its own shuffle.
-    fine = fine.repartition(
-        spark.sparkContext.defaultParallelism, F.col("series_key")
-    )
+    # neither groupBy inserts its own shuffle.  Column-only (no
+    # numPartitions): a fixed defaultParallelism pin forced a fine-tier
+    # table into #cores partitions — a spill hazard at 100 TB and an
+    # AQE-sizing override (guide §2.2/§5); with the count unset the
+    # exchange uses spark.sql.shuffle.partitions and AQE coalesces or
+    # splits it by measured bytes.
+    fine = fine.repartition(F.col("series_key"))
     fine = fine.groupBy("series_key", "ts").agg(
         F.first("value_sum").alias("value_sum"),
         F.first("value_count").alias("value_count"),
