@@ -109,6 +109,34 @@ def bpe_train(
     wf = persist_tracked(
         _word_freq(docs, text_col).withColumn("__seq", _initial_seq())
     )
+    from time_series_db_spark.cache import probe_memo
+
+    n_words = probe_memo(
+        wf,
+        "bpe_train_bound",
+        lambda: wf.limit(_DRIVER_TRAIN_MAX_WORDS + 1).count(),
+    )
+    if n_words <= _DRIVER_TRAIN_MAX_WORDS:
+        # coordinator path: ONE bounded collect of the cached word
+        # table replaces 2 Spark jobs per merge round; the returned
+        # word table is the same stacked-replace plan over the same
+        # cache the distributed loop would have built
+        rows = wf.select("__f", "__seq").collect()
+        merges = _train_rounds_local(
+            [(int(r["__f"]), r["__seq"]) for r in rows], n_merges
+        )
+        for i, (_rank, left, right, _freq) in enumerate(merges):
+            wf = wf.withColumn(
+                "__seq",
+                F.replace(
+                    F.col("__seq"),
+                    F.lit(f" {left} {right} "),
+                    F.lit(f" {left}{right} "),
+                ),
+            )
+            if (i + 1) % _CHECKPOINT_EVERY == 0:
+                wf = wf.localCheckpoint(eager=True)
+        return merges, wf
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(n_merges):
         top = (
@@ -132,6 +160,47 @@ def bpe_train(
         if (rank + 1) % _CHECKPOINT_EVERY == 0:
             wf = wf.localCheckpoint(eager=True)
     return merges, wf
+
+
+#: word-type bound for COORDINATOR-side training: when a bounded probe
+#: proves the word-frequency table has at most this many rows, the
+#: merge loop runs on the driver over the collected ``(freq, seq)``
+#: pairs — the reference-class trainer shape (word counts in coordinator
+#: memory) — instead of paying 2 Spark jobs per merge round for a table
+#: that is often a few thousand rows.  ≤ ~50 MB of driver strings at
+#: the bound.  Larger vocabularies keep the distributed loop unchanged;
+#: both paths run the IDENTICAL algorithm (same replace semantics, same
+#: (count DESC, pair ASC) tie-break), so the choice is invisible in the
+#: result — the DuckDB oracle replays training either way.
+_DRIVER_TRAIN_MAX_WORDS = 262_144
+
+
+def _train_rounds_local(
+    seqs: list[tuple[int, str]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The merge loop over collected ``(freq, seq)`` rows — a faithful
+    transcription of the distributed loop: pair extraction mirrors
+    ``_pair_counts`` (trim + single-space split, adjacent pairs), the
+    argmax tie-breaks (count DESC, pair ASC) like the ``orderBy``
+    (Python code-point ordering == Spark UTF8 binary ordering), and the
+    merge is the same literal space-bounded non-overlapping
+    left-to-right replace (`str.replace` == Spark/DuckDB `replace`)."""
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[str, int] = {}
+        for f, s in seqs:
+            toks = s.strip(" ").split(" ")
+            for i in range(len(toks) - 1):
+                p = toks[i] + " " + toks[i + 1]
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        pair, cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        left, right = pair.split(" ")
+        merges.append((rank, left, right, int(cnt)))
+        old, new = f" {left} {right} ", f" {left}{right} "
+        seqs = [(f, s.replace(old, new)) for f, s in seqs]
+    return merges
 
 
 #: a trained BPE model: the ordered merge list plus the trained word
