@@ -31,6 +31,30 @@ from time_series_db_spark.pipeline.dedup import cosine_expr
 NUM_PLANES = 8
 
 
+def _lit_array(vals, elem_type: str = "double") -> Column:
+    """One-call array literal via SQL text.  A per-element
+    ``F.array(*[F.lit(v) ...])`` build costs one py4j round trip PER
+    ELEMENT — the d(d+1)/2-sized PCA index LUTs (2080 entries each)
+    spent ~1.5 s of driver time per plan build on literal construction
+    alone (r14 profiling).  ``repr`` round-trips doubles exactly;
+    non-finite values render through ``double('...')``."""
+
+    def _d(v: float) -> str:
+        if v != v or v in (float("inf"), float("-inf")):
+            return f"double('{v}')"
+        return repr(v) + "D"
+
+    if elem_type == "double":
+        body = ",".join(_d(float(v)) for v in vals)
+    elif elem_type == "int":
+        body = ",".join(str(int(v)) for v in vals)
+    elif elem_type == "bigint":
+        body = ",".join(f"{int(v)}L" for v in vals)
+    else:  # pragma: no cover - guard against silent mistypes
+        raise ValueError(f"unsupported literal array type {elem_type!r}")
+    return F.expr(f"array({body})").cast(f"array<{elem_type}>")
+
+
 def _plane_weight(plane: int, dim_col: Column) -> Column:
     """Integer hyperplane weight w(plane, dim) = ((97·plane + 13·dim) % 19) − 9."""
     return (F.lit(97 * plane) + F.lit(13) * dim_col) % 19 - 9
@@ -848,7 +872,7 @@ def project_jl(
     v = _as_double(F.col(vec_col))
     cols = []
     for j in range(d_out):
-        signs = F.array(*[F.lit(float(r[i][j])) for i in range(d_in)])
+        signs = _lit_array([float(r[i][j]) for i in range(d_in)])
         dot = F.aggregate(
             F.zip_with(v, signs, lambda x, s: x * s),
             F.lit(0.0),
@@ -928,8 +952,8 @@ def pca_cov_frame(
         .groupBy("i")
         .agg(F.sum("__x").alias("sxi"))
     )
-    i_lut = F.array(*[F.lit(i) for i in iu])
-    j_lut = F.array(*[F.lit(j) for j in ju])
+    i_lut = _lit_array(iu, "int")
+    j_lut = _lit_array(ju, "int")
     flat = (
         partials.select(F.posexplode("psxx").alias("k", "__x"))
         .groupBy("k")
@@ -1033,12 +1057,12 @@ def pca_transform(
     mean = model["mean"]
     centered = F.zip_with(
         v,
-        F.array(*[F.lit(float(m)) for m in mean]),
+        _lit_array([float(m) for m in mean]),
         lambda x, m: x - m,
     )
     cols = []
     for k, comp in enumerate(model["components"]):
-        basis = F.array(*[F.lit(float(c)) for c in comp])
+        basis = _lit_array([float(c) for c in comp])
         dot = F.aggregate(
             F.zip_with(centered, basis, lambda x, c: x * c),
             F.lit(0.0),

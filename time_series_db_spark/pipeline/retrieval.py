@@ -405,21 +405,35 @@ def mmr_rerank(
     Returns ``(id, rel, mmr_score, rank)``, rank 1..k, ties on the id.
 
     Scale shape: the shortlist must be metadata-sized (a prior top-n
-    cut) — the pairwise sim table is n_short² rows (persisted once)
-    and each greedy round is ONE distributed argmax with a 1-row
-    collect — the BPE-trainer coordinator shape, k sequential rounds.
-    A bounded probe ENFORCES the contract (``max_shortlist``, default
-    :data:`MAX_MMR_SHORTLIST`): nothing stops a caller passing a raw
-    corpus otherwise, and that is a silent n² blow-up.  Nothing here
-    ever touches the corpus; the shortlist ids broadcast into the
-    embeddings scan exactly once.
+    cut) — a bounded probe ENFORCES the contract (``max_shortlist``,
+    default :data:`MAX_MMR_SHORTLIST`): nothing stops a caller passing
+    a raw corpus otherwise.  Within that contract the greedy selection
+    is coordinator work by construction (k·n cosines over ≤ 2000
+    vectors), so it runs driver-side on ONE bounded collect of
+    ``(id, rel, vec)`` — no n² pairwise table, no per-round jobs —
+    with the exact distributed semantics (sequential-left-fold cosine,
+    NULL on zero norms, F.max NULL/NaN ordering, score-desc/id-asc
+    tie-breaks).  Nothing here ever touches the corpus; the shortlist
+    ids broadcast into the embeddings scan exactly once.
     """
     if k <= 0 or not 0.0 <= lam <= 1.0:
         raise ValueError("mmr_rerank needs k > 0 and 0 <= lam <= 1")
+    from time_series_db_spark.cache import persist_tracked
+
+    # pinned: the bounded probe below and the selection collect read ONE
+    # materialization of the shortlist pipeline (a BM25/fused top-n is
+    # several stages — re-executing it for the probe doubled the cost)
+    cand = persist_tracked(
+        shortlist.select(
+            F.col(id_col).alias("__id"),
+            F.col(rel_col).cast("double").alias("__rel"),
+        )
+    )
     if max_shortlist is not None:
         # bounded probe: LIMIT max+1 caps the probe's work regardless
-        # of the input's true size
-        n_short = shortlist.limit(max_shortlist + 1).count()
+        # of the input's true size (1:1 projection of the shortlist, so
+        # the count is the shortlist's)
+        n_short = cand.limit(max_shortlist + 1).count()
         if n_short > max_shortlist:
             raise ValueError(
                 f"mmr_rerank builds an n_shortlist² pairwise-similarity "
@@ -429,55 +443,86 @@ def mmr_rerank(
                 f"rrf_fuse), or pass max_shortlist explicitly to "
                 f"override."
             )
-    from time_series_db_spark.cache import persist_tracked
-    from time_series_db_spark.pipeline.dedup import cosine_expr
-
-    cand = shortlist.select(
-        F.col(id_col).alias("__id"),
-        F.col(rel_col).cast("double").alias("__rel"),
-    )
     vecs = embs.select(
         F.col(vec_id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).join(F.broadcast(cand.select("__id")), "__id")
-    base = persist_tracked(cand.join(vecs, "__id", "left"))
-    a, b = base.alias("a"), base.alias("b")
-    sims = persist_tracked(
-        a.join(b, F.col("a.__id") != F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("__ia"),
-            F.col("b.__id").alias("__ib"),
-            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("__s"),
-        )
-    )
-    lam_c, inv_c = F.lit(float(lam)), F.lit(1.0 - float(lam))
-    selected: list = []
+    # The shortlist is probe-ENFORCED coordinator-sized (≤ max_shortlist
+    # rows of (id, rel, d-dim vec) — ~1 MB at the 2000-row cap), so the
+    # greedy selection runs driver-side on ONE bounded collect instead
+    # of persisting an n_shortlist² pairwise-sim table and paying one
+    # distributed argmax job per selected item (r14: 18 jobs → 2 for
+    # k=5).  Bit-identical to the distributed formulation: the cosine
+    # is the same sequential left fold as dedup.cosine_expr/_dot_fold
+    # (Python `+=` is the identical IEEE-double left fold), NULL on a
+    # zero norm like try_divide, the per-candidate diversity penalty is
+    # a running max that skips NULLs like F.max, and the argmax orders
+    # (score DESC with NaN largest — Spark's double ordering — then id
+    # ASC).
+    base_rows = cand.join(vecs, "__id", "left").collect()
+
+    def _fold_dot(a: list, b: list) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def _cos(a, b):
+        if a is None or b is None:
+            return None
+        import math as _m
+
+        denom = _m.sqrt(_fold_dot(a, a)) * _m.sqrt(_fold_dot(b, b))
+        if denom == 0.0:
+            return None  # try_divide semantics
+        return _fold_dot(a, b) / denom
+
+    def _is_nan(x: float) -> bool:
+        return x != x
+
+    inv = 1.0 - float(lam)
+    pool = [
+        {"id": r["__id"], "rel": r["__rel"], "v": r["__v"], "ms": None}
+        for r in base_rows
+    ]
     rows = []
+    sel_vecs: list = []
     for rank in range(1, int(k) + 1):
-        pool = base.filter(~F.col("__id").isin(selected) if selected else F.lit(True))
-        if selected:
-            ms = (
-                sims.filter(F.col("__ib").isin(selected))
-                .groupBy("__ia")
-                .agg(F.max("__s").alias("__ms"))
-            )
-            pool = pool.join(ms, pool["__id"] == ms["__ia"], "left")
-        score = lam_c * F.col("__rel") - (
-            inv_c * F.coalesce(F.col("__ms"), F.lit(0.0))
-            if selected
-            else F.lit(0.0)
-        )
-        top = (
-            pool.select("__id", "__rel", score.alias("__score"))
-            .orderBy(F.desc("__score"), F.asc("__id"))
-            .limit(1)
-            .collect()
-        )
-        if not top:
+        if not pool:
             break
-        r = top[0]
-        selected.append(r["__id"])
-        rows.append((r["__id"], r["__rel"], r["__score"], rank))
+        if sel_vecs:
+            last = sel_vecs[-1]
+            for c in pool:
+                s = _cos(c["v"], last)
+                if s is None:
+                    continue
+                m = c["ms"]
+                # F.max semantics: NULLs skipped, NaN greater than all
+                if m is None or _is_nan(s) or (not _is_nan(m) and s > m):
+                    c["ms"] = s
+
+        def _score(c):
+            if c["rel"] is None:
+                return None  # NULL score, sorts last under desc
+            if not sel_vecs:
+                return float(lam) * c["rel"] - 0.0
+            ms = c["ms"] if c["ms"] is not None else 0.0
+            return float(lam) * c["rel"] - inv * ms
+
+        # orderBy(desc(score), asc(id)): NaN sorts as the LARGEST
+        # double in Spark and NULL last under desc
+        def _key(c):
+            s = _score(c)
+            if s is None:
+                return (2, 0.0, c["id"])
+            if _is_nan(s):
+                return (0, 0.0, c["id"])
+            return (1, -s, c["id"])
+
+        best = min(pool, key=_key)
+        pool.remove(best)
+        sel_vecs.append(best["v"])
+        rows.append((best["id"], best["rel"], _score(best), rank))
     spark = shortlist.sparkSession
     # id field keeps the shortlist's own id type (string doc ids work);
     # the rel column keeps the caller's rel_col name
