@@ -65,3 +65,28 @@ def test_bucket_pairs_barrier_output_unchanged(spark):
     df = QUERIES["m3ql_histogram_percentile"](spark, SF_DIR)
     bad = df.filter(F.col("value").isNull() | F.isnan("value")).count()
     assert bad == 0
+
+
+def test_connected_components_paths_agree(spark, monkeypatch):
+    """The probe-bounded union-find path must produce exactly the
+    min-label components the distributed propagation loop produces."""
+    from time_series_db_spark.pipeline import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7), (5, 3)],
+        "id_a long, id_b long",
+    )
+    monkeypatch.setattr(dedup, "_CC_COORD_MAX_EDGES", 0)
+    dist = sorted(
+        (r["id"], r["comp"])
+        for r in dedup.connected_components(edges).collect()
+    )
+    monkeypatch.setattr(dedup, "_CC_COORD_MAX_EDGES", 500_000)
+    loc = sorted(
+        (r["id"], r["comp"])
+        for r in dedup.connected_components(edges).collect()
+    )
+    assert dist == loc
+    assert loc == [
+        (1, 1), (2, 1), (3, 1), (5, 1), (7, 7), (10, 10), (11, 10),
+    ]

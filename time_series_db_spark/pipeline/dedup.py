@@ -923,6 +923,20 @@ def embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
+#: edge bound for COORDINATOR-side component resolution: verified
+#: near-dup pair sets are banding-budget-bounded (the bench asserts the
+#: celled operators' candidate counts), so the usual case is thousands
+#: of edges — a probe-bounded union-find on the driver replaces
+#: O(diameter) shuffle rounds × (checkpoint job + convergence probe)
+#: with ONE bounded collect.  Above the bound the distributed
+#: min-label-propagation loop runs unchanged (with the edge table
+#: pinned so rounds re-read one materialization).  Identical output by
+#: construction: component id = minimum reachable node id, and Python
+#: `<` on longs/strings matches Spark's least/min ordering (UTF8 binary
+#: == code-point order).
+_CC_COORD_MAX_EDGES = 500_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -941,16 +955,62 @@ def connected_components(
     iterative joins otherwise compound the plan exponentially. (The
     production-hardened alternative for adversarial graph shapes is
     large-star/small-star; the plumbing here is the same joins.)
+
+    When a bounded probe proves the edge set is at most
+    :data:`_CC_COORD_MAX_EDGES` rows, the components are resolved with
+    a driver-side union-find over ONE collect instead — same output,
+    none of the per-round jobs (the reference-coordinator shape, like
+    the BPE trainer and the MMR selection).
     """
-    nodes = (
-        edges.select(F.col(src).alias("id"))
-        .unionByName(edges.select(F.col(dst).alias("id")))
-        .distinct()
-    )
-    adj = (
+    from time_series_db_spark.cache import persist_tracked, probe_memo
+
+    e2 = persist_tracked(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
     )
+    n_edges = probe_memo(
+        e2,
+        "cc_edge_bound",
+        lambda: e2.limit(_CC_COORD_MAX_EDGES + 1).count(),
+    )
+    if n_edges <= _CC_COORD_MAX_EDGES:
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in e2.collect():
+            a, b = r["a"], r["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for v in parent:
+            rv = find(v)
+            m = comp_min.get(rv)
+            if m is None or v < m:
+                comp_min[rv] = v
+        out = [(v, comp_min[find(v)]) for v in parent]
+        from pyspark.sql.types import StructField, StructType
+
+        idt = e2.schema["a"].dataType
+        schema = StructType(
+            [StructField("id", idt), StructField("comp", idt)]
+        )
+        return edges.sparkSession.createDataFrame(out, schema)
+
+    adj = persist_tracked(
+        e2.unionByName(
+            e2.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+    )
+    nodes = adj.select(F.col("a").alias("id")).distinct()
     labels = nodes.withColumn("comp", F.col("id")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nb_min = (
