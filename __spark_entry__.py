@@ -169,56 +169,45 @@ _DRIVER_VERIFIED = frozenset({
 #: list every round to the entries touched that round; stale names are
 #: harmless (they just re-certify early).
 _RECERTIFY_FIRST = (
-    # r12-touched but last driver green predates the change (VERDICT r12
-    # next-round #1) — changed code must re-earn its driver green.
-    "m3_correlate_matrix",      # band_symbols="auto" (operators/stats.py)
-    "ann_ivf_prebuilt",         # None-sentinel knob guards (pipeline/ann.py)
-    "dedup_xcorpus_prebuilt",   # deterministic minhash survivor (dedup.py)
-    # r13-touched: the advisory fixes + occupancy-knob conversions.
-    "dedup_embedding_cosine",   # oracle raises past 16-plane unroll (catalog_pipeline.py)
-    "mm_ahash_wide_neardup",    # hash word-count validation (multimodal.py)
-    "m3_line_protocol_roundtrip",  # isolate_input column carry-through (wire.py)
-    "m3_graphite_roundtrip",    # same barrier change
-    "m3_exposition_roundtrip",  # same barrier change
-    "dedup_semantic",           # nlist="auto" default + guard (dedup.py)
-    "dedup_simhash",            # max_bucket/candidates_only params (dedup.py)
-    "ann_hard_negatives_ivf",   # nlist="auto" + candidates_only (ann.py)
-    # r13 OPTIMIZATION round: every entry whose backing code changed in
-    # the perf work (OPTIMIZATION_r13.md) — all re-proven oracle-exact
-    # locally, but changed code must re-earn its driver green.
-    "dedup_ngram_jaccard",      # prefix-filter join (dedup.py)
-    "text_repetition",          # algebraic collapse (text.py)
-    "embedding_quantize",       # staged projections (ann.py)
-    "decontaminate_ngram",      # xxhash64 default (decontam.py)
-    "decontaminate_overlap",
-    "decontaminate_eval_side",
-    "decontaminate_bloom",
-    "pipeline_curate",          # decontam + minhash path changes
-    "pipeline_curate_full",
-    "pipeline_curate_incremental",
-    "dedup_minhash_lsh",        # shingle_hashes bind-once (dedup.py)
-    "dedup_xcorpus_update",
-    "dedup_cross_corpus",
-    "dedup_soft_weights",
-    "dedup_cluster_survivors",
-    "split_leakage_safe",
-    "corpus_diff",
-    "text_ngram_novelty",       # word_shingles bind-once (textprep.py)
-    "text_bpe_merges",          # _pair_counts bind-once (bpe.py)
+    # r14 OPTIMIZATION round: every entry whose backing code changed in
+    # the perf work (OPTIMIZATION_r14.md) — all re-proven oracle-exact
+    # locally (full 319-entry differential + per-batch driver-contract
+    # checks), but changed code must re-earn its driver green.
+    # mock-fetch literal-plan synthesis (sources/m3source.py)
+    "m3ql_mock_fetch",
+    "m3ql_mock_fetch_line",
+    "m3ql_mock_fetch_linear",
+    "m3ql_mock_fetch_periodic",
+    "m3ql_seasonal_auto",
+    # histogram bucket-parse Generate barrier (operators/grouping.py)
+    "m3ql_histogram_percentile",
+    "m3ql_to_histogram_percentile",
+    "m3ql_histogram_cdf",
+    # single-series target pin (operators/stats.py)
+    "m3_correlate_target",
+    "m3_rolling_corr",
+    "m3_lead_lag",
+    "m3ql_rolling_corr",
+    # coordinator BPE training (pipeline/bpe.py)
+    "text_bpe_merges",
     "text_bpe_encode",
     "text_bpe_encode_xcorpus",
     "text_bpe_token_counts",
     "text_bpe_fertility",
     "text_bpe_oov_xcorpus",
-    "m3_seasonal_decompose",    # detect_season probe_memo (stats.py)
-    "m3_seasonal_auto",
-    "m3_seasonal_auto_series",
-    "m3_season_votes",
-    "m3_forecast",
-    "m3_forecast_backtest",
-    "m3ql_seasonal_decompose",
-    "m3ql_seasonal_auto",
-    "m3ql_forecast",
+    # one-call literal arrays (pipeline/ann.py)
+    "embedding_pca",
+    "embedding_project_jl",
+    # coordinator MMR selection + hybrid shortlist pin (retrieval.py)
+    "search_mmr",
+    "search_hybrid_rerank",
+    # coordinator union-find components (pipeline/dedup.py)
+    "dedup_cluster_survivors",
+    "dedup_soft_weights",
+    "split_leakage_safe",
+    "pipeline_curate",
+    "pipeline_curate_full",
+    "pipeline_curate_incremental",
 )
 
 

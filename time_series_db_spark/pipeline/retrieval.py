@@ -281,8 +281,15 @@ def bm25_prf_rerank(
         F.col(vec_id_col).alias(id_col),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("__v"),
     )
-    se = e.join(
-        F.broadcast(short.withColumnRenamed("rank", "__brank")), id_col
+    # pinned: ≤ n_short rows after the broadcast join, but its plan
+    # embeds the whole BM25 shortlist pipeline — both consumers (the
+    # PRF centroid and the rerank) otherwise re-execute it per action
+    from time_series_db_spark.cache import persist_tracked
+
+    se = persist_tracked(
+        e.join(
+            F.broadcast(short.withColumnRenamed("rank", "__brank")), id_col
+        )
     )
     seed_dims = (
         se.filter(F.col("__brank") <= n_seed)

@@ -146,10 +146,19 @@ def fingerprint(
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Gopher-style repetition filters: per document, the fraction of
-    word bigrams that are duplicates (1 − distinct/total) and the
-    fraction taken by the single most frequent bigram. High values mark
-    boilerplate/spam for training-data filtering.
+    """DISTINCT-bigram statistics per document — NOT the Gopher
+    duplicate-n-gram fraction.  The shingle layer
+    (:func:`textprep.word_shingles`) is ``array_distinct``-ed by
+    contract, so ``dup_bigram_frac`` is identically ``0.0``
+    (1 − distinct/total over a distinct set) and ``top_bigram_frac`` is
+    ``1/n_bigrams`` — the only informative output is ``n_bigrams``, the
+    distinct-bigram count.  This degeneracy is pre-existing (r1–r13
+    produced the same constants through the full aggregation pipeline;
+    the r13 collapse only made it visible) and the outputs are pinned
+    by the oracle, so they stay as documented constants: do NOT use
+    these columns as a repetition/boilerplate signal — a real
+    Gopher-style filter needs the bigram MULTISET, which would be a new
+    operator (advisory r13).
 
     Scale shape: ZERO shuffles — the whole statistic is per-row array
     math.  :func:`textprep.word_shingles` returns an
