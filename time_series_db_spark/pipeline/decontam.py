@@ -143,7 +143,7 @@ def bloom_decontaminate(
     if min_hits <= 0:
         raise ValueError("min_hits must be positive")
 
-    from time_series_db_spark.cache import persist_tracked
+    from time_series_db_spark.cache import persist_tracked, probe_memo
 
     eval_h = persist_tracked(
         eval_set.select(
@@ -151,15 +151,8 @@ def bloom_decontaminate(
         )
         .distinct()
     )
-    if m_bits is None:
-        # metadata-sized count on the tiny side; the frame is persisted
-        # so the bitmap build and the confirm join reuse it
-        n_grams = eval_h.count()
-        m_bits = 1 << max(10, (max(1, 16 * n_grams) - 1).bit_length())
 
-    mask = m_bits - 1
-
-    def probes(gh: Column) -> list[Column]:
+    def _probes_for(mask: int, gh: Column) -> list[Column]:
         # double hashing (Kirsch–Mitzenmacher): pos_i = h1 + i·h2 mod m
         # from the single 64-bit gram hash; h2 forced odd so the probe
         # sequence walks the full power-of-two table
@@ -171,28 +164,61 @@ def bloom_decontaminate(
             (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask))
             for i in range(k_hashes)
         ]
-    # bitmap build: k positions per eval gram → (word, bit) → bit_or per
-    # word — at most m_bits/64 rows cross to the driver (metadata-sized:
-    # 16384 longs at the default m)
-    words = (
-        eval_h.select(F.explode(F.array(*probes(F.col("__gh")))).alias("__pos"))
-        .select(
-            F.shiftrightunsigned(F.col("__pos"), 6).cast("int").alias("__w"),
-            # Python-API shiftleft only takes literal shift amounts —
-            # the per-row bit position needs the SQL form
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(__pos & 63 AS INT))"
-            ).alias("__b"),
+
+    def _build() -> tuple[int, list[int]]:
+        m = m_bits
+        if m is None:
+            # metadata-sized count on the tiny (persisted) side
+            n_grams = eval_h.count()
+            m = 1 << max(10, (max(1, 16 * n_grams) - 1).bit_length())
+        # bitmap build: k positions per eval gram → (word, bit) →
+        # bit_or per word — at most m/64 rows cross to the driver
+        # (metadata-sized: 16384 longs at the default m)
+        words = (
+            eval_h.select(
+                F.explode(
+                    F.array(*_probes_for(m - 1, F.col("__gh")))
+                ).alias("__pos")
+            )
+            .select(
+                F.shiftrightunsigned(F.col("__pos"), 6)
+                .cast("int")
+                .alias("__w"),
+                # Python-API shiftleft only takes literal shift amounts
+                # — the per-row bit position needs the SQL form
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(__pos & 63 AS INT))"
+                ).alias("__b"),
+            )
+            .groupBy("__w")
+            .agg(F.expr("bit_or(__b)").alias("__word"))
+            .collect()
         )
-        .groupBy("__w")
-        .agg(F.expr("bit_or(__b)").alias("__word"))
-        .collect()
+        bm = [0] * (m // 64)
+        for r in words:
+            bm[r["__w"]] = r["__word"]
+        return m, bm
+
+    # the bitmap is a pure function of the (persisted) eval plan and the
+    # knobs — the binary-probe discipline applies: memoized per scope so
+    # identical re-runs skip the count + bitmap-build jobs entirely
+    m_bits, bitmap = probe_memo(
+        eval_h,
+        f"bloom_bitmap:{n}:{k_hashes}:{m_bits}:{hash_fn}",
+        _build,
     )
-    bitmap = [0] * (m_bits // 64)
-    for r in words:
-        bitmap[r["__w"]] = r["__word"]
-    bits = corpus.sparkSession.createDataFrame(
-        [(bitmap,)], "__bloom array<long>"
+    mask = m_bits - 1
+
+    def probes(gh: Column) -> list[Column]:
+        return _probes_for(mask, gh)
+
+    # one-call literal plan (not createDataFrame: an RDD-backed one-row
+    # frame changes the downstream plan identity per call and pays a
+    # per-call materialization; 16384 longs render as one SQL literal)
+    bits = corpus.sparkSession.range(1).select(
+        F.expr(
+            "array(" + ",".join(f"{w}L" for w in bitmap) + ")"
+        ).alias("__bloom")
     )
 
     grams = (
