@@ -580,6 +580,8 @@ def lm_perplexity(
     """
     from pyspark.sql import Window
 
+    from time_series_db_spark.cache import persist_tracked
+
     toks = (
         df.select(
             F.col(id_col),
@@ -589,7 +591,10 @@ def lm_perplexity(
         )
         .filter(F.col("token") != "")
     )
-    vocab = (
+    # pinned: the vocabulary cut is a corpus aggregation that otherwise
+    # re-runs inside EVERY consumer of the mapped stream (r14 audit:
+    # five corpus-side executions per action)
+    vocab = persist_tracked(
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .orderBy(F.desc("__cnt"), F.asc("token"))
@@ -608,12 +613,22 @@ def lm_perplexity(
         "v", F.coalesce(F.lag("w").over(seq), F.lit("<s>"))
     ).select(id_col, "v", "w")
 
-    uni = big.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c_w"))
-    ctx = big.groupBy("v").agg(F.count(F.lit(1)).cast("double").alias("c_v"))
-    bi = big.groupBy("v", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("c_vw")
+    # ONE corpus pass builds the bigram table; the unigram, context and
+    # total tables are its exact marginals (integer-valued counts below
+    # 2^53, so the double sums are exact: c_w = Σ_v c_vw, c_v = Σ_w
+    # c_vw, T = Σ c_vw — identical values to counting `big` directly).
+    # Previously each of the four model tables re-executed the full
+    # corpus pipeline (scan + explode + vocab join + lag window); now
+    # the corpus is touched twice per action (model build + scoring),
+    # and the pinned bigram table is (V+2)²-bounded metadata.
+    bi = persist_tracked(
+        big.groupBy("v", "w").agg(
+            F.count(F.lit(1)).cast("double").alias("c_vw")
+        )
     )
-    tot = big.agg(F.count(F.lit(1)).cast("double").alias("t_n"))
+    uni = bi.groupBy("w").agg(F.sum("c_vw").alias("c_w"))
+    ctx = bi.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    tot = bi.agg(F.sum("c_vw").alias("t_n"))
 
     l1, l2 = float(lam), 1.0 - float(lam)
     logp = F.log(
