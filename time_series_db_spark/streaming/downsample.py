@@ -192,6 +192,14 @@ def cascade_rollup(
     window) first — combining duplicates into the coarse window would
     double-count sums. Appends block-partitioned rows in the same
     physical schema as :func:`start_downsample`; returns rows written.
+    The count rides the write as an observed metric and is
+    INFORMATIONAL: Spark guarantees exactly-once accumulator updates
+    only in result stages, so a stage retry or speculative task can
+    over-count it relative to the rows actually committed (r13
+    advisory) — treat it as telemetry, not an audit total, or disable
+    speculation for these jobs.  The same caveat applies to
+    :func:`~time_series_db_spark.streaming.rules.backfill_rules`'s
+    per-record counts.
 
     Incremental ranges MUST be resolution-aligned: ``min_ts`` /
     ``max_ts`` are rejected unless they are multiples of
